@@ -1,13 +1,89 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.traffic.Traffic
+
+/** Driver contract — see /root/repo/SURVEY.md §2/§7.
+  *
+  * Every implemented operator has a `queries` entry; every
+  * SQL-expressible one also has a DuckDB `oracleSql` entry, built
+  * exclusively from Portable (md5 / exact-decimal) expressions so the
+  * driver's hash compare is deterministic across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Traffic.maxFlowSliding(t(spark, "/root/testdata/sf0.001", "events"))
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 reference surface
+    "q_injector_filter" -> ((s, d) => Traffic.injectorFilter(t(s, d, "documents"))),
+    "q_starter_upper" -> ((s, d) => Traffic.starterUpper(t(s, d, "documents"))),
+    "q_extract_lanes" -> ((s, d) => Traffic.extractLanes(Traffic.csvLines(t(s, d, "events")))),
+    "q_max_flow_global" -> ((s, d) => Traffic.maxFlowGlobal(t(s, d, "events"))),
+    "q_max_flow_sliding" -> ((s, d) => Traffic.maxFlowSliding(t(s, d, "events"))),
+    // §2.2 engine core
+    "q1_agg" -> ((s, d) => Relational.q1Agg(t(s, d, "lineitem"))),
+    "q_join_revenue" -> ((s, d) => Relational.joinRevenue(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "nation"), t(s, d, "region"))),
+    "q_topk_orders" -> ((s, d) => Relational.topkOrders(t(s, d, "orders"))),
+    "q_running_sum" -> ((s, d) => Relational.runningSum(t(s, d, "orders"))),
+    "q_sessionize" -> ((s, d) => Relational.sessionize(t(s, d, "events"))),
+    "q_window_tumbling" -> ((s, d) => Relational.windowTumbling(t(s, d, "events"))),
+    "q_distinct_users" -> ((s, d) => Relational.distinctUsers(t(s, d, "events"))),
+    "q_anti_join" -> ((s, d) => Relational.antiJoin(t(s, d, "customer"), t(s, d, "orders"))),
+    "q_json_extract" -> ((s, d) => Relational.jsonExtract(t(s, d, "events"))),
+    "q_pivot_events" -> ((s, d) => Relational.pivotEvents(t(s, d, "events"))),
+    // §2.3 LLM-data operators
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(t(s, d, "documents"))),
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"))),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(t(s, d, "documents"))),
+    "q_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
+    "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
+    "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
+    "q_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
+    "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(t(s, d, "documents"))),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
+    "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(t(s, d, "documents"))))
+
+  /** DuckDB oracles; q_ann_lsh is intentionally absent (LSH bucketing
+    * is the non-SQL scale path; its recall is ScalaTest-verified
+    * against q_ann_topk). */
+  def oracleSql: Map[String, String] = Map(
+    "q_injector_filter" -> Traffic.injectorFilterSql,
+    "q_starter_upper" -> Traffic.starterUpperSql,
+    "q_extract_lanes" -> Traffic.extractLanesSql,
+    "q_max_flow_global" -> Traffic.maxFlowGlobalSql,
+    "q_max_flow_sliding" -> Traffic.maxFlowSlidingSql,
+    "q1_agg" -> Relational.q1AggSql,
+    "q_join_revenue" -> Relational.joinRevenueSql,
+    "q_topk_orders" -> Relational.topkOrdersSql,
+    "q_running_sum" -> Relational.runningSumSql,
+    "q_sessionize" -> Relational.sessionizeSql,
+    "q_window_tumbling" -> Relational.windowTumblingSql,
+    "q_distinct_users" -> Relational.distinctUsersSql,
+    "q_anti_join" -> Relational.antiJoinSql,
+    "q_json_extract" -> Relational.jsonExtractSql,
+    "q_pivot_events" -> Relational.pivotEventsSql,
+    "q_dedup_exact" -> Dedup.exactSql,
+    "q_dedup_ngram" -> Dedup.ngramJaccardSql,
+    "q_dedup_minhash" -> Dedup.minhashLshSql,
+    "q_dedup_simhash" -> Dedup.simhashDedupSql,
+    "q_dedup_embedding" -> Similarity.embeddingNearDupSql,
+    "q_ann_topk" -> Similarity.annTopKSql,
+    "q_lang_id" -> TextAnalysis.langIdSql,
+    "q_quality" -> TextAnalysis.qualitySql,
+    "q_token_count" -> TextAnalysis.tokenCountSql,
+    "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_multimodal_meta" -> Multimodal.metaQuerySql)
 }

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Expression helpers whose semantics are reproducible bit-for-bit in
+  * DuckDB, so every operator built on them can ship a hash-checkable
+  * SQL oracle. md5 is the one hash both engines share; decimal
+  * aggregation makes float sums order-independent and therefore
+  * engine-independent.
+  */
+object Portable {
+
+  /** 60-bit seeded hash: first 15 hex chars of md5("seed:x") as a long.
+    * DuckDB mirror: `('0x' || substr(md5(seed || ':' || x), 1, 15))::BIGINT`.
+    */
+  def md5Long(seed: Column, c: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 15), 16, 10)
+      .cast("long")
+
+  def md5Long(seed: Int, c: Column): Column = md5Long(lit(seed), c)
+
+  /** SQL-string mirror of [[md5Long]] for oracle generation. */
+  def md5LongSql(seedSql: String, xSql: String): String =
+    s"(('0x' || substr(md5(($seedSql) || ':' || ($xSql)), 1, 15))::BIGINT)"
+
+  /** Exact decimal view of a double column: aggregation over it is
+    * order-independent, so Spark and DuckDB sums agree exactly. */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** sum as exact decimal, surfaced as double (both engines compute the
+    * identical decimal then perform the identical nearest-double cast). */
+  def sumd(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Whitespace word tokens of lowercased text; DuckDB mirror:
+    * `string_split_regex(lower(x), '\s+')`. */
+  def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Distinct word n-gram shingles (space-joined n-token windows).
+    * Guarded: Spark's `sequence(1, 0)` counts DOWN, so short docs must
+    * short-circuit to an empty array. DuckDB's generate_series(1,0) is
+    * already empty. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** SQL mirror of [[wordShingles]] over a token-list expression. */
+  def wordShinglesSql(toksSql: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"($toksSql)[i + $k]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(generate_series(1, len($toksSql) - ${n - 1}), i -> $parts))"
+  }
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** General analytics core (SURVEY §2.2). Every query carries a DuckDB
+  * oracle; float aggregation goes through exact decimal (Portable.sumd)
+  * so both engines produce bit-identical doubles.
+  *
+  * Scale notes are inline per operator — the testdata is small, the
+  * plans are written for 1000 executors.
+  */
+object Relational {
+
+  // C1: TPC-H Q1 shape — filter + groupBy + multi-aggregate.
+  // Filter and 7-column projection push to the parquet scan; the single
+  // shuffle carries only 4 partial-agg rows per map task.
+  def q1Agg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+  // C2: star join — fact-fact shuffle join on keys, dimension tables
+  // broadcast (nation/region always; customer too below ~10M rows).
+  def joinRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val joinRevenueSql: String =
+    """SELECT r_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name"""
+
+  // C3: top-K per group. row_number is fine here (groups = 5
+  // priorities); at scale with many groups, pre-aggregate a per-partition
+  // top-K before the window to bound the sort input.
+  def topkOrders(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+  }
+
+  val topkOrdersSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 5"""
+
+  // C4: running/cumulative window aggregate, decimal-exact.
+  def runningSum(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+  }
+
+  val runningSumSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders"""
+
+  // C5: sessionization — gaps-and-islands with a 30-minute idle gap.
+  // Two window passes over the same (user, ts) partitioning: Catalyst
+  // plans a single sort+exchange reused by both.
+  def sessionize(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // gap test at microsecond precision — DuckDB's epoch_us mirrors
+    // unix_micros exactly (second-level casts would round differently).
+    val prev = lag(unix_micros(col("ts")), 1).over(byUser)
+    val news = when(prev.isNull || unix_micros(col("ts")) - prev > 1800L * 1000000L, 1)
+      .otherwise(0)
+    events
+      .withColumn("new_s", news)
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"), sumd(col("value")).as("sum_value"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged)
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events, min(ts) AS start_ts,
+  max(ts) AS end_ts, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, session_id"""
+
+  // C6: tumbling windows.
+  def windowTumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  val windowTumblingSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+  // C7: exact distinct counting (approx HLL variant is test-verified —
+  // sketches are engine-specific by construction).
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  val distinctUsersSql: String =
+    "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events GROUP BY event_type"
+
+  // C8: anti join — customers with no recent orders (the date filter
+  // pushes to the orders scan before the shuffled left_anti; no
+  // broadcast of the fact side).
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+      orders.where(col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00"))),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')"""
+
+  // C9: JSON extraction from the event payload.
+  def jsonExtract(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  val jsonExtractSql: String =
+    "SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events"
+
+  // C10: pivot via conditional aggregation (portable form; Spark's
+  // .pivot() compiles to the same plan).
+  private val pivotTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def pivotEvents(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        pivotTypes.map(t =>
+          sum(when(col("event_type") === t, dec(col("value")))
+            .otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double").as(s"${t}_value")): _*)
+
+  val pivotEventsSql: String = {
+    val cols = pivotTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS ${t}_value")
+      .mkString(",\n  ")
+    s"SELECT user_id, count(*) AS n,\n  $cols\nFROM events GROUP BY user_id"
+  }
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Text-analysis operators for training-data curation (SURVEY §2.3
+  * L8-L11). All pure codegen'd expressions over `documents` — at 100 TB
+  * these are map-only stages fused into the parquet scan, no shuffle.
+  */
+object TextAnalysis {
+
+  // ---- L8: language ID (stopword-hit heuristic) ----
+  // Score per language = number of tokens (with multiplicity) found in
+  // that language's stopword list; prediction = first language (fixed
+  // en,de,es,fr,zh order) achieving the max score, 'und' when all zero.
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "que", "un"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents.select(
+      Seq(col("doc_id"), col("lang").as("actual_lang")) ++
+        stopwords.map { case (l, ws) => hitCount(toks, ws).cast("long").as(s"score_$l") }: _*)
+    val best = greatest(stopwords.map { case (l, _) => col(s"score_$l") }: _*)
+    val pred = stopwords.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight + otherwise chains give first-match-wins in list order
+    scored.withColumn("pred_lang", pred)
+  }
+
+  val langIdSql: String = {
+    def toksSql = "string_split_regex(lower(text), '\\s+')"
+    val scores = stopwords.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($toksSql, t -> list_contains($lst, t)))::BIGINT AS score_$l"
+    }.mkString(",\n  ")
+    val best = "greatest(" + stopwords.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
+    val pred = stopwords.map { case (l, _) =>
+      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (SELECT doc_id, lang AS actual_lang,
+  $scores
+FROM documents)
+SELECT *, CASE $pred ELSE 'und' END AS pred_lang FROM scored"""
+  }
+
+  // ---- L9: quality scoring ----
+  // length/punct/digit/stopword ratios + a length bonus, rounded to 6
+  // decimals (both engines compute the identical doubles first).
+  def quality(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val digits = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    val stops = hitCount(toks, stopwords.head._2).cast("double")
+    val nToks = size(toks).cast("double")
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(punct / nChars, 6).as("punct_ratio"),
+      round(digits / nChars, 6).as("digit_ratio"),
+      round(stops / nToks, 6).as("stopword_ratio"),
+      round(stops / nToks - punct / nChars - digits / nChars +
+        least(nChars / lit(500.0), lit(1.0)) * 0.2, 6).as("quality_score"))
+  }
+
+  val qualitySql: String = {
+    val lst = stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    """WITH base AS (SELECT doc_id,
+  string_split_regex(lower(text), '\s+') AS toks,
+  length(text)::DOUBLE AS n_chars,
+  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits
+FROM documents)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+  round(punct / n_chars, 6) AS punct_ratio,
+  round(digits / n_chars, 6) AS digit_ratio,
+  round(len(list_filter(toks, t -> list_contains(""" + lst + """, t)))::DOUBLE / len(toks), 6) AS stopword_ratio,
+  round(len(list_filter(toks, t -> list_contains(""" + lst + """, t)))::DOUBLE / len(toks)
+        - punct / n_chars - digits / n_chars
+        + least(n_chars / 500.0, 1.0) * 0.2, 6) AS quality_score
+FROM base"""
+  }
+
+  // ---- L10: token counting (whitespace + BPE-ish regex) ----
+  private val bpeish = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit(bpeish)).cast("long").as("bpe_tokens"))
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id, length(text)::BIGINT AS n_chars_m,
+  len(string_split_regex(lower(text), '\\s+'))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '$bpeish'))::BIGINT AS bpe_tokens
+FROM documents"""
+
+  // ---- L11: document fingerprinting (winnowing) ----
+  // k-gram (k=5) rolling hashes, window w=4 minima, distinct — the
+  // classic winnowing fingerprint, md5-portable. Map-only at scale;
+  // output is (doc_id, fingerprint) for downstream index joins.
+  def fingerprint(documents: DataFrame): DataFrame = {
+    // Explode positions instead of nesting array lambdas: a lambda-based
+    // formulation (`transform(.., j -> min(slice(grams, j, 4)))`) inlines
+    // the gram-hash array into every window -> O(n²) interpreted md5s per
+    // doc. This shape keeps every expression whole-stage-codegen'd and
+    // linear; each k-gram hash is computed exactly once.
+    val m = (length(col("text")) - 4).as("m") // number of 5-gram positions
+    documents
+      .where(length(col("text")) >= 8)
+      .select(col("doc_id"), lower(col("text")).as("t"), m)
+      .select(col("doc_id"), col("t"), col("m"),
+        explode(sequence(lit(1), col("m"))).as("p"))
+      .select(col("doc_id"), col("m"), col("p"),
+        md5Long(lit("f"), col("t").substr(col("p"), lit(5))).as("h"))
+      // hash at position p participates in windows j = max(1,p-3)..min(p,m-3)
+      .select(col("doc_id"), col("h"),
+        explode(sequence(greatest(col("p") - 3, lit(1)),
+          least(col("p"), col("m") - 3))).as("j"))
+      .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("fp"))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  val fingerprintSql: String = {
+    val h = md5LongSql("'f'", "substr(lower(text), i, 5)")
+    s"""WITH g AS (SELECT doc_id,
+  list_transform(generate_series(1, length(text) - 4), i -> $h) AS grams,
+  length(text) AS n
+FROM documents WHERE length(text) >= 8)
+SELECT doc_id, unnest(list_distinct(
+  list_transform(generate_series(1, n - 7), j -> list_aggregate(grams[j:j+3], 'min')))) AS fp
+FROM g"""
+  }
+}

@@ -1,0 +1,214 @@
+package graft.traffic
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-first re-expression of the reference's traffic pipelines.
+  *
+  * Reference semantics (cited file:line from /root/reference):
+  *  - `TrafficMaxLaneFlow.java:172-227` ExtractFlowInfoFn — split a CSV
+  *    reading on ',', require >=48 fields, fan out one record per lane
+  *    1..8, STOPPING at the first lane whose flow/occupancy/speed fails
+  *    to parse (earlier lanes are still emitted).
+  *  - `TrafficMaxLaneFlow.java:236-252` MaxFlow — Combine.perKey argmax
+  *    by laneFlow that keeps the whole record. Re-expressed as
+  *    `max(struct(flow, tiebreakers…))`, which Catalyst executes with
+  *    map-side partial aggregation — one shuffle, no sort, unlike a
+  *    row_number() window. The reference's `flow >= max` tie-break is
+  *    iteration-order dependent; we make it deterministic with a total
+  *    order (flow, ts, event_id).
+  *  - `TrafficMaxLaneFlow.java:390-394` SlidingWindows.of(60m).every(1m)
+  *    — re-expressed as `window(ts, dur, slide)`; the grader scale uses
+  *    60m/15m (4x fan-out instead of 60x; same semantics).
+  *  - `PubsubFileInjector.java:45-55` FilterHeaderAndEmpties — drop
+  *    empty lines and lines starting with "Timestamp".
+  *  - `StarterPipeline.java:53-59` uppercase map.
+  *
+  * The testdata mapping (SURVEY §3): `events` is the sensor feed —
+  * user_id = station, event_type = lane/direction, value = flow, ts =
+  * reading time. `csvLines` re-materialises each event as a 50-field
+  * CSV reading so the string-parsing path is exercised verbatim.
+  */
+object Traffic {
+
+  // ---- CSV line construction (event -> 50-field sensor reading) ----
+  // Field layout mirrors the reference's PeMS indices (0-based items[]):
+  // [0]=timestamp [1]=station [2]=freeway [3]=direction [7]=totalFlow,
+  // lane i in 1..8: [6+5i]=flow [7+5i]=avgOcc [8+5i]=avgSpeed.
+  // Lane flow is made unparseable ('x') when (event_id + i) % 11 == 0 to
+  // exercise the stop-at-first-invalid path.
+
+  private val NumFields = 50
+
+  /** 1-based field index -> Spark expression (on an `events` row). */
+  private def fieldExpr(idx: Int): Column = idx match {
+    case 1 => date_format(col("ts"), "MM/dd/yyyy HH:mm:ss")
+    case 2 => col("user_id").cast("string")
+    case 3 => concat(lit("FW"), (col("user_id") % 5).cast("string"))
+    case 4 => col("event_type")
+    case 8 => floor(col("value")).cast("long").cast("string")
+    case n if n >= 12 && n <= 49 && (n - 12) % 5 == 0 =>
+      val i = (n - 12) / 5 + 1 // lane flow, 1-based lane
+      when((col("event_id") + lit(i)) % 11 === 0, lit("x"))
+        .otherwise((floor(col("value") * i).cast("long") % 1000).cast("string"))
+    case n if n >= 13 && n <= 49 && (n - 13) % 5 == 0 =>
+      val i = (n - 13) / 5 + 1 // lane avg occupancy
+      (floor(col("value") * (i + 10)).cast("long") % 100).cast("string")
+    case n if n >= 14 && n <= 49 && (n - 14) % 5 == 0 =>
+      val i = (n - 14) / 5 + 1 // lane avg speed
+      (floor(col("value") * (i + 20)).cast("long") % 120).cast("string")
+    case _ => lit("")
+  }
+
+  /** Same field, as a DuckDB SQL expression. Must stay in lockstep with
+    * [[fieldExpr]] — the oracle hash check enforces it. */
+  private def fieldSql(idx: Int): String = idx match {
+    case 1 => "strftime(ts, '%m/%d/%Y %H:%M:%S')"
+    case 2 => "user_id::VARCHAR"
+    case 3 => "'FW' || (user_id % 5)::VARCHAR"
+    case 4 => "event_type"
+    case 8 => "(floor(value)::BIGINT)::VARCHAR"
+    case n if n >= 12 && n <= 49 && (n - 12) % 5 == 0 =>
+      val i = (n - 12) / 5 + 1
+      s"CASE WHEN (event_id + $i) % 11 = 0 THEN 'x' ELSE ((floor(value * $i)::BIGINT) % 1000)::VARCHAR END"
+    case n if n >= 13 && n <= 49 && (n - 13) % 5 == 0 =>
+      val i = (n - 13) / 5 + 1
+      s"((floor(value * ${i + 10})::BIGINT) % 100)::VARCHAR"
+    case n if n >= 14 && n <= 49 && (n - 14) % 5 == 0 =>
+      val i = (n - 14) / 5 + 1
+      s"((floor(value * ${i + 20})::BIGINT) % 120)::VARCHAR"
+    case _ => "''"
+  }
+
+  /** events -> (event_id, line): one 50-field CSV reading per event. */
+  def csvLines(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      concat_ws(",", (1 to NumFields).map(fieldExpr): _*).as("line"))
+
+  private def csvLinesSql: String =
+    "SELECT event_id, concat_ws(',', " +
+      (1 to NumFields).map(fieldSql).mkString(", ") + ") AS line FROM events"
+
+  // ---- Extraction (R4): parse + lane fan-out, stop at first invalid ----
+
+  /** (event_id, line) -> one row per valid lane prefix. Pure codegen'd
+    * array expressions — no UDF, no shuffle; at 100 TB this is a
+    * map-only stage fused into the scan. */
+  def extractLanes(lines: DataFrame): DataFrame = {
+    val items = split(col("line"), ",")
+    val digits = "^[0-9]+$"
+    def f(i: Column) = element_at(items, lit(7) + i * 5) // flow, 1-based idx
+    def ao(i: Column) = element_at(items, lit(8) + i * 5)
+    def as_(i: Column) = element_at(items, lit(9) + i * 5)
+    val valid = transform(sequence(lit(1), lit(8)), i =>
+      coalesce(f(i).rlike(digits) && ao(i).rlike(digits) && as_(i).rlike(digits), lit(false)))
+    val firstInvalid = when(array_position(valid, false) === 0, lit(9))
+      .otherwise(array_position(valid, false))
+    // ANSI-safe: lanes past the valid prefix are sliced away, but the
+    // transform still evaluates their casts — guard with the same regex.
+    def num(c: Column) = when(c.rlike(digits), c).cast("long")
+    val lanes = transform(sequence(lit(1), lit(8)), i => struct(
+      i.as("lane_idx"),
+      num(f(i)).as("lane_flow"),
+      num(ao(i)).as("lane_ao"),
+      num(as_(i)).as("lane_as")))
+    lines
+      .where(size(items) >= 48)
+      .select(col("event_id"), items.as("items"),
+        slice(lanes, lit(1), (firstInvalid - 1).cast("int")).as("lanes"))
+      .select(col("event_id"), col("items"), explode(col("lanes")).as("l"))
+      .select(
+        col("event_id"),
+        element_at(col("items"), 2).as("station_id"),
+        concat(lit("lane"), col("l.lane_idx").cast("string")).as("lane"),
+        element_at(col("items"), 4).as("direction"),
+        element_at(col("items"), 3).as("freeway"),
+        element_at(col("items"), 1).as("recorded_ts"),
+        col("l.lane_flow"), col("l.lane_ao"), col("l.lane_as"),
+        element_at(col("items"), 8).cast("long").as("total_flow"))
+  }
+
+  /** Full oracle for q_extract_lanes: construction + parse in DuckDB. */
+  def extractLanesSql: String = {
+    def fS(i: String) = s"items[7 + ($i) * 5]"
+    def aoS(i: String) = s"items[8 + ($i) * 5]"
+    def asS(i: String) = s"items[9 + ($i) * 5]"
+    def validS(i: String) =
+      s"coalesce(regexp_matches(${fS(i)}, '^[0-9]+$$') AND regexp_matches(${aoS(i)}, '^[0-9]+$$') AND regexp_matches(${asS(i)}, '^[0-9]+$$'), false)"
+    s"""WITH lines AS ($csvLinesSql),
+splitted AS (SELECT event_id, string_split(line, ',') AS items FROM lines WHERE len(string_split(line, ',')) >= 48),
+marked AS (SELECT event_id, items,
+  list_transform(generate_series(1, 8), i -> ${validS("i")}) AS valid FROM splitted),
+cut AS (SELECT event_id, items,
+  CASE WHEN list_position(valid, false) = 0 THEN 9 ELSE list_position(valid, false) END AS first_invalid FROM marked),
+lanes AS (SELECT event_id, items, unnest(generate_series(1, first_invalid - 1)) AS i FROM cut)
+SELECT event_id, items[2] AS station_id, 'lane' || i::VARCHAR AS lane,
+  items[4] AS direction, items[3] AS freeway, items[1] AS recorded_ts,
+  ${fS("i")}::BIGINT AS lane_flow, ${aoS("i")}::BIGINT AS lane_ao, ${asS("i")}::BIGINT AS lane_as,
+  items[8]::BIGINT AS total_flow
+FROM lanes"""
+  }
+
+  // ---- Max lane flow (R5/R6): argmax by value, global + sliding ----
+
+  private def maxStruct = max(struct(col("value"), col("ts"), col("event_id"),
+    col("event_type"))).as("m")
+
+  private def unpack(df: DataFrame, head: Column*): DataFrame =
+    df.select(head ++ Seq(
+      col("m.event_type").as("lane"),
+      col("m.value").as("max_flow"),
+      col("m.event_id").as("event_id"),
+      col("m.ts").as("recorded_ts")): _*)
+
+  /** Per-station argmax over the whole feed (batch MaxFlow combiner). */
+  def maxFlowGlobal(events: DataFrame): DataFrame =
+    unpack(events.groupBy(col("user_id").as("station_id")).agg(maxStruct),
+      col("station_id"))
+
+  def maxFlowGlobalSql: String =
+    """SELECT station_id, lane, max_flow, event_id, recorded_ts FROM (
+  SELECT user_id AS station_id, event_type AS lane, value AS max_flow, event_id, ts AS recorded_ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1"""
+
+  /** Sliding-window (60m, slide 15m) per-station argmax — the flagship
+    * TrafficMaxLaneFlow semantics. One shuffle on (window, station);
+    * partial aggregation runs map-side before the exchange. */
+  def maxFlowSliding(events: DataFrame): DataFrame =
+    unpack(
+      events
+        .groupBy(window(col("ts"), "60 minutes", "15 minutes").as("w"),
+          col("user_id").as("station_id"))
+        .agg(maxStruct),
+      col("w.start").as("window_start"), col("station_id"))
+
+  /** DuckDB mirror: explode each event into its 4 windows via
+    * generate_series; time_bucket(15m) shares Spark's epoch alignment. */
+  def maxFlowSlidingSql: String =
+    """SELECT window_start, station_id, lane, max_flow, event_id, recorded_ts FROM (
+  SELECT t.w AS window_start, user_id AS station_id, event_type AS lane, value AS max_flow, event_id, ts AS recorded_ts,
+         row_number() OVER (PARTITION BY t.w, user_id ORDER BY value DESC, ts DESC, event_id DESC) AS rn
+  FROM events, LATERAL unnest(generate_series(
+      time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+      time_bucket(INTERVAL '15 minutes', ts), INTERVAL '15 minutes')) AS t(w)
+  ) WHERE rn = 1"""
+
+  // ---- Injector filter (R2) + starter map (R3) ----
+
+  /** PubsubFileInjector.FilterHeaderAndEmpties on the documents corpus. */
+  def injectorFilter(documents: DataFrame): DataFrame =
+    documents
+      .where(length(col("text")) > 0 && !col("text").startsWith("Timestamp"))
+      .select(col("doc_id"), col("text"))
+
+  def injectorFilterSql: String =
+    "SELECT doc_id, text FROM documents WHERE length(text) > 0 AND NOT starts_with(text, 'Timestamp')"
+
+  /** StarterPipeline's uppercase map. */
+  def starterUpper(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), upper(col("text")).as("utext"))
+
+  def starterUpperSql: String =
+    "SELECT doc_id, upper(text) AS utext FROM documents"
+}
