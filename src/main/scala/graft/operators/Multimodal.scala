@@ -77,7 +77,8 @@ FROM documents"""
   def frameSample(blobs: DataFrame, frameBytes: Int, everyK: Int): DataFrame =
     blobs.select(col("doc_id"),
       transform(
-        sequence(lit(0), greatest((octet_length(col("blob")) / (frameBytes * everyK)) - 1, lit(0))),
+        sequence(lit(0), greatest(
+          (octet_length(col("blob")) / (frameBytes * everyK)).cast("int") - 1, lit(0))),
         i => encode(col("text").substr(lit(1) + i * frameBytes * everyK, lit(frameBytes)), "UTF-8")
       ).as("frames"))
 }

@@ -84,8 +84,13 @@ WHERE rk <= $TopK"""
   // query's candidates are corpus vectors sharing its bucket in ANY
   // table; candidates are re-ranked exactly. At 100 TB the bucket join
   // replaces the cross join: cost ~ corpus × T map-side + a key join.
+  // 8 tables × 4 planes: for the top-5 neighborhood of these synthetic
+  // embeddings (cos ≈ 0.35-0.5, i.e. per-plane agreement ≈ 0.6-0.67)
+  // the expected any-table collision is ~0.3-0.5 with ~12% of the
+  // corpus as candidates — the recall/candidate trade-off the recall
+  // spec pins down. Real clustered embeddings do markedly better.
   private val Tables = 8
-  private val Planes = 10
+  private val Planes = 4
 
   /** coefficient for (table t, plane p, dim d): uniform [-1, 1]. */
   private def coef(t: Int, p: Int, d: Column): Column =

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.traffic.Traffic
+
+/** Structured Streaming surface (SURVEY §2.1 R8-R12).
+  *
+  * The reference runs ONE pipeline definition in batch or streaming
+  * (`TrafficMaxLaneFlow.java:374-396`); here that parity is by
+  * construction — [[maxLaneFlowStream]] applies the very same
+  * `Traffic.maxFlowSliding` plan to a watermarked `readStream`.
+  *
+  * Pub/Sub is not reachable in this environment; the injector
+  * (`PubsubFileInjector.java:41-91`) is re-expressed against Spark's
+  * streaming Dataset boundary so any line-oriented source
+  * (file/socket/kafka/memory) plugs in unchanged.
+  */
+object TrafficStream {
+
+  /** Typed record for the streaming feed (AvroCoder analogue, R11). */
+  case class SensorEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private[streaming] case class SessState(start: Timestamp, end: Timestamp, n: Long)
+
+  /** A closed session emitted by [[sessionizeStream]]. */
+  case class Session(user_id: Long, n_events: Long, start_ts: Timestamp, end_ts: Timestamp)
+
+  /** R8/R12: the flagship pipeline on a stream — watermark + sliding
+    * window + argmax combiner. Append mode emits each (window,
+    * station) exactly once, when the watermark passes the window end.
+    * State per key is one struct (the running max), not a buffer —
+    * the same partial-aggregation shape as batch, so executor state
+    * stays O(open windows × stations) at any scale. */
+  def maxLaneFlowStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    Traffic.maxFlowSliding(events.withWatermark("ts", delay))
+
+  /** R9: injector filter on a line stream (drop empties + `Timestamp`
+    * headers) — `PubsubFileInjector.FilterHeaderAndEmpties` verbatim,
+    * as a Column predicate so it fuses into the source scan. */
+  def injectLines(lines: Dataset[String]): Dataset[String] = {
+    import lines.sparkSession.implicits._
+    lines.toDF("line")
+      .where(length(col("line")) > 0 && !col("line").startsWith("Timestamp"))
+      .select(col("line")).as[String]
+  }
+
+  /** R10: sink the stream to parquet via foreachBatch — idempotent by
+    * (epoch-partitioned) overwrite, the BigQuery-sink analogue. */
+  def sinkToParquet(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/epoch=$epoch")
+      }
+
+  /** Custom stateful operator: gap-based sessionization with
+    * flatMapGroupsWithState + event-time timeout. State per user is a
+    * single (start, end, n) struct; sessions close either when a
+    * later event exceeds the gap or when the watermark times the
+    * session out. The batch twin is `Relational.sessionize`. */
+  def sessionizeStream(events: Dataset[SensorEvent], gapMinutes: Int = 30,
+      delay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SensorEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.n, s.start, s.end))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+                  cur = Some(s.copy(end = e.ts, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(uid, s.n, s.start, s.end)
+                  cur = Some(SessState(e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessState(e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Relational, Similarity}
+
+/** Non-oracle surfaces: LSH recall, HLL sketches, multimodal plumbing. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embeddings = Tables.load(spark, sf, "embeddings")
+  private lazy val documents = Tables.load(spark, sf, "documents")
+  private lazy val events = Tables.load(spark, sf, "events")
+
+  test("annLsh recalls a usable fraction of brute-force top-k (L7)") {
+    val exact = Similarity.annTopK(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annLsh(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"annLsh recall@5 = $recall%.2f (${approx.size} candidates returned)")
+    assert(recall >= 0.25, s"LSH recall $recall collapsed — buckets too fine")
+    assert(approx.subsetOf(exact) || approx.nonEmpty)
+  }
+
+  test("approx_count_distinct tracks exact counts within 10% (C7)") {
+    val both = events.groupBy($"event_type").agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id", 0.02).as("approx"))
+      .collect()
+    both.foreach { r =>
+      val e = r.getAs[Long]("exact").toDouble
+      val a = r.getAs[Long]("approx").toDouble
+      assert(math.abs(a - e) / e <= 0.1, s"${r.getAs[String]("event_type")}: $a vs $e")
+    }
+  }
+
+  test("multimodal decode stub attaches typed metadata per partition (L12)") {
+    val out = Multimodal.decodeStub(Multimodal.asBlobs(documents))
+    assert(out.schema("meta").dataType == Multimodal.metaSchema)
+    val r = out.select("doc_id", "meta.width", "meta.height", "meta.format").head()
+    assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
+    assert(r.getAs[String]("format") == "stub")
+    assert(out.count() == documents.count())
+  }
+
+  test("multimodal frame sampling produces bounded fixed-size frames (L12)") {
+    val frames = Multimodal.frameSample(Multimodal.asBlobs(documents), frameBytes = 16, everyK = 2)
+    val r = frames.select(size($"frames").as("n"), $"frames").head()
+    assert(r.getAs[Int]("n") >= 1)
+    val first = r.getAs[Seq[Array[Byte]]]("frames").head
+    assert(first.length <= 16)
+  }
+
+  test("q1 plan pushes filter and prunes columns at the parquet scan") {
+    val plan = Relational.q1Agg(Tables.load(spark, sf, "lineitem"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+    assert(!plan.contains("l_orderkey"), "scan should not read unused columns")
+  }
+}

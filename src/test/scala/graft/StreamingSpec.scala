@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.TrafficStream
+import graft.streaming.TrafficStream.{SensorEvent, Session}
+import graft.traffic.Traffic
+
+/** R8-R12: streaming parity, injector, stateful sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("streaming maxLaneFlow matches the batch plan on the same data (R8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      SensorEvent(1, t("2024-01-01 00:10:00"), 7, "lane1", 5.0),
+      SensorEvent(2, t("2024-01-01 00:20:00"), 7, "lane2", 9.0),
+      SensorEvent(3, t("2024-01-01 00:40:00"), 8, "lane1", 4.0),
+      SensorEvent(4, t("2024-01-01 01:05:00"), 7, "lane3", 2.0))
+    val sentinel = SensorEvent(99, t("2024-02-01 00:00:00"), -1, "flush", 0.0)
+
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.maxLaneFlowStream(stream.toDF(), delay = "0 seconds")
+      .writeStream.format("memory").queryName("mlf").outputMode("append").start()
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    stream.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("mlf").where(col("station_id") =!= -1)
+      .select("window_start", "station_id", "lane", "max_flow", "event_id")
+      .collect().map(_.toSeq).toSet
+    val expected = Traffic.maxFlowSliding(data.toDF())
+      .select("window_start", "station_id", "lane", "max_flow", "event_id")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("injector drops empties and Timestamp headers (R9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = TrafficStream.injectLines(stream.toDS())
+      .writeStream.format("memory").queryName("inj").outputMode("append").start()
+    stream.addData("Timestamp,station,...", "", "01/01/2024 00:00:00,42,FW1,N", "data2")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("inj").as[String].collect().toSet
+    assert(out == Set("01/01/2024 00:00:00,42,FW1,N", "data2"))
+  }
+
+  test("foreachBatch parquet sink writes idempotent epochs (R10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val stream = MemoryStream[String]
+    val q = TrafficStream.sinkToParquet(
+      TrafficStream.injectLines(stream.toDS()).toDF(),
+      s"$dir/out", s"$dir/ckpt").start()
+    stream.addData("a", "b", "")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$dir/out/epoch=0").as[String].collect().toSet
+    assert(rows == Set("a", "b"))
+  }
+
+  test("stateful sessionization closes sessions on gap and on timeout (R12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.sessionizeStream(stream.toDS(), gapMinutes = 30, delay = "1 minute")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // session 1: two events 5 min apart; then a 2-hour gap in the SAME
+    // batch closes it and opens session 2.
+    stream.addData(
+      SensorEvent(1, t("2024-01-01 00:00:00"), 7, "e", 1.0),
+      SensorEvent(2, t("2024-01-01 00:05:00"), 7, "e", 1.0),
+      SensorEvent(3, t("2024-01-01 02:00:00"), 7, "e", 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past session 2's timeout -> emitted via
+    // EventTimeTimeout without any further event for user 7.
+    stream.addData(SensorEvent(9, t("2024-01-02 00:00:00"), 8, "e", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess").as[Session].collect()
+      .filter(_.user_id == 7).sortBy(_.start_ts.getTime)
+    assert(sessions.length == 2)
+    assert(sessions(0).n_events == 2 && sessions(0).end_ts == t("2024-01-01 00:05:00"))
+    assert(sessions(1).n_events == 1 && sessions(1).start_ts == t("2024-01-01 02:00:00"))
+  }
+
+  test("typed case-class encoder round-trips the record (R11)") {
+    val ds = Seq(SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0)).toDS()
+    assert(ds.as[SensorEvent].head() == SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0))
+  }
+}

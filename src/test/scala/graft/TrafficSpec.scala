@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.traffic.Traffic
+
+class TrafficSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def line(fields: Map[Int, String]): String =
+    (1 to 50).map(i => fields.getOrElse(i, "")).mkString(",")
+
+  test("extractLanes fans out one row per lane") {
+    val base = Map(1 -> "01/05/2024 03:04:05", 2 -> "42", 3 -> "FW2", 4 -> "N", 8 -> "123") ++
+      (1 to 8).flatMap(i => Seq(7 + 5 * i -> s"${100 + i}", 8 + 5 * i -> s"${10 + i}", 9 + 5 * i -> s"${50 + i}"))
+    val df = Seq((1L, line(base))).toDF("event_id", "line")
+    val out = Traffic.extractLanes(df).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getAs[String]("lane")).toSet == (1 to 8).map(i => s"lane$i").toSet)
+    assert(out.forall(_.getAs[Long]("total_flow") == 123L))
+    assert(out.forall(_.getAs[String]("station_id") == "42"))
+  }
+
+  test("extractLanes stops at first invalid lane but keeps earlier lanes") {
+    val base = Map(1 -> "01/05/2024 03:04:05", 2 -> "42", 3 -> "FW2", 4 -> "N", 8 -> "123") ++
+      (1 to 8).flatMap(i => Seq(7 + 5 * i -> s"${100 + i}", 8 + 5 * i -> s"${10 + i}", 9 + 5 * i -> s"${50 + i}"))
+    val bad = base + (7 + 5 * 4 -> "oops") // lane 4 flow unparseable
+    val df = Seq((1L, line(bad))).toDF("event_id", "line")
+    val lanes = Traffic.extractLanes(df).select("lane").as[String].collect().toSet
+    assert(lanes == Set("lane1", "lane2", "lane3"))
+  }
+
+  test("extractLanes drops short rows (<48 fields)") {
+    val df = Seq((1L, "a,b,c")).toDF("event_id", "line")
+    assert(Traffic.extractLanes(df).isEmpty)
+  }
+
+  test("maxFlowGlobal keeps the full record of the argmax event") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq(
+      (1L, ts, 7L, "lane1", 5.0),
+      (2L, ts, 7L, "lane2", 9.0),
+      (3L, ts, 8L, "lane1", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Traffic.maxFlowGlobal(df).collect().map(r =>
+      r.getAs[Long]("station_id") -> (r.getAs[String]("lane"), r.getAs[Double]("max_flow"))).toMap
+    assert(out(7L) == ("lane2", 9.0))
+    assert(out(8L) == ("lane1", 1.0))
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
