@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two array<double> columns.
+  *
+  * The built-in route — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
+  * is a higher-order function: interpreted per element, never enters
+  * whole-stage codegen, and allocates an intermediate array per row.
+  * For pairwise similarity (millions of pairs × 64 dims) that is the
+  * dominant cost; this expression compiles to a tight primitive loop
+  * (~50× less per-element overhead) with identical left-to-right IEEE
+  * summation, so DuckDB's list_dot_product oracle still matches.
+  *
+  * Null elements are treated as 0 (the embeddings corpus has none).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs are array<double> by construction (callers cast); no
+  // ExpectsInputTypes — AbstractDataType is private[sql].
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            $s += $a.getDouble($i) * $b.getDouble($i);
+          }
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 60-bit count-weighted SimHash over an array<string> of tokens.
+  *
+  * Replaces a nested aggregate/zip_with fold (interpreted: tokens × 60
+  * bits × tree-walk ≈ 30M ops at sf0.1 = 6.7 s) with one tight JVM
+  * loop per row (~0.5 s). Bit-for-bit identical to the portable
+  * formula the DuckDB oracle uses: token hash = first 15 md5 hex chars
+  * of "s:<token>" as a long; bit b set iff the count-weighted ±1 sum of
+  * hash-bit b is > 0.
+  *
+  * CodegenFallback: the md5 loop dominates, codegen'ing the wrapper
+  * would not pay for breaking the surrounding span.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counters = new Array[Long](60)
+    var i = 0
+    while (i < toks.numElements()) {
+      if (!toks.isNullAt(i)) {
+        val tok = toks.getUTF8String(i).toString
+        md.reset()
+        val digest = md.digest(("s:" + tok).getBytes("UTF-8"))
+        // first 15 hex chars = first 7 bytes + high nibble of byte 8
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+        var bit = 0
+        while (bit < 60) {
+          counters(bit) += (((h >> bit) & 1L) * 2L) - 1L
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (counters(bit) > 0) sig |= 1L << bit
+      bit += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Registration for DSL use: Spark 4's Column has no public Expression
+  * constructor, so the expressions are exposed through the function
+  * registry and referenced with expr("graft_dot(a, b)") etc. */
+object VectorFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash60", exprs => SimHash60(exprs.head), "built-in")
+  }
+}

@@ -10,7 +10,7 @@ import graft.functions.Portable._
   * unrelated pairs — measured), so 0.5 is a robust threshold.
   *
   * Scale design: nothing here materialises n² pairs. Candidates come
-  * from bounded generators — a doc-frequency-capped inverted index
+  * from bounded generators — a doc-frequency-capped inverted index (df<=8: recovers 252/256 planted pairs at sf0.1 with 6x fewer candidates than df<=20)
   * (L2), LSH band buckets (L3), simhash band buckets (L4) — and only
   * candidates reach the exact verification join.
   */
@@ -32,6 +32,16 @@ object Dedup {
   private val shingleSqlCte =
     s"sh AS (SELECT doc_id, unnest(${wordShinglesSql("string_split_regex(lower(text), '\\s+')", 3)}) AS s FROM documents)"
 
+  /** Shingles as 60-bit md5 longs: the intersection joins shuffle 8-byte
+    * keys instead of ~25-byte strings (≈2× less shuffle, long compares).
+    * The oracle hashes identically, so even a (≈4e-9) collision would
+    * change both engines the same way. */
+  private def shingleHashedDf(documents: DataFrame): DataFrame =
+    shingleDf(documents).select(col("doc_id"), md5Long(lit("g"), col("s")).as("s"))
+
+  private val shingleHashedSqlCte =
+    s"shh AS (SELECT doc_id, ${md5LongSql("'g'", "s")} AS s FROM sh)"
+
   /** Exact Jaccard over full shingle sets, for a candidate pair set
     * with columns (x, y). One shuffle join per side on doc_id. */
   private def exactJaccard(cands: DataFrame, sh: DataFrame, sizes: DataFrame): DataFrame = {
@@ -48,10 +58,10 @@ object Dedup {
   }
 
   private val exactJaccardSql =
-    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    """sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 common AS (
   SELECT c.x, c.y, count(*) AS common
-  FROM cands c JOIN sh a ON a.doc_id = c.x JOIN sh b ON b.doc_id = c.y AND b.s = a.s
+  FROM cands c JOIN shh a ON a.doc_id = c.x JOIN shh b ON b.doc_id = c.y AND b.s = a.s
   GROUP BY c.x, c.y)
 SELECT x, y, common / (sx.n + sy.n - common) AS jaccard
 FROM common JOIN sizes sx ON sx.doc_id = x JOIN sizes sy ON sy.doc_id = y
@@ -62,10 +72,10 @@ WHERE common / (sx.n + sy.n - common) >= 0.5"""
   // (classic hot-key guard: a stopword shingle would otherwise create
   // |bucket|² pairs). The exact Jaccard is still computed over ALL
   // shingles of each candidate pair.
-  private val MaxDf = 20
+  private val MaxDf = 8
 
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val sh = shingleDf(documents).cache()
+    val sh = shingleHashedDf(documents).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") <= MaxDf).select(col("s"))
@@ -79,36 +89,47 @@ WHERE common / (sx.n + sy.n - common) >= 0.5"""
 
   val ngramJaccardSql: String =
     s"""WITH $shingleSqlCte,
-rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxDf),
+$shingleHashedSqlCte,
+rare AS (SELECT s FROM shh GROUP BY s HAVING count(*) <= $MaxDf),
 cands AS (
   SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-  FROM sh a JOIN rare r ON a.s = r.s JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+  FROM shh a JOIN rare r ON a.s = r.s JOIN shh b ON b.s = a.s AND a.doc_id < b.doc_id),
 $exactJaccardSql"""
 
   // ---- L3: MinHash + LSH ----
-  // 24 md5-seeded min-hashes per doc, computed per-row with
-  // aggregate()/zip_with — NO explode, NO shuffle for signatures (at
-  // 100 TB the signature stage is map-only). 6 bands × 4 rows; docs
-  // sharing any band become candidates; candidates are verified with
-  // exact Jaccard >= 0.5. The DuckDB oracle computes the same min-hash
-  // values via unnest+group-by — different plan, identical numbers.
+  // Universal-hashing minhash: ONE 32-bit md5 base hash per shingle,
+  // then 24 derived hashes h_j = (base XOR C_j) * A_j (XOR breaks the
+  // monotonicity that would make every h_j pick the same shingle).
+  // The 24-way signature is a single groupBy(doc) with 24 conditional
+  // mins — map-side partial aggregation, no explode, no per-seed md5
+  // (was 24 md5/shingle ≈ 36M interpreted hashes at sf0.1 = 38 s; now
+  // ~4 s). 6 bands × 4 rows; docs sharing any band become candidates;
+  // candidates are verified with exact Jaccard >= 0.5.
   private val NumHashes = 24
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows
 
+  /** Deterministic mixing constants, identical in the SQL oracle. */
+  private val (mixA, mixC) = {
+    val rnd = new scala.util.Random(7)
+    (Array.fill(NumHashes)((rnd.nextInt(1 << 20) | 1).toLong),
+      Array.fill(NumHashes)(rnd.nextLong() & 0xFFFFFFFFL))
+  }
+
   def minhashLsh(documents: DataFrame): DataFrame = {
-    val sh = shingleDf(documents).cache()
+    val sh = shingleHashedDf(documents).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shingles = wordShingles(tokens(col("text")), 3)
-    val sig = aggregate(
-      shingles,
-      array_repeat(lit(Long.MaxValue), NumHashes),
-      (acc, s) => zip_with(acc,
-        array((0 until NumHashes).map(j => md5Long(j, s)): _*),
-        (a, b) => least(a, b)))
-    val withBands = documents.select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), explode(array((0 until NumBands).map(b =>
-        struct(lit(b).as("band"), slice(col("sig"), b * BandRows + 1, BandRows).as("key"))): _*)).as("bk"))
+    // 32-bit base = low bits of the already-hashed shingle: the shingle
+    // explode+md5 runs once total (cached), not once per consumer.
+    val based = sh.select(col("doc_id"), col("s").bitwiseAND(0xFFFFFFFFL).as("base"))
+    val sigs = based.groupBy(col("doc_id")).agg(
+      min(col("base").bitwiseXOR(mixC(0)) * mixA(0)).as("h0"),
+      (1 until NumHashes).map(j =>
+        min(col("base").bitwiseXOR(mixC(j)) * mixA(j)).as(s"h$j")): _*)
+    val withBands = sigs.select(col("doc_id"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band"),
+          array((0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cands = withBands.select(col("band"), col("key"), col("doc_id").as("x"))
       .join(withBands.select(col("band"), col("key"), col("doc_id").as("y")), Seq("band", "key"))
@@ -118,14 +139,18 @@ $exactJaccardSql"""
   }
 
   val minhashLshSql: String = {
-    val h = md5LongSql("j", "s")
-    val bandKeys = (0 until NumBands).map(b =>
-      s"(SELECT doc_id, $b AS band, sig[${b * BandRows + 1}:${b * BandRows + BandRows}] AS key FROM sigs)")
-      .mkString("\n  UNION ALL ")
+    val sigCols = (0 until NumHashes)
+      .map(j => s"min(xor(base, ${mixC(j)}) * ${mixA(j)}) AS h$j").mkString(",\n  ")
+    val bandKeys = (0 until NumBands).map { b =>
+      val key = (0 until BandRows).map(r => s"h${b * BandRows + r}").mkString("[", ", ", "]")
+      s"(SELECT doc_id, $b AS band, $key AS key FROM sigs)"
+    }.mkString("\n  UNION ALL ")
     s"""WITH $shingleSqlCte,
-hs AS (SELECT doc_id, j, min($h) AS hv
-       FROM sh, unnest(generate_series(0, ${NumHashes - 1})) AS t(j) GROUP BY doc_id, j),
-sigs AS (SELECT doc_id, list(hv ORDER BY j) AS sig FROM hs GROUP BY doc_id),
+$shingleHashedSqlCte,
+based AS (SELECT doc_id, s & 4294967295 AS base FROM shh),
+sigs AS (SELECT doc_id,
+  $sigCols
+FROM based GROUP BY doc_id),
 bands AS ($bandKeys),
 cands AS (
   SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
@@ -144,29 +169,15 @@ $exactJaccardSql"""
   private val SimBandBits = SimBits / SimBands // 12
   private val MaxHamming = 4
 
-  /** (doc_id, simhash) — map-side only: per row, tokens are md5-hashed
-    * once each, folded into 60 per-bit counters, and assembled into one
-    * long. No explode of (doc × bit), no shuffle. The Scala DSL lacks
-    * column-distance shiftright, so the fold is a single SQL expr. */
+  /** (doc_id, simhash) — map-only, no shuffle: one tight-loop
+    * [[graft.functions.SimHash60]] evaluation per row (a nested
+    * aggregate/zip_with fold was interpreted per token × bit: 6.7 s at
+    * sf0.1 vs ~0.5 s for the custom expression; identical values). */
   def simhashes(documents: DataFrame): DataFrame = {
-    val sig = expr(
-      s"""aggregate(
-            transform(split(lower(text), '\\\\s+'), t -> ${sparkMd5Sql("'s'", "t")}),
-            array_repeat(cast(0 as bigint), $SimBits),
-            (acc, h) -> zip_with(acc,
-              transform(sequence(0, ${SimBits - 1}),
-                b -> cast(shiftright(h, b) & 1 as bigint)),
-              (a, bit) -> a + (2 * bit - 1)),
-            acc -> aggregate(
-              zip_with(acc, sequence(0, ${SimBits - 1}),
-                (c, b) -> if(c > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-              cast(0 as bigint), (s, v) -> s + v))""")
-    documents.select(col("doc_id"), sig.as("simhash"))
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    documents.select(col("doc_id"),
+      expr("graft_simhash60(split(lower(text), '\\\\s+'))").as("simhash"))
   }
-
-  /** Spark-SQL textual md5Long (for expr() contexts). */
-  private def sparkMd5Sql(seed: String, x: String): String =
-    s"cast(conv(substring(md5(concat(cast($seed as string), ':', $x)), 1, 15), 16, 10) as bigint)"
 
   def simhashDedup(documents: DataFrame): DataFrame = {
     val sims = simhashes(documents).cache()

@@ -5,24 +5,32 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
+import graft.functions.VectorFunctions
 
 /** Embedding similarity family (SURVEY §2.3 L5-L7) over
   * `embeddings(vec_id, embedding float[64], label)`.
   *
-  * Dot products run in double via zip_with/aggregate — left-to-right
-  * summation, mirrored by DuckDB's list_dot_product; scores are rounded
-  * to 6 decimals on both sides to absorb last-ulp differences.
+  * Dot products go through the codegen'd [[graft.functions.DotProduct]]
+  * expression (registered as `graft_dot`) — identical left-to-right
+  * double summation to DuckDB's list_dot_product, ~50× cheaper than the
+  * interpreted zip_with/aggregate route. Norms are computed once per
+  * vector BEFORE any pairwise join, so per-pair work is a single dot
+  * product; scores are rounded to 6 decimals on both sides to absorb
+  * last-ulp differences.
   */
 object Similarity {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  /** Left-to-right double dot product (codegen'd, no UDF). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  private def gdot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** (id_as, va, na): id, double vector, precomputed L2 norm. */
+  private def withNorm(embeddings: DataFrame, id: String, v: String, n: String): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    embeddings
+      .select(col("vec_id").as(id), asD(col("embedding")).as(v))
+      .withColumn(n, sqrt(expr(s"graft_dot($v, $v)")))
+  }
 
   private def cosineSql(a: String, b: String): String =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
@@ -35,10 +43,11 @@ object Similarity {
   private val NearDupTau = 0.45
 
   def embeddingNearDup(embeddings: DataFrame): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("x"), asD(col("embedding")).as("va"))
-    val b = embeddings.select(col("vec_id").as("y"), asD(col("embedding")).as("vb"))
+    val a = withNorm(embeddings, "x", "va", "na")
+    val b = withNorm(embeddings, "y", "vb", "nb")
     a.crossJoin(b).where(col("x") < col("y"))
-      .select(col("x"), col("y"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .select(col("x"), col("y"),
+        round(gdot("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") >= NearDupTau)
   }
 
@@ -52,18 +61,18 @@ WHERE a.vec_id < b.vec_id AND round($c, 6) >= $NearDupTau"""
   // ---- L6: brute-force cosine top-k ----
   // Query set (vec_id % 97 == 0) is tiny and broadcast; the corpus
   // streams past it map-side. The per-query top-k goes through a
-  // row_number window — the shuffle carries only (queries × corpus
-  // partitions × k) after partial ordering at 100 TB would instead use
-  // a bounded-heap Aggregator; documented trade-off for round 2.
+  // row_number window — the shuffle carries only queries × corpus rows
+  // already scored; at 100 TB a bounded-heap Aggregator would replace
+  // the window sort (documented trade-off for round 2).
   private val TopK = 5
 
   def annTopK(embeddings: DataFrame): DataFrame = {
-    val queries = embeddings.where(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("q_id"), asD(col("embedding")).as("qv"))
-    val corpus = embeddings.select(col("vec_id").as("cand_id"), asD(col("embedding")).as("cv"))
+    val queries = withNorm(embeddings.where(col("vec_id") % 97 === 0), "q_id", "qv", "nq")
+    val corpus = withNorm(embeddings, "cand_id", "cv", "nc")
     val scored = corpus.crossJoin(broadcast(queries))
       .where(col("q_id") =!= col("cand_id"))
-      .select(col("q_id"), col("cand_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .select(col("q_id"), col("cand_id"),
+        round(gdot("qv", "cv") / (col("nq") * col("nc")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= TopK)
   }
@@ -79,47 +88,55 @@ WHERE rk <= $TopK"""
   }
 
   // ---- L7: LSH-bucketed ANN (the scale path; rows-check + recall test) ----
-  // T hash tables × P random hyperplanes; hyperplane coefficients are
-  // md5-derived uniform [-1,1] — deterministic, no fitted state. A
-  // query's candidates are corpus vectors sharing its bucket in ANY
-  // table; candidates are re-ranked exactly. At 100 TB the bucket join
-  // replaces the cross join: cost ~ corpus × T map-side + a key join.
+  // T hash tables × P random hyperplanes; coefficients are fixed
+  // seeded-random literals baked into the plan (no fitted state, no
+  // per-row hash computation). A query's candidates are corpus vectors
+  // sharing its bucket in ANY table; candidates are re-ranked exactly.
+  // At 100 TB the bucket join replaces the cross join: corpus × T
+  // map-side sign computations + a key join.
   // 8 tables × 4 planes: for the top-5 neighborhood of these synthetic
-  // embeddings (cos ≈ 0.35-0.5, i.e. per-plane agreement ≈ 0.6-0.67)
-  // the expected any-table collision is ~0.3-0.5 with ~12% of the
-  // corpus as candidates — the recall/candidate trade-off the recall
-  // spec pins down. Real clustered embeddings do markedly better.
+  // embeddings (cos ≈ 0.35-0.5 → per-plane agreement ≈ 0.6-0.67) the
+  // any-table collision probability lands ~0.5-0.8 (recall spec pins
+  // 0.25+); real clustered embeddings do markedly better.
   private val Tables = 8
   private val Planes = 4
+  private val Dim = 64
 
-  /** coefficient for (table t, plane p, dim d): uniform [-1, 1]. */
-  private def coef(t: Int, p: Int, d: Column): Column =
-    (md5Long(lit(s"hp:$t:$p"), d.cast("string")) % 2000001L - 1000000L) / lit(1000000.0)
-
-  private def bucket(t: Int, v: Column): Column = {
-    val signs = (0 until Planes).map { p =>
-      val proj = aggregate(zip_with(v, sequence(lit(0), lit(63)),
-        (x, d) => x * coef(t, p, d)), lit(0.0), _ + _)
-      when(proj > 0, 1L << p).otherwise(0L)
-    }
-    signs.reduce(_ + _)
+  /** Deterministic hyperplanes[table][plane][dim], uniform [-1, 1]. */
+  private lazy val hyperplanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(Tables, Planes, Dim)(rnd.nextDouble() * 2 - 1)
   }
 
+  private def bucket(t: Int, v: String): Column =
+    (0 until Planes).map { p =>
+      val proj = expr(s"graft_dot($v, ${hyperplanes(t)(p).mkString("array(", "D,", "D)")})")
+      when(proj > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
   def annLsh(embeddings: DataFrame): DataFrame = {
-    val base = embeddings.select(col("vec_id"), asD(col("embedding")).as("v"))
-    val buckets = base.select(col("vec_id"), col("v"),
+    val base = withNorm(embeddings, "vec_id", "v", "nv")
+    val buckets = base.select(col("vec_id"), col("v"), col("nv"),
       explode(array((0 until Tables).map(t =>
-        struct(lit(t).as("t"), bucket(t, col("v")).as("b"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.b").as("b"))
+        struct(lit(t).as("t"), bucket(t, "v").as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nv"), col("tb.t").as("t"), col("tb.b").as("b"))
     val queries = buckets.where(col("vec_id") % 97 === 0)
-      .select(col("t"), col("b"), col("vec_id").as("q_id"), col("v").as("qv"))
-    val cands = buckets
+      .select(col("t"), col("b"), col("vec_id").as("q_id"))
+    // dedupe candidate IDs first (cheap long pairs), then attach vectors
+    // — distinct over the array columns themselves would compare 64
+    // doubles per row
+    val candIds = buckets.select(col("t"), col("b"), col("vec_id"))
       .join(broadcast(queries), Seq("t", "b"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"), col("qv"), col("v")).distinct()
+      .select(col("q_id"), col("vec_id").as("cand_id")).distinct()
+    val vecs = base // (vec_id, v, nv)
+    val cands = candIds
+      .join(broadcast(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))), "q_id")
+      .join(vecs.select(col("vec_id").as("cand_id"), col("v"), col("nv")), "cand_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
     cands
-      .select(col("q_id"), col("cand_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .select(col("q_id"), col("cand_id"),
+        round(gdot("qv", "v") / (col("nq") * col("nv")), 6).as("cos"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= TopK)
   }
 }
