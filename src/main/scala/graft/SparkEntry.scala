@@ -42,6 +42,10 @@ object SparkEntry {
     "q_anti_join" -> ((s, d) => Relational.antiJoin(t(s, d, "customer"), t(s, d, "orders"))),
     "q_json_extract" -> ((s, d) => Relational.jsonExtract(t(s, d, "events"))),
     "q_pivot_events" -> ((s, d) => Relational.pivotEvents(t(s, d, "events"))),
+    "q_asof_join" -> ((s, d) => Relational.asofJoin(t(s, d, "events"), t(s, d, "orders"))),
+    "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(
+      t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
+    "q_percentiles" -> ((s, d) => Relational.percentiles(t(s, d, "orders"))),
     // §2.3 LLM-data operators
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(t(s, d, "documents"))),
@@ -53,6 +57,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "q_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(t(s, d, "documents"))),
+    "q_term_freq" -> ((s, d) => TextAnalysis.termFreq(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(t(s, d, "documents"))))
 
@@ -75,6 +80,9 @@ object SparkEntry {
     "q_anti_join" -> Relational.antiJoinSql,
     "q_json_extract" -> Relational.jsonExtractSql,
     "q_pivot_events" -> Relational.pivotEventsSql,
+    "q_asof_join" -> Relational.asofJoinSql,
+    "q_rollup_revenue" -> Relational.rollupRevenueSql,
+    "q_percentiles" -> Relational.percentilesSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,
@@ -84,6 +92,7 @@ object SparkEntry {
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
+    "q_term_freq" -> TextAnalysis.termFreqSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_multimodal_meta" -> Multimodal.metaQuerySql)
 }

@@ -192,4 +192,66 @@ FROM events GROUP BY 1, 2"""
       .mkString(",\n  ")
     s"SELECT user_id, count(*) AS n,\n  $cols\nFROM events GROUP BY user_id"
   }
+
+  // C11: as-of join — each event paired with the most recent order of
+  // the same customer at event time. Composed from built-ins: an
+  // equi-join on the key + range predicate, then argmax via
+  // max(struct) (map-side partial agg). At 100 TB the equi-key join
+  // bounds the blow-up to orders-per-customer; a sort-merge range join
+  // (custom SparkPlan) is the round-2 path if that fans out too far.
+  def asofJoin(events: DataFrame, orders: DataFrame): DataFrame =
+    events.select(col("event_id"), col("ts"), col("user_id"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice")),
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))).as("m"))
+      .select(col("event_id"), col("m.o_orderkey").as("asof_orderkey"),
+        col("m.o_orderdate").as("asof_orderdate"), col("m.o_totalprice").as("asof_totalprice"))
+
+  val asofJoinSql: String =
+    """SELECT event_id, asof_orderkey, asof_orderdate, asof_totalprice FROM (
+  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+         o.o_totalprice AS asof_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+WHERE rn = 1"""
+
+  // C12: rollup — hierarchical subtotals over the star join dims.
+  def rollupRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(sumd(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
+  val rollupRevenueSql: String =
+    """SELECT n_name, c_mktsegment,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)"""
+
+  // C13: order statistics — exact interpolated percentiles (both
+  // engines use linear interpolation; rounded to absorb last-ulp).
+  def percentiles(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        round(min(col("o_totalprice")), 4).as("mn"),
+        round(max(col("o_totalprice")), 4).as("mx"))
+
+  val percentilesSql: String =
+    """SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+  round(min(o_totalprice), 4) AS mn,
+  round(max(o_totalprice), 4) AS mx
+FROM orders GROUP BY o_orderpriority"""
 }

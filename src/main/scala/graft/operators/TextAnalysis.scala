@@ -136,6 +136,28 @@ FROM documents"""
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  // ---- L13: term frequencies over normalized text (the canonical
+  // wordcount, with stopword removal) ----
+  // Map-side: tokenize + filter fused into the scan; one shuffle on the
+  // token. At 100 TB this is the classic skew case — the partial
+  // aggregate absorbs hot tokens before the exchange.
+  def termFreq(documents: DataFrame): DataFrame = {
+    val stops = stopwords.flatMap(_._2)
+    documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0 && !col("token").isInCollection(stops))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+  }
+
+  val termFreqSql: String = {
+    val lst = stopwords.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT token, count(*) AS freq FROM (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+WHERE length(token) > 0 AND NOT list_contains($lst, token)
+GROUP BY token"""
+  }
+
   val fingerprintSql: String = {
     val h = md5LongSql("'f'", "substr(lower(text), i, 5)")
     s"""WITH g AS (SELECT doc_id,
