@@ -46,6 +46,8 @@ object SparkEntry {
     "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_percentiles" -> ((s, d) => Relational.percentiles(t(s, d, "orders"))),
+    "q_ranking" -> ((s, d) => Relational.rankingFunctions(t(s, d, "orders"))),
+    "q_set_ops" -> ((s, d) => Relational.setOps(t(s, d, "orders"), t(s, d, "lineitem"))),
     // §2.3 LLM-data operators
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(t(s, d, "documents"))),
@@ -83,6 +85,8 @@ object SparkEntry {
     "q_asof_join" -> Relational.asofJoinSql,
     "q_rollup_revenue" -> Relational.rollupRevenueSql,
     "q_percentiles" -> Relational.percentilesSql,
+    "q_ranking" -> Relational.rankingFunctionsSql,
+    "q_set_ops" -> Relational.setOpsSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,

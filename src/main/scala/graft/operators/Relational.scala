@@ -254,4 +254,42 @@ GROUP BY ROLLUP (n_name, c_mktsegment)"""
   round(min(o_totalprice), 4) AS mn,
   round(max(o_totalprice), 4) AS mx
 FROM orders GROUP BY o_orderpriority"""
+
+  // C14: ranking-function family over one window spec (single
+  // sort+exchange serves all four).
+  def rankingFunctions(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_orderpriority"), col("o_orderkey"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"))
+  }
+
+  val rankingFunctionsSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+  rank() OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  ntile(4) OVER w AS quartile,
+  lag(o_orderkey) OVER w AS prev_key,
+  lead(o_orderkey) OVER w AS next_key
+FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)"""
+
+  // C15: set operations — distinct unions/intersections of key sets.
+  def setOps(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val a = orders.where(col("o_totalprice") > 100000).select(col("o_orderkey").as("k"))
+    val b = lineitem.where(col("l_quantity") >= 45).select(col("l_orderkey").as("k"))
+    a.intersect(b).withColumn("src", lit("both"))
+      .unionAll(a.except(b).withColumn("src", lit("only_big_price")))
+  }
+
+  val setOpsSql: String =
+    """WITH a AS (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 100000),
+b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 45)
+SELECT k, 'both' AS src FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+UNION ALL
+SELECT k, 'only_big_price' AS src FROM (SELECT k FROM a EXCEPT SELECT k FROM b)"""
 }

@@ -93,6 +93,27 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(1).n_events == 1 && sessions(1).start_ts == t("2024-01-01 02:00:00"))
   }
 
+  test("file-based readStream drives the injector + extract pipeline (R9)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fstream").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/part1.txt"),
+      "Timestamp,header,line\n\n1|" +
+        (Seq("01/05/2024 03:04:05", "42", "FW2", "N", "", "", "", "123") ++
+          (1 to 42).map(_ => "7")).mkString(",") + "\n")
+    val lines = spark.readStream.text(s"$dir/in").as[String](org.apache.spark.sql.Encoders.STRING)
+    val parsed = Traffic.extractLanes(
+      TrafficStream.injectLines(lines).toDF("raw")
+        .select(
+          split(col("raw"), "\\|").getItem(0).cast("long").as("event_id"),
+          split(col("raw"), "\\|").getItem(1).as("line")))
+    val q = parsed.writeStream.format("memory").queryName("fstream").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fstream")
+    assert(out.count() == 8) // 8 valid lanes from the one data line
+    assert(out.where(col("station_id") === "42").count() == 8)
+  }
+
   test("typed case-class encoder round-trips the record (R11)") {
     val ds = Seq(SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0)).toDS()
     assert(ds.as[SensorEvent].head() == SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0))
