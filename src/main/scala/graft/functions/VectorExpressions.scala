@@ -116,6 +116,47 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of an array<string> of tokens, as one
+  * tight loop per row.
+  *
+  * Equivalent to `array_distinct(transform(sequence(1, size-n+1),
+  * i -> concat_ws(' ', toks[i..i+n-1])))` — which, being a nested
+  * higher-order function, is interpreted per element and dominated
+  * ngram dedup runtime. Output set (and first-occurrence order) is
+  * identical; downstream consumers only use set semantics.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    while (i + n <= m) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var k = 0
+      while (k < n) {
+        parts(k) = if (toks.isNullAt(i + k))
+          org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        else toks.getUTF8String(i + k)
+        k += 1
+      }
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(Array.empty[AnyRef]))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for DSL use: Spark 4's Column has no public Expression
   * constructor, so the expressions are exposed through the function
   * registry and referenced with expr("graft_dot(a, b)") etc. */
@@ -125,5 +166,8 @@ object VectorFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash60", exprs => SimHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => WordShingles(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

@@ -60,21 +60,34 @@ WHERE a.vec_id < b.vec_id AND round($c, 6) >= $NearDupTau"""
 
   // ---- L6: brute-force cosine top-k ----
   // Query set (vec_id % 97 == 0) is tiny and broadcast; the corpus
-  // streams past it map-side. The per-query top-k goes through a
-  // row_number window — the shuffle carries only queries × corpus rows
-  // already scored; at 100 TB a bounded-heap Aggregator would replace
-  // the window sort (documented trade-off for round 2).
+  // streams past it map-side. The per-query top-k runs through the
+  // bounded [[graft.functions.TopKAggregator]]: map-side partials keep
+  // k rows per (query × task), so the exchange never carries the full
+  // scored corpus — at 100 TB that replaces a full sort per query with
+  // k-element buffer merges. Results are identical to a
+  // row_number-window formulation (total order: cos desc, cand_id asc).
   private val TopK = 5
 
   def annTopK(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val queries = withNorm(embeddings.where(col("vec_id") % 97 === 0), "q_id", "qv", "nq")
     val corpus = withNorm(embeddings, "cand_id", "cv", "nc")
     val scored = corpus.crossJoin(broadcast(queries))
       .where(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
         round(gdot("qv", "cv") / (col("nq") * col("nc")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= TopK)
+    val agg = new graft.functions.TopKAggregator(TopK).toColumn
+    scored
+      .select(col("q_id"), col("cand_id").as("id"), col("cos").as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(agg)
+      .flatMap { case (q, top) =>
+        top.iterator.zipWithIndex.map { case (e, i) => (q, e.id, e.score, (i + 1).toLong) }
+      }
+      .toDF("q_id", "cand_id", "cos", "rk")
   }
 
   val annTopKSql: String = {

@@ -60,6 +60,15 @@ object TrafficStream {
         batch.write.mode("overwrite").parquet(s"$path/epoch=$epoch")
       }
 
+  /** Streaming exact-dedup: drop replayed records by id within the
+    * watermark horizon — the streaming twin of `Dedup.exact`, and the
+    * guard a Pub/Sub-style at-least-once injector needs (the reference
+    * injector explicitly documents possible duplicate publishes,
+    * `PubsubFileInjector.java:37-40`). State is bounded by the
+    * watermark: ids older than the delay are evicted. */
+  def dedupStream(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Custom stateful operator: gap-based sessionization with
     * flatMapGroupsWithState + event-time timeout. State per user is a
     * single (start, end, n) struct; sessions close either when a

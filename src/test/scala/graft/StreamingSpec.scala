@@ -114,6 +114,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.where(col("station_id") === "42").count() == 8)
   }
 
+  test("streaming dedup drops at-least-once replays within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.dedupStream(stream.toDF(), delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    stream.addData(
+      SensorEvent(1, t("2024-01-01 00:00:00"), 7, "e", 1.0),
+      SensorEvent(1, t("2024-01-01 00:00:00"), 7, "e", 1.0), // same-batch replay
+      SensorEvent(2, t("2024-01-01 00:10:00"), 7, "e", 2.0))
+    q.processAllAvailable()
+    stream.addData(SensorEvent(1, t("2024-01-01 00:00:00"), 7, "e", 1.0)) // cross-batch replay
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("typed case-class encoder round-trips the record (R11)") {
     val ds = Seq(SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0)).toDS()
     assert(ds.as[SensorEvent].head() == SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0))
