@@ -157,6 +157,62 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints of a string in one pass: k-gram (k=5)
+  * rolling md5 hashes over the lowercased text, minimum of each
+  * 4-hash window, distinct — returned as array<long>.
+  *
+  * The value set is bit-identical to the explode→groupBy(doc, window)
+  * →min→distinct plan (and the DuckDB oracle), but runs map-only:
+  * no shuffle at all, where the relational shape needs two. Hash =
+  * first 15 md5 hex chars of "f:<gram>", exactly Portable.md5Long.
+  */
+case class Winnow(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val K = 5 // gram length
+  private val W = 4 // window (hashes per window)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    val n = text.length
+    if (n < K + W - 1) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = n - K + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val digest = md.digest(("f:" + text.substring(i, i + K)).getBytes("UTF-8"))
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      hashes(i) = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j + W <= m) {
+      var mn = hashes(j)
+      var k = 1
+      while (k < W) { if (hashes(j + k) < mn) mn = hashes(j + k); k += 1 }
+      out.add(mn)
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for DSL use: Spark 4's Column has no public Expression
   * constructor, so the expressions are exposed through the function
   * registry and referenced with expr("graft_dot(a, b)") etc. */
@@ -169,5 +225,7 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => WordShingles(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow", exprs => Winnow(exprs.head), "built-in")
   }
 }

@@ -115,25 +115,14 @@ FROM documents"""
   // classic winnowing fingerprint, md5-portable. Map-only at scale;
   // output is (doc_id, fingerprint) for downstream index joins.
   def fingerprint(documents: DataFrame): DataFrame = {
-    // Explode positions instead of nesting array lambdas: a lambda-based
-    // formulation (`transform(.., j -> min(slice(grams, j, 4)))`) inlines
-    // the gram-hash array into every window -> O(n²) interpreted md5s per
-    // doc. This shape keeps every expression whole-stage-codegen'd and
-    // linear; each k-gram hash is computed exactly once.
-    val m = (length(col("text")) - 4).as("m") // number of 5-gram positions
+    // One-pass winnowing per row via the custom Winnow expression: the
+    // relational shape (explode positions -> groupBy(doc, window) min
+    // -> distinct) needs two shuffles of 4x-duplicated hash rows; this
+    // is map-only with identical output (and identical to the oracle).
+    graft.functions.VectorFunctions.register(documents.sparkSession)
     documents
       .where(length(col("text")) >= 8)
-      .select(col("doc_id"), lower(col("text")).as("t"), m)
-      .select(col("doc_id"), col("t"), col("m"),
-        explode(sequence(lit(1), col("m"))).as("p"))
-      .select(col("doc_id"), col("m"), col("p"),
-        md5Long(lit("f"), col("t").substr(col("p"), lit(5))).as("h"))
-      // hash at position p participates in windows j = max(1,p-3)..min(p,m-3)
-      .select(col("doc_id"), col("h"),
-        explode(sequence(greatest(col("p") - 3, lit(1)),
-          least(col("p"), col("m") - 3))).as("j"))
-      .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("fp"))
-      .select(col("doc_id"), col("fp")).distinct()
+      .select(col("doc_id"), explode(expr("graft_winnow(text)")).as("fp"))
   }
 
   // ---- L13: term frequencies over normalized text (the canonical

@@ -60,6 +60,15 @@ object TrafficStream {
         batch.write.mode("overwrite").parquet(s"$path/epoch=$epoch")
       }
 
+  /** Stream-static enrichment: join the event stream to a static
+    * dimension (broadcast — the static side is planned per micro-batch
+    * and never shuffles the stream). The BigQuery-joined-lookup
+    * analogue for the reference's sink stage. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(streamKey) === dim(dimKey), "left")
+
   /** Streaming exact-dedup: drop replayed records by id within the
     * watermark horizon — the streaming twin of `Dedup.exact`, and the
     * guard a Pub/Sub-style at-least-once injector needs (the reference

@@ -131,6 +131,23 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-static enrichment joins the dim without shuffling the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "station-seven"), (8L, "station-eight")).toDF("sid", "name")
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.enrichStream(stream.toDF(), dim, "user_id", "sid")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    stream.addData(
+      SensorEvent(1, t("2024-01-01 00:00:00"), 7, "e", 1.0),
+      SensorEvent(2, t("2024-01-01 00:01:00"), 9, "e", 1.0)) // no dim match
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich").select("event_id", "name")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(out(1L).contains("station-seven"))
+    assert(out(2L).isEmpty) // left join keeps unmatched stream rows
+  }
+
   test("typed case-class encoder round-trips the record (R11)") {
     val ds = Seq(SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0)).toDS()
     assert(ds.as[SensorEvent].head() == SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0))
