@@ -60,6 +60,8 @@ object SparkEntry {
     "q_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(t(s, d, "documents"))),
     "q_term_freq" -> ((s, d) => TextAnalysis.termFreq(t(s, d, "documents"))),
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
+    "q_bigrams" -> ((s, d) => TextAnalysis.bigrams(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(t(s, d, "documents"))))
 
@@ -97,6 +99,8 @@ object SparkEntry {
     "q_quality" -> TextAnalysis.qualitySql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_term_freq" -> TextAnalysis.termFreqSql,
+    "q_tfidf" -> TextAnalysis.tfidfSql,
+    "q_bigrams" -> TextAnalysis.bigramsSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_multimodal_meta" -> Multimodal.metaQuerySql)
 }

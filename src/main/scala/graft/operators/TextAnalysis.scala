@@ -147,6 +147,58 @@ WHERE length(token) > 0 AND NOT list_contains($lst, token)
 GROUP BY token"""
   }
 
+  // ---- L14: TF-IDF (top term per doc) ----
+  // tf from an explode+count, df from a distinct count, idf = ln(N/df).
+  // Joined back on the token — the df side is tiny (vocabulary) and
+  // broadcasts; the fact side shuffles once on token. Output: the
+  // top-scoring term per document (argmax via max(struct)).
+  def tfidf(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val docCount = documents.select(count(lit(1)).as("n_docs"))
+    val df = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(docCount))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("token"))).as("m"))
+      .select(col("doc_id"), col("m.token").as("top_term"), col("m.score").as("top_score"))
+  }
+
+  val tfidfSql: String =
+    """WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE length(token) > 0 GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks WHERE length(token) > 0) GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, round(tf.tf * ln(n.n_docs / df.df), 6) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, top_term, top_score FROM (
+  SELECT doc_id, token AS top_term, score AS top_score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token DESC) AS rn
+  FROM scored) WHERE rn = 1"""
+
+  // ---- L15: bigram counts (n-gram language-model statistics) ----
+  def bigrams(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    documents
+      .select(explode(expr("graft_shingles(split(lower(text), '\\\\s+'), 2)")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_docs_with"))
+      .where(col("n_docs_with") >= 3)
+  }
+
+  val bigramsSql: String = {
+    val sh2 = graft.functions.Portable.wordShinglesSql(
+      "string_split_regex(lower(text), '\\s+')", 2)
+    s"""SELECT bigram, count(*) AS n_docs_with FROM (
+  SELECT doc_id, unnest($sh2) AS bigram FROM documents)
+GROUP BY bigram HAVING count(*) >= 3"""
+  }
+
   val fingerprintSql: String = {
     val h = md5LongSql("'f'", "substr(lower(text), i, 5)")
     s"""WITH g AS (SELECT doc_id,
