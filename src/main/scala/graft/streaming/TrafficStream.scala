@@ -69,6 +69,26 @@ object TrafficStream {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       events(streamKey) === dim(dimKey), "left")
 
+  /** Stream-stream interval join: correlate two event streams per key
+    * within a time bound (here: a later event of stream B following a
+    * stream-A event by at most `withinMinutes`). Both sides carry
+    * watermarks so the join state is bounded — Spark evicts buffered
+    * rows once the other side's watermark passes the interval. */
+  def correlateStreams(a: DataFrame, b: DataFrame, withinMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val left = a.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("event_type").as("a_type"), col("ts").as("a_ts"))
+    val right = b.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("event_type").as("b_type"), col("ts").as("b_ts"))
+    left.join(right,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("a_id") =!= col("b_id"))
+  }
+
   /** Streaming exact-dedup: drop replayed records by id within the
     * watermark horizon — the streaming twin of `Dedup.exact`, and the
     * guard a Pub/Sub-style at-least-once injector needs (the reference

@@ -148,6 +148,25 @@ class StreamingSpec extends SparkSpec {
     assert(out(2L).isEmpty) // left join keeps unmatched stream rows
   }
 
+  test("stream-stream interval join correlates events within the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[SensorEvent]
+    val buys = MemoryStream[SensorEvent]
+    val joined = TrafficStream.correlateStreams(clicks.toDF(), buys.toDF(), withinMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("corr").outputMode("append").start()
+    clicks.addData(
+      SensorEvent(1, t("2024-01-01 00:00:00"), 7, "click", 1.0),
+      SensorEvent(2, t("2024-01-01 00:00:00"), 8, "click", 1.0))
+    buys.addData(
+      SensorEvent(11, t("2024-01-01 00:10:00"), 7, "purchase", 5.0), // within 30 min
+      SensorEvent(12, t("2024-01-01 02:00:00"), 8, "purchase", 5.0)) // outside bound
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("corr").select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 11L)))
+  }
+
   test("typed case-class encoder round-trips the record (R11)") {
     val ds = Seq(SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0)).toDS()
     assert(ds.as[SensorEvent].head() == SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0))
