@@ -37,6 +37,7 @@ object SparkEntry {
     "q_topk_orders" -> ((s, d) => Relational.topkOrders(t(s, d, "orders"))),
     "q_running_sum" -> ((s, d) => Relational.runningSum(t(s, d, "orders"))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(t(s, d, "events"))),
+    "q_session_window" -> ((s, d) => Relational.sessionWindow(t(s, d, "events"))),
     "q_window_tumbling" -> ((s, d) => Relational.windowTumbling(t(s, d, "events"))),
     "q_distinct_users" -> ((s, d) => Relational.distinctUsers(t(s, d, "events"))),
     "q_anti_join" -> ((s, d) => Relational.antiJoin(t(s, d, "customer"), t(s, d, "orders"))),
@@ -79,6 +80,7 @@ object SparkEntry {
     "q_topk_orders" -> Relational.topkOrdersSql,
     "q_running_sum" -> Relational.runningSumSql,
     "q_sessionize" -> Relational.sessionizeSql,
+    "q_session_window" -> Relational.sessionWindowSql,
     "q_window_tumbling" -> Relational.windowTumblingSql,
     "q_distinct_users" -> Relational.distinctUsersSql,
     "q_anti_join" -> Relational.antiJoinSql,

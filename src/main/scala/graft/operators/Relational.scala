@@ -132,6 +132,35 @@ SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events, min(ts) 
   max(ts) AS end_ts, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM numbered GROUP BY user_id, session_id"""
 
+  // C5b: the same session semantics through Spark's native
+  // session_window operator (merge-on-overlap): window end = last event
+  // + gap, so end_ts = window.end - gap. Oracle shared with the
+  // gaps-and-islands formulation — the two plans must agree exactly.
+  def sessionWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("w.start").as("start_ts"),
+        timestamp_micros(unix_micros(col("w.end")) - 1800L * 1000000L).as("end_ts"),
+        col("n_events"), col("sum_value"))
+
+  // NB: session_window's end is EXCLUSIVE — a gap of exactly the
+  // duration starts a new session, hence >= (the islands twin above
+  // uses > by its own declared semantics).
+  val sessionWindowSql: String =
+    """WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged)
+SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, session_id"""
+
   // C6: tumbling windows.
   def windowTumbling(events: DataFrame): DataFrame =
     events

@@ -29,6 +29,17 @@ object Scale {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Seeded stratified sample: per-stratum fractions without a full
+    * shuffle (sampleBy is a map-side Bernoulli filter per row). The
+    * workhorse for building eval slices from a 100 TB corpus — e.g.
+    * fixed fractions per language/source. Deterministic given the
+    * seed, so pipelines are re-runnable. NB Spark semantics: strata
+    * absent from `fractions` are dropped entirely (not passed
+    * through), and fractions for nonexistent strata are ignored. */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
   /** Write both sides bucketed by the join key so the subsequent join
     * needs no Exchange: the classic co-located join. Requires a
     * warehouse-backed table (bucket metadata lives in the catalog).

@@ -153,8 +153,9 @@ GROUP BY token"""
   // broadcasts; the fact side shuffles once on token. Output: the
   // top-scoring term per document (argmax via max(struct)).
   def tfidf(documents: DataFrame): DataFrame = {
+    // cached: both the tf and df branches consume the exploded tokens
     val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .where(length(col("token")) > 0)
+      .where(length(col("token")) > 0).cache()
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val docCount = documents.select(count(lit(1)).as("n_docs"))
     val df = toks.select(col("doc_id"), col("token")).distinct()

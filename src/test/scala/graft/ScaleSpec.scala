@@ -20,6 +20,22 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("stratified sample is deterministic and respects per-stratum fractions") {
+    val docs = Tables.load(spark, sf, "documents")
+    val fr = Map("en" -> 0.5, "de" -> 0.1, "es" -> 0.0, "fr" -> 1.0, "zh" -> 0.2)
+    val s1 = Scale.stratifiedSample(docs, "lang", fr, seed = 42).select("doc_id", "lang")
+    val s2 = Scale.stratifiedSample(docs, "lang", fr, seed = 42).select("doc_id", "lang")
+    assert(s1.collect().toSet == s2.collect().toSet) // same seed, same sample
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("es")) // 0.0 fraction -> empty stratum
+    assert(counts("fr") == totals("fr")) // 1.0 fraction -> full stratum
+    val enRatio = counts("en").toDouble / totals("en")
+    assert(enRatio > 0.2 && enRatio < 0.8, s"en ratio $enRatio far from 0.5")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val orders = Tables.load(spark, sf, "orders").limit(500)
     val lineitem = Tables.load(spark, sf, "lineitem").limit(500)
