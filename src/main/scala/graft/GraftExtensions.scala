@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash60(exprs.head)))
+    // transparently upgrade HOF dot products to the codegen'd expression
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
