@@ -98,6 +98,9 @@ object Traffic {
     * ~3 s for this shape). The single-element explode is a Generate
     * barrier that materialises `items` exactly once per row. */
   def extractLanes(lines: DataFrame): DataFrame = {
+    // NB: a translate()-based all-digits test was measured SLOWER than
+    // rlike here (translate allocates a copied string per evaluation;
+    // the compiled regex just scans) — keep the regex.
     val digits = "^[0-9]+$"
     def f(i: Int) = element_at(col("items"), 7 + i * 5) // flow, 1-based idx
     def ao(i: Int) = element_at(col("items"), 8 + i * 5)
