@@ -47,6 +47,8 @@ object SparkEntry {
     "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_percentiles" -> ((s, d) => Relational.percentiles(t(s, d, "orders"))),
+    "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(
+      t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_ranking" -> ((s, d) => Relational.rankingFunctions(t(s, d, "orders"))),
     "q_set_ops" -> ((s, d) => Relational.setOps(t(s, d, "orders"), t(s, d, "lineitem"))),
     // §2.3 LLM-data operators
@@ -89,6 +91,7 @@ object SparkEntry {
     "q_asof_join" -> Relational.asofJoinSql,
     "q_rollup_revenue" -> Relational.rollupRevenueSql,
     "q_percentiles" -> Relational.percentilesSql,
+    "q_cube_revenue" -> Relational.cubeRevenueSql,
     "q_ranking" -> Relational.rankingFunctionsSql,
     "q_set_ops" -> Relational.setOpsSql,
     "q_dedup_exact" -> Dedup.exactSql,

@@ -264,6 +264,22 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)"""
 
+  // C12b: cube — all grouping-set combinations of the same dims.
+  def cubeRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(sumd(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
+  val cubeRevenueSql: String =
+    """SELECT n_name, c_mktsegment,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)"""
+
   // C13: order statistics — exact interpolated percentiles (both
   // engines use linear interpolation; rounded to absorb last-ulp).
   def percentiles(orders: DataFrame): DataFrame =

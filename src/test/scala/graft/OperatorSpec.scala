@@ -36,6 +36,15 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tracks exact percentiles within tolerance (C13)") {
+    val orders = Tables.load(spark, sf, "orders")
+    val r = orders.agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact"),
+      expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx")).head()
+    val (e, a) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(a - e) / e < 0.05, s"approx p50 $a vs exact $e")
+  }
+
   test("multimodal decode stub attaches typed metadata per partition (L12)") {
     val out = Multimodal.decodeStub(Multimodal.asBlobs(documents))
     assert(out.schema("meta").dataType == Multimodal.metaSchema)
