@@ -153,13 +153,13 @@ GROUP BY token"""
   // broadcasts; the fact side shuffles once on token. Output: the
   // top-scoring term per document (argmax via max(struct)).
   def tfidf(documents: DataFrame): DataFrame = {
-    // cached: both the tf and df branches consume the exploded tokens
     val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .where(length(col("token")) > 0).cache()
-    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")).cache()
     val docCount = documents.select(count(lit(1)).as("n_docs"))
-    val df = toks.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, token)) — no second pass
+    // over the raw token stream
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "token")
       .crossJoin(broadcast(docCount))
       .select(col("doc_id"), col("token"),
@@ -173,7 +173,7 @@ GROUP BY token"""
     """WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE length(token) > 0 GROUP BY doc_id, token),
-df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks WHERE length(token) > 0) GROUP BY token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.token, round(tf.tf * ln(n.n_docs / df.df), 6) AS score
