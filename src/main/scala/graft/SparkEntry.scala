@@ -50,6 +50,8 @@ object SparkEntry {
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_ranking" -> ((s, d) => Relational.rankingFunctions(t(s, d, "orders"))),
+    "q_stats" -> ((s, d) => Relational.stats(t(s, d, "orders"))),
+    "q_histogram" -> ((s, d) => Relational.histogram(t(s, d, "events"))),
     "q_set_ops" -> ((s, d) => Relational.setOps(t(s, d, "orders"), t(s, d, "lineitem"))),
     // §2.3 LLM-data operators
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
@@ -93,6 +95,8 @@ object SparkEntry {
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube_revenue" -> Relational.cubeRevenueSql,
     "q_ranking" -> Relational.rankingFunctionsSql,
+    "q_stats" -> Relational.statsSql,
+    "q_histogram" -> Relational.histogramSql,
     "q_set_ops" -> Relational.setOpsSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,

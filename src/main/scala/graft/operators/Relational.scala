@@ -300,6 +300,42 @@ GROUP BY CUBE (n_name, c_mktsegment)"""
   round(max(o_totalprice), 4) AS mx
 FROM orders GROUP BY o_orderpriority"""
 
+  // C19: statistical aggregates — stddev/variance/correlation. Both
+  // engines use the standard definitions; rounding absorbs last-ulp
+  // differences in the one-pass formulations.
+  def stats(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        round(stddev_samp(col("o_totalprice")), 4).as("sd"),
+        round(var_samp(col("o_totalprice")), 2).as("variance"),
+        round(corr(col("o_totalprice"), col("o_custkey")), 6).as("price_cust_corr"),
+        round(avg(col("o_totalprice")), 4).as("mean"))
+
+  val statsSql: String =
+    """SELECT o_orderpriority,
+  round(stddev_samp(o_totalprice), 4) AS sd,
+  round(var_samp(o_totalprice), 2) AS variance,
+  round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+  round(avg(o_totalprice), 4) AS mean
+FROM orders GROUP BY o_orderpriority"""
+
+  // C20: fixed-width histogram via portable arithmetic binning (no
+  // engine-specific histogram functions; floor((x-lo)/w) is exact and
+  // identical in both engines). Map-side: one shuffle of bin counts.
+  def histogram(events: DataFrame): DataFrame = {
+    val lo = lit(0.0)
+    val w = lit(25.0)
+    val bin = floor((col("value") - lo) / w).cast("long")
+    events.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (lo + col("bin") * w).as("bin_lo"), col("n"))
+  }
+
+  val histogramSql: String =
+    """SELECT bin, (0.0 + bin * 25.0)::DOUBLE AS bin_lo, n FROM (
+  SELECT floor((value - 0.0) / 25.0)::BIGINT AS bin, count(*) AS n
+  FROM events GROUP BY 1)"""
+
   // C14: ranking-function family over one window spec (single
   // sort+exchange serves all four).
   def rankingFunctions(orders: DataFrame): DataFrame = {
