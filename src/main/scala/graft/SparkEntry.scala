@@ -68,7 +68,8 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
     "q_bigrams" -> ((s, d) => TextAnalysis.bigrams(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
-    "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(t(s, d, "documents"))))
+    "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(t(s, d, "documents"))),
+    "q_multimodal_frames" -> ((s, d) => Multimodal.framesQuery(t(s, d, "documents"))))
 
   /** DuckDB oracles; q_ann_lsh is intentionally absent (LSH bucketing
     * is the non-SQL scale path; its recall is ScalaTest-verified
@@ -111,5 +112,6 @@ object SparkEntry {
     "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_bigrams" -> TextAnalysis.bigramsSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
-    "q_multimodal_meta" -> Multimodal.metaQuerySql)
+    "q_multimodal_meta" -> Multimodal.metaQuerySql,
+    "q_multimodal_frames" -> Multimodal.framesQuerySql)
 }

@@ -71,6 +71,32 @@ FROM documents"""
     }(enc)
   }
 
+  /** Oracle-checked view over [[frameSample]]: frame count plus first/
+    * last frame digests (md5 of the UTF-8 text — DuckDB lacks
+    * md5(BLOB)), exercising the sampling arithmetic end-to-end. */
+  def framesQuery(documents: DataFrame): DataFrame = {
+    val frames = frameSample(asBlobs(documents), frameBytes = 16, everyK = 2)
+    frames.select(
+      col("doc_id"),
+      size(col("frames")).cast("long").as("n_frames"),
+      md5(decode(element_at(col("frames"), 1), "UTF-8")).as("first_md5"),
+      md5(decode(element_at(col("frames"), size(col("frames"))), "UTF-8")).as("last_md5"))
+  }
+
+  /** Mirrors frameSample(frameBytes=16, everyK=2): frame i (0-based)
+    * is substr(text, i*32+1, 16); n = greatest(floor(bytes/32)-1,0)+1.
+    * floor() is explicit — DuckDB's double->int cast rounds where
+    * Spark's truncates. */
+  val framesQuerySql: String =
+    """WITH f AS (
+  SELECT doc_id, text,
+    greatest(floor(octet_length(encode(text)) / 32)::INTEGER - 1, 0) + 1 AS n_frames
+  FROM documents)
+SELECT doc_id, n_frames::BIGINT AS n_frames,
+  md5(substr(text, 1, 16)) AS first_md5,
+  md5(substr(text, (n_frames - 1) * 32 + 1, 16)) AS last_md5
+FROM f"""
+
   /** Frame sampling stub: every k-th fixed-size "frame" of the payload
     * as a bounded array — the partition/batch shape of a real video
     * sampler (codec calls replaced by deterministic slices). */
