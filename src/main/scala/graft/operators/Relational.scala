@@ -66,16 +66,25 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name"""
 
-  // C3: top-K per group. row_number is fine here (groups = 5
-  // priorities); at scale with many groups, pre-aggregate a per-partition
-  // top-K before the window to bound the sort input.
+  // C3: top-K per group, through the bounded TopKAggregator: map-side
+  // partials keep k rows per (group × task), so the exchange carries at
+  // most k rows per group per map task instead of sorting every order in
+  // a handful of reducer partitions. Total order (price desc, key asc)
+  // makes the result identical to a row_number window.
   def topkOrders(orders: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(5).toColumn
     orders
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 5)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(agg)
+      .flatMap { case (p, top) =>
+        top.iterator.zipWithIndex.map { case (e, i) => (p, e.id, e.score, (i + 1).toLong) }
+      }
+      .toDF("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
   }
 
   val topkOrdersSql: String =

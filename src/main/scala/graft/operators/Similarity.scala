@@ -143,8 +143,13 @@ WHERE rk <= $TopK"""
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id")).distinct()
     val vecs = base // (vec_id, v, nv)
+    // Only rows from the ~1% query subset can ever match on q_id, so
+    // broadcast just that subset — broadcasting the unfiltered frame
+    // would ship the entire corpus to every executor at 100 TB.
+    val queryVecs = vecs.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val cands = candIds
-      .join(broadcast(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))), "q_id")
+      .join(broadcast(queryVecs), "q_id")
       .join(vecs.select(col("vec_id").as("cand_id"), col("v"), col("nv")), "cand_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
     cands

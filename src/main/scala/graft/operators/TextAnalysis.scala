@@ -148,10 +148,12 @@ GROUP BY token"""
   }
 
   // ---- L14: TF-IDF (top term per doc) ----
-  // tf from an explode+count, df from a distinct count, idf = ln(N/df).
-  // Joined back on the token — the df side is tiny (vocabulary) and
-  // broadcasts; the fact side shuffles once on token. Output: the
-  // top-scoring term per document (argmax via max(struct)).
+  // tf from an explode+count, df derived from tf, idf = ln(N/df).
+  // Joined back on the token with a SHUFFLE join: at 100 TB the distinct
+  // vocabulary is itself billions of rows, so broadcasting it would pin
+  // the whole token table in every executor. Only the single-row doc
+  // count broadcasts. Output: top-scoring term per document (argmax via
+  // max(struct)).
   def tfidf(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .where(length(col("token")) > 0)
@@ -160,7 +162,7 @@ GROUP BY token"""
     // df derives from tf (one row per (doc, token)) — no second pass
     // over the raw token stream
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "token")
+    tf.join(df.hint("shuffle_hash"), "token")
       .crossJoin(broadcast(docCount))
       .select(col("doc_id"), col("token"),
         round(col("tf") * log(col("n_docs") / col("df")), 6).as("score"))
