@@ -35,27 +35,78 @@ object Similarity {
   private def cosineSql(a: String, b: String): String =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
 
-  // ---- L5: embedding-cosine near-duplicate pairs ----
-  // Exact all-pairs at oracle scale (the correctness surface); the
-  // synthetic embeddings have no >0.95 near-dups, so the demo threshold
-  // is 0.45 (measured: 14 pairs at sf0.01). The 100 TB path is annLsh
-  // below — same scoring, LSH-bounded candidates.
+  // ---- Random-hyperplane banding (shared by L5 and L7) ----
+  // T hash tables × P random hyperplanes; coefficients are fixed
+  // seeded-random literals baked into the plan (no fitted state, no
+  // per-row driver work).
+  private val Tables = 8
+  private val Planes = 4
+  private val Dim = 64
+
+  /** Deterministic hyperplanes[table][plane][dim], uniform [-1, 1]. */
+  private lazy val hyperplanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(Tables, Planes, Dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  private def bucket(t: Int, v: String): Column =
+    (0 until Planes).map { p =>
+      val proj = expr(s"graft_dot($v, ${hyperplanes(t)(p).mkString("array(", "D,", "D)")})")
+      when(proj > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  // ---- L5: embedding-cosine near-duplicate pairs (LSH-bucketed) ----
+  // Candidate pairs come from the SAME random-hyperplane banding as
+  // annLsh: a pair is a candidate iff it shares a (table, sign-bucket)
+  // key in ANY of the 8 tables; candidates are then verified with the
+  // exact cosine. The operator's contract is therefore
+  // "pairs sharing >=1 LSH bucket with cos >= tau" — the oracle mirrors
+  // the bucketing bit-for-bit (graft_dot and DuckDB's list_dot_product
+  // are the same left-to-right double sum, so the projection signs
+  // agree exactly). At 100 TB the bucket self-join replaces the n^2
+  // cartesian: candidates are bounded by bucket occupancy, and the
+  // pair->vector attachment is two shuffle joins of small id pairs.
+  // The synthetic embeddings have no >0.95 near-dups, so the demo
+  // threshold is 0.45; at cos 0.45 the 8x4 banding catches ~80% of
+  // pairs (per-plane sign agreement ~0.65 -> 1-(1-0.65^4)^8).
   private val NearDupTau = 0.45
 
   def embeddingNearDup(embeddings: DataFrame): DataFrame = {
-    val a = withNorm(embeddings, "x", "va", "na")
-    val b = withNorm(embeddings, "y", "vb", "nb")
-    a.crossJoin(b).where(col("x") < col("y"))
+    val base = withNorm(embeddings, "vec_id", "v", "nv")
+    // combined bucket key t*16+b (b < 2^Planes = 16)
+    val ids = base.select(col("vec_id"),
+      explode(array((0 until Tables).map(t =>
+        bucket(t, "v") + lit(t.toLong * 16)): _*)).as("bk"))
+    val candPairs = ids.as("l")
+      .join(ids.as("r"), col("l.bk") === col("r.bk") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("x"), col("r.vec_id").as("y")).distinct()
+    candPairs
+      .join(base.select(col("vec_id").as("x"), col("v").as("va"), col("nv").as("na")), "x")
+      .join(base.select(col("vec_id").as("y"), col("v").as("vb"), col("nv").as("nb")), "y")
       .select(col("x"), col("y"),
         round(gdot("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") >= NearDupTau)
   }
 
+  /** DuckDB bucket-key list for one vector column `e` (mirrors
+    * [[bucket]]: key = t*16 + sum over planes of 2^p where proj > 0). */
+  private def bucketKeysSql(e: String): String =
+    (0 until Tables).map { t =>
+      val planes = (0 until Planes).map { p =>
+        val lit = hyperplanes(t)(p).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product($e, $lit) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"(${t * 16} + $planes)"
+    }.mkString("[", ", ", "]")
+
   val embeddingNearDupSql: String = {
-    val c = cosineSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
-    s"""SELECT a.vec_id AS x, b.vec_id AS y, round($c, 6) AS cos
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id AND round($c, 6) >= $NearDupTau"""
+    val c = cosineSql("a.e", "c.e")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, ${bucketKeysSql("e")} AS bks FROM v)
+SELECT x, y, cos FROM (
+  SELECT a.vec_id AS x, c.vec_id AS y, round($c, 6) AS cos
+  FROM b a JOIN b c ON a.vec_id < c.vec_id AND list_has_any(a.bks, c.bks))
+WHERE cos >= $NearDupTau"""
   }
 
   // ---- L6: brute-force cosine top-k ----
@@ -101,32 +152,14 @@ WHERE rk <= $TopK"""
   }
 
   // ---- L7: LSH-bucketed ANN (the scale path; rows-check + recall test) ----
-  // T hash tables × P random hyperplanes; coefficients are fixed
-  // seeded-random literals baked into the plan (no fitted state, no
-  // per-row hash computation). A query's candidates are corpus vectors
-  // sharing its bucket in ANY table; candidates are re-ranked exactly.
-  // At 100 TB the bucket join replaces the cross join: corpus × T
-  // map-side sign computations + a key join.
-  // 8 tables × 4 planes: for the top-5 neighborhood of these synthetic
-  // embeddings (cos ≈ 0.35-0.5 → per-plane agreement ≈ 0.6-0.67) the
-  // any-table collision probability lands ~0.5-0.8 (recall spec pins
-  // 0.25+); real clustered embeddings do markedly better.
-  private val Tables = 8
-  private val Planes = 4
-  private val Dim = 64
-
-  /** Deterministic hyperplanes[table][plane][dim], uniform [-1, 1]. */
-  private lazy val hyperplanes: Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(Tables, Planes, Dim)(rnd.nextDouble() * 2 - 1)
-  }
-
-  private def bucket(t: Int, v: String): Column =
-    (0 until Planes).map { p =>
-      val proj = expr(s"graft_dot($v, ${hyperplanes(t)(p).mkString("array(", "D,", "D)")})")
-      when(proj > 0, 1L << p).otherwise(0L)
-    }.reduce(_ + _)
-
+  // A query's candidates are corpus vectors sharing its bucket in ANY
+  // table; candidates are re-ranked exactly. At 100 TB the bucket join
+  // replaces the cross join: corpus × T map-side sign computations + a
+  // key join. 8 tables × 4 planes: for the top-5 neighborhood of these
+  // synthetic embeddings (cos ≈ 0.35-0.5 → per-plane agreement ≈
+  // 0.6-0.67) the any-table collision probability lands ~0.5-0.8
+  // (recall spec pins 0.25+); real clustered embeddings do markedly
+  // better.
   def annLsh(embeddings: DataFrame): DataFrame = {
     val base = withNorm(embeddings, "vec_id", "v", "nv")
     val buckets = base.select(col("vec_id"), col("v"), col("nv"),

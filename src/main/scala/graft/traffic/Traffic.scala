@@ -40,9 +40,14 @@ object Traffic {
 
   private val NumFields = 50
 
-  /** 1-based field index -> Spark expression (on an `events` row). */
+  /** 1-based field index -> Spark expression (on an `events` row).
+    * The timestamp field is deliberately malformed (dashes for slashes)
+    * when event_id % 13 == 0, to exercise the reference's
+    * parse-and-drop path (`TrafficMaxLaneFlow.java:215-222`). */
   private def fieldExpr(idx: Int): Column = idx match {
-    case 1 => date_format(col("ts"), "MM/dd/yyyy HH:mm:ss")
+    case 1 => when(col("event_id") % 13 === 0,
+        date_format(col("ts"), "MM-dd-yyyy HH:mm:ss"))
+      .otherwise(date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"))
     case 2 => col("user_id").cast("string")
     case 3 => concat(lit("FW"), (col("user_id") % 5).cast("string"))
     case 4 => col("event_type")
@@ -63,7 +68,7 @@ object Traffic {
   /** Same field, as a DuckDB SQL expression. Must stay in lockstep with
     * [[fieldExpr]] — the oracle hash check enforces it. */
   private def fieldSql(idx: Int): String = idx match {
-    case 1 => "strftime(ts, '%m/%d/%Y %H:%M:%S')"
+    case 1 => "CASE WHEN event_id % 13 = 0 THEN strftime(ts, '%m-%d-%Y %H:%M:%S') ELSE strftime(ts, '%m/%d/%Y %H:%M:%S') END"
     case 2 => "user_id::VARCHAR"
     case 3 => "'FW' || (user_id % 5)::VARCHAR"
     case 4 => "event_type"
@@ -121,11 +126,19 @@ object Traffic {
     lines
       .where(size(split(col("line"), ",")) >= 48)
       .select(col("event_id"), explode(array(split(col("line"), ","))).as("items"))
+      // the reference parses MM/dd/yyyy HH:mm:ss and silently drops the
+      // whole reading when the timestamp is malformed
+      // (TrafficMaxLaneFlow.java:215-222); try_to_timestamp yields null
+      // on parse failure (ANSI-safe), and the filter drops the record
+      // before the lane fan-out.
+      .withColumn("parsed_ts",
+        try_to_timestamp(element_at(col("items"), 1), lit("MM/dd/yyyy HH:mm:ss")))
+      .where(col("parsed_ts").isNotNull)
       .select(col("event_id"),
         element_at(col("items"), 2).as("station_id"),
         element_at(col("items"), 4).as("direction"),
         element_at(col("items"), 3).as("freeway"),
-        element_at(col("items"), 1).as("recorded_ts"),
+        col("parsed_ts").as("recorded_ts"),
         element_at(col("items"), 8).cast("long").as("total_flow"),
         // slice() keeps the bound ascending (sequence(1, 0) counts DOWN)
         explode(slice(lanes, lit(1), firstInvalid - 1)).as("l"))
@@ -150,14 +163,17 @@ object Traffic {
     def validS(i: String) =
       s"coalesce(regexp_matches(${fS(i)}, '^[0-9]+$$') AND regexp_matches(${aoS(i)}, '^[0-9]+$$') AND regexp_matches(${asS(i)}, '^[0-9]+$$'), false)"
     s"""WITH lines AS ($csvLinesSql),
-splitted AS (SELECT event_id, string_split(line, ',') AS items FROM lines WHERE len(string_split(line, ',')) >= 48),
+splitted AS (SELECT event_id, string_split(line, ',') AS items FROM lines
+  WHERE len(string_split(line, ',')) >= 48
+    AND try_strptime(string_split(line, ',')[1], '%m/%d/%Y %H:%M:%S') IS NOT NULL),
 marked AS (SELECT event_id, items,
   list_transform(generate_series(1, 8), i -> ${validS("i")}) AS valid FROM splitted),
 cut AS (SELECT event_id, items,
   CASE WHEN list_position(valid, false) = 0 THEN 9 ELSE list_position(valid, false) END AS first_invalid FROM marked),
 lanes AS (SELECT event_id, items, unnest(generate_series(1, first_invalid - 1)) AS i FROM cut)
 SELECT event_id, items[2] AS station_id, 'lane' || i::VARCHAR AS lane,
-  items[4] AS direction, items[3] AS freeway, items[1] AS recorded_ts,
+  items[4] AS direction, items[3] AS freeway,
+  try_strptime(items[1], '%m/%d/%Y %H:%M:%S') AS recorded_ts,
   ${fS("i")}::BIGINT AS lane_flow, ${aoS("i")}::BIGINT AS lane_ao, ${asS("i")}::BIGINT AS lane_as,
   items[8]::BIGINT AS total_flow
 FROM lanes"""
