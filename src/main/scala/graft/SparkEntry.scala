@@ -29,6 +29,7 @@ object SparkEntry {
     "q_extract_lanes" -> ((s, d) => Traffic.extractLanes(Traffic.csvLines(t(s, d, "events")))),
     "q_max_flow_global" -> ((s, d) => Traffic.maxFlowGlobal(t(s, d, "events"))),
     "q_max_flow_sliding" -> ((s, d) => Traffic.maxFlowSliding(t(s, d, "events"))),
+    "q_max_flow_sliding_60_1" -> ((s, d) => Traffic.maxFlowSliding60x1(t(s, d, "events"))),
     // §2.2 engine core
     "q1_agg" -> ((s, d) => Relational.q1Agg(t(s, d, "lineitem"))),
     "q_join_revenue" -> ((s, d) => Relational.joinRevenue(
@@ -61,6 +62,7 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
+    "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "q_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(t(s, d, "documents"))),
@@ -80,6 +82,7 @@ object SparkEntry {
     "q_extract_lanes" -> Traffic.extractLanesSql,
     "q_max_flow_global" -> Traffic.maxFlowGlobalSql,
     "q_max_flow_sliding" -> Traffic.maxFlowSlidingSql,
+    "q_max_flow_sliding_60_1" -> Traffic.maxFlowSliding60x1Sql,
     "q1_agg" -> Relational.q1AggSql,
     "q_join_revenue" -> Relational.joinRevenueSql,
     "q_topk_orders" -> Relational.topkOrdersSql,

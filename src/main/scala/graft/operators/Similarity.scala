@@ -190,4 +190,49 @@ WHERE rk <= $TopK"""
         round(gdot("qv", "v") / (col("nq") * col("nv")), 6).as("cos"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= TopK)
   }
+
+  // ---- IVF-style ANN (coarse cells + nprobe; the second scale path) ----
+  // Cell index: the C lowest-id corpus vectors, L2-normalized on the
+  // driver, act as coarse centroids — the k-means-centers analogue.
+  // The ONLY driver-side step is one bounded collect of C rows (C×Dim
+  // doubles of model state, like MLlib's KMeans.clusterCenters); there
+  // is no per-row driver work. Every corpus vector is assigned to its
+  // best cell map-side (argmax over C codegen'd dot products); a query
+  // probes its NProbe best cells, and only corpus vectors in those
+  // cells are scored exactly. At 100 TB: corpus scan + C dots per row,
+  // then one join on the cell id against the broadcast query-probe set;
+  // candidates ≈ NProbe/C of the corpus per query, tunable against
+  // recall. Compared to annLsh, cells adapt to the data (centroids are
+  // real corpus points), so equal candidate budget buys higher recall
+  // on clustered data.
+  private val Cells = 16
+  private val NProbe = 4
+
+  def annIvf(embeddings: DataFrame): DataFrame = {
+    val base = withNorm(embeddings, "vec_id", "v", "nv")
+    val cents: Array[Array[Double]] = base.orderBy(col("vec_id")).limit(Cells)
+      .select(col("v"), col("nv")).collect()
+      .map { r =>
+        val n = r.getDouble(1)
+        r.getSeq[Double](0).map(_ / n).toArray
+      }
+    // (projection, cell) structs; lexicographic struct ordering makes
+    // argmax/top-nprobe deterministic (ties break toward higher cell id)
+    val cellStructs = cents.zipWithIndex.map { case (c, i) =>
+      struct(expr(s"graft_dot(v, ${c.mkString("array(", "D,", "D)")})").as("p"),
+        lit(i).as("c"))
+    }
+    val corpus = base.withColumn("cell",
+      array_max(array(cellStructs: _*)).getField("c"))
+    val probes = base.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"),
+        explode(slice(sort_array(array(cellStructs: _*), asc = false), 1, NProbe)).as("pr"))
+      .select(col("q_id"), col("qv"), col("nq"), col("pr.c").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    corpus.join(broadcast(probes), "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        round(gdot("qv", "v") / (col("nq") * col("nv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= TopK)
+  }
 }

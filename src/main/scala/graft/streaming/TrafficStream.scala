@@ -42,7 +42,20 @@ object TrafficStream {
 
   /** R9: injector filter on a line stream (drop empties + `Timestamp`
     * headers) — `PubsubFileInjector.FilterHeaderAndEmpties` verbatim,
-    * as a Column predicate so it fuses into the source scan. */
+    * as a Column predicate so it fuses into the source scan.
+    *
+    * Kafka would be the canonical Pub/Sub analogue
+    * (`spark.readStream.format("kafka").load()
+    * .selectExpr("CAST(value AS STRING)")` plugs into this same
+    * `Dataset[String]` boundary unchanged), but the
+    * `spark-sql-kafka-0-10` / `kafka-clients` jars are NOT present in
+    * /opt/spark/jars and the environment has no artifact egress, so the
+    * adapter cannot link here; file/memory readStream stand in. The
+    * reference's publish-time `timestamp` attribute
+    * (`PubsubFileInjector.java:84-87`) maps to the Kafka record
+    * timestamp — with a line source we re-derive event time by parsing
+    * the payload instead (same place the reference's batch mode gets
+    * it). */
   def injectLines(lines: Dataset[String]): Dataset[String] = {
     import lines.sparkSession.implicits._
     lines.toDF("line")

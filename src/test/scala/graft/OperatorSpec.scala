@@ -24,6 +24,17 @@ class OperatorSpec extends SparkSpec {
     assert(approx.subsetOf(exact) || approx.nonEmpty)
   }
 
+  test("annIvf recall beats the LSH floor at equal candidate budget") {
+    val exact = Similarity.annTopK(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annIvf(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"annIvf recall@5 = $recall%.2f (${approx.size} rows returned)")
+    assert(recall >= 0.3, s"IVF recall $recall below floor")
+  }
+
   test("approx_count_distinct tracks exact counts within 10% (C7)") {
     val both = events.groupBy($"event_type").agg(
       countDistinct($"user_id").as("exact"),
