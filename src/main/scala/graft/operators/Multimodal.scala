@@ -120,7 +120,7 @@ FROM f"""
 
   /** Deterministic P6 image for an id: w = id%8+1, h = id%5+1, pixel
     * byte j = (id*31 + j) % 256. */
-  private[operators] def syntheticPpm(id: Long): Array[Byte] = {
+  private[graft] def syntheticPpm(id: Long): Array[Byte] = {
     val w = (id % 8 + 1).toInt
     val h = (id % 5 + 1).toInt
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -132,7 +132,7 @@ FROM f"""
     * maxval, then w*h RGB byte triplets. Returns (w, h, per-channel
     * means). Throws on malformed input — decode errors must surface,
     * not silently zero. */
-  private[operators] def decodePpm(bytes: Array[Byte]): (Int, Int, Double, Double, Double) = {
+  private[graft] def decodePpm(bytes: Array[Byte]): (Int, Int, Double, Double, Double) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
     var pos = 2
     def nextInt(): Int = {

@@ -73,6 +73,16 @@ class OperatorSpec extends SparkSpec {
     assert(first.length <= 16)
   }
 
+  test("ppm decoder round-trips the generator and rejects malformed blobs (L12)") {
+    val blob = Multimodal.syntheticPpm(123L)
+    val (w, h, r, g, b) = Multimodal.decodePpm(blob)
+    assert(w == (123 % 8 + 1) && h == (123 % 5 + 1))
+    assert(r >= 0 && r <= 255 && g >= 0 && g <= 255 && b >= 0 && b <= 255)
+    // a decoder must fail loudly, not fabricate metadata
+    intercept[IllegalArgumentException](Multimodal.decodePpm("P5\n1 1\n255\n0".getBytes))
+    intercept[IllegalArgumentException](Multimodal.decodePpm(blob.take(blob.length - 2)))
+  }
+
   test("q1 plan pushes filter and prunes columns at the parquet scan") {
     val plan = Relational.q1Agg(Tables.load(spark, sf, "lineitem"))
       .queryExecution.executedPlan.toString

@@ -114,6 +114,47 @@ class StreamingSpec extends SparkSpec {
     assert(out.where(col("station_id") === "42").count() == 8)
   }
 
+  test("windowing follows payload event time, not arrival order (R9 timestamp-attribute semantics)") {
+    // The reference's injector publishes with a `timestamp` attribute
+    // (PubsubFileInjector.java:84-87) so subscribers window by EVENT
+    // time. With a line source that attribute is re-derived by parsing
+    // the payload — so a line arriving in a LATER batch but carrying an
+    // EARLIER timestamp must land in its own (earlier) window, not the
+    // arrival-time one.
+    implicit val sqlCtx = spark.sqlContext
+    def line(ts: String) =
+      (1 to 50).map {
+        case 1 => ts
+        case 2 => "42"
+        case 3 => "FW1"
+        case 4 => "N"
+        case 8 => "123"
+        case n if n >= 12 && n <= 49 && (n - 12) % 5 <= 2 => "7"
+        case _ => ""
+      }.mkString(",")
+    val stream = MemoryStream[String]
+    val windowed = Traffic.extractLanes(
+      TrafficStream.injectLines(stream.toDS()).toDF("raw")
+        .select(lit(1L).as("event_id"), col("raw").as("line")))
+      .withWatermark("recorded_ts", "2 hours")
+      .groupBy(window(col("recorded_ts"), "1 hour").as("w"))
+      .count()
+      .select(col("w.start").as("ws"), col("count"))
+    val q = windowed.writeStream.format("memory").queryName("evtime")
+      .outputMode("append").start()
+    stream.addData(line("01/01/2024 02:10:00"))            // arrives first
+    q.processAllAvailable()
+    stream.addData(line("01/01/2024 00:30:00"))            // earlier event time, later arrival
+    q.processAllAvailable()
+    stream.addData(line("01/01/2024 12:00:00"))            // advances watermark, flushes both
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("evtime").as[(Timestamp, Long)].collect().toMap
+    assert(got.get(t("2024-01-01 02:00:00")).contains(8L), s"first line's window wrong: $got")
+    assert(got.get(t("2024-01-01 00:00:00")).contains(8L),
+      s"late-arriving earlier event not windowed by payload time: $got")
+  }
+
   test("streaming dedup drops at-least-once replays within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[SensorEvent]
