@@ -30,7 +30,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq
+    // optional args restrict to named queries (local iteration)
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq
     // warm pass (untimed)
     names.foreach { n => try run(SparkEntry.queries(n)) catch { case _: Throwable => } }
     val reps = 3

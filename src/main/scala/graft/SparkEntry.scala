@@ -70,6 +70,8 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
     "q_bigrams" -> ((s, d) => TextAnalysis.bigrams(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
+    "q_repetition" -> ((s, d) => TextAnalysis.repetition(t(s, d, "documents"))),
+    "q_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(t(s, d, "documents"))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.framesQuery(t(s, d, "documents"))),
     "q_multimodal_decode" -> ((s, d) => Multimodal.ppmDecodeQuery(t(s, d, "documents"))))
@@ -116,6 +118,8 @@ object SparkEntry {
     "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_bigrams" -> TextAnalysis.bigramsSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_repetition" -> TextAnalysis.repetitionSql,
+    "q_pii_scrub" -> TextAnalysis.piiScrubSql,
     "q_multimodal_meta" -> Multimodal.metaQuerySql,
     "q_multimodal_frames" -> Multimodal.framesQuerySql,
     "q_multimodal_decode" -> Multimodal.ppmDecodeQuerySql)

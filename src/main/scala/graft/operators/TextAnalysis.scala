@@ -202,6 +202,74 @@ SELECT doc_id, top_term, top_score FROM (
 GROUP BY bigram HAVING count(*) >= 3"""
   }
 
+  // ---- L17: repetition statistics (Gopher-style quality signals) ----
+  // Per document: duplicate-word fraction (1 - distinct/total) and the
+  // share of the most frequent bigram. Word stats are map-only array
+  // expressions; the top-bigram needs true per-(doc, bigram) counts, so
+  // it goes through a relational explode + two aggregations rather than
+  // nested HOFs (a lambda-in-lambda formulation is re-evaluated per
+  // element, interpreted — the repo's standing gotcha). One shuffle on
+  // (doc_id, bigram), partial aggs absorb hot rows.
+  def repetition(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val words = documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"), 6).as("dup_word_frac"))
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val bg = documents
+      .select(col("doc_id"),
+        explode(expr("graft_shingles(split(lower(text), '\\\\s+'), 2)")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+    words.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        round(coalesce(col("top_c").cast("double") / col("n_bigrams"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+  }
+
+  val repetitionSql: String = {
+    val sh2 = graft.functions.Portable.wordShinglesSql(
+      "string_split_regex(lower(text), '\\s+')", 2)
+    """WITH w AS (SELECT doc_id,
+  len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_words,
+  round(1.0 - len(list_distinct(string_split_regex(lower(text), '\s+')))::DOUBLE
+            / len(string_split_regex(lower(text), '\s+')), 6) AS dup_word_frac
+FROM documents),
+bg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams FROM (
+  SELECT doc_id, bigram, count(*) AS c FROM (
+    SELECT doc_id, unnest(""" + sh2 + """) AS bigram FROM documents)
+  GROUP BY doc_id, bigram) GROUP BY doc_id)
+SELECT w.doc_id, n_words, dup_word_frac,
+  round(coalesce(top_c::DOUBLE / n_bigrams, 0.0), 6) AS top_bigram_frac
+FROM w LEFT JOIN bg ON w.doc_id = bg.doc_id"""
+  }
+
+  // ---- L18: PII scrubbing (email/URL detection + redaction) ----
+  // Counts and a digest of the redacted text — the digest makes the
+  // oracle prove the REPLACEMENT itself is byte-identical, not just the
+  // counts. Patterns are deliberately RE2-compatible (no backrefs or
+  // lookaround) so Spark's java.util.regex and DuckDB's RE2 agree.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>")).as("scrubbed_md5"))
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+  len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '$UrlRe'))::BIGINT AS n_urls,
+  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g')) AS scrubbed_md5
+FROM documents"""
+
   val fingerprintSql: String = {
     val h = md5LongSql("'f'", "substr(lower(text), i, 5)")
     s"""WITH g AS (SELECT doc_id,

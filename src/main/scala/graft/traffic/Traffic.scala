@@ -106,12 +106,15 @@ object Traffic {
     // NB: a translate()-based all-digits test was measured SLOWER than
     // rlike here (translate allocates a copied string per evaluation;
     // the compiled regex just scans) — keep the regex.
-    val digits = "^[0-9]+$"
     def f(i: Int) = element_at(col("items"), 7 + i * 5) // flow, 1-based idx
     def ao(i: Int) = element_at(col("items"), 8 + i * 5)
     def as_(i: Int) = element_at(col("items"), 9 + i * 5)
+    // one regex per lane instead of three: empty fields can't hide in
+    // the join because the separators are mandatory and + needs >= 1
+    // digit per field (same predicate as 3 separate all-digit tests)
     def valid(i: Int) =
-      coalesce(f(i).rlike(digits) && ao(i).rlike(digits) && as_(i).rlike(digits), lit(false))
+      coalesce(concat_ws(",", f(i), ao(i), as_(i))
+        .rlike("^[0-9]+,[0-9]+,[0-9]+$"), lit(false))
     // index of the first invalid lane, 9 when all parse (codegen'd when-chain)
     val firstInvalid = (1 to 8).foldRight(lit(9): Column)((i, acc) =>
       when(!valid(i), lit(i)).otherwise(acc))
