@@ -37,8 +37,9 @@ object TrafficStream {
     * State per key is one struct (the running max), not a buffer —
     * the same partial-aggregation shape as batch, so executor state
     * stays O(open windows × stations) at any scale. */
-  def maxLaneFlowStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
-    Traffic.maxFlowSliding(events.withWatermark("ts", delay))
+  def maxLaneFlowStream(events: DataFrame, delay: String = "2 hours",
+      dur: String = "60 minutes", slide: String = "15 minutes"): DataFrame =
+    Traffic.maxFlowSliding(events.withWatermark("ts", delay), dur, slide)
 
   /** R9: injector filter on a line stream (drop empties + `Timestamp`
     * headers) — `PubsubFileInjector.FilterHeaderAndEmpties` verbatim,

@@ -43,6 +43,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming parity holds at the reference's 60/1 window parameters (R8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      SensorEvent(1, t("2024-01-01 00:10:00"), 7, "lane1", 5.0),
+      SensorEvent(2, t("2024-01-01 00:10:30"), 7, "lane2", 9.0),
+      SensorEvent(3, t("2024-01-01 00:40:00"), 8, "lane1", 4.0))
+    val sentinel = SensorEvent(99, t("2024-02-01 00:00:00"), -1, "flush", 0.0)
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.maxLaneFlowStream(stream.toDF(), delay = "0 seconds",
+        dur = "60 minutes", slide = "1 minute")
+      .writeStream.format("memory").queryName("mlf601").outputMode("append").start()
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    stream.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mlf601").where(col("station_id") =!= -1)
+      .select("window_start", "station_id", "lane", "max_flow", "event_id")
+      .collect().map(_.toSeq).toSet
+    val expected = Traffic.maxFlowSliding(data.toDF(), "60 minutes", "1 minute")
+      .select("window_start", "station_id", "lane", "max_flow", "event_id")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected && got.nonEmpty)
+    // 60 windows per event; both stations' argmaxes present
+    assert(got.count(_(1) == 7L) == 60 || got.count(_(1) == 7L) == 61)
+  }
+
   test("injector drops empties and Timestamp headers (R9)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
