@@ -83,6 +83,26 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodePpm(blob.take(blob.length - 2)))
   }
 
+  test("r2 plan-shape guards: no cartesian, shuffled vocab join, filtered broadcasts") {
+    // lock in the round-2 verdict fixes so a future refactor that
+    // reintroduces a scale-hostile plan fails loudly here, not at 100 TB
+    val nearDup = operators.Similarity.embeddingNearDup(embeddings)
+      .queryExecution.executedPlan.toString
+    assert(!nearDup.contains("CartesianProduct") &&
+      !nearDup.contains("BroadcastNestedLoopJoin"), "near-dup must stay bucketed")
+    val tfidf = operators.TextAnalysis.tfidf(documents)
+      .queryExecution.executedPlan.toString
+    assert(tfidf.contains("ShuffledHashJoin"), "tfidf vocab join must shuffle, not broadcast")
+    val lsh = Similarity.annLsh(embeddings).queryExecution.executedPlan.toString
+    assert(!lsh.contains("CartesianProduct") && !lsh.contains("BroadcastNestedLoopJoin"))
+    assert("% 97\\)".r.findAllIn(lsh).size >= 2,
+      "both LSH broadcast sides must carry the query-subset filter")
+    val topk = operators.Relational.topkOrders(Tables.load(spark, sf, "orders"))
+      .queryExecution.executedPlan.toString
+    assert(topk.contains("ObjectHashAggregate") && !topk.contains("row_number"),
+      "top-k must run through the bounded aggregator, not a window sort")
+  }
+
   test("q1 plan pushes filter and prunes columns at the parquet scan") {
     val plan = Relational.q1Agg(Tables.load(spark, sf, "lineitem"))
       .queryExecution.executedPlan.toString
