@@ -48,8 +48,14 @@ object Portable {
   }
 
   /** SQL mirror of [[wordShingles]] over a token-list expression. */
-  def wordShinglesSql(toksSql: String, n: Int): String = {
+  def wordShinglesSql(toksSql: String, n: Int): String =
+    s"list_distinct(${wordGramsSql(toksSql, n)})"
+
+  /** Non-distinct n-gram mirror (every occurrence, in order) — pairs
+    * with the `graft_grams` expression for operators needing true
+    * per-gram counts. */
+  def wordGramsSql(toksSql: String, n: Int): String = {
     val parts = (0 until n).map(k => s"($toksSql)[i + $k]").mkString(" || ' ' || ")
-    s"list_distinct(list_transform(generate_series(1, len($toksSql) - ${n - 1}), i -> $parts))"
+    s"list_transform(generate_series(1, len($toksSql) - ${n - 1}), i -> $parts)"
   }
 }

@@ -116,25 +116,29 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
-/** Distinct word n-gram shingles of an array<string> of tokens, as one
-  * tight loop per row.
-  *
-  * Equivalent to `array_distinct(transform(sequence(1, size-n+1),
+/** Word n-gram shingles of an array<string> of tokens, as one tight
+  * loop per row. `distinct = true` (the `graft_shingles` registration)
+  * dedups with first-occurrence order — equivalent to
+  * `array_distinct(transform(sequence(1, size-n+1),
   * i -> concat_ws(' ', toks[i..i+n-1])))` — which, being a nested
   * higher-order function, is interpreted per element and dominated
-  * ngram dedup runtime. Output set (and first-occurrence order) is
-  * identical; downstream consumers only use set semantics.
+  * ngram dedup runtime. `distinct = false` (`graft_grams`) keeps every
+  * occurrence in order, for operators that need true per-gram counts
+  * (e.g. repetition's top-bigram share, where deduping would make every
+  * count 1).
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "graft_shingles"
+  override def prettyName: String = if (distinct) "graft_shingles" else "graft_grams"
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val m = toks.numElements()
-    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val out: java.util.Collection[org.apache.spark.unsafe.types.UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      else new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](math.max(0, m - n + 1))
     var i = 0
     val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     while (i + n <= m) {
@@ -225,6 +229,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => WordShingles(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_grams", exprs => WordShingles(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int], distinct = false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", exprs => Winnow(exprs.head), "built-in")
   }

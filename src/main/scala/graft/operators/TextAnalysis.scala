@@ -206,9 +206,11 @@ GROUP BY bigram HAVING count(*) >= 3"""
   // Per document: duplicate-word fraction (1 - distinct/total) and the
   // share of the most frequent bigram. Word stats are map-only array
   // expressions; the top-bigram needs true per-(doc, bigram) counts, so
-  // it goes through a relational explode + two aggregations rather than
-  // nested HOFs (a lambda-in-lambda formulation is re-evaluated per
-  // element, interpreted — the repo's standing gotcha). One shuffle on
+  // bigrams come from the NON-distinct `graft_grams` (graft_shingles
+  // dedups, which would pin every count at 1) and go through a
+  // relational explode + two aggregations rather than nested HOFs (a
+  // lambda-in-lambda formulation is re-evaluated per element,
+  // interpreted — the repo's standing gotcha). One shuffle on
   // (doc_id, bigram), partial aggs absorb hot rows.
   def repetition(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
@@ -220,7 +222,7 @@ GROUP BY bigram HAVING count(*) >= 3"""
     graft.functions.VectorFunctions.register(documents.sparkSession)
     val bg = documents
       .select(col("doc_id"),
-        explode(expr("graft_shingles(split(lower(text), '\\\\s+'), 2)")).as("bigram"))
+        explode(expr("graft_grams(split(lower(text), '\\\\s+'), 2)")).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
@@ -231,7 +233,7 @@ GROUP BY bigram HAVING count(*) >= 3"""
   }
 
   val repetitionSql: String = {
-    val sh2 = graft.functions.Portable.wordShinglesSql(
+    val sh2 = graft.functions.Portable.wordGramsSql(
       "string_split_regex(lower(text), '\\s+')", 2)
     """WITH w AS (SELECT doc_id,
   len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_words,
@@ -253,7 +255,9 @@ FROM w LEFT JOIN bg ON w.doc_id = bg.doc_id"""
   // counts. Patterns are deliberately RE2-compatible (no backrefs or
   // lookaround) so Spark's java.util.regex and DuckDB's RE2 agree.
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val UrlRe = "https?://[^\\s]+"
+  // explicit whitespace class: Java's \s includes \x0B, RE2's does not,
+  // so [^\s] would tokenize differently across engines on vertical tabs
+  private val UrlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
 
   def piiScrub(documents: DataFrame): DataFrame =
     documents.select(

@@ -103,6 +103,18 @@ class OperatorSpec extends SparkSpec {
       "top-k must run through the bounded aggregator, not a window sort")
   }
 
+  test("repetition counts bigram occurrences, not distinct bigrams (L17)") {
+    // 'a b a b a b' has bigrams [a b, b a, a b, b a, a b]: the most
+    // frequent ('a b') appears 3 times out of 5 — a dedup'd shingle
+    // stream would report 1/2 instead
+    val doc = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val r = operators.TextAnalysis.repetition(doc).head()
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(math.abs(r.getAs[Double]("top_bigram_frac") - 3.0 / 5.0) < 1e-9,
+      s"top_bigram_frac = ${r.getAs[Double]("top_bigram_frac")}, want 0.6")
+    assert(math.abs(r.getAs[Double]("dup_word_frac") - (1.0 - 2.0 / 6.0)) < 1e-6)
+  }
+
   test("q1 plan pushes filter and prunes columns at the parquet scan") {
     val plan = Relational.q1Agg(Tables.load(spark, sf, "lineitem"))
       .queryExecution.executedPlan.toString
