@@ -127,8 +127,11 @@ object Traffic {
       element_at(col("items"), 8 + i * 5).as("ao"),
       element_at(col("items"), 9 + i * 5).as("asp"))): _*)
     lines
-      .where(size(split(col("line"), ",")) >= 48)
+      // split once: the explode is a Generate barrier materialising
+      // `items`, and the >= 48 guard runs on the materialised array —
+      // a pre-Generate `where` would evaluate a second split per line
       .select(col("event_id"), explode(array(split(col("line"), ","))).as("items"))
+      .where(size(col("items")) >= 48)
       // the reference parses MM/dd/yyyy HH:mm:ss and silently drops the
       // whole reading when the timestamp is malformed
       // (TrafficMaxLaneFlow.java:215-222); try_to_timestamp yields null
@@ -260,6 +263,59 @@ FROM lanes"""
 
   def maxFlowSlidingSql: String = slidingSql(15, 45)
   def maxFlowSliding60x1Sql: String = slidingSql(1, 59)
+
+  // ---- Composed flagship (R7): extract -> window -> argmax -> format ----
+
+  /** The reference's full MaxLaneFlow pipeline composed end-to-end
+    * (`TrafficMaxLaneFlow.java:301-311`): ExtractFlowInfoFn over the CSV
+    * lines, sliding-window assignment, per-(window, station) argmax by
+    * laneFlow RETAINING the whole lane record (MaxFlow combiner, :236-252),
+    * then FormatMaxesFn's 10-column output schema (:258-296).
+    *
+    * Plan: extraction is map-only; the ×(dur/slide) Expand is absorbed by
+    * map-side partial aggregation, so the single exchange carries one
+    * partial max per (window, station, task). The reference's `flow >=
+    * max` tie-break is iteration-order dependent; ours is the
+    * deterministic total order (lane_flow, recorded_ts, event_id, lane).
+    * `window_timestamp` is the window end — Beam's `c.timestamp()` after
+    * a windowed combine is the window's max timestamp (:295).
+    * `recorded_timestamp` stays the raw reading string, as in the
+    * BigQuery schema (STRING, :287). */
+  def maxLaneFlowE2e(events: DataFrame, dur: String = "60 minutes",
+      slide: String = "15 minutes"): DataFrame =
+    extractLanes(csvLines(events))
+      .groupBy(window(col("recorded_ts"), dur, slide).as("w"), col("station_id"))
+      .agg(max(struct(
+        col("lane_flow"), col("recorded_ts"), col("event_id"), col("lane"),
+        col("direction"), col("freeway"), col("lane_ao"), col("lane_as"),
+        col("total_flow"))).as("m"))
+      .select(
+        col("station_id"),
+        col("m.direction").as("direction"),
+        col("m.freeway").as("freeway"),
+        col("m.lane_flow").as("lane_max_flow"),
+        col("m.lane").as("lane"),
+        col("m.lane_ao").cast("double").as("avg_occ"),
+        col("m.lane_as").cast("double").as("avg_speed"),
+        col("m.total_flow").as("total_flow"),
+        date_format(col("m.recorded_ts"), "MM/dd/yyyy HH:mm:ss").as("recorded_timestamp"),
+        col("w.end").as("window_timestamp"))
+
+  def maxLaneFlowE2eSql: String =
+    s"""WITH lanes_x AS ($extractLanesSql),
+win AS (
+  SELECT t.w AS wstart, station_id, direction, freeway, lane, recorded_ts,
+         lane_flow, lane_ao, lane_as, total_flow, event_id,
+         row_number() OVER (PARTITION BY t.w, station_id
+           ORDER BY lane_flow DESC, recorded_ts DESC, event_id DESC, lane DESC) AS rn
+  FROM lanes_x, LATERAL unnest(generate_series(
+      time_bucket(INTERVAL '15 minutes', recorded_ts) - INTERVAL '45 minutes',
+      time_bucket(INTERVAL '15 minutes', recorded_ts), INTERVAL '15 minutes')) AS t(w))
+SELECT station_id, direction, freeway, lane_flow AS lane_max_flow, lane,
+  lane_ao::DOUBLE AS avg_occ, lane_as::DOUBLE AS avg_speed, total_flow,
+  strftime(recorded_ts, '%m/%d/%Y %H:%M:%S') AS recorded_timestamp,
+  wstart + INTERVAL '60 minutes' AS window_timestamp
+FROM win WHERE rn = 1"""
 
   // ---- Injector filter (R2) + starter map (R3) ----
 

@@ -52,6 +52,22 @@ class TrafficSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("composed e2e flagship keeps the 10-column schema and one exchange") {
+    val events = Tables.load(spark, sf, "events")
+    val e2e = Traffic.maxLaneFlowE2e(events)
+    assert(e2e.columns.toSeq == Seq("station_id", "direction", "freeway",
+      "lane_max_flow", "lane", "avg_occ", "avg_speed", "total_flow",
+      "recorded_timestamp", "window_timestamp"),
+      "FormatMaxesFn schema (TrafficMaxLaneFlow.java:258-296)")
+    val plan = e2e.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      "extract is map-only and the Expand must be absorbed by the partial agg — one exchange total")
+    // the argmax must retain the whole lane record: a window with a
+    // single reading reports that reading's own occupancy/speed
+    val row = e2e.where(col("station_id").isNotNull).head()
+    assert(row.getAs[Double]("avg_occ") >= 0 && row.getAs[Double]("avg_speed") >= 0)
+  }
+
   test("two-level pre-agg sliding argmax equals the direct plan") {
     val events = Tables.load(spark, sf, "events")
     val direct = Traffic.maxFlowSliding(events, "60 minutes", "1 minute")
