@@ -35,6 +35,75 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall below floor")
   }
 
+  test("embeddingNearDup recalls >=70% of exact all-pairs at tau (L5)") {
+    // the oracle mirrors the bucketing, so it cannot see recall decay —
+    // this spec pins banding quality against the exact cross join
+    val tau = 0.45
+    graft.functions.VectorFunctions.register(spark)
+    val v = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+      .selectExpr("vec_id", "v", "sqrt(graft_dot(v, v)) AS nv")
+    val exact = v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
+      .selectExpr("a.vec_id AS x", "b.vec_id AS y",
+        "round(graft_dot(a.v, b.v) / (a.nv * b.nv), 6) AS cos")
+      .where($"cos" >= tau)
+      .select("x", "y").as[(Long, Long)].collect().toSet
+    val approx = Similarity.embeddingNearDup(embeddings)
+      .select("x", "y").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test corpus must contain near-dup pairs at tau")
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"near-dup pair recall = $recall%.2f (${exact.size} exact pairs)")
+    assert(recall >= 0.7, s"banding recall $recall dropped below 0.7")
+    assert(approx.subsetOf(exact), "bucketing must never invent pairs above tau")
+  }
+
+  test("hot bucket cannot go quadratic: occupancy cap bounds candidates (L5)") {
+    // 64 identical vectors share every (table, bucket) key; with the cap
+    // those buckets are dropped and candidates stay bounded, while a
+    // small distinct cluster in un-hot buckets is still linked
+    val dim = 64
+    val hot = (0 until 64).map(i => (i.toLong, Array.fill(dim)(1.0f)))
+    val cool = (100 until 104).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => if (d % 2 == 0) 1.0f else -1.0f)))
+    val df = (hot ++ cool).toDF("vec_id", "embedding")
+    val tables = 8
+    val cap = 8
+    val capped = Similarity.embeddingCandidatePairs(df, maxOcc = cap).count()
+    val uncapped = Similarity.embeddingCandidatePairs(df, maxOcc = 1000000).count()
+    info(s"candidate pairs: capped=$capped uncapped=$uncapped")
+    assert(uncapped >= 64L * 63 / 2, "sanity: without the cap the hot bucket is quadratic")
+    assert(capped <= tables.toLong * cap * cap,
+      s"capped candidates $capped exceed the declared T*cap^2 bound")
+    assert(capped >= cool.size.toLong * (cool.size - 1) / 2,
+      "the cap must not drop the well-spread cluster")
+  }
+
+  test("annLsh planes parameter trades candidates for recall (L7 P-sweep)") {
+    val exact = Similarity.annTopK(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val stats = Seq(4, 8, 12).map { p =>
+      val got = Similarity.annLsh(embeddings, planes = p)
+        .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      info(f"P=$p%2d: recall@5 = $recall%.2f")
+      (p, recall)
+    }
+    // candidate volume ~ T*N/2^P: recall must not grow as P rises, and
+    // the coarse setting must stay usable
+    assert(stats.head._2 >= 0.25, "P=4 recall floor")
+    assert(stats.sliding(2).forall { case Seq((_, a), (_, b)) => b <= a + 1e-9 },
+      s"recall must be monotone non-increasing in P: $stats")
+  }
+
+  test("annIvf candidate fraction tracks the nprobe/C budget (L16)") {
+    val n = embeddings.count().toDouble
+    val c = math.max(16, math.ceil(math.sqrt(n)).toInt)
+    val frac = Similarity.ivfCandidateFraction(embeddings)
+    info(f"IVF candidate fraction = $frac%.3f vs budget ${4.0 / c}%.3f (C=$c)")
+    // k-means cells are not perfectly balanced; 2x the uniform budget is
+    // the efficiency envelope that still shrinks as 1/sqrt(N)
+    assert(frac <= 2.0 * 4.0 / c, s"IVF scans $frac of the corpus per query")
+  }
+
   test("approx_count_distinct tracks exact counts within 10% (C7)") {
     val both = events.groupBy($"event_type").agg(
       countDistinct($"user_id").as("exact"),
