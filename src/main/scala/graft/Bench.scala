@@ -3,15 +3,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE JSON line with per-query seconds.
   *
-  * Measurement integrity (VERDICT r1 items 3/10):
+  * Measurement integrity (VERDICT r1 items 3/10, r2 item 5):
   *  - every query is fully materialised through the `noop` datasource
   *    sink — a bare `.count()` lets Catalyst prune unreferenced
   *    projections, so map-only queries would measure row counting, not
   *    the operator;
   *  - one untimed warm pass per query absorbs classloading/JIT/codegen
   *    compilation, then 3 timed passes; the reported number is the
-  *    per-query MEDIAN, so round-over-round deltas are signal, not
-  *    one-off GC or JIT noise.
+  *    per-query MEDIAN, with [min, max] spread emitted alongside so
+  *    machine contention is distinguishable from real deltas;
+  *  - a failing rep can NEVER make the bench look faster: queries with
+  *    any failed rep are reported under "errors" (first exception
+  *    message), excluded from "queries" and from "total".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,24 +33,41 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // optional args restrict to named queries (local iteration)
+    def jsonStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ").take(200) + "\""
+
+    // optional args restrict to named queries (local iteration); an
+    // unknown name is itself an error entry, not a crash
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq
     // warm pass (untimed)
-    names.foreach { n => try run(SparkEntry.queries(n)) catch { case _: Throwable => } }
-    val reps = 3
-    val samples: Seq[Map[String, Double]] = (1 to reps).map { _ =>
-      names.map { n =>
-        n -> (try run(SparkEntry.queries(n)) catch { case _: Throwable => -1.0 })
-      }.toMap
+    names.foreach { n =>
+      try run(SparkEntry.queries(n)) catch { case _: Throwable => }
     }
-    val medians = names.map { n =>
-      val xs = samples.map(_(n)).sorted
+    val reps = 3
+    val samples: Map[String, Seq[Either[String, Double]]] = names.map { n =>
+      n -> (1 to reps).map { _ =>
+        try Right(run(SparkEntry.queries(n)))
+        catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      }
+    }.toMap
+    val (ok, failed) = names.partition(n => samples(n).forall(_.isRight))
+    val medians = ok.map { n =>
+      val xs = samples(n).collect { case Right(v) => v }.sorted
       n -> xs(reps / 2)
     }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = ok.map { n =>
+      val xs = samples(n).collect { case Right(v) => v }
+      s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
+    }.mkString("{", ",", "}")
+    val errs = failed.map { n =>
+      val msg = samples(n).collectFirst { case Left(m) => m }.getOrElse("failed")
+      s"\"" + n + "\":" + jsonStr(msg)
+    }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir","reps":$reps,"agg":"median"}""")
     spark.stop()
   }
 }
