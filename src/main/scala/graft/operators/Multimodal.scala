@@ -195,4 +195,111 @@ SELECT doc_id,
   ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
 FROM d"""
   }
+
+  // ---- Real decode path #2: WAV / 16-bit PCM (audio) ----
+  // Same honesty contract as the PPM path: [[syntheticWav]] writes a
+  // complete RIFF/WAVE container (fmt + data chunks, s16le samples) and
+  // [[decodeWav]] is a real chunk-scanning parser — magic checks, chunk
+  // walk with word alignment, PCM/bit-depth validation — not a stub.
+  // Extracted features (sample count, mean amplitude, RMS, peak) are
+  // hash-checked against a DuckDB oracle derived from the generator
+  // arithmetic, so a parser bug (endianness, sign extension, chunk
+  // offset) fails the gate. This is the audio-feature-extraction seam
+  // of a training pipeline: partition-local, map-only, no shuffle.
+
+  private val WavRate = 8000
+
+  /** Deterministic mono 16-bit PCM WAV for an id: n = id%256 + 16
+    * samples, sample k = ((id*7919 + k*2731) % 65536) - 32768. */
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
+    val n = (id % 256 + 16).toInt
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(WavRate).putInt(WavRate * 2) // byte rate = rate * block align
+      .putShort(2).putShort(16) // block align, bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < n) {
+      bb.putShort((((id * 7919 + k * 2731) % 65536) - 32768).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Parse a RIFF/WAVE blob: verify magics, walk the chunk list (word-
+    * aligned) to find `fmt ` and `data`, require 16-bit PCM, then fold
+    * the s16le samples into (rate, channels, n, mean, rms, peak).
+    * Throws on malformed input — decode errors must surface. */
+  private[graft] def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Double, Double, Long) = {
+    require(bytes.length >= 44, "too short for a WAV header")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE container")
+    var pos = 12
+    var sampleRate = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = tag(pos)
+      val len = bb.getInt(pos + 4)
+      require(len >= 0 && pos + 8 + len <= bytes.length, s"truncated '$id' chunk")
+      if (id == "fmt ") {
+        require(len >= 16, "short fmt chunk")
+        require(bb.getShort(pos + 8) == 1, "not integer PCM")
+        channels = bb.getShort(pos + 10)
+        sampleRate = bb.getInt(pos + 12)
+        require(bb.getShort(pos + 22) == 16, "not 16-bit")
+      } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(sampleRate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    val n = dataLen / 2
+    require(n > 0, "empty sample data")
+    var sum = 0L; var sumSq = 0L; var peak = 0L
+    var k = 0
+    while (k < n) {
+      val s = bb.getShort(dataOff + 2 * k).toLong
+      sum += s; sumSq += s * s
+      val a = math.abs(s); if (a > peak) peak = a
+      k += 1
+    }
+    (sampleRate, channels, n, sum.toDouble / n, math.sqrt(sumSq.toDouble / n), peak)
+  }
+
+  /** Oracle-checked end-to-end audio decode: encode -> binary column ->
+    * chunk-walk parse -> amplitude features. Map-only, no shuffle. */
+  def wavDecodeQuery(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val blob = syntheticWav(id)
+        val (rate, ch, n, mean, rms, peak) = decodeWav(blob)
+        (id, blob.length.toLong, rate, ch, n.toLong, mean, rms, peak)
+      })
+      .toDF("doc_id", "n_bytes", "sample_rate", "channels", "n_samples",
+        "mean_amp", "rms_amp", "peak_amp")
+      .withColumn("mean_amp", round(col("mean_amp"), 6))
+      .withColumn("rms_amp", round(col("rms_amp"), 6))
+  }
+
+  /** DuckDB mirror from the generator arithmetic: sample k of doc d =
+    * ((d*7919 + k*2731) % 65536) - 32768; sums are exact in doubles
+    * (|s| < 2^15, n <= 271 -> sumSq < 2^53), the /n division and sqrt
+    * are the same IEEE ops, so round(.,6) matches bit-for-bit. */
+  val wavDecodeQuerySql: String =
+    """WITH d AS (SELECT doc_id, (doc_id % 256 + 16)::INTEGER AS n FROM documents),
+s AS (SELECT doc_id, n,
+  list_transform(generate_series(0, n - 1), k -> ((doc_id*7919 + k*2731) % 65536) - 32768) AS smp
+FROM d)
+SELECT doc_id, (44 + 2*n)::BIGINT AS n_bytes, 8000 AS sample_rate, 1 AS channels,
+  n::BIGINT AS n_samples,
+  round(list_aggregate(smp, 'avg'), 6) AS mean_amp,
+  round(sqrt(list_aggregate(list_transform(smp, x -> x*x), 'avg')), 6) AS rms_amp,
+  list_aggregate(list_transform(smp, x -> abs(x)), 'max')::BIGINT AS peak_amp
+FROM s"""
 }

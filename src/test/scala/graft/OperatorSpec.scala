@@ -142,6 +142,18 @@ class OperatorSpec extends SparkSpec {
     assert(first.length <= 16)
   }
 
+  test("wav decoder round-trips the generator and rejects malformed blobs (L12)") {
+    val blob = Multimodal.syntheticWav(37L)
+    val (rate, ch, n, mean, rms, peak) = Multimodal.decodeWav(blob)
+    assert(rate == 8000 && ch == 1 && n == (37 % 256 + 16))
+    assert(peak <= 32768 && rms >= 0 && math.abs(mean) <= 32768)
+    // real parser: wrong magic, non-PCM, and truncated data all surface
+    intercept[IllegalArgumentException](Multimodal.decodeWav("RIFFxxxxNOPE".getBytes ++ new Array[Byte](40)))
+    intercept[IllegalArgumentException](Multimodal.decodeWav(blob.take(blob.length - 3)))
+    val nonPcm = blob.clone; nonPcm(20) = 3 // fmt.audioFormat = IEEE float
+    intercept[IllegalArgumentException](Multimodal.decodeWav(nonPcm))
+  }
+
   test("ppm decoder round-trips the generator and rejects malformed blobs (L12)") {
     val blob = Multimodal.syntheticPpm(123L)
     val (w, h, r, g, b) = Multimodal.decodePpm(blob)
