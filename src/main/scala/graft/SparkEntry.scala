@@ -31,6 +31,8 @@ object SparkEntry {
     "q_max_flow_sliding" -> ((s, d) => Traffic.maxFlowSliding(t(s, d, "events"))),
     "q_max_flow_sliding_60_1" -> ((s, d) => Traffic.maxFlowSliding60x1(t(s, d, "events"))),
     "q_max_flow_e2e" -> ((s, d) => Traffic.maxLaneFlowE2e(t(s, d, "events"))),
+    "q_max_flow_sliding_60_1_dense" -> ((s, d) =>
+      Traffic.maxFlowSlidingAuto(Traffic.densify(t(s, d, "events")))),
     // §2.2 engine core
     "q1_agg" -> ((s, d) => Relational.q1Agg(t(s, d, "lineitem"))),
     "q_join_revenue" -> ((s, d) => Relational.joinRevenue(
@@ -89,6 +91,7 @@ object SparkEntry {
     "q_max_flow_sliding" -> Traffic.maxFlowSlidingSql,
     "q_max_flow_sliding_60_1" -> Traffic.maxFlowSliding60x1Sql,
     "q_max_flow_e2e" -> Traffic.maxLaneFlowE2eSql,
+    "q_max_flow_sliding_60_1_dense" -> Traffic.maxFlowSlidingDenseSql,
     "q1_agg" -> Relational.q1AggSql,
     "q_join_revenue" -> Relational.joinRevenueSql,
     "q_topk_orders" -> Relational.topkOrdersSql,

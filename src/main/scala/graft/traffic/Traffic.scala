@@ -252,17 +252,69 @@ FROM lanes"""
 
   /** DuckDB mirror: explode each event into its dur/slide windows via
     * generate_series; time_bucket shares Spark's epoch alignment. */
-  private def slidingSql(slideMin: Int, backMin: Int): String =
+  private def slidingSql(slideMin: Int, backMin: Int, from: String = "events"): String =
     s"""SELECT window_start, station_id, lane, max_flow, event_id, recorded_ts FROM (
   SELECT t.w AS window_start, user_id AS station_id, event_type AS lane, value AS max_flow, event_id, ts AS recorded_ts,
          row_number() OVER (PARTITION BY t.w, user_id ORDER BY value DESC, ts DESC, event_id DESC) AS rn
-  FROM events, LATERAL unnest(generate_series(
+  FROM $from, LATERAL unnest(generate_series(
       time_bucket(INTERVAL '$slideMin minutes', ts) - INTERVAL '$backMin minutes',
       time_bucket(INTERVAL '$slideMin minutes', ts), INTERVAL '$slideMin minutes')) AS t(w)
   ) WHERE rn = 1"""
 
   def maxFlowSlidingSql: String = slidingSql(15, 45)
   def maxFlowSliding60x1Sql: String = slidingSql(1, 59)
+
+  // ---- Dense-feed handling (R5 at the reference's real cadence) ----
+
+  /** Average events per (slide bucket, station): ONE cheap scan with a
+    * map-side HLL distinct — the probe that picks direct vs pre-agg. */
+  def bucketDensity(events: DataFrame, slideSeconds: Long = 60L): Double =
+    events.agg((count(lit(1)).cast("double") /
+      approx_count_distinct(concat_ws(":",
+        floor(unix_timestamp(col("ts")) / slideSeconds).cast("long").cast("string"),
+        col("user_id").cast("string")))).as("d"))
+      .head().getDouble(0)
+
+  /** Pre-agg pays one extra exchange; below ~4 events per bucket the
+    * Expand-input saving cannot buy it back (PLANS.md r2 measurement:
+    * density 1.0 makes pre-agg a strict loss). */
+  val DenseThreshold = 4.0
+
+  /** Auto-selected sliding argmax: dense feeds (the reference's real
+    * cadence is ~16 rows/station-min: 30 s readings × 8 lanes) collapse
+    * each slide bucket BEFORE the ×(dur/slide) Expand via
+    * [[maxFlowSlidingPreAgg]]; sparse feeds keep the direct single-pass
+    * plan. max-by is associative, so both paths are result-identical —
+    * the density probe only moves the Expand above or below the first
+    * aggregate. */
+  def maxFlowSlidingAuto(events: DataFrame, dur: String = "60 minutes",
+      slide: String = "1 minute", slideSeconds: Long = 60L): DataFrame =
+    if (bucketDensity(events, slideSeconds) >= DenseThreshold)
+      maxFlowSlidingPreAgg(events, dur, slide)
+    else maxFlowSliding(events, dur, slide)
+
+  /** Synthetic dense feed, oracle-mirrored: every 8th event fans into 16
+    * sub-readings 3 s apart (≈16 rows/station-min — the reference's
+    * cadence), with deterministic ids and exact (k·0.125) value offsets
+    * so the argmax stays portable. */
+  def densify(events: DataFrame): DataFrame =
+    events.where(col("event_id") % 8 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), explode(sequence(lit(0), lit(15))).as("k"))
+      .select(
+        (col("event_id") * 16 + col("k")).as("event_id"),
+        expr("timestampadd(SECOND, k * 3, ts)").as("ts"),
+        col("user_id"), col("event_type"),
+        (col("value") + col("k") * 0.125).as("value"))
+
+  private def densifySql: String =
+    """SELECT event_id * 16 + k AS event_id, ts + to_seconds(k * 3) AS ts,
+         user_id, event_type, value + k * 0.125 AS value
+  FROM (SELECT * FROM events WHERE event_id % 8 = 0) e,
+       LATERAL unnest(generate_series(0, 15)) AS g(k)"""
+
+  def maxFlowSlidingDenseSql: String =
+    s"WITH dense AS ($densifySql)\n" + slidingSql(1, 59, "dense")
 
   // ---- Composed flagship (R7): extract -> window -> argmax -> format ----
 

@@ -74,4 +74,24 @@ class TrafficSpec extends SparkSpec {
     val preAgg = Traffic.maxFlowSlidingPreAgg(events, "60 minutes", "1 minute")
     assert(direct.exceptAll(preAgg).isEmpty && preAgg.exceptAll(direct).isEmpty)
   }
+
+  test("density probe routes dense feeds to pre-agg and sparse to direct") {
+    val events = Tables.load(spark, sf, "events")
+    val sparse = Traffic.bucketDensity(events)
+    val dense = Traffic.bucketDensity(Traffic.densify(events))
+    info(f"density: raw = $sparse%.2f, densified = $dense%.2f")
+    assert(sparse < Traffic.DenseThreshold && dense >= Traffic.DenseThreshold)
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    // sparse: Expand feeds the single exchange's partial agg directly;
+    // dense: the bucket pre-agg adds one exchange BELOW the Expand so
+    // the 60x fan-out runs over bucket maxima, not raw readings
+    assert(exchanges(Traffic.maxFlowSlidingAuto(events)) == 1)
+    assert(exchanges(Traffic.maxFlowSlidingAuto(Traffic.densify(events))) == 2)
+    // both paths stay result-identical on the dense feed (associativity)
+    val d = Traffic.densify(events)
+    val a = Traffic.maxFlowSlidingPreAgg(d, "60 minutes", "1 minute")
+    val b = Traffic.maxFlowSliding(d, "60 minutes", "1 minute")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
