@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.traffic.Traffic
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7.
@@ -63,6 +63,8 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(t(s, d, "documents"))),
     "q_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
+    "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(t(s, d, "documents"))),
+    "q_curation_e2e" -> ((s, d) => Curation.curationPipeline(t(s, d, "documents"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
@@ -116,6 +118,8 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashDedupSql,
     "q_dedup_embedding" -> Similarity.embeddingNearDupSql,
+    "q_dedup_clusters" -> Dedup.dedupClustersSql,
+    "q_curation_e2e" -> Curation.curationPipelineSql,
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,

@@ -170,6 +170,71 @@ cands AS (
 $exactJaccardSql"""
   }
 
+  // ---- L19: dedup clustering (connected components over dup pairs) ----
+  // A pair list (from any generator — minhash here) is only half of a
+  // dedup pipeline: curation must keep ONE doc per connected component
+  // of the dup graph (A~B, B~C => drop two of three even though A~C was
+  // never emitted). Min-label propagation, the Pregel shape without a
+  // graph library: every doc starts as its own label; each round pulls
+  // the min label across edges (one shuffle join + one groupBy min) and
+  // exits at fixpoint (one cheap count per round). Dup components are
+  // near-cliques (diameter ~2), so rounds ≈ 3; lineage is cut per round
+  // with localCheckpoint so the plan does not grow with iterations. A
+  // non-converged run THROWS rather than returning wrong labels.
+  private val MaxCcIters = 20
+
+  /** (doc_id, cluster_id, keep): cluster_id = min doc_id reachable in
+    * the near-dup graph; keep = 1 for the representative (every
+    * singleton keeps itself). */
+  def dedupClusters(documents: DataFrame): DataFrame =
+    connectedComponents(minhashLsh(documents).select(col("x"), col("y")), documents)
+
+  /** Min-label propagation over an explicit (x, y) pair list — split
+    * out so the transitive-closure semantics are testable independently
+    * of which pair generator produced the edges. */
+  def connectedComponents(pairs: DataFrame, documents: DataFrame): DataFrame = {
+    val edges = pairs
+      .unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < MaxCcIters) {
+      val pulled = edges
+        .join(labels.select(col("id").as("y"), col("label").as("nl")), "y")
+        .groupBy(col("x").as("id")).agg(min(col("nl")).as("pulled"))
+      val next = labels
+        .join(pulled, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("pulled"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(s"connected components did not converge in $MaxCcIters rounds")
+    documents.select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id")).cast("long").as("keep"))
+  }
+
+  /** DuckDB mirror: transitive closure by recursive CTE (oracle scale),
+    * label = min reachable id. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE mh AS ($minhashLshSql),
+edges AS (SELECT x AS a, y AS b FROM mh UNION ALL SELECT y AS a, x AS b FROM mh),
+reach AS (SELECT a AS id, b AS r FROM edges
+  UNION SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id,
+  (coalesce(l.label, d.doc_id) = d.doc_id)::BIGINT AS keep
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id"""
+
   // ---- L4: SimHash ----
   // 60-bit simhash over word tokens (count-weighted), md5-portable.
   // Near-dup predicate: hamming distance <= 4. Spark generates
