@@ -65,6 +65,8 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(t(s, d, "documents"))),
     "q_curation_e2e" -> ((s, d) => Curation.curationPipeline(t(s, d, "documents"))),
+    "q_contamination" -> ((s, d) => Curation.contamination(t(s, d, "documents"))),
+    "q_det_sample" -> ((s, d) => Curation.deterministicSample(t(s, d, "documents"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
@@ -120,6 +122,8 @@ object SparkEntry {
     "q_dedup_embedding" -> Similarity.embeddingNearDupSql,
     "q_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_curation_e2e" -> Curation.curationPipelineSql,
+    "q_contamination" -> Curation.contaminationSql,
+    "q_det_sample" -> Curation.deterministicSampleSql,
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable._
+
 /** Composed end-to-end curation pipeline (SURVEY §2.3 L20) — the
   * LLM-data counterpart of the traffic flagship's composition: the
   * individual operators are only useful chained, and the chain is what
@@ -50,6 +52,68 @@ object Curation {
       .select(col("doc_id"), col("quality_score"), col("bpe_tokens"),
         (col("n_emails") + col("n_urls")).as("n_pii"), col("scrubbed_md5"))
   }
+
+  // ---- L21: benchmark contamination detection ----
+  // The eval-decontamination step every training pipeline needs: flag
+  // corpus docs sharing word-8-grams with a benchmark set. The
+  // benchmark side is SMALL by nature (eval suites, not corpora), so
+  // its distinct gram set broadcasts and the corpus side stays map-only
+  // + broadcast-hash-join — no shuffle of corpus grams at 100 TB.
+  // Here docs with doc_id % 50 == 0 stand in for the benchmark; grams
+  // are md5-hashed to 60-bit longs so the broadcast is 8 B/gram.
+  private val ContamN = 8
+
+  def contamination(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val grams = documents
+      .select(col("doc_id"),
+        explode(expr(s"graft_shingles(split(lower(text), '\\\\s+'), $ContamN)")).as("gs"))
+      .select(col("doc_id"), md5Long(lit("c"), col("gs")).as("g"))
+    val bench = grams.where(col("doc_id") % 50 === 0).select(col("g")).distinct()
+    val hits = grams.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    documents.where(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
+  val contaminationSql: String = {
+    val sh = wordShinglesSql("string_split_regex(lower(text), '\\s+')", ContamN)
+    s"""WITH grams AS (SELECT doc_id, ${md5LongSql("'c'", "g")} AS g
+  FROM (SELECT doc_id, unnest($sh) AS g FROM documents)),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+hits AS (SELECT doc_id, count(*) AS n_overlap
+  FROM grams JOIN bench USING (g) WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+  (coalesce(h.n_overlap, 0) > 0)::BIGINT AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 50 <> 0"""
+  }
+
+  // ---- L22: deterministic quality-stratified sampling ----
+  // Reproducible down-sampling: a doc survives iff md5("smp:doc_id")
+  // mod 100 falls under its stratum's rate — pure map-side, no RNG
+  // state, identical on ANY engine/partitioning/rerun (sampleBy's
+  // Bernoulli draw is seed+partition dependent, fine for stats, wrong
+  // for a reproducible corpus release). Rates: langs keep 70%, except
+  // 'en' 40% (the down-weight-the-majority-language shape).
+  private val SampleRates: Map[String, Int] = Map("en" -> 40).withDefaultValue(70)
+
+  def deterministicSample(documents: DataFrame): DataFrame = {
+    val rate = when(col("lang") === "en", lit(SampleRates("en")))
+      .otherwise(lit(SampleRates("other")))
+    documents
+      .where(pmod(md5Long(lit("smp"), col("doc_id")), lit(100)) < rate)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val deterministicSampleSql: String =
+    s"""SELECT doc_id, lang FROM documents
+WHERE ${md5LongSql("'smp'", "doc_id")} % 100 <
+  (CASE WHEN lang = 'en' THEN ${SampleRates("en")} ELSE ${SampleRates("other")} END)"""
 
   val curationPipelineSql: String = {
     // stage CTEs reuse the member operators' oracle SQL verbatim (the

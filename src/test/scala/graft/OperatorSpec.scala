@@ -202,6 +202,24 @@ class OperatorSpec extends SparkSpec {
     assert(out(99L) == (99L, 1L), "singleton keeps itself")
   }
 
+  test("contamination joins the corpus against a BROADCAST benchmark set (L21)") {
+    val plan = operators.Curation.contamination(documents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark gram set must broadcast — corpus grams never shuffle")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
+    // a doc trivially contains its own grams: planting a benchmark copy
+    // under a non-benchmark id must flag it
+    val docs = Seq(
+      (50L, (1 to 30).map(i => s"w$i").mkString(" ")), // benchmark (id % 50 == 0)
+      (51L, (1 to 30).map(i => s"w$i").mkString(" ")), // verbatim leak
+      (52L, (100 to 130).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = operators.Curation.contamination(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("contaminated")).toMap
+    assert(out(51L) == 1L && out(52L) == 0L && !out.contains(50L))
+  }
+
   test("repetition counts bigram occurrences, not distinct bigrams (L17)") {
     // 'a b a b a b' has bigrams [a b, b a, a b, b a, a b]: the most
     // frequent ('a b') appears 3 times out of 5 — a dedup'd shingle
