@@ -40,6 +40,19 @@ class SourceSpec extends SparkSpec {
     assert(jsonBack.count() == orders.count())
   }
 
+  test("orc round-trip preserves rows, schema, and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val orders = Tables.load(spark, sf, "orders")
+    orders.write.mode("overwrite").orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.count() == orders.count())
+    assert(back.schema == orders.schema)
+    // predicate pushdown works on ORC exactly as on parquet
+    val plan = back.where($"o_totalprice" > 1000.0)
+      .select("o_orderkey").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), plan)
+  }
+
   test("custom expressions reach pure SQL; extensions wiring applies cleanly") {
     // getOrCreate() reuses the suite-wide context and ignores
     // withExtensions, so: (1) prove the extension class wires into a
