@@ -178,6 +178,8 @@ class OperatorSpec extends SparkSpec {
     assert(!lsh.contains("CartesianProduct") && !lsh.contains("BroadcastNestedLoopJoin"))
     assert("% 97\\)".r.findAllIn(lsh).size >= 2,
       "both LSH broadcast sides must carry the query-subset filter")
+    assert(lsh.contains("WindowGroupLimit"),
+      "rk <= k rerank must run as a group-limit, not a full per-partition sort")
     val topk = operators.Relational.topkOrders(Tables.load(spark, sf, "orders"))
       .queryExecution.executedPlan.toString
     assert(topk.contains("ObjectHashAggregate") && !topk.contains("row_number"),
