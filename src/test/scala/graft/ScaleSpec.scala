@@ -36,6 +36,33 @@ class ScaleSpec extends SparkSpec {
     assert(enRatio > 0.2 && enRatio < 0.8, s"en ratio $enRatio far from 0.5")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark injects a bloom filter built from the selective (dim) side
+    // into the fact-side scan of a shuffle join — at 100 TB this skips
+    // fact rows before the exchange. Default thresholds target real
+    // cluster sizes (10 GB fact side), so lower them to demonstrate the
+    // rewrite engages under this engine's configuration.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val lineitem = Tables.load(spark, sf, "lineitem")
+      val orders = Tables.load(spark, sf, "orders")
+        .where(col("o_totalprice") > 400000.0) // selective creation side
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      val joined = lineitem.join(orders, "l_orderkey").select("l_orderkey", "l_quantity")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter did not engage:\n${plan.take(2000)}")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val orders = Tables.load(spark, sf, "orders").limit(500)
     val lineitem = Tables.load(spark, sf, "lineitem").limit(500)

@@ -239,4 +239,44 @@ class StreamingSpec extends SparkSpec {
     val ds = Seq(SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0)).toDS()
     assert(ds.as[SensorEvent].head() == SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0))
   }
+
+  test("curation map stages run unchanged on a stream (quality/scrub/sample)") {
+    // the curation operators are Column pipelines, so the SAME builders
+    // accept a streaming DataFrame — micro-batch results must equal the
+    // batch run on identical data
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a friend of the house", "en"),
+      (2L, "mail me at a.b@example.com or see https://example.com/x", "en"),
+      (3L, "der hund und die katze sind ein team", "de"),
+      (4L, "el perro y la casa 123!!!", "es"))
+    val stream = MemoryStream[(Long, String, String)]
+    val streamed = stream.toDF().toDF("doc_id", "text", "lang")
+    val out = operators.TextAnalysis.quality(streamed)
+      .join(operators.TextAnalysis.piiScrub(streamed), "doc_id")
+    val q = out.writeStream.format("memory").queryName("cur").outputMode("append").start()
+    stream.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batchDf = docs.toDF("doc_id", "text", "lang")
+    val expected = operators.TextAnalysis.quality(batchDf)
+      .join(operators.TextAnalysis.piiScrub(batchDf), "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(spark.table("cur").collect().map(_.toSeq).toSet == expected)
+    assert(expected.nonEmpty)
+    // the deterministic sampler keeps the SAME docs on stream and batch
+    // (md5 threshold — no partition-seeded RNG to diverge)
+    val sampleStream = MemoryStream[(Long, String, String)]
+    val q2 = operators.Curation.deterministicSample(
+        sampleStream.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("smp").outputMode("append").start()
+    sampleStream.addData((1L to 200L).map(i => (i, "t", if (i % 3 == 0) "en" else "de")): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val gotIds = spark.table("smp").select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = operators.Curation.deterministicSample(
+        (1L to 200L).map(i => (i, "t", if (i % 3 == 0) "en" else "de")).toDF("doc_id", "text", "lang"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == batchIds && gotIds.nonEmpty && gotIds.size < 200)
+  }
 }
