@@ -57,6 +57,9 @@ object SparkEntry {
     "q_stats" -> ((s, d) => Relational.stats(t(s, d, "orders"))),
     "q_histogram" -> ((s, d) => Relational.histogram(t(s, d, "events"))),
     "q_set_ops" -> ((s, d) => Relational.setOps(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q_grouping_sets" -> ((s, d) => Relational.groupingSetsRevenue(
+      t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
+    "q_gap_fill" -> ((s, d) => Relational.gapFill(t(s, d, "events"))),
     // §2.3 LLM-data operators
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(t(s, d, "documents"))),
@@ -115,6 +118,8 @@ object SparkEntry {
     "q_stats" -> Relational.statsSql,
     "q_histogram" -> Relational.histogramSql,
     "q_set_ops" -> Relational.setOpsSql,
+    "q_grouping_sets" -> Relational.groupingSetsRevenueSql,
+    "q_gap_fill" -> Relational.gapFillSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,

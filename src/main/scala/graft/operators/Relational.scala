@@ -382,4 +382,70 @@ b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 45)
 SELECT k, 'both' AS src FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
 UNION ALL
 SELECT k, 'only_big_price' AS src FROM (SELECT k FROM a EXCEPT SELECT k FROM b)"""
+
+  // C21: explicit GROUPING SETS — arbitrary subtotal combinations in
+  // one pass (rollup/cube are special cases; the grouping_id column
+  // disambiguates a subtotal NULL from a data NULL). Same Expand+agg
+  // plan family as rollup: one shuffle.
+  def groupingSetsRevenue(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq.empty),
+        col("n_name"), col("c_mktsegment"))
+      .agg(sumd(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+
+  val groupingSetsRevenueSql: String =
+    """SELECT n_name, c_mktsegment,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_orders,
+  GROUPING(n_name, c_mktsegment) AS gid
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())"""
+
+  // C22: time-series gap-fill + forward-fill — materialise every minute
+  // of each (station, hour-with-data) and carry the last observed flow
+  // forward. The window partition is (station, hour): 60 rows MAX per
+  // partition, so the fill sort is bounded no matter the corpus size —
+  // the grid join and per-minute agg shuffle on the same (station,
+  // minute-ish) keys. Leading minutes before the hour's first reading
+  // stay null by design (nothing to carry).
+  def gapFill(events: DataFrame): DataFrame = {
+    val perMin = events
+      .groupBy(col("user_id").as("station_id"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(sumd(col("value")).as("flow"))
+    val grid = perMin
+      .select(col("station_id"), date_trunc("hour", col("minute")).as("hr")).distinct()
+      .select(col("station_id"),
+        explode(expr("transform(sequence(0, 59), m -> timestampadd(MINUTE, m, hr))")).as("minute"))
+    val w = Window
+      .partitionBy(col("station_id"), date_trunc("hour", col("minute")))
+      .orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perMin, Seq("station_id", "minute"), "left")
+      .select(col("station_id"), col("minute"),
+        last(col("flow"), ignoreNulls = true).over(w).as("flow"),
+        col("flow").isNull.cast("long").as("filled"))
+  }
+
+  val gapFillSql: String =
+    """WITH pm AS (
+  SELECT user_id AS station_id, time_bucket(INTERVAL '1 minute', ts) AS minute,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS flow
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT station_id, hr + to_minutes(m) AS minute
+  FROM (SELECT DISTINCT station_id, time_bucket(INTERVAL '1 hour', minute) AS hr FROM pm),
+       LATERAL unnest(generate_series(0, 59)) AS g(m))
+SELECT g.station_id, g.minute,
+  last_value(pm.flow IGNORE NULLS) OVER (
+    PARTITION BY g.station_id, time_bucket(INTERVAL '1 hour', g.minute)
+    ORDER BY g.minute ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS flow,
+  (pm.flow IS NULL)::BIGINT AS filled
+FROM grid g LEFT JOIN pm ON pm.station_id = g.station_id AND pm.minute = g.minute"""
 }
