@@ -67,6 +67,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(t(s, d, "documents"))),
     "q_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(t(s, d, "documents"))),
+    "q_fuzzy_names" -> ((s, d) => Dedup.fuzzyNames(t(s, d, "customer"))),
     "q_curation_e2e" -> ((s, d) => Curation.curationPipeline(t(s, d, "documents"))),
     "q_contamination" -> ((s, d) => Curation.contamination(t(s, d, "documents"))),
     "q_det_sample" -> ((s, d) => Curation.deterministicSample(t(s, d, "documents"))),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_dedup_simhash" -> Dedup.simhashDedupSql,
     "q_dedup_embedding" -> Similarity.embeddingNearDupSql,
     "q_dedup_clusters" -> Dedup.dedupClustersSql,
+    "q_fuzzy_names" -> Dedup.fuzzyNamesSql,
     "q_curation_e2e" -> Curation.curationPipelineSql,
     "q_contamination" -> Curation.contaminationSql,
     "q_det_sample" -> Curation.deterministicSampleSql,
