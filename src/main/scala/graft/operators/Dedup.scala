@@ -185,11 +185,25 @@ $exactJaccardSql"""
   def fuzzyNames(customer: DataFrame): DataFrame = {
     val named = customer.select(col("c_custkey").as("id"), col("c_name").as("name"),
       substring(col("c_name"), 1, 16).as("blk"))
-    named.as("l").join(named.as("r"),
+    // The block key IS the 16-char prefix, and edit distance is
+    // invariant under common-prefix stripping (D(xu, xv) = D(u, v)), so
+    // the in-block verify runs the DP on the short SUFFIXES only —
+    // exact same distances as full-string levenshtein (which the oracle
+    // computes), at a fraction of the per-pair cost. Catalyst pushes
+    // the distance predicate into the join condition (the expression
+    // evaluates per candidate pair either way); cheap per-eval is what
+    // matters, not eval count.
+    // shuffle_hash, NOT broadcast: a broadcast join runs the whole
+    // in-block quadratic verify at the probe side's parallelism (one
+    // task for a single input file); hashing on the block key spreads
+    // blocks across tasks — the block is the parallelism unit, locally
+    // and at cluster scale.
+    named.as("l").hint("shuffle_hash").join(named.as("r").hint("shuffle_hash"),
         col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
       .select(col("l.id").as("x"), col("r.id").as("y"),
-        levenshtein(col("l.name"), col("r.name")).cast("long").as("dist"))
-      .where(col("dist") <= FuzzyMaxDist)
+        levenshtein(substring(col("l.name"), 17, 1000),
+          substring(col("r.name"), 17, 1000), FuzzyMaxDist).cast("long").as("dist"))
+      .where(col("dist").between(0, FuzzyMaxDist))
   }
 
   val fuzzyNamesSql: String =
