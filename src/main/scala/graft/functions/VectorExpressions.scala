@@ -217,6 +217,49 @@ case class Winnow(child: Expression)
     copy(child = newChild)
 }
 
+/** Forward-fill a fixed slot grid from a sparse (slot -> value) map:
+  * out[k] = value at the greatest j <= k present in the map (null
+  * before the first present slot). One pass per row — replaces a
+  * grid-join + last(ignoreNulls) window whose sort/join costs scale
+  * with slots × rows (measured 5.5 s -> ~1 s at sf0.1 for gap-fill),
+  * where this is O(slots) per (group) row with no join and no window.
+  */
+case class ForwardFill(child: Expression, slots: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_ffill"
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = input.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val keys = m.keyArray()
+    val vals = m.valueArray()
+    val present = new Array[Boolean](slots)
+    val slot = new Array[Double](slots)
+    var i = 0
+    while (i < m.numElements()) {
+      val k = keys.getInt(i)
+      if (k >= 0 && k < slots && !vals.isNullAt(i)) {
+        present(k) = true
+        slot(k) = vals.getDouble(i)
+      }
+      i += 1
+    }
+    val out = new Array[Any](slots)
+    var cur: Any = null
+    var k = 0
+    while (k < slots) {
+      if (present(k)) cur = slot(k)
+      out(k) = cur
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for DSL use: Spark 4's Column has no public Expression
   * constructor, so the expressions are exposed through the function
   * registry and referenced with expr("graft_dot(a, b)") etc. */
@@ -234,5 +277,8 @@ object VectorFunctions {
         exprs(1).eval(null).asInstanceOf[Int], distinct = false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", exprs => Winnow(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ffill", exprs => ForwardFill(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 }
