@@ -60,6 +60,7 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsRevenue(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_gap_fill" -> ((s, d) => Relational.gapFill(t(s, d, "events"))),
+    "q_window_distinct" -> ((s, d) => Relational.windowDistinct(t(s, d, "events"))),
     // §2.3 LLM-data operators
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(t(s, d, "documents"))),
@@ -121,6 +122,7 @@ object SparkEntry {
     "q_set_ops" -> Relational.setOpsSql,
     "q_grouping_sets" -> Relational.groupingSetsRevenueSql,
     "q_gap_fill" -> Relational.gapFillSql,
+    "q_window_distinct" -> Relational.windowDistinctSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,

@@ -407,6 +407,25 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())"""
 
+  // C23: sliding-window distinct counting — exact per sliding window
+  // (the approx HLL twin runs in OperatorSpec). Expand ×(dur/slide)
+  // feeds a partial-distinct aggregate: Spark plans count_distinct as
+  // two-level (partial distinct absorbs duplicates map-side before the
+  // exchange), so the shuffle carries (window, user) pairs, not events.
+  def windowDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "60 minutes", "15 minutes").as("w"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_users"), col("n_events"))
+
+  val windowDistinctSql: String =
+    """SELECT t.w AS window_start, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events, LATERAL unnest(generate_series(
+    time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+    time_bucket(INTERVAL '15 minutes', ts), INTERVAL '15 minutes')) AS t(w)
+GROUP BY t.w"""
+
   // C22: time-series gap-fill + forward-fill — materialise every minute
   // of each (station, hour-with-data) and carry the last observed flow
   // forward. Shape: per-minute agg (one shuffle), then one MORE partial-

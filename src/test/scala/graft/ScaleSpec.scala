@@ -36,6 +36,28 @@ class ScaleSpec extends SparkSpec {
     assert(enRatio > 0.2 && enRatio < 0.8, s"en ratio $enRatio far from 0.5")
   }
 
+  test("hive-style partition layout prunes directories at planning time") {
+    // at 100 TB, date-partitioned layout turns a date predicate into a
+    // directory listing instead of a data scan — assert the filter
+    // lands in PartitionFilters (metadata-only) not PushedFilters
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = Tables.load(spark, sf, "events")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    events.write.partitionBy("dt").mode("overwrite").parquet(s"$dir/by_day")
+    val back = spark.read.parquet(s"$dir/by_day")
+    val oneDay = back.where(col("dt") === "2024-01-05")
+    val scan = oneDay.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("2024-01-05")),
+      s"date predicate must prune partitions: ${scan.partitionFilters}")
+    assert(scan.relation.location.inputFiles.length >
+      scan.selectedPartitions.totalNumberOfFiles,
+      "pruned scan must read strictly fewer files than the table holds")
+    assert(oneDay.count() ==
+      events.where(col("dt") === "2024-01-05").count())
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // Spark injects a bloom filter built from the selective (dim) side
     // into the fact-side scan of a shuffle join — at 100 TB this skips
