@@ -249,6 +249,54 @@ SELECT w.doc_id, n_words, dup_word_frac,
 FROM w LEFT JOIN bg ON w.doc_id = bg.doc_id"""
   }
 
+  // ---- L24: n-gram LM scoring (CCNet-style perplexity proxy) ----
+  // Score each doc by the average log-probability of its bigrams under
+  // an add-k-smoothed bigram model fit on the corpus itself — the
+  // classic perplexity quality filter, done relationally: bigram and
+  // unigram count tables derive from one explode each; the doc's
+  // bigram stream joins them SHUFFLE-hash (the vocabulary scales with
+  // the corpus — same rule as tfidf; only the scalar vocab size
+  // broadcasts). Per-doc mean of ln P goes through a decimal(18,9)
+  // sum so it is order-independent → engine-identical.
+  private val LmK = 0.5
+
+  def lmScore(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val bg = documents.select(col("doc_id"),
+      explode(expr("graft_grams(split(lower(text), '\\\\s+'), 2)")).as("bigram"))
+    val toks = documents.select(explode(tokens(col("text"))).as("w"))
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val c1 = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(count_distinct(col("w")).as("v"))
+    val lnp = log((col("c12") + LmK) / (col("c1") + col("v") * LmK))
+    bg.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c2.hint("shuffle_hash"), "bigram")
+      .join(c1.hint("shuffle_hash"), "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(lnp.cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+        .as("lm_score"), count(lit(1)).as("n_bigrams"))
+  }
+
+  val lmScoreSql: String = {
+    val grams = graft.functions.Portable.wordGramsSql(
+      "string_split_regex(lower(text), '\\s+')", 2)
+    s"""WITH bg AS (SELECT doc_id, unnest($grams) AS bigram FROM documents),
+tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents),
+c2 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+c1 AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
+v AS (SELECT count(DISTINCT w) AS v FROM tok)
+SELECT doc_id,
+  round(sum(CAST(ln((c12 + $LmK) / (c1 + $LmK * v)) AS DECIMAL(18,9)))::DOUBLE / count(*), 6) AS lm_score,
+  count(*) AS n_bigrams
+FROM bg
+JOIN c2 USING (bigram)
+JOIN c1 ON c1.w1 = string_split(bigram, ' ')[1]
+CROSS JOIN v
+GROUP BY doc_id"""
+  }
+
   // ---- L18: PII scrubbing (email/URL detection + redaction) ----
   // Counts and a digest of the redacted text — the digest makes the
   // oracle prove the REPLACEMENT itself is byte-identical, not just the
