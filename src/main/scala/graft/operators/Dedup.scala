@@ -181,10 +181,18 @@ $exactJaccardSql"""
   // normalized key; the plan shape (explode-free equality self-join +
   // in-block verify) is the scalable part.
   private val FuzzyMaxDist = 2
+  // hot-block guard, same philosophy as L5's bucket cap / L2's MaxDf: a
+  // block holding ≫ expected rows (think "John Smith") would go
+  // quadratic; cap sized ≈ 10× the expected block occupancy
+  private val FuzzyMaxBlock = 1024
 
-  def fuzzyNames(customer: DataFrame): DataFrame = {
-    val named = customer.select(col("c_custkey").as("id"), col("c_name").as("name"),
+  def fuzzyNames(customer: DataFrame, maxBlock: Int = FuzzyMaxBlock): DataFrame = {
+    val all = customer.select(col("c_custkey").as("id"), col("c_name").as("name"),
       substring(col("c_name"), 1, 16).as("blk"))
+    val named = all.join(
+      all.groupBy(col("blk")).agg(count(lit(1)).as("occ"))
+        .where(col("occ") <= maxBlock).select(col("blk")),
+      "blk")
     // The block key IS the 16-char prefix, and edit distance is
     // invariant under common-prefix stripping (D(xu, xv) = D(u, v)), so
     // the in-block verify runs the DP on the short SUFFIXES only —
@@ -207,7 +215,8 @@ $exactJaccardSql"""
   }
 
   val fuzzyNamesSql: String =
-    s"""WITH n AS (SELECT c_custkey AS id, c_name AS name, substr(c_name, 1, 16) AS blk FROM customer)
+    s"""WITH a AS (SELECT c_custkey AS id, c_name AS name, substr(c_name, 1, 16) AS blk FROM customer),
+n AS (SELECT a.* FROM a JOIN (SELECT blk FROM a GROUP BY blk HAVING count(*) <= $FuzzyMaxBlock) k USING (blk))
 SELECT l.id AS x, r.id AS y, levenshtein(l.name, r.name)::BIGINT AS dist
 FROM n l JOIN n r ON l.blk = r.blk AND l.id < r.id
 WHERE levenshtein(l.name, r.name) <= $FuzzyMaxDist"""
