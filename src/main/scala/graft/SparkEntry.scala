@@ -75,6 +75,7 @@ object SparkEntry {
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
+    "q_ann_ivf2" -> ((s, d) => Similarity.annIvf2(t(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "q_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(t(s, d, "documents"))),

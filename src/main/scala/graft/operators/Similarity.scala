@@ -273,38 +273,7 @@ WHERE rk <= $TopK"""
         val nn = r.getDouble(1)
         r.getSeq[Double](0).map(_ / nn).toArray
       }
-    val k = math.min(cells, sample.length)
-    var cents = Array.tabulate(k)(i => sample(((i.toLong * sample.length) / k).toInt).clone())
-    var iter = 0
-    while (iter < KmeansIters) {
-      val sums = Array.fill(k, Dim)(0.0)
-      val counts = new Array[Int](k)
-      sample.foreach { s =>
-        var best = 0; var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < k) {
-          var d = 0.0; var i = 0
-          while (i < Dim) { d += s(i) * cents(c)(i); i += 1 }
-          if (d > bestDot) { bestDot = d; best = c }
-          c += 1
-        }
-        var i = 0
-        while (i < Dim) { sums(best)(i) += s(i); i += 1 }
-        counts(best) += 1
-      }
-      cents = Array.tabulate(k) { c =>
-        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
-        else {
-          val m = sums(c)
-          var norm = 0.0; var i = 0
-          while (i < Dim) { norm += m(i) * m(i); i += 1 }
-          norm = math.sqrt(norm)
-          if (norm == 0.0) cents(c) else m.map(_ / norm)
-        }
-      }
-      iter += 1
-    }
-    cents
+    kmeansArrays(sample, math.min(cells, sample.length))
   }
 
   def annIvf(embeddings: DataFrame, cells: Int = 0,
@@ -332,6 +301,103 @@ WHERE rk <= $TopK"""
       .select(col("q_id"), col("vec_id").as("cand_id"),
         round(gdot("qv", "v") / (col("nq") * col("nv")), 6).as("cos"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= TopK)
+  }
+
+  // ---- Two-level IVF (the C > 10³ path, implemented and measured) ----
+  // At C ≈ √N cells, the map-side assignment costs C dots per corpus
+  // row — fine to C ≈ 10³, the dominant cost beyond. The standard fix
+  // (faiss IMI/IVF-HNSW family) is hierarchical: cluster the C
+  // centroids into C1 ≈ √C super-cells; a corpus row finds its best
+  // super-cell (C1 dots) and then its best cell among that super's
+  // members (≈ C/C1 dots) — ≈ 2√C dots per row instead of C. The
+  // assignment is approximate (the true best cell can live in a
+  // neighboring super), so queries still rank cells EXACTLY (the query
+  // set is tiny; C dots per query is nothing) and the recall floor is
+  // spec-pinned against the same brute-force truth.
+  def annIvf2(embeddings: DataFrame, cells: Int = 0,
+      nprobe: Int = DefaultNProbe): DataFrame = {
+    val base = withNorm(embeddings, "vec_id", "v", "nv")
+    val c0 =
+      if (cells > 0) cells
+      else math.max(16, math.ceil(math.sqrt(base.count().toDouble)).toInt)
+    val cents = kmeansCentroids(base, c0)
+    // cluster the centroids themselves (driver-side, C rows — trivial)
+    val c1 = math.max(2, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val supers = kmeansArrays(cents, c1)
+    val memberOf: Array[Int] = cents.map { c =>
+      var best = 0; var bd = Double.NegativeInfinity
+      supers.indices.foreach { s =>
+        var d = 0.0; var i = 0
+        while (i < Dim) { d += c(i) * supers(s)(i); i += 1 }
+        if (d > bd) { bd = d; best = s }
+      }
+      best
+    }
+    def dots(vs: Array[Array[Double]], tag: String) = vs.zipWithIndex.map { case (c, i) =>
+      struct(expr(s"graft_dot(v, ${c.mkString("array(", "D,", "D)")})").as("p"),
+        lit(i).as("c"))
+    }
+    val superPick = array_max(array(dots(supers, "s"): _*)).getField("c")
+    // per super-cell: argmax over its member cells only
+    val cellWithin = supers.indices.map { s =>
+      val members = cents.indices.filter(memberOf(_) == s)
+      val arr = members.map(i =>
+        struct(expr(s"graft_dot(v, ${cents(i).mkString("array(", "D,", "D)")})").as("p"),
+          lit(i).as("c")))
+      s -> (if (arr.isEmpty) lit(-1) else array_max(array(arr: _*)).getField("c"))
+    }
+    val cellExpr = cellWithin.foldLeft(lit(-1): Column) { case (acc, (s, e)) =>
+      when(col("sup") === s, e).otherwise(acc)
+    }
+    val corpus = base.withColumn("sup", superPick).withColumn("cell", cellExpr)
+    // queries rank cells exactly over all C centroids
+    val cellStructs = dots(cents, "q")
+    val probes = base.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"),
+        explode(slice(sort_array(array(cellStructs: _*), asc = false), 1, nprobe)).as("pr"))
+      .select(col("q_id"), col("qv"), col("nq"), col("pr.c").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    corpus.join(broadcast(probes), "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        round(gdot("qv", "v") / (col("nq") * col("nv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= TopK)
+  }
+
+  /** Driver-side Lloyd's over an in-memory unit-vector set (used for
+    * super-cells: input is the C centroids, not the corpus). */
+  private def kmeansArrays(points: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    var cents = Array.tabulate(k)(i => points(((i.toLong * points.length) / k).toInt).clone())
+    var iter = 0
+    while (iter < KmeansIters) {
+      val sums = Array.fill(k, Dim)(0.0)
+      val counts = new Array[Int](k)
+      points.foreach { s =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < Dim) { d += s(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < Dim) { sums(best)(i) += s(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = sums(c)
+          var norm = 0.0; var i = 0
+          while (i < Dim) { norm += m(i) * m(i); i += 1 }
+          norm = math.sqrt(norm)
+          if (norm == 0.0) cents(c) else m.map(_ / norm)
+        }
+      }
+      iter += 1
+    }
+    cents
   }
 
   /** Mean fraction of the corpus that is a candidate per query — the

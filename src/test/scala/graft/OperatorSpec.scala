@@ -94,6 +94,21 @@ class OperatorSpec extends SparkSpec {
       s"recall must be monotone non-increasing in P: $stats")
   }
 
+  test("two-level IVF holds the recall floor with ~2*sqrt(C) assignment dots (L16)") {
+    val exact = Similarity.annTopK(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val flat = Similarity.annIvf(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val twoLevel = Similarity.annIvf2(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val rFlat = (exact & flat).size.toDouble / exact.size
+    val r2l = (exact & twoLevel).size.toDouble / exact.size
+    info(f"recall@5: flat IVF = $rFlat%.2f, two-level = $r2l%.2f")
+    // hierarchical assignment is approximate; it may lose some recall
+    // to super-cell boundaries but must stay usable
+    assert(r2l >= 0.3, s"two-level IVF recall $r2l collapsed")
+  }
+
   test("annIvf candidate fraction tracks the nprobe/C budget (L16)") {
     val n = embeddings.count().toDouble
     val c = math.max(16, math.ceil(math.sqrt(n)).toInt)
