@@ -89,7 +89,8 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(t(s, d, "documents"))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.framesQuery(t(s, d, "documents"))),
     "q_multimodal_decode" -> ((s, d) => Multimodal.ppmDecodeQuery(t(s, d, "documents"))),
-    "q_multimodal_wav" -> ((s, d) => Multimodal.wavDecodeQuery(t(s, d, "documents"))))
+    "q_multimodal_wav" -> ((s, d) => Multimodal.wavDecodeQuery(t(s, d, "documents"))),
+    "q_multimodal_bmp" -> ((s, d) => Multimodal.bmpDecodeQuery(t(s, d, "documents"))))
 
   /** DuckDB oracles; q_ann_lsh is intentionally absent (LSH bucketing
     * is the non-SQL scale path; its recall is ScalaTest-verified
@@ -149,5 +150,6 @@ object SparkEntry {
     "q_multimodal_meta" -> Multimodal.metaQuerySql,
     "q_multimodal_frames" -> Multimodal.framesQuerySql,
     "q_multimodal_decode" -> Multimodal.ppmDecodeQuerySql,
-    "q_multimodal_wav" -> Multimodal.wavDecodeQuerySql)
+    "q_multimodal_wav" -> Multimodal.wavDecodeQuerySql,
+    "q_multimodal_bmp" -> Multimodal.bmpDecodeQuerySql)
 }

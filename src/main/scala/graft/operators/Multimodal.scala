@@ -287,6 +287,110 @@ FROM d"""
       .withColumn("rms_amp", round(col("rms_amp"), 6))
   }
 
+  // ---- Real decode path #3: BMP (uncompressed 24-bit, bottom-up) ----
+  // BMP adds the two parsing hazards PPM/WAV lack: rows are stored
+  // BOTTOM-UP and padded to 4-byte boundaries. The decoder re-orders to
+  // logical top-down and skips padding; a position-weighted checksum of
+  // the logical TOP row proves the row order and stride arithmetic
+  // (channel means alone are order-independent and would not catch a
+  // flipped or mis-strided read).
+
+  /** Deterministic 24-bit BMP: w = id%7+1, h = id%4+1; logical pixel p
+    * (row-major top-down), channel c (B,G,R) holds byte
+    * (id*13 + 3p + c) % 256; stored bottom-up, rows padded to 4 B. */
+  private[graft] def syntheticBmp(id: Long): Array[Byte] = {
+    val w = (id % 7 + 1).toInt
+    val h = (id % 4 + 1).toInt
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // file rows run bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        var c = 0
+        while (c < 3) { bb.put(((id * 13 + 3 * p + c) % 256).toByte); c += 1 }
+        x += 1
+      }
+      var pad = 3 * w
+      while (pad < rowSize) { bb.put(0.toByte); pad += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Parse a 24-bit uncompressed BMP: magic, header fields, bottom-up
+    * padded pixel rows -> (w, h, per-channel means, position-weighted
+    * checksum of the logical top row). Throws on malformed input. */
+  private[graft] def decodeBmp(bytes: Array[Byte]): (Int, Int, Double, Double, Double, Long) = {
+    require(bytes.length >= 54, "too short for BMP headers")
+    require(bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = bb.getInt(10)
+    require(bb.getInt(14) == 40, "not a BITMAPINFOHEADER")
+    val w = bb.getInt(18); val h = bb.getInt(22)
+    require(w > 0 && h > 0, s"bad dimensions $w x $h")
+    require(bb.getShort(28) == 24, "not 24-bit")
+    require(bb.getInt(30) == 0, "compressed BMP not supported")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    require(bytes.length - dataOffset >= rowSize * h, "truncated pixel data")
+    val sums = new Array[Long](3)
+    var topRowSum = 0L
+    var y = 0
+    while (y < h) {
+      val fileRow = h - 1 - y // logical row y sits at file row h-1-y
+      val base = dataOffset + fileRow * rowSize
+      var j = 0
+      while (j < 3 * w) {
+        val v = bytes(base + j) & 0xff
+        sums(j % 3) += v
+        if (y == 0) topRowSum += (j + 1).toLong * v
+        j += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    (w, h, sums(0) / n, sums(1) / n, sums(2) / n, topRowSum)
+  }
+
+  /** Oracle-checked BMP decode: features + the row-order checksum. */
+  def bmpDecodeQuery(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val blob = syntheticBmp(id)
+        val (w, h, b, g, r, top) = decodeBmp(blob)
+        (id, blob.length.toLong, w, h, b, g, r, top)
+      })
+      .toDF("doc_id", "n_bytes", "width", "height", "mean_b", "mean_g", "mean_r", "top_row_sum")
+      .withColumn("mean_b", round(col("mean_b"), 6))
+      .withColumn("mean_g", round(col("mean_g"), 6))
+      .withColumn("mean_r", round(col("mean_r"), 6))
+  }
+
+  /** Generator-arithmetic mirror: channel-c mean = avg over p of
+    * (doc_id*13 + 3p + c) % 256; top-row checksum = sum over j in
+    * [0, 3w) of (j+1) * ((doc_id*13 + j) % 256) — position-weighted,
+    * so a bottom-up or stride bug in the decoder fails the hash. */
+  val bmpDecodeQuerySql: String = {
+    def mean(c: Int) =
+      s"round(list_aggregate(list_transform(generate_series(0, w*h - 1), p -> (doc_id*13 + 3*p + $c) % 256), 'avg'), 6)"
+    s"""WITH d AS (SELECT doc_id, (doc_id % 7 + 1)::INTEGER AS w, (doc_id % 4 + 1)::INTEGER AS h FROM documents)
+SELECT doc_id,
+  (54 + ((3*w + 3) // 4) * 4 * h)::BIGINT AS n_bytes,
+  w AS width, h AS height,
+  ${mean(0)} AS mean_b, ${mean(1)} AS mean_g, ${mean(2)} AS mean_r,
+  list_aggregate(list_transform(generate_series(0, 3*w - 1), j -> (j + 1) * ((doc_id*13 + j) % 256)), 'sum')::BIGINT AS top_row_sum
+FROM d"""
+  }
+
   /** DuckDB mirror from the generator arithmetic: sample k of doc d =
     * ((d*7919 + k*2731) % 65536) - 32768; sums are exact in doubles
     * (|s| < 2^15, n <= 271 -> sumSq < 2^53), the /n division and sqrt

@@ -157,6 +157,21 @@ class OperatorSpec extends SparkSpec {
     assert(first.length <= 16)
   }
 
+  test("bmp decoder handles bottom-up padded rows and rejects malformed blobs (L12)") {
+    val blob = Multimodal.syntheticBmp(23L)
+    val (w, h, b, g, r, top) = Multimodal.decodeBmp(blob)
+    assert(w == (23 % 7 + 1) && h == (23 % 4 + 1))
+    assert(b >= 0 && b <= 255 && g >= 0 && g <= 255 && r >= 0 && r <= 255)
+    // checksum must match the generator arithmetic for the LOGICAL top
+    // row (stored last in the file) — a top-down misread changes it
+    val expectedTop = (0 until 3 * w).map(j => (j + 1).toLong * ((23L * 13 + j) % 256)).sum
+    assert(top == expectedTop, "row-order/stride checksum")
+    intercept[IllegalArgumentException](Multimodal.decodeBmp("XX".getBytes ++ new Array[Byte](60)))
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(blob.take(blob.length - 2)))
+    val compressed = blob.clone; compressed(30) = 1 // BI_RLE8
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(compressed))
+  }
+
   test("wav decoder round-trips the generator and rejects malformed blobs (L12)") {
     val blob = Multimodal.syntheticWav(37L)
     val (rate, ch, n, mean, rms, peak) = Multimodal.decodeWav(blob)
