@@ -112,6 +112,49 @@ object TrafficStream {
   def dedupStream(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** A closed, forward-filled minute emitted by [[gapFillStream]]. */
+  case class FilledMinute(station_id: Long, minute: Timestamp,
+      flow: Option[Double], filled: Long)
+
+  private[streaming] case class HourState(sums: Map[Int, Double])
+
+  /** Streaming twin of `Relational.gapFill` (C22): per (station, hour)
+    * the state is the sparse minute->flow sum map (≤ 60 entries — same
+    * bounded-state shape as the batch map); when the watermark passes
+    * the hour the group times out and emits all 60 minutes forward-
+    * filled. Late events within the delay merge into the open hour;
+    * the emission is exactly-once per (station, hour). */
+  def gapFillStream(events: Dataset[SensorEvent],
+      delay: String = "30 minutes"): Dataset[FilledMinute] = {
+    import events.sparkSession.implicits._
+    val HourMs = 3600000L
+    events.withWatermark("ts", delay)
+      .groupByKey(e => (e.user_id, e.ts.getTime - Math.floorMod(e.ts.getTime, HourMs)))
+      .flatMapGroupsWithState[HourState, FilledMinute](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((station, hourMs), evs, state) =>
+          if (state.hasTimedOut) {
+            val sums = state.get.sums
+            state.remove()
+            var cur: Option[Double] = None
+            (0 until 60).iterator.map { k =>
+              sums.get(k).foreach(v => cur = Some(v))
+              FilledMinute(station, new Timestamp(hourMs + k * 60000L), cur,
+                if (sums.contains(k)) 0L else 1L)
+            }
+          } else {
+            val sums = evs.foldLeft(state.getOption.map(_.sums).getOrElse(Map.empty[Int, Double])) {
+              (acc, e) =>
+                val k = ((e.ts.getTime - hourMs) / 60000L).toInt
+                acc.updated(k, acc.getOrElse(k, 0.0) + e.value)
+            }
+            state.update(HourState(sums))
+            state.setTimeoutTimestamp(hourMs + HourMs) // fire when the hour closes
+            Iterator.empty
+          }
+      }
+  }
+
   /** Custom stateful operator: gap-based sessionization with
     * flatMapGroupsWithState + event-time timeout. State per user is a
     * single (start, end, n) struct; sessions close either when a

@@ -240,6 +240,35 @@ class StreamingSpec extends SparkSpec {
     assert(ds.as[SensorEvent].head() == SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0))
   }
 
+  test("streaming gap-fill matches the batch ForwardFill on closed hours") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      SensorEvent(1, t("2024-01-01 00:03:10"), 7, "a", 2.5),
+      SensorEvent(2, t("2024-01-01 00:03:40"), 7, "a", 1.5), // same minute: sums to 4.0
+      SensorEvent(3, t("2024-01-01 00:07:00"), 7, "a", 9.0),
+      SensorEvent(4, t("2024-01-01 00:30:00"), 8, "a", 5.0))
+    val sentinel = SensorEvent(99, t("2024-02-01 00:00:00"), -1, "flush", 0.0)
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.gapFillStream(stream.toDS())
+      .writeStream.format("memory").queryName("gf").outputMode("append").start()
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    stream.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gf").where(col("station_id") =!= -1)
+    assert(got.count() == 120) // two closed (station, hour) grids
+    val batch = graft.operators.Relational.gapFill(data.toDF())
+      .select("station_id", "minute", "flow", "filled")
+      .collect().map(_.toSeq).toSet
+    assert(got.select("station_id", "minute", "flow", "filled")
+      .collect().map(_.toSeq).toSet == batch)
+    // spot-check the fill: minutes 3..6 of station 7 carry 4.0 (2.5+1.5)
+    val m4 = got.where(col("station_id") === 7 &&
+      col("minute") === t("2024-01-01 00:05:00")).head()
+    assert(m4.getAs[Double]("flow") == 4.0 && m4.getAs[Long]("filled") == 1L)
+  }
+
   test("curation map stages run unchanged on a stream (quality/scrub/sample)") {
     // the curation operators are Column pipelines, so the SAME builders
     // accept a streaming DataFrame — micro-batch results must equal the
