@@ -333,11 +333,11 @@ WHERE rk <= $TopK"""
       }
       best
     }
-    def dots(vs: Array[Array[Double]], tag: String) = vs.zipWithIndex.map { case (c, i) =>
+    def dots(vs: Array[Array[Double]]) = vs.zipWithIndex.map { case (c, i) =>
       struct(expr(s"graft_dot(v, ${c.mkString("array(", "D,", "D)")})").as("p"),
         lit(i).as("c"))
     }
-    val superPick = array_max(array(dots(supers, "s"): _*)).getField("c")
+    val superPick = array_max(array(dots(supers): _*)).getField("c")
     // per super-cell: argmax over its member cells only
     val cellWithin = supers.indices.map { s =>
       val members = cents.indices.filter(memberOf(_) == s)
@@ -351,7 +351,7 @@ WHERE rk <= $TopK"""
     }
     val corpus = base.withColumn("sup", superPick).withColumn("cell", cellExpr)
     // queries rank cells exactly over all C centroids
-    val cellStructs = dots(cents, "q")
+    val cellStructs = dots(cents)
     val probes = base.where(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"),
         explode(slice(sort_array(array(cellStructs: _*), asc = false), 1, nprobe)).as("pr"))
