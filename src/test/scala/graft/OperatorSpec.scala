@@ -214,6 +214,12 @@ class OperatorSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(topk.contains("ObjectHashAggregate") && !topk.contains("row_number"),
       "top-k must run through the bounded aggregator, not a window sort")
+    // r3: LM-score count tables must shuffle (vocabulary scales with the
+    // corpus — the tfidf rule), never broadcast or go cartesian
+    val lm = operators.TextAnalysis.lmScore(documents)
+      .queryExecution.executedPlan.toString
+    assert(lm.contains("ShuffledHashJoin") && !lm.contains("CartesianProduct"),
+      "lmScore count joins must be shuffle-hash")
   }
 
   test("dedupClusters keeps one representative per transitive component (L19)") {
