@@ -225,15 +225,17 @@ class OperatorSpec extends SparkSpec {
   test("dedupClusters keeps one representative per transitive component (L19)") {
     // the A~C link exists ONLY through the component (pairs 10~20 and
     // 20~30, never 10~30) — exactly what a pair list alone cannot
-    // express; plus a long chain that needs several propagation rounds
-    val docs = (Seq(10L, 20L, 30L, 99L) ++ (200L to 210L)).toDF("doc_id")
+    // express; plus a 100-node chain: plain min-propagation needs 99
+    // rounds (exceeding the 20-round budget), so this passing PROVES
+    // the pointer-doubling converges in O(log D)
+    val docs = (Seq(10L, 20L, 30L, 99L) ++ (200L to 299L)).toDF("doc_id")
       .withColumn("text", lit("t"))
     val pairs = (Seq((10L, 20L), (20L, 30L)) ++
-      (200L until 210L).map(i => (i, i + 1))).toDF("x", "y")
+      (200L until 299L).map(i => (i, i + 1))).toDF("x", "y")
     val out = operators.Dedup.connectedComponents(pairs, docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Long]("keep"))).toMap
-    assert((200L to 210L).forall(i => out(i) == (200L, if (i == 200L) 1L else 0L)),
-      s"11-node chain must collapse to one representative: $out")
+    assert((200L to 299L).forall(i => out(i) == (200L, if (i == 200L) 1L else 0L)),
+      s"100-node chain must collapse to one representative: $out")
     assert(out(10L) == (10L, 1L))
     assert(out(20L)._1 == 10L && out(20L)._2 == 0L)
     assert(out(30L)._1 == 10L && out(30L)._2 == 0L, s"transitive closure failed: $out")
