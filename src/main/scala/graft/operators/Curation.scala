@@ -22,11 +22,12 @@ import graft.functions.Portable._
   *                        per surviving doc (map-only).
   *
   * All predicates are left-semi joins on doc_id (no row explosion, no
-  * wide shuffle — survivor id sets are narrow), and the stage order
-  * puts the cheap map-only filter first so the expensive pair
-  * generators see only quality-passing candidates' ids at the end.
-  * The DuckDB oracle composes the SAME stage CTEs, so the gate proves
-  * the whole chain, not just its pieces.
+  * wide shuffle — survivor id sets are narrow; the text column itself
+  * is never re-shuffled by the composition). The dedup stages run over
+  * the FULL corpus — near-dup semantics must see low-quality copies
+  * too, or a high-quality doc whose duplicates were all quality-dropped
+  * would escape clustering. The DuckDB oracle composes the SAME stage
+  * CTEs, so the gate proves the whole chain, not just its pieces.
   */
 object Curation {
 
