@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   *    machine contention is distinguishable from real deltas;
   *  - a failing rep can NEVER make the bench look faster: queries with
   *    any failed rep are reported under "errors" (first exception
-  *    message), excluded from "queries" and from "total".
+  *    message) and excluded from "queries"; "value" (the total) is
+  *    emitted as null whenever n_failed > 0, so a consumer comparing
+  *    totals across rounds can never mistake a smaller-because-broken
+  *    run for a speedup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,9 +36,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // truncate BEFORE escaping: a cut landing inside an escape pair
+    // would leave a dangling backslash that breaks the JSON line
     def jsonStr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ").take(200) + "\""
+      "\"" + s.replaceAll("[\\n\\r\\t]", " ").take(200)
+        .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
     // optional args restrict to named queries (local iteration); an
     // unknown name is itself an error entry, not a crash
@@ -66,7 +71,7 @@ object Bench {
       val msg = samples(n).collectFirst { case Left(m) => m }.getOrElse("failed")
       s"\"" + n + "\":" + jsonStr(msg)
     }.mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
+    val total = if (failed.nonEmpty) "null" else medians.map(_._2).sum.toString
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir","reps":$reps,"agg":"median"}""")
     spark.stop()
   }

@@ -59,9 +59,14 @@ object StreamBench {
     val batchMs = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
     val outRows = progress.map(_.sink.numOutputRows).sum
     val rowsPerSec = n / secs
-    println(s"""{"metric":"stream_60_1","rows":$n,"wall_sec":${f"$secs%.2f"},""" +
-      s""""rows_per_sec":${f"$rowsPerSec%.0f"},"batches":${batchMs.length},""" +
-      s""""batch_ms_median":${batchMs(batchMs.length / 2)},"batch_ms_max":${batchMs.max},""" +
+    // raw doubles, not locale-dependent f"" interpolation (a comma
+    // decimal separator would break the JSON line); an empty progress
+    // array (zero input rows) yields nulls, not an exception
+    val batchMedian = if (batchMs.isEmpty) "null" else batchMs(batchMs.length / 2).toString
+    val batchMax = if (batchMs.isEmpty) "null" else batchMs.max.toString
+    println(s"""{"metric":"stream_60_1","rows":$n,"wall_sec":$secs,""" +
+      s""""rows_per_sec":$rowsPerSec,"batches":${batchMs.length},""" +
+      s""""batch_ms_median":$batchMedian,"batch_ms_max":$batchMax,""" +
       s""""output_rows":$outRows,"sf":"$sfDir","files_per_trigger":$filesPerTrigger}""")
     spark.stop()
   }

@@ -337,14 +337,21 @@ WHERE rk <= $TopK"""
       struct(expr(s"graft_dot(v, ${c.mkString("array(", "D,", "D)")})").as("p"),
         lit(i).as("c"))
     }
-    val superPick = array_max(array(dots(supers): _*)).getField("c")
+    // restrict the corpus-side argmax to supers with at least one
+    // member cell: an empty super (k-means kept its init centroid but
+    // no cell chose it) could otherwise win and strand its rows at
+    // cell = -1, unreachable by every query
+    val occupied = supers.indices.filter(s => memberOf.contains(s))
+    val superPick = array_max(array(occupied.map(s =>
+      struct(expr(s"graft_dot(v, ${supers(s).mkString("array(", "D,", "D)")})").as("p"),
+        lit(s).as("c"))): _*)).getField("c")
     // per super-cell: argmax over its member cells only
-    val cellWithin = supers.indices.map { s =>
+    val cellWithin = occupied.map { s =>
       val members = cents.indices.filter(memberOf(_) == s)
       val arr = members.map(i =>
         struct(expr(s"graft_dot(v, ${cents(i).mkString("array(", "D,", "D)")})").as("p"),
           lit(i).as("c")))
-      s -> (if (arr.isEmpty) lit(-1) else array_max(array(arr: _*)).getField("c"))
+      s -> array_max(array(arr: _*)).getField("c")
     }
     val cellExpr = cellWithin.foldLeft(lit(-1): Column) { case (acc, (s, e)) =>
       when(col("sup") === s, e).otherwise(acc)

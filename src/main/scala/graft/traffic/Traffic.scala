@@ -329,8 +329,9 @@ FROM lanes"""
     * partial max per (window, station, task). The reference's `flow >=
     * max` tie-break is iteration-order dependent; ours is the
     * deterministic total order (lane_flow, recorded_ts, event_id, lane).
-    * `window_timestamp` is the window end — Beam's `c.timestamp()` after
-    * a windowed combine is the window's max timestamp (:295).
+    * `window_timestamp` is the window's max timestamp (window end − 1 ms)
+    * — Beam's `c.timestamp()` after a windowed combine (:295) is
+    * `window.maxTimestamp()`, not the exclusive end bound.
     * `recorded_timestamp` stays the raw reading string, as in the
     * BigQuery schema (STRING, :287). */
   def maxLaneFlowE2e(events: DataFrame, dur: String = "60 minutes",
@@ -351,7 +352,7 @@ FROM lanes"""
         col("m.lane_as").cast("double").as("avg_speed"),
         col("m.total_flow").as("total_flow"),
         date_format(col("m.recorded_ts"), "MM/dd/yyyy HH:mm:ss").as("recorded_timestamp"),
-        col("w.end").as("window_timestamp"))
+        (col("w.end") - expr("INTERVAL 1 MILLISECOND")).as("window_timestamp"))
 
   def maxLaneFlowE2eSql: String =
     s"""WITH lanes_x AS ($extractLanesSql),
@@ -366,7 +367,7 @@ win AS (
 SELECT station_id, direction, freeway, lane_flow AS lane_max_flow, lane,
   lane_ao::DOUBLE AS avg_occ, lane_as::DOUBLE AS avg_speed, total_flow,
   strftime(recorded_ts, '%m/%d/%Y %H:%M:%S') AS recorded_timestamp,
-  wstart + INTERVAL '60 minutes' AS window_timestamp
+  wstart + INTERVAL '60 minutes' - INTERVAL '1 millisecond' AS window_timestamp
 FROM win WHERE rn = 1"""
 
   // ---- Injector filter (R2) + starter map (R3) ----
