@@ -29,7 +29,7 @@ object SparkEntry {
     "q_extract_lanes" -> ((s, d) => Traffic.extractLanes(Traffic.csvLines(t(s, d, "events")))),
     "q_max_flow_global" -> ((s, d) => Traffic.maxFlowGlobal(t(s, d, "events"))),
     "q_max_flow_sliding" -> ((s, d) => Traffic.maxFlowSliding(t(s, d, "events"))),
-    "q_max_flow_sliding_60_1" -> ((s, d) => Traffic.maxFlowSliding60x1(t(s, d, "events"))),
+    "q_max_flow_sliding_60_1" -> ((s, d) => Traffic.maxFlowSlidingScan(t(s, d, "events"))),
     "q_max_flow_e2e" -> ((s, d) => Traffic.maxLaneFlowE2e(t(s, d, "events"))),
     "q_max_flow_sliding_60_1_dense" -> ((s, d) =>
       Traffic.maxFlowSlidingAuto(Traffic.densify(t(s, d, "events")))),

@@ -250,6 +250,62 @@ FROM lanes"""
         .agg(max(col("m")).as("m")),
       col("w.start").as("window_start"), col("station_id"))
 
+  /** Ordered-scan sliding argmax — the ×(dur/slide) Expand eliminated.
+    *
+    * Why: at ~1 event per (station, slide-bucket) — this feed, and any
+    * feed after per-bucket collapse — the Expand plan aggregates D·N
+    * rows into ≈D·N groups (combine ratio ≈ 1), so the partial/final
+    * SortAggregate over the fanned-out rows is pure overhead. This
+    * variant shuffles the RAW events once (station hash — N rows, not
+    * D·N), sorts each partition by (station, bucket), collapses each
+    * bucket to its argmax inline, and walks a monotonic deque over the
+    * bucket maxima, emitting each (window, station) maximum directly:
+    * every bucket enters and leaves the deque exactly once, so the walk
+    * is O(N + output) with no per-window rescans. Results are
+    * bit-identical to [[maxFlowSliding]] (TrafficSpec asserts equality
+    * on sparse AND dense feeds; the driver oracle hash-checks it).
+    *
+    * Scale: a partition holds whole stations; per-station state is one
+    * array of bucket maxima (a year of minutes ≈ 526k entries —
+    * bounded, independent of event volume). At 100 TB you would
+    * range-co-partition (station, time-span) with a (dur/slide − 1)-
+    * bucket halo per span; the deque walk is unchanged. */
+  def maxFlowSlidingScan(events: DataFrame, durSlides: Int = 60,
+      slideSeconds: Long = 60L, preAgg: Boolean = false): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val usPerBucket = slideSeconds * 1000000L
+    val keyed = events.select(col("user_id").as("station_id"),
+      expr(s"unix_micros(ts) div ${usPerBucket}L").as("bucket"),
+      col("value"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("event_type"))
+    // dense feeds: collapse each bucket BEFORE the station exchange so
+    // the shuffle carries one partial per (bucket, station, map task)
+    // instead of every raw reading; the walk is identical (its inline
+    // collapse then sees one row per bucket). Sparse feeds skip the
+    // aggregate — it would shuffle-size nothing and cost an exchange.
+    val src =
+      if (preAgg) keyed
+        .groupBy(col("bucket"), col("station_id"))
+        .agg(max(struct(col("value"), col("ts_us"), col("event_id"),
+          col("event_type"))).as("m"))
+        .select(col("station_id"), col("bucket"), col("m.value"),
+          col("m.ts_us"), col("m.event_id"), col("m.event_type"))
+      else keyed
+    val emitted = src
+      .as[(Long, Long, Double, Long, Long, String)]
+      .repartition(col("station_id"))
+      .sortWithinPartitions(col("station_id"), col("bucket"))
+      .mapPartitions(rows => SlidingScan.emit(rows, durSlides))
+    emitted.select(
+      timestamp_micros(col("_2") * usPerBucket).as("window_start"),
+      col("_1").as("station_id"),
+      col("_6").as("lane"),
+      col("_3").as("max_flow"),
+      col("_5").as("event_id"),
+      timestamp_micros(col("_4")).as("recorded_ts"))
+  }
+
   /** DuckDB mirror: explode each event into its dur/slide windows via
     * generate_series; time_bucket shares Spark's epoch alignment. */
   private def slidingSql(slideMin: Int, backMin: Int, from: String = "events"): String =
@@ -280,18 +336,23 @@ FROM lanes"""
     * density 1.0 makes pre-agg a strict loss). */
   val DenseThreshold = 4.0
 
-  /** Auto-selected sliding argmax: dense feeds (the reference's real
-    * cadence is ~16 rows/station-min: 30 s readings × 8 lanes) collapse
-    * each slide bucket BEFORE the ×(dur/slide) Expand via
-    * [[maxFlowSlidingPreAgg]]; sparse feeds keep the direct single-pass
-    * plan. max-by is associative, so both paths are result-identical —
-    * the density probe only moves the Expand above or below the first
-    * aggregate. */
+  /** Auto-selected sliding argmax, both regimes on the ordered scan:
+    * dense feeds (the reference's real cadence is ~16 rows/station-min:
+    * 30 s readings × 8 lanes) collapse each slide bucket BEFORE the
+    * station exchange so the shuffle carries bucket partials; sparse
+    * feeds shuffle the raw readings directly (a pre-agg would reduce
+    * nothing and cost an exchange). max-by is associative, so both
+    * paths are result-identical — the density probe only decides
+    * whether the collapse runs below or above the exchange.
+    * [[maxFlowSliding]]/[[maxFlowSlidingPreAgg]] remain the pure-
+    * DataFrame (Expand-based) formulations, spec-proven equal. */
   def maxFlowSlidingAuto(events: DataFrame, dur: String = "60 minutes",
-      slide: String = "1 minute", slideSeconds: Long = 60L): DataFrame =
-    if (bucketDensity(events, slideSeconds) >= DenseThreshold)
-      maxFlowSlidingPreAgg(events, dur, slide)
-    else maxFlowSliding(events, dur, slide)
+      slide: String = "1 minute", slideSeconds: Long = 60L): DataFrame = {
+    require(dur == "60 minutes" && slide == "1 minute",
+      "auto path is wired for the flagship 60/1 parameters")
+    maxFlowSlidingScan(events, durSlides = 60, slideSeconds = slideSeconds,
+      preAgg = bucketDensity(events, slideSeconds) >= DenseThreshold)
+  }
 
   /** Synthetic dense feed, oracle-mirrored: every 8th event fans into 16
     * sub-readings 3 s apart (≈16 rows/station-min — the reference's

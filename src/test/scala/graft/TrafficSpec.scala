@@ -75,6 +75,24 @@ class TrafficSpec extends SparkSpec {
     assert(direct.exceptAll(preAgg).isEmpty && preAgg.exceptAll(direct).isEmpty)
   }
 
+  test("ordered-scan sliding argmax equals the direct plan, sparse and dense") {
+    val events = Tables.load(spark, sf, "events")
+    // sparse feed (~1 event/bucket) — the regime where the scan wins
+    val direct = Traffic.maxFlowSliding(events, "60 minutes", "1 minute")
+    val scan = Traffic.maxFlowSlidingScan(events)
+    assert(direct.exceptAll(scan).isEmpty && scan.exceptAll(direct).isEmpty)
+    // dense feed (~16 events/bucket) — the inline bucket collapse must
+    // pick the same per-bucket argmax the aggregate does
+    val d = Traffic.densify(events)
+    val directD = Traffic.maxFlowSliding(d, "60 minutes", "1 minute")
+    val scanD = Traffic.maxFlowSlidingScan(d)
+    assert(directD.exceptAll(scanD).isEmpty && scanD.exceptAll(directD).isEmpty)
+    // plan shape: no ×60 Expand, exactly one exchange (station hash)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "the scan plan must not fan rows out")
+    assert("Exchange".r.findAllIn(plan).size == 1, "one station-hash exchange only")
+  }
+
   test("density probe routes dense feeds to pre-agg and sparse to direct") {
     val events = Tables.load(spark, sf, "events")
     val sparse = Traffic.bucketDensity(events)
@@ -83,11 +101,14 @@ class TrafficSpec extends SparkSpec {
     assert(sparse < Traffic.DenseThreshold && dense >= Traffic.DenseThreshold)
     def exchanges(df: org.apache.spark.sql.DataFrame) =
       "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
-    // sparse: Expand feeds the single exchange's partial agg directly;
-    // dense: the bucket pre-agg adds one exchange BELOW the Expand so
-    // the 60x fan-out runs over bucket maxima, not raw readings
+    // sparse: raw readings go straight to the station exchange; dense:
+    // the bucket pre-agg adds one exchange so the station shuffle
+    // carries bucket maxima, not raw readings. Both feed the same
+    // deque walk (no Expand in either plan).
     assert(exchanges(Traffic.maxFlowSlidingAuto(events)) == 1)
     assert(exchanges(Traffic.maxFlowSlidingAuto(Traffic.densify(events))) == 2)
+    assert(!Traffic.maxFlowSlidingAuto(events)
+      .queryExecution.executedPlan.toString.contains("Expand"))
     // both paths stay result-identical on the dense feed (associativity)
     val d = Traffic.densify(events)
     val a = Traffic.maxFlowSlidingPreAgg(d, "60 minutes", "1 minute")
