@@ -260,6 +260,73 @@ case class ForwardFill(child: Expression, slots: Int)
     copy(child = newChild)
 }
 
+/** Top-k rows of a fixed coefficient matrix by dot product with the
+  * input vector, returned as their ids — the IVF cell assignment /
+  * probe primitive.
+  *
+  * Replaces `array_max(array(struct(graft_dot(v, lit...), i), ...))` /
+  * `slice(sort_array(...), 1, k)` over C per-centroid structs: that
+  * shape allocates C structs PER ROW, and its expression tree grows
+  * with C (C ≈ √N means hundreds of array literals — codegen gives up
+  * and the whole span drops to interpreted eval). Here the matrix
+  * lives once in the expression (closure state, not plan literals) and
+  * each row costs one C×dim primitive loop plus an O(k·C) selection —
+  * the same result under the same order: score desc, then row id desc
+  * (matching the struct comparison ties of the array_max/sort_array
+  * form).
+  *
+  * `ids(r)` maps matrix row r to the emitted id (identity for a flat
+  * index; the member-cell subset for hierarchical IVF).
+  */
+case class TopCells(child: Expression, matrix: Array[Array[Double]],
+    k: Int, ids: Array[Int], fnName: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = fnName
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val c = matrix.length
+    val dots = new Array[Double](c)
+    var r = 0
+    while (r < c) {
+      val row = matrix(r)
+      val n = math.min(v.numElements(), row.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) s += v.getDouble(i) * row(i)
+        i += 1
+      }
+      dots(r) = s
+      r += 1
+    }
+    val kk = math.min(k, c)
+    val out = new Array[Int](kk)
+    val used = new Array[Boolean](c)
+    var j = 0
+    while (j < kk) {
+      var best = -1
+      var bp = Double.NegativeInfinity
+      var q = 0
+      while (q < c) {
+        // >= : equal scores resolve to the higher row id, matching
+        // max/sort_array over struct(p, c) ties
+        if (!used(q) && dots(q) >= bp) { bp = dots(q); best = q }
+        q += 1
+      }
+      used(best) = true
+      out(j) = ids(best)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for DSL use: Spark 4's Column has no public Expression
   * constructor, so the expressions are exposed through the function
   * registry and referenced with expr("graft_dot(a, b)") etc. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -259,6 +259,25 @@ WHERE rk <= $TopK"""
   private val KmeansSampleCap = 4096
   private val KmeansIters = 5
 
+  /** Cell assignment / probe selection through [[graft.functions.TopCells]]:
+    * one expression holding the centroid matrix as closure state and
+    * looping it per row, instead of `array_max(array(C structs))` /
+    * `slice(sort_array(...))` whose expression TREE grows with C — at
+    * C ≈ √N ≈ 141 that shape allocates 141 structs per row and is big
+    * enough that codegen bails to interpreted eval. Tie semantics are
+    * identical (score desc, then cell id desc). The matrix can't reach
+    * the registry through a fixed name (it's per-call model state), so
+    * each call site registers a uniquely-named temp function. */
+  private val tcCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def topCells(spark: SparkSession, vcol: Column,
+      matrix: Array[Array[Double]], k: Int, ids: Array[Int]): Column = {
+    val name = s"graft_top_cells_${tcCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.TopCells(exprs.head, matrix, k, ids, name),
+      "built-in")
+    call_function(name, vcol)
+  }
+
   /** Seeded k-means over a bounded sample; returns unit-norm centroids.
     * Deterministic: sample is id-ordered, init is evenly-spaced sample
     * points, assignment ties break toward the lower cell index. */
@@ -278,23 +297,20 @@ WHERE rk <= $TopK"""
 
   def annIvf(embeddings: DataFrame, cells: Int = 0,
       nprobe: Int = DefaultNProbe): DataFrame = {
+    val spark = embeddings.sparkSession
     val base = withNorm(embeddings, "vec_id", "v", "nv")
     val c0 =
       if (cells > 0) cells
       else math.max(16, math.ceil(math.sqrt(base.count().toDouble)).toInt) // C ≈ √N
     val cents = kmeansCentroids(base, c0)
-    // (projection, cell) structs; lexicographic struct ordering makes
-    // argmax/top-nprobe deterministic (ties break toward higher cell id)
-    val cellStructs = cents.zipWithIndex.map { case (c, i) =>
-      struct(expr(s"graft_dot(v, ${c.mkString("array(", "D,", "D)")})").as("p"),
-        lit(i).as("c"))
-    }
+    val allCells = cents.indices.toArray
+    // argmax / top-nprobe over the centroid matrix in one TopCells pass;
+    // ties break toward the higher cell id (same as struct-max ordering)
     val corpus = base.withColumn("cell",
-      array_max(array(cellStructs: _*)).getField("c"))
+      element_at(topCells(spark, col("v"), cents, 1, allCells), 1))
     val probes = base.where(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"),
-        explode(slice(sort_array(array(cellStructs: _*), asc = false), 1, nprobe)).as("pr"))
-      .select(col("q_id"), col("qv"), col("nq"), col("pr.c").as("cell"))
+        explode(topCells(spark, col("v"), cents, nprobe, allCells)).as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
     corpus.join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("q_id"))
@@ -316,6 +332,7 @@ WHERE rk <= $TopK"""
   // spec-pinned against the same brute-force truth.
   def annIvf2(embeddings: DataFrame, cells: Int = 0,
       nprobe: Int = DefaultNProbe): DataFrame = {
+    val spark = embeddings.sparkSession
     val base = withNorm(embeddings, "vec_id", "v", "nv")
     val c0 =
       if (cells > 0) cells
@@ -333,36 +350,28 @@ WHERE rk <= $TopK"""
       }
       best
     }
-    def dots(vs: Array[Array[Double]]) = vs.zipWithIndex.map { case (c, i) =>
-      struct(expr(s"graft_dot(v, ${c.mkString("array(", "D,", "D)")})").as("p"),
-        lit(i).as("c"))
-    }
     // restrict the corpus-side argmax to supers with at least one
     // member cell: an empty super (k-means kept its init centroid but
     // no cell chose it) could otherwise win and strand its rows at
     // cell = -1, unreachable by every query
-    val occupied = supers.indices.filter(s => memberOf.contains(s))
-    val superPick = array_max(array(occupied.map(s =>
-      struct(expr(s"graft_dot(v, ${supers(s).mkString("array(", "D,", "D)")})").as("p"),
-        lit(s).as("c"))): _*)).getField("c")
-    // per super-cell: argmax over its member cells only
-    val cellWithin = occupied.map { s =>
-      val members = cents.indices.filter(memberOf(_) == s)
-      val arr = members.map(i =>
-        struct(expr(s"graft_dot(v, ${cents(i).mkString("array(", "D,", "D)")})").as("p"),
-          lit(i).as("c")))
-      s -> array_max(array(arr: _*)).getField("c")
+    val occupied = supers.indices.filter(s => memberOf.contains(s)).toArray
+    val superPick = element_at(
+      topCells(spark, col("v"), occupied.map(supers), 1, occupied), 1)
+    // per super-cell: argmax over its member cells only (the matched
+    // CaseWhen branch is the only one evaluated, so a row costs C1
+    // super dots + ~C/C1 member dots ≈ 2√C, not C)
+    val cellWithin = occupied.toSeq.map { s =>
+      val members = cents.indices.filter(memberOf(_) == s).toArray
+      s -> element_at(topCells(spark, col("v"), members.map(cents), 1, members), 1)
     }
     val cellExpr = cellWithin.foldLeft(lit(-1): Column) { case (acc, (s, e)) =>
       when(col("sup") === s, e).otherwise(acc)
     }
     val corpus = base.withColumn("sup", superPick).withColumn("cell", cellExpr)
     // queries rank cells exactly over all C centroids
-    val cellStructs = dots(cents)
     val probes = base.where(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"),
-        explode(slice(sort_array(array(cellStructs: _*), asc = false), 1, nprobe)).as("pr"))
-      .select(col("q_id"), col("qv"), col("nq"), col("pr.c").as("cell"))
+        explode(topCells(spark, col("v"), cents, nprobe, cents.indices.toArray)).as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
     corpus.join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("q_id"))
@@ -411,23 +420,20 @@ WHERE rk <= $TopK"""
     * IVF efficiency metric the sizing rule controls (≈ nprobe/C). */
   def ivfCandidateFraction(embeddings: DataFrame, cells: Int = 0,
       nprobe: Int = DefaultNProbe): Double = {
+    val spark = embeddings.sparkSession
     val base = withNorm(embeddings, "vec_id", "v", "nv")
     val n = base.count().toDouble
     val c0 =
       if (cells > 0) cells
       else math.max(16, math.ceil(math.sqrt(n)).toInt)
     val cents = kmeansCentroids(base, c0)
-    val cellStructs = cents.zipWithIndex.map { case (c, i) =>
-      struct(expr(s"graft_dot(v, ${c.mkString("array(", "D,", "D)")})").as("p"),
-        lit(i).as("c"))
-    }
+    val allCells = cents.indices.toArray
     val cellSizes = base.withColumn("cell",
-      array_max(array(cellStructs: _*)).getField("c"))
+      element_at(topCells(spark, col("v"), cents, 1, allCells), 1))
       .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
     val probes = base.where(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("q_id"),
-        explode(slice(sort_array(array(cellStructs: _*), asc = false), 1, nprobe)).as("pr"))
-      .select(col("q_id"), col("pr.c").as("cell"))
+        explode(topCells(spark, col("v"), cents, nprobe, allCells)).as("cell"))
     val perQuery = probes.join(cellSizes, "cell")
       .groupBy(col("q_id")).agg(sum(col("sz")).as("cands"))
       .agg(avg(col("cands"))).head().getDouble(0)
