@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Packing, Relational, Similarity, TextAnalysis}
 import graft.traffic.Traffic
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7.
@@ -69,6 +69,9 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(t(s, d, "documents"))),
     "q_fuzzy_names" -> ((s, d) => Dedup.fuzzyNames(t(s, d, "customer"))),
+    "q_dedup_chunk" -> ((s, d) => Dedup.chunkDedup(t(s, d, "documents"))),
+    "q_normalize" -> ((s, d) => TextAnalysis.normalize(t(s, d, "documents"))),
+    "q_seq_pack" -> ((s, d) => Packing.packSequences(t(s, d, "documents"))),
     "q_curation_e2e" -> ((s, d) => Curation.curationPipeline(t(s, d, "documents"))),
     "q_contamination" -> ((s, d) => Curation.contamination(t(s, d, "documents"))),
     "q_det_sample" -> ((s, d) => Curation.deterministicSample(t(s, d, "documents"))),
@@ -133,6 +136,9 @@ object SparkEntry {
     "q_dedup_embedding" -> Similarity.embeddingNearDupSql,
     "q_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_fuzzy_names" -> Dedup.fuzzyNamesSql,
+    "q_dedup_chunk" -> Dedup.chunkDedupSql,
+    "q_normalize" -> TextAnalysis.normalizeSql,
+    "q_seq_pack" -> Packing.packSequencesSql,
     "q_curation_e2e" -> Curation.curationPipelineSql,
     "q_contamination" -> Curation.contaminationSql,
     "q_det_sample" -> Curation.deterministicSampleSql,

@@ -299,6 +299,58 @@ SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id,
   (coalesce(l.label, d.doc_id) = d.doc_id)::BIGINT AS keep
 FROM documents d LEFT JOIN labels l ON l.id = d.doc_id"""
 
+  // ---- L25: chunk-level (paragraph) dedup ----
+  // Sub-document dedup: the corpus has no newline-delimited paragraphs,
+  // so the unit is a fixed 10-word chunk — the same shape as the
+  // line/paragraph dedup every large-scale curation pipeline runs to
+  // strip boilerplate (a chunk that appears anywhere earlier in the
+  // corpus is dropped; the FIRST occurrence, ordered by (doc_id, idx),
+  // is kept). Reassembled text preserves original chunk order.
+  //
+  // Scale shape: one explode to (doc, idx, chunk), one 16-byte-key
+  // groupBy for the global first-occurrence argmin, one join back on
+  // the hash, one groupBy(doc) to reassemble — all hash exchanges on
+  // bounded-width keys; no sort-based window over the corpus.
+  private val ChunkWords = 10
+
+  def chunkDedup(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val chunks = toks.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(toks) / $ChunkWords.0) AS INT) - 1),
+           |          i -> array_join(slice(toks, i * $ChunkWords + 1, $ChunkWords), ' '))""".stripMargin)))
+      .toDF("doc_id", "idx", "chunk")
+      .withColumn("h", md5(col("chunk")))
+    // global first occurrence per chunk hash: hash-agg argmin, no window
+    val first = chunks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("fdoc"), col("f.idx").as("fidx"))
+    chunks.join(first, "h")
+      .withColumn("kept", col("fdoc") === col("doc_id") && col("fidx") === col("idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        // collect_list skips the nulls from the unmatched branch; sort
+        // by idx restores original chunk order regardless of shuffle
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"), struct(col("idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("kept_text"))
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(list_slice(toks, i * $ChunkWords + 1, i * $ChunkWords + $ChunkWords), ' ') AS chunk
+  FROM toks, unnest(generate_series(0, cast(ceil(len(toks) / $ChunkWords.0) AS INT) - 1)) AS t(i)),
+marked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM chunks)
+SELECT doc_id, count(*)::BIGINT AS n_chunks, sum((rn = 1)::INT)::BIGINT AS n_kept,
+       coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS kept_text
+FROM marked GROUP BY doc_id"""
+
   // ---- L4: SimHash ----
   // 60-bit simhash over word tokens (count-weighted), md5-portable.
   // Near-dup predicate: hamming distance <= 4. Spark generates

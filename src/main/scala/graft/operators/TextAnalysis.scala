@@ -332,4 +332,47 @@ SELECT doc_id, unnest(list_distinct(
   list_transform(generate_series(1, n - 7), j -> list_aggregate(grams[j:j+3], 'min')))) AS fp
 FROM g"""
   }
+
+  // ---- L26: text normalization (case fold, control strip, whitespace
+  // collapse) ----
+  // The corpus is already clean (lowercase, single-spaced), so the
+  // oracle query injects deterministic noise FIRST — upper-casing every
+  // token where (doc_id + i) % 5 = 0 and prefixing every 13th token
+  // with a tab — then normalizes, and proves the result restores the
+  // original bytes exactly (`restored` = 1 for every row, hash-checked).
+  // Same oracle-pinned-injection pattern as the traffic bad-timestamp
+  // drop. Map-only at scale; the normalize chain itself is the operator.
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[\\p{Cntrl}]", " "), " +", " "))
+
+  def normalize(documents: DataFrame): DataFrame = {
+    val pert = expr(
+      """array_join(transform(split(text, ' '), (t, i) ->
+        |  concat(CASE WHEN (i + 1) % 13 = 0 THEN concat(chr(9), ' ') ELSE '' END,
+        |         CASE WHEN (doc_id + i + 1) % 5 = 0 THEN upper(t) ELSE t END)), ' ')""".stripMargin)
+    documents
+      .withColumn("pert", pert)
+      .select(
+        col("doc_id"),
+        (length(col("pert")) - length(regexp_replace(col("pert"), "[A-Z]", "")))
+          .cast("long").as("n_upper"),
+        (length(col("pert")) - length(regexp_replace(col("pert"), "\\t", "")))
+          .cast("long").as("n_tabs"),
+        md5(normalizeText(col("pert"))).as("norm_md5"),
+        (normalizeText(col("pert")) === col("text")).cast("long").as("restored"))
+  }
+
+  val normalizeSql: String = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(pert), '[[:cntrl:]]', ' ', 'g'), ' +', ' ', 'g'))"
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT doc_id, text, string_agg(
+    (CASE WHEN i % 13 = 0 THEN chr(9) || ' ' ELSE '' END) ||
+    (CASE WHEN (doc_id + i) % 5 = 0 THEN upper(toks[i]) ELSE toks[i] END), ' ' ORDER BY i) AS pert
+  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+  GROUP BY doc_id, text)
+SELECT doc_id,
+  (length(pert) - length(regexp_replace(pert, '[A-Z]', '', 'g')))::BIGINT AS n_upper,
+  (length(pert) - length(regexp_replace(pert, '\t', '', 'g')))::BIGINT AS n_tabs,
+  md5(""" + norm + ") AS norm_md5,\n  (" + norm + " = text)::BIGINT AS restored\nFROM p"
+  }
 }

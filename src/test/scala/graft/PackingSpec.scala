@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Packing, TextAnalysis}
+
+/** Semantic invariants the DuckDB oracle cannot express directly:
+  * packing bounds on adversarial inputs, chunk-dedup idempotence, and
+  * normalization on genuinely dirty (unicode/control) text. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val documents = Tables.load(spark, sf, "documents")
+
+  test("packSequences: fill never exceeds budget except for oversize singletons") {
+    val packed = Packing.packSequences(documents, budget = 64, shards = 8).cache()
+    val n = packed.count()
+    assert(n == documents.count())
+    // overflow rows must be alone in their bin (a doc bigger than the
+    // budget gets its own bin; nothing may be packed after it)
+    val over = packed.where(col("fill") > 64)
+      .join(packed.groupBy(col("shard"), col("bin")).agg(count(lit(1)).as("sz")),
+        Seq("shard", "bin"))
+    assert(over.where(col("sz") > 1).count() == 0)
+    // bins are dense per shard: 0..max with no gaps
+    val gaps = packed.groupBy(col("shard"))
+      .agg(countDistinct(col("bin")).as("nb"), max(col("bin")).as("mx"))
+      .where(col("nb") =!= col("mx") + 1)
+    assert(gaps.count() == 0)
+    packed.unpersist()
+  }
+
+  test("packSequences: single oversize doc packs alone, neighbors unaffected") {
+    val docs = Seq(
+      (0L, Seq.fill(10)("a").mkString(" ")),   // 10 tok
+      (8L, Seq.fill(100)("b").mkString(" ")),  // oversize vs budget 32
+      (16L, Seq.fill(10)("c").mkString(" ")),
+      (24L, Seq.fill(10)("d").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, budget = 32, shards = 1)
+      .select("doc_id", "bin", "fill").as[(Long, Long, Long)].collect().sortBy(_._1)
+    // next-fit by doc_id: 10 fits bin0; 100 overflows -> bin1 alone;
+    // 10 can't join the oversize bin -> bin2; next 10 fits bin2
+    assert(out.map(r => (r._2, r._3)).toSeq ==
+      Seq((0L, 10L), (1L, 100L), (2L, 10L), (2L, 20L)))
+  }
+
+  test("chunkDedup: first occurrence wins, shared and whole-doc dups drop") {
+    def words(p: String) = (1 to 10).map(p + _).mkString(" ")
+    val (a, b, c) = (words("a"), words("b"), words("c"))
+    val docs = Seq(
+      (1L, s"$a $b"), // both chunks first occurrences
+      (2L, s"$a $c"), // chunk A already seen -> only C survives
+      (3L, c)         // whole doc already seen -> keeps nothing
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs)
+      .select("doc_id", "n_chunks", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 2L, s"$a $b")))
+    assert(out(1) == ((2L, 2L, 1L, c)))
+    assert(out(2) == ((3L, 1L, 0L, "")))
+    // corpus: a byte-identical copy doc keeps zero chunks (identical
+    // chunks at identical boundaries, all first-owned by the earlier doc)
+    val firstIds = documents.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val copies = documents.select(md5(col("text")).as("h"), col("doc_id"))
+      .join(firstIds, "h").where(col("doc_id") =!= col("first_id"))
+    val lost = copies.join(Dedup.chunkDedup(documents), "doc_id")
+      .where(col("n_kept") > 0)
+    assert(lost.count() == 0, "an exact-copy doc kept a chunk its original already owned")
+  }
+
+  test("normalizeText cleans unicode controls, case, and whitespace runs") {
+    val dirty = Seq(
+      (1L, "Hello\t\tWORLD  \r\n  foo"),
+      (2L, "  already clean  "),
+      (3L, "MiXeD\u000BCaSe")
+    ).toDF("id", "s")
+    val out = dirty.select(col("id"), TextAnalysis.normalizeText(col("s")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "hello world foo")
+    assert(out(2L) == "already clean")
+    assert(out(3L) == "mixed case")
+  }
+}
