@@ -30,7 +30,7 @@ object SparkEntry {
     "q_max_flow_global" -> ((s, d) => Traffic.maxFlowGlobal(t(s, d, "events"))),
     "q_max_flow_sliding" -> ((s, d) => Traffic.maxFlowSliding(t(s, d, "events"))),
     "q_max_flow_sliding_60_1" -> ((s, d) => Traffic.maxFlowSlidingScan(t(s, d, "events"))),
-    "q_max_flow_e2e" -> ((s, d) => Traffic.maxLaneFlowE2e(t(s, d, "events"))),
+    "q_max_flow_e2e" -> ((s, d) => Traffic.maxLaneFlowE2eScan(t(s, d, "events"))),
     "q_max_flow_sliding_60_1_dense" -> ((s, d) =>
       Traffic.maxFlowSlidingAuto(Traffic.densify(t(s, d, "events")))),
     // §2.2 engine core

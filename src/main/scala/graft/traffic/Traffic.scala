@@ -103,51 +103,25 @@ object Traffic {
     * ~3 s for this shape). The single-element explode is a Generate
     * barrier that materialises `items` exactly once per row. */
   def extractLanes(lines: DataFrame): DataFrame = {
-    // NB: a translate()-based all-digits test was measured SLOWER than
-    // rlike here (translate allocates a copied string per evaluation;
-    // the compiled regex just scans) — keep the regex.
-    def f(i: Int) = element_at(col("items"), 7 + i * 5) // flow, 1-based idx
-    def ao(i: Int) = element_at(col("items"), 8 + i * 5)
-    def as_(i: Int) = element_at(col("items"), 9 + i * 5)
-    // one regex per lane instead of three: empty fields can't hide in
-    // the join because the separators are mandatory and + needs >= 1
-    // digit per field (same predicate as 3 separate all-digit tests)
-    def valid(i: Int) =
-      coalesce(concat_ws(",", f(i), ao(i), as_(i))
-        .rlike("^[0-9]+,[0-9]+,[0-9]+$"), lit(false))
-    // index of the first invalid lane, 9 when all parse (codegen'd when-chain)
-    val firstInvalid = (1 to 8).foldRight(lit(9): Column)((i, acc) =>
-      when(!valid(i), lit(i)).otherwise(acc))
-    // lanes as a fixed array of 8 structs (no lambda — codegen'd), so
-    // each exploded row carries one 4-field struct, not the 50-string
-    // items array.
-    val lanes = array((1 to 8).map(i => struct(
-      lit(i).as("i"),
-      element_at(col("items"), 7 + i * 5).as("flow"),
-      element_at(col("items"), 8 + i * 5).as("ao"),
-      element_at(col("items"), 9 + i * 5).as("asp"))): _*)
+    // One-pass parse via the ExtractReading custom expression: split +
+    // per-lane digit validation + stop-at-first-invalid + long parsing
+    // + strict timestamp parse happen in a single scan of the line.
+    // The relational shape — 8 × concat_ws + rlike over a split array,
+    // then try_to_timestamp — built ~60 intermediate strings, ran 8
+    // compiled regexes AND a DateTimeFormatter per line (together
+    // ≈1.8 s of the 3.4 s extract at sf0.1). The malformed-timestamp
+    // drop (TrafficMaxLaneFlow.java:215-222) is the ts_us null filter.
+    graft.functions.VectorFunctions.register(lines.sparkSession)
     lines
-      // split once: the explode is a Generate barrier materialising
-      // `items`, and the >= 48 guard runs on the materialised array —
-      // a pre-Generate `where` would evaluate a second split per line
-      .select(col("event_id"), explode(array(split(col("line"), ","))).as("items"))
-      .where(size(col("items")) >= 48)
-      // the reference parses MM/dd/yyyy HH:mm:ss and silently drops the
-      // whole reading when the timestamp is malformed
-      // (TrafficMaxLaneFlow.java:215-222); try_to_timestamp yields null
-      // on parse failure (ANSI-safe), and the filter drops the record
-      // before the lane fan-out.
-      .withColumn("parsed_ts",
-        try_to_timestamp(element_at(col("items"), 1), lit("MM/dd/yyyy HH:mm:ss")))
-      .where(col("parsed_ts").isNotNull)
+      .select(col("event_id"), expr("graft_extract_reading(line)").as("x"))
+      .where(col("x").isNotNull && col("x.ts_us").isNotNull)
       .select(col("event_id"),
-        element_at(col("items"), 2).as("station_id"),
-        element_at(col("items"), 4).as("direction"),
-        element_at(col("items"), 3).as("freeway"),
-        col("parsed_ts").as("recorded_ts"),
-        element_at(col("items"), 8).cast("long").as("total_flow"),
-        // slice() keeps the bound ascending (sequence(1, 0) counts DOWN)
-        explode(slice(lanes, lit(1), firstInvalid - 1)).as("l"))
+        col("x.station").as("station_id"),
+        col("x.direction").as("direction"),
+        col("x.freeway").as("freeway"),
+        timestamp_micros(col("x.ts_us")).as("recorded_ts"),
+        col("x.total").as("total_flow"),
+        explode(col("x.lanes")).as("l"))
       .select(
         col("event_id"),
         col("station_id"),
@@ -155,9 +129,9 @@ object Traffic {
         col("direction"),
         col("freeway"),
         col("recorded_ts"),
-        col("l.flow").cast("long").as("lane_flow"),
-        col("l.ao").cast("long").as("lane_ao"),
-        col("l.asp").cast("long").as("lane_as"),
+        col("l.flow").as("lane_flow"),
+        col("l.ao").as("lane_ao"),
+        col("l.asp").as("lane_as"),
         col("total_flow"))
   }
 
@@ -414,6 +388,60 @@ FROM lanes"""
         col("m.total_flow").as("total_flow"),
         date_format(col("m.recorded_ts"), "MM/dd/yyyy HH:mm:ss").as("recorded_timestamp"),
         (col("w.end") - expr("INTERVAL 1 MILLISECOND")).as("window_timestamp"))
+
+  /** [[maxLaneFlowE2e]] on the ordered-scan walk instead of the ×4
+    * Expand: the Expand plan duplicates every WIDE lane row (three
+    * string columns) four times into two SortAggregates — measured 3.1 s
+    * of the 4.3 s e2e at sf0.1 for 1.7 M expanded rows. Here the lane
+    * records shuffle once on station (narrow 11-field rows, no
+    * duplication), sort per partition by (station, 15-min bucket), and
+    * the generic [[SlidingScan]] deque walk emits each (window, station)
+    * argmax directly. Result-identical (TrafficSpec asserts equality;
+    * driver oracle hash-checks): the walk's total order is the same
+    * (lane_flow, recorded_ts, event_id, lane) prefix — the struct
+    * fields after `lane` are unreachable because event_id is unique and
+    * within one event the lane field already differs. */
+  /** (station_id, bucket, lane_flow, ts_us, event_id, lane, direction,
+    * freeway, lane_ao, lane_as, total_flow) */
+  private type LaneRec =
+    (String, Long, Long, Long, Long, String, String, String, Long, Long, Long)
+
+  def maxLaneFlowE2eScan(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val usPerBucket = 900L * 1000000L // 15-minute slide
+    val keyed = extractLanes(csvLines(events)).select(
+      col("station_id"),
+      expr(s"unix_micros(recorded_ts) div ${usPerBucket}L").as("bucket"),
+      col("lane_flow"), unix_micros(col("recorded_ts")).as("ts_us"),
+      col("event_id"), col("lane"),
+      col("direction"), col("freeway"), col("lane_ao"), col("lane_as"),
+      col("total_flow"))
+    def greater(a: LaneRec, b: LaneRec): Boolean =
+      if (a._3 != b._3) a._3 > b._3
+      else if (a._4 != b._4) a._4 > b._4
+      else if (a._5 != b._5) a._5 > b._5
+      else a._6 > b._6
+    val emitted = keyed
+      .as[LaneRec]
+      .repartition(col("station_id"))
+      .sortWithinPartitions(col("station_id"), col("bucket"))
+      .mapPartitions(rows => SlidingScan.emitGeneric[LaneRec, String](rows, 4)(
+        _._1, _._2, greater,
+        (m, w) => (m._1, w, m._3, m._4, m._5, m._6, m._7, m._8, m._9, m._10, m._11)))
+    emitted.select(
+      col("_1").as("station_id"),
+      col("_7").as("direction"),
+      col("_8").as("freeway"),
+      col("_3").as("lane_max_flow"),
+      col("_6").as("lane"),
+      col("_9").cast("double").as("avg_occ"),
+      col("_10").cast("double").as("avg_speed"),
+      col("_11").as("total_flow"),
+      date_format(timestamp_micros(col("_4")), "MM/dd/yyyy HH:mm:ss").as("recorded_timestamp"),
+      (timestamp_micros(col("_2") * usPerBucket) + expr("INTERVAL 60 MINUTES")
+        - expr("INTERVAL 1 MILLISECOND")).as("window_timestamp"))
+  }
 
   def maxLaneFlowE2eSql: String =
     s"""WITH lanes_x AS ($extractLanesSql),

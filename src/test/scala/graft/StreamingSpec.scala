@@ -131,8 +131,11 @@ class StreamingSpec extends SparkSpec {
     val parsed = Traffic.extractLanes(
       TrafficStream.injectLines(lines).toDF("raw")
         .select(
-          split(col("raw"), "\\|").getItem(0).cast("long").as("event_id"),
-          split(col("raw"), "\\|").getItem(1).as("line")))
+          // get()/try_cast, not getItem()/cast: extractLanes' null
+          // filter is pushable below this projection, so these exprs
+          // can evaluate on not-yet-filtered header/blank lines (ANSI)
+          expr("try_cast(get(split(raw, '\\\\|'), 0) AS BIGINT)").as("event_id"),
+          expr("get(split(raw, '\\\\|'), 1)").as("line")))
     val q = parsed.writeStream.format("memory").queryName("fstream").outputMode("append").start()
     q.processAllAvailable()
     q.stop()

@@ -93,6 +93,15 @@ class TrafficSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, "one station-hash exchange only")
   }
 
+  test("ordered-scan e2e equals the Expand e2e, Expand-free plan") {
+    val events = Tables.load(spark, sf, "events")
+    val direct = Traffic.maxLaneFlowE2e(events)
+    val scan = Traffic.maxLaneFlowE2eScan(events)
+    assert(direct.exceptAll(scan).isEmpty && scan.exceptAll(direct).isEmpty)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "the scan e2e must not fan rows out")
+  }
+
   test("density probe routes dense feeds to pre-agg and sparse to direct") {
     val events = Tables.load(spark, sf, "events")
     val sparse = Traffic.bucketDensity(events)
