@@ -278,4 +278,59 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
     assert(!plan.contains("l_orderkey"), "scan should not read unused columns")
   }
+
+  test("TopCells matches the array_max/sort_array struct formulation, ties included") {
+    import graft.functions.TopCells
+    // deterministic vectors with ENGINEERED score ties: matrix rows 1
+    // and 3 are identical, so every input ties on them — the struct
+    // formulation resolves to the higher cell id, TopCells must too
+    val dim = 8
+    val matrix = Array.tabulate(5, dim)((r, i) =>
+      if (r == 3) ((1 % 5) + 1) * 0.25 + i * 0.125 // row 3 == row 1
+      else (r % 5 + 1) * 0.25 + i * 0.125)
+    val vecs = (0 until 64).map(k => (k.toLong, Array.tabulate(dim)(i =>
+      math.sin(k * 31 + i).abs))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    graft.functions.VectorFunctions.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tc_test", exprs => TopCells(exprs.head, matrix, 3,
+        matrix.indices.toArray, "tc_test"), "built-in")
+    val structs = matrix.zipWithIndex.map { case (c, i) =>
+      struct(expr(s"graft_dot(v, ${c.mkString("array(", "D,", "D)")})").as("p"),
+        lit(i).as("c"))
+    }
+    val both = vecs.select(col("id"),
+      expr("tc_test(v)").as("tc"),
+      transform(slice(sort_array(array(structs: _*), asc = false), 1, 3),
+        x => x.getField("c")).as("ref"))
+    assert(both.where(not(col("tc") === col("ref"))).count() == 0)
+  }
+
+  test("ExtractReading timestamp strictness matches try_to_timestamp on the feed's shapes") {
+    graft.functions.VectorFunctions.register(spark)
+    val tail = "," + Seq.fill(46)("1").mkString(",")
+    val cases = Seq(
+      "01/05/2024 03:04:05", // valid
+      "12/31/2023 23:59:59", // valid, boundaries
+      "01-05-2024 03:04:05", // injected malformed (dashes)
+      "02/30/2024 03:04:05", // invalid calendar date
+      "13/05/2024 03:04:05", // invalid month
+      "01/05/2024 24:00:00", // invalid hour
+      "1/5/2024 03:04:05")   // non-padded (strict: rejected)
+    val df = cases.zipWithIndex
+      .map { case (ts, i) => (i.toLong, s"$ts,42,FW2,N$tail") }
+      .toDF("event_id", "line")
+    val out = df.select(col("event_id"),
+      expr("graft_extract_reading(line)").getField("ts_us").as("us"),
+      try_to_timestamp(split(col("line"), ",").getItem(0),
+        lit("MM/dd/yyyy HH:mm:ss")).as("ref"))
+      .collect().sortBy(_.getLong(0))
+    out.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"row ${r.getLong(0)}: ExtractReading and try_to_timestamp disagree on validity")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getTimestamp(2).getTime * 1000L,
+          s"row ${r.getLong(0)}: parsed instants differ")
+    }
+  }
 }
