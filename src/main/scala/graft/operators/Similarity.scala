@@ -416,6 +416,65 @@ WHERE rk <= $TopK"""
     cents
   }
 
+  // ---- L28: kNN graph construction ----
+  // Every vector's top-k neighbors among its LSH bucket-mates — the
+  // corpus×corpus generalization of annLsh (which only serves a 1%
+  // query subset). This is the standard curation primitive behind
+  // semantic dedup clustering, diversity/typicality sampling, and
+  // SemDeDup-style pruning. Candidates come from the SAME capped
+  // hyperplane banding as L5 (per-bucket occupancy cap keeps a hot
+  // bucket from going quadratic); each candidate pair is scored once
+  // (x < y) and emitted in both directions, then a bounded
+  // TopKAggregator keeps k per vector — no corpus-wide sort window.
+  // Isolated vectors (no surviving bucket-mate) are absent from the
+  // output, matching the oracle.
+  private val KnnK = 3
+
+  def knnGraph(embeddings: DataFrame, tables: Int = DefaultTables,
+      planes: Int = DefaultPlanes, maxOcc: Int = DefaultMaxOcc,
+      k: Int = KnnK): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = withNorm(embeddings, "vec_id", "v", "nv")
+    val scored = embeddingCandidatePairs(embeddings, tables, planes, maxOcc)
+      .join(base.select(col("vec_id").as("x"), col("v").as("va"), col("nv").as("na")), "x")
+      .join(base.select(col("vec_id").as("y"), col("v").as("vb"), col("nv").as("nb")), "y")
+      .select(col("x"), col("y"),
+        round(gdot("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
+    val sym = scored.unionAll(
+      scored.select(col("y").as("x"), col("x").as("y"), col("cos")))
+    val agg = new graft.functions.TopKAggregator(k).toColumn
+    sym.select(col("x"), col("y").as("id"), col("cos").as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(agg)
+      .flatMap { case (x, top) =>
+        top.iterator.zipWithIndex.map { case (e, i) => (x, e.id, e.score, (i + 1).toLong) }
+      }
+      .toDF("vec_id", "nbr_id", "cos", "rk")
+  }
+
+  val knnGraphSql: String = {
+    val c = cosineSql("a.e", "c.e")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, ${bucketKeysSql("e", DefaultTables, DefaultPlanes)} AS bks FROM v),
+x AS (SELECT vec_id, unnest(bks) AS bk FROM b),
+keep AS (SELECT x.vec_id, x.bk FROM x
+  JOIN (SELECT bk FROM x GROUP BY bk HAVING count(*) <= $DefaultMaxOcc) occ USING (bk)),
+cand AS (SELECT DISTINCT a.vec_id AS x, c.vec_id AS y
+  FROM keep a JOIN keep c ON a.bk = c.bk AND a.vec_id < c.vec_id),
+scored AS (
+  SELECT cand.x, cand.y, round($c, 6) AS cos
+  FROM cand JOIN b a ON a.vec_id = cand.x JOIN b c ON c.vec_id = cand.y),
+sym AS (SELECT x, y, cos FROM scored UNION ALL SELECT y AS x, x AS y, cos FROM scored)
+SELECT vec_id, nbr_id, cos, rk FROM (
+  SELECT x AS vec_id, y AS nbr_id, cos,
+         row_number() OVER (PARTITION BY x ORDER BY cos DESC, y ASC) AS rk
+  FROM sym)
+WHERE rk <= $KnnK"""
+  }
+
   /** Mean fraction of the corpus that is a candidate per query — the
     * IVF efficiency metric the sizing rule controls (≈ nprobe/C). */
   def ivfCandidateFraction(embeddings: DataFrame, cells: Int = 0,
