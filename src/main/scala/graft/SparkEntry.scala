@@ -77,6 +77,7 @@ object SparkEntry {
     "q_det_sample" -> ((s, d) => Curation.deterministicSample(t(s, d, "documents"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
+    "q_quantize" -> ((s, d) => Similarity.quantize(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "q_ann_ivf2" -> ((s, d) => Similarity.annIvf2(t(s, d, "embeddings"))),
@@ -145,6 +146,7 @@ object SparkEntry {
     "q_det_sample" -> Curation.deterministicSampleSql,
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_knn_graph" -> Similarity.knnGraphSql,
+    "q_quantize" -> Similarity.quantizeSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,
     "q_token_count" -> TextAnalysis.tokenCountSql,

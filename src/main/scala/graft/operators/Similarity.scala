@@ -475,6 +475,61 @@ SELECT vec_id, nbr_id, cos, rk FROM (
 WHERE rk <= $KnnK"""
   }
 
+  // ---- L29: int8 scalar quantization (ANN index compression) ----
+  // Per-vector min/max scalar quantization to 8-bit codes — the
+  // standard 4× compression step before an ANN index ships to serving
+  // (faiss SQ8 shape). Map-only; emits order-independent EXACT
+  // summaries so the oracle is portable: qsum/qdot are integer sums
+  // over the codes (qdot position-weighted, so the full code vector is
+  // hash-proven, not just its sum), max_abs_err is an order-free max.
+  // Both engines compute (x−mn)/scale in IEEE doubles and round
+  // half-away-from-zero (values are non-negative, so Spark's HALF_UP
+  // agrees with DuckDB's away-from-zero); a flat vector (mx = mn)
+  // quantizes to all-zero codes with zero error.
+  def quantize(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asD(col("embedding")).as("v"))
+    base
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("scale", when(col("mx") === col("mn"), lit(0.0))
+        .otherwise((col("mx") - col("mn")) / 255.0))
+      // stepwise withColumn so every HOF closes over plain column refs
+      // (a lambda referencing another array EXPRESSION is inlined and
+      // re-evaluated per element — the O(n²) interpreted trap)
+      .withColumn("codes", when(col("scale") === 0.0,
+          transform(col("v"), _ => lit(0L)))
+        .otherwise(transform(col("v"), x =>
+          round((x - col("mn")) / col("scale"), 0).cast("long"))))
+      .withColumn("idx", sequence(lit(1L), size(col("v")).cast("long")))
+      .withColumn("weighted", zip_with(col("codes"), col("idx"), (q, i) => q * i))
+      .withColumn("errs", zip_with(col("v"), col("codes"), (x, q) =>
+        abs(x - (col("mn") + q * col("scale")))))
+      .select(
+        col("vec_id"),
+        round(col("mn"), 6).as("mn"),
+        round(col("mx"), 6).as("mx"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("qsum"),
+        aggregate(col("weighted"), lit(0L), (a, x) => a + x).as("qdot"),
+        round(array_max(col("errs")), 6).as("max_abs_err"))
+  }
+
+  val quantizeSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v),
+c AS (SELECT vec_id, e, mn, mx,
+        CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS scale FROM s),
+q AS (SELECT vec_id, e, mn, mx, scale,
+        list_transform(e, x -> CASE WHEN scale = 0 THEN 0::BIGINT
+          ELSE round((x - mn) / scale)::BIGINT END) AS codes FROM c),
+agg AS (SELECT vec_id, sum(codes[i])::BIGINT AS qsum,
+          sum(codes[i] * i)::BIGINT AS qdot,
+          max(abs(e[i] - (mn + codes[i] * scale))) AS max_abs_err
+        FROM q, unnest(generate_series(1, len(codes))) AS g(i)
+        GROUP BY vec_id)
+SELECT q.vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+       qsum, qdot, round(max_abs_err, 6) AS max_abs_err
+FROM q JOIN agg ON agg.vec_id = q.vec_id"""
+
   /** Mean fraction of the corpus that is a candidate per query — the
     * IVF efficiency metric the sizing rule controls (≈ nprobe/C). */
   def ivfCandidateFraction(embeddings: DataFrame, cells: Int = 0,
