@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash60(exprs.head)))
     // transparently upgrade HOF dot products to the codegen'd expression
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    // whole-operator as-of join: AsOfJoin logical node -> AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -48,6 +48,8 @@ object SparkEntry {
     "q_json_extract" -> ((s, d) => Relational.jsonExtract(t(s, d, "events"))),
     "q_pivot_events" -> ((s, d) => Relational.pivotEvents(t(s, d, "events"))),
     "q_asof_join" -> ((s, d) => Relational.asofJoin(t(s, d, "events"), t(s, d, "orders"))),
+    "q_asof_join_native" -> ((s, d) =>
+      Relational.asofJoinNative(t(s, d, "events"), t(s, d, "orders"))),
     "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_percentiles" -> ((s, d) => Relational.percentiles(t(s, d, "orders"))),
@@ -121,6 +123,7 @@ object SparkEntry {
     "q_json_extract" -> Relational.jsonExtractSql,
     "q_pivot_events" -> Relational.pivotEventsSql,
     "q_asof_join" -> Relational.asofJoinSql,
+    "q_asof_join_native" -> Relational.asofJoinSql,
     "q_rollup_revenue" -> Relational.rollupRevenueSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube_revenue" -> Relational.cubeRevenueSql,

@@ -247,6 +247,34 @@ FROM events GROUP BY 1, 2"""
       .select(col("event_id"), col("m.o_orderkey").as("asof_orderkey"),
         col("m.o_orderdate").as("asof_orderdate"), col("m.o_totalprice").as("asof_totalprice"))
 
+  /** C11 on the custom whole-operator plan ([[graft.plans.AsOfJoin]] →
+    * `AsOfJoinExec`): same result set and oracle as [[asofJoin]], but
+    * the physical plan is a co-partitioned sorted merge walk emitting
+    * each event's answer directly — no (event × matching-orders)
+    * fan-out, no aggregation. The composed plan's intermediate row
+    * count is events × orders-per-customer; this one's is
+    * |events| + |orders| regardless of per-key history length — the
+    * regime where the custom operator wins at 100 TB. */
+  def asofJoinNative(events: DataFrame, orders: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    org.apache.spark.sql.graftshim.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val l = events.select(col("event_id"), col("ts"), col("user_id"))
+    val r = orders.select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val node = graft.plans.AsOfJoin(lp, rp,
+      leftKey = a(lp, "user_id"), rightKey = a(rp, "o_custkey"),
+      leftTime = a(lp, "ts"), rightTime = a(rp, "o_orderdate"))
+    org.apache.spark.sql.graftshim.ofRows(spark, node)
+      .select(col("event_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_orderdate").as("asof_orderdate"),
+        col("o_totalprice").as("asof_totalprice"))
+  }
+
   val asofJoinSql: String =
     """SELECT event_id, asof_orderkey, asof_orderdate, asof_totalprice FROM (
   SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
