@@ -256,23 +256,28 @@ WHERE levenshtein(l.name, r.name) <= $FuzzyMaxDist"""
       val pulled = edges
         .join(labels.select(col("id").as("y"), col("label").as("nl")), "y")
         .groupBy(col("x").as("id")).agg(min(col("nl")).as("pulled"))
+      // NOT checkpointed: `next`'s checkpoint below caps the round's
+      // lineage either way, and localCheckpoint is EAGER — an extra
+      // materialization job per round for an intra-round intermediate
       val stepped = labels
         .join(pulled, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("pulled"), col("label"))).as("label"))
-        .localCheckpoint()
       // pointer jump: label <- label(label). Valid because label(x) <= x
       // is invariant (labels only ever decrease toward the component
       // min), so the jump stays inside the component while roughly
       // DOUBLING the reach per round — a D-diameter chain converges in
       // O(log D) job waves instead of D (each round is a cluster-wide
       // barrier; the waves, not the per-round work, are the scale cost).
+      // lazy checkpoint: the fixpoint count below is the round's one
+      // materializing job — it computes `next`, persists it, and cuts
+      // the lineage in the same pass (eager would spend a second job)
       val next = stepped.as("a")
         .join(stepped.select(col("id").as("jid"), col("label").as("jl")),
           col("a.label") === col("jid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.label"), coalesce(col("jl"), col("a.label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
         .where(col("label") =!= col("old")).count()
       labels = next
