@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, EqualTo}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2 batch connector for the injector's `id|line`
+  * payload files (the on-the-wire format PubsubFileInjector produces,
+  * reference PubsubFileInjector.java:60-66) — the custom-connector API
+  * tier the reference's PubsubIO/BigQueryIO imply, implemented against
+  * Spark's public connector API (TableProvider → Table → ScanBuilder →
+  * Batch → PartitionReader).
+  *
+  * Deliberately real, not a toy:
+  *  - one InputPartition per file — the file is the split unit, so a
+  *    directory of N files reads with N-way parallelism and the
+  *    partition count scales with the input layout, like FileScan;
+  *  - column pruning (SupportsPushDownRequiredColumns): a projection
+  *    of `event_id` never materialises the line strings;
+  *  - filter pushdown (SupportsPushDownFilters) for event_id range /
+  *    equality predicates: rows are dropped INSIDE the reader before
+  *    reaching Spark, and the pushed set is echoed in the scan
+  *    description (visible in `.explain`) — residual filters stay with
+  *    Spark, exactly the FileScan contract;
+  *  - malformed lines (no `|`, non-numeric id) are skipped at the
+  *    reader, mirroring the injector's drop semantics.
+  *
+  * Registered as short name `graft-lines` via DataSourceRegister
+  * (META-INF/services), so `spark.read.format("graft-lines")` works.
+  */
+class GraftLinesSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-lines"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLinesTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftLinesTable(Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-lines requires a 'path' option")))
+}
+
+object GraftLinesTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("line", StringType, nullable = false)))
+}
+
+class GraftLinesTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_lines($path)"
+  override def schema(): StructType = GraftLinesTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLinesScanBuilder(path)
+}
+
+class GraftLinesScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = GraftLinesTable.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // accept event_id comparisons; everything else stays with Spark
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition {
+      case EqualTo("event_id", _) | GreaterThan("event_id", _) |
+           GreaterThanOrEqual("event_id", _) | LessThan("event_id", _) |
+           LessThanOrEqual("event_id", _) | IsNotNull("event_id") => true
+      case _ => false
+    }
+    pushed = ours
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GraftLinesScan(path, required, pushed)
+}
+
+class GraftLinesScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLines path=$path, ReadColumns=${required.fieldNames.mkString("[", ",", "]")}, " +
+      s"PushedFilters=${pushed.mkString("[", ", ", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isDirectory)
+        dir.listFiles().filter(f => f.isFile && !f.getName.startsWith(".")
+          && !f.getName.startsWith("_")).sortBy(_.getName)
+      else Array(dir)
+    files.map(f => GraftLinesPartition(f.getAbsolutePath): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLinesReaderFactory(required, pushed)
+}
+
+case class GraftLinesPartition(file: String) extends InputPartition
+
+class GraftLinesReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftLinesReader(partition.asInstanceOf[GraftLinesPartition].file,
+      required, pushed)
+}
+
+class GraftLinesReader(file: String, required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val source = scala.io.Source.fromFile(file)
+  private val lines = source.getLines()
+  private var current: InternalRow = _
+
+  private def keep(id: Long): Boolean = pushed.forall {
+    case EqualTo("event_id", v: Number) => id == v.longValue()
+    case GreaterThan("event_id", v: Number) => id > v.longValue()
+    case GreaterThanOrEqual("event_id", v: Number) => id >= v.longValue()
+    case LessThan("event_id", v: Number) => id < v.longValue()
+    case LessThanOrEqual("event_id", v: Number) => id <= v.longValue()
+    case IsNotNull("event_id") => true
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && lines.hasNext) {
+      val raw = lines.next()
+      val sep = raw.indexOf('|')
+      if (sep > 0) {
+        val idStr = raw.substring(0, sep)
+        if (idStr.nonEmpty && idStr.forall(c => c >= '0' && c <= '9')) {
+          val id = idStr.toLong
+          if (keep(id)) {
+            val values = required.fieldNames.map {
+              case "event_id" => java.lang.Long.valueOf(id)
+              case "line" => UTF8String.fromString(raw.substring(sep + 1))
+            }
+            current = InternalRow.fromSeq(values.toSeq)
+          }
+        }
+      }
+    }
+    current != null
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = source.close()
+}

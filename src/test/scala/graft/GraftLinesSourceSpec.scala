@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.traffic.Traffic
+
+/** The custom DSv2 connector (§2.4): correctness, per-file
+  * parallelism, column pruning, filter pushdown, malformed-line drops,
+  * and composition with the extract pipeline. */
+class GraftLinesSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-lines-src").toString
+    def tail = "," + Seq.fill(46)("7").mkString(",")
+    Files.writeString(Paths.get(s"$d/part0.txt"),
+      s"1|01/05/2024 03:04:05,42,FW2,N$tail\n" +
+        "garbage line without separator\n" +
+        s"2|01/05/2024 03:05:05,42,FW2,N$tail\n")
+    Files.writeString(Paths.get(s"$d/part1.txt"),
+      s"3|01/05/2024 03:06:05,43,FW3,S$tail\n" +
+        s"notanumber|01/05/2024 03:07:05,43,FW3,S$tail\n" +
+        s"4|01-05-2024 03:07:05,43,FW3,S$tail\n") // malformed ts: extract drops it
+    d
+  }
+
+  test("graft-lines reads id|line payloads with one partition per file") {
+    val df = spark.read.format("graft-lines").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("event_id", "line"))
+    assert(df.count() == 4) // garbage + non-numeric id dropped at the reader
+    assert(df.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("event_id filters push into the reader; pruning drops the line column") {
+    val df = spark.read.format("graft-lines").load(dir)
+    val filtered = df.where(col("event_id") > 2)
+    assert(filtered.as[(Long, String)].collect().map(_._1).sorted.toSeq == Seq(3L, 4L))
+    val plan = filtered.queryExecution.executedPlan.toString
+    // event_id is non-nullable, so no IsNotNull is generated; the range
+    // predicate is fully consumed by the scan (no residual Filter node)
+    assert(plan.contains("PushedFilters=[GreaterThan(event_id,2)]"), plan.take(1500))
+    assert(!plan.contains("+- Filter"), "pushed filter must leave no residual Filter node")
+    val pruned = df.select("event_id").queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadColumns=[event_id]"), pruned.take(1500))
+  }
+
+  test("the connector feeds the extract pipeline end-to-end") {
+    val lanes = Traffic.extractLanes(spark.read.format("graft-lines").load(dir))
+    // 3 parseable readings (event 4 has the dashed timestamp) × 8 lanes
+    assert(lanes.count() == 24)
+    assert(lanes.select("station_id").distinct().as[String].collect().toSet ==
+      Set("42", "43"))
+  }
+}
