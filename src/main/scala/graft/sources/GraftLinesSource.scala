@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{streaming, Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, EqualTo}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -56,7 +56,7 @@ class GraftLinesTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft_lines($path)"
   override def schema(): StructType = GraftLinesTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLinesScanBuilder(path)
 }
@@ -93,14 +93,59 @@ class GraftLinesScan(path: String, required: StructType, pushed: Array[Filter])
     s"GraftLines path=$path, ReadColumns=${required.fieldNames.mkString("[", ",", "]")}, " +
       s"PushedFilters=${pushed.mkString("[", ", ", "]")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftLinesScan.listFiles(path)
+      .map(f => GraftLinesPartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLinesReaderFactory(required, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new GraftLinesMicroBatchStream(path, required, pushed)
+}
+
+object GraftLinesScan {
+  /** Deterministic, name-ordered file listing — the order IS the
+    * streaming offset space, so it must be stable across calls. */
+  def listFiles(path: String): Array[String] = {
     val dir = new java.io.File(path)
     val files =
       if (dir.isDirectory)
         dir.listFiles().filter(f => f.isFile && !f.getName.startsWith(".")
           && !f.getName.startsWith("_")).sortBy(_.getName)
       else Array(dir)
-    files.map(f => GraftLinesPartition(f.getAbsolutePath): InputPartition)
+    files.map(_.getAbsolutePath)
+  }
+}
+
+/** Streaming side of the connector — the PubsubIO-analogue plug-in
+  * point (SURVEY §2.1 R9) implemented as a REAL custom
+  * `MicroBatchStream`: the source owns its offset space (count of
+  * name-ordered payload files), plans each micro-batch as the file
+  * range (start, end], and replays any range deterministically — the
+  * contract a message-bus source (Kafka) implements with topic
+  * offsets. Files must be appended with monotonically increasing
+  * names (the injector's behavior); already-processed prefixes are
+  * never re-read.
+  */
+class GraftLinesMicroBatchStream(path: String, required: StructType,
+    pushed: Array[Filter]) extends streaming.MicroBatchStream {
+  import streaming.Offset
+
+  private case class FileOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  override def initialOffset(): Offset = FileOffset(0)
+  override def latestOffset(): Offset = FileOffset(GraftLinesScan.listFiles(path).length)
+  override def deserializeOffset(json: String): Offset = FileOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileOffset].n
+    val e = end.asInstanceOf[FileOffset].n
+    GraftLinesScan.listFiles(path).slice(s, e)
+      .map(f => GraftLinesPartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLinesReaderFactory(required, pushed)

@@ -47,6 +47,29 @@ class GraftLinesSourceSpec extends SparkSpec {
     assert(pruned.contains("ReadColumns=[event_id]"), pruned.take(1500))
   }
 
+  test("micro-batch stream tracks file offsets and never re-reads a prefix") {
+    val d = Files.createTempDirectory("graft-lines-stream").toString
+    def tail = "," + Seq.fill(46)("7").mkString(",")
+    def writeFile(n: Int, ids: Seq[Long]): Unit =
+      Files.writeString(Paths.get(f"$d/f$n%03d.txt"),
+        ids.map(i => s"$i|01/05/2024 03:04:05,42,FW2,N$tail").mkString("", "\n", "\n"))
+    writeFile(0, Seq(1L, 2L))
+    val stream = spark.readStream.format("graft-lines").load(d)
+    val q = stream.writeStream.format("memory").queryName("glines")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("glines").count() == 2)
+      writeFile(1, Seq(3L))
+      writeFile(2, Seq(4L, 5L))
+      q.processAllAvailable()
+      // new files only — the earlier prefix is not re-read (no dups)
+      assert(spark.table("glines").select("event_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(q.lastProgress.sources.head.description.contains("GraftLines"))
+    } finally q.stop()
+  }
+
   test("the connector feeds the extract pipeline end-to-end") {
     val lanes = Traffic.extractLanes(spark.read.format("graft-lines").load(dir))
     // 3 parseable readings (event 4 has the dashed timestamp) × 8 lanes
