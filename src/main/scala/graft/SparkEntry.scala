@@ -50,6 +50,10 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Relational.asofJoin(t(s, d, "events"), t(s, d, "orders"))),
     "q_asof_join_native" -> ((s, d) =>
       Relational.asofJoinNative(t(s, d, "events"), t(s, d, "orders"))),
+    "q_asof_forward" -> ((s, d) =>
+      Relational.asofJoinForward(t(s, d, "events"), t(s, d, "orders"))),
+    "q_asof_tolerance" -> ((s, d) =>
+      Relational.asofJoinTolerance(t(s, d, "events"), t(s, d, "orders"))),
     "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_percentiles" -> ((s, d) => Relational.percentiles(t(s, d, "orders"))),
@@ -124,6 +128,8 @@ object SparkEntry {
     "q_pivot_events" -> Relational.pivotEventsSql,
     "q_asof_join" -> Relational.asofJoinSql,
     "q_asof_join_native" -> Relational.asofJoinSql,
+    "q_asof_forward" -> Relational.asofForwardSql,
+    "q_asof_tolerance" -> Relational.asofToleranceSql,
     "q_rollup_revenue" -> Relational.rollupRevenueSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube_revenue" -> Relational.cubeRevenueSql,

@@ -255,7 +255,8 @@ FROM events GROUP BY 1, 2"""
     * count is events × orders-per-customer; this one's is
     * |events| + |orders| regardless of per-key history length — the
     * regime where the custom operator wins at 100 TB. */
-  def asofJoinNative(events: DataFrame, orders: DataFrame): DataFrame = {
+  def asofJoinNative(events: DataFrame, orders: DataFrame,
+      direction: String = "backward", toleranceUs: Long = -1L): DataFrame = {
     val spark = events.sparkSession
     org.apache.spark.sql.graftshim.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     val l = events.select(col("event_id"), col("ts"), col("user_id"))
@@ -267,13 +268,50 @@ FROM events GROUP BY 1, 2"""
       p.output.find(_.name == n).get
     val node = graft.plans.AsOfJoin(lp, rp,
       leftKey = a(lp, "user_id"), rightKey = a(rp, "o_custkey"),
-      leftTime = a(lp, "ts"), rightTime = a(rp, "o_orderdate"))
+      leftTime = a(lp, "ts"), rightTime = a(rp, "o_orderdate"),
+      direction = direction, toleranceUs = toleranceUs)
     org.apache.spark.sql.graftshim.ofRows(spark, node)
       .select(col("event_id"),
         col("o_orderkey").as("asof_orderkey"),
         col("o_orderdate").as("asof_orderdate"),
         col("o_totalprice").as("asof_totalprice"))
   }
+
+  /** Forward as-of: the EARLIEST order at-or-after the event (pandas
+    * merge_asof direction='forward'); ties break to the smallest
+    * (orderkey, totalprice) — the ascending mirror of the backward
+    * tie order. */
+  def asofJoinForward(events: DataFrame, orders: DataFrame): DataFrame =
+    asofJoinNative(events, orders, direction = "forward")
+
+  val asofForwardSql: String =
+    """SELECT event_id, asof_orderkey, asof_orderdate, asof_totalprice FROM (
+  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+         o.o_totalprice AS asof_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY o.o_orderdate ASC NULLS LAST, o.o_orderkey ASC NULLS LAST) AS rn
+  FROM events e LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
+WHERE rn = 1"""
+
+  /** Backward as-of with a 30-day tolerance: an order older than the
+    * window yields nulls (merge_asof `tolerance`). */
+  private val AsofTolDays = 30L
+
+  def asofJoinTolerance(events: DataFrame, orders: DataFrame): DataFrame =
+    asofJoinNative(events, orders,
+      toleranceUs = AsofTolDays * 86400L * 1000000L)
+
+  val asofToleranceSql: String =
+    s"""SELECT event_id, asof_orderkey, asof_orderdate, asof_totalprice FROM (
+  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+         o.o_totalprice AS asof_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+   AND o.o_orderdate >= e.ts - INTERVAL '$AsofTolDays days')
+WHERE rn = 1"""
 
   val asofJoinSql: String =
     """SELECT event_id, asof_orderkey, asof_orderdate, asof_totalprice FROM (

@@ -41,7 +41,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: String = "backward", toleranceUs: Long = -1L) extends BinaryNode {
+  require(direction == "backward" || direction == "forward",
+    s"as-of direction must be backward|forward, got $direction")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -51,6 +54,7 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
+    direction: String, toleranceUs: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -88,9 +92,12 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val rBuf = rIt.buffered
-      // best-so-far right row for candKey (copied — iterator rows are reused)
+      val forward = direction == "forward"
+      // backward: best-so-far right row for candKey (copied — iterator
+      // rows are reused); forward: the answer is the un-consumed head
       var cand: InternalRow = null
       var candKey = 0L
+      var candTime = 0L
       lIt.map { lrow =>
         val lkBoxed = evalLong(lKeyExpr, lrow)
         val ltBoxed = evalLong(lTimeExpr, lrow)
@@ -98,27 +105,61 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
         else {
           val lk = lkBoxed.longValue()
           val lt = ltBoxed.longValue()
-          // consume right rows that are (a) behind this key, or (b) on
-          // this key with time <= lt; (b) rows become the candidate.
-          // Left is sorted by (key, time), so the walk never rewinds.
-          var advance = true
-          while (advance && rBuf.hasNext) {
-            val rkBoxed = evalLong(rKeyExpr, rBuf.head)
-            if (rkBoxed == null) { rBuf.next() } // null key never matches
-            else {
-              val rk = rkBoxed.longValue()
-              if (rk < lk) { rBuf.next() }
-              else if (rk == lk) {
-                val rtBoxed = evalLong(rTimeExpr, rBuf.head)
-                if (rtBoxed == null) { rBuf.next() } // null time never matches
-                else if (rtBoxed.longValue() <= lt) {
-                  cand = rBuf.next().copy(); candKey = rk
+          if (forward) {
+            // consume rows strictly behind (key, lt); the first
+            // surviving same-key row IS the answer (right sorted
+            // (key, time, payload) asc -> earliest time, then smallest
+            // payload on time ties). Not consumed: a later left row
+            // with the same time needs it too.
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val rkBoxed = evalLong(rKeyExpr, rBuf.head)
+              if (rkBoxed == null) { rBuf.next() }
+              else {
+                val rk = rkBoxed.longValue()
+                if (rk < lk) { rBuf.next() }
+                else if (rk == lk) {
+                  val rtBoxed = evalLong(rTimeExpr, rBuf.head)
+                  if (rtBoxed == null) { rBuf.next() }
+                  else if (rtBoxed.longValue() < lt) { rBuf.next() }
+                  else advance = false
                 } else advance = false
-              } else advance = false
+              }
             }
+            val ok = rBuf.hasNext && {
+              val rkBoxed = evalLong(rKeyExpr, rBuf.head)
+              rkBoxed != null && rkBoxed.longValue() == lk && {
+                val rt = evalLong(rTimeExpr, rBuf.head).longValue()
+                toleranceUs < 0L || rt - lt <= toleranceUs
+              }
+            }
+            if (ok) joined(lrow, rBuf.head) else joined(lrow, nullRight)
+          } else {
+            // backward: consume rows that are (a) behind this key, or
+            // (b) on this key with time <= lt; (b) rows become the
+            // candidate. Left is sorted by (key, time) — never rewinds.
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val rkBoxed = evalLong(rKeyExpr, rBuf.head)
+              if (rkBoxed == null) { rBuf.next() } // null key never matches
+              else {
+                val rk = rkBoxed.longValue()
+                if (rk < lk) { rBuf.next() }
+                else if (rk == lk) {
+                  val rtBoxed = evalLong(rTimeExpr, rBuf.head)
+                  if (rtBoxed == null) { rBuf.next() } // null time never matches
+                  else if (rtBoxed.longValue() <= lt) {
+                    candTime = rtBoxed.longValue()
+                    cand = rBuf.next().copy(); candKey = rk
+                  } else advance = false
+                } else advance = false
+              }
+            }
+            if (cand != null && candKey == lk &&
+                (toleranceUs < 0L || lt - candTime <= toleranceUs))
+              joined(lrow, cand)
+            else joined(lrow, nullRight)
           }
-          if (cand != null && candKey == lk) joined(lrow, cand)
-          else joined(lrow, nullRight)
         }
       }
     }
@@ -134,8 +175,8 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
   * `spark.experimental.extraStrategies` by the DataFrame API. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, dir, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -65,4 +65,44 @@ class AsOfJoinSpec extends SparkSpec {
     val native = Relational.asofJoinNative(events, orders)
     assert(composed.exceptAll(native).isEmpty && native.exceptAll(composed).isEmpty)
   }
+
+  test("forward direction picks the earliest at-or-after row; head is shared across ties") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 100L), // order exists after
+      (2L, ts("2024-01-10 00:00:00"), 100L), // SAME time: must share the answer
+      (3L, ts("2024-01-16 00:00:00"), 100L), // after every order -> null
+      (4L, ts("2024-01-05 00:00:00"), 200L)  // exact match + tie on time
+    ).toDF("event_id", "ts", "user_id")
+    val orders = Seq(
+      (11L, 100L, ts("2024-01-08 00:00:00"), 10.0), // before: not eligible
+      (12L, 100L, ts("2024-01-12 00:00:00"), 20.0), // earliest >= events 1,2
+      (13L, 100L, ts("2024-01-15 00:00:00"), 30.0),
+      (14L, 200L, ts("2024-01-05 00:00:00"), 40.0), // tie: smaller key wins
+      (15L, 200L, ts("2024-01-05 00:00:00"), 50.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.asofJoinForward(events, orders)
+      .select("event_id", "asof_orderkey").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L) == Some(12L))
+    assert(out(2L) == Some(12L)) // equal-time left rows both see the head
+    assert(out(3L) == None)
+    assert(out(4L) == Some(14L)) // forward ties break to the SMALLEST key
+  }
+
+  test("tolerance nulls out matches older than the window") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-03-01 00:00:00"), 100L), // order 45 days old -> out of window
+      (2L, ts("2024-01-20 00:00:00"), 100L)  // 4 days old -> in window
+    ).toDF("event_id", "ts", "user_id")
+    val orders = Seq(
+      (11L, 100L, ts("2024-01-16 00:00:00"), 10.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.asofJoinTolerance(events, orders) // 30-day window
+      .select("event_id", "asof_orderkey").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L) == None)
+    assert(out(2L) == Some(11L))
+  }
 }
