@@ -70,6 +70,30 @@ class PackingSpec extends SparkSpec {
     assert(lost.count() == 0, "an exact-copy doc kept a chunk its original already owned")
   }
 
+  test("packSequences equals a naive sequential next-fit on a random corpus") {
+    val rnd = new scala.util.Random(17)
+    val docs = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(90))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val budget = 48L
+    val shards = 8
+    val got = Packing.packSequences(docs, budget, shards)
+      .select("doc_id", "bin", "fill").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // naive reference: per shard, fold docs in id order
+    (0 until shards).foreach { s =>
+      var bin = 0L; var fill = 0L; var first = true
+      (0 until 300).filter(_ % shards == s).foreach { id =>
+        val tok = docs.where(col("doc_id") === id).head().getString(1)
+          .split(" ").length.toLong
+        if (first) { fill = tok; first = false }
+        else if (fill + tok <= budget) fill += tok
+        else { bin += 1; fill = tok }
+        assert(got(id.toLong) == ((bin, fill)), s"doc $id in shard $s")
+      }
+    }
+  }
+
   test("normalizeText cleans unicode controls, case, and whitespace runs") {
     val dirty = Seq(
       (1L, "Hello\t\tWORLD  \r\n  foo"),
