@@ -40,6 +40,7 @@ object SparkEntry {
       t(s, d, "nation"), t(s, d, "region"))),
     "q_topk_orders" -> ((s, d) => Relational.topkOrders(t(s, d, "orders"))),
     "q_running_sum" -> ((s, d) => Relational.runningSum(t(s, d, "orders"))),
+    "q_rolling_range" -> ((s, d) => Relational.rollingRange(t(s, d, "orders"))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(t(s, d, "events"))),
     "q_session_window" -> ((s, d) => Relational.sessionWindow(t(s, d, "events"))),
     "q_window_tumbling" -> ((s, d) => Relational.windowTumbling(t(s, d, "events"))),
@@ -119,6 +120,7 @@ object SparkEntry {
     "q_join_revenue" -> Relational.joinRevenueSql,
     "q_topk_orders" -> Relational.topkOrdersSql,
     "q_running_sum" -> Relational.runningSumSql,
+    "q_rolling_range" -> Relational.rollingRangeSql,
     "q_sessionize" -> Relational.sessionizeSql,
     "q_session_window" -> Relational.sessionWindowSql,
     "q_window_tumbling" -> Relational.windowTumblingSql,

@@ -323,6 +323,34 @@ WHERE rn = 1"""
     ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
 WHERE rn = 1"""
 
+  // C4b: time-RANGE rolling aggregate — the value-based frame the
+  // row-based running sum (C4) can't express: each order's trailing
+  // 30-day revenue per customer, where the frame is defined by the
+  // ORDER VALUE (date distance), not row position, so equal-date peers
+  // are always in-frame together on both engines. Spark's rangeBetween
+  // needs a numeric order column → epoch seconds; DuckDB uses the
+  // native INTERVAL frame. Decimal-exact sum → order-independent.
+  private val RollingDays = 30L
+
+  def rollingRange(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-RollingDays * 86400L, 0L)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      // sumd casts AFTER aggregating, which would detach the OVER —
+      // compose manually: window the decimal sum, then cast
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").as("rev30"))
+  }
+
+  val rollingRangeSql: String =
+    s"""SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL '$RollingDays days' PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev30
+FROM orders"""
+
   // C12: rollup — hierarchical subtotals over the star join dims.
   def rollupRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
     orders

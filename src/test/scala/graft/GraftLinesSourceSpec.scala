@@ -70,6 +70,34 @@ class GraftLinesSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: connector -> extract -> windowed argmax runs end-to-end") {
+    val d = Files.createTempDirectory("graft-lines-e2e").toString
+    def tail = "," + Seq.fill(46)("7").mkString(",")
+    Files.writeString(Paths.get(s"$d/a.txt"),
+      s"1|01/05/2024 03:04:05,42,FW2,N$tail\n" +
+        s"2|01/05/2024 03:20:05,42,FW2,N$tail\n" +
+        s"3|01/05/2024 09:00:00,42,FW2,N$tail\n") // late-hour row advances the watermark
+    val lanes = graft.traffic.Traffic.extractLanes(
+      spark.readStream.format("graft-lines").load(d))
+      .select(col("event_id"), col("recorded_ts").as("ts"),
+        col("station_id").cast("long").as("user_id"),
+        col("lane").as("event_type"), col("lane_flow").cast("double").as("value"))
+    val out = graft.streaming.TrafficStream.maxLaneFlowStream(
+      lanes, delay = "1 hour", dur = "60 minutes", slide = "15 minutes")
+    val q = out.writeStream.format("memory").queryName("gl_e2e")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second pass so the watermark from batch 1 closes the early windows
+      Files.writeString(Paths.get(s"$d/b.txt"),
+        s"4|01/05/2024 09:30:00,42,FW2,N$tail\n")
+      q.processAllAvailable()
+      val rows = spark.table("gl_e2e")
+      assert(rows.count() > 0, "watermark-closed windows must emit")
+      assert(rows.select("station_id").distinct().as[Long].collect().toSeq == Seq(42L))
+    } finally q.stop()
+  }
+
   test("the connector feeds the extract pipeline end-to-end") {
     val lanes = Traffic.extractLanes(spark.read.format("graft-lines").load(dir))
     // 3 parseable readings (event 4 has the dashed timestamp) × 8 lanes
