@@ -162,7 +162,8 @@ class GraftLinesReaderFactory(required: StructType, pushed: Array[Filter])
 
 class GraftLinesReader(file: String, required: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
-  private val source = scala.io.Source.fromFile(file)
+  // explicit charset: the platform default is locale-dependent
+  private val source = scala.io.Source.fromFile(file, "UTF-8")
   private val lines = source.getLines()
   private var current: InternalRow = _
 
