@@ -101,6 +101,7 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(t(s, d, "documents"))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.framesQuery(t(s, d, "documents"))),
     "q_multimodal_decode" -> ((s, d) => Multimodal.ppmDecodeQuery(t(s, d, "documents"))),
+    "q_multimodal_resize" -> ((s, d) => Multimodal.resizeQuery(t(s, d, "documents"))),
     "q_multimodal_wav" -> ((s, d) => Multimodal.wavDecodeQuery(t(s, d, "documents"))),
     "q_multimodal_bmp" -> ((s, d) => Multimodal.bmpDecodeQuery(t(s, d, "documents"))))
 
@@ -171,6 +172,7 @@ object SparkEntry {
     "q_multimodal_meta" -> Multimodal.metaQuerySql,
     "q_multimodal_frames" -> Multimodal.framesQuerySql,
     "q_multimodal_decode" -> Multimodal.ppmDecodeQuerySql,
+    "q_multimodal_resize" -> Multimodal.resizeQuerySql,
     "q_multimodal_wav" -> Multimodal.wavDecodeQuerySql,
     "q_multimodal_bmp" -> Multimodal.bmpDecodeQuerySql)
 }

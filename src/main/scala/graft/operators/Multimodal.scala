@@ -128,11 +128,10 @@ FROM f"""
     header ++ px
   }
 
-  /** Parse a P6 blob: magic, whitespace-separated ASCII width/height/
-    * maxval, then w*h RGB byte triplets. Returns (w, h, per-channel
-    * means). Throws on malformed input — decode errors must surface,
-    * not silently zero. */
-  private[graft] def decodePpm(bytes: Array[Byte]): (Int, Int, Double, Double, Double) = {
+  /** Parse a P6 header: magic, whitespace-separated ASCII width/height/
+    * maxval. Returns (w, h, offset of the first pixel byte). Throws on
+    * malformed input — decode errors must surface, not silently zero. */
+  private[graft] def ppmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
     var pos = 2
     def nextInt(): Int = {
@@ -145,11 +144,41 @@ FROM f"""
     require(w > 0 && h > 0 && maxval == 255, s"bad PPM header $w x $h maxval=$maxval")
     pos += 1 // single whitespace after maxval, then raw data
     require(bytes.length - pos >= w * h * 3, "truncated pixel data")
+    (w, h, pos)
+  }
+
+  /** Full decode: (w, h, per-channel means). */
+  private[graft] def decodePpm(bytes: Array[Byte]): (Int, Int, Double, Double, Double) = {
+    val (w, h, pos) = ppmHeader(bytes)
     val sums = new Array[Long](3)
     var j = 0
     while (j < w * h * 3) { sums(j % 3) += bytes(pos + j) & 0xff; j += 1 }
     val n = (w * h).toDouble
     (w, h, sums(0) / n, sums(1) / n, sums(2) / n)
+  }
+
+  /** Nearest-neighbor resize of a P6 blob to outW×outH: source pixel
+    * for output (x, y) is (⌊x·w/outW⌋, ⌊y·h/outH⌋) — the standard
+    * sampling grid (works for down- AND up-scale; resizing to the
+    * source dims is the identity, unit-tested). Returns the raw RGB
+    * bytes of the resized image. */
+  private[graft] def resizePpmNearest(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val (w, h, pos) = ppmHeader(bytes)
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * w / outW
+        val src = pos + (sy * w + sx) * 3
+        val dst = (y * outW + x) * 3
+        out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** doc_id -> real PPM blob (partition-local encode, the media-ingest
@@ -193,6 +222,41 @@ SELECT doc_id,
   (3 + length(w::VARCHAR) + 1 + length(h::VARCHAR) + 1 + 4 + w*h*3)::BIGINT AS n_bytes,
   w AS width, h AS height,
   ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
+FROM d"""
+  }
+
+  // ---- Real resize path: nearest-neighbor on decoded P6 pixels ----
+  // The resize step of a media pipeline, run on genuinely decoded
+  // bytes (not a stub): every source image resizes to a fixed 2×2
+  // thumbnail, and the oracle re-derives every output byte from the
+  // generator arithmetic — value at output (x, y, c) is
+  // (doc_id·31 + 3·(⌊y·h/2⌋·w + ⌊x·w/2⌋) + c) % 256 — through a
+  // position-weighted checksum, so a wrong sampling grid (off-by-one,
+  // x/y swap, channel order) fails the hash. Map-only, no shuffle.
+  private val ResizeW = 2
+  private val ResizeH = 2
+
+  def resizeQuery(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    asPpmBlobs(documents)
+      .map { case (id, blob) =>
+        val out = resizePpmNearest(blob, ResizeW, ResizeH)
+        var checksum = 0L
+        var p = 0
+        while (p < out.length) { checksum += (out(p) & 0xff).toLong * (p + 1); p += 1 }
+        (id, ResizeW, ResizeH, checksum)
+      }
+      .toDF("doc_id", "out_w", "out_h", "checksum")
+  }
+
+  val resizeQuerySql: String = {
+    val rowBytes = ResizeW * 3
+    val v = s"(doc_id*31 + 3*(((p // $rowBytes) * h // $ResizeH) * w + (((p % $rowBytes) // 3) * w // $ResizeW)) + (p % 3)) % 256"
+    s"""WITH d AS (SELECT doc_id, (doc_id % 8 + 1)::INTEGER AS w, (doc_id % 5 + 1)::INTEGER AS h FROM documents)
+SELECT doc_id, $ResizeW AS out_w, $ResizeH AS out_h,
+  list_aggregate(list_transform(generate_series(0, ${ResizeW * ResizeH * 3 - 1}), p ->
+    ($v) * (p + 1)), 'sum')::BIGINT AS checksum
 FROM d"""
   }
 
