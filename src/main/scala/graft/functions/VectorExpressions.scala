@@ -367,20 +367,37 @@ case class ExtractReading(child: Expression, sessionZone: String)
 
   @transient private lazy val zone = java.time.ZoneId.of(sessionZone)
 
-  /** Strict fixed-format parse; Long.MinValue = malformed. */
-  private def parseTsMicros(s: String): Long = {
-    if (s.length != 19 || s.charAt(2) != '/' || s.charAt(5) != '/' ||
-        s.charAt(10) != ' ' || s.charAt(13) != ':' || s.charAt(16) != ':')
+  /** Parse field bytes [from, until) as a non-negative long; -1 when
+    * empty or any byte is not an ASCII digit (field lengths in this
+    * format are far below overflow range). */
+  private def digitsToLong(bytes: Array[Byte], from: Int, until: Int): Long = {
+    if (until <= from) return -1L
+    var v = 0L
+    var i = from
+    while (i < until) {
+      val b = bytes(i)
+      if (b < '0' || b > '9') return -1L
+      v = v * 10 + (b - '0')
+      i += 1
+    }
+    v
+  }
+
+  /** Strict fixed-format parse on raw bytes; Long.MinValue = malformed. */
+  private def parseTsMicrosBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
+    if (until - from != 19) return Long.MinValue
+    def at(p: Int) = bytes(from + p)
+    if (at(2) != '/' || at(5) != '/' || at(10) != ' ' || at(13) != ':' || at(16) != ':')
       return Long.MinValue
     var i = 0
     while (i < 19) {
       if (i != 2 && i != 5 && i != 10 && i != 13 && i != 16) {
-        val c = s.charAt(i)
-        if (c < '0' || c > '9') return Long.MinValue
+        val b = at(i)
+        if (b < '0' || b > '9') return Long.MinValue
       }
       i += 1
     }
-    def d2(p: Int) = (s.charAt(p) - '0') * 10 + (s.charAt(p + 1) - '0')
+    def d2(p: Int) = (at(p) - '0') * 10 + (at(p + 1) - '0')
     val yr = d2(6) * 100 + d2(8)
     try {
       java.time.LocalDateTime
@@ -389,40 +406,62 @@ case class ExtractReading(child: Expression, sessionZone: String)
     } catch { case _: java.time.DateTimeException => Long.MinValue }
   }
 
-  private def allDigits(s: String): Boolean = {
-    if (s.isEmpty) return false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c < '0' || c > '9') return false
-      i += 1
-    }
-    true
-  }
+  // The line is parsed directly off the UTF8String bytes: one boundary
+  // scan, then per-field byte-range parses. The earlier
+  // toString + split(",", -1) shape allocated ~60 objects per row (the
+  // String, 50 field Strings, the array) — under full-run heap
+  // pressure that allocation rate, not CPU, dominated the stage.
+  // Only the 3 emitted string fields and the lane rows allocate now.
+  private val MaxFields = 50
 
   override def nullSafeEval(input: Any): Any = {
-    val parts = input.asInstanceOf[UTF8String].toString.split(",", -1)
-    if (parts.length < 48) return null
+    val u = input.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    // field boundary scan: starts(k) = first byte of field k; a field
+    // k spans [starts(k), ends(k))
+    val starts = new Array[Int](MaxFields)
+    val ends = new Array[Int](MaxFields)
+    var field = 0
+    var p = 0
+    starts(0) = 0
+    while (p <= bytes.length && field < MaxFields) {
+      if (p == bytes.length || bytes(p) == ',') {
+        ends(field) = p
+        field += 1
+        if (field < MaxFields) starts(field) = p + 1
+      }
+      p += 1
+    }
+    // fields beyond MaxFields exist iff we stopped early with bytes left;
+    // total count only matters for the >= 48 floor
+    if (field < 48) return null
     val lanes = new scala.collection.mutable.ArrayBuffer[InternalRow](8)
     var i = 1
     var stop = false
     while (i <= 8 && !stop) {
       val base = 6 + i * 5 // 0-based index of field 7 + i*5
-      if (base + 2 >= parts.length || !allDigits(parts(base)) ||
-          !allDigits(parts(base + 1)) || !allDigits(parts(base + 2))) stop = true
+      if (base + 2 >= field) stop = true
       else {
-        lanes += InternalRow(i, parts(base).toLong, parts(base + 1).toLong,
-          parts(base + 2).toLong)
-        i += 1
+        val flow = digitsToLong(bytes, starts(base), ends(base))
+        val ao = digitsToLong(bytes, starts(base + 1), ends(base + 1))
+        val asp = digitsToLong(bytes, starts(base + 2), ends(base + 2))
+        if (flow < 0 || ao < 0 || asp < 0) stop = true
+        else {
+          lanes += InternalRow(i, flow, ao, asp)
+          i += 1
+        }
       }
     }
-    val tsUs = parseTsMicros(parts(0))
+    val tsUs = parseTsMicrosBytes(bytes, starts(0), ends(0))
+    def str(k: Int) =
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, starts(k), ends(k)))
+    val total = digitsToLong(bytes, starts(7), ends(7))
     InternalRow(
       if (tsUs == Long.MinValue) null else tsUs,
-      UTF8String.fromString(parts(1)),
-      UTF8String.fromString(parts(3)),
-      UTF8String.fromString(parts(2)),
-      if (allDigits(parts(7))) parts(7).toLong else null,
+      str(1),
+      str(3),
+      str(2),
+      if (total < 0) null else total,
       new GenericArrayData(lanes.toArray[Any]))
   }
 
