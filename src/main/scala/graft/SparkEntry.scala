@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Multimodal, Packing, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Packing, Relational, Similarity, TextAnalysis, TimeSeries}
 import graft.traffic.Traffic
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7.
@@ -41,6 +41,7 @@ object SparkEntry {
     "q_topk_orders" -> ((s, d) => Relational.topkOrders(t(s, d, "orders"))),
     "q_running_sum" -> ((s, d) => Relational.runningSum(t(s, d, "orders"))),
     "q_rolling_range" -> ((s, d) => Relational.rollingRange(t(s, d, "orders"))),
+    "q_ewma" -> ((s, d) => TimeSeries.ewma(t(s, d, "events"))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(t(s, d, "events"))),
     "q_session_window" -> ((s, d) => Relational.sessionWindow(t(s, d, "events"))),
     "q_window_tumbling" -> ((s, d) => Relational.windowTumbling(t(s, d, "events"))),
@@ -122,6 +123,7 @@ object SparkEntry {
     "q_topk_orders" -> Relational.topkOrdersSql,
     "q_running_sum" -> Relational.runningSumSql,
     "q_rolling_range" -> Relational.rollingRangeSql,
+    "q_ewma" -> TimeSeries.ewmaSql,
     "q_sessionize" -> Relational.sessionizeSql,
     "q_session_window" -> Relational.sessionWindowSql,
     "q_window_tumbling" -> Relational.windowTumblingSql,

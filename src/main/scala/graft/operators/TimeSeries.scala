@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequentially-recursive time-series operators (SURVEY §2.2 C21) —
+  * the family whose recurrence cannot be expressed as a SQL window
+  * frame (each output depends on the PREVIOUS OUTPUT, not a frame of
+  * inputs), so the ordered per-key scan is the design, not a
+  * shortcut: repartition on the key, sort within partitions by
+  * (key, time), fold with O(1) state — the same pattern as
+  * [[graft.traffic.SlidingScan]] and [[Packing]].
+  */
+object TimeSeries {
+
+  /** Per-user EWMA (α = 1/4) over event values ordered by
+    * (ts, event_id): s₀ = x₀, sₜ = (xₜ + 3·sₜ₋₁) ÷ 4.
+    *
+    * Computed in FIXED-POINT micro-units (x scaled ×10⁶, floor
+    * division each step) rather than doubles: a float fold of
+    * thousands of steps is bit-reproducible only if both engines emit
+    * the exact same instruction shapes — DuckDB's evaluator may
+    * contract a·x + b·s into an FMA while the JVM never does, and the
+    * one-ulp drift lands on round() boundaries (observed at sf0.01
+    * row 780). Integer arithmetic has no such freedom: every engine
+    * computes the identical BIGINT, the oracle compares exactly, and
+    * the quantization (1e-6 of the value scale) is far below any
+    * consumer's noise floor. Floor division (not truncation) so
+    * negative values agree with SQL's `//`. */
+  def ewma(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(col("value") * 1000000L, 0).cast("long").as("x"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var user = Long.MinValue
+        var s = 0L
+        it.map { case (u, ts, id, x) =>
+          s = if (u != user) { user = u; x } else Math.floorDiv(x + 3L * s, 4L)
+          (id, u, ts, s)
+        }
+      }
+      .toDF("event_id", "user_id", "ts_us", "ewma_micros")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("ewma_micros"))
+  }
+
+  /** Recursive-CTE mirror: one step per row per user, identical fold
+    * order (ts, event_id) and identical BIGINT floor-div recurrence. */
+  val ewmaSql: String =
+    """WITH RECURSIVE src AS (
+  SELECT event_id, user_id, ts, round(value * 1000000)::BIGINT AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+fold AS (
+  SELECT event_id, user_id, ts, rn, x AS s FROM src WHERE rn = 1
+  UNION ALL
+  SELECT t.event_id, t.user_id, t.ts, t.rn, (t.x + 3 * f.s) // 4
+  FROM fold f JOIN src t ON t.user_id = f.user_id AND t.rn = f.rn + 1)
+SELECT event_id, user_id, ts, s AS ewma_micros FROM fold"""
+}
