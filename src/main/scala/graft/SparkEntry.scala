@@ -42,6 +42,7 @@ object SparkEntry {
     "q_running_sum" -> ((s, d) => Relational.runningSum(t(s, d, "orders"))),
     "q_rolling_range" -> ((s, d) => Relational.rollingRange(t(s, d, "orders"))),
     "q_ewma" -> ((s, d) => TimeSeries.ewma(t(s, d, "events"))),
+    "q_holt" -> ((s, d) => TimeSeries.holt(t(s, d, "events"))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(t(s, d, "events"))),
     "q_session_window" -> ((s, d) => Relational.sessionWindow(t(s, d, "events"))),
     "q_window_tumbling" -> ((s, d) => Relational.windowTumbling(t(s, d, "events"))),
@@ -124,6 +125,7 @@ object SparkEntry {
     "q_running_sum" -> Relational.runningSumSql,
     "q_rolling_range" -> Relational.rollingRangeSql,
     "q_ewma" -> TimeSeries.ewmaSql,
+    "q_holt" -> TimeSeries.holtSql,
     "q_sessionize" -> Relational.sessionizeSql,
     "q_session_window" -> Relational.sessionWindowSql,
     "q_window_tumbling" -> Relational.windowTumblingSql,

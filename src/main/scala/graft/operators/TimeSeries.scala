@@ -16,8 +16,8 @@ object TimeSeries {
   /** Per-user EWMA (α = 1/4) over event values ordered by
     * (ts, event_id): s₀ = x₀, sₜ = (xₜ + 3·sₜ₋₁) ÷ 4.
     *
-    * Computed in FIXED-POINT micro-units (x scaled ×10⁶, floor
-    * division each step) rather than doubles: a float fold of
+    * Computed in FIXED-POINT micro-units (x scaled ×10⁶, truncating
+    * integer division each step) rather than doubles: a float fold of
     * thousands of steps is bit-reproducible only if both engines emit
     * the exact same instruction shapes — DuckDB's evaluator may
     * contract a·x + b·s into an FMA while the JVM never does, and the
@@ -25,8 +25,10 @@ object TimeSeries {
     * row 780). Integer arithmetic has no such freedom: every engine
     * computes the identical BIGINT, the oracle compares exactly, and
     * the quantization (1e-6 of the value scale) is far below any
-    * consumer's noise floor. Floor division (not truncation) so
-    * negative values agree with SQL's `//`. */
+    * consumer's noise floor. Division truncates toward zero — JVM
+    * Long `/` and DuckDB `//` agree on that for all signs (DuckDB
+    * `-7 // 2 = -3`, measured; floorDiv would drift on negative
+    * trends). */
   def ewma(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -40,7 +42,7 @@ object TimeSeries {
         var user = Long.MinValue
         var s = 0L
         it.map { case (u, ts, id, x) =>
-          s = if (u != user) { user = u; x } else Math.floorDiv(x + 3L * s, 4L)
+          s = if (u != user) { user = u; x } else (x + 3L * s) / 4L
           (id, u, ts, s)
         }
       }
@@ -49,8 +51,61 @@ object TimeSeries {
         timestamp_micros(col("ts_us")).as("ts"), col("ewma_micros"))
   }
 
+  /** Per-user Holt double exponential smoothing (level + trend),
+    * α = 1/4, β = 1/8, in the same µ-unit fixed point as [[ewma]]:
+    *   ℓ₀ = x₀, b₀ = 0;
+    *   ℓₜ = (xₜ + 3·(ℓₜ₋₁ + bₜ₋₁)) ÷ 4
+    *   bₜ = (ℓₜ − ℓₜ₋₁ + 7·bₜ₋₁) ÷ 8
+    * Forecast = ℓ + b, the one-step-ahead prediction a drift monitor
+    * alerts on. Same one-exchange ordered-scan plan; three longs of
+    * state. */
+  def holt(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(col("value") * 1000000L, 0).cast("long").as("x"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var user = Long.MinValue
+        var level = 0L
+        var trend = 0L
+        it.map { case (u, ts, id, x) =>
+          if (u != user) { user = u; level = x; trend = 0L }
+          else {
+            val prev = level
+            level = (x + 3L * (level + trend)) / 4L
+            trend = (level - prev + 7L * trend) / 8L
+          }
+          (id, u, ts, level, trend, level + trend)
+        }
+      }
+      .toDF("event_id", "user_id", "ts_us", "level_micros", "trend_micros", "forecast_micros")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("level_micros"), col("trend_micros"), col("forecast_micros"))
+  }
+
+  val holtSql: String =
+    """WITH RECURSIVE src AS (
+  SELECT event_id, user_id, ts, round(value * 1000000)::BIGINT AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+fold AS (
+  SELECT event_id, user_id, ts, rn, x AS l, 0::BIGINT AS b FROM src WHERE rn = 1
+  UNION ALL
+  SELECT t.event_id, t.user_id, t.ts, t.rn,
+         (t.x + 3 * (f.l + f.b)) // 4,
+         ((t.x + 3 * (f.l + f.b)) // 4 - f.l + 7 * f.b) // 8
+  FROM fold f JOIN src t ON t.user_id = f.user_id AND t.rn = f.rn + 1)
+SELECT event_id, user_id, ts, l AS level_micros, b AS trend_micros,
+       l + b AS forecast_micros
+FROM fold"""
+
   /** Recursive-CTE mirror: one step per row per user, identical fold
-    * order (ts, event_id) and identical BIGINT floor-div recurrence. */
+    * order (ts, event_id) and identical BIGINT truncating-div recurrence. */
   val ewmaSql: String =
     """WITH RECURSIVE src AS (
   SELECT event_id, user_id, ts, round(value * 1000000)::BIGINT AS x,
