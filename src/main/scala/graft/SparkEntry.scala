@@ -84,6 +84,7 @@ object SparkEntry {
     "q_curation_e2e" -> ((s, d) => Curation.curationPipeline(t(s, d, "documents"))),
     "q_contamination" -> ((s, d) => Curation.contamination(t(s, d, "documents"))),
     "q_det_sample" -> ((s, d) => Curation.deterministicSample(t(s, d, "documents"))),
+    "q_source_mixture" -> ((s, d) => Curation.sourceMixture(t(s, d, "documents"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
     "q_quantize" -> ((s, d) => Similarity.quantize(t(s, d, "embeddings"))),
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_curation_e2e" -> Curation.curationPipelineSql,
     "q_contamination" -> Curation.contaminationSql,
     "q_det_sample" -> Curation.deterministicSampleSql,
+    "q_source_mixture" -> Curation.sourceMixtureSql,
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_knn_graph" -> Similarity.knnGraphSql,
     "q_quantize" -> Similarity.quantizeSql,

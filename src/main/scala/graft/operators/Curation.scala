@@ -116,6 +116,42 @@ WHERE d.doc_id % 50 <> 0"""
 WHERE ${md5LongSql("'smp'", "doc_id")} % 100 <
   (CASE WHEN lang = 'en' THEN ${SampleRates("en")} ELSE ${SampleRates("other")} END)"""
 
+  // ---- L30: source-mixture balancing (token-budget reweighting) ----
+  // The mixture step of a multi-source corpus: cap every source at an
+  // equal share of a target token budget (70% of the uniform share
+  // here), with deterministic md5-threshold sampling at the computed
+  // per-source rate — the down-weight-overrepresented-sources shape
+  // (web vs books vs code) every pretraining mix needs. Rates are
+  // integer BASIS POINTS computed with pure integer arithmetic
+  // (tot·7000 div (k·src_tok)) so both engines derive the identical
+  // threshold — no float division anywhere near the survival decision.
+  // One groupBy(source) + two broadcast joins of source-count-sized
+  // frames; the corpus itself stays map-only.
+  private val MixtureShareBp = 7000L // target per-source budget, bp of uniform share
+
+  def sourceMixture(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("tok"))
+    val bySrc = toks.groupBy(col("source")).agg(sum(col("tok")).as("src_tok"))
+    val totals = bySrc.agg(sum(col("src_tok")).as("tot"), count(lit(1)).as("k"))
+    val rates = bySrc.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(10000L), expr(s"(tot * $MixtureShareBp) div (k * src_tok)")).as("bp"))
+    toks.join(broadcast(rates), "source")
+      .where(pmod(md5Long(lit("mix"), col("doc_id")), lit(10000)) < col("bp"))
+      .select(col("doc_id"), col("source"), col("tok"), col("bp"))
+  }
+
+  val sourceMixtureSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+  len(string_split_regex(lower(text), '\\s+'))::BIGINT AS tok FROM documents),
+s AS (SELECT source, sum(tok)::BIGINT AS src_tok FROM t GROUP BY source),
+g AS (SELECT sum(src_tok)::BIGINT AS tot, count(*)::BIGINT AS k FROM s),
+r AS (SELECT source, least(10000, (tot * $MixtureShareBp) // (k * src_tok)) AS bp FROM s, g)
+SELECT t.doc_id, t.source, t.tok, r.bp
+FROM t JOIN r USING (source)
+WHERE ${md5LongSql("'mix'", "t.doc_id")} % 10000 < r.bp"""
+
   val curationPipelineSql: String = {
     // stage CTEs reuse the member operators' oracle SQL verbatim (the
     // per-operator gates already prove each bit-identical)
