@@ -101,6 +101,7 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextAnalysis.repetition(t(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(t(s, d, "documents"))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(t(s, d, "documents"))),
+    "q_hashed_classifier" -> ((s, d) => TextAnalysis.hashedClassifier(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(t(s, d, "documents"))),
     "q_multimodal_frames" -> ((s, d) => Multimodal.framesQuery(t(s, d, "documents"))),
     "q_multimodal_decode" -> ((s, d) => Multimodal.ppmDecodeQuery(t(s, d, "documents"))),
@@ -175,6 +176,7 @@ object SparkEntry {
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_pii_scrub" -> TextAnalysis.piiScrubSql,
     "q_lm_score" -> TextAnalysis.lmScoreSql,
+    "q_hashed_classifier" -> TextAnalysis.hashedClassifierSql,
     "q_multimodal_meta" -> Multimodal.metaQuerySql,
     "q_multimodal_frames" -> Multimodal.framesQuerySql,
     "q_multimodal_decode" -> Multimodal.ppmDecodeQuerySql,

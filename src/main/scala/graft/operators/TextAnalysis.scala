@@ -333,6 +333,39 @@ SELECT doc_id, unnest(list_distinct(
 FROM g"""
   }
 
+  // ---- L31: hashed linear quality classifier (fasttext-filter shape) ----
+  // Inference for a linear model over hashed bag-of-words features —
+  // the architecture of the fasttext/CCNet quality filters every
+  // pretraining pipeline runs. The weight of token t is
+  // w(t) = (md5(t) % 2001) − 1000 ∈ [−1000, 1000] milli-units: a
+  // hash-derived stand-in with the same plumbing as a trained model
+  // (swap the hash lookup for a broadcast weight table and NOTHING
+  // else changes). The logit is the exact INTEGER mean numerator —
+  // Σw(t) stays a BIGINT sum (order-independent, oracle-exact) and no
+  // sigmoid/exp runs in-engine (libm exp differs across engines by an
+  // ulp; consumers apply it downstream). Map-side token explode + one
+  // (doc) shuffle of (long, long) partials.
+  def hashedClassifier(documents: DataFrame): DataFrame = {
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .where(length(col("t")) > 0)
+      .select(col("doc_id"),
+        (pmod(md5Long(lit("w"), col("t")), lit(2001)) - 1000L).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("logit_sum_milli"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("logit_sum_milli"), col("n_tokens"),
+        (col("logit_sum_milli") > 0).cast("long").as("pred_keep"))
+  }
+
+  val hashedClassifierSql: String =
+    s"""SELECT doc_id, sum(w)::BIGINT AS logit_sum_milli, count(*)::BIGINT AS n_tokens,
+  (sum(w) > 0)::BIGINT AS pred_keep
+FROM (
+  SELECT doc_id, (${md5LongSql("'w'", "t")} % 2001) - 1000 AS w
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents)
+  WHERE length(t) > 0)
+GROUP BY doc_id"""
+
   // ---- L26: text normalization (case fold, control strip, whitespace
   // collapse) ----
   // The corpus is already clean (lowercase, single-spaced), so the
