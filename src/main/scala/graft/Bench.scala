@@ -73,6 +73,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (failed.nonEmpty) "null" else medians.map(_._2).sum.toString
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir","reps":$reps,"agg":"median"}""")
+    // trailing compact summary: the driver keeps only the TAIL of sbt's
+    // output, and the full line above is long enough that its head (the
+    // total) can be truncated away (r4 verdict: BENCH_r03/r04 both
+    // carried "parsed": null). A second, short line after the full one
+    // always survives tail capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

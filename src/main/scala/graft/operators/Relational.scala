@@ -477,7 +477,7 @@ SELECT k, 'both' AS src FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
 UNION ALL
 SELECT k, 'only_big_price' AS src FROM (SELECT k FROM a EXCEPT SELECT k FROM b)"""
 
-  // C21: explicit GROUPING SETS — arbitrary subtotal combinations in
+  // C24: explicit GROUPING SETS — arbitrary subtotal combinations in
   // one pass (rollup/cube are special cases; the grouping_id column
   // disambiguates a subtotal NULL from a data NULL). Same Expand+agg
   // plan family as rollup: one shuffle.
