@@ -243,7 +243,30 @@ WHERE levenshtein(l.name, r.name) <= $FuzzyMaxDist"""
   /** Min-label propagation over an explicit (x, y) pair list — split
     * out so the transitive-closure semantics are testable independently
     * of which pair generator produced the edges. */
-  def connectedComponents(pairs: DataFrame, documents: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, documents: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs, documents)._1
+
+  // Escalated pointer jumping (anchor-collapse contraction, r5): from
+  // round 3 on, each round performs THREE jumps instead of one, each
+  // SQUARING the label mapping (cur <- cur∘cur) — reach grows ~8× per
+  // escalated round, so a D-diameter chain converges in
+  // ~2 + log8(D) cluster-wide job waves instead of ~log2(D)
+  // (chain-100: 7 rounds -> 5, spec-pinned). The first two rounds stay
+  // single-jump on purpose: dup components are near-cliques (diameter
+  // ~2) that converge in the minimum 2 waves (converge + detect), and
+  // an ALWAYS-on 3-jump variant measured a pure REGRESSION at sf0.1
+  // (q_dedup_clusters 1.82 -> 2.24 s, q_curation_e2e 2.57 -> 2.93 s:
+  // deeper plans to optimize + ~6 extra 32-task stages per round, zero
+  // rounds saved — recorded per the negative-result standard). With
+  // escalation the fast-graph plan is byte-identical to r4's, and only
+  // a genuinely deep graph — where each wave is a full cluster barrier
+  // at 100 TB — pays the extra label-frame shuffles to buy waves.
+  private val JumpsPerRound = 3
+
+  /** As [[connectedComponents]], also returning the number of
+    * label-propagation rounds (cluster-wide job waves) the fixpoint
+    * took — the scale cost a spec can pin. */
+  def connectedComponentsWithRounds(pairs: DataFrame, documents: DataFrame): (DataFrame, Int) = {
     val edges = pairs
       .unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
@@ -263,21 +286,24 @@ WHERE levenshtein(l.name, r.name) <= $FuzzyMaxDist"""
         .join(pulled, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("pulled"), col("label"))).as("label"))
-      // pointer jump: label <- label(label). Valid because label(x) <= x
-      // is invariant (labels only ever decrease toward the component
-      // min), so the jump stays inside the component while roughly
-      // DOUBLING the reach per round — a D-diameter chain converges in
-      // O(log D) job waves instead of D (each round is a cluster-wide
-      // barrier; the waves, not the per-round work, are the scale cost).
+      // pointer jumps: label <- label(label), squaring the mapping each
+      // time. Valid because label(x) <= x is invariant (labels only
+      // ever decrease toward the component min), so every jump stays
+      // inside the component. Jump count escalates after round 2 — see
+      // the JumpsPerRound comment.
       // lazy checkpoint: the fixpoint count below is the round's one
       // materializing job — it computes `next`, persists it, and cuts
       // the lineage in the same pass (eager would spend a second job)
-      val next = stepped.as("a")
-        .join(stepped.select(col("id").as("jid"), col("label").as("jl")),
-          col("a.label") === col("jid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("jl"), col("a.label"))).as("label"))
-        .localCheckpoint(eager = false)
+      val jumps = if (iter < 2) 1 else JumpsPerRound
+      var cur = stepped
+      for (_ <- 1 to jumps) {
+        cur = cur.as("a")
+          .join(cur.select(col("id").as("jid"), col("label").as("jl")),
+            col("a.label") === col("jid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.label"), coalesce(col("jl"), col("a.label"))).as("label"))
+      }
+      val next = cur.localCheckpoint(eager = false)
       changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
         .where(col("label") =!= col("old")).count()
       labels = next
@@ -285,11 +311,12 @@ WHERE levenshtein(l.name, r.name) <= $FuzzyMaxDist"""
     }
     if (changed > 0)
       throw new IllegalStateException(s"connected components did not converge in $MaxCcIters rounds")
-    documents.select(col("doc_id"))
+    val out = documents.select(col("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"),
         (coalesce(col("label"), col("doc_id")) === col("doc_id")).cast("long").as("keep"))
+    (out, iter)
   }
 
   /** DuckDB mirror: transitive closure by recursive CTE (oracle scale),

@@ -241,13 +241,18 @@ class OperatorSpec extends SparkSpec {
     // the A~C link exists ONLY through the component (pairs 10~20 and
     // 20~30, never 10~30) — exactly what a pair list alone cannot
     // express; plus a 100-node chain: plain min-propagation needs 99
-    // rounds (exceeding the 20-round budget), so this passing PROVES
-    // the pointer-doubling converges in O(log D)
+    // rounds (exceeding the 20-round budget), single-jump pointer
+    // doubling 7, so converging within 5 PROVES the r5 escalated
+    // contraction (3 jumps/round from round 3 -> reach ~8x/round) is
+    // doing the work; near-clique graphs stay on the 2-round fast path
     val docs = (Seq(10L, 20L, 30L, 99L) ++ (200L to 299L)).toDF("doc_id")
       .withColumn("text", lit("t"))
     val pairs = (Seq((10L, 20L), (20L, 30L)) ++
       (200L until 299L).map(i => (i, i + 1))).toDF("x", "y")
-    val out = operators.Dedup.connectedComponents(pairs, docs).collect()
+    val (outDf, rounds) = operators.Dedup.connectedComponentsWithRounds(pairs, docs)
+    assert(rounds <= 5,
+      s"100-node chain must converge within 5 contraction rounds, took $rounds")
+    val out = outDf.collect()
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Long]("keep"))).toMap
     assert((200L to 299L).forall(i => out(i) == (200L, if (i == 200L) 1L else 0L)),
       s"100-node chain must collapse to one representative: $out")
