@@ -57,6 +57,8 @@ object SparkEntry {
       Relational.asofJoinForward(t(s, d, "events"), t(s, d, "orders"))),
     "q_asof_tolerance" -> ((s, d) =>
       Relational.asofJoinTolerance(t(s, d, "events"), t(s, d, "orders"))),
+    "q_asof_string_key" -> ((s, d) =>
+      Relational.asofJoinStringKey(t(s, d, "events"), t(s, d, "orders"))),
     "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_percentiles" -> ((s, d) => Relational.percentiles(t(s, d, "orders"))),
@@ -139,6 +141,7 @@ object SparkEntry {
     "q_asof_join_native" -> Relational.asofJoinSql,
     "q_asof_forward" -> Relational.asofForwardSql,
     "q_asof_tolerance" -> Relational.asofToleranceSql,
+    "q_asof_string_key" -> Relational.asofStringKeySql,
     "q_rollup_revenue" -> Relational.rollupRevenueSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube_revenue" -> Relational.cubeRevenueSql,

@@ -323,6 +323,50 @@ WHERE rn = 1"""
     ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
 WHERE rn = 1"""
 
+  /** C11 with a STRING equi-key (r5) — the first as-of join a real
+    * user writes is on an id string, which the r4 exec hard-rejected.
+    * The key is 'u' || custkey WITHOUT zero-padding, so lexicographic
+    * string order ('u10' < 'u2') genuinely DIFFERS from numeric order:
+    * matching the numeric-key oracle proves the merge walk sorts and
+    * compares the key exactly as Spark's binary string sort does, not
+    * via any numeric shortcut. Pandas merge_asof accepts any dtype for
+    * `by`; this is the Spark-native equivalent for atomic keys
+    * (multi-column keys are rejected at construction — see
+    * [[graft.plans.AsOfJoin]]). */
+  def asofJoinStringKey(events: DataFrame, orders: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    org.apache.spark.sql.graftshim.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val l = events.select(col("event_id"), col("ts"),
+      concat(lit("u"), col("user_id")).as("skey"))
+    val r = orders.select(concat(lit("u"), col("o_custkey")).as("o_skey"),
+      col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val node = graft.plans.AsOfJoin(lp, rp,
+      leftKey = a(lp, "skey"), rightKey = a(rp, "o_skey"),
+      leftTime = a(lp, "ts"), rightTime = a(rp, "o_orderdate"))
+    org.apache.spark.sql.graftshim.ofRows(spark, node)
+      .select(col("event_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_orderdate").as("asof_orderdate"),
+        col("o_totalprice").as("asof_totalprice"))
+  }
+
+  /** Same result set as [[asofJoinSql]] (string equality over the
+    * prefixed key matches numeric equality 1:1); the concat in the ON
+    * clause documents the string-key path being exercised. */
+  val asofStringKeySql: String =
+    """SELECT event_id, asof_orderkey, asof_orderdate, asof_totalprice FROM (
+  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+         o.o_totalprice AS asof_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e LEFT JOIN orders o
+    ON 'u' || e.user_id = 'u' || o.o_custkey AND o.o_orderdate <= e.ts)
+WHERE rn = 1"""
+
   // C4b: time-RANGE rolling aggregate — the value-based frame the
   // row-based running sum (C4) can't express: each order's trailing
   // 30-day revenue per customer, where the frame is defined by the

@@ -6,6 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom whole-operator as-of join — SURVEY §2.2 C11's escalation
   * path, the extension tier below composed operators: a dedicated
@@ -34,10 +36,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * No fan-out, no aggregation, no per-key buffering of history.
   *
   * Restrictions (documented, checked at construction): single
-  * equi-key, both key and time expressions must evaluate to numeric /
-  * timestamp values (compared as Long via Number.longValue — covers
-  * integral, date and timestamp types); a null key or time on either
-  * side never matches (SQL predicate semantics).
+  * equi-key of an orderable ATOMIC type — integral / date / timestamp
+  * (compared as Long) or binary-collated STRING (compared as
+  * UTF8String, matching Spark's default sort order) — with matching
+  * kinds on both sides; time expressions must be numeric/timestamp.
+  * Multi-column keys are rejected here, not at runtime: pass a single
+  * packed expression (e.g. `concat_ws` / `struct` is NOT accepted —
+  * concatenate with a separator or run one join per key) so the
+  * sort-order/equality contract stays a single atomic comparison. A
+  * null key or time on either side never matches (SQL predicate
+  * semantics, pandas merge_asof's `by` behaves the same).
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
@@ -45,11 +53,40 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     direction: String = "backward", toleranceUs: Long = -1L) extends BinaryNode {
   require(direction == "backward" || direction == "forward",
     s"as-of direction must be backward|forward, got $direction")
+  require(AsOfJoin.keyKind(leftKey.dataType).isDefined,
+    AsOfJoin.unsupportedKeyMsg("left key", leftKey.dataType))
+  require(AsOfJoin.keyKind(rightKey.dataType).isDefined,
+    AsOfJoin.unsupportedKeyMsg("right key", rightKey.dataType))
+  require(AsOfJoin.keyKind(leftKey.dataType) == AsOfJoin.keyKind(rightKey.dataType),
+    s"as-of join key kinds must match: left ${leftKey.dataType} vs right ${rightKey.dataType}")
+  require(AsOfJoin.keyKind(leftTime.dataType).contains("long") &&
+      AsOfJoin.keyKind(rightTime.dataType).contains("long"),
+    s"as-of join time must be a numeric/date/timestamp type, got ${leftTime.dataType}/${rightTime.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** The two orderable key classes the merge walk supports: "long"
+    * (integral / date / timestamp, compared via Number.longValue) and
+    * "string" (default binary collation only — a collated sort order
+    * would disagree with UTF8String.compareTo and silently break the
+    * walk, so non-binary collations are rejected). None = unsupported
+    * (notably structs: no multi-column keys). */
+  private[plans] def keyKind(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         DateType | TimestampType | TimestampNTZType => Some("long")
+    case s: StringType if s == StringType => Some("string")
+    case _ => None
+  }
+
+  private[plans] def unsupportedKeyMsg(side: String, dt: DataType): String =
+    s"as-of join $side type $dt is not supported: use a single integral/date/timestamp " +
+      "or binary-collation string key (multi-column keys: concatenate into one string " +
+      "with an unambiguous separator, or run one join per key)"
 }
 
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
@@ -81,29 +118,40 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val rKeyExpr = BindReferences.bindReference(rightKey, right.output)
     val rTimeExpr = BindReferences.bindReference(rightTime, right.output)
     val rightWidth = right.output.size
+    // construction validated the kinds match; strings compare via
+    // UTF8String.compareTo (binary — identical to the SortOrder the
+    // walk runs under), everything else as Long
+    val stringKey = AsOfJoin.keyKind(leftKey.dataType).contains("string")
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       def evalLong(e: Expression, row: InternalRow): java.lang.Long =
         e.eval(row) match {
           case null => null
           case n: java.lang.Number => n.longValue()
           case other => throw new IllegalStateException(
-            s"as-of join key/time must be numeric-comparable, got ${other.getClass}")
+            s"as-of join time must be numeric-comparable, got ${other.getClass}")
         }
+      def evalKey(e: Expression, row: InternalRow): Any = e.eval(row)
+      def cmpKey(a: Any, b: Any): Int =
+        if (stringKey) a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+        else java.lang.Long.compare(
+          a.asInstanceOf[java.lang.Number].longValue(),
+          b.asInstanceOf[java.lang.Number].longValue())
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val rBuf = rIt.buffered
       val forward = direction == "forward"
       // backward: best-so-far right row for candKey (copied — iterator
-      // rows are reused); forward: the answer is the un-consumed head
+      // rows are reused; candKey is re-evaluated from the COPY because
+      // a UTF8String evaluated from the head row aliases the reused
+      // buffer); forward: the answer is the un-consumed head
       var cand: InternalRow = null
-      var candKey = 0L
+      var candKey: Any = null
       var candTime = 0L
       lIt.map { lrow =>
-        val lkBoxed = evalLong(lKeyExpr, lrow)
+        val lk = evalKey(lKeyExpr, lrow)
         val ltBoxed = evalLong(lTimeExpr, lrow)
-        if (lkBoxed == null || ltBoxed == null) joined(lrow, nullRight)
+        if (lk == null || ltBoxed == null) joined(lrow, nullRight)
         else {
-          val lk = lkBoxed.longValue()
           val lt = ltBoxed.longValue()
           if (forward) {
             // consume rows strictly behind (key, lt); the first
@@ -113,12 +161,12 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
             // with the same time needs it too.
             var advance = true
             while (advance && rBuf.hasNext) {
-              val rkBoxed = evalLong(rKeyExpr, rBuf.head)
-              if (rkBoxed == null) { rBuf.next() }
+              val rk = evalKey(rKeyExpr, rBuf.head)
+              if (rk == null) { rBuf.next() }
               else {
-                val rk = rkBoxed.longValue()
-                if (rk < lk) { rBuf.next() }
-                else if (rk == lk) {
+                val c = cmpKey(rk, lk)
+                if (c < 0) { rBuf.next() }
+                else if (c == 0) {
                   val rtBoxed = evalLong(rTimeExpr, rBuf.head)
                   if (rtBoxed == null) { rBuf.next() }
                   else if (rtBoxed.longValue() < lt) { rBuf.next() }
@@ -127,8 +175,8 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
               }
             }
             val ok = rBuf.hasNext && {
-              val rkBoxed = evalLong(rKeyExpr, rBuf.head)
-              rkBoxed != null && rkBoxed.longValue() == lk && {
+              val rk = evalKey(rKeyExpr, rBuf.head)
+              rk != null && cmpKey(rk, lk) == 0 && {
                 val rt = evalLong(rTimeExpr, rBuf.head).longValue()
                 toleranceUs < 0L || rt - lt <= toleranceUs
               }
@@ -140,22 +188,23 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
             // candidate. Left is sorted by (key, time) — never rewinds.
             var advance = true
             while (advance && rBuf.hasNext) {
-              val rkBoxed = evalLong(rKeyExpr, rBuf.head)
-              if (rkBoxed == null) { rBuf.next() } // null key never matches
+              val rk = evalKey(rKeyExpr, rBuf.head)
+              if (rk == null) { rBuf.next() } // null key never matches
               else {
-                val rk = rkBoxed.longValue()
-                if (rk < lk) { rBuf.next() }
-                else if (rk == lk) {
+                val c = cmpKey(rk, lk)
+                if (c < 0) { rBuf.next() }
+                else if (c == 0) {
                   val rtBoxed = evalLong(rTimeExpr, rBuf.head)
                   if (rtBoxed == null) { rBuf.next() } // null time never matches
                   else if (rtBoxed.longValue() <= lt) {
                     candTime = rtBoxed.longValue()
-                    cand = rBuf.next().copy(); candKey = rk
+                    cand = rBuf.next().copy()
+                    candKey = evalKey(rKeyExpr, cand)
                   } else advance = false
                 } else advance = false
               }
             }
-            if (cand != null && candKey == lk &&
+            if (cand != null && cmpKey(candKey, lk) == 0 &&
                 (toleranceUs < 0L || lt - candTime <= toleranceUs))
               joined(lrow, cand)
             else joined(lrow, nullRight)

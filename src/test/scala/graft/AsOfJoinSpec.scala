@@ -90,6 +90,102 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == Some(14L)) // forward ties break to the SMALLEST key
   }
 
+  test("string keys walk in Spark's binary string order, not numeric order") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // custkeys 2, 10, 100 -> keys u2, u10, u100: lexicographic order
+    // (u10 < u100 < u2) disagrees with numeric, so a walk that compared
+    // numerically (or trusted numeric sort) would mis-merge these keys
+    val events = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 2L),
+      (2L, ts("2024-01-10 00:00:00"), 10L),
+      (3L, ts("2024-01-10 00:00:00"), 100L),
+      (4L, ts("2024-01-10 00:00:00"), 5L) // no orders -> null
+    ).toDF("event_id", "ts", "user_id")
+    val orders = Seq(
+      (11L, 2L, ts("2024-01-05 00:00:00"), 10.0),
+      (12L, 10L, ts("2024-01-06 00:00:00"), 20.0),
+      (13L, 100L, ts("2024-01-07 00:00:00"), 30.0),
+      (14L, 2L, ts("2024-01-08 00:00:00"), 40.0) // later order for key u2
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.asofJoinStringKey(events, orders)
+      .select("event_id", "asof_orderkey").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L) == Some(14L))
+    assert(out(2L) == Some(12L))
+    assert(out(3L) == Some(13L))
+    assert(out(4L) == None)
+    // and it plans through the custom exec, same as the numeric path
+    val plan = Relational.asofJoinStringKey(events, orders)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin") && !plan.contains("SortMergeJoin"))
+  }
+
+  test("string-key result equals the numeric-key result on real tables") {
+    val events = Tables.load(spark, sf, "events")
+    val orders = Tables.load(spark, sf, "orders")
+    // 'u' || k = 'u' || k' iff k = k', so the matched pairs are
+    // identical — only the walk's comparisons changed
+    val numeric = Relational.asofJoinNative(events, orders)
+    val stringk = Relational.asofJoinStringKey(events, orders)
+    assert(numeric.exceptAll(stringk).isEmpty && stringk.exceptAll(numeric).isEmpty)
+  }
+
+  test("unsupported key shapes are rejected at construction, not at runtime") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq((1L, ts("2024-01-10 00:00:00"), 1L, "a"))
+      .toDF("event_id", "ts", "k1", "k2")
+    val lp = l.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    // struct key (the multi-column-key temptation) -> clean reject
+    val lStruct = l.select(col("event_id"), col("ts"),
+      struct(col("k1"), col("k2")).as("sk")).queryExecution.analyzed
+    val eStruct = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin(lStruct, lStruct,
+        a(lStruct, "sk"), a(lStruct, "sk"), a(lStruct, "ts"), a(lStruct, "ts"))
+    }
+    assert(eStruct.getMessage.contains("multi-column"))
+    // mismatched kinds (string vs long) -> clean reject
+    val eMix = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin(lp, lp,
+        a(lp, "k2"), a(lp, "k1"), a(lp, "ts"), a(lp, "ts"))
+    }
+    assert(eMix.getMessage.contains("must match"))
+    // fractional key -> clean reject (no silent longValue truncation)
+    val lDbl = l.select(col("event_id"), col("ts"),
+      col("k1").cast("double").as("dk")).queryExecution.analyzed
+    val eDbl = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin(lDbl, lDbl,
+        a(lDbl, "dk"), a(lDbl, "dk"), a(lDbl, "ts"), a(lDbl, "ts"))
+    }
+    assert(eDbl.getMessage.contains("not supported"))
+    // string TIME axis -> clean reject (tolerance arithmetic is on longs)
+    val eTime = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin(lp, lp,
+        a(lp, "k1"), a(lp, "k1"), a(lp, "k2"), a(lp, "k2"))
+    }
+    assert(eTime.getMessage.contains("time"))
+  }
+
+  test("null string keys never match and never join") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-10 00:00:00"), Some("a")),
+      (2L, ts("2024-01-10 00:00:00"), None: Option[String])
+    ).toDF("event_id", "ts", "user_id")
+    val orders = Seq(
+      (11L, Some("a"), ts("2024-01-05 00:00:00"), 10.0),
+      (12L, None: Option[String], ts("2024-01-06 00:00:00"), 20.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.asofJoinStringKey(
+      events.withColumn("user_id", col("user_id")),
+      orders.withColumn("o_custkey", col("o_custkey")))
+    val m = out.select("event_id", "asof_orderkey").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(m(1L) == Some(11L), s"non-null key must match: $m")
+    assert(m(2L) == None, "null left key must produce a null right side")
+  }
+
   test("tolerance nulls out matches older than the window") {
     def ts(s: String) = Timestamp.valueOf(s)
     val events = Seq(
