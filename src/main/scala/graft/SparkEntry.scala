@@ -89,6 +89,7 @@ object SparkEntry {
     "q_source_mixture" -> ((s, d) => Curation.sourceMixture(t(s, d, "documents"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
+    "q_semdedup" -> ((s, d) => Similarity.semDedup(t(s, d, "embeddings"))),
     "q_quantize" -> ((s, d) => Similarity.quantize(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
@@ -168,6 +169,7 @@ object SparkEntry {
     "q_source_mixture" -> Curation.sourceMixtureSql,
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_knn_graph" -> Similarity.knnGraphSql,
+    "q_semdedup" -> Similarity.semDedupSql,
     "q_quantize" -> Similarity.quantizeSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,

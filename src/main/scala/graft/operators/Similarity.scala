@@ -136,7 +136,7 @@ object Similarity {
     }.mkString("[", ", ", "]")
   }
 
-  val embeddingNearDupSql: String = {
+  private def nearDupSql(tau: Double): String = {
     val c = cosineSql("a.e", "c.e")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 b AS (SELECT vec_id, e, ${bucketKeysSql("e", DefaultTables, DefaultPlanes)} AS bks FROM v),
@@ -148,8 +148,10 @@ cand AS (SELECT DISTINCT a.vec_id AS x, c.vec_id AS y
 SELECT x, y, cos FROM (
   SELECT cand.x, cand.y, round($c, 6) AS cos
   FROM cand JOIN b a ON a.vec_id = cand.x JOIN b c ON c.vec_id = cand.y)
-WHERE cos >= $NearDupTau"""
+WHERE cos >= $tau"""
   }
+
+  val embeddingNearDupSql: String = nearDupSql(NearDupTau)
 
   // ---- L6: brute-force cosine top-k ----
   // Query set (vec_id % 97 == 0) is tiny and broadcast; the corpus
@@ -474,6 +476,47 @@ SELECT vec_id, nbr_id, cos, rk FROM (
   FROM sym)
 WHERE rk <= $KnnK"""
   }
+
+  // ---- L32: SemDeDup (semantic dedup over the embedding graph) ----
+  // The semantic-dedup pass modern curation runs AFTER exact/fuzzy
+  // text dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+  // paraphrases and re-renderings share no n-grams but sit at high
+  // cosine, so the dup relation lives on the embedding graph. Pure
+  // composition of two existing operators — cos >= tau edges from the
+  // capped hyperplane banding ([[embeddingNearDup]]), transitive
+  // closure + representative election from the escalated-contraction
+  // label propagation ([[Dedup.connectedComponents]]) — so every scale
+  // argument (bounded candidate volume, hot-bucket cap, O(log D) job
+  // waves) is inherited, not re-derived. tau is deliberately HIGHER
+  // than the near-dup demo threshold: semantic dedup wants "same
+  // content", not "related content", and a too-low tau chains loosely
+  // related docs into one giant component (the classic SemDeDup
+  // failure mode — the synthetic-cluster spec pins a 3-cluster corpus
+  // staying 3 components).
+  private val SemDedupTau = 0.5
+
+  /** (vec_id, cluster_id, keep): cluster_id = min vec_id reachable in
+    * the cos >= tau graph; keep = 1 elects the minimum id as the
+    * cluster's surviving representative (singletons keep themselves). */
+  def semDedup(embeddings: DataFrame, tau: Double = SemDedupTau): DataFrame = {
+    val pairs = embeddingNearDup(embeddings, tau = tau).select(col("x"), col("y"))
+    val ids = embeddings.select(col("vec_id").as("doc_id"))
+    Dedup.connectedComponents(pairs, ids)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+  }
+
+  /** Composed-CTE oracle, the curation pattern: the pair stage reuses
+    * the near-dup SQL at SemDedupTau verbatim; closure is the same
+    * recursive-CTE min-reachable-label as the L19 oracle. */
+  val semDedupSql: String =
+    s"""WITH RECURSIVE nd AS (${nearDupSql(SemDedupTau)}),
+edges AS (SELECT x AS a, y AS b FROM nd UNION ALL SELECT y AS a, x AS b FROM nd),
+reach AS (SELECT a AS id, b AS r FROM edges
+  UNION SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+SELECT v.vec_id, coalesce(l.label, v.vec_id) AS cluster_id,
+  (coalesce(l.label, v.vec_id) = v.vec_id)::BIGINT AS keep
+FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id"""
 
   // ---- L29: int8 scalar quantization (ANN index compression) ----
   // Per-vector min/max scalar quantization to 8-bit codes — the

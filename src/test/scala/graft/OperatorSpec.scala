@@ -56,6 +56,42 @@ class OperatorSpec extends SparkSpec {
     assert(approx.subsetOf(exact), "bucketing must never invent pairs above tau")
   }
 
+  test("semDedup keeps one representative per semantic cluster, linked transitively (L32)") {
+    // three planted clusters in orthogonal 2-D subspaces; the A-chain
+    // is the SemDeDup-defining case: a1~a2 and a2~a3 sit above tau=0.5
+    // (35 degrees apart, cos 0.819) but a1~a3 (70 degrees, cos 0.342)
+    // does NOT — the component only forms through transitive closure,
+    // which a pair-list-only dedup would miss
+    def vec(entries: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      entries.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    val step = math.toRadians(35)
+    val a = Seq(
+      1L -> vec(0 -> 1.0),
+      2L -> vec(0 -> math.cos(step), 1 -> math.sin(step)),
+      3L -> vec(0 -> math.cos(2 * step), 1 -> math.sin(2 * step)))
+    val b = Seq(
+      10L -> vec(2 -> 1.0),
+      11L -> vec(2 -> math.cos(math.toRadians(5)), 3 -> math.sin(math.toRadians(5))))
+    val c = Seq(20L -> vec(4 -> 1.0))
+    val df = (a ++ b ++ c).toDF("vec_id", "embedding")
+    // sanity: the chain premise really holds on the planted geometry
+    val cos = Similarity.embeddingNearDup(df, tau = -1.0)
+      .select("x", "y", "cos").as[(Long, Long, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    assert(cos((1L, 2L)) >= 0.5 && cos((2L, 3L)) >= 0.5 && cos((1L, 3L)) < 0.5,
+      s"planted chain geometry broken: $cos")
+    val out = Similarity.semDedup(df).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Long]("keep")))
+      .toMap
+    assert(out(1L) == (1L, 1L) && out(2L) == (1L, 0L) && out(3L) == (1L, 0L),
+      s"A-chain must collapse to one representative via transitivity: $out")
+    assert(out(10L) == (10L, 1L) && out(11L) == (10L, 0L), s"B-cluster: $out")
+    assert(out(20L) == (20L, 1L), s"singleton keeps itself: $out")
+  }
+
   test("hot bucket cannot go quadratic: occupancy cap bounds candidates (L5)") {
     // 64 identical vectors share every (table, bucket) key; with the cap
     // those buckets are dropped and candidates stay bounded, while a
