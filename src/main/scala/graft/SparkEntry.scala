@@ -97,6 +97,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "q_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(t(s, d, "documents"))),
+    "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(t(s, d, "documents"))),
     "q_term_freq" -> ((s, d) => TextAnalysis.termFreq(t(s, d, "documents"))),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
     "q_bigrams" -> ((s, d) => TextAnalysis.bigrams(t(s, d, "documents"))),
@@ -174,6 +175,7 @@ object SparkEntry {
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
+    "q_bpe_encode" -> TextAnalysis.bpeEncodeSql,
     "q_term_freq" -> TextAnalysis.termFreqSql,
     "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_bigrams" -> TextAnalysis.bigramsSql,

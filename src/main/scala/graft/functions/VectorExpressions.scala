@@ -506,5 +506,7 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_extract_reading", exprs => ExtractReading(exprs.head,
         spark.sessionState.conf.sessionLocalTimeZone), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe", exprs => BpeEncode(exprs.head), "built-in")
   }
 }

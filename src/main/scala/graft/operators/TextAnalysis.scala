@@ -110,6 +110,78 @@ FROM base"""
   len(regexp_extract_all(text, '$bpeish'))::BIGINT AS bpe_tokens
 FROM documents"""
 
+  // ---- L33: real BPE encoding (greedy merge-rule tokenization) ----
+  // The actual BPE inference loop over [[graft.functions.Bpe.Merges]]
+  // — L10's regex count stays as the cheap proxy; this is the real
+  // algorithm a token-budgeted pipeline runs. Words = [a-z]+ runs
+  // (both engines agree bit-for-bit on that split); each word encodes
+  // independently (map-only — the corpus never shuffles; one (doc)
+  // exchange of small aggregates). The oracle replays the SAME greedy
+  // loop as a recursive CTE: token state carried as a list, best rank
+  // via an inline CASE over the merges table, merge-all via two
+  // replace() passes on a '|'-joined token string ('|' can't occur
+  // inside [a-z]+ tokens; two passes provably merge every
+  // leftmost-nonoverlapping occurrence — see Bpe.encode's scaladoc).
+  // bpe_md5 hashes every token of every word in order, so one wrong
+  // merge anywhere in the corpus fails the gate.
+  def bpeEncode(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val words = documents
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+      .toDF("doc_id", "wi", "word")
+    words
+      .select(col("doc_id"), col("wi"), expr("graft_bpe(word)").as("toks"))
+      .select(col("doc_id"), col("wi"),
+        size(col("toks")).cast("long").as("n_toks"),
+        array_join(col("toks"), "|").as("enc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_bpe_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("wi"), col("enc")))),
+          x => x.getField("enc")), " ")).as("bpe_md5"))
+  }
+
+  val bpeEncodeSql: String = {
+    import graft.functions.Bpe.Merges
+    // CASE arms generated from the SAME Scala merges table
+    def pairRank(a: String, b: String): String = Merges.zipWithIndex.map {
+      case ((x, y), r) => s"WHEN $a = '$x' AND $b = '$y' THEN $r"
+    }.mkString("CASE ", " ", " END")
+    val patCases = Merges.zipWithIndex.map {
+      case ((x, y), r) => s"WHEN $r THEN '|$x|$y|'"
+    }.mkString("CASE best ", " ", " END")
+    val repCases = Merges.zipWithIndex.map {
+      case ((x, y), r) => s"WHEN $r THEN '|$x$y|'"
+    }.mkString("CASE best ", " ", " END")
+    val bestExpr =
+      s"list_min(list_transform(generate_series(1, len(toks) - 1), i -> ${pairRank("toks[i]", "toks[i+1]")}))"
+    s"""WITH RECURSIVE
+wd AS (SELECT doc_id, i AS wi, ws[i] AS word
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       unnest(generate_series(1, len(ws))) AS g(i)),
+init AS (SELECT doc_id, wi,
+  list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS toks FROM wd),
+enc AS (
+  SELECT doc_id, wi, toks FROM init
+  UNION ALL
+  SELECT doc_id, wi,
+    string_split(trim(replace(replace(s, pat, rep), pat, rep), '|'), '|') AS toks
+  FROM (
+    SELECT doc_id, wi,
+      '|' || array_to_string(toks, '|') || '|' AS s,
+      $patCases AS pat,
+      $repCases AS rep
+    FROM (SELECT doc_id, wi, toks, $bestExpr AS best FROM enc) b
+    WHERE best IS NOT NULL) m),
+fin AS (SELECT doc_id, wi, array_to_string(toks, '|') AS e, len(toks) AS n_toks
+  FROM enc WHERE $bestExpr IS NULL)
+SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_toks)::BIGINT AS n_bpe_tokens,
+  md5(string_agg(e, ' ' ORDER BY wi)) AS bpe_md5
+FROM fin GROUP BY doc_id"""
+  }
+
   // ---- L11: document fingerprinting (winnowing) ----
   // k-gram (k=5) rolling hashes, window w=4 minima, distinct — the
   // classic winnowing fingerprint, md5-portable. Map-only at scale;

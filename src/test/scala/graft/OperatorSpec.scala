@@ -92,6 +92,30 @@ class OperatorSpec extends SparkSpec {
     assert(out(20L) == (20L, 1L), s"singleton keeps itself: $out")
   }
 
+  test("BPE encodes by merge rank, not left-to-right adjacency (L33)") {
+    import graft.functions.Bpe
+    // full-rule words collapse completely
+    assert(Bpe.encode("the").toSeq == Seq("the"))
+    assert(Bpe.encode("and").toSeq == Seq("and"))
+    // cascaded merges across levels: t+h -> th, i+n -> in, in+g -> ing
+    assert(Bpe.encode("thing").toSeq == Seq("th", "ing"))
+    // RANK order decides, not position: in "ath" the pair (a,t) is
+    // rank 7 but (t,h) is rank 0, so 'th' merges first — a
+    // leftmost-first implementation would produce [at, h]
+    assert(Bpe.encode("ath").toSeq == Seq("a", "th"))
+    // merge-all-occurrences within one step, leftmost non-overlapping
+    assert(Bpe.encode("thth").toSeq == Seq("th", "th"))
+    assert(Bpe.encode("ththe").toSeq == Seq("th", "the"))
+    // no applicable rule -> stays at characters; single char untouched
+    assert(Bpe.encode("xyz").toSeq == Seq("x", "y", "z"))
+    assert(Bpe.encode("q").toSeq == Seq("q"))
+    // the q_bpe_encode plan is map-only up to the per-doc aggregate:
+    // no join, no window — the corpus text never re-shuffles
+    val plan = operators.TextAnalysis.bpeEncode(documents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(800))
+  }
+
   test("hot bucket cannot go quadratic: occupancy cap bounds candidates (L5)") {
     // 64 identical vectors share every (table, bucket) key; with the cap
     // those buckets are dropped and candidates stay bounded, while a
