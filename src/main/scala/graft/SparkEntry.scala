@@ -99,6 +99,8 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(t(s, d, "documents"))),
     "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(t(s, d, "documents"))),
     "q_term_freq" -> ((s, d) => TextAnalysis.termFreq(t(s, d, "documents"))),
+    "q_build_vocab" -> ((s, d) => TextAnalysis.buildVocab(t(s, d, "documents"))),
+    "q_training_shards" -> ((s, d) => Curation.trainingShards(t(s, d, "documents"))),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
     "q_bigrams" -> ((s, d) => TextAnalysis.bigrams(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
@@ -177,6 +179,8 @@ object SparkEntry {
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_bpe_encode" -> TextAnalysis.bpeEncodeSql,
     "q_term_freq" -> TextAnalysis.termFreqSql,
+    "q_build_vocab" -> TextAnalysis.buildVocabSql,
+    "q_training_shards" -> Curation.trainingShardsSql,
     "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_bigrams" -> TextAnalysis.bigramsSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,

@@ -152,6 +152,40 @@ SELECT t.doc_id, t.source, t.tok, r.bp
 FROM t JOIN r USING (source)
 WHERE ${md5LongSql("'mix'", "t.doc_id")} % 10000 < r.bp"""
 
+  // ---- L34: deterministic training-shard assignment ----
+  // The last step before tokenization: scatter the curated corpus into
+  // K shards with a DETERMINISTIC pseudo-random order — shard =
+  // md5('shard':id) mod K breaks source/time locality (a corpus
+  // written in crawl order would otherwise front-load one domain into
+  // early training steps), pos = rank of md5('ord':id) within the
+  // shard fixes the intra-shard read order so any engine/rerun
+  // produces byte-identical shards. Physical shape is exactly the
+  // training-data shuffle at 100 TB: one hash exchange on the shard
+  // key + a per-shard sort (the window's partition IS the shard; at
+  // cluster scale the same plan is repartition(shard) +
+  // sortWithinPartitions feeding the shard writer — no global sort,
+  // no driver involvement). K here is small for the testdata; it
+  // scales with corpus/shard-size and the plan shape is K-invariant.
+  private val NumShards = 8L
+
+  def trainingShards(documents: DataFrame): DataFrame = {
+    val keyed = documents.select(col("doc_id"),
+      pmod(md5Long(lit("shard"), col("doc_id")), lit(NumShards)).as("shard"),
+      md5Long(lit("ord"), col("doc_id")).as("ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    keyed.select(col("doc_id"), col("shard"),
+      row_number().over(w).cast("long").as("pos"))
+  }
+
+  val trainingShardsSql: String =
+    s"""SELECT doc_id, shard,
+  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)::BIGINT AS pos
+FROM (SELECT doc_id,
+        ${md5LongSql("'shard'", "doc_id")} % $NumShards AS shard,
+        ${md5LongSql("'ord'", "doc_id")} AS ord
+      FROM documents)"""
+
   val curationPipelineSql: String = {
     // stage CTEs reuse the member operators' oracle SQL verbatim (the
     // per-operator gates already prove each bit-identical)

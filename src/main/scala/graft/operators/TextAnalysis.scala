@@ -182,6 +182,41 @@ SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_toks)::BIGINT AS n_bpe_tokens,
 FROM fin GROUP BY doc_id"""
   }
 
+  // ---- L35: top-V vocabulary construction (tokenizer-training shape) ----
+  // The frequency-ranked vocab every tokenizer/embedding-table build
+  // starts from: corpus-wide token counts (stopwords INCLUDED — a
+  // vocab wants them), the V most frequent kept, ids assigned densely
+  // in (freq DESC, token ASC) order so the token→id mapping is total,
+  // deterministic, and engine-identical even across count ties at the
+  // V boundary. Scale shape: the corpus collapses to the vocab table
+  // via one partial-aggregated token shuffle (termFreq's plan); the
+  // top-V cut then runs as TakeOrderedAndProject — per-partition V-row
+  // heaps merged on one task, never a full vocab sort (plan-asserted);
+  // the final id window touches exactly V rows. V is small here so the
+  // sf0.01 boundary is actually exercised; a real 10^5-row vocab
+  // changes only the constant.
+  private val VocabSize = 24
+
+  def buildVocab(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    tf.orderBy(col("freq").desc, col("token").asc).limit(VocabSize)
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+  }
+
+  val buildVocabSql: String =
+    s"""SELECT token, freq, token_id FROM (
+  SELECT token, freq,
+         (row_number() OVER (ORDER BY freq DESC, token ASC) - 1)::BIGINT AS token_id
+  FROM (SELECT token, count(*) AS freq FROM (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+        WHERE length(token) > 0 GROUP BY token))
+WHERE token_id < $VocabSize"""
+
   // ---- L11: document fingerprinting (winnowing) ----
   // k-gram (k=5) rolling hashes, window w=4 minima, distinct — the
   // classic winnowing fingerprint, md5-portable. Map-only at scale;

@@ -92,6 +92,33 @@ class OperatorSpec extends SparkSpec {
     assert(out(20L) == (20L, 1L), s"singleton keeps itself: $out")
   }
 
+  test("buildVocab cuts top-V as a bounded take, and shards balance deterministically (L34/L35)") {
+    // the top-V cut must plan as TakeOrderedAndProject (per-partition
+    // V-row heaps merged once) — a full Sort of the vocab table would
+    // be the 100 TB regression
+    val vocabPlan = operators.TextAnalysis.buildVocab(documents)
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject"), vocabPlan.take(800))
+    val vocab = operators.TextAnalysis.buildVocab(documents).collect()
+    assert(vocab.length == 24, s"top-V cut must bite: ${vocab.length}")
+    // ids are dense 0..n-1 in (freq desc, token asc) order
+    val ids = vocab.map(_.getAs[Long]("token_id")).sorted.toSeq
+    assert(ids == (0L until vocab.length).toSeq, s"ids not dense: $ids")
+    // shard assignment: deterministic (rerun-identical), all K shards
+    // populated at sf0.01, positions dense per shard
+    val a = operators.Curation.trainingShards(documents).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    val b = operators.Curation.trainingShards(documents).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq, "shard order must be rerun-identical")
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet, s"all shards populated: ${byShard.keySet}")
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $s positions not dense")
+    }
+  }
+
   test("BPE encodes by merge rank, not left-to-right adjacency (L33)") {
     import graft.functions.Bpe
     // full-rule words collapse completely
