@@ -367,6 +367,43 @@ class OperatorSpec extends SparkSpec {
     assert(out(51L) == 1L && out(52L) == 0L && !out.contains(50L))
   }
 
+  test("minhash contamination grades near-dup leakage and ignores single-span overlap (L36)") {
+    // doc 51 is a light paraphrase of benchmark doc 50 (1 word in 30
+    // changed -> 3-gram jaccard ~0.8): flagged WITH its source id and
+    // a graded score. doc 52 shares one verbatim 10-word span but is
+    // otherwise unrelated (jaccard ~0.07): the binary exact-8-gram
+    // check (L21) trips on it, the near-dup check correctly does NOT —
+    // the two operators answer different questions (any-overlap vs
+    // same-content) and a decontamination pipeline needs both.
+    val benchWords = (1 to 60).map(i => s"w$i")
+    val paraphrase = benchWords.zipWithIndex.map {
+      case (w, i) => if (i % 30 == 15) s"x$i" else w
+    }
+    val spanCopy = benchWords.slice(20, 30) ++ (200 to 249).map(i => s"v$i")
+    val docs = Seq(
+      (50L, benchWords.mkString(" ")),
+      (51L, paraphrase.mkString(" ")),
+      (52L, spanCopy.mkString(" ")),
+      (53L, (300 to 360).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val exact = operators.Curation.contamination(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("contaminated")).toMap
+    assert(exact(52L) == 1L, "premise: the span copy trips the binary exact-gram check")
+    val near = operators.Dedup.minhashContamination(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("best_match"), r.getAs[Double]("best_jaccard"))).toMap
+    assert(near.contains(51L) && near(51L)._1 == 50L,
+      s"paraphrased leak must be flagged against its benchmark source: $near")
+    assert(near(51L)._2 >= 0.5, s"graded score must survive the verify: $near")
+    assert(!near.contains(52L), s"single-span overlap is not near-dup leakage: $near")
+    assert(!near.contains(53L), s"unrelated doc must stay silent: $near")
+    // benchmark band keys broadcast; the corpus side never shuffles
+    // its bands for the probe (the L21 scale rule)
+    val plan = operators.Dedup.minhashContamination(documents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("repetition counts bigram occurrences, not distinct bigrams (L17)") {
     // 'a b a b a b' has bigrams [a b, b a, a b, b a, a b]: the most
     // frequent ('a b') appears 3 times out of 5 — a dedup'd shingle
