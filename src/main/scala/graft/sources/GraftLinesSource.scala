@@ -52,13 +52,21 @@ object GraftLinesTable {
     StructField("line", StringType, nullable = false)))
 }
 
-class GraftLinesTable(path: String) extends Table with SupportsRead {
+class GraftLinesTable(path: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_lines($path)"
   override def schema(): StructType = GraftLinesTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLinesScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftLinesWriteBuilder(path, info)
 }
 
 class GraftLinesScanBuilder(path: String) extends ScanBuilder
