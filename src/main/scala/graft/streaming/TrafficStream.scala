@@ -155,6 +155,114 @@ object TrafficStream {
       }
   }
 
+  /** A closed (window, station) maximum from [[maxFlowSlidingDequeStream]] —
+    * the same columns the batch ordered-scan emits. */
+  case class WindowMax(station_id: Long, window_start: Timestamp, lane: String,
+      max_flow: Double, event_id: Long, recorded_ts: Timestamp)
+
+  private[streaming] case class BucketRec(value: Double, tsMs: Long,
+      event_id: Long, lane: String)
+  private[streaming] case class DequeTwinState(buckets: Map[Long, BucketRec],
+      lastEmitted: Long)
+
+  /** Streaming twin of the batch 60/1 ordered-scan flagship
+    * (`Traffic.maxFlowSlidingScan` — the R5 note's "batch-only" path,
+    * closed here): flatMapGroupsWithState keyed by station, state =
+    * ONE argmax record per populated slide bucket plus the last
+    * emitted window start. Each event folds into exactly one bucket
+    * entry, so per-station state is O(populated buckets in the open
+    * horizon) — the declarative `window()` plan stores ~dur/slide
+    * copies of every event's aggregate in the state store (each event
+    * belongs to 60 windows at 60/1), a 60× state reduction with
+    * identical append-mode semantics: a (window, station) maximum is
+    * emitted exactly once, when the event-time watermark passes the
+    * window end; windows with no events emit nothing; late rows below
+    * the watermark are dropped by Spark before the operator, exactly
+    * as the windowed-aggregation plan drops them.
+    *
+    * The argmax total order is the batch walk's (value, ts, event_id,
+    * lane) — SlidingScan.recGreater — so closed outputs are
+    * row-identical to `maxFlowSlidingScan` on the same inputs
+    * (parity-spec-pinned). Retention: bucket b is dropped once the
+    * watermark closes the LAST window containing it (start b, end
+    * (b + D)·slide); when every bucket is emitted and dropped the
+    * key's state is removed entirely — a later event above the
+    * watermark can only open not-yet-closed windows, so re-emission
+    * is impossible by construction. */
+  def maxFlowSlidingDequeStream(events: Dataset[SensorEvent], durSlides: Int = 60,
+      slideSeconds: Long = 60L, delay: String = "2 hours"): Dataset[WindowMax] = {
+    import events.sparkSession.implicits._
+    val bucketMs = slideSeconds * 1000L
+    val d = durSlides
+    def greater(a: BucketRec, b: BucketRec): Boolean =
+      if (a.value != b.value) a.value > b.value
+      else if (a.tsMs != b.tsMs) a.tsMs > b.tsMs
+      else if (a.event_id != b.event_id) a.event_id > b.event_id
+      else a.lane > b.lane
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DequeTwinState, WindowMax](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (station: Long, evs: Iterator[SensorEvent], state: GroupState[DequeTwinState]) =>
+          val st0 = state.getOption.getOrElse(DequeTwinState(Map.empty, Long.MinValue))
+          val merged = evs.foldLeft(st0.buckets) { (acc, e) =>
+            val b = Math.floorDiv(e.ts.getTime, bucketMs)
+            val r = BucketRec(e.value, e.ts.getTime, e.event_id, e.event_type)
+            acc.get(b) match {
+              case Some(old) => if (greater(r, old)) acc.updated(b, r) else acc
+              case None => acc.updated(b, r)
+            }
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer.empty[WindowMax]
+          var last = st0.lastEmitted
+          if (merged.nonEmpty) {
+            val sorted = merged.toArray.sortBy(_._1)
+            val n = sorted.length
+            var w = sorted.head._1 - (d - 1)
+            if (last != Long.MinValue && last + 1 > w) w = last + 1
+            var p = 0
+            var done = false
+            while (!done && (w + d) * bucketMs <= wmMs) {
+              while (p < n && sorted(p)._1 < w) p += 1
+              if (p == n) done = true
+              else if (sorted(p)._1 > w + d - 1) w = sorted(p)._1 - (d - 1)
+              else {
+                // argmax over populated buckets in [w, w + d - 1]
+                var q = p
+                var best = sorted(q)._2
+                q += 1
+                while (q < n && sorted(q)._1 <= w + d - 1) {
+                  if (greater(sorted(q)._2, best)) best = sorted(q)._2
+                  q += 1
+                }
+                out += WindowMax(station, new Timestamp(w * bucketMs), best.lane,
+                  best.value, best.event_id, new Timestamp(best.tsMs))
+                last = w
+                w += 1
+              }
+            }
+          }
+          // drop buckets whose last containing window has closed
+          val kept = merged.filter { case (b, _) => (b + d) * bucketMs > wmMs }
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(DequeTwinState(kept, last))
+            // wake when the earliest un-emitted valid window closes
+            val starts = kept.keys.toArray.sorted
+            var ww = starts.head - (d - 1)
+            if (last != Long.MinValue && last + 1 > ww) ww = last + 1
+            var p = 0
+            while (p < starts.length && starts(p) < ww) p += 1
+            if (p < starts.length) {
+              if (starts(p) > ww + d - 1) ww = starts(p) - (d - 1)
+              state.setTimeoutTimestamp((ww + d) * bucketMs)
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Custom stateful operator: gap-based sessionization with
     * flatMapGroupsWithState + event-time timeout. State per user is a
     * single (start, end, n) struct; sessions close either when a

@@ -70,6 +70,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_(1) == 7L) == 60 || got.count(_(1) == 7L) == 61)
   }
 
+  test("the stateful deque twin matches the batch ordered scan at 60/1 (R5/R8)") {
+    implicit val sqlCtx = spark.sqlContext
+    // bucket collapse (two events in one minute), a 30-min intra-window
+    // gap, a > 60-min gap (the walk's jump), and a second station;
+    // batch 2 arrives later but above the watermark
+    val batch1 = Seq(
+      SensorEvent(1, t("2024-01-01 00:10:00"), 7, "lane1", 5.0),
+      SensorEvent(2, t("2024-01-01 00:10:30"), 7, "lane2", 9.0),
+      SensorEvent(3, t("2024-01-01 00:40:00"), 7, "lane1", 4.0),
+      SensorEvent(5, t("2024-01-01 00:15:00"), 8, "lane1", 4.0))
+    val batch2 = Seq(
+      SensorEvent(4, t("2024-01-01 03:00:00"), 7, "lane9", 1.0))
+    val sentinel = SensorEvent(99, t("2024-02-01 00:00:00"), -1, "flush", 0.0)
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.maxFlowSlidingDequeStream(stream.toDS(), delay = "0 seconds")
+      .writeStream.format("memory").queryName("deque601").outputMode("append").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    stream.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("deque601").where(col("station_id") =!= -1)
+      .collect().map(_.toSeq).toSet
+    val expected = Traffic.maxFlowSlidingScan((batch1 ++ batch2).toDF())
+      .select("station_id", "window_start", "lane", "max_flow", "event_id", "recorded_ts")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected, s"deque twin diverged: missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty)
+    // each event contributes ONE bucket entry to state, never 60
+    // window copies — the emitted row count still spans all windows
+    assert(got.size > (batch1 ++ batch2).size, "windows outnumber events at 60/1")
+  }
+
   test("injector drops empties and Timestamp headers (R9)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
