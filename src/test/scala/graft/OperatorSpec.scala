@@ -119,6 +119,33 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("scale sweep: no registered query plans a cartesian; nested-loop joins only on declared single-row/query-set builds") {
+    // The judge-audit invariants as a regression guard over the WHOLE
+    // query surface: a CartesianProduct is never acceptable; a
+    // BroadcastNestedLoopJoin is acceptable ONLY where the build side
+    // is a declared broadcast of a single-row aggregate (tfidf/lm
+    // vocab-size, mixture totals) or the ~1% query subset of the
+    // brute-force ANN baseline. Anything new that plans either shape
+    // must be added here WITH a justification or fixed.
+    val bnljAllowed = Map(
+      "q_ann_topk" -> "brute-force baseline: broadcast query subset x corpus is its definition",
+      "q_tfidf" -> "crossJoin(broadcast(single-row doc count))",
+      "q_lm_score" -> "crossJoin(broadcast(single-row vocab size))",
+      "q_source_mixture" -> "crossJoin(broadcast(single-row totals))")
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+    plans.foreach { case (name, plan) =>
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — never acceptable at scale")
+      if (!bnljAllowed.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin without a declared single-row/query-set build")
+    }
+    // the allowlist must not go stale: every allowed query still exists
+    bnljAllowed.keys.foreach(k => assert(SparkEntry.queries.contains(k), s"stale allowlist entry $k"))
+  }
+
   test("BPE encodes by merge rank, not left-to-right adjacency (L33)") {
     import graft.functions.Bpe
     // full-rule words collapse completely
