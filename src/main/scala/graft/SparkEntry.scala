@@ -62,6 +62,7 @@ object SparkEntry {
     "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_percentiles" -> ((s, d) => Relational.percentiles(t(s, d, "orders"))),
+    "q_percentiles_approx" -> ((s, d) => Relational.percentilesApprox(t(s, d, "orders"))),
     "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_ranking" -> ((s, d) => Relational.rankingFunctions(t(s, d, "orders"))),

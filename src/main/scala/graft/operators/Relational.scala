@@ -447,6 +447,27 @@ GROUP BY CUBE (n_name, c_mktsegment)"""
   round(max(o_totalprice), 4) AS mx
 FROM orders GROUP BY o_orderpriority"""
 
+  // C25: approximate percentiles — the SCALE path for C13 (r5).
+  // Exact `percentile` buffers every group value in the aggregation
+  // state (OpenHashMap per group — memory grows with group size, the
+  // quantile shape that does NOT survive 100 TB); approx_percentile
+  // is Spark's Greenwald-Khanna sketch: bounded state
+  // (O(1/accuracy · log n) tuples), map-side partial sketches MERGED
+  // across the exchange like any other aggregate. Accuracy 10000 →
+  // rank error ≤ 1e-4·n. No DuckDB oracle by design (its
+  // approx_quantile is t-digest — a different sketch with different
+  // deterministic answers); correctness is spec-pinned against the
+  // exact percentiles with the sketch's own rank-error bound, the
+  // same verification pattern as the ANN family.
+  private val ApproxAcc = 10000
+  def percentilesApprox(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        expr(s"approx_percentile(o_totalprice, 0.5, $ApproxAcc)").as("p50"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $ApproxAcc)").as("p90"),
+        expr(s"approx_percentile(o_totalprice, 0.99, $ApproxAcc)").as("p99"),
+        count(lit(1)).as("n"))
+
   // C19: statistical aggregates — stddev/variance/correlation. Both
   // engines use the standard definitions; rounding absorbs last-ulp
   // differences in the one-pass formulations.

@@ -119,6 +119,76 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles land within the sketch's rank-error bound of exact (C25)") {
+    val orders = Tables.load(spark, sf, "orders")
+    val approx = Relational.percentilesApprox(orders).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))).toMap
+    val byGroup = orders.select("o_orderpriority", "o_totalprice")
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(approx.keySet == byGroup.keySet)
+    byGroup.foreach { case (grp, sorted) =>
+      val n = sorted.length
+      // GK guarantee: the returned value's rank is within eps*n of the
+      // target rank (eps = 1/accuracy = 1e-4; slack 2 for boundary
+      // conventions). The returned value must also be a REAL element
+      // (a sketch returns members, not interpolations).
+      def rankOf(v: Double): Int = sorted.indexWhere(_ == v)
+      Seq(0.5 -> approx(grp)._1, 0.9 -> approx(grp)._2, 0.99 -> approx(grp)._3)
+        .foreach { case (q, v) =>
+          val r = rankOf(v)
+          assert(r >= 0, s"$grp p$q=$v is not an element of the group")
+          val target = q * (n - 1)
+          assert(math.abs(r - target) <= 1e-4 * n + 2,
+            s"$grp p$q rank $r too far from target $target (n=$n)")
+        }
+    }
+  }
+
+  test("BPE invariants hold on random words (L33 property)") {
+    // cross-implementation check: a naive rank-ordered rule applier
+    // (try each merge rule in rank order, merge all occurrences of the
+    // first applicable one, restart) must agree with the single-scan
+    // encoder — same algorithm expressed oppositely (rule-major vs
+    // position-major), so an index/ordering bug in either diverges
+    import graft.functions.Bpe
+    def naive(word: String): Seq[String] = {
+      var toks: Vector[String] = word.map(_.toString).toVector
+      var changed = true
+      while (changed && toks.length > 1) {
+        changed = false
+        val it = Bpe.Merges.iterator
+        while (!changed && it.hasNext) {
+          val (a, b) = it.next()
+          if (toks.indices.dropRight(1).exists(i => toks(i) == a && toks(i + 1) == b)) {
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < toks.length) {
+              if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+                out += (a + b); j += 2
+              } else { out += toks(j); j += 1 }
+            }
+            toks = out.result()
+            changed = true
+          }
+        }
+      }
+      toks
+    }
+    val rnd = new scala.util.Random(11)
+    // bias toward merge-rule letters so merges actually fire
+    val alphabet = "theinandorestou"
+    (1 to 500).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = Bpe.encode(w).toSeq
+      assert(got.mkString == w, s"reconstruction broken for '$w': $got")
+      assert(got.forall(_.nonEmpty), s"empty token for '$w'")
+      assert(got == naive(w), s"encoder disagrees with rank-major applier on '$w': $got vs ${naive(w)}")
+    }
+  }
+
   test("scale sweep: no registered query plans a cartesian; nested-loop joins only on declared single-row/query-set builds") {
     // The judge-audit invariants as a regression guard over the WHOLE
     // query surface: a CartesianProduct is never acceptable; a
