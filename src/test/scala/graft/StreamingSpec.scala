@@ -105,6 +105,72 @@ class StreamingSpec extends SparkSpec {
     assert(got.size > (batch1 ++ batch2).size, "windows outnumber events at 60/1")
   }
 
+  test("deque twin survives a checkpointed restart: no duplicate, no missing windows") {
+    // driven through the graft-lines DSv2 source so BOTH recovery
+    // contracts are exercised: the source resumes from its committed
+    // file offset, and flatMapGroupsWithState recovers the bucket map
+    // AND the last-emitted cursor (a lost cursor would re-emit closed
+    // windows after restart; lost buckets would drop windows)
+    val dir = java.nio.file.Files.createTempDirectory("deque-restart-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("deque-restart-ckpt").toString
+    def writeFile(n: Int, evs: Seq[SensorEvent]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f"$dir/f$n%03d.txt"),
+        evs.map(e => s"${e.event_id}|${e.ts.getTime},${e.user_id},${e.event_type},${e.value}")
+          .mkString("", "\n", "\n"))
+    def pipeline() = {
+      val parsed = spark.readStream.format("graft-lines").load(dir)
+        .select(col("event_id"),
+          split(col("line"), ",").as("f"))
+        .select(col("event_id"),
+          timestamp_millis(col("f").getItem(0).cast("long")).as("ts"),
+          col("f").getItem(1).cast("long").as("user_id"),
+          col("f").getItem(2).as("event_type"),
+          col("f").getItem(3).cast("double").as("value"))
+        .as[SensorEvent]
+      TrafficStream.maxFlowSlidingDequeStream(parsed, delay = "0 seconds")
+    }
+    // a Buffer, not a Set: duplicate emissions across the restart
+    // boundary must be VISIBLE, not silently collapsed
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    def sink(batch: org.apache.spark.sql.Dataset[TrafficStream.WindowMax], epoch: Long): Unit =
+      got.synchronized { got ++= batch.toDF().collect().map(_.toSeq) }
+
+    val run1 = Seq(
+      SensorEvent(1, t("2024-01-01 00:10:00"), 7, "lane1", 5.0),
+      SensorEvent(2, t("2024-01-01 00:30:00"), 7, "lane2", 9.0),
+      SensorEvent(3, t("2024-01-01 00:55:00"), 8, "lane1", 4.0))
+    val run2 = Seq(
+      SensorEvent(4, t("2024-01-01 01:10:00"), 7, "lane3", 2.0),
+      SensorEvent(5, t("2024-01-01 01:20:00"), 8, "lane2", 6.0))
+    val sentinel = SensorEvent(99, t("2024-02-01 00:00:00"), -1, "flush", 0.0)
+
+    writeFile(0, run1)
+    val q1 = pipeline().writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").foreachBatch(sink _).start()
+    q1.processAllAvailable()
+    q1.stop()
+    val afterRun1 = got.synchronized(got.size)
+
+    writeFile(1, run2)
+    writeFile(2, Seq(sentinel))
+    val q2 = pipeline().writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").foreachBatch(sink _).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val expected = Traffic.maxFlowSlidingScan((run1 ++ run2).toDF())
+      .select("station_id", "window_start", "lane", "max_flow", "event_id", "recorded_ts")
+      .collect().map(_.toSeq).toSet
+    val gotRows = got.synchronized(got.toVector).filter(_.head != -1L)
+    assert(gotRows.size == gotRows.distinct.size,
+      s"duplicate emission across restart: ${gotRows.groupBy(identity).filter(_._2.size > 1).keys}")
+    val gotFinal = gotRows.toSet
+    assert(gotFinal == expected,
+      s"restart diverged: missing=${expected -- gotFinal} extra=${gotFinal -- expected}")
+    assert(afterRun1 < expected.size, "some windows must close only after the restart")
+    assert(gotFinal.nonEmpty)
+  }
+
   test("injector drops empties and Timestamp headers (R9)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
