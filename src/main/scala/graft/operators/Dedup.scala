@@ -469,6 +469,11 @@ FROM marked GROUP BY doc_id"""
   }
 
   def simhashDedup(documents: DataFrame): DataFrame = {
+    // cache() pins one (doc_id, long) row per doc — the narrow sig
+    // frame, never the text — because it feeds both sides of the band
+    // self-join. At 100 TB even that is a corpus-sized intermediate:
+    // if it exceeds cluster cache, checkpoint the sigs to parquet and
+    // read twice (recompute = one extra map-only pass) instead.
     val sims = simhashes(documents).cache()
     val withBands = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimBands).map(b => struct(lit(b).as("band"),

@@ -627,4 +627,59 @@ SELECT g.station_id, g.minute,
     ORDER BY g.minute ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS flow,
   (pm.flow IS NULL)::BIGINT AS filled
 FROM grid g LEFT JOIN pm ON pm.station_id = g.station_id AND pm.minute = g.minute"""
+
+  // C25: bucketed interval (range) join — point-in-interval with NO
+  // natural equi key. The naive plan for `l.day BETWEEN p.start AND
+  // p.end` is BroadcastNestedLoopJoin (fine only while one side fits
+  // in a broadcast) or CartesianProduct (never fine). The scale shape:
+  // quantize the time axis into fixed buckets, explode each interval
+  // into the <= ceil(span/bucket)+1 buckets it covers, map each point
+  // to its ONE bucket, hash-equi-join on the bucket, and re-check the
+  // exact range as a residual predicate. Join volume becomes
+  // O(points + intervals * span/bucket) instead of O(points *
+  // intervals), and the join is shuffle-partitionable on the bucket
+  // key — both sides can be 100 TB. No dedup pass is needed: a point
+  // owns exactly one bucket and an interval lists each bucket once,
+  // so a pair can only meet once. IntervalJoinSpec plan-asserts that
+  // no nested-loop/cartesian node survives.
+  private val IntervalBucketDays = 7L
+  private val DaySec = 86400L
+
+  def intervalJoin(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // promo windows derived from a deterministic order subset:
+    // [orderdate, orderdate + (o_orderkey % 14) + 1 days], inclusive.
+    val dayUs = DaySec * 1000000L
+    val promos = orders
+      .where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs").as("start_day"))
+      .withColumn("end_day", col("start_day") + col("promo_id") % 14 + 1)
+      .withColumn("bucket",
+        explode(sequence(expr(s"start_day div $IntervalBucketDays"),
+          expr(s"end_day div $IntervalBucketDays"))))
+    val li = lineitem.select(
+      expr(s"unix_micros(cast(l_shipdate as timestamp)) div $dayUs").as("ship_day"),
+      col("l_quantity"))
+      .withColumn("bucket", expr(s"ship_day div $IntervalBucketDays"))
+    promos.join(li, Seq("bucket"))
+      .where(col("ship_day") >= col("start_day") && col("ship_day") <= col("end_day"))
+      .groupBy(col("promo_id"))
+      .agg((max(col("end_day")) - max(col("start_day"))).as("span_days"),
+        count(lit(1)).as("n_lines"),
+        sumd(col("l_quantity")).as("sum_qty"))
+  }
+
+  // Oracle states the intent directly (BETWEEN join) — the bucket
+  // decomposition is a physical rewrite, so the results must match.
+  val intervalJoinSql: String =
+    s"""WITH promos AS (
+  SELECT o_orderkey AS promo_id,
+         epoch_us(o_orderdate) // ${DaySec * 1000000L} AS start_day,
+         epoch_us(o_orderdate) // ${DaySec * 1000000L} + o_orderkey % 14 + 1 AS end_day
+  FROM orders WHERE o_orderkey % 97 = 0),
+li AS (SELECT epoch_us(l_shipdate) // ${DaySec * 1000000L} AS ship_day, l_quantity FROM lineitem)
+SELECT promo_id, end_day - start_day AS span_days, count(*) AS n_lines,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM promos p JOIN li l ON l.ship_day BETWEEN p.start_day AND p.end_day
+GROUP BY promo_id, end_day - start_day"""
 }

@@ -189,6 +189,37 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("interval join matches the naive BETWEEN join and stays an equi hash join (C25)") {
+    val orders = Tables.load(spark, sf, "orders")
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    val bucketed = Relational.intervalJoin(orders, lineitem)
+    // the physical rewrite must not change the answer: compare against
+    // the BETWEEN join stated directly (which Spark can only plan as a
+    // nested loop — the very shape the operator exists to avoid)
+    val dayUs = 86400L * 1000000L
+    val promos = orders.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs").as("start_day"))
+      .withColumn("end_day", col("start_day") + col("promo_id") % 14 + 1)
+    val li = lineitem.select(
+      expr(s"unix_micros(cast(l_shipdate as timestamp)) div $dayUs").as("ship_day"), col("l_quantity"))
+    val naive = promos.join(li,
+        li("ship_day") >= promos("start_day") && li("ship_day") <= promos("end_day"))
+      .groupBy(col("promo_id"))
+      .agg((max(col("end_day")) - max(col("start_day"))).as("span_days"),
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    assert(bucketed.count() > 0, "no promo matched any lineitem — test data too small")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
+      "bucket decomposition changed the join result")
+    // and the plan must be the partitionable equi-join, not a loop
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval join fell back to a nested loop")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), s"expected a hash-equi join on the bucket key:\n$plan")
+  }
+
   test("scale sweep: no registered query plans a cartesian; nested-loop joins only on declared single-row/query-set builds") {
     // The judge-audit invariants as a regression guard over the WHOLE
     // query surface: a CartesianProduct is never acceptable; a
