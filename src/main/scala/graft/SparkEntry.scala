@@ -84,6 +84,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(t(s, d, "documents"))),
     "q_fuzzy_names" -> ((s, d) => Dedup.fuzzyNames(t(s, d, "customer"))),
     "q_dedup_chunk" -> ((s, d) => Dedup.chunkDedup(t(s, d, "documents"))),
+    "q_dup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
     "q_normalize" -> ((s, d) => TextAnalysis.normalize(t(s, d, "documents"))),
     "q_seq_pack" -> ((s, d) => Packing.packSequences(t(s, d, "documents"))),
     "q_curation_e2e" -> ((s, d) => Curation.curationPipeline(t(s, d, "documents"))),
@@ -169,6 +170,7 @@ object SparkEntry {
     "q_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_fuzzy_names" -> Dedup.fuzzyNamesSql,
     "q_dedup_chunk" -> Dedup.chunkDedupSql,
+    "q_dup_spans" -> Dedup.dupSpansSql,
     "q_normalize" -> TextAnalysis.normalizeSql,
     "q_seq_pack" -> Packing.packSequencesSql,
     "q_curation_e2e" -> Curation.curationPipelineSql,

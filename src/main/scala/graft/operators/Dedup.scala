@@ -504,4 +504,83 @@ SELECT a.doc_id AS x, b.doc_id AS y, bit_count(xor(a.simhash, b.simhash))::BIGIN
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming"""
   }
+
+  // ---- L37: exact duplicated-substring spans ----
+  // The "dedup the repeated passage, not the document" operator
+  // (boilerplate headers, licence blocks, quoted chain-mails): find
+  // every word-8-gram occurring more than once ANYWHERE in the corpus
+  // (a second doc or the same one), then merge each doc's hit
+  // positions into maximal duplicated spans. Differs from L25 chunk
+  // dedup: grams OVERLAP, so a repeated passage is found at any
+  // alignment, not just on fixed chunk boundaries.
+  //
+  // Scale: per-doc gram explode is map-side; the hash groupBy is one
+  // shuffle of (8-byte hash) keys with map-side partial counts; the
+  // hit join-back shuffles only the duplicated subset; the span-merge
+  // window partitions by doc_id (bounded by doc length — never a
+  // corpus-wide sort). Spans of equal-length intervals chain-merge
+  // with a single lag(): running max end == prev pos + k - 1.
+  private val SpanGram = 8
+
+  def dupSpans(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SpanGram
+    val toks = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+    // sequence(1, 0) counts DOWN — short docs must short-circuit
+    val gramArr = when(size(col("t")) >= k,
+      transform(sequence(lit(1), size(col("t")) - lit(k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(col("t"), i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val grams = toks
+      .select(col("doc_id"), col("n_tokens"), posexplode(gramArr).as(Seq("p0", "g")))
+      .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).cast("long").as("pos"),
+        md5Long(lit("sp"), col("g")).as("gh"))
+    val dups = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select(col("gh"))
+    val hits = grams.join(dups, "gh")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      // gap > k starts a new span: [p, p+k-1] and [q, q+k-1] merge iff
+      // q <= p + k (overlap or token-contiguous); null lag (first hit)
+      // falls through to otherwise(1)
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        max(col("n_tokens")).as("n_tokens"))
+  }
+
+  val dupSpansSql: String = {
+    val k = SpanGram
+    val gram = (0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    val h = md5LongSql("'sp'", gram)
+    s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens, i::BIGINT AS pos, $h AS gh
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - ${k - 1})) AS u(i)),
+c AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+hits AS (SELECT g.* FROM grams g JOIN c USING (gh)),
+flagged AS (
+  SELECT doc_id, n_tokens, pos,
+    CASE WHEN pos - lag(pos) OVER w <= $k THEN 0 ELSE 1 END AS new_span
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+numbered AS (
+  SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM flagged),
+spans AS (
+  SELECT doc_id, span_id, max(n_tokens) AS n_tokens, min(pos) AS s, max(pos) + ${k - 1} AS e
+  FROM numbered GROUP BY doc_id, span_id)
+SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1)::BIGINT AS dup_tokens,
+  max(n_tokens)::BIGINT AS n_tokens
+FROM spans GROUP BY doc_id"""
+  }
 }

@@ -220,6 +220,34 @@ class OperatorSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), s"expected a hash-equi join on the bucket key:\n$plan")
   }
 
+  test("dupSpans merges overlapping duplicated 8-grams into maximal spans (L37)") {
+    import graft.operators.Dedup
+    // a 12-word passage shared by two docs at DIFFERENT word offsets:
+    // 5 overlapping 8-gram hits (positions p..p+4) must merge into ONE
+    // span of exactly 12 tokens in each doc — the alignment-free
+    // property fixed chunking (L25) lacks by construction
+    val passage = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val pad = (n: Int, tag: String) => (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${pad(3, "alpha")} $passage ${pad(5, "beta")}"),
+      (2L, s"${pad(9, "gamma")} $passage ${pad(2, "delta")}"),
+      (3L, pad(20, "solo"))).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_tokens"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(out.keySet == Set(1L, 2L), s"only the sharing docs report spans: $out")
+    assert(out(1L) == (1L, 12L, 20L), s"doc 1 span wrong: ${out(1L)}")
+    assert(out(2L) == (1L, 12L, 23L), s"doc 2 span wrong: ${out(2L)}")
+    // within-doc repetition also counts: the same passage twice in ONE
+    // doc (separated by unique filler) yields two spans there
+    val selfDup = Seq((7L, s"$passage ${pad(10, "mid")} $passage"))
+      .toDF("doc_id", "text")
+    val self = Dedup.dupSpans(selfDup).collect()
+      .map(r => (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_tokens"))).head
+    assert(self == (2L, 24L), s"self-duplication must yield two 12-token spans: $self")
+  }
+
   test("scale sweep: no registered query plans a cartesian; nested-loop joins only on declared single-row/query-set builds") {
     // The judge-audit invariants as a regression guard over the WHOLE
     // query surface: a CartesianProduct is never acceptable; a
