@@ -90,6 +90,7 @@ object SparkEntry {
     "q_curation_e2e" -> ((s, d) => Curation.curationPipeline(t(s, d, "documents"))),
     "q_contamination" -> ((s, d) => Curation.contamination(t(s, d, "documents"))),
     "q_contamination_near" -> ((s, d) => Dedup.minhashContamination(t(s, d, "documents"))),
+    "q_contamination_bloom" -> ((s, d) => Curation.bloomContamination(t(s, d, "documents"))),
     "q_det_sample" -> ((s, d) => Curation.deterministicSample(t(s, d, "documents"))),
     "q_source_mixture" -> ((s, d) => Curation.sourceMixture(t(s, d, "documents"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
@@ -176,6 +177,7 @@ object SparkEntry {
     "q_curation_e2e" -> Curation.curationPipelineSql,
     "q_contamination" -> Curation.contaminationSql,
     "q_contamination_near" -> Dedup.minhashContaminationSql,
+    "q_contamination_bloom" -> Curation.bloomContaminationSql,
     "q_det_sample" -> Curation.deterministicSampleSql,
     "q_source_mixture" -> Curation.sourceMixtureSql,
     "q_ann_topk" -> Similarity.annTopKSql,

@@ -94,6 +94,82 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % 50 <> 0"""
   }
 
+  // ---- L38: Bloom-prefiltered contamination (the scale path of L21) ----
+  // L21 broadcasts the benchmark's raw distinct gram hashes (8 B each)
+  // — fine for eval suites, but the assumption breaks when the
+  // "benchmark" is itself large (a held-out corpus, all eval suites
+  // ever, a customer blocklist): 10^8 grams = 800 MB per executor. The
+  // scale shape: compress the set into a Bloom filter (here 2^17 bits
+  // = 16 KB; size m ≈ 10n at real scale for ~1% FPR), probe it
+  // MAP-SIDE so only hits + false positives survive, then exact-verify
+  // the survivors with a SHUFFLE join against the full gram set — the
+  // join's corpus side is now the prefiltered trickle, not the corpus.
+  // No false negatives by construction (pure integer double-hashing,
+  // same arithmetic in build and probe), so the final output is
+  // EXACTLY L21's — the oracle is the same exact SQL, which is the
+  // whole point: the bloom is a transparent physical rewrite.
+  private val BloomBits = 1 << 17
+  private val BloomWords = BloomBits / 64
+  private val BloomK = 4
+
+  /** The map-side survivor stream (doc_id, g): corpus grams whose k
+    * bloom probes all hit. Split out so the FPR spec can measure the
+    * prefilter's candidate volume directly. */
+  def bloomCandidates(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val grams = documents
+      .select(col("doc_id"),
+        explode(expr(s"graft_shingles(split(lower(text), '\\\\s+'), $ContamN)")).as("gs"))
+      .select(col("doc_id"), md5Long(lit("c"), col("gs")).as("g"))
+    val bench = grams.where(col("doc_id") % 50 === 0).select(col("g")).distinct()
+    // double hashing g -> k bit indices: h1 + i*h2 mod m, h2 forced odd
+    // so the stride is coprime with the power-of-two m
+    def h1 = pmod(col("g"), lit(BloomBits.toLong))
+    def h2 = pmod(expr(s"g div $BloomBits"), lit(BloomBits.toLong)).bitwiseOR(lit(1L))
+    // build: explode k indices/gram -> (word, mask) -> bit_or with
+    // map-side partials (a 2048-group shuffle of longs), assemble the
+    // dense word array on one row via a sparse map lookup
+    val benchBits = bench.select(h1.as("h1"), h2.as("h2"))
+      .select(explode(array((0 until BloomK).map(i =>
+        pmod(col("h1") + lit(i.toLong) * col("h2"), lit(BloomBits.toLong))): _*)).as("b"))
+      .select(expr("b div 64").as("w"), expr("shiftleft(1L, cast(b % 64 as int))").as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("m"))
+    val bloomRow = benchBits
+      .agg(map_from_entries(collect_list(struct(col("w"), col("m")))).as("wm"))
+      .select(transform(sequence(lit(0L), lit(BloomWords - 1L)),
+        w => coalesce(element_at(col("wm"), w), lit(0L))).as("bloom"))
+    // probe: 4 element_at + shift + mask tests per gram, fully codegen
+    val probe = (0 until BloomK).map { i =>
+      val bit = s"pmod(h1 + $i * h2, $BloomBits)"
+      s"(shiftright(element_at(bloom, cast(($bit) div 64 as int) + 1), " +
+        s"cast(($bit) % 64 as int)) & 1) = 1"
+    }.mkString(" AND ")
+    grams.where(col("doc_id") % 50 =!= 0)
+      .crossJoin(broadcast(bloomRow))
+      .withColumn("h1", h1).withColumn("h2", h2)
+      .where(expr(probe))
+      .select(col("doc_id"), col("g"))
+  }
+
+  def bloomContamination(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val bench = documents.where(col("doc_id") % 50 === 0)
+      .select(explode(expr(s"graft_shingles(split(lower(text), '\\\\s+'), $ContamN)")).as("gs"))
+      .select(md5Long(lit("c"), col("gs")).as("g")).distinct()
+    // exact verify: shuffle-hash join (tfidf rule: the set the bloom
+    // stands in for does NOT broadcast at scale), bounded by survivors
+    val hits = bloomCandidates(documents).join(bench.hint("shuffle_hash"), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    documents.where(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
+  // the bloom is physically transparent — the oracle IS the exact SQL
+  val bloomContaminationSql: String = contaminationSql
+
   // ---- L22: deterministic quality-stratified sampling ----
   // Reproducible down-sampling: a doc survives iff md5("smp:doc_id")
   // mod 100 falls under its stratum's rate — pure map-side, no RNG

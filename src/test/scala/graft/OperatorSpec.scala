@@ -248,6 +248,34 @@ class OperatorSpec extends SparkSpec {
     assert(self == (2L, 24L), s"self-duplication must yield two 12-token spans: $self")
   }
 
+  test("bloom prefilter is transparent (no false negatives) and actually filters (L38)") {
+    import graft.operators.Curation
+    val exact = Curation.contamination(documents)
+    val bloomed = Curation.bloomContamination(documents)
+    // transparency: the bloom path must reproduce L21's output exactly —
+    // a false negative would drop an n_overlap increment somewhere
+    assert(bloomed.exceptAll(exact).isEmpty && exact.exceptAll(bloomed).isEmpty,
+      "bloom path diverged from the exact contamination output")
+    // and it must earn its keep: the candidate trickle reaching the
+    // verify join must contain every true hit (no false negatives) yet
+    // stay a small fraction of the corpus gram stream (FPR at 2^17
+    // bits / 4 hashes over this bench set is ~a few %)
+    graft.functions.VectorFunctions.register(spark)
+    val grams = documents
+      .select(col("doc_id"),
+        explode(expr("graft_shingles(split(lower(text), '\\\\s+'), 8)")).as("gs"))
+      .select(col("doc_id"), graft.functions.Portable.md5Long(lit("c"), col("gs")).as("g"))
+    val corpusGrams = grams.where(col("doc_id") % 50 =!= 0).count()
+    val trueHits = grams.where(col("doc_id") % 50 =!= 0)
+      .join(grams.where(col("doc_id") % 50 === 0).select("g").distinct(), "g").count()
+    val cands = Curation.bloomCandidates(documents).count()
+    info(s"corpus grams $corpusGrams, true hits $trueHits, bloom candidates $cands")
+    assert(cands >= trueHits, "bloom dropped a true hit — impossible by construction, build/probe arithmetic diverged")
+    val fpr = (cands - trueHits).toDouble / math.max(1L, corpusGrams - trueHits)
+    assert(fpr <= 0.10, s"bloom FPR $fpr too high — filter no longer earns the prefilter pass")
+    assert(cands < corpusGrams / 2, s"prefilter passes most of the corpus ($cands of $corpusGrams)")
+  }
+
   test("scale sweep: no registered query plans a cartesian; nested-loop joins only on declared single-row/query-set builds") {
     // The judge-audit invariants as a regression guard over the WHOLE
     // query surface: a CartesianProduct is never acceptable; a
@@ -260,7 +288,8 @@ class OperatorSpec extends SparkSpec {
       "q_ann_topk" -> "brute-force baseline: broadcast query subset x corpus is its definition",
       "q_tfidf" -> "crossJoin(broadcast(single-row doc count))",
       "q_lm_score" -> "crossJoin(broadcast(single-row vocab size))",
-      "q_source_mixture" -> "crossJoin(broadcast(single-row totals))")
+      "q_source_mixture" -> "crossJoin(broadcast(single-row totals))",
+      "q_contamination_bloom" -> "crossJoin(broadcast(single-row 16 KB bloom bit array))")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
