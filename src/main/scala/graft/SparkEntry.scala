@@ -85,12 +85,14 @@ object SparkEntry {
     "q_fuzzy_names" -> ((s, d) => Dedup.fuzzyNames(t(s, d, "customer"))),
     "q_dedup_chunk" -> ((s, d) => Dedup.chunkDedup(t(s, d, "documents"))),
     "q_dup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
+    "q_dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(t(s, d, "documents"))),
     "q_normalize" -> ((s, d) => TextAnalysis.normalize(t(s, d, "documents"))),
     "q_seq_pack" -> ((s, d) => Packing.packSequences(t(s, d, "documents"))),
     "q_curation_e2e" -> ((s, d) => Curation.curationPipeline(t(s, d, "documents"))),
     "q_contamination" -> ((s, d) => Curation.contamination(t(s, d, "documents"))),
     "q_contamination_near" -> ((s, d) => Dedup.minhashContamination(t(s, d, "documents"))),
     "q_contamination_bloom" -> ((s, d) => Curation.bloomContamination(t(s, d, "documents"))),
+    "q_weighted_sample" -> ((s, d) => Curation.weightedSample(t(s, d, "documents"))),
     "q_det_sample" -> ((s, d) => Curation.deterministicSample(t(s, d, "documents"))),
     "q_source_mixture" -> ((s, d) => Curation.sourceMixture(t(s, d, "documents"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
@@ -172,12 +174,14 @@ object SparkEntry {
     "q_fuzzy_names" -> Dedup.fuzzyNamesSql,
     "q_dedup_chunk" -> Dedup.chunkDedupSql,
     "q_dup_spans" -> Dedup.dupSpansSql,
+    "q_dedup_incremental" -> Dedup.incrementalDedupSql,
     "q_normalize" -> TextAnalysis.normalizeSql,
     "q_seq_pack" -> Packing.packSequencesSql,
     "q_curation_e2e" -> Curation.curationPipelineSql,
     "q_contamination" -> Curation.contaminationSql,
     "q_contamination_near" -> Dedup.minhashContaminationSql,
     "q_contamination_bloom" -> Curation.bloomContaminationSql,
+    "q_weighted_sample" -> Curation.weightedSampleSql,
     "q_det_sample" -> Curation.deterministicSampleSql,
     "q_source_mixture" -> Curation.sourceMixtureSql,
     "q_ann_topk" -> Similarity.annTopKSql,

@@ -192,6 +192,45 @@ WHERE d.doc_id % 50 <> 0"""
 WHERE ${md5LongSql("'smp'", "doc_id")} % 100 <
   (CASE WHEN lang = 'en' THEN ${SampleRates("en")} ELSE ${SampleRates("other")} END)"""
 
+  // ---- L39: deterministic weighted sampling (P(select) ∝ weight) ----
+  // Quality- or length-weighted corpus subsetting: pick K docs WITHOUT
+  // replacement with probability proportional to an integer weight.
+  // The float-free construction: replicate each doc's key w times with
+  // distinct hash seeds and keep its MINIMUM 60-bit hash as the
+  // priority; the doc holding the global minimum wins with probability
+  // exactly w_i/Σw (w_i iid uniforms out of Σw), and taking the K
+  // smallest priorities is the without-replacement extension — the
+  // integer twin of Efraimidis–Spirakis u^(1/w) keys, with NO pow/ln
+  // anywhere, so both engines rank bit-identically (the float A-ES key
+  // would differ in last-ulp between libm implementations and flip
+  // boundary ranks). Costs sum(w) map-side replica rows (weights are
+  // capped — here 1..20), one partial-agged doc_id shuffle, and a
+  // TakeOrderedAndProject K-cut (per-partition K-row heaps, never a
+  // corpus sort — same rule as the vocab cut).
+  private val WeightedK = 50
+
+  def weightedSample(documents: DataFrame): DataFrame = {
+    val w = least(lit(1L) + expr("n_chars div 200"), lit(20L))
+    documents
+      .select(col("doc_id"), w.as("w"))
+      .withColumn("j", explode(sequence(lit(1L), col("w"))))
+      .select(col("doc_id"), col("w"),
+        md5Long(lit("ws"), concat(col("doc_id").cast("string"), lit(":"),
+          col("j").cast("string"))).as("rk"))
+      .groupBy(col("doc_id")).agg(max(col("w")).as("w"), min(col("rk")).as("pri"))
+      .orderBy(col("pri"), col("doc_id"))
+      .limit(WeightedK)
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH w AS (
+  SELECT doc_id, least(1 + n_chars // 200, 20) AS w FROM documents),
+r AS (
+  SELECT doc_id, w, ${md5LongSql("'ws'", "doc_id || ':' || j")} AS rk
+  FROM w, LATERAL unnest(generate_series(1, w)) AS u(j)),
+m AS (SELECT doc_id, max(w)::BIGINT AS w, min(rk) AS pri FROM r GROUP BY doc_id)
+SELECT doc_id, w, pri FROM m ORDER BY pri, doc_id LIMIT $WeightedK"""
+
   // ---- L30: source-mixture balancing (token-budget reweighting) ----
   // The mixture step of a multi-source corpus: cap every source at an
   // equal share of a target token budget (70% of the uniform share

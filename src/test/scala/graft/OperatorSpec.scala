@@ -276,6 +276,57 @@ class OperatorSpec extends SparkSpec {
     assert(cands < corpusGrams / 2, s"prefilter passes most of the corpus ($cands of $corpusGrams)")
   }
 
+  test("weighted sample: K-cut plans as a bounded take, priorities are true replica minima (L39)") {
+    import graft.operators.Curation
+    val q = Curation.weightedSample(documents)
+    // the K-cut must be TakeOrderedAndProject (per-partition heaps),
+    // never a full Sort of the corpus priorities
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    val rows = q.collect()
+    assert(rows.length == 50)
+    // recompute one winner's priority from first principles: min over
+    // its w replica hashes of md5("ws:<id>:<j>") — proves the sampling
+    // key really is the replica minimum, not some other hash
+    val r = rows.head
+    val (id, w, pri) = (r.getAs[Long]("doc_id"), r.getAs[Long]("w"), r.getAs[Long]("pri"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (1L to w).map { j =>
+      val hex = md.digest(s"ws:$id:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }.min
+    assert(pri == expected, s"priority $pri != recomputed replica min $expected")
+    // heavier docs must be overrepresented relative to their share of
+    // docs: the expected selected-weight under ∝w sampling exceeds the
+    // corpus mean weight (sanity on the proportionality direction)
+    val meanSel = rows.map(_.getAs[Long]("w")).sum.toDouble / rows.length
+    val corpusMean = documents.select(least(lit(1L) + expr("n_chars div 200"), lit(20L)).as("w"))
+      .agg(avg(col("w"))).head.getDouble(0)
+    assert(meanSel > corpusMean,
+      s"selected mean weight $meanSel not above corpus mean $corpusMean — weighting inert")
+  }
+
+  test("incremental dedup flags the batch's near-dups against the standing corpus only (L40)") {
+    import graft.operators.Dedup
+    val out = Dedup.incrementalDedup(documents).collect()
+    // every output row is a new-batch doc
+    assert(out.forall(_.getAs[Long]("doc_id") % 5 == 4))
+    // the planted ~5% near-dup rate must surface some cross-split pair
+    val flagged = out.filter(_.getAs[Long]("n_near") > 0)
+    assert(flagged.nonEmpty, "no near-dup found across the batch/corpus split — data degenerated")
+    // attribution points at the corpus side, never at another batch doc
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("best_match") % 5 != 4,
+        s"batch doc ${r.getAs[Long]("doc_id")} matched a batch doc — split leaked")
+    }
+    // keep is the conjunction of the two signals
+    out.foreach { r =>
+      val expect = if (r.getAs[Long]("exact_dup") == 0 && r.getAs[Long]("n_near") == 0) 1L else 0L
+      assert(r.getAs[Long]("keep") == expect)
+    }
+  }
+
   test("scale sweep: no registered query plans a cartesian; nested-loop joins only on declared single-row/query-set builds") {
     // The judge-audit invariants as a regression guard over the WHOLE
     // query surface: a CartesianProduct is never acceptable; a
