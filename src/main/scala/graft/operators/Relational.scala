@@ -628,7 +628,7 @@ SELECT g.station_id, g.minute,
   (pm.flow IS NULL)::BIGINT AS filled
 FROM grid g LEFT JOIN pm ON pm.station_id = g.station_id AND pm.minute = g.minute"""
 
-  // C25: bucketed interval (range) join — point-in-interval with NO
+  // C26: bucketed interval (range) join — point-in-interval with NO
   // natural equi key. The naive plan for `l.day BETWEEN p.start AND
   // p.end` is BroadcastNestedLoopJoin (fine only while one side fits
   // in a broadcast) or CartesianProduct (never fine). The scale shape:
@@ -640,7 +640,7 @@ FROM grid g LEFT JOIN pm ON pm.station_id = g.station_id AND pm.minute = g.minut
   // intervals), and the join is shuffle-partitionable on the bucket
   // key — both sides can be 100 TB. No dedup pass is needed: a point
   // owns exactly one bucket and an interval lists each bucket once,
-  // so a pair can only meet once. IntervalJoinSpec plan-asserts that
+  // so a pair can only meet once. OperatorSpec plan-asserts that
   // no nested-loop/cartesian node survives.
   private val IntervalBucketDays = 7L
   private val DaySec = 86400L

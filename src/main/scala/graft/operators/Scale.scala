@@ -40,6 +40,38 @@ object Scale {
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Bit-interleaved Z-order value of two dimensions (16 bits each →
+    * one 32-bit curve position): dim A's bit i lands at position 2i,
+    * dim B's at 2i+1. Rows close on the curve are close in BOTH
+    * dimensions, so range-partitioning + sorting by this value gives
+    * every file a tight min/max envelope in each dimension at once —
+    * the multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+    * ZORDER shape) that single-column sorting cannot provide: sorting
+    * by time alone leaves every file spanning all users, so a user
+    * predicate prunes nothing. Inputs must be pre-scaled to 16 bits by
+    * the caller (the layout job knows its dimensions' ranges).
+    * Pure column arithmetic — codegen'd, no UDF. */
+  def zorder2(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      val abit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      abit + bbit
+    }.reduce(_ + _)
+
+  /** Write `df` clustered along the Z-curve of two pre-scaled 16-bit
+    * dimension columns: range-partition by the curve position (each
+    * output task owns a contiguous curve segment), sort within
+    * partitions, one file per task. `files` controls layout
+    * granularity — at 100 TB this is the OPTIMIZE job's target file
+    * count; file-level min/max stats then prune on BOTH dimensions. */
+  def zorderWrite(df: DataFrame, dimA: Column, dimB: Column,
+      files: Int, path: String): Unit =
+    df.withColumn("_z", zorder2(dimA, dimB))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Write both sides bucketed by the join key so the subsequent join
     * needs no Exchange: the classic co-located join. Requires a
     * warehouse-backed table (bucket metadata lives in the catalog).

@@ -189,7 +189,7 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("interval join matches the naive BETWEEN join and stays an equi hash join (C25)") {
+  test("interval join matches the naive BETWEEN join and stays an equi hash join (C26)") {
     val orders = Tables.load(spark, sf, "orders")
     val lineitem = Tables.load(spark, sf, "lineitem")
     val bucketed = Relational.intervalJoin(orders, lineitem)

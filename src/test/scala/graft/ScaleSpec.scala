@@ -36,6 +36,60 @@ class ScaleSpec extends SparkSpec {
     assert(enRatio > 0.2 && enRatio < 0.8, s"en ratio $enRatio far from 0.5")
   }
 
+  test("z-order layout prunes files on BOTH dimensions; single-column sort on one") {
+    // the data-skipping claim measured, not asserted: write the same
+    // rows (a) z-ordered on (user, minute) and (b) sorted by minute
+    // only, then count which files a point predicate on each dimension
+    // could touch, from per-file min/max — exactly what a 100 TB reader
+    // does with footer/manifest stats
+    val events = Tables.load(spark, sf, "events")
+    val dims = events.selectExpr("user_id",
+      "unix_micros(ts) div 60000000 AS mn")
+    val m = dims.agg(min(col("mn")), max(col("mn")), max(col("user_id"))).head
+    val (mn0, mn1, uMax) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    // the zorder2 contract: BOTH dims pre-scaled to the full 16-bit
+    // range — unequal widths would let the wider dim's high bits
+    // dominate the curve and degenerate to a single-column sort
+    val scaled = dims.select(
+      expr(s"user_id * 65535 div $uMax").as("user_id"),
+      expr(s"(mn - $mn0) * 65535 div ${mn1 - mn0}").as("mn"))
+    val nFiles = 16
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Scale.zorderWrite(scaled, col("user_id"), col("mn"), nFiles, s"$dir/z")
+    scaled.repartitionByRange(nFiles, col("mn")).sortWithinPartitions(col("mn"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    // one stats read per file: (userMin, userMax, mnMin, mnMax) — the
+    // footer-stats view a manifest-driven reader prunes with
+    def stats(layout: String): Array[(Long, Long, Long, Long)] = {
+      val files = new java.io.File(s"$dir/$layout").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      assert(files.length == nFiles, s"$layout produced ${files.length} files")
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("user_id")), max(col("user_id")), min(col("mn")), max(col("mn"))).head
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    }
+    // average files touched over spread probe points — a single probe
+    // can sit on a curve-order boundary where z envelopes are loosest
+    val probes = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(p => (p * 65535).toLong)
+    def touched(st: Array[(Long, Long, Long, Long)], user: Boolean): Double =
+      probes.map(v => st.count { case (ul, uh, ml, mh) =>
+        if (user) ul <= v && v <= uh else ml <= v && v <= mh
+      }).sum.toDouble / probes.size
+    val (zs, ts) = (stats("z"), stats("t"))
+    val (zU, zM) = (touched(zs, user = true), touched(zs, user = false))
+    val (tU, tM) = (touched(ts, user = true), touched(ts, user = false))
+    info(f"mean files touched of $nFiles — z-order: user=$zU%.1f minute=$zM%.1f; time-sorted: user=$tU%.1f minute=$tM%.1f")
+    // time-sorted: its own dimension prunes hard, the other not at all
+    assert(tM <= 2, s"time-sorted layout should nail a minute probe: $tM")
+    assert(tU >= nFiles - 2, s"time-sorted layout cannot prune users (expected ~all): $tU")
+    // z-order: BOTH dimensions prune to a strict subset of the files
+    assert(zU <= nFiles / 2.0, s"z-order user pruning too weak: $zU")
+    assert(zM <= nFiles / 2.0, s"z-order minute pruning too weak: $zM")
+    assert(zU < tU, "z-order must beat the time-sorted layout on the user dimension")
+  }
+
   test("hive-style partition layout prunes directories at planning time") {
     // at 100 TB, date-partitioned layout turns a date predicate into a
     // directory listing instead of a data scan — assert the filter
