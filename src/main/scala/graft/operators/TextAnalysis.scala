@@ -217,6 +217,62 @@ FROM fin GROUP BY doc_id"""
         WHERE length(token) > 0 GROUP BY token))
 WHERE token_id < $VocabSize"""
 
+  // ---- L41: count-min sketch frequency estimation (verified) ----
+  // Approximate per-token frequency in O(d·w) memory regardless of
+  // vocabulary size — the frequency tool once the vocab no longer fits
+  // an exact hash table (web-scale token/URL/host counting). d=4 rows
+  // × w=1024 columns of counters; est(t) = min over rows of
+  // counter[j][h_j(t)], which can only OVERestimate (collisions add,
+  // never subtract) by at most ~N/w per colliding row. Plan: tokens
+  // collapse to per-token counts first (one partial-agged shuffle —
+  // never d× the token stream), the d·w cell grid aggregates from
+  // per-token rows (tiny second shuffle), estimates come from a cell
+  // join on (row, idx). The query returns the top-V tokens' exact
+  // count next to their CMS estimate, so the oracle hash-proves the
+  // sketch arithmetic end-to-end and the spec checks the one-sided
+  // error bound. Hashes are md5-derived — deterministic, portable.
+  private val CmsD = 4
+  private val CmsW = 1024L
+
+  def cmsFrequencies(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val keyed = tf.select(col("token"), col("freq"),
+      explode(array((0 until CmsD).map(j => struct(lit(j.toLong).as("j"),
+        pmod(md5Long(lit(s"cm$j"), col("token")), lit(CmsW)).as("idx"))): _*)).as("k"))
+      .select(col("token"), col("freq"), col("k.j").as("j"), col("k.idx").as("idx"))
+    val cells = keyed.groupBy(col("j"), col("idx")).agg(sum(col("freq")).as("cell"))
+    val top = tf.orderBy(col("freq").desc, col("token").asc).limit(VocabSize)
+    top.select(col("token"), col("freq"),
+        explode(array((0 until CmsD).map(j => struct(lit(j.toLong).as("j"),
+          pmod(md5Long(lit(s"cm$j"), col("token")), lit(CmsW)).as("idx"))): _*)).as("k"))
+      .select(col("token"), col("freq"), col("k.j").as("j"), col("k.idx").as("idx"))
+      .join(cells, Seq("j", "idx"))
+      .groupBy(col("token"))
+      .agg(max(col("freq")).as("freq"), min(col("cell")).as("cms_est"))
+  }
+
+  val cmsFrequenciesSql: String = {
+    val hashes = (0 until CmsD).map(j =>
+      s"SELECT $j AS j, ${md5LongSql(s"'cm$j'", "token")} % $CmsW AS idx, token FROM tf")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tf AS (
+  SELECT token, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+  WHERE length(token) > 0 GROUP BY token),
+keyed AS (
+  $hashes),
+cells AS (
+  SELECT j, idx, sum(f.freq)::BIGINT AS cell
+  FROM keyed k JOIN tf f USING (token) GROUP BY j, idx),
+top AS (SELECT token, freq FROM tf ORDER BY freq DESC, token ASC LIMIT $VocabSize)
+SELECT t.token, max(t.freq) AS freq, min(c.cell) AS cms_est
+FROM top t JOIN keyed k USING (token) JOIN cells c ON c.j = k.j AND c.idx = k.idx
+GROUP BY t.token"""
+  }
+
   // ---- L11: document fingerprinting (winnowing) ----
   // k-gram (k=5) rolling hashes, window w=4 minima, distinct — the
   // classic winnowing fingerprint, md5-portable. Map-only at scale;

@@ -327,6 +327,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch never underestimates and stays within the collision bound (L41)") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.cmsFrequencies(documents).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("freq"), r.getAs[Long]("cms_est")))
+    assert(out.length == 24)
+    val n = documents
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .where(length(col("t")) > 0).count()
+    out.foreach { case (tok, exact, est) =>
+      // CMS error is ONE-SIDED: collisions only add
+      assert(est >= exact, s"'$tok' underestimated: $est < $exact")
+      // expected overestimate per row ≈ N/w; min over d=4 rows should
+      // land well under a few multiples of that — catches a broken
+      // hash (systematic collisions) or a summed-wrong grid
+      assert(est - exact <= 4 * n / 1024,
+        s"'$tok' overestimate ${est - exact} exceeds 4N/w (N=$n)")
+    }
+  }
+
   test("scale sweep: no registered query plans a cartesian; nested-loop joins only on declared single-row/query-set builds") {
     // The judge-audit invariants as a regression guard over the WHOLE
     // query surface: a CartesianProduct is never acceptable; a
