@@ -74,6 +74,7 @@ object SparkEntry {
     "q_gap_fill" -> ((s, d) => Relational.gapFill(t(s, d, "events"))),
     "q_interval_join" -> ((s, d) =>
       Relational.intervalJoin(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q_anomaly" -> ((s, d) => Relational.anomalyFlags(t(s, d, "events"))),
     "q_window_distinct" -> ((s, d) => Relational.windowDistinct(t(s, d, "events"))),
     // §2.3 LLM-data operators
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_grouping_sets" -> Relational.groupingSetsRevenueSql,
     "q_gap_fill" -> Relational.gapFillSql,
     "q_interval_join" -> Relational.intervalJoinSql,
+    "q_anomaly" -> Relational.anomalyFlagsSql,
     "q_window_distinct" -> Relational.windowDistinctSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,

@@ -628,6 +628,53 @@ SELECT g.station_id, g.minute,
   (pm.flow IS NULL)::BIGINT AS filled
 FROM grid g LEFT JOIN pm ON pm.station_id = g.station_id AND pm.minute = g.minute"""
 
+  // C28: exact rolling anomaly flags — |x − mean| > 3σ over a trailing
+  // 7-day window per user, with NO float arithmetic anywhere near the
+  // decision. The naive z-score needs mean = s/n, var = q/n − mean²
+  // and sqrt — three float ops whose last-ulp differences across
+  // engines can flip a boundary flag. Cross-multiplying by n² turns
+  // the test into pure integers: (n·x − s)² > 9·(n·q − s²) over cent-
+  // scaled values, exact in both engines (DuckDB does the sums in
+  // HUGEINT; Spark's longs hold the test-data magnitudes — a
+  // production corpus with wider windows moves to decimal128, same
+  // shape). One window pass = one (user) exchange + in-partition sort,
+  // all three aggregates share the frame. RANGE frame on unix_micros
+  // so sub-second timestamps bound the frame identically to DuckDB's
+  // INTERVAL arithmetic (unix_timestamp SECONDS would truncate and
+  // shift boundaries).
+  private val AnomalyWindowDays = 7L
+  private val AnomalySigma = 3L
+
+  def anomalyFlags(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-AnomalyWindowDays * 86400L * 1000000L, 0L)
+    val centsCol = (dec(col("value")) * 100).cast("long")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), centsCol.as("cents"))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        count(lit(1)).over(w).as("win_n"),
+        sum(col("cents")).over(w).as("s"),
+        sum(col("cents") * col("cents")).over(w).as("q"))
+      .select(col("user_id"), col("event_id"), col("cents"), col("win_n"),
+        ((col("win_n") * col("cents") - col("s")) * (col("win_n") * col("cents") - col("s")) >
+          lit(AnomalySigma * AnomalySigma) * (col("win_n") * col("q") - col("s") * col("s")))
+          .cast("long").as("is_anomaly"))
+  }
+
+  val anomalyFlagsSql: String =
+    s"""WITH c AS (
+  SELECT user_id, event_id, ts, (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS cents
+  FROM events),
+w AS (
+  SELECT user_id, event_id, cents,
+    count(*) OVER win AS win_n, sum(cents) OVER win AS s, sum(cents*cents) OVER win AS q
+  FROM c WINDOW win AS (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL '$AnomalyWindowDays days' PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, cents, win_n::BIGINT AS win_n,
+  ((win_n*cents - s)*(win_n*cents - s) > ${AnomalySigma * AnomalySigma}*(win_n*q - s*s))::BIGINT AS is_anomaly
+FROM w"""
+
   // C26: bucketed interval (range) join — point-in-interval with NO
   // natural equi key. The naive plan for `l.day BETWEEN p.start AND
   // p.end` is BroadcastNestedLoopJoin (fine only while one side fits
