@@ -123,7 +123,9 @@ object SparkEntry {
     "q_multimodal_decode" -> ((s, d) => Multimodal.ppmDecodeQuery(t(s, d, "documents"))),
     "q_multimodal_resize" -> ((s, d) => Multimodal.resizeQuery(t(s, d, "documents"))),
     "q_multimodal_wav" -> ((s, d) => Multimodal.wavDecodeQuery(t(s, d, "documents"))),
-    "q_multimodal_bmp" -> ((s, d) => Multimodal.bmpDecodeQuery(t(s, d, "documents"))))
+    "q_multimodal_bmp" -> ((s, d) => Multimodal.bmpDecodeQuery(t(s, d, "documents"))),
+    "q_image_phash" -> ((s, d) => Multimodal.imagePhashDedup(t(s, d, "documents"))),
+    "q_image_neardup" -> ((s, d) => Multimodal.imageNearDup(t(s, d, "documents"))))
 
   /** DuckDB oracles; q_ann_lsh is intentionally absent (LSH bucketing
     * is the non-SQL scale path; its recall is ScalaTest-verified
@@ -211,5 +213,7 @@ object SparkEntry {
     "q_multimodal_decode" -> Multimodal.ppmDecodeQuerySql,
     "q_multimodal_resize" -> Multimodal.resizeQuerySql,
     "q_multimodal_wav" -> Multimodal.wavDecodeQuerySql,
-    "q_multimodal_bmp" -> Multimodal.bmpDecodeQuerySql)
+    "q_multimodal_bmp" -> Multimodal.bmpDecodeQuerySql,
+    "q_image_phash" -> Multimodal.imagePhashDedupSql,
+    "q_image_neardup" -> Multimodal.imageNearDupSql)
 }

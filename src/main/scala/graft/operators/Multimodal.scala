@@ -470,4 +470,137 @@ SELECT doc_id, (44 + 2*n)::BIGINT AS n_bytes, 8000 AS sample_rate, 1 AS channels
   round(sqrt(list_aggregate(list_transform(smp, x -> x*x), 'avg')), 6) AS rms_amp,
   list_aggregate(list_transform(smp, x -> abs(x)), 'max')::BIGINT AS peak_amp
 FROM s"""
+
+  // ---- L42: image perceptual-hash (dHash) dedup ----
+  // The image-dedup step of a media curation pipeline (the LAION
+  // shape): byte-identical files are the easy case — re-encodes,
+  // resizes and slight crops are not, and a perceptual hash catches
+  // them where md5 cannot. dHash: resize to a fixed tiny grid
+  // (nearest-neighbor through the SAME [[resizePpmNearest]] the resize
+  // operator uses), grayscale, and set one bit per adjacent-pixel
+  // brightness comparison — scale- and (for NN) byte-shift-robust.
+  // 9×7 grid -> 8 comparisons × 7 rows = 56 bits, positive in a
+  // BIGINT on both engines. Grayscale is the CHANNEL SUM (not /3):
+  // comparing sums is order-identical to comparing means and keeps
+  // the arithmetic integer-exact cross-engine.
+  //
+  // Two queries, two scale shapes:
+  //  - exact-phash dedup: groupBy(dhash) min(doc_id) — one narrow
+  //    shuffle of (doc_id, long), never a join fan-out; hamming-0
+  //    groups (re-encodes) collapse here, NOT in the pair join;
+  //  - near-dup pairs (1 <= hamming <= 3): 4 bands × 14 bits
+  //    (pigeonhole-complete for d <= 3) with a per-bucket occupancy
+  //    cap (hot buckets DROPPED, the L5 MaxDf analogue, mirrored
+  //    bit-for-bit in the oracle) so a degenerate hash region can
+  //    never go quadratic.
+  // The oracle re-derives every dhash from the PPM generator
+  // arithmetic (it never sees the bytes), so a resize-grid off-by-one,
+  // an x/y swap, or a wrong bit index fails the hash gate.
+  private val PhGridW = 9
+  private val PhGridH = 7
+  private val PhBands = 4
+  private val PhBandBits = 14 // 4 × 14 = 56 bits
+  private val PhMaxHamming = 3
+  private val PhBucketCap = 128L
+
+  /** 56-bit dHash of a P6 blob: NN-resize to 9×7, then bit (y*8 + x)
+    * = [graysum(x+1, y) > graysum(x, y)]. */
+  private[graft] def dhashBits(ppm: Array[Byte]): Long = {
+    val px = resizePpmNearest(ppm, PhGridW, PhGridH)
+    def graySum(k: Int): Int =
+      (px(k * 3) & 0xff) + (px(k * 3 + 1) & 0xff) + (px(k * 3 + 2) & 0xff)
+    var bits = 0L
+    var y = 0
+    while (y < PhGridH) {
+      var x = 0
+      while (x < PhGridW - 1) {
+        if (graySum(y * PhGridW + x + 1) > graySum(y * PhGridW + x))
+          bits |= 1L << (y * (PhGridW - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** (doc_id, dhash) — map-only: encode + resize + hash fused in one
+    * partition-local pass, no shuffle. */
+  def imagePhashes(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    asPpmBlobs(documents)
+      .map { case (id, blob) => (id, dhashBits(blob)) }
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Exact perceptual dedup: every doc joins its hash group's
+    * representative (min doc_id). One (dhash) shuffle for the group
+    * argmin + one narrow join back — the L1 exact-dedup shape on the
+    * perceptual key instead of the byte hash. */
+  def imagePhashDedup(documents: DataFrame): DataFrame = {
+    val ph = imagePhashes(documents)
+    val reps = ph.groupBy(col("dhash")).agg(min(col("doc_id")).as("rep_id"))
+    ph.join(reps, Seq("dhash"))
+      .select(col("doc_id"), col("dhash"),
+        col("rep_id"), (col("doc_id") === col("rep_id")).cast("long").as("is_canonical"))
+  }
+
+  /** Near-dup pairs at 1 <= hamming <= 3 from capped band buckets.
+    * Hamming-0 pairs are deliberately excluded — identical hashes
+    * dedup through the groupBy above, never through a pair join (an
+    * n-doc re-encode cluster would fan out n² pair rows). */
+  def imageNearDup(documents: DataFrame): DataFrame = {
+    val ph = imagePhashes(documents)
+    val bands = ph.select(col("doc_id"), col("dhash"),
+      explode(array((0 until PhBands).map(b => struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * PhBandBits)
+          .bitwiseAND(lit((1L << PhBandBits) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val ok = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n")).where(col("n") <= PhBucketCap)
+      .select(col("band"), col("key"))
+    val capped = bands.join(ok, Seq("band", "key"))
+    capped.select(col("band"), col("key"), col("doc_id").as("x"), col("dhash").as("hx"))
+      .join(capped.select(col("band"), col("key"), col("doc_id").as("y"), col("dhash").as("hy")),
+        Seq("band", "key"))
+      .where(col("x") < col("y"))
+      .select(col("x"), col("y"), col("hx"), col("hy")).distinct()
+      .select(col("x"), col("y"),
+        bit_count(col("hx").bitwiseXOR(col("hy"))).cast("long").as("hamming"))
+      .where(col("hamming").between(1, PhMaxHamming))
+  }
+
+  /** Shared oracle CTE: dhash from the generator arithmetic. Source
+    * pixel for grid (x, y) is (⌊x·w/9⌋, ⌊y·h/7⌋); its channel-c byte
+    * is (doc_id·31 + 3·(sy·w + sx) + c) % 256. */
+  private val phashCte: String =
+    s"""WITH d AS (SELECT doc_id, (doc_id % 8 + 1)::BIGINT AS w, (doc_id % 5 + 1)::BIGINT AS h FROM documents),
+g AS (
+  SELECT doc_id, x, y, base % 256 + (base + 1) % 256 + (base + 2) % 256 AS gray
+  FROM (SELECT doc_id, x, y, doc_id*31 + 3*((y*h // $PhGridH)*w + (x*w // $PhGridW)) AS base
+        FROM d, unnest(generate_series(0, ${PhGridW - 1})) AS gx(x),
+             unnest(generate_series(0, ${PhGridH - 1})) AS gy(y))),
+ph AS (
+  SELECT l.doc_id, sum(CASE WHEN r.gray > l.gray THEN 1::BIGINT << (l.y*${PhGridW - 1} + l.x) ELSE 0 END)::BIGINT AS dhash
+  FROM g l JOIN g r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+  WHERE l.x < ${PhGridW - 1}
+  GROUP BY l.doc_id)"""
+
+  val imagePhashDedupSql: String =
+    s"""$phashCte
+SELECT p.doc_id, p.dhash, m.rep_id, (p.doc_id = m.rep_id)::BIGINT AS is_canonical
+FROM ph p JOIN (SELECT dhash, min(doc_id) AS rep_id FROM ph GROUP BY dhash) m USING (dhash)"""
+
+  val imageNearDupSql: String =
+    s"""$phashCte,
+bands AS (
+  SELECT doc_id, dhash, b, (dhash >> (b*$PhBandBits)) & ${(1L << PhBandBits) - 1} AS key
+  FROM ph, unnest(generate_series(0, ${PhBands - 1})) AS t(b)),
+ok AS (SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= $PhBucketCap),
+cand AS (
+  SELECT DISTINCT l.doc_id AS x, r.doc_id AS y, l.dhash AS hx, r.dhash AS hy
+  FROM bands l JOIN ok USING (b, key)
+  JOIN bands r ON r.b = l.b AND r.key = l.key AND l.doc_id < r.doc_id)
+SELECT x, y, bit_count(xor(hx, hy))::BIGINT AS hamming FROM cand
+WHERE bit_count(xor(hx, hy)) BETWEEN 1 AND $PhMaxHamming"""
 }

@@ -514,6 +514,55 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeBmp(compressed))
   }
 
+  test("image dhash matches an independent recomputation from the generator (L42)") {
+    // reimplement the grid arithmetic straight from the generator
+    // formula — no resizePpmNearest, no byte decode — so a sampling-
+    // grid off-by-one or bit-index bug in either path surfaces here
+    // before the oracle gate
+    def expected(id: Long): Long = {
+      val w = (id % 8 + 1).toInt; val h = (id % 5 + 1).toInt
+      def gray(x: Int, y: Int): Long = {
+        val base = id * 31 + 3L * ((y * h / 7) * w + (x * w / 9))
+        base % 256 + (base + 1) % 256 + (base + 2) % 256
+      }
+      (for (y <- 0 until 7; x <- 0 until 8 if gray(x + 1, y) > gray(x, y))
+        yield 1L << (y * 8 + x)).sum
+    }
+    for (id <- Seq(7L, 123L, 444L, 0L))
+      assert(Multimodal.dhashBits(Multimodal.syntheticPpm(id)) == expected(id), s"id=$id")
+  }
+
+  test("identical images collapse in the phash group, never the pair join (L42)") {
+    // ids 1280 apart generate byte-identical PPMs (same dims: 1280 is
+    // a multiple of 40; same bytes: 1280*31 is a multiple of 256), so
+    // they must share a dedup representative AND stay out of the
+    // near-dup pair output (hamming 0 is excluded by design)
+    val ids = Seq(3L, 1283L, 2563L, 17L).toDF("doc_id")
+    val dedup = Multimodal.imagePhashDedup(ids).collect()
+    val reps = dedup.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(reps(3L) == 3L && reps(1283L) == 3L && reps(2563L) == 3L)
+    val pairs = Multimodal.imageNearDup(ids)
+      .where($"x".isin(3L, 1283L, 2563L) && $"y".isin(3L, 1283L, 2563L)).count()
+    assert(pairs == 0, "hamming-0 pairs must not fan out through the join")
+  }
+
+  test("phash banding finds exactly the brute-force pair set for d <= 3 (L42)") {
+    // 4 bands x 14 bits is pigeonhole-complete for hamming <= 3, and at
+    // sf0.001 no bucket reaches the occupancy cap — so the banded join
+    // must equal the all-pairs scan exactly, not approximately
+    val ph = Multimodal.imagePhashes(documents)
+    val a = ph.select($"doc_id".as("x"), $"dhash".as("hx"))
+    val b = ph.select($"doc_id".as("y"), $"dhash".as("hy"))
+    val brute = a.crossJoin(b).where($"x" < $"y")
+      .select($"x", $"y", bit_count($"hx".bitwiseXOR($"hy")).cast("long").as("hamming"))
+      .where($"hamming".between(1, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Multimodal.imageNearDup(documents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture must actually exercise the pair path")
+  }
+
   test("wav decoder round-trips the generator and rejects malformed blobs (L12)") {
     val blob = Multimodal.syntheticWav(37L)
     val (rate, ch, n, mean, rms, peak) = Multimodal.decodeWav(blob)
