@@ -273,6 +273,50 @@ FROM top t JOIN keyed k USING (token) JOIN cells c ON c.j = k.j AND c.idx = k.id
 GROUP BY t.token"""
   }
 
+  // ---- L43: heavy hitters via Misra–Gries (verified candidates) ----
+  // The deterministic counter twin of the count-min sketch (L41):
+  // find every token above a frequency threshold WITHOUT a full-
+  // vocabulary table. Pass 1 streams all tokens through the mergeable
+  // [[graft.functions.MisraGriesAggregator]] (cap+ε counters per map
+  // task, one tiny summary per task across the exchange) and counts N
+  // in the same aggregate; the MG bound guarantees the candidate set
+  // covers every token with freq > N/(cap+1) under any partitioning.
+  // Pass 2 broadcast-joins the ≤cap candidates against the token
+  // stream and exact-counts ONLY those — so the final filter
+  // (freq·64 > N, a 4× safety margin over the N/256 sketch bound) is
+  // deterministic and the oracle is plain exact SQL, even though the
+  // intermediate counter values are partitioning-dependent. At 100 TB:
+  // two map-only passes over the corpus plus two bounded shuffles —
+  // the vocabulary never materializes.
+  private val MgCap = 255
+  private val HhDenom = 64L
+
+  def heavyHitters(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tok = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val sketch = tok.as[String]
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.MisraGriesAggregator(MgCap).toColumn)
+    val cands = sketch.flatMap { case (_, (cs, n)) => cs.iterator.map(c => (c, n)) }
+      .toDF("token", "n_total")
+    tok.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token"), col("n_total"))
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") * HhDenom > col("n_total"))
+      .select(col("token"), col("freq"), col("n_total"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH tok AS (
+  SELECT token FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+  WHERE length(token) > 0),
+n AS (SELECT count(*) AS total FROM tok)
+SELECT token, count(*)::BIGINT AS freq, (SELECT total FROM n)::BIGINT AS n_total
+FROM tok GROUP BY token HAVING count(*) * $HhDenom > (SELECT total FROM n)"""
+
   // ---- L11: document fingerprinting (winnowing) ----
   // k-gram (k=5) rolling hashes, window w=4 minima, distinct — the
   // classic winnowing fingerprint, md5-portable. Map-only at scale;

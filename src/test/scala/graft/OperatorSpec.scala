@@ -346,6 +346,44 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("misra-gries candidates cover every true heavy hitter under adversarial partitioning (L43)") {
+    import graft.functions.MisraGriesAggregator
+    // skewed stream: token h_i appears (40 - i) times, plus 600 distinct
+    // noise singletons; N = 820. With cap 15 the MG bound guarantees
+    // every token with freq > N/16 ≈ 51... use cap 31 -> N/32 ≈ 25: h_0..h_14
+    // (freq 40..26) MUST all be candidates, whatever the partitioning.
+    val stream = (0 until 20).flatMap(i => Seq.fill(40 - i)(s"h_$i")) ++
+      (0 until 600).map(i => s"noise_$i")
+    val n = stream.size.toLong
+    val rnd = new scala.util.Random(7)
+    for (parts <- Seq(1, 4, 13)) {
+      val ds = rnd.shuffle(stream).toDF("token").repartition(parts).as[String]
+      val (cands, total) = ds.groupByKey(_ => 0)
+        .agg(new MisraGriesAggregator(31).toColumn).collect().head._2
+      assert(total == n)
+      val mustHave = (0 until 20).map(i => s"h_$i" -> (40L - i))
+        .filter(_._2 > n / 32).map(_._1)
+      val cs = cands.toSet
+      mustHave.foreach(t => assert(cs.contains(t), s"lost heavy hitter $t at parts=$parts"))
+      assert(cands.length <= 31, "capacity bound")
+    }
+  }
+
+  test("heavy hitters output equals the exact threshold set (L43)") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.heavyHitters(documents).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("freq"))).toMap
+    val tok = documents
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .where(length(col("t")) > 0)
+    val n = tok.count()
+    val exact = tok.groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (_, c) => c * 64 > n }.toMap
+    assert(out == exact, s"got ${out.size} vs exact ${exact.size}")
+    assert(exact.nonEmpty, "fixture must exercise the threshold")
+  }
+
   test("scale sweep: no registered query plans a cartesian; nested-loop joins only on declared single-row/query-set builds") {
     // The judge-audit invariants as a regression guard over the WHOLE
     // query surface: a CartesianProduct is never acceptable; a
