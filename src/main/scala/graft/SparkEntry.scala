@@ -96,6 +96,7 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => Curation.weightedSample(t(s, d, "documents"))),
     "q_det_sample" -> ((s, d) => Curation.deterministicSample(t(s, d, "documents"))),
     "q_source_mixture" -> ((s, d) => Curation.sourceMixture(t(s, d, "documents"))),
+    "q_budget_select" -> ((s, d) => Curation.budgetSelect(t(s, d, "documents"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
     "q_semdedup" -> ((s, d) => Similarity.semDedup(t(s, d, "embeddings"))),
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_weighted_sample" -> Curation.weightedSampleSql,
     "q_det_sample" -> Curation.deterministicSampleSql,
     "q_source_mixture" -> Curation.sourceMixtureSql,
+    "q_budget_select" -> Curation.budgetSelectSql,
     "q_ann_topk" -> Similarity.annTopKSql,
     "q_knn_graph" -> Similarity.knnGraphSql,
     "q_semdedup" -> Similarity.semDedupSql,

@@ -319,4 +319,46 @@ JOIN nk ON nk.doc_id = d.doc_id
 JOIN scrub ON scrub.doc_id = d.doc_id
 JOIN toks ON toks.doc_id = d.doc_id"""
   }
+
+  // ---- L44: quality-ranked token-budget selection ----
+  // The fixed-budget pruning step of a curation pipeline: every source
+  // contributes its BEST documents (by quality score) until the
+  // source's token budget is spent — the data-selection shape behind
+  // "keep the top X tokens per domain". Per source: rank by
+  // (quality_score DESC, doc_id ASC — the scores are round(.,6)
+  // doubles proven bit-identical cross-engine by the L9 gate, ties
+  // broken by the id for a total order), take docs while the
+  // cumulative token count BEFORE the doc is under budget (next-fit:
+  // the boundary-crossing doc is kept, so a budget smaller than the
+  // first doc still selects one — an empty source never silently
+  // vanishes). Plan: one (source) exchange + in-partition sort, a
+  // running-sum frame ending at 1 PRECEDING, map-side filter — the
+  // same partition-key-is-the-parallelism-unit contract as the other
+  // ordered scans; nothing global, no driver state.
+  private val TokenBudget = 600L
+
+  def budgetSelect(documents: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val j = q.join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    j.select(col("doc_id"), col("source"), col("n_tokens"), col("quality_score"),
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("cum_before"))
+      .where(col("cum_before") < TokenBudget)
+  }
+
+  val budgetSelectSql: String =
+    s"""WITH q AS (SELECT doc_id, n_tokens, quality_score FROM (${TextAnalysis.qualitySql})),
+j AS (SELECT q.doc_id, d.source, q.n_tokens, q.quality_score
+      FROM q JOIN documents d USING (doc_id)),
+w AS (SELECT doc_id, source, n_tokens, quality_score,
+        coalesce(sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY quality_score DESC, doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+      FROM j)
+SELECT doc_id, source, n_tokens, quality_score, cum_before
+FROM w WHERE cum_before < $TokenBudget"""
 }

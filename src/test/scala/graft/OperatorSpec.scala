@@ -346,6 +346,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("budget selection keeps the boundary-crossing doc and never empties a source (L44)") {
+    import graft.operators.Curation
+    // source "big": first-ranked doc alone exceeds the 600-token
+    // budget -> it must still be selected (cum_before = 0 < budget) and
+    // nothing after it may be; source "two": second doc crosses the
+    // boundary and is kept, third is not
+    // digit/punct/stopword-free uniform tokens: the only live score
+    // term is the length bonus least(n_chars/500, 1)*0.2, so >=100-token
+    // docs tie at 0.2 and rank by doc_id; short docs rank below them
+    def toks(n: Int) = Seq.fill(n)("zzzz").mkString(" ")
+    val docs = Seq(
+      (1L, toks(700), "big"), (2L, toks(10), "big"),
+      (10L, toks(550), "two"), (11L, toks(300), "two"), (12L, toks(50), "two"))
+      .toDF("doc_id", "text", "source")
+    val sel = Curation.budgetSelect(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(sel.contains(1L) && !sel.contains(2L), s"big: $sel")
+    assert(sel.contains(10L) && sel.contains(11L) && !sel.contains(12L), s"two: $sel")
+    assert(sel(11L) == 550L, "cum_before excludes the doc itself")
+  }
+
   test("misra-gries candidates cover every true heavy hitter under adversarial partitioning (L43)") {
     import graft.functions.MisraGriesAggregator
     // skewed stream: token h_i appears (40 - i) times, plus 600 distinct
