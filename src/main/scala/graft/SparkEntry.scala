@@ -79,6 +79,7 @@ object SparkEntry {
     // §2.3 LLM-data operators
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(t(s, d, "documents"))),
+    "q_prefix_join" -> ((s, d) => Dedup.prefixJoin(t(s, d, "documents"))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(t(s, d, "documents"))),
     "q_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
@@ -174,6 +175,7 @@ object SparkEntry {
     "q_window_distinct" -> Relational.windowDistinctSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
+    "q_prefix_join" -> Dedup.prefixJoinSql,
     "q_dedup_minhash" -> Dedup.minhashLshSql,
     "q_dedup_simhash" -> Dedup.simhashDedupSql,
     "q_dedup_embedding" -> Similarity.embeddingNearDupSql,

@@ -108,6 +108,60 @@ cands AS (
   GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $MinCooc),
 $exactJaccardSql"""
 
+  // ---- L45: exact set-similarity join via prefix filtering ----
+  // The AllPairs/PPJoin candidate scheme: EXACT recall by theorem, no
+  // probabilistic miss (vs L3 minhash) and no df-cap miss (vs L2).
+  // Under a GLOBAL total token order, J(x, y) >= τ implies
+  // |x∩y| >= ceil(τ·|x|) (since |x∪y| >= |x|), so the common tokens
+  // cannot all fit in x's last ceil(τ·|x|)−1 positions — the smallest
+  // common token sits inside x's first |x| − ceil(τ·|x|) + 1 tokens,
+  // and by the same argument inside y's prefix. Hence joining PREFIX ×
+  // PREFIX on the token is candidate-complete. The global order is
+  // (df ASC, hash ASC) — rare tokens first — so each doc is indexed
+  // under its RAREST shingles and a corpus-hot token enters a prefix
+  // only when everything else in that doc is hotter: candidate volume
+  // is minimized by construction rather than clipped by a cap. An
+  // added length filter (τ·|x| <= |y| <= |x|/τ, exact integers for
+  // τ = 1/2) prunes verify pairs without touching recall.
+  //
+  // BECAUSE recall is exact, the oracle is the pure semantic statement
+  // — all pairs with Jaccard >= τ — with zero candidate machinery
+  // mirrored: the hash gate itself re-proves completeness on real
+  // data every round. Scale: prefix index ≈ (1−τ)·|d|+1 entries/doc,
+  // one (token) exchange for df + one for the prefix self-join; the
+  // verify join only sees candidates.
+  def prefixJoin(documents: DataFrame): DataFrame = {
+    val sh = shingleHashedDf(documents).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val ranked = sh.join(dfs, "s")
+      .select(col("doc_id"), col("s"), row_number().over(w).cast("long").as("rk"))
+      .join(sizes, "doc_id")
+      // prefix length for τ = 1/2: n − ceil(n/2) + 1 = n/2 + 1 (int div)
+      .where(col("rk") <= col("n") - (col("n") + 1) / 2 + 1)
+      .select(col("s"), col("doc_id"), col("n"))
+    val cands = ranked.select(col("s"), col("doc_id").as("x"), col("n").as("nx"))
+      .join(ranked.select(col("s"), col("doc_id").as("y"), col("n").as("ny")), "s")
+      .where(col("x") < col("y") &&
+        col("ny") * 2 >= col("nx") && col("nx") * 2 >= col("ny"))
+      .select(col("x"), col("y")).distinct()
+    exactJaccard(cands, sh, sizes)
+  }
+
+  /** Pure semantic oracle: every co-occurring pair's exact Jaccard,
+    * thresholded — no prefix/length-filter mirror (exactness of the
+    * candidate scheme is the claim under test). */
+  val prefixJoinSql: String =
+    s"""WITH $shingleSqlCte,
+$shingleHashedSqlCte,
+cands AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM shh a JOIN shh b ON b.s = a.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+$exactJaccardSql"""
+
   // ---- L3: MinHash + LSH ----
   // Universal-hashing minhash: ONE 32-bit md5 base hash per shingle,
   // then 24 derived hashes h_j = (base XOR C_j) * A_j (XOR breaks the

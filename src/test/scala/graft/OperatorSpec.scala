@@ -346,6 +346,40 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter join finds exactly the brute-force jaccard pairs on a hot-token corpus (L45)") {
+    import graft.operators.Dedup
+    // adversarial shape for the prefix theorem: every doc shares a HOT
+    // 12-word base (its shingles have df = n_docs, so df-ordering
+    // pushes them to the SUFFIX — the common tokens are exactly the
+    // ones the prefix index would love to skip), and only pair-mates
+    // share the rare tail. Completeness must come from the theorem,
+    // not from luck.
+    val base = (1 to 12).map(i => s"base$i").mkString(" ")
+    val docs = (0 until 15).flatMap { i =>
+      val tail = (1 to 10).map(j => s"t${i}w$j").mkString(" ")
+      Seq((2L * i, s"$base $tail ua", "s"), (2L * i + 1, s"$base $tail ub", "s"))
+    }.toDF("doc_id", "text", "source")
+    // plain-Scala expected set over the same shingle definition
+    def shingles(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    val expected = (for {
+      x <- texts.keys; y <- texts.keys if x < y
+      inter = (texts(x) & texts(y)).size.toDouble
+      j = inter / (texts(x).size + texts(y).size - inter) if j >= 0.5
+    } yield (x, y, j)).toSet
+    val got = Dedup.prefixJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(p => (p._1, p._2)) == expected.map(p => (p._1, p._2)),
+      s"pairs: got ${got.size} expected ${expected.size}")
+    got.foreach { case (x, y, j) =>
+      val e = expected.find(p => p._1 == x && p._2 == y).get._3
+      assert(math.abs(j - e) < 1e-9, s"jaccard ($x,$y): $j vs $e")
+    }
+    assert(expected.size == 15, "every pair-mate must qualify, nothing else")
+  }
+
   test("budget selection keeps the boundary-crossing doc and never empties a source (L44)") {
     import graft.operators.Curation
     // source "big": first-ranked doc alone exceeds the 600-token
