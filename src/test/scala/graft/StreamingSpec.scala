@@ -412,4 +412,36 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(gotIds == batchIds && gotIds.nonEmpty && gotIds.size < 200)
   }
+
+  test("streaming misra-gries keeps the heavy-hitter guarantee across micro-batches (L43)") {
+    // the MG state is a mergeable summary, so the SAME aggregator runs
+    // as a stateful streaming aggregate (the trending-tokens shape):
+    // state carries across micro-batches and the N/(cap+1) superset
+    // guarantee must hold over the CONCATENATED stream, whatever the
+    // batch boundaries
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val agg = new graft.functions.MisraGriesAggregator(31).toColumn
+    val out = stream.toDS().groupByKey(_ => 0).agg(agg)
+      .map { case (_, (cands, n)) => (cands.toSeq, n) }
+    val q = out.writeStream.format("memory").queryName("mg")
+      .outputMode("update").start()
+    val data = (0 until 20).flatMap(i => Seq.fill(40 - i)(s"h_$i")) ++
+      (0 until 600).map(i => s"noise_$i")
+    val shuffled = new scala.util.Random(11).shuffle(data)
+    shuffled.grouped(300).foreach { batch =>
+      stream.addData(batch: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // n grows monotonically across updates: max-n row = final state
+    val fin = spark.table("mg").collect()
+      .map(r => (r.getSeq[String](0), r.getLong(1))).maxBy(_._2)
+    assert(fin._2 == data.size.toLong)
+    val cs = fin._1.toSet
+    (0 until 20).map(i => s"h_$i" -> (40L - i))
+      .filter(_._2 > data.size / 32).foreach { case (tk, _) =>
+        assert(cs.contains(tk), s"lost heavy hitter $tk across batches")
+      }
+    assert(cs.size <= 31, "capacity bound")
+  }
 }
