@@ -47,6 +47,7 @@ object SparkEntry {
     "q_session_window" -> ((s, d) => Relational.sessionWindow(t(s, d, "events"))),
     "q_window_tumbling" -> ((s, d) => Relational.windowTumbling(t(s, d, "events"))),
     "q_distinct_users" -> ((s, d) => Relational.distinctUsers(t(s, d, "events"))),
+    "q_hll_rolling" -> ((s, d) => Relational.hllRollingDistinct(t(s, d, "events"))),
     "q_anti_join" -> ((s, d) => Relational.antiJoin(t(s, d, "customer"), t(s, d, "orders"))),
     "q_json_extract" -> ((s, d) => Relational.jsonExtract(t(s, d, "events"))),
     "q_pivot_events" -> ((s, d) => Relational.pivotEvents(t(s, d, "events"))),

@@ -191,6 +191,37 @@ FROM events GROUP BY 1, 2"""
   val distinctUsersSql: String =
     "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events GROUP BY event_type"
 
+  // C29: incremental distinct counting via mergeable HLL sketches —
+  // the 100 TB answer to "distinct users over ANY trailing window
+  // without recounting": materialize one DataSketches HLL per day
+  // (one shuffle over the raw events, the same cost as the daily
+  // count), then UNION sketches for any window. HLL union is
+  // register-wise max, so unioning per-day sketches is LOSSLESS —
+  // bit-identical to sketching the window's raw events directly
+  // (spec-proven) — and a year of dailies is 365 kilobyte-sized rows,
+  // so the window pass never touches raw data again. The day-range
+  // join is non-equi but runs over the POST-AGGREGATE daily frame
+  // (bounded by the calendar, broadcast by nature), never the events.
+  // Rows-only by design: sketch estimates are engine-specific
+  // (DuckDB's approx_count_distinct is a different sketch), so exact
+  // counts ride beside the estimates and specs pin accuracy,
+  // partitioning-invariance, and union losslessness.
+  private val HllLgK = 12
+
+  def hllRollingDistinct(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr(s"hll_sketch_agg(user_id, $HllLgK)").as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val sks = daily.select(col("day").as("d2"), col("sk"))
+    daily.select(col("day"), col("exact_users"),
+        expr("hll_sketch_estimate(sk)").as("daily_est"))
+      .join(sks, datediff(col("day"), col("d2")).between(0, 6))
+      .groupBy(col("day"), col("exact_users"), col("daily_est"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("trailing7_est"))
+  }
+
   // C8: anti join — customers with no recent orders (the date filter
   // pushes to the orders scan before the shuffled left_anti; no
   // broadcast of the fact side).

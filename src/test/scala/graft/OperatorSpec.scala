@@ -566,6 +566,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("hll daily sketches union losslessly into trailing windows (C29)") {
+    import graft.operators.Relational
+    val events = Tables.load(spark, sf, "events")
+    val out = Relational.hllRollingDistinct(events).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val est = r.getAs[Long]("daily_est").toDouble
+      // lgK=12 at test cardinalities: near-exact; 5% is generous
+      assert(math.abs(est - exact) / exact <= 0.05, s"${r.get(0)}: $est vs $exact")
+      assert(r.getAs[Long]("trailing7_est") >= est * 0.99,
+        "a trailing window can never see fewer users than its own day")
+    }
+    // union losslessness: merging per-day sketches must equal sketching
+    // the window's raw rows directly (register-wise max), for the most
+    // recent full window
+    val lastDay = events.select(max(to_date($"ts"))).head().getDate(0)
+    val direct = events
+      .where(datediff(lit(lastDay), to_date($"ts")).between(0, 6))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")).head().getLong(0)
+    val viaUnion = Relational.hllRollingDistinct(events)
+      .where($"day" === lastDay).head().getAs[Long]("trailing7_est")
+    assert(viaUnion == direct, s"union $viaUnion != direct $direct")
+    // partitioning-invariance: same estimates whatever the layout
+    val rep = Relational.hllRollingDistinct(events.repartition(13)).collect()
+      .map(r => (r.get(0).toString, r.getAs[Long]("trailing7_est"))).toMap
+    out.foreach(r => assert(rep(r.get(0).toString) == r.getAs[Long]("trailing7_est")))
+  }
+
   test("approx_percentile tracks exact percentiles within tolerance (C13)") {
     val orders = Tables.load(spark, sf, "orders")
     val r = orders.agg(
