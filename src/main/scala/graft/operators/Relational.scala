@@ -222,6 +222,53 @@ FROM events GROUP BY 1, 2"""
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("trailing7_est"))
   }
 
+  // C30: funnel analysis — ordered multi-stage conversion per user
+  // (view → click → purchase, each stage within 1 hour of the
+  // previous). The stage times are SEQUENTIALLY dependent (t2 = first
+  // click AFTER t1; t3 = first purchase AFTER t2), which a single
+  // aggregate cannot express — but three STACKED partition-wide window
+  // aggregates over the same (user) partitioning can: Spark plans ONE
+  // exchange and evaluates the windows in place (no orderBy → no sort,
+  // each is a partition-wide min). The alternative (three filtered
+  // self-joins) shuffles three event slices; this shape moves the
+  // events once. Boundary semantics pinned by the oracle: strictly
+  // after (>) the previous stage, within (<=) the stage window.
+  private val FunnelStageWindow = "INTERVAL 1 HOUR"
+
+  def funnel(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    val staged = events
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(wU))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr(FunnelStageWindow), col("ts"))).over(wU))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr(FunnelStageWindow), col("ts"))).over(wU))
+    staged.groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("reached"))
+  }
+
+  val funnelSql: String =
+    """WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+  GROUP BY 1)
+SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+  (CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+        WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS reached
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+
   // C8: anti join — customers with no recent orders (the date filter
   // pushes to the orders scan before the shuffled left_anti; no
   // broadcast of the fact side).

@@ -596,6 +596,31 @@ class OperatorSpec extends SparkSpec {
     out.foreach(r => assert(rep(r.get(0).toString) == r.getAs[Long]("trailing7_est")))
   }
 
+  test("funnel stages are strictly ordered, window-bounded, and plan one exchange (C30)") {
+    import graft.operators.Relational
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: full funnel; click lands exactly at t1+1h (inclusive)
+      (1L, ts("2024-01-01 10:00:00"), "view"), (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 11:30:00"), "purchase"),
+      // u2: click precedes the first view -> stage 2 never fires
+      (2L, ts("2024-01-01 09:00:00"), "click"), (2L, ts("2024-01-01 09:30:00"), "view"),
+      // u3: click at the SAME instant as view -> strictly-after fails
+      (3L, ts("2024-01-01 10:00:00"), "view"), (3L, ts("2024-01-01 10:00:00"), "click"),
+      // u4: click one second past the 1h stage window
+      (4L, ts("2024-01-01 10:00:00"), "view"), (4L, ts("2024-01-01 11:00:01"), "click"),
+      // u5: no view at all -> reached 0 despite click+purchase
+      (5L, ts("2024-01-01 10:00:00"), "click"), (5L, ts("2024-01-01 10:10:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Relational.funnel(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 0L), s"$out")
+    // scale shape: the sequential stage dependency must not cost more
+    // than ONE exchange (three stacked same-partitioning windows)
+    val plan = Relational.funnel(events).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, s"expected exactly one exchange:\n$plan")
+  }
+
   test("approx_percentile tracks exact percentiles within tolerance (C13)") {
     val orders = Tables.load(spark, sf, "orders")
     val r = orders.agg(
