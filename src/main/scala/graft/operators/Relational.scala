@@ -269,6 +269,37 @@ SELECT u.user_id, s1.t1, s2.t2, s3.t3,
 FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
 
+  // C31: cohort retention — the funnel's companion: group users by
+  // first-activity week, report how many are still active k weeks
+  // later. Week index = epoch-day ÷ 7 (integer arithmetic on the
+  // epoch, identical in both engines — date_trunc('week') would drag
+  // in week-start conventions). Plan: one (user) shuffle for the
+  // first-activity aggregate, a hash join back to the events (both
+  // sides user-partitioned — at 100 TB the user dim co-partitions),
+  // and one (cohort, offset) aggregate with map-side distinct
+  // absorption. No window, no sort.
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val week = (d: org.apache.spark.sql.Column) =>
+      floor(datediff(d, to_date(lit("1970-01-01"))) / 7).cast("long")
+    val first = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+      .select(col("user_id"), week(col("first_day")).as("cohort_week"))
+    events.select(col("user_id"), week(to_date(col("ts"))).as("w"))
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH first AS (
+  SELECT user_id, datediff('day', DATE '1970-01-01', min(ts::DATE)) // 7 AS cohort_week
+  FROM events GROUP BY 1)
+SELECT cohort_week,
+  (datediff('day', DATE '1970-01-01', e.ts::DATE) // 7) - cohort_week AS week_offset,
+  count(DISTINCT e.user_id)::BIGINT AS n_users
+FROM events e JOIN first USING (user_id)
+GROUP BY 1, 2"""
+
   // C8: anti join — customers with no recent orders (the date filter
   // pushes to the orders scan before the shuffled left_anti; no
   // broadcast of the fact side).
