@@ -304,4 +304,79 @@ object TrafficStream {
           }
       }
   }
+
+  /** A finalized per-event anomaly flag from [[anomalyStream]] — the
+    * same columns the batch `Relational.anomalyFlags` emits. */
+  case class AnomalyFlag(user_id: Long, event_id: Long, cents: Long,
+      win_n: Long, is_anomaly: Long)
+
+  private[streaming] case class AnomalyState(
+      pending: Vector[(Long, Long, Long)], // (tsMs, event_id, cents) awaiting the watermark
+      history: Vector[(Long, Long)])       // (tsMs, cents) emitted, retained one window span
+
+  /** Streaming twin of the batch 3σ anomaly test (C28): keyed by user,
+    * an event's flag is FINALIZED only when the watermark passes its
+    * timestamp — no earlier event can still arrive (Spark drops
+    * below-watermark rows before the operator), so the trailing 7-day
+    * window is complete and the emitted flag equals the batch RANGE-
+    * frame computation on the same data (parity-spec-pinned, including
+    * equal-timestamp peers: batch RANGE frames include peers, so ripe
+    * events are processed per timestamp GROUP and see each other).
+    * State per user = the not-yet-ripe pending events plus one window
+    * span of emitted history; history older than watermark − 7 d can
+    * never enter a future frame (future events sit at or above the
+    * watermark) and is evicted each call, and an idle user's state is
+    * garbage-collected by an event-time timeout one window span after
+    * the watermark — state is bounded by rate × span, never unbounded.
+    * Same integer-only decision arithmetic as the batch operator
+    * (cents from the DECIMAL(18,2) HALF_UP cast, cross-multiplied
+    * z-test, no float anywhere near the flag). Millisecond event-time
+    * precision (the streaming feed's Timestamp.getTime granularity).
+    */
+  def anomalyStream(events: Dataset[SensorEvent],
+      delay: String = "10 minutes"): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    val winMs = 7L * 86400000L
+    val sig2 = 9L
+    def cents(v: Double): Long =
+      (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SensorEvent], state: GroupState[AnomalyState]) =>
+          val st = state.getOption.getOrElse(AnomalyState(Vector.empty, Vector.empty))
+          val wmMs = state.getCurrentWatermarkMs()
+          val all = st.pending ++
+            evs.map(e => (e.ts.getTime, e.event_id, cents(e.value)))
+          val (ripe, rest) = all.partition(_._1 < wmMs)
+          var hist = st.history
+          val out = Vector.newBuilder[AnomalyFlag]
+          // process ripe events in (ts, event_id) order, one timestamp
+          // GROUP at a time so peers share a frame (batch RANGE parity)
+          ripe.sortBy(t => (t._1, t._2)).groupBy(_._1).toSeq.sortBy(_._1)
+            .foreach { case (t, group) =>
+              hist = hist.filter(_._1 >= t - winMs) // monotone in t
+              val frame = hist.map(_._2) ++ group.map(_._3)
+              val n = frame.size.toLong
+              val s = frame.sum
+              val q = frame.map(c => c * c).sum
+              group.foreach { case (_, eid, c) =>
+                val flag = if ((n * c - s) * (n * c - s) > sig2 * (n * q - s * s)) 1L else 0L
+                out += AnomalyFlag(uid, eid, c, n, flag)
+              }
+              hist = hist ++ group.map(g => (g._1, g._3))
+            }
+          hist = hist.filter(_._1 >= wmMs - winMs)
+          if (rest.isEmpty && hist.isEmpty) state.remove()
+          else {
+            state.update(AnomalyState(rest, hist))
+            val next =
+              if (rest.nonEmpty) math.max(rest.map(_._1).min, wmMs + 1)
+              else wmMs + winMs + 1 // GC: history is useless once wm moves a span
+            state.setTimeoutTimestamp(next)
+          }
+          out.result().iterator
+      }
+  }
 }

@@ -413,6 +413,53 @@ class StreamingSpec extends SparkSpec {
     assert(gotIds == batchIds && gotIds.nonEmpty && gotIds.size < 200)
   }
 
+  test("streaming anomaly flags match the batch RANGE-frame computation (C28)") {
+    // out-of-order arrival across micro-batches; equal-ts peers planted
+    // (batch RANGE frames include peers, so the stream must group them);
+    // a far-future sentinel closes the watermark over every real event
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, ts: String, v: Double) =
+      SensorEvent(id, t(ts), uid, "x", v)
+    // a trailing window INCLUDES the current event, so a lone spike
+    // inflates its own variance: z² ≈ n−1, and a 3σ flag needs n ≥ 11.
+    // Ten baselines + the spike cross that line (hand-checked:
+    // (11·9500−19500)² = 7.22e9 > 9·(11·q−s²) = 6.50e9).
+    val baselines = (1 to 8).map { i =>
+      ev(i, 7, f"2024-01-0${1 + (i - 1) / 4}%d ${((i - 1) % 4) * 6}%02d:00:00", 10.0)
+    } ++ Seq(
+      ev(9, 7, "2024-01-03 00:00:00", 10.0),
+      ev(10, 7, "2024-01-03 00:00:00", 10.0)) // equal-ts peer pair
+    val real = baselines ++ Seq(
+      ev(20, 7, "2024-01-04 00:00:00", 95.0), // the spike, n = 11
+      ev(21, 7, "2024-01-12 00:00:00", 10.0), // window slid past everything
+      ev(30, 8, "2024-01-01 00:00:00", 1.0), ev(31, 8, "2024-01-01 06:00:00", 1.0))
+    val sentinel = ev(99, 999, "2024-03-01 00:00:00", 0.0)
+    val stream = MemoryStream[SensorEvent]
+    // delay must cover the fixture's multi-day disorder — with a short
+    // delay Spark itself drops the late rows (watermark semantics, same
+    // as the batch-drop contract of every other streaming operator)
+    val q = TrafficStream.anomalyStream(stream.toDS(), delay = "10 days")
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    // adversarial delivery order, split across batches; the
+    // watermark-pushing 01-12 event arrives last so no real event is
+    // watermark-late (late-drop semantics are Spark's, tested elsewhere)
+    val byId = real.map(e => e.event_id -> e).toMap
+    stream.addData(byId(5), byId(1), byId(30), byId(9)); q.processAllAvailable()
+    stream.addData(byId(20), byId(3), byId(2), byId(31), byId(10), byId(6)); q.processAllAvailable()
+    stream.addData(byId(4), byId(7), byId(8), byId(21)); q.processAllAvailable()
+    stream.addData(sentinel); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anom")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val expected = graft.operators.Relational.anomalyFlags(real.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected, s"stream $got\nbatch $expected")
+    assert(expected.exists(_._5 == 1L), "fixture must contain a flagged anomaly")
+    assert(expected.exists(t => t._5 == 0L && t._4 > 1), "and unflagged windowed events")
+  }
+
   test("streaming misra-gries keeps the heavy-hitter guarantee across micro-batches (L43)") {
     // the MG state is a mergeable summary, so the SAME aggregator runs
     // as a stateful streaming aggregate (the trending-tokens shape):
