@@ -139,6 +139,41 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits the skewed partition of a shuffle join at runtime") {
+    // §6 claims AQE skew handling composes with the engine's plans —
+    // prove it engages: a hot key owning ~half the fact rows lands in
+    // one shuffle partition, and with the skew thresholds scaled to
+    // test size AQE must split that partition into parallel sub-reads
+    // (the runtime answer to skew that salting solves statically, C16).
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val fact = spark.range(0, 40000)
+        .select(when($"id" % 2 === 0, 7L).otherwise($"id").as("k"),
+          concat(lit("p"), $"id").as("payload"))
+      val dim = spark.range(0, 2000).select($"id".as("k"), ($"id" * 3).as("v"))
+      val joined = fact.join(dim, "k")
+      // execute THIS dataframe's plan (count() would plan a different
+      // query, and AQE only finalizes the plan it actually ran)
+      assert(joined.collect().length == 21000) // 20k hot + 1k distinct
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("skewed"),
+        s"AQE skew split did not engage:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val orders = Tables.load(spark, sf, "orders").limit(500)
     val lineitem = Tables.load(spark, sf, "lineitem").limit(500)
