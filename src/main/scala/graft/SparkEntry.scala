@@ -116,6 +116,7 @@ object SparkEntry {
     "q_build_vocab" -> ((s, d) => TextAnalysis.buildVocab(t(s, d, "documents"))),
     "q_freq_cms" -> ((s, d) => TextAnalysis.cmsFrequencies(t(s, d, "documents"))),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(t(s, d, "documents"))),
+    "q_pmi" -> ((s, d) => TextAnalysis.pmi(t(s, d, "documents"))),
     "q_training_shards" -> ((s, d) => Curation.trainingShards(t(s, d, "documents"))),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
     "q_bigrams" -> ((s, d) => TextAnalysis.bigrams(t(s, d, "documents"))),
@@ -211,6 +212,7 @@ object SparkEntry {
     "q_build_vocab" -> TextAnalysis.buildVocabSql,
     "q_freq_cms" -> TextAnalysis.cmsFrequenciesSql,
     "q_heavy_hitters" -> TextAnalysis.heavyHittersSql,
+    "q_pmi" -> TextAnalysis.pmiSql,
     "q_training_shards" -> Curation.trainingShardsSql,
     "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_bigrams" -> TextAnalysis.bigramsSql,

@@ -409,6 +409,59 @@ SELECT doc_id, top_term, top_score FROM (
 GROUP BY bigram HAVING count(*) >= 3"""
   }
 
+  // ---- L46: PMI collocation scoring ----
+  // Pointwise mutual information over adjacent word pairs — the
+  // collocation detector ("new york" vs "of the") used for tokenizer
+  // merge candidates and phrase mining. pmi = ln(c_xy·N / (c_x·c_y))
+  // with true occurrence counts (non-distinct graft_grams, the L17
+  // rule) and N = token count. The integer products are exact under
+  // 2^53, the double division and ln are the same IEEE ops in both
+  // engines (the tfidf/lm_score precedent), round(.,6) absorbs the
+  // last ulp. Plan: one (bigram) shuffle with map-side partials, two
+  // shuffle-hash joins against the unigram counts (vocabulary never
+  // broadcast — it scales with the corpus), the single-row N frame
+  // broadcast. Floor c_xy >= 5 keeps collocations statistically
+  // meaningful and bounds the join width.
+  private val PmiMinCount = 5L
+
+  def pmi(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val toks = documents.select(explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    documents
+      .select(explode(expr("graft_grams(split(lower(text), '\\\\s+'), 2)")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= PmiMinCount)
+      .select(element_at(split(col("bigram"), " "), 1).as("w1"),
+        element_at(split(col("bigram"), " "), 2).as("w2"), col("c_xy"))
+      .join(uni.select(col("token").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        round(log((col("c_xy") * col("n_tok")).cast("double") /
+          (col("c_x") * col("c_y"))), 6).as("pmi"))
+  }
+
+  val pmiSql: String = {
+    val grams = graft.functions.Portable.wordGramsSql(
+      "string_split_regex(lower(text), '\\s+')", 2)
+    s"""WITH toks AS (
+  SELECT token FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+  WHERE length(token) > 0),
+uni AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_tok FROM toks),
+big AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+         count(*) AS c_xy
+  FROM (SELECT unnest($grams) AS bigram FROM documents)
+  GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount)
+SELECT b.w1, b.w2, b.c_xy::BIGINT AS c_xy, x.c::BIGINT AS c_x, y.c::BIGINT AS c_y,
+  round(ln((b.c_xy * n.n_tok)::DOUBLE / (x.c * y.c)), 6) AS pmi
+FROM big b JOIN uni x ON x.token = b.w1 JOIN uni y ON y.token = b.w2, n"""
+  }
+
   // ---- L17: repetition statistics (Gopher-style quality signals) ----
   // Per document: duplicate-word fraction (1 - distinct/total) and the
   // share of the most frequent bigram. Word stats are map-only array

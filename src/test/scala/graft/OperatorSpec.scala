@@ -453,7 +453,8 @@ class OperatorSpec extends SparkSpec {
       "q_lm_score" -> "crossJoin(broadcast(single-row vocab size))",
       "q_source_mixture" -> "crossJoin(broadcast(single-row totals))",
       "q_contamination_bloom" -> "crossJoin(broadcast(single-row 16 KB bloom bit array))",
-      "q_hll_rolling" -> "day-range join over the POST-AGGREGATE daily sketch frame — calendar-bounded (365 rows/yr), never the raw events")
+      "q_hll_rolling" -> "day-range join over the POST-AGGREGATE daily sketch frame — calendar-bounded (365 rows/yr), never the raw events",
+      "q_pmi" -> "crossJoin(broadcast(single-row token-count total)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
