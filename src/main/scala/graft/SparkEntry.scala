@@ -50,6 +50,7 @@ object SparkEntry {
     "q_hll_rolling" -> ((s, d) => Relational.hllRollingDistinct(t(s, d, "events"))),
     "q_funnel" -> ((s, d) => Relational.funnel(t(s, d, "events"))),
     "q_cohort" -> ((s, d) => Relational.cohortRetention(t(s, d, "events"))),
+    "q_scd2" -> ((s, d) => Relational.scd2Merge(t(s, d, "customer"))),
     "q_anti_join" -> ((s, d) => Relational.antiJoin(t(s, d, "customer"), t(s, d, "orders"))),
     "q_json_extract" -> ((s, d) => Relational.jsonExtract(t(s, d, "events"))),
     "q_pivot_events" -> ((s, d) => Relational.pivotEvents(t(s, d, "events"))),
@@ -159,6 +160,7 @@ object SparkEntry {
     "q_distinct_users" -> Relational.distinctUsersSql,
     "q_funnel" -> Relational.funnelSql,
     "q_cohort" -> Relational.cohortRetentionSql,
+    "q_scd2" -> Relational.scd2MergeSql,
     "q_anti_join" -> Relational.antiJoinSql,
     "q_json_extract" -> Relational.jsonExtractSql,
     "q_pivot_events" -> Relational.pivotEventsSql,

@@ -300,6 +300,54 @@ SELECT cohort_week,
 FROM events e JOIN first USING (user_id)
 GROUP BY 1, 2"""
 
+  // C32: SCD type-2 merge — the warehouse upsert: apply a change batch
+  // to a versioned dimension. Matched keys close their current row
+  // (valid_to = change time, is_current = 0) and insert a new version;
+  // unmatched rows pass through; the change rows become the new
+  // current versions. Scale shape: the DAILY CHANGE BATCH is broadcast
+  // (it is small by nature — that asymmetry is what makes MERGE
+  // tractable), the dimension itself is touched in ONE map-only pass
+  // (left join against the broadcast + per-row branch) plus a union of
+  // the insert rows — the dimension never shuffles. The change batch
+  // here derives deterministically from the dimension (every 7th key
+  // changes segment) so the oracle states the same three-branch union.
+  private val Scd2From = "1995-01-01 00:00:00"
+  private val Scd2At = "1998-06-01 00:00:00"
+
+  def scd2Merge(customer: DataFrame): DataFrame = {
+    val dim = customer.select(col("c_custkey").as("key"),
+      col("c_mktsegment").as("segment"),
+      to_timestamp(lit(Scd2From)).as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"),
+      lit(1L).as("is_current"))
+    val changes = customer.where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"),
+        concat(lit("moved-"), col("c_custkey")).as("segment"),
+        to_timestamp(lit(Scd2At)).as("at"))
+    val flagged = dim.join(broadcast(changes.select(col("key"), col("at"))), Seq("key"), "left")
+      .select(col("key"), col("segment"), col("valid_from"),
+        when(col("at").isNotNull, col("at")).otherwise(col("valid_to")).as("valid_to"),
+        when(col("at").isNotNull, 0L).otherwise(lit(1L)).as("is_current"))
+    val inserts = changes.select(col("key"), col("segment"),
+      col("at").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"), lit(1L).as("is_current"))
+    flagged.unionByName(inserts)
+  }
+
+  val scd2MergeSql: String =
+    s"""WITH changes AS (
+  SELECT c_custkey AS key, 'moved-' || c_custkey AS segment,
+         TIMESTAMP '$Scd2At' AS at
+  FROM customer WHERE c_custkey % 7 = 0)
+SELECT d.c_custkey AS key, d.c_mktsegment AS segment,
+  TIMESTAMP '$Scd2From' AS valid_from,
+  ch.at AS valid_to,
+  (CASE WHEN ch.at IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_current
+FROM customer d LEFT JOIN changes ch ON ch.key = d.c_custkey
+UNION ALL
+SELECT key, segment, at AS valid_from, NULL::TIMESTAMP AS valid_to, 1::BIGINT AS is_current
+FROM changes"""
+
   // C8: anti join — customers with no recent orders (the date filter
   // pushes to the orders scan before the shuffled left_anti; no
   // broadcast of the fact side).
