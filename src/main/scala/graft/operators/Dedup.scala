@@ -141,11 +141,18 @@ $exactJaccardSql"""
       .join(sizes, "doc_id")
       // prefix length for τ = 1/2: n − ceil(n/2) + 1 = n/2 + 1 (int div)
       .where(col("rk") <= col("n") - (col("n") + 1) / 2 + 1)
-      .select(col("s"), col("doc_id"), col("n"))
-    val cands = ranked.select(col("s"), col("doc_id").as("x"), col("n").as("nx"))
-      .join(ranked.select(col("s"), col("doc_id").as("y"), col("n").as("ny")), "s")
+      .select(col("s"), col("doc_id"), col("n"), col("rk"))
+    // PPJoin positional filter (exact, Xiao et al.): a shared prefix
+    // token at positions (rkx, rky) bounds the overlap by
+    // 1 + min(nx − rkx, ny − rky); J >= τ needs overlap >=
+    // ceil(τ/(1+τ)·(nx+ny)) = ceil((nx+ny)/3) at τ = 1/2 — pairs that
+    // cannot reach it are cut BEFORE the distinct, recall-free.
+    val cands = ranked.select(col("s"), col("doc_id").as("x"), col("n").as("nx"), col("rk").as("rkx"))
+      .join(ranked.select(col("s"), col("doc_id").as("y"), col("n").as("ny"), col("rk").as("rky")), "s")
       .where(col("x") < col("y") &&
-        col("ny") * 2 >= col("nx") && col("nx") * 2 >= col("ny"))
+        col("ny") * 2 >= col("nx") && col("nx") * 2 >= col("ny") &&
+        lit(1) + least(col("nx") - col("rkx"), col("ny") - col("rky")) >=
+          (col("nx") + col("ny") + 2) / 3)
       .select(col("x"), col("y")).distinct()
     exactJaccard(cands, sh, sizes)
   }
