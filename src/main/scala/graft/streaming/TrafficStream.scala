@@ -305,6 +305,77 @@ object TrafficStream {
       }
   }
 
+  /** A completed funnel conversion from [[funnelStream]]. */
+  case class FunnelConversion(user_id: Long, t1: Timestamp, t2: Timestamp,
+      t3: Timestamp)
+
+  private[streaming] case class FunnelState(
+      pending: Vector[(Long, Long, String)], // (tsMs, event_id, type) above the watermark
+      t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+  /** Streaming twin of the batch funnel (C30), restricted to the
+    * append-expressible part: a conversion row is emitted EXACTLY ONCE
+    * when a user's view → click → purchase chain completes, each stage
+    * strictly after the previous and within the 1-hour stage window.
+    * An event is folded into the chain only once the watermark passes
+    * it (no earlier event can then arrive, so "first qualifying" is
+    * final); ripe events are processed in (ts, event_id) order, which
+    * makes the first qualifying event the batch plan's MIN. Users who
+    * never complete emit nothing — the batch rows with reached < 3
+    * have no append-mode analogue (their stage times stay forever
+    * revisable upward in event time, and final-state queries belong to
+    * the batch side; parity is spec-pinned against the batch operator's
+    * reached = 3 rows). State per user: the not-yet-ripe events plus
+    * three optional stage times; completed or idle users are dropped
+    * by event-time timeout. */
+  def funnelStream(events: Dataset[SensorEvent],
+      delay: String = "10 minutes"): Dataset[FunnelConversion] = {
+    import events.sparkSession.implicits._
+    val stageMs = 3600000L
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelConversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SensorEvent], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(Vector.empty, None, None, None))
+          if (st.t3.isDefined) {
+            // already converted: ignore everything, GC on timeout
+            if (state.hasTimedOut) state.remove()
+            Iterator.empty
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            val all = st.pending ++
+              evs.map(e => (e.ts.getTime, e.event_id, e.event_type))
+            val (ripe, rest) = all.partition(_._1 < wmMs)
+            var (t1, t2, t3) = (st.t1, st.t2, st.t3)
+            ripe.sortBy(t => (t._1, t._2)).foreach { case (ts, _, tpe) =>
+              if (t3.isEmpty) tpe match {
+                case "view" if t1.isEmpty => t1 = Some(ts)
+                case "click" if t2.isEmpty && t1.exists(a => ts > a && ts <= a + stageMs) =>
+                  t2 = Some(ts)
+                case "purchase" if t1.isDefined && t2.exists(b => ts > b && ts <= b + stageMs) =>
+                  t3 = Some(ts)
+                case _ =>
+              }
+            }
+            val out =
+              if (t3.isDefined)
+                Iterator.single(FunnelConversion(uid, new Timestamp(t1.get),
+                  new Timestamp(t2.get), new Timestamp(t3.get)))
+              else Iterator.empty
+            if (t3.isDefined && rest.isEmpty) state.remove()
+            else {
+              state.update(FunnelState(if (t3.isDefined) Vector.empty else rest, t1, t2, t3))
+              val next =
+                if (t3.isEmpty && rest.nonEmpty) math.max(rest.map(_._1).min, wmMs + 1)
+                else wmMs + stageMs + 1 // GC horizon
+              state.setTimeoutTimestamp(next)
+            }
+            out
+          }
+      }
+  }
+
   /** A finalized per-event anomaly flag from [[anomalyStream]] — the
     * same columns the batch `Relational.anomalyFlags` emits. */
   case class AnomalyFlag(user_id: Long, event_id: Long, cents: Long,

@@ -460,6 +460,46 @@ class StreamingSpec extends SparkSpec {
     assert(expected.exists(t => t._5 == 0L && t._4 > 1), "and unflagged windowed events")
   }
 
+  test("streaming funnel emits each conversion exactly once, matching batch reached=3 rows (C30)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, ts: String, tpe: String) =
+      SensorEvent(id, t(ts), uid, tpe, 0.0)
+    val real = Seq(
+      // u1 converts; the qualifying click is NOT the first click seen
+      // (an out-of-window one precedes it)
+      ev(1, 1, "2024-01-01 10:00:00", "view"),
+      ev(2, 1, "2024-01-01 12:30:00", "click"),  // > 1h after t1: no
+      ev(3, 1, "2024-01-01 10:40:00", "click"),  // qualifies: t2
+      ev(4, 1, "2024-01-01 11:20:00", "purchase"), // within 1h of t2
+      // u2 stalls at stage 2 (purchase too late)
+      ev(10, 2, "2024-01-01 10:00:00", "view"),
+      ev(11, 2, "2024-01-01 10:30:00", "click"),
+      ev(12, 2, "2024-01-01 13:00:00", "purchase"),
+      // u3 never views
+      ev(20, 3, "2024-01-01 10:00:00", "click"),
+      ev(21, 3, "2024-01-01 10:10:00", "purchase"))
+    val sentinel = ev(99, 999, "2024-03-01 00:00:00", "x")
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.funnelStream(stream.toDS(), delay = "10 days")
+      .writeStream.format("memory").queryName("fun").outputMode("append").start()
+    val byId = real.map(e => e.event_id -> e).toMap
+    stream.addData(byId(3), byId(10), byId(20)); q.processAllAvailable()
+    stream.addData(byId(1), byId(12), byId(2), byId(21)); q.processAllAvailable()
+    stream.addData(byId(4), byId(11)); q.processAllAvailable()
+    stream.addData(sentinel); q.processAllAvailable()
+    // a second sentinel wave: a duplicate emission would surface here
+    stream.addData(ev(100, 998, "2024-03-02 00:00:00", "x")); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fun").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3)))
+    val batch = graft.operators.Relational.funnel(real.toDF())
+      .where(col("reached") === 3)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3)))
+    assert(got.toSet == batch.toSet, s"stream ${got.toSeq} vs batch ${batch.toSeq}")
+    assert(got.length == got.toSet.size && got.nonEmpty, "exactly-once emission")
+    assert(batch.map(_._1).toSet == Set(1L), "only u1 converts in the fixture")
+  }
+
   test("streaming misra-gries keeps the heavy-hitter guarantee across micro-batches (L43)") {
     // the MG state is a mergeable summary, so the SAME aggregator runs
     // as a stateful streaming aggregate (the trending-tokens shape):
