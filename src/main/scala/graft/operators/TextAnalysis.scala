@@ -217,6 +217,39 @@ FROM fin GROUP BY doc_id"""
         WHERE length(token) > 0 GROUP BY token))
 WHERE token_id < $VocabSize"""
 
+  // ---- L47: vocabulary coverage / OOV rate ----
+  // The tokenizer-coverage metric run before committing to a vocab:
+  // per document, the fraction of token OCCURRENCES outside the top-V
+  // vocabulary (L35's construction, composed verbatim — the curation
+  // pattern). The vocab is V-sized BY CONSTRUCTION, so broadcasting it
+  // is legitimate at any corpus scale (unlike the full token table —
+  // the tfidf rule); the corpus side is one map-side explode + left
+  // semi-ish membership flag + a (doc) aggregate. oov_rate is an
+  // exact integer ratio rounded to 6 — cross-engine identical.
+  def oovRate(documents: DataFrame): DataFrame = {
+    val vocab = buildVocab(documents).select(col("token"), lit(1L).as("in_v"))
+    documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  val oovRateSql: String =
+    s"""WITH vocab AS (SELECT token FROM ($buildVocabSql)),
+tok AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+  WHERE length(token) > 0)
+SELECT t.doc_id, count(*) AS n_tokens,
+  sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+  round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.token = t.token
+GROUP BY t.doc_id"""
+
   // ---- L41: count-min sketch frequency estimation (verified) ----
   // Approximate per-token frequency in O(d·w) memory regardless of
   // vocabulary size — the frequency tool once the vocab no longer fits
