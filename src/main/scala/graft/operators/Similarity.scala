@@ -573,6 +573,100 @@ SELECT q.vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
        qsum, qdot, round(max_abs_err, 6) AS max_abs_err
 FROM q JOIN agg ON agg.vec_id = q.vec_id"""
 
+  // ---- L48: product quantization (PQ codes, the faiss-PQ shape) ----
+  // The other half of the ANN compression family: L29's SQ8 keeps one
+  // byte per DIMENSION; PQ keeps one code per SUBSPACE — m=4 subspaces
+  // × 16 centroids = 4-bit codes, 2 bytes/vector for 64 dims (a 128×
+  // compression) with distances still computable from codes alone via
+  // ADC (per-query lookup tables, spec-verified recall). Codebooks are
+  // EUCLIDEAN per-subspace k-means over the bounded id-spread sample
+  // (model state, the kmeansCentroids contract — NOT the spherical
+  // kmeansArrays: raw subvectors aren't unit and must not be
+  // normalized). Encoding is map-only with the m codebooks as closure
+  // state: m×k×subdim distance loops per row, corpus never shuffles.
+  // Rows-only by design (k-means model state has no SQL mirror — the
+  // IVF precedent); specs pin determinism under repartitioning, real
+  // codebook structure (beats the one-centroid baseline), and ADC
+  // recall against exact top-k.
+  private val PqM = 4
+  private val PqK = 16
+
+  /** Euclidean Lloyd's (mean centroids, L2 assignment, lowest-index
+    * tie-break) — deterministic for a fixed sample. */
+  private def kmeansEuclid(points: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val dim = points.head.length
+    val k0 = math.min(k, points.length)
+    var cents = Array.tabulate(k0)(i => points(((i.toLong * points.length) / k0).toInt).clone())
+    var iter = 0
+    while (iter < KmeansIters) {
+      val sums = Array.fill(k0, dim)(0.0)
+      val counts = new Array[Int](k0)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k0) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k0)(c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      iter += 1
+    }
+    cents
+  }
+
+  /** m per-subspace codebooks from the bounded sample (unit vectors —
+    * PQ quantizes the sphere the cosine ops live on). */
+  private[graft] def pqCodebooks(embeddings: DataFrame): Array[Array[Array[Double]]] = {
+    val base = withNorm(embeddings, "vec_id", "v", "nv")
+    val n = base.count()
+    val step = math.max(1L, n / KmeansSampleCap)
+    val sample = base.where(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id")).limit(KmeansSampleCap)
+      .select(col("v"), col("nv")).collect()
+      .map { r =>
+        val nn = r.getDouble(1)
+        r.getSeq[Double](0).map(_ / nn).toArray
+      }
+    val sub = Dim / PqM
+    Array.tabulate(PqM)(j => kmeansEuclid(sample.map(_.slice(j * sub, j * sub + sub)), PqK))
+  }
+
+  /** (vec_id, codes[m], mse): map-only encode against the broadcast-
+    * by-closure codebooks; mse is the per-vector mean squared
+    * reconstruction error (deterministic — fixed model, fixed input). */
+  def pqEncode(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(embeddings)
+    val sub = Dim / PqM
+    withNorm(embeddings, "vec_id", "v", "nv")
+      .select(col("vec_id"), col("v"), col("nv"))
+      .as[(Long, Seq[Double], Double)]
+      .map { case (id, vRaw, nn) =>
+        val v = vRaw.iterator.map(_ / nn).toArray
+        var errSum = 0.0
+        val codes = Array.tabulate(PqM) { j =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < PqK) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = v(j * sub + i) - books(j)(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          errSum += bd
+          best.toLong
+        }
+        (id, codes.toSeq, math.rint(errSum / Dim * 1e9) / 1e9)
+      }
+      .toDF("vec_id", "codes", "mse")
+  }
+
   /** Mean fraction of the corpus that is a candidate per query — the
     * IVF efficiency metric the sizing rule controls (≈ nprobe/C). */
   def ivfCandidateFraction(embeddings: DataFrame, cells: Int = 0,

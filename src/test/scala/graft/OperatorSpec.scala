@@ -568,6 +568,69 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pq codes are layout-deterministic, structured, and ADC-rankable (L48)") {
+    val out = Similarity.pqEncode(embeddings).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getDouble(2)))
+    // determinism: identical codes whatever the partition layout
+    val rep = Similarity.pqEncode(embeddings.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getDouble(2)))
+    assert(out.sortBy(_._1).toSeq == rep.sortBy(_._1).toSeq)
+    // codebooks learned structure: every subspace uses several codes,
+    // and PQ reconstruction beats the one-centroid-per-subspace
+    // baseline (= quantizing every subvector to the subspace mean)
+    (0 until 4).foreach { j =>
+      val used = out.map(_._2(j)).distinct.length
+      assert(used >= 4, s"subspace $j collapsed to $used codes")
+    }
+    val unit = embeddings.selectExpr("vec_id",
+        "cast(embedding as array<double>) AS v")
+      .selectExpr("vec_id", "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, e) -> a + e*e))) AS u")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = unit.values.head.length; val sub = dim / 4
+    val meanBaselineMse = {
+      val all = unit.values.toArray
+      val mse = (0 until 4).map { j =>
+        val mean = Array.tabulate(sub)(i => all.map(_(j * sub + i)).sum / all.length)
+        all.map(v => (0 until sub).map(i => math.pow(v(j * sub + i) - mean(i), 2)).sum).sum / all.length
+      }.sum / dim
+      mse
+    }
+    val pqMse = out.map(_._3).sum / out.length
+    assert(pqMse < meanBaselineMse * 0.8,
+      s"PQ mse $pqMse not better than one-centroid baseline $meanBaselineMse")
+    // ADC: ranking by code-lookup sums recovers a usable share of the
+    // exact cosine top-5 (the end-to-end point of the codes)
+    val books = Similarity.pqCodebooks(embeddings)
+    val codes = out.map(t => t._1 -> t._2).toMap
+    val exact = Similarity.annTopK(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().groupBy(_._1)
+    var hit = 0; var tot = 0
+    exact.foreach { case (q, pairs) =>
+      val qv = unit(q)
+      val lut = Array.tabulate(4, 16) { (j, c) =>
+        (0 until sub).map(i => qv(j * sub + i) * books(j)(c)(i)).sum
+      }
+      // the production shape: ADC shortlist from codes alone, then an
+      // exact rerank of the shortlist (faiss refine) — ADC's job is to
+      // prune 50 -> 15 without losing the true top-5
+      val shortlist = unit.keys.filter(_ != q).toSeq
+        .map(id => id -> (0 until 4).map(j => lut(j)(codes(id)(j).toInt)).sum)
+        .sortBy { case (id, s) => (-s, id) }.take(50).map(_._1)
+      def cos(a: Array[Double], b: Array[Double]) =
+        (0 until dim).map(i => a(i) * b(i)).sum
+      val rerank = shortlist.map(id => id -> cos(qv, unit(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      hit += pairs.count(p => rerank.contains(p._2)); tot += pairs.length
+    }
+    val recall = hit.toDouble / tot
+    info(f"PQ-ADC shortlist(50 of 499)+rerank recall@5 = $recall%.2f")
+    // a code-blind random 50-of-499 shortlist recalls ~10%; the floor
+    // requires the 2-byte codes to carry a multiple of that signal
+    // (this is 128x compression over random 64-dim vectors — the
+    // honest regime is shortlist pruning, not direct ranking)
+    assert(recall >= 0.3, s"ADC shortlist recall $recall below floor")
+  }
+
   test("hll daily sketches union losslessly into trailing windows (C29)") {
     import graft.operators.Relational
     val events = Tables.load(spark, sf, "events")
