@@ -348,6 +348,41 @@ UNION ALL
 SELECT key, segment, at AS valid_from, NULL::TIMESTAMP AS valid_to, 1::BIGINT AS is_current
 FROM changes"""
 
+  // C33: weighted median — the order statistic percentile() cannot
+  // express (each row counts with a weight, here quantity-weighted
+  // price). Formulation: per group, sort by value, running weight sum,
+  // the median is the value at the first row where 2·cum ≥ total. The
+  // crossing VALUE is permutation-invariant within equal values (any
+  // order among ties crosses inside the same value run), so no
+  // tiebreak column is needed for determinism. One (group) exchange +
+  // in-partition sort + two window passes sharing it — never a global
+  // sort; weights sum as exact BIGINTs.
+  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val ordered = byFlag.orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = col("l_quantity").cast("long")
+    lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"), w.as("w"))
+      .withColumn("cum", sum(col("w")).over(ordered))
+      .withColumn("tot", sum(col("w")).over(byFlag))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("weighted_median"),
+        max(col("tot")).as("total_weight"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH c AS (
+  SELECT l_returnflag, l_extendedprice, l_quantity::BIGINT AS w,
+    sum(l_quantity::BIGINT) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(l_quantity::BIGINT) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem)
+SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
+       max(tot)::BIGINT AS total_weight
+FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag"""
+
   // C8: anti join — customers with no recent orders (the date filter
   // pushes to the orders scan before the shuffled left_anti; no
   // broadcast of the fact side).
