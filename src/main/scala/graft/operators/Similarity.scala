@@ -667,6 +667,108 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
       .toDF("vec_id", "codes", "mse")
   }
 
+  // ---- L49: IVF-PQ — the composed faiss stack ----
+  // The canonical billion-scale ANN pipeline, composed verbatim from
+  // verified parts: IVF cells prune the corpus to ~nprobe/C (L16's
+  // bound), PQ codes rank the survivors by ADC — per-query lookup
+  // tables, 4 table reads per candidate instead of a 64-dim dot (the
+  // reason PQ exists) — and the exact rerank touches only the ADC
+  // shortlist. Query-side state (query vectors, their probe cells,
+  // their LUTs) is query-set-sized and broadcast — the same contract
+  // every ANN op here declares; corpus-side work is map-only encode +
+  // one (cell) hash join + a bounded TopK per query. Rows-only (two
+  // k-means models); recall spec vs exact top-k with the candidate-
+  // fraction bound inherited from L16.
+  private val IvfPqShortlist = 25
+
+  def annIvfPq(embeddings: DataFrame, cells: Int = 0,
+      nprobe: Int = DefaultNProbe): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = withNorm(embeddings, "vec_id", "v", "nv")
+    val c0 =
+      if (cells > 0) cells
+      else math.max(16, math.ceil(math.sqrt(base.count().toDouble)).toInt)
+    val cents = kmeansCentroids(base, c0)
+    val books = pqCodebooks(embeddings)
+    val sub = Dim / PqM
+    // corpus: one typed map computes the cell argmax AND the PQ codes
+    // (centroids + codebooks as closure state; ties break low index,
+    // matching TopCells' struct-max order via (dot, -idx) max)
+    val coded = base.select(col("vec_id"), col("v"), col("nv"))
+      .as[(Long, Seq[Double], Double)]
+      .map { case (id, vRaw, nn) =>
+        val v = vRaw.iterator.map(_ / nn).toArray
+        var bc = 0; var bd = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < Dim) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > bd || (d == bd && c > bc)) { bd = d; bc = c }
+          c += 1
+        }
+        val codes = Array.tabulate(PqM) { j =>
+          var best = 0; var bcd = Double.MaxValue; var cc = 0
+          while (cc < PqK) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = v(j * sub + i) - books(j)(cc)(i); d += t * t; i += 1 }
+            if (d < bcd) { bcd = d; best = cc }
+            cc += 1
+          }
+          best
+        }
+        (id, bc, codes.toSeq)
+      }
+      .toDF("cand_id", "cell", "codes")
+    // query-side model state: vectors, probe cells, ADC LUTs (query
+    // subset is ~1% by the shared ANN contract — bounded collect)
+    val qs = base.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), col("v"), col("nv")).as[(Long, Seq[Double], Double)]
+      .collect()
+      .map { case (id, vRaw, nn) => id -> vRaw.iterator.map(_ / nn).toArray }
+    val qLuts: Map[Long, Array[Array[Double]]] = qs.map { case (id, qv) =>
+      id -> Array.tabulate(PqM, PqK) { (j, c) =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += qv(j * sub + i) * books(j)(c)(i); i += 1 }
+        d
+      }
+    }.toMap
+    val probePairs = qs.flatMap { case (id, qv) =>
+      cents.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < Dim) { d += qv(i) * cents(c)(i); i += 1 }
+        (id, c, d)
+      }.sortBy { case (_, c, d) => (-d, c) }.take(nprobe).map(t => (t._1, t._2))
+    }.toSeq.toDF("q_id", "cell")
+    val lutsB = spark.sparkContext.broadcast(qLuts)
+    val adcAgg = new graft.functions.TopKAggregator(IvfPqShortlist).toColumn
+    val shortlist = coded.join(broadcast(probePairs), "cell")
+      .where(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .map { case (q, cand, codes) =>
+        val lut = lutsB.value(q)
+        var s = 0.0; var j = 0
+        while (j < PqM) { s += lut(j)(codes(j)); j += 1 }
+        (q, cand, s)
+      }
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(adcAgg)
+      .flatMap { case (q, top) => top.iterator.map(e => (q, e.id)) }
+      .toDF("q_id", "cand_id")
+    // exact rerank of the shortlist only
+    val qv = base.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    shortlist
+      .join(base.select(col("vec_id").as("cand_id"), col("v"), col("nv")), "cand_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("cand_id"),
+        round(gdot("qv", "v") / (col("nq") * col("nv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= TopK)
+  }
+
   /** Mean fraction of the corpus that is a candidate per query — the
     * IVF efficiency metric the sizing rule controls (≈ nprobe/C). */
   def ivfCandidateFraction(embeddings: DataFrame, cells: Int = 0,

@@ -568,6 +568,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq recall holds through the composed prune + ADC + rerank stack (L49)") {
+    val exact = Similarity.annTopK(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annIvfPq(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"annIvfPq recall@5 = $recall%.2f")
+    // two approximations stack (cell prune ~ nprobe/C, then 2-byte ADC
+    // shortlist); the floor requires both to carry signal end to end
+    assert(recall >= 0.2, s"IVF-PQ recall $recall below floor")
+    // the output is a valid top-k: 5 rows per query, rk dense
+    val byQ = Similarity.annIvfPq(embeddings)
+      .select("q_id", "rk").as[(Long, Long)].collect().groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length), s"q$q ranks not dense")
+      assert(rows.length <= 5)
+    }
+  }
+
   test("pq codes are layout-deterministic, structured, and ADC-rankable (L48)") {
     val out = Similarity.pqEncode(embeddings).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getDouble(2)))
