@@ -383,6 +383,57 @@ SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
        max(tot)::BIGINT AS total_weight
 FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag"""
 
+  // C34: table diff / reconciliation — the "what changed between
+  // snapshot A and snapshot B" operator (migration validation, CDC
+  // audit, replication checks): one full-outer hash join on the key,
+  // each row classified inserted / deleted / changed map-side;
+  // unchanged rows are filtered out so the output is the (small)
+  // change set, not the table. Both sides shuffle once on the key —
+  // at 100 TB this is the minimum for an unordered diff, and the
+  // comparison itself never leaves the joined row. Snapshot B derives
+  // deterministically from A (drop key%11=0, shift acctbal on
+  // key%13=0, re-key key%17=0 as inserts) so the oracle states the
+  // same construction.
+  def tableDiff(customer: DataFrame): DataFrame = {
+    val a = customer.select(col("c_custkey").as("key"), col("c_acctbal").as("bal_a"))
+    val b = customer
+      .where(col("c_custkey") % 11 =!= 0)
+      .select(col("c_custkey").as("key"),
+        when(col("c_custkey") % 13 === 0, col("c_acctbal") + 10.0)
+          .otherwise(col("c_acctbal")).as("bal_b"))
+      .unionByName(customer.where(col("c_custkey") % 17 === 0)
+        .select((col("c_custkey") + 1000000L).as("key"), col("c_acctbal").as("bal_b")))
+    a.join(b, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("bal_a").isNull, "inserted")
+          .when(col("bal_b").isNull, "deleted")
+          .when(col("bal_a") =!= col("bal_b"), "changed")
+          .otherwise("unchanged").as("change"),
+        col("bal_a"), col("bal_b"))
+      .where(col("change") =!= "unchanged")
+  }
+
+  val tableDiffSql: String =
+    """WITH a AS (SELECT c_custkey AS key, c_acctbal AS bal_a FROM customer),
+b AS (
+  SELECT c_custkey AS key,
+    CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS bal_b
+  FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS key, c_acctbal AS bal_b
+  FROM customer WHERE c_custkey % 17 = 0)
+SELECT coalesce(a.key, b.key) AS key,
+  CASE WHEN a.key IS NULL THEN 'inserted'
+       WHEN b.key IS NULL THEN 'deleted'
+       WHEN a.bal_a <> b.bal_b THEN 'changed'
+       ELSE 'unchanged' END AS change,
+  a.bal_a, b.bal_b
+FROM a FULL OUTER JOIN b ON a.key = b.key
+WHERE (CASE WHEN a.key IS NULL THEN 'inserted'
+       WHEN b.key IS NULL THEN 'deleted'
+       WHEN a.bal_a <> b.bal_b THEN 'changed'
+       ELSE 'unchanged' END) <> 'unchanged'"""
+
   // C8: anti join — customers with no recent orders (the date filter
   // pushes to the orders scan before the shuffled left_anti; no
   // broadcast of the fact side).
