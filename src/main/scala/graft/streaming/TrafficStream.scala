@@ -103,6 +103,31 @@ object TrafficStream {
         col("a_id") =!= col("b_id"))
   }
 
+  /** LEFT OUTER variant of [[correlateStreams]]: an A-event with no
+    * B-match inside the interval still emits — with null B columns —
+    * once the watermark proves no matching B can arrive (Spark holds
+    * the unmatched left row in state until the right watermark passes
+    * a_ts + interval, then finalizes the null-extension; the time
+    * bound on BOTH columns is what makes the outer join's state and
+    * emission decidable at all). The funnel/attribution shape: "every
+    * impression, with its click if one came". */
+  def correlateStreamsLeftOuter(a: DataFrame, b: DataFrame,
+      withinMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val left = a.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("event_type").as("a_type"), col("ts").as("a_ts"))
+    val right = b.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("event_type").as("b_type"), col("ts").as("b_ts"))
+    left.join(right,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("a_id") =!= col("b_id"),
+      "left_outer")
+  }
+
   /** Streaming exact-dedup: drop replayed records by id within the
     * watermark horizon — the streaming twin of `Dedup.exact`, and the
     * guard a Pub/Sub-style at-least-once injector needs (the reference

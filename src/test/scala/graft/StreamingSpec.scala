@@ -339,6 +339,37 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 11L)))
   }
 
+  test("left-outer stream-stream join emits unmatched rows after the watermark closes the interval") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[SensorEvent]
+    val buys = MemoryStream[SensorEvent]
+    val joined = TrafficStream.correlateStreamsLeftOuter(
+      clicks.toDF(), buys.toDF(), withinMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("lcorr")
+      .outputMode("append").start()
+    clicks.addData(
+      SensorEvent(1, t("2024-01-01 00:00:00"), 7, "click", 1.0), // will match
+      SensorEvent(2, t("2024-01-01 00:00:00"), 8, "click", 1.0)) // never matches
+    buys.addData(
+      SensorEvent(11, t("2024-01-01 00:10:00"), 7, "purchase", 5.0))
+    q.processAllAvailable()
+    // before the watermark closes u8's interval, its null-extension
+    // must NOT have been emitted (a match could still arrive)
+    val early = spark.table("lcorr").where(col("a_id") === 2).count()
+    assert(early == 0, "outer row finalized before the interval closed")
+    // push both watermarks past a_ts + interval + delay
+    clicks.addData(SensorEvent(98, t("2024-01-01 12:00:00"), 99, "click", 0.0))
+    buys.addData(SensorEvent(99, t("2024-01-01 12:00:00"), 99, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lcorr")
+      .where(col("a_id").isin(1L, 2L))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows == Set((1L, Some(11L)), (2L, None)),
+      s"matched row joins, unmatched row null-extends: $rows")
+  }
+
   test("typed case-class encoder round-trips the record (R11)") {
     val ds = Seq(SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0)).toDS()
     assert(ds.as[SensorEvent].head() == SensorEvent(1, t("2024-01-01 00:00:00"), 7, "lane1", 5.0))
