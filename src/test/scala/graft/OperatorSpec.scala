@@ -680,6 +680,21 @@ class OperatorSpec extends SparkSpec {
     out.foreach(r => assert(rep(r.get(0).toString) == r.getAs[Long]("trailing7_est")))
   }
 
+  test("scd2 never shuffles the dimension; weighted median plans one exchange (C32/C33)") {
+    // the PLANS.md claims as regression guards: the SCD2 merge touches
+    // the dimension map-only (broadcast change batch — zero shuffle
+    // exchanges anywhere), and the weighted median's two window passes
+    // share a single (group) exchange
+    val customer = Tables.load(spark, sf, "customer")
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    val scd2Plan = Relational.scd2Merge(customer).queryExecution.executedPlan.toString
+    assert(!scd2Plan.contains("ShuffleExchange") && !scd2Plan.contains("Exchange hashpartitioning"),
+      s"scd2 must not shuffle:\n${scd2Plan.take(1500)}")
+    val wmPlan = Relational.weightedMedian(lineitem).queryExecution.executedPlan.toString
+    assert(wmPlan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"weighted median must plan exactly one shuffle:\n${wmPlan.take(1500)}")
+  }
+
   test("funnel stages are strictly ordered, window-bounded, and plan one exchange (C30)") {
     import graft.operators.Relational
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
