@@ -471,6 +471,89 @@ SELECT doc_id, (44 + 2*n)::BIGINT AS n_bytes, 8000 AS sample_rate, 1 AS channels
   list_aggregate(list_transform(smp, x -> abs(x)), 'max')::BIGINT AS peak_amp
 FROM s"""
 
+  // ---- L50: audio energy fingerprint (perceptual dedup for audio) ----
+  // The audio twin of L42's image dHash (the chromaprint shape without
+  // FFT libs, which this container lacks): decode the PCM samples,
+  // window them (16 samples/window), take the integer sum of absolute
+  // amplitudes per window as its energy, and set one bit per
+  // adjacent-window energy comparison. Integer-exact end to end, so
+  // the oracle re-derives every fingerprint from the WAV generator
+  // arithmetic — an endianness, sign-extension, or window-boundary bug
+  // fails the hash. Dedup is the L42 groupBy-argmin shape: identical
+  // fingerprints collapse through one narrow shuffle, never a pair
+  // join. Map-only decode+hash, one (n_windows, fp) exchange.
+  private val AudioWin = 16
+
+  /** s16le samples from a validated RIFF/WAVE blob. */
+  private def wavSamples(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE", "not RIFF/WAVE")
+    var pos = 12
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && dataOff < 0) {
+      val id = tag(pos)
+      val len = bb.getInt(pos + 4)
+      require(len >= 0 && pos + 8 + len <= bytes.length, s"truncated '$id' chunk")
+      if (id == "data") { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1)
+    }
+    require(dataOff > 0, "missing data chunk")
+    Array.tabulate(dataLen / 2)(i => bb.getShort(dataOff + 2 * i).toInt)
+  }
+
+  /** (n_windows, fingerprint): bit w = [energy(w+1) > energy(w)]. */
+  private[graft] def audioFpBits(samples: Array[Int]): (Long, Long) = {
+    val nw = samples.length / AudioWin
+    val e = Array.tabulate(nw) { w =>
+      var s = 0L; var i = 0
+      while (i < AudioWin) { s += math.abs(samples(w * AudioWin + i).toLong); i += 1 }
+      s
+    }
+    var bits = 0L
+    var w = 0
+    while (w < nw - 1) { if (e(w + 1) > e(w)) bits |= 1L << w; w += 1 }
+    (nw.toLong, bits)
+  }
+
+  def audioFingerprint(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val fps = documents.select(col("doc_id")).as[Long]
+      .map { id =>
+        val (nw, fp) = audioFpBits(wavSamples(syntheticWav(id)))
+        (id, nw, fp)
+      }
+      .toDF("doc_id", "n_windows", "fp")
+    val reps = fps.groupBy(col("n_windows"), col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    fps.join(reps, Seq("n_windows", "fp"))
+      .select(col("doc_id"), col("n_windows"), col("fp"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).cast("long").as("is_canonical"))
+  }
+
+  /** Oracle from the generator arithmetic: sample k of doc d =
+    * ((d·7919 + k·2731) % 65536) − 32768; window energies are exact
+    * BIGINT |amp| sums; single-window clips fingerprint to 0. */
+  val audioFingerprintSql: String =
+    s"""WITH d AS (SELECT doc_id, (doc_id % 256 + 16)::BIGINT AS n FROM documents),
+e AS (
+  SELECT doc_id, w,
+    list_aggregate(list_transform(generate_series(0, ${AudioWin - 1}), i ->
+      abs(((doc_id*7919 + (w*$AudioWin + i)*2731) % 65536) - 32768)), 'sum') AS en
+  FROM d, unnest(generate_series(0, n // $AudioWin - 1)) AS g(w)),
+fps AS (
+  SELECT d.doc_id, (d.n // $AudioWin)::BIGINT AS n_windows,
+    coalesce(sum(CASE WHEN r.en > l.en THEN 1::BIGINT << l.w ELSE 0::BIGINT END), 0)::BIGINT AS fp
+  FROM d
+  LEFT JOIN e l ON l.doc_id = d.doc_id AND l.w < d.n // $AudioWin - 1
+  LEFT JOIN e r ON r.doc_id = d.doc_id AND r.w = l.w + 1
+  GROUP BY d.doc_id, d.n)
+SELECT f.doc_id, f.n_windows, f.fp, m.rep_id, (f.doc_id = m.rep_id)::BIGINT AS is_canonical
+FROM fps f JOIN (SELECT n_windows, fp, min(doc_id) AS rep_id FROM fps GROUP BY 1, 2) m
+  USING (n_windows, fp)"""
+
   // ---- L42: image perceptual-hash (dHash) dedup ----
   // The image-dedup step of a media curation pipeline (the LAION
   // shape): byte-identical files are the easy case — re-encodes,
