@@ -68,6 +68,11 @@ object StreamBench {
         case "deque" => TrafficStream.maxFlowSlidingDequeStream(
           stream.as[TrafficStream.SensorEvent], durSlides = 60,
           slideSeconds = 60L, delay = "2 hours").toDF()
+        // r5 stateful twins — select via SPARK_GRAFT_STREAM_PLANS
+        case "anomaly" => TrafficStream.anomalyStream(
+          stream.as[TrafficStream.SensorEvent], delay = "2 hours").toDF()
+        case "funnel" => TrafficStream.funnelStream(
+          stream.as[TrafficStream.SensorEvent], delay = "2 hours").toDF()
         case other => throw new IllegalArgumentException(s"unknown plan $other")
       }
 
