@@ -434,6 +434,60 @@ WHERE (CASE WHEN a.key IS NULL THEN 'inserted'
        WHEN a.bal_a <> b.bal_b THEN 'changed'
        ELSE 'unchanged' END) <> 'unchanged'"""
 
+  // C35: grid-bucketed spatial radius join — the 2-D generalization of
+  // C26's interval decomposition: "all (point, site) pairs within
+  // radius R" has no equi key, and the naive plan is a cross join.
+  // Quantize the plane into R-sized cells: a point owns its ONE cell,
+  // each site explodes into its 3×3 neighborhood (any partner within R
+  // is at most one cell away when cell = R), hash-equi-join on the
+  // cell, exact integer predicate dx² + dy² ≤ R² as the residual. A
+  // pair can meet only once (one point cell × distinct site cells), so
+  // no dedup pass. Volume: O(points + 9·sites) join input, shuffle-
+  // partitionable on the cell — both sides can be 100 TB. Coordinates
+  // are md5-derived integers (deterministic synthesis — the testdata
+  // carries no geo columns) and the predicate is pure BIGINT, so the
+  // oracle is the direct all-pairs semantic statement with zero grid
+  // machinery mirrored — completeness is re-proven by the hash gate.
+  private val SpatialR = 20000L
+  private val SpatialWorld = 1000000L
+
+  def spatialJoin(customer: DataFrame): DataFrame = {
+    def coord(seed: String) = pmod(md5Long(lit(seed), col("c_custkey")), lit(SpatialWorld))
+    val points = customer.select(col("c_custkey").as("p_id"),
+      coord("px").as("px"), coord("py").as("py"))
+    val sites = customer.where(col("c_custkey") % 41 === 0)
+      .select(col("c_custkey").as("s_id"),
+        coord("sx").as("sx"), coord("sy").as("sy"))
+    val cells = Seq(-1L, 0L, 1L)
+    // `div`, not `/`: Column./ is double division; coordinates are
+    // non-negative so integral div == floor, identical cells both sides
+    val siteCells = sites.select(col("s_id"), col("sx"), col("sy"),
+      explode(array(cells.flatMap(dx => cells.map(dy =>
+        struct((expr(s"sx div $SpatialR") + dx).as("cx"),
+          (expr(s"sy div $SpatialR") + dy).as("cy")))): _*)).as("c"))
+      .select(col("s_id"), col("sx"), col("sy"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    points
+      .select(col("p_id"), col("px"), col("py"),
+        expr(s"px div $SpatialR").as("cx"), expr(s"py div $SpatialR").as("cy"))
+      .join(siteCells, Seq("cx", "cy"))
+      .where((col("px") - col("sx")) * (col("px") - col("sx")) +
+        (col("py") - col("sy")) * (col("py") - col("sy")) <= SpatialR * SpatialR)
+      .select(col("p_id"), col("s_id"),
+        ((col("px") - col("sx")) * (col("px") - col("sx")) +
+          (col("py") - col("sy")) * (col("py") - col("sy"))).as("dist2"))
+  }
+
+  val spatialJoinSql: String = {
+    def c(seed: String) = md5LongSql(s"'$seed'", "c_custkey") + s" % $SpatialWorld"
+    s"""WITH points AS (SELECT c_custkey AS p_id, ${c("px")} AS px, ${c("py")} AS py FROM customer),
+sites AS (SELECT c_custkey AS s_id, ${c("sx")} AS sx, ${c("sy")} AS sy
+          FROM customer WHERE c_custkey % 41 = 0)
+SELECT p_id, s_id, (px - sx)*(px - sx) + (py - sy)*(py - sy) AS dist2
+FROM points, sites
+WHERE (px - sx)*(px - sx) + (py - sy)*(py - sy) <= ${SpatialR * SpatialR}"""
+  }
+
   // C8: anti join — customers with no recent orders (the date filter
   // pushes to the orders scan before the shuffled left_anti; no
   // broadcast of the fact side).
