@@ -531,6 +531,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._1).toSet == Set(1L), "only u1 converts in the fixture")
   }
 
+  test("anomaly stream state drains once the watermark passes the GC horizon (C28)") {
+    // the bounded-state claim as a measurement: after the watermark
+    // moves a full window span past a user's last event, that user's
+    // state entry must be gone (event-time-timeout GC), not merely idle
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.anomalyStream(stream.toDS(), delay = "1 minute")
+      .writeStream.format("memory").queryName("anomgc").outputMode("append").start()
+    stream.addData(
+      SensorEvent(1, t("2024-01-01 00:00:00"), 7, "x", 1.0),
+      SensorEvent(2, t("2024-01-01 00:10:00"), 7, "x", 2.0))
+    q.processAllAvailable()
+    // finalize both events (watermark passes them)
+    stream.addData(SensorEvent(3, t("2024-01-02 00:00:00"), 8, "x", 1.0))
+    q.processAllAvailable()
+    val mid = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(mid >= 1, s"user 7 history should still be retained: $mid")
+    // push the watermark a window span + slack past EVERYTHING, twice:
+    // the first batch arms each user's GC timeout relative to the new
+    // watermark, the second lets it fire
+    stream.addData(SensorEvent(4, t("2024-02-01 00:00:00"), 9, "x", 1.0))
+    q.processAllAvailable()
+    stream.addData(SensorEvent(5, t("2024-03-05 00:00:00"), 9, "x", 1.0))
+    q.processAllAvailable()
+    stream.addData(SensorEvent(6, t("2024-04-10 00:00:00"), 9, "x", 1.0))
+    q.processAllAvailable()
+    val fin = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(fin < mid + 3, s"state kept growing: $mid -> $fin")
+    assert(fin <= 2, s"drained users must be GC'd, not retained: $fin rows")
+  }
+
   test("streaming misra-gries keeps the heavy-hitter guarantee across micro-batches (L43)") {
     // the MG state is a mergeable summary, so the SAME aggregator runs
     // as a stateful streaming aggregate (the trending-tokens shape):
