@@ -442,6 +442,40 @@ SELECT doc_id, top_term, top_score FROM (
 GROUP BY bigram HAVING count(*) >= 3"""
   }
 
+  // ---- L51: character entropy (gibberish / binary-noise detector) ----
+  // Shannon entropy of the character distribution — the quality signal
+  // that catches base64 blobs, minified code, and repeated-padding
+  // spam that token-level ratios (L9) miss. Identity used:
+  // H = ln(n) − (1/n)·Σ n_c·ln(n_c) — the counts stay EXACT integers
+  // through both shuffles and ln/division happen once per doc at the
+  // end (IEEE-identical cross-engine per the tfidf/lm precedent),
+  // round(.,6). Plan: one (doc, char) shuffle with map-side partials
+  // (alphabet-bounded groups), one (doc) rollup.
+  def charEntropy(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("nc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nc")).as("n"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("nc").cast("double") * log(col("nc").cast("double"))).as("slog"))
+      .select(col("doc_id"), col("n"), col("distinct_chars"),
+        round(log(col("n").cast("double")) - col("slog") / col("n"), 6).as("entropy"))
+
+  val charEntropySql: String =
+    """WITH c AS (
+  SELECT doc_id, ch, count(*) AS nc
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+  WHERE length(ch) > 0 GROUP BY doc_id, ch),
+agg AS (
+  SELECT doc_id, sum(nc)::BIGINT AS n, count(*) AS distinct_chars,
+         sum(nc::DOUBLE * ln(nc::DOUBLE)) AS slog
+  FROM c GROUP BY doc_id)
+SELECT doc_id, n, distinct_chars,
+       round(ln(n::DOUBLE) - slog / n, 6) AS entropy
+FROM agg"""
+
   // ---- L46: PMI collocation scoring ----
   // Pointwise mutual information over adjacent word pairs — the
   // collocation detector ("new york" vs "of the") used for tokenizer
