@@ -660,6 +660,39 @@ SELECT doc_id, unnest(list_distinct(
 FROM g"""
   }
 
+  // ---- L52: fingerprint-overlap pairs (the MOSS shape) ----
+  // What winnowing fingerprints (L11) exist FOR: two documents sharing
+  // >= k selected fingerprints share k robustly-positioned substrings
+  // — the plagiarism/provenance detector (MOSS, Stanford '03), distinct
+  // from shingle Jaccard (L2 measures global set overlap; this flags
+  // LOCAL copied regions inside otherwise-different docs). Candidates
+  // from the inverted fingerprint index with a df cap (a boilerplate
+  // fingerprint shared by hundreds of docs is dropped, not exploded —
+  // the MaxDf analogue, mirrored in the oracle); pair volume is
+  // bounded by cap²·index size. One (fp) shuffle + one pair count.
+  private val MossMaxDf = 16L
+  private val MossMinShared = 3L
+
+  def fingerprintPairs(documents: DataFrame): DataFrame = {
+    val fps = fingerprint(documents)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= MossMaxDf).select(col("fp"))
+    val idx = fps.join(rare, "fp")
+    idx.select(col("fp"), col("doc_id").as("x"))
+      .join(idx.select(col("fp"), col("doc_id").as("y")), "fp")
+      .where(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= MossMinShared)
+  }
+
+  val fingerprintPairsSql: String =
+    s"""WITH fps AS ($fingerprintSql),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $MossMaxDf),
+idx AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS shared_fps
+FROM idx a JOIN idx b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= $MossMinShared"""
+
   // ---- L31: hashed linear quality classifier (fasttext-filter shape) ----
   // Inference for a linear model over hashed bag-of-words features —
   // the architecture of the fasttext/CCNet quality filters every
