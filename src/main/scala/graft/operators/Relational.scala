@@ -488,6 +488,53 @@ FROM points, sites
 WHERE (px - sx)*(px - sx) + (py - sy)*(py - sy) <= ${SpatialR * SpatialR}"""
   }
 
+  // C36: data profiling — per-column stats (count / nulls / distinct /
+  // numeric min-max) from ONE table scan, unpivoted to a row per
+  // column: the ANALYZE/data-quality shape every warehouse runs before
+  // trusting a feed. Six exact distincts in one aggregate plan as
+  // Spark's standard multi-distinct: Expand (one replica per distinct
+  // column) -> partial HashAggregate that DEDUPLICATES map-side ->
+  // exchange — so the wire carries Σ per-column cardinalities, not
+  // 7× the table; low-cardinality columns collapse to a handful of
+  // rows and high-cardinality ones cost their cardinality, which is
+  // the floor for EXACT distinct counts (swap count_distinct for
+  // approx_count_distinct to make the whole profile one
+  // constant-state pass when estimates suffice). Min/max only for
+  // numeric columns so no engine-specific string formatting enters
+  // the hash.
+  private val ProfileNumCols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+  private val ProfileStrCols = Seq("l_returnflag", "l_linestatus")
+
+  def profile(lineitem: DataFrame): DataFrame = {
+    val n = count(lit(1)).as("n")
+    val aggs = (ProfileNumCols ++ ProfileStrCols).flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")) ++
+        (if (ProfileNumCols.contains(c))
+          Seq(min(col(c)).cast("double").as(s"mn_$c"), max(col(c)).cast("double").as(s"mx_$c"))
+        else Seq.empty)
+    }
+    val one = lineitem.agg(n, aggs: _*)
+    val rows = (ProfileNumCols ++ ProfileStrCols).map { c =>
+      struct(lit(c).as("column"), col("n"),
+        (col("n") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        (if (ProfileNumCols.contains(c)) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
+        (if (ProfileNumCols.contains(c)) col(s"mx_$c") else lit(null).cast("double")).as("max_num"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  val profileSql: String = {
+    def row(c: String, numeric: Boolean) = {
+      val mn = if (numeric) s"min($c)::DOUBLE" else "NULL::DOUBLE"
+      val mx = if (numeric) s"max($c)::DOUBLE" else "NULL::DOUBLE"
+      s"""SELECT '$c' AS column, count(*) AS n, (count(*) - count($c))::BIGINT AS n_nulls,
+  count(DISTINCT $c)::BIGINT AS n_distinct, $mn AS min_num, $mx AS max_num FROM lineitem"""
+    }
+    (ProfileNumCols.map(row(_, numeric = true)) ++
+      ProfileStrCols.map(row(_, numeric = false))).mkString("\nUNION ALL\n")
+  }
+
   // C8: anti join — customers with no recent orders (the date filter
   // pushes to the orders scan before the shuffled left_anti; no
   // broadcast of the fact side).
