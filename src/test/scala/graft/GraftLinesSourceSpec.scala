@@ -173,6 +173,43 @@ class GraftLinesSourceSpec extends SparkSpec {
     assert(!names.exists(_.startsWith("_tmp")), s"replay temps must be dropped: $names")
   }
 
+  test("exactly-once capstone: graft-lines source -> transform -> graft-lines sink across a restart") {
+    // the three recovery contracts COMPOSED: committed source file
+    // offsets (no re-read), the query checkpoint, and the sink's
+    // epoch-fenced two-phase commit — stop the query between batches,
+    // restart against the same checkpoint and sink path, and the sink
+    // directory must hold every input row exactly once
+    val src = Files.createTempDirectory("e1-src").toString
+    val out = Files.createTempDirectory("e1-out").toString
+    val ckpt = Files.createTempDirectory("e1-ckpt").toString
+    def writeFile(n: Int, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(Paths.get(f"$src/f$n%03d.txt"),
+        rows.map { case (i, l) => s"$i|$l" }.mkString("", "\n", "\n"))
+    def pipeline() = spark.readStream.format("graft-lines").load(src)
+      .where(!col("line").startsWith("Timestamp")) // injector filter (R2)
+      .select(col("event_id"), upper(col("line")).as("line")) // starter map (R3)
+    def run(): Unit = {
+      val q = pipeline().writeStream.format("graft-lines")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile(0, Seq(1L -> "alpha", 2L -> "Timestamp,header,row", 3L -> "beta"))
+    run()
+    writeFile(1, Seq(4L -> "gamma"))
+    writeFile(2, Seq(5L -> "delta", 6L -> "Timestamp,again"))
+    run()
+    val rows = spark.read.format("graft-lines").load(out)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(1L -> "ALPHA", 3L -> "BETA", 4L -> "GAMMA", 5L -> "DELTA"),
+      s"exactly-once violated: $rows")
+    // multiple committed epochs must be visible in the manifest (the
+    // restart really produced separate fenced commits)
+    assert(graft.sources.GraftLinesWrite.manifestEpochs(out).size >= 2)
+    val names = new java.io.File(out).listFiles().map(_.getName).toSeq
+    assert(!names.exists(_.startsWith("_tmp")), s"no leaked temps: $names")
+  }
+
   test("the connector feeds the extract pipeline end-to-end") {
     val lanes = Traffic.extractLanes(spark.read.format("graft-lines").load(dir))
     // 3 parseable readings (event 4 has the dashed timestamp) × 8 lanes
