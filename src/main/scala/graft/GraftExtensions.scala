@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{DotProduct, SimHash60}
+import graft.functions.{BpeEncode, DotProduct, ExtractReading, ForwardFill,
+  SimHash60, Winnow, WordShingles}
 
 /** SparkSessionExtensions entry point: makes graft's custom Catalyst
   * expressions available in any session (including pure SQL users)
@@ -32,6 +33,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash60(exprs.head)))
+    // full SQL-first parity with VectorFunctions.register: every custom
+    // expression the DataFrame API uses is reachable from plain SQL
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(exprs(0), exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_grams"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_grams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(exprs(0), exprs(1).eval(null).asInstanceOf[Int], distinct = false)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Winnow(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ffill"),
+      new ExpressionInfo(classOf[ForwardFill].getName, "graft_ffill"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ForwardFill(exprs(0), exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_extract_reading"),
+      new ExpressionInfo(classOf[ExtractReading].getName, "graft_extract_reading"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        // SQLConf.get is the analysis-time thread-local, so this picks
+        // up the SESSION timezone exactly as VectorFunctions.register
+        ExtractReading(exprs.head,
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeEncode(exprs.head)))
     // transparently upgrade HOF dot products to the codegen'd expression
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     // whole-operator as-of join: AsOfJoin logical node -> AsOfJoinExec

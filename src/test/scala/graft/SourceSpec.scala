@@ -65,5 +65,17 @@ class SourceSpec extends SparkSpec {
     assert(dot == 11.0)
     val sh = spark.sql("SELECT graft_simhash60(array('a', 'b', 'a')) AS s").head().getLong(0)
     assert(sh > 0)
+    // full parity: every expression VectorFunctions registers is also
+    // SQL-reachable (the r5 extension widening)
+    assert(spark.sql("SELECT size(graft_shingles(array('a','b','c'), 2)) AS n")
+      .head().getInt(0) == 2)
+    assert(spark.sql("SELECT size(graft_grams(array('a','b','a','b'), 2)) AS n")
+      .head().getInt(0) == 3) // non-distinct
+    assert(spark.sql("SELECT size(graft_winnow('abcdefghij')) AS n").head().getInt(0) >= 1)
+    assert(spark.sql("SELECT graft_bpe('thing') AS t").head().getSeq[String](0)
+      == Seq("th", "ing"))
+    assert(spark.sql(
+      "SELECT graft_extract_reading('01/05/2024 03:04:05,42,FW2,N" + ",7" * 46 + "') IS NOT NULL")
+      .head().getBoolean(0))
   }
 }
