@@ -414,6 +414,75 @@ SELECT l.id AS x, r.id AS y, levenshtein(l.name, r.name)::BIGINT AS dist
 FROM n l JOIN n r ON l.blk = r.blk AND l.id < r.id
 WHERE levenshtein(l.name, r.name) <= $FuzzyMaxDist"""
 
+  // ---- L53: record-linkage scoring (the Fellegi–Sunter shape) ----
+  // The probabilistic half of entity resolution: candidate pairs (from
+  // the SAME blocked generation as L23 — candidates and scoring are
+  // separate stages by design) get a match weight summed over field
+  // AGREEMENT PATTERNS — in FS terms, each field contributes
+  // ln(m/u) on agreement and ln((1−m)/(1−u)) on disagreement. The
+  // weights here are fixed INTEGER milli-units (a trained model swaps
+  // in its own table, the plumbing is identical — the L31 rule), so
+  // the score is an exact BIGINT sum: order-independent, oracle-exact,
+  // no in-engine ln. Three agreement fields: name edit distance
+  // (exact/near/far), same market segment, account balance within 100.
+  // The pair volume is L23's (blocked + capped); scoring is map-side
+  // on the joined row — one pass, no extra shuffle.
+  private val RlNameExact = 1200L
+  private val RlNameNear = 600L
+  private val RlNameFar = -800L
+  private val RlSegAgree = 300L
+  private val RlSegDisagree = -200L
+  private val RlBalAgree = 400L
+  private val RlBalDisagree = -100L
+  private val RlThreshold = 900L
+
+  def recordLinkage(customer: DataFrame, maxBlock: Int = FuzzyMaxBlock): DataFrame = {
+    val side = customer.select(col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_mktsegment").as("seg"),
+      (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"),
+      substring(col("c_name"), 1, 16).as("blk"))
+    val ok = side.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxBlock).select(col("blk"))
+    val capped = side.join(ok, "blk")
+    val l = capped.select(col("blk"), col("id").as("x"), col("name").as("nx"),
+      col("seg").as("sx"), col("bal_cents").as("bx"))
+    val r = capped.select(col("blk"), col("id").as("y"), col("name").as("ny"),
+      col("seg").as("sy"), col("bal_cents").as("by"))
+    // L23's two tricks verbatim: distance over the post-block-prefix
+    // SUFFIX only (invariant: D(xu, xv) = D(u, v)) AND the bounded DP
+    // (threshold 2 -> -1 means "far"), so the expensive field costs a
+    // few cells per pair instead of a full name-by-name matrix;
+    // shuffle_hash so the block, not the file, is the parallelism unit
+    val d = levenshtein(substring(col("nx"), 17, 1000),
+      substring(col("ny"), 17, 1000), 2)
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("blk"))
+      .where(col("x") < col("y"))
+      .select(col("x"), col("y"),
+        (when(d === 0, RlNameExact).when(d >= 1, RlNameNear).otherwise(RlNameFar) +
+          when(col("sx") === col("sy"), RlSegAgree).otherwise(RlSegDisagree) +
+          when(abs(col("bx") - col("by")) <= 10000L, RlBalAgree).otherwise(RlBalDisagree))
+          .as("score"))
+      .where(col("score") >= RlThreshold)
+  }
+
+  val recordLinkageSql: String =
+    s"""WITH a AS (
+  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg,
+         (CAST(c_acctbal AS DECIMAL(18,2)) * 100)::BIGINT AS bal_cents,
+         substr(c_name, 1, 16) AS blk
+  FROM customer),
+n AS (SELECT a.* FROM a JOIN (SELECT blk FROM a GROUP BY blk HAVING count(*) <= $FuzzyMaxBlock) k USING (blk))
+SELECT x, y, score FROM (
+  SELECT l.id AS x, r.id AS y,
+    (CASE WHEN levenshtein(l.name, r.name) = 0 THEN $RlNameExact
+          WHEN levenshtein(l.name, r.name) <= 2 THEN $RlNameNear
+          ELSE $RlNameFar END
+     + CASE WHEN l.seg = r.seg THEN $RlSegAgree ELSE $RlSegDisagree END
+     + CASE WHEN abs(l.bal_cents - r.bal_cents) <= 10000 THEN $RlBalAgree ELSE $RlBalDisagree END
+    )::BIGINT AS score
+  FROM n l JOIN n r ON l.blk = r.blk AND l.id < r.id)
+WHERE score >= $RlThreshold""" // threshold 900: near-name + both agreements (1300) and exact-name pairs (>= 900) survive; near + one agreement (800) does not
+
   // ---- L19: dedup clustering (connected components over dup pairs) ----
   // A pair list (from any generator — minhash here) is only half of a
   // dedup pipeline: curation must keep ONE doc per connected component
