@@ -773,6 +773,29 @@ GROUP BY CUBE (n_name, c_mktsegment)"""
 
   // C13: order statistics — exact interpolated percentiles (both
   // engines use linear interpolation; rounded to absorb last-ulp).
+  // C37: per-window percentiles — the latency-dashboard query ("p95
+  // per hour per type"): C13's exact interpolated percentile inside
+  // C6's tumbling windows. One (window, type) shuffle; percentile
+  // buffers per group stay bounded by the window's row count — the
+  // windowing is itself the scale control that makes the exact
+  // quantile viable (the unbounded-group case is C25's sketch path).
+  def windowPercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("p50"), col("p95"))
+
+  val windowPercentilesSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+  count(*) AS n,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY 1, 2"""
+
   def percentiles(orders: DataFrame): DataFrame =
     orders.groupBy(col("o_orderpriority"))
       .agg(
