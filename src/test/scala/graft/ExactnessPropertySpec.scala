@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Relational}
+
+/** Randomized twins of the single-fixture exactness specs: the
+  * prefix-filter join's completeness theorem and the weighted median's
+  * crossing rule hold on ANY input, so seeded random corpora must
+  * reproduce brute force exactly — a class of bug a hand-built fixture
+  * can miss (boundary prefix lengths, tie pile-ups, skewed dfs).
+  */
+class ExactnessPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefix-filter join equals brute force on random corpora (L45 property)") {
+    val rnd = new scala.util.Random(271)
+    for (trial <- 1 to 3) {
+      // small vocab -> heavy shingle overlap -> pairs near the tau
+      // boundary; variable lengths exercise the ceil arithmetic
+      val vocab = Vector.tabulate(12)(i => s"w$i")
+      val docs = (0 until 40).map { id =>
+        val n = 6 + rnd.nextInt(10)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "), "s")
+      }.toDF("doc_id", "text", "source")
+      def shingles(t: String): Set[String] =
+        t.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+      val sets = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+      val expected = (for {
+        x <- sets.keys; y <- sets.keys if x < y
+        inter = (sets(x) & sets(y)).size.toDouble
+        j = inter / (sets(x).size + sets(y).size - inter) if j >= 0.5
+      } yield (x, y)).toSet
+      val got = Dedup.prefixJoin(docs).select("x", "y")
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"trial $trial: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
+  test("weighted median crossing matches a reference fold on random groups (C33 property)") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 3) {
+      val rows = (0 until 300).map { i =>
+        (s"g${i % 4}", math.rint(rnd.nextDouble() * 1000) / 10, 1L + rnd.nextInt(9))
+      }
+      val df = rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      val got = Relational.weightedMedian(df).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.map(t => (t._2, t._3)).sortBy(_._1)
+        val tot = sorted.map(_._2).sum
+        var cum = 0L
+        val med = sorted.find { case (_, w) => cum += w; 2 * cum >= tot }.get._1
+        assert(got(g) == ((med, tot)), s"trial $trial group $g: ${got(g)} vs ($med, $tot)")
+      }
+    }
+  }
+}
