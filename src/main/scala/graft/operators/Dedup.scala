@@ -483,6 +483,48 @@ SELECT x, y, score FROM (
   FROM n l JOIN n r ON l.blk = r.blk AND l.id < r.id)
 WHERE score >= $RlThreshold""" // threshold 900: near-name + both agreements (1300) and exact-name pairs (>= 900) survive; near + one agreement (800) does not
 
+  // ---- C38: triangle enumeration over the dup-pair graph ----
+  // The graph-analytics companion to connected components: triangles
+  // measure clustering (a dup component that is also triangle-dense is
+  // a true near-clique; a chain is suspicious) and are THE classic
+  // distributed-join shape. Scale trick: orient every edge from its
+  // LOWER-degree endpoint to the higher (ties by id) — an acyclic
+  // total order, so each triangle has exactly ONE pivot vertex with
+  // both out-edges, is emitted once, and the 2-path join's fan-out per
+  // vertex is bounded by out-degree ≈ O(√m) (arboricity bound) instead
+  // of the raw degree — a hub vertex of degree d no longer produces
+  // d² path candidates. The oracle states the plain canonical 3-way
+  // join — the orientation is an invisible physical rewrite, re-proven
+  // by the hash gate.
+  def triangles(documents: DataFrame): DataFrame = {
+    val e = simhashDedup(documents).select(col("x"), col("y")) // canonical x < y
+    val deg = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+    val xFirst = col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))
+    val oriented = withDeg.select(
+      when(xFirst, col("x")).otherwise(col("y")).as("u"),
+      when(xFirst, col("y")).otherwise(col("x")).as("w"))
+    val paths = oriented.as("o1")
+      .join(oriented.as("o2"), col("o1.u") === col("o2.u") && col("o1.w") < col("o2.w"))
+      .select(col("o1.u").as("p"), col("o1.w").as("qa"), col("o2.w").as("qb"))
+    paths
+      .join(e.select(col("x").as("qa"), col("y").as("qb")), Seq("qa", "qb"))
+      .select(array_sort(array(col("p"), col("qa"), col("qb"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+  }
+
+  // lazy: simhashDedupSql is declared later in the file and object
+  // vals initialize in order — an eager val would capture null
+  lazy val trianglesSql: String =
+    s"""WITH pairs AS ($simhashDedupSql),
+e AS (SELECT x, y FROM pairs)
+SELECT e1.x AS a, e1.y AS b, e2.y AS c
+FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y"""
+
   // ---- L19: dedup clustering (connected components over dup pairs) ----
   // A pair list (from any generator — minhash here) is only half of a
   // dedup pipeline: curation must keep ONE doc per connected component
