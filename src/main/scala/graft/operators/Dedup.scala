@@ -525,6 +525,69 @@ e AS (SELECT x, y FROM pairs)
 SELECT e1.x AS a, e1.y AS b, e2.y AS c
 FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y"""
 
+  // ---- C39: PageRank over the dup-pair graph (integer fixed-point) ----
+  // The third graph primitive beside CC and triangles: rank within a
+  // dup component identifies its most-connected member (a better
+  // representative-election signal than min-id when components are
+  // large). Cross-engine float determinism over 10 iterations is
+  // impossible (error compounds per round), so the WHOLE recurrence is
+  // integer: ranks in 1e-12 units, contrib(u) = rank(u) div deg(u),
+  // rank'(v) = teleport + (85·Σ contrib) div 100 — integer division
+  // truncates toward zero identically in both engines, so iteration 10
+  // is bit-identical and the oracle (a recursive CTE replaying the
+  // same recurrence) hash-checks it. Per round: one (src) join + one
+  // (dst) aggregate; lineage cut per round exactly like CC. Vertices
+  // are the edge list's endpoints (singletons have no rank flow).
+  private val PrIters = 10
+  private val PrUnit = 1000000000000L // 1e-12 rank units
+
+  def pageRank(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val e = simhashDedup(documents).select(col("x"), col("y"))
+    // undirected: both directions; deg = out-degree in the directed view
+    val edges = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
+      .select(col("x").as("src"), col("y").as("dst")).localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.count()
+    val teleport = (15L * (PrUnit / n)) / 100L
+    var ranks = deg.select(col("src").as("v"), lit(PrUnit / n).as("rank"))
+    for (_ <- 1 to PrIters) {
+      // `div`, not `/`: Column./ is double division, and the whole
+      // point is integer truncation identical to DuckDB's `//`
+      val contrib = ranks.join(deg.withColumnRenamed("src", "v"), "v")
+        .select(col("v"), expr("rank div deg").as("c"))
+      val inflow = edges.join(contrib.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = deg.select(col("src").as("v"))
+        .join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
+        .select(col("v"),
+          (lit(teleport) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+        .localCheckpoint() // cut lineage per round, the CC rule
+    }
+    ranks.select(col("v").as("doc_id"), col("rank"))
+  }
+
+  // every vertex of the undirected edge list has >= 1 in-edge, so the
+  // inflow aggregate covers all vertices and the recursive term needs
+  // only ONE reference to the recursive table (the recursive-CTE rule)
+  lazy val pageRankSql: String =
+    s"""WITH RECURSIVE pairs AS ($simhashDedupSql),
+e AS (SELECT x AS src, y AS dst FROM pairs UNION ALL SELECT y, x FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+n AS (SELECT count(*) AS n FROM deg),
+pr(iter, v, rank) AS (
+  SELECT 0, src, $PrUnit // (SELECT n FROM n) FROM deg
+  UNION ALL
+  SELECT iter + 1, dst,
+    (15 * ($PrUnit // (SELECT n FROM n))) // 100 + (85 * sum_contrib) // 100
+  FROM (
+    SELECT p.iter AS iter, e.dst AS dst, sum(p.rank // dg.deg) AS sum_contrib
+    FROM pr p JOIN deg dg ON dg.src = p.v JOIN e ON e.src = p.v
+    GROUP BY p.iter, e.dst)
+  WHERE iter < $PrIters
+)
+SELECT v AS doc_id, rank::BIGINT AS rank FROM pr WHERE iter = $PrIters"""
+
   // ---- L19: dedup clustering (connected components over dup pairs) ----
   // A pair list (from any generator — minhash here) is only half of a
   // dedup pipeline: curation must keep ONE doc per connected component
