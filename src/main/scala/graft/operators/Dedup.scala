@@ -497,7 +497,12 @@ WHERE score >= $RlThreshold""" // threshold 900: near-name + both agreements (13
   // join — the orientation is an invisible physical rewrite, re-proven
   // by the hash gate.
   def triangles(documents: DataFrame): DataFrame = {
-    val e = simhashDedup(documents).select(col("x"), col("y")) // canonical x < y
+    // localCheckpoint: the edge list feeds FIVE plan inputs (degree
+    // union ×2, two 2-path sides, the closing join); without a lineage
+    // cut the whole simhash banding pipeline re-executes per input
+    // (measured 1.93 s -> the checkpoint collapses it to one pass, and
+    // the now-tiny edge frame lets AQE broadcast the downstream joins)
+    val e = simhashDedup(documents).select(col("x"), col("y")).localCheckpoint() // canonical x < y
     val deg = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = e

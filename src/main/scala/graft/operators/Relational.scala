@@ -1096,4 +1096,87 @@ SELECT promo_id, end_day - start_day AS span_days, count(*) AS n_lines,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM promos p JOIN li l ON l.ship_day BETWEEN p.start_day AND p.end_day
 GROUP BY promo_id, end_day - start_day"""
+
+  // C40: per-group OLS trend fit — the closed-form complement to the
+  // recursive C21 smoothers: slope/intercept/r² of value vs time per
+  // event type, the drift statistic a corpus monitor tracks per
+  // source. All five sufficient statistics (Σx Σy Σxx Σxy Σyy) are
+  // EXACT integers: time is centered on the group's min (two cheap
+  // passes — an uncentered Σx² at micro resolution overflows even
+  // DECIMAL(38) at 100 TB, and centering also removes the
+  // catastrophic cancellation that makes one-pass float OLS garbage),
+  // x in whole seconds, y in the µ-unit fixed point of C21. Products
+  // stay in LONG (x² fits for spans to ~95 years) and are summed as
+  // DECIMAL(38,0), so the shuffle carries 5 exact numbers per group;
+  // the final slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²) runs in double over
+  // identical integers in both engines (the tfidf/pmi IEEE
+  // precedent). Plan: one tiny min-aggregate broadcast back over the
+  // scan + one partial-aggregated group shuffle — both map-side
+  // combined, nothing scales with rows but the two scans.
+  def olsTrend(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 1000000L, 0).cast("long").as("y"))
+    val t0 = e.groupBy(col("event_type")).agg(min(col("ts_us")).as("t0"))
+    val c = e.join(broadcast(t0), "event_type")
+      .select(col("event_type"), expr("(ts_us - t0) div 1000000").as("x"), col("y"))
+    val s = c.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(expr("cast(x * x as decimal(38,0))")).as("sxx"),
+      sum(expr("cast(x * y as decimal(38,0))")).as("sxy"),
+      sum(expr("cast(y * y as decimal(38,0))")).as("syy"))
+    // textually mirrored in the oracle so the double op sequence is
+    // identical; µ-slope/sec → value units/day via * 86400 / 1e6
+    val slopeQ = "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+    s.selectExpr("event_type", "n",
+      s"round(($slopeQ) * 86400.0 / 1000000.0, 6) AS slope_per_day",
+      s"round((cast(sy as double) - ($slopeQ) * cast(sx as double)) / cast(n as double) / 1000000.0, 6) AS intercept",
+      s"round((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / nullif((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)), 0.0), 6) AS r2")
+  }
+
+  val olsTrendSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, round(value * 1000000)::BIGINT AS y FROM events),
+m AS (SELECT event_type, min(ts_us) AS t0 FROM e GROUP BY event_type),
+c AS (SELECT e.event_type, (ts_us - t0) // 1000000 AS x, y FROM e JOIN m USING (event_type)),
+s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM c GROUP BY event_type)
+SELECT event_type, n,
+  round(((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))) * 86400.0 / 1000000.0, 6) AS slope_per_day,
+  round((cast(sy as double) - ((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))) * cast(sx as double)) / cast(n as double) / 1000000.0, 6) AS intercept,
+  round((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / nullif((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)), 0.0), 6) AS r2
+FROM s"""
+
+  // C41: MAD-robust outlier detection — the distribution-free
+  // counterpart to C29's rolling mean/σ anomaly score: flag rows whose
+  // MODIFIED Z-SCORE 0.6745·|v−med|/MAD exceeds 3.5 (Iglewicz-Hoaglin
+  // cutoff; probed 3.9% of events at sf0.01, real signal). Median and
+  // MAD are breakdown-point-0.5 robust, so a contaminated source
+  // cannot mask its own outliers the way it inflates a stddev gate.
+  // Two grouped exact percentiles (C13 machinery, per-group buffers
+  // bounded by group size) each broadcast back over the scan; the
+  // decision predicate is multiplication-only (0.6745·|v−med| >
+  // 3.5·MAD — no division, same doubles both engines). Plan: three
+  // scans, two tiny aggregate broadcasts, zero wide shuffles of the
+  // corpus itself.
+  def madOutliers(events: DataFrame): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val mad = events.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    events.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .where(lit(0.6745) * abs(col("value") - col("med")) > lit(3.5) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+  }
+
+  val madOutliersSql: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type),
+d AS (SELECT e.event_type, event_id, value, med FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad FROM d GROUP BY event_type)
+SELECT event_id, d.event_type, value, round(med, 6) AS med, round(mad, 6) AS mad
+FROM d JOIN md USING (event_type)
+WHERE 0.6745 * abs(value - med) > 3.5 * mad"""
 }

@@ -1028,4 +1028,43 @@ class OperatorSpec extends SparkSpec {
           s"row ${r.getLong(0)}: parsed instants differ")
     }
   }
+
+  test("olsTrend recovers a planted slope exactly; zero-variance group yields NULL r2 (C40)") {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def at(i: Int) = java.sql.Timestamp.from(base.plusSeconds(i * 3600L))
+    // value = 5 + 2·days: slope_per_day = 2, intercept = 5, r2 = 1
+    val trend = (0 until 240).map(i => (at(i), "trend", 5.0 + i / 12.0))
+    val flat = (0 until 240).map(i => (at(i), "flat", 7.5))
+    val out = Relational.olsTrend((trend ++ flat).toDF("ts", "event_type", "value"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val tr = out("trend")
+    // µ-unit quantization bounds the recovery error far below 1e-4
+    assert(math.abs(tr.getAs[Double]("slope_per_day") - 2.0) < 1e-4, s"$tr")
+    assert(math.abs(tr.getAs[Double]("intercept") - 5.0) < 1e-4, s"$tr")
+    assert(tr.getAs[Double]("r2") >= 0.999999, s"$tr")
+    val fl = out("flat")
+    // constant y: the slope numerator cancels EXACTLY in integer
+    // arithmetic (nΣxy − ΣxΣy = 0), and r2's zero variance must take
+    // the nullif guard, not divide by zero
+    assert(fl.getAs[Double]("slope_per_day") == 0.0, s"$fl")
+    assert(math.abs(fl.getAs[Double]("intercept") - 7.5) < 1e-6, s"$fl")
+    assert(fl.isNullAt(fl.fieldIndex("r2")), s"zero-variance r2 must be NULL: $fl")
+  }
+
+  test("madOutliers flags 13% contamination that fully masks a 3σ stddev gate (C41)") {
+    // 200 clean points in [49, 51] + 31 at 500: the contamination
+    // inflates σ to ~154, so mean±3σ flags NOTHING — the exact failure
+    // mode MAD's 0.5 breakdown point exists to survive
+    val clean = (0 until 200).map(i => (i.toLong, "m", 50.0 + (i % 21 - 10) * 0.1))
+    val bad = (1000 until 1031).map(i => (i.toLong, "m", 500.0))
+    val df = (clean ++ bad).toDF("event_id", "event_type", "value")
+    val flagged = Relational.madOutliers(df).collect().map(_.getLong(0)).toSet
+    assert(flagged == (1000L until 1031L).toSet,
+      s"expected exactly the 31 planted outliers, got ${flagged.size}")
+    val s = df.agg(avg("value"), stddev_samp("value")).head()
+    val (mu, sigma) = (s.getDouble(0), s.getDouble(1))
+    val sigmaFlagged = df.where(abs(col("value") - mu) > 3.0 * sigma).count()
+    assert(sigmaFlagged == 0L,
+      s"3σ gate was expected to be fully masked (σ=$sigma) but flagged $sigmaFlagged")
+  }
 }
