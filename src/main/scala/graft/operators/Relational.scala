@@ -1179,4 +1179,38 @@ md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad FROM d GRO
 SELECT event_id, d.event_type, value, round(med, 6) AS med, round(mad, 6) AS mad
 FROM d JOIN md USING (event_type)
 WHERE 0.6745 * abs(value - med) > 3.5 * mad"""
+
+  // C42: behavioral sequence mining — per-user event-type trigram
+  // frequencies with distinct-user support, the order-sensitive
+  // complement to C30's funnel (a funnel checks ONE prescribed
+  // sequence; this surfaces which sequences exist). Built on lead()
+  // windows over the per-user order, NOT collect_list: a power user
+  // with millions of events would make a per-user array a straggler
+  // row, while lead() streams with O(1) state behind one (user_id)
+  // exchange. (ts, event_id) is a total order, so the trigram set is
+  // deterministic. The count-distinct rides the same aggregate
+  // (Spark plans the distinct expand; users-per-trigram ≤ 125 keys
+  // here, bounded by the type alphabet cubed at scale).
+  def seqTrigrams(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type").as("a"),
+        lead(col("event_type"), 1).over(w).as("b"),
+        lead(col("event_type"), 2).over(w).as("c"))
+      .where(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(concat_ws(">", col("a"), col("b"), col("c")).as("trigram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val seqTrigramsSql: String =
+    """WITH s AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT a || '>' || b || '>' || c AS trigram,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM s WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY 1"""
 }

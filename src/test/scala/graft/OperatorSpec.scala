@@ -1067,4 +1067,21 @@ class OperatorSpec extends SparkSpec {
     assert(sigmaFlagged == 0L,
       s"3σ gate was expected to be fully masked (σ=$sigma) but flagged $sigmaFlagged")
   }
+
+  test("seqTrigrams orders by (ts, event_id), not arrival; short users contribute nothing (C42)") {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def at(i: Int) = java.sql.Timestamp.from(base.plusSeconds(i * 60L))
+    val rows = Seq(
+      (1L, at(0), 10L, "a"), (1L, at(1), 11L, "b"), (1L, at(2), 12L, "c"),
+      // u2: two events at the SAME instant — event_id must break the tie
+      (2L, at(0), 21L, "y"), (2L, at(0), 20L, "x"), (2L, at(1), 22L, "z"),
+      // u3: only two events -> no trigram at all
+      (3L, at(0), 30L, "a"), (3L, at(1), 31L, "b"))
+    // arrival order and physical partitioning must not matter
+    val df = scala.util.Random.shuffle(rows)
+      .toDF("user_id", "ts", "event_id", "event_type").repartition(5)
+    val out = Relational.seqTrigrams(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("a>b>c" -> (1L, 1L), "x>y>z" -> (1L, 1L)), s"$out")
+  }
 }
