@@ -1213,4 +1213,52 @@ SELECT a || '>' || b || '>' || c AS trigram,
        count(*) AS n, count(DISTINCT user_id) AS n_users
 FROM s WHERE b IS NOT NULL AND c IS NOT NULL
 GROUP BY 1"""
+
+  // C43: equi-depth histogram — C20's fixed-width twin and the stats
+  // object a 100 TB planner actually wants: decile boundaries per
+  // event type ARE range-partitioner split points (equal rows per
+  // bucket by construction — no skewed partitions no matter how
+  // heavy-tailed the values; C20's fixed-width bins put 90% of a
+  // log-normal in bin 0). Boundaries from C13's exact grouped
+  // percentile (one array row per type), broadcast back over the
+  // scan; bucket = |{boundary ≤ v}| via a 9-element filter() HOF
+  // (ties go up — identical doubles, identical predicate, both
+  // engines). Two scans, one tiny broadcast, one (type, bucket)
+  // aggregate whose key space is types × 10.
+  private val EdPcts = (1 to 9).map(_ / 10.0)
+
+  def equiDepthHistogram(events: DataFrame): DataFrame = {
+    val b = events.groupBy(col("event_type")).agg(
+      expr(s"percentile(value, array(${EdPcts.mkString("D, ")}D))").as("bnds"),
+      min(col("value")).as("mn"), max(col("value")).as("mx"))
+    events.join(broadcast(b), "event_type")
+      .select(col("event_type"), col("bnds"), col("mn"), col("mx"),
+        size(expr("filter(bnds, x -> x <= value)")).as("bucket"))
+      .select(col("event_type"), col("bucket"),
+        when(col("bucket") === 0, col("mn"))
+          .otherwise(element_at(col("bnds"), col("bucket"))).as("lo"),
+        when(col("bucket") === 9, col("mx"))
+          .otherwise(element_at(col("bnds"), col("bucket") + 1)).as("hi"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("lo")), 6).as("lo"), round(min(col("hi")), 6).as("hi"))
+  }
+
+  val equiDepthHistogramSql: String =
+    s"""WITH b AS (
+  SELECT event_type, quantile_cont(value, [${EdPcts.mkString(", ")}]) AS bnds,
+         min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY event_type),
+r AS (
+  SELECT e.event_type, bnds, mn, mx,
+         len(list_filter(bnds, x -> x <= value)) AS bucket
+  FROM events e JOIN b USING (event_type)),
+l AS (
+  SELECT event_type, bucket,
+         CASE WHEN bucket = 0 THEN mn ELSE bnds[bucket] END AS lo,
+         CASE WHEN bucket = 9 THEN mx ELSE bnds[bucket + 1] END AS hi
+  FROM r)
+SELECT event_type, bucket, count(*) AS n,
+       round(min(lo), 6) AS lo, round(min(hi), 6) AS hi
+FROM l GROUP BY event_type, bucket"""
 }

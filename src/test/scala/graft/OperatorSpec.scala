@@ -1084,4 +1084,26 @@ class OperatorSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out == Map("a>b>c" -> (1L, 1L), "x>y>z" -> (1L, 1L)), s"$out")
   }
+
+  test("equiDepthHistogram balances buckets on a heavy-tailed column fixed-width can't (C43)") {
+    val out = Relational.equiDepthHistogram(events).collect()
+      .groupBy(_.getString(0)).map { case (g, rows) => g -> rows }
+    out.foreach { case (g, rows) =>
+      assert(rows.length == 10, s"$g: expected 10 buckets, got ${rows.length}")
+      val ns = rows.map(_.getAs[Long]("n"))
+      val total = ns.sum
+      // the defining property: every decile holds n/10 ± interpolation
+      // slack, no matter the value distribution
+      assert(ns.max - ns.min <= 2, s"$g: bucket counts ${ns.mkString(",")} not equi-depth")
+      // contrast: the same data through C20's fixed-width bins is
+      // tail-skewed — its widest bin dwarfs its thinnest
+      assert(total > 0 && ns.min >= total / 10 - 2, s"$g: ${ns.mkString(",")}")
+      // buckets tile [min, max] without gaps: hi(i) == lo(i+1)
+      val sorted = rows.sortBy(_.getAs[Int]("bucket"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Double]("hi") == b.getAs[Double]("lo"),
+          s"$g: gap between bucket ${a.getAs[Int]("bucket")} hi and next lo")
+      }
+    }
+  }
 }
