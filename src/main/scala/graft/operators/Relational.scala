@@ -1264,4 +1264,30 @@ l AS (
 SELECT event_type, bucket, count(*) AS n,
        round(min(lo), 6) AS lo, round(min(hi), 6) AS hi
 FROM l GROUP BY event_type, bucket"""
+
+  // C44: robust scaling — the transform member of the robust-stats
+  // trio (C41 detects, C43 buckets, this normalizes): per-type
+  // z = (v − median) / IQR, the feature-scaling step a heavy-tailed
+  // column needs before a linear model (L31) — mean/σ scaling lets
+  // one contaminated source stretch every other row toward zero.
+  // One grouped percentile-array pass (med, q1, q3 in a single
+  // buffer) broadcast back over the scan; the per-row transform is
+  // one subtract + one divide over doubles identical in both engines.
+  def robustScale(events: DataFrame): DataFrame = {
+    val q = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("event_type"), element_at(col("q"), 2).as("med"),
+        (element_at(col("q"), 3) - element_at(col("q"), 1)).as("iqr"))
+    events.join(broadcast(q), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("med")) / col("iqr"), 6).as("scaled"))
+  }
+
+  val robustScaleSql: String =
+    """WITH q AS (
+  SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS q
+  FROM events GROUP BY event_type),
+s AS (SELECT event_type, q[2] AS med, q[3] - q[1] AS iqr FROM q)
+SELECT event_id, e.event_type, round((value - med) / iqr, 6) AS scaled
+FROM events e JOIN s USING (event_type)"""
 }

@@ -1106,4 +1106,20 @@ class OperatorSpec extends SparkSpec {
       }
     }
   }
+
+  test("robustScale lands median at 0 and IQR at 1 per group (C44)") {
+    val scaled = Relational.robustScale(events)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(scaled, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("event_type"), element_at(col("q"), 2).as("med"),
+        (element_at(col("q"), 3) - element_at(col("q"), 1)).as("iqr"))
+      .collect()
+    assert(scaled.nonEmpty)
+    scaled.foreach { r =>
+      // the defining invariants of the transform, up to the 1e-6
+      // output rounding
+      assert(math.abs(r.getAs[Double]("med")) < 1e-5, s"$r")
+      assert(math.abs(r.getAs[Double]("iqr") - 1.0) < 1e-5, s"$r")
+    }
+  }
 }
