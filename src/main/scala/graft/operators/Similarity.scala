@@ -637,9 +637,16 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
     Array.tabulate(PqM)(j => kmeansEuclid(sample.map(_.slice(j * sub, j * sub + sub)), PqK))
   }
 
-  /** (vec_id, codes[m], mse): map-only encode against the broadcast-
+  /** (vec_id, codes, mse): map-only encode against the broadcast-
     * by-closure codebooks; mse is the per-vector mean squared
-    * reconstruction error (deterministic — fixed model, fixed input). */
+    * reconstruction error (deterministic — fixed model, fixed input).
+    *
+    * `codes` is the m=4 codebook indices (k=16 → 4 bits each) packed
+    * little-endian into ONE BIGINT (subspace j occupies bits [4j, 4j+4)),
+    * so the column is a plain sortable scalar: the packing is lossless
+    * and order-isomorphic to the code tuple, and downstream harnesses
+    * (and parquet sinks) treat it like any other integer column.
+    * Unpack with `(codes >> (4*j)) & 15`. */
   def pqEncode(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -651,7 +658,9 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
       .map { case (id, vRaw, nn) =>
         val v = vRaw.iterator.map(_ / nn).toArray
         var errSum = 0.0
-        val codes = Array.tabulate(PqM) { j =>
+        var packed = 0L
+        var j = 0
+        while (j < PqM) {
           var best = 0; var bd = Double.MaxValue; var c = 0
           while (c < PqK) {
             var d = 0.0; var i = 0
@@ -660,9 +669,10 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
             c += 1
           }
           errSum += bd
-          best.toLong
+          packed |= best.toLong << (4 * j)
+          j += 1
         }
-        (id, codes.toSeq, math.rint(errSum / Dim * 1e9) / 1e9)
+        (id, packed, math.rint(errSum / Dim * 1e9) / 1e9)
       }
       .toDF("vec_id", "codes", "mse")
   }

@@ -351,8 +351,17 @@ object TrafficStream {
     * revisable upward in event time, and final-state queries belong to
     * the batch side; parity is spec-pinned against the batch operator's
     * reached = 3 rows). State per user: the not-yet-ripe events plus
-    * three optional stage times; completed or idle users are dropped
-    * by event-time timeout. */
+    * three optional stage times. GC contract (spec-pinned): a converted
+    * user's state collapses to a pending-free tombstone that survives —
+    * re-armed on every later touch — until one stage window after the
+    * user's activity clears the watermark, so a second chain inside
+    * that horizon can never re-emit; a non-converted user's state is
+    * removed as soon as the watermark proves the chain can no longer
+    * complete (the next stage's 1-hour window is fully below the
+    * watermark and nothing is pending — t1 is the global first view,
+    * so nothing can revive it). The one caveat this horizon buys:
+    * a brand-new chain separated from ALL of the user's prior activity
+    * by more than the GC horizon is treated as a fresh user. */
   def funnelStream(events: Dataset[SensorEvent],
       delay: String = "10 minutes"): Dataset[FunnelConversion] = {
     import events.sparkSession.implicits._
@@ -364,8 +373,12 @@ object TrafficStream {
         (uid: Long, evs: Iterator[SensorEvent], state: GroupState[FunnelState]) =>
           val st = state.getOption.getOrElse(FunnelState(Vector.empty, None, None, None))
           if (st.t3.isDefined) {
-            // already converted: ignore everything, GC on timeout
+            // already converted: the tombstone absorbs everything. GC
+            // only on timeout; any other invocation must RE-ARM the
+            // timeout (Spark clears it on every call that doesn't set
+            // one), else an active converted user's state leaks forever.
             if (state.hasTimedOut) state.remove()
+            else state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stageMs + 1)
             Iterator.empty
           } else {
             val wmMs = state.getCurrentWatermarkMs()
@@ -388,13 +401,26 @@ object TrafficStream {
                 Iterator.single(FunnelConversion(uid, new Timestamp(t1.get),
                   new Timestamp(t2.get), new Timestamp(t3.get)))
               else Iterator.empty
-            if (t3.isDefined && rest.isEmpty) state.remove()
-            else {
-              state.update(FunnelState(if (t3.isDefined) Vector.empty else rest, t1, t2, t3))
-              val next =
-                if (t3.isEmpty && rest.nonEmpty) math.max(rest.map(_._1).min, wmMs + 1)
-                else wmMs + stageMs + 1 // GC horizon
-              state.setTimeoutTimestamp(next)
+            if (t3.isDefined) {
+              // conversion tombstone — NEVER remove here: a post-
+              // conversion chain must find the tombstone, not empty
+              // state, or the EXACTLY-ONCE contract breaks
+              state.update(FunnelState(Vector.empty, t1, t2, t3))
+              state.setTimeoutTimestamp(wmMs + stageMs + 1)
+            } else {
+              // the chain is dead once the next stage's window is fully
+              // below the watermark with nothing pending to revive it
+              // (deadline None = no view yet, dead iff nothing pending)
+              val deadline = t2.orElse(t1).map(_ + stageMs)
+              val dead = rest.isEmpty && deadline.forall(d => wmMs > d)
+              if (dead) state.remove()
+              else {
+                state.update(FunnelState(rest, t1, t2, t3))
+                val next =
+                  if (rest.nonEmpty) math.max(rest.map(_._1).min, wmMs + 1)
+                  else math.max(deadline.get + 1, wmMs + 1) // wake at expiry, then drop
+                state.setTimeoutTimestamp(next)
+              }
             }
             out
           }

@@ -589,11 +589,15 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("pq codes are layout-deterministic, structured, and ADC-rankable (L48)") {
+    // codes arrive packed 4-bits-per-subspace in one BIGINT (the
+    // driver-sortable form); unpack before structural checks
+    def unpack(packed: Long): Vector[Long] =
+      (0 until 4).map(j => (packed >> (4 * j)) & 0xFL).toVector
     val out = Similarity.pqEncode(embeddings).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getDouble(2)))
+      .map(r => (r.getLong(0), unpack(r.getLong(1)), r.getDouble(2)))
     // determinism: identical codes whatever the partition layout
     val rep = Similarity.pqEncode(embeddings.repartition(13)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getDouble(2)))
+      .map(r => (r.getLong(0), unpack(r.getLong(1)), r.getDouble(2)))
     assert(out.sortBy(_._1).toSeq == rep.sortBy(_._1).toSeq)
     // codebooks learned structure: every subspace uses several codes,
     // and PQ reconstruction beats the one-centroid-per-subspace

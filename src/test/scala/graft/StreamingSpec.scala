@@ -531,6 +531,82 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._1).toSet == Set(1L), "only u1 converts in the fixture")
   }
 
+  test("funnel conversion tombstone suppresses a second post-conversion chain (C30)") {
+    // the exactly-once contract's hard case: the first conversion
+    // finalizes with NOTHING pending (state would be empty without a
+    // tombstone), then the same user runs a complete second chain
+    // inside the GC horizon — it must be absorbed, not re-emitted
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, ts: String, tpe: String) =
+      SensorEvent(id, t(ts), uid, tpe, 0.0)
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.funnelStream(stream.toDS(), delay = "10 days")
+      .writeStream.format("memory").queryName("funtomb").outputMode("append").start()
+    // chain 1 (converts)
+    stream.addData(
+      ev(1, 1, "2024-01-01 10:00:00", "view"),
+      ev(2, 1, "2024-01-01 10:40:00", "click"),
+      ev(3, 1, "2024-01-01 11:20:00", "purchase"))
+    q.processAllAvailable()
+    // watermark pusher ripens chain 1 -> conversion emits, rest empty
+    stream.addData(ev(90, 999, "2024-01-20 00:00:00", "x")); q.processAllAvailable()
+    stream.addData(ev(91, 998, "2024-01-20 00:00:00", "x")); q.processAllAvailable()
+    // chain 2: complete and above the current watermark (2024-01-10)
+    stream.addData(
+      ev(4, 1, "2024-01-15 10:00:00", "view"),
+      ev(5, 1, "2024-01-15 10:30:00", "click"),
+      ev(6, 1, "2024-01-15 11:00:00", "purchase"))
+    q.processAllAvailable()
+    // two more pushers: ripen chain 2, then let every timeout fire
+    stream.addData(ev(92, 997, "2024-02-20 00:00:00", "x")); q.processAllAvailable()
+    stream.addData(ev(93, 996, "2024-03-20 00:00:00", "x")); q.processAllAvailable()
+    stream.addData(ev(94, 995, "2024-04-20 00:00:00", "x")); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funtomb").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3)))
+    assert(got.length == 1, s"duplicate conversion emitted: ${got.toSeq}")
+    assert(got.head._1 == 1L && got.head._2 == t("2024-01-01 10:00:00"),
+      s"the one row must be chain 1's: ${got.head}")
+  }
+
+  test("funnel state drains: dead chains and converted tombstones are GC'd (C30)") {
+    // bounded-state as a measurement, like the anomaly drain spec: once
+    // the watermark proves a chain can't complete (next stage window
+    // expired, nothing pending) the user's state row must disappear,
+    // and a converted user's tombstone must go one horizon later
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, ts: String, tpe: String) =
+      SensorEvent(id, t(ts), uid, tpe, 0.0)
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.funnelStream(stream.toDS(), delay = "1 minute")
+      .writeStream.format("memory").queryName("fungc").outputMode("append").start()
+    stream.addData(
+      // u1 converts -> tombstone
+      ev(1, 1, "2024-01-01 10:00:00", "view"),
+      ev(2, 1, "2024-01-01 10:30:00", "click"),
+      ev(3, 1, "2024-01-01 11:00:00", "purchase"),
+      // u2 stalls after click (purchase window dies at 11:30)
+      ev(10, 2, "2024-01-01 10:00:00", "view"),
+      ev(11, 2, "2024-01-01 10:30:00", "click"),
+      // u3 never views
+      ev(20, 3, "2024-01-01 10:00:00", "click"))
+    q.processAllAvailable()
+    // march the watermark far past every deadline, re-waking each user
+    // (one batch arms the GC timeout against the new watermark, the
+    // next lets it fire)
+    Seq("2024-01-02", "2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01")
+      .zipWithIndex.foreach { case (d, i) =>
+        stream.addData(ev(100 + i, 900 + i, s"$d 00:00:00", "x"))
+        q.processAllAvailable()
+      }
+    val fin = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val got = spark.table("fungc").collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L, "u1's single conversion")
+    // at most the last pusher's own not-yet-dead row may remain
+    assert(fin <= 1, s"funnel state must drain to ~0, found $fin rows")
+  }
+
   test("anomaly stream state drains once the watermark passes the GC horizon (C28)") {
     // the bounded-state claim as a measurement: after the watermark
     // moves a full window span past a user's last event, that user's
