@@ -1183,6 +1183,28 @@ SELECT event_id, d.event_type, value, round(med, 6) AS med, round(mad, 6) AS mad
 FROM d JOIN md USING (event_type)
 WHERE 0.6745 * abs(value - med) > 3.5 * mad"""
 
+  // C41s: MAD outliers, sketch path — the 100 TB default. The exact
+  // twin's grouped `percentile` buffers EVERY group value in one
+  // aggregation buffer (the r5 verdict's scale ceiling on this trio);
+  // approx_percentile is the C25 Greenwald-Khanna sketch: bounded
+  // state, mergeable partials, rank error ≤ n/accuracy. Same plan
+  // shape (three scans, two tiny broadcasts), same multiplication-only
+  // decision predicate. Rows-only by design (GK medians are actual
+  // data values, not interpolations — no cross-engine oracle); the
+  // rank-error spec pins every sketched statistic within ε·n ranks of
+  // its target against the exact twin's machinery.
+  def madOutliersApprox(events: DataFrame): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, 0.5D, $ApproxAcc)").as("med")).localCheckpoint()
+    val mad = events.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(abs(value - med), 0.5D, $ApproxAcc)").as("mad"))
+    events.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .where(lit(0.6745) * abs(col("value") - col("med")) > lit(3.5) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+  }
+
   // C42: behavioral sequence mining — per-user event-type trigram
   // frequencies with distinct-user support, the order-sensitive
   // complement to C30's funnel (a funnel checks ONE prescribed
@@ -1265,6 +1287,28 @@ SELECT event_type, bucket, count(*) AS n,
        round(min(lo), 6) AS lo, round(min(hi), 6) AS hi
 FROM l GROUP BY event_type, bucket"""
 
+  // C43s: equi-depth histogram, sketch path — decile boundaries from
+  // the GK sketch instead of the exact grouped percentile (same scale
+  // rationale as C41s; a range partitioner consuming these split
+  // points tolerates ε·n rank slack by construction). Identical
+  // downstream bucketing plan; rows-only by design + rank-error spec.
+  def equiDepthHistogramApprox(events: DataFrame): DataFrame = {
+    val b = events.groupBy(col("event_type")).agg(
+      expr(s"approx_percentile(value, array(${EdPcts.mkString("D, ")}D), $ApproxAcc)").as("bnds"),
+      min(col("value")).as("mn"), max(col("value")).as("mx"))
+    events.join(broadcast(b), "event_type")
+      .select(col("event_type"), col("bnds"), col("mn"), col("mx"),
+        size(expr("filter(bnds, x -> x <= value)")).as("bucket"))
+      .select(col("event_type"), col("bucket"),
+        when(col("bucket") === 0, col("mn"))
+          .otherwise(element_at(col("bnds"), col("bucket"))).as("lo"),
+        when(col("bucket") === 9, col("mx"))
+          .otherwise(element_at(col("bnds"), col("bucket") + 1)).as("hi"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("lo")), 6).as("lo"), round(min(col("hi")), 6).as("hi"))
+  }
+
   // C44: robust scaling — the transform member of the robust-stats
   // trio (C41 detects, C43 buckets, this normalizes): per-type
   // z = (v − median) / IQR, the feature-scaling step a heavy-tailed
@@ -1290,4 +1334,17 @@ FROM l GROUP BY event_type, bucket"""
 s AS (SELECT event_type, q[2] AS med, q[3] - q[1] AS iqr FROM q)
 SELECT event_id, e.event_type, round((value - med) / iqr, 6) AS scaled
 FROM events e JOIN s USING (event_type)"""
+
+  // C44s: robust scaling, sketch path (same scale rationale as C41s/
+  // C43s; the fitted (med, iqr) pair is exposed for the rank spec).
+  private[graft] def robustParamsApprox(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, array(0.25D, 0.5D, 0.75D), $ApproxAcc)").as("q"))
+      .select(col("event_type"), element_at(col("q"), 2).as("med"),
+        (element_at(col("q"), 3) - element_at(col("q"), 1)).as("iqr"))
+
+  def robustScaleApprox(events: DataFrame): DataFrame =
+    events.join(broadcast(robustParamsApprox(events)), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("med")) / col("iqr"), 6).as("scaled"))
 }

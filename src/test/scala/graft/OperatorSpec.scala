@@ -1126,4 +1126,58 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("iqr") - 1.0) < 1e-5, s"$r")
     }
   }
+
+  test("approx sketch twins hit exact ranks within the GK bound (C41s/C43s/C44s)") {
+    // the 100 TB path's contract, verified against ground truth: every
+    // GK-sketched statistic is an actual data value whose rank sits
+    // within ε·n of its target rank (ε = 1/accuracy = 1e-4) — the same
+    // bound-spec pattern as C25. The 1e-6 output rounding gets a value
+    // tolerance on both rank counts.
+    val byType = events.select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    def assertRank(xs: Array[Double], v: Double, p: Double, what: String): Unit = {
+      val n = xs.length
+      val eps = n / 10000.0 + 1
+      val below = xs.count(_ < v - 1e-6)
+      val atOrBelow = xs.count(_ <= v + 1e-6)
+      val target = p * n
+      assert(below <= target + eps && atOrBelow >= target - eps,
+        s"$what: $v spans ranks [$below, $atOrBelow], target $target ± $eps (n=$n)")
+    }
+    // C44s: fitted median and quartile spread
+    val params = Relational.robustParamsApprox(events).collect()
+    assert(params.nonEmpty)
+    params.foreach { r =>
+      assertRank(byType(r.getString(0)), r.getDouble(1), 0.5, s"${r.getString(0)} med")
+    }
+    // C43s: every interior decile boundary, plus sketch-slack balance
+    val ed = Relational.equiDepthHistogramApprox(events).collect()
+    val edByType = ed.groupBy(_.getString(0))
+    edByType.foreach { case (g, rows) =>
+      val xs = byType(g)
+      rows.filter(_.getAs[Int]("bucket") >= 1).foreach { r =>
+        assertRank(xs, r.getAs[Double]("lo"), r.getAs[Int]("bucket") / 10.0,
+          s"$g decile ${r.getAs[Int]("bucket")}")
+      }
+      val ns = rows.map(_.getAs[Long]("n"))
+      val slack = 2 * (xs.length / 10000.0 + 1)
+      assert(ns.max - ns.min <= 2 + slack,
+        s"$g: approx bucket counts ${ns.mkString(",")} outside sketch slack")
+    }
+    // C41s: the sketched median obeys the rank bound, and the flag set
+    // agrees with the exact twin up to boundary rows (the two medians
+    // are different-by-definition values — interpolated vs data point —
+    // so only rows whose decision margin straddles that gap may flip)
+    val approxOut = Relational.madOutliersApprox(events).collect()
+    approxOut.groupBy(_.getString(1)).foreach { case (g, rows) =>
+      assertRank(byType(g), rows.head.getAs[Double]("med"), 0.5, s"$g mad-med")
+    }
+    val approxFlags = approxOut.map(_.getLong(0)).toSet
+    val exactFlags = Relational.madOutliers(events).collect().map(_.getLong(0)).toSet
+    assert(exactFlags.nonEmpty && approxFlags.nonEmpty)
+    val symDiff = (approxFlags | exactFlags).size - (approxFlags & exactFlags).size
+    assert(symDiff <= math.max(2, exactFlags.size / 20),
+      s"approx/exact flag sets diverge by $symDiff of ${exactFlags.size}")
+  }
 }
