@@ -153,8 +153,32 @@ WHERE cos >= $tau"""
 
   val embeddingNearDupSql: String = nearDupSql(NearDupTau)
 
+  // ---- ANN query-set contract (r6, verdict #5) ----
+  // Every ANN operator's query-side state (query vectors, probe cells,
+  // ADC LUTs) is broadcast or driver-collected — it is model state and
+  // must be SMALL BY CONTRACT, never corpus-derived at scale. The
+  // query set is therefore an explicit parameter: a small DataFrame
+  // with the embeddings schema (vec_id, embedding). The `vec_id % 97`
+  // slice remains ONLY as the sf demo default (it keeps every demo
+  // query and oracle unchanged), and a hard row cap guards the
+  // boundary either way: a corpus-sized frame fails fast with an
+  // actionable message instead of silently collecting ~1% of 100 TB
+  // onto the driver.
+  private[graft] val QuerySetCap = 10000
+
+  private def boundedQueries(embeddings: DataFrame,
+      querySet: Option[DataFrame]): DataFrame = {
+    val q = querySet.getOrElse(embeddings.where(col("vec_id") % 97 === 0))
+    val n = q.limit(QuerySetCap + 1).count()
+    require(n <= QuerySetCap,
+      s"ANN query set exceeds the $QuerySetCap-row cap: the query set is broadcast/" +
+        "collected model state and must not scale with the corpus — pass a small " +
+        "external query table (querySet = Some(df)) instead of a corpus-derived slice")
+    q
+  }
+
   // ---- L6: brute-force cosine top-k ----
-  // Query set (vec_id % 97 == 0) is tiny and broadcast; the corpus
+  // The query set is tiny and broadcast (contract above); the corpus
   // streams past it map-side. The per-query top-k runs through the
   // bounded [[graft.functions.TopKAggregator]]: map-side partials keep
   // k rows per (query × task), so the exchange never carries the full
@@ -163,10 +187,11 @@ WHERE cos >= $tau"""
   // row_number-window formulation (total order: cos desc, cand_id asc).
   private val TopK = 5
 
-  def annTopK(embeddings: DataFrame): DataFrame = {
+  def annTopK(embeddings: DataFrame,
+      querySet: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val queries = withNorm(embeddings.where(col("vec_id") % 97 === 0), "q_id", "qv", "nq")
+    val queries = withNorm(boundedQueries(embeddings, querySet), "q_id", "qv", "nq")
     val corpus = withNorm(embeddings, "cand_id", "cv", "nc")
     val scored = corpus.crossJoin(broadcast(queries))
       .where(col("q_id") =!= col("cand_id"))
@@ -209,15 +234,21 @@ WHERE rk <= $TopK"""
   // (recall spec pins 0.25+); real clustered embeddings do markedly
   // better.
   def annLsh(embeddings: DataFrame,
-      tables: Int = DefaultTables, planes: Int = DefaultPlanes): DataFrame = {
+      tables: Int = DefaultTables, planes: Int = DefaultPlanes,
+      querySet: Option[DataFrame] = None): DataFrame = {
     val hp = hyperplanes(tables, planes)
     val base = withNorm(embeddings, "vec_id", "v", "nv")
+    val qbase = withNorm(boundedQueries(embeddings, querySet), "vec_id", "v", "nv")
     val buckets = base.select(col("vec_id"), col("v"), col("nv"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), bucket(hp, t, "v").as("b"))): _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("nv"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val queries = buckets.where(col("vec_id") % 97 === 0)
-      .select(col("t"), col("b"), col("vec_id").as("q_id"))
+    // query buckets come from the QUERY frame's own sign bits (same
+    // hyperplanes), so an external query set needs no corpus row
+    val queries = qbase.select(col("vec_id").as("q_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), bucket(hp, t, "v").as("b"))): _*)).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.b").as("b"), col("q_id"))
     // dedupe candidate IDs first (cheap long pairs), then attach vectors
     // — distinct over the array columns themselves would compare 64
     // doubles per row
@@ -226,10 +257,10 @@ WHERE rk <= $TopK"""
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id")).distinct()
     val vecs = base // (vec_id, v, nv)
-    // Only rows from the ~1% query subset can ever match on q_id, so
-    // broadcast just that subset — broadcasting the unfiltered frame
+    // Only the query-set rows can ever match on q_id, so broadcast
+    // just that frame — broadcasting the unfiltered corpus frame
     // would ship the entire corpus to every executor at 100 TB.
-    val queryVecs = vecs.where(col("vec_id") % 97 === 0)
+    val queryVecs = qbase
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val cands = candIds
       .join(broadcast(queryVecs), "q_id")
@@ -298,7 +329,7 @@ WHERE rk <= $TopK"""
   }
 
   def annIvf(embeddings: DataFrame, cells: Int = 0,
-      nprobe: Int = DefaultNProbe): DataFrame = {
+      nprobe: Int = DefaultNProbe, querySet: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val base = withNorm(embeddings, "vec_id", "v", "nv")
     val c0 =
@@ -310,7 +341,7 @@ WHERE rk <= $TopK"""
     // ties break toward the higher cell id (same as struct-max ordering)
     val corpus = base.withColumn("cell",
       element_at(topCells(spark, col("v"), cents, 1, allCells), 1))
-    val probes = base.where(col("vec_id") % 97 === 0)
+    val probes = withNorm(boundedQueries(embeddings, querySet), "vec_id", "v", "nv")
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"),
         explode(topCells(spark, col("v"), cents, nprobe, allCells)).as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
@@ -333,7 +364,7 @@ WHERE rk <= $TopK"""
   // set is tiny; C dots per query is nothing) and the recall floor is
   // spec-pinned against the same brute-force truth.
   def annIvf2(embeddings: DataFrame, cells: Int = 0,
-      nprobe: Int = DefaultNProbe): DataFrame = {
+      nprobe: Int = DefaultNProbe, querySet: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val base = withNorm(embeddings, "vec_id", "v", "nv")
     val c0 =
@@ -371,7 +402,7 @@ WHERE rk <= $TopK"""
     }
     val corpus = base.withColumn("sup", superPick).withColumn("cell", cellExpr)
     // queries rank cells exactly over all C centroids
-    val probes = base.where(col("vec_id") % 97 === 0)
+    val probes = withNorm(boundedQueries(embeddings, querySet), "vec_id", "v", "nv")
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"),
         explode(topCells(spark, col("v"), cents, nprobe, cents.indices.toArray)).as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
@@ -692,10 +723,11 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
   private val IvfPqShortlist = 25
 
   def annIvfPq(embeddings: DataFrame, cells: Int = 0,
-      nprobe: Int = DefaultNProbe): DataFrame = {
+      nprobe: Int = DefaultNProbe, querySet: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val base = withNorm(embeddings, "vec_id", "v", "nv")
+    val qbase = withNorm(boundedQueries(embeddings, querySet), "vec_id", "v", "nv")
     val c0 =
       if (cells > 0) cells
       else math.max(16, math.ceil(math.sqrt(base.count().toDouble)).toInt)
@@ -703,8 +735,9 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
     val books = pqCodebooks(embeddings)
     val sub = Dim / PqM
     // corpus: one typed map computes the cell argmax AND the PQ codes
-    // (centroids + codebooks as closure state; ties break low index,
-    // matching TopCells' struct-max order via (dot, -idx) max)
+    // (centroids + codebooks as closure state; ties break toward the
+    // HIGHER cell index — TopCells' struct-max convention, matched by
+    // the query probe selection below)
     val coded = base.select(col("vec_id"), col("v"), col("nv"))
       .as[(Long, Seq[Double], Double)]
       .map { case (id, vRaw, nn) =>
@@ -730,9 +763,9 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
         (id, bc, codes.toSeq)
       }
       .toDF("cand_id", "cell", "codes")
-    // query-side model state: vectors, probe cells, ADC LUTs (query
-    // subset is ~1% by the shared ANN contract — bounded collect)
-    val qs = base.where(col("vec_id") % 97 === 0)
+    // query-side model state: vectors, probe cells, ADC LUTs — a
+    // bounded collect (boundedQueries already enforced the row cap)
+    val qs = qbase
       .select(col("vec_id"), col("v"), col("nv")).as[(Long, Seq[Double], Double)]
       .collect()
       .map { case (id, vRaw, nn) => id -> vRaw.iterator.map(_ / nn).toArray }
@@ -748,7 +781,8 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
         var d = 0.0; var i = 0
         while (i < Dim) { d += qv(i) * cents(c)(i); i += 1 }
         (id, c, d)
-      }.sortBy { case (_, c, d) => (-d, c) }.take(nprobe).map(t => (t._1, t._2))
+      }.sortBy { case (_, c, d) => (-d, -c) } // tie -> higher index, same as assignment
+        .take(nprobe).map(t => (t._1, t._2))
     }.toSeq.toDF("q_id", "cell")
     val lutsB = spark.sparkContext.broadcast(qLuts)
     val adcAgg = new graft.functions.TopKAggregator(IvfPqShortlist).toColumn
@@ -768,7 +802,7 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
       .flatMap { case (q, top) => top.iterator.map(e => (q, e.id)) }
       .toDF("q_id", "cand_id")
     // exact rerank of the shortlist only
-    val qv = base.where(col("vec_id") % 97 === 0)
+    val qv = qbase
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id").asc)
     shortlist
@@ -782,7 +816,7 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
   /** Mean fraction of the corpus that is a candidate per query — the
     * IVF efficiency metric the sizing rule controls (≈ nprobe/C). */
   def ivfCandidateFraction(embeddings: DataFrame, cells: Int = 0,
-      nprobe: Int = DefaultNProbe): Double = {
+      nprobe: Int = DefaultNProbe, querySet: Option[DataFrame] = None): Double = {
     val spark = embeddings.sparkSession
     val base = withNorm(embeddings, "vec_id", "v", "nv")
     val n = base.count().toDouble
@@ -794,7 +828,7 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
     val cellSizes = base.withColumn("cell",
       element_at(topCells(spark, col("v"), cents, 1, allCells), 1))
       .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
-    val probes = base.where(col("vec_id") % 97 === 0)
+    val probes = withNorm(boundedQueries(embeddings, querySet), "vec_id", "v", "nv")
       .select(col("vec_id").as("q_id"),
         explode(topCells(spark, col("v"), cents, nprobe, allCells)).as("cell"))
     val perQuery = probes.join(cellSizes, "cell")

@@ -556,6 +556,33 @@ class OperatorSpec extends SparkSpec {
     assert(frac <= 2.0 * 4.0 / c, s"IVF scans $frac of the corpus per query")
   }
 
+  test("ANN query sets are externalizable, and a corpus-scale set trips the cap (r6)") {
+    // the contract: query-side state is small BY PARAMETER, the % 97
+    // slice is only the sf demo default. An explicit 3-row query table
+    // must reproduce exactly the default path's rows for those queries
+    val qids = Set(0L, 97L, 194L)
+    val qset = embeddings.where(col("vec_id").isin(qids.toSeq: _*))
+    val ext = Similarity.annTopK(embeddings, querySet = Some(qset))
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val dflt = Similarity.annTopK(embeddings)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(ext.nonEmpty && ext.subsetOf(dflt), "external subset must match default rows")
+    assert(ext.map(_._1) == qids)
+    // the IVF path takes the same parameter
+    val extIvf = Similarity.annIvf(embeddings, querySet = Some(qset))
+      .select("q_id").distinct().as[Long].collect().toSet
+    assert(extIvf.subsetOf(qids) && extIvf.nonEmpty)
+    // the guard: a corpus-sized "query set" fails fast with the
+    // actionable message, BEFORE any collect/broadcast of it happens
+    val big = spark.range(Similarity.QuerySetCap + 1)
+      .selectExpr("id AS vec_id",
+        "transform(sequence(1, 64), x -> cast(x as float)) AS embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annTopK(embeddings, querySet = Some(big)).collect()
+    }
+    assert(e.getMessage.contains("query set exceeds"))
+  }
+
   test("approx_count_distinct tracks exact counts within 10% (C7)") {
     val both = events.groupBy($"event_type").agg(
       countDistinct($"user_id").as("exact"),
