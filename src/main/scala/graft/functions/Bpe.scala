@@ -32,30 +32,39 @@ object Bpe {
     ("in", "g"), ("o", "f"), ("t", "o"), ("i", "s"), ("i", "t"),
     ("a", "l"), ("e", "d"), ("c", "o"), ("d", "e"))
 
+  val MergesIdx: IndexedSeq[(String, String)] = Merges.toIndexedSeq
+
   private val rank: Map[(String, String), Int] =
     Merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
 
-  /** Encode one word. Merge-all-occurrences is leftmost
+  /** Encode one word with the default table. */
+  def encode(word: String): Array[String] = encodeWith(word, MergesIdx, rank)
+
+  /** Encode one word with an ARBITRARY ranked merges table — the
+    * tokenizer-swap seam made callable: a learned table (L33t's
+    * bpeTrain output, or a real tokenizer's merges.txt) drops in here
+    * with nothing else changing. Merge-all-occurrences is leftmost
     * non-overlapping in a single scan — the DuckDB oracle reproduces
     * it with two replace() passes over a separator-joined token string
     * (pass 1 merges every other occurrence of a consecutive run, pass
     * 2 the rest; isolated occurrences all land in pass 1), which is
     * provably the same result because a merge can never create a new
     * occurrence of its own single-token pattern. */
-  def encode(word: String): Array[String] = {
+  def encodeWith(word: String, merges: IndexedSeq[(String, String)],
+      rankOf: Map[(String, String), Int]): Array[String] = {
     var toks: Array[String] = Array.tabulate(word.length)(i => word.substring(i, i + 1))
     var continue = toks.length > 1
     while (continue) {
       var best = Int.MaxValue
       var i = 0
       while (i < toks.length - 1) {
-        val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        val r = rankOf.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
         if (r < best) best = r
         i += 1
       }
       if (best == Int.MaxValue) continue = false
       else {
-        val (a, b) = Merges(best)
+        val (a, b) = merges(best)
         val out = Array.newBuilder[String]
         var j = 0
         while (j < toks.length) {
@@ -72,16 +81,25 @@ object Bpe {
 }
 
 /** `graft_bpe(word)` → array<string> of BPE tokens. CodegenFallback:
-  * the merge loop dominates; one tight JVM loop per word. */
-case class BpeEncode(child: Expression)
+  * the merge loop dominates; one tight JVM loop per word. The merges
+  * table is constructor closure state (the TopCells pattern), so a
+  * LEARNED table rides with the plan — `BpeEncode(e)` keeps the
+  * default table under the fixed `graft_bpe` name. */
+case class BpeEncode(child: Expression,
+    merges: IndexedSeq[(String, String)] = Bpe.MergesIdx,
+    funcName: String = "graft_bpe")
     extends UnaryExpression with CodegenFallback {
 
+  @transient private lazy val rankOf: Map[(String, String), Int] =
+    merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "graft_bpe"
+  override def prettyName: String = funcName
 
   override def nullSafeEval(input: Any): Any = {
     val word = input.asInstanceOf[UTF8String].toString
-    new GenericArrayData(Bpe.encode(word).map(UTF8String.fromString(_): Any))
+    new GenericArrayData(
+      Bpe.encodeWith(word, merges, rankOf).map(UTF8String.fromString(_): Any))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

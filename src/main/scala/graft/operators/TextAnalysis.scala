@@ -182,6 +182,134 @@ SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_toks)::BIGINT AS n_bpe_tokens,
 FROM fin GROUP BY doc_id"""
   }
 
+  // ---- L33t: BPE merge TRAINING (r6 — the learning half of L33) ----
+  // Sennrich et al. 2016's training loop: from the corpus word-type
+  // table (word, freq), repeatedly (1) count every adjacent token pair
+  // across types weighted by type frequency, (2) pick the most
+  // frequent pair (ties: lhs asc, rhs asc — a total order, both
+  // engines byte-compare [a-z] strings), (3) merge all its
+  // leftmost-nonoverlapping occurrences in every type, for a FIXED
+  // budget of rounds — the PageRank wave pattern: one bounded driver
+  // collect (the single argmax row) plus one localCheckpoint per
+  // round to cut lineage.
+  //
+  // Scale shape: training state is the word-TYPE table, never the
+  // corpus — one corpus-wide (word) aggregate up front collapses
+  // 100 TB to a vocab-bounded frame, capped at `maxWordTypes` by the
+  // deterministic (freq desc, word asc) order so the state is bounded
+  // BY CONTRACT (the cap is the training-set definition, mirrored in
+  // the oracle bit-for-bit). Each round is one pair-count aggregate
+  // over that small frame + a map-only two-pass replace (the same
+  // provably-leftmost merge machinery as Bpe.encode's oracle).
+  // The oracle replays the identical recurrence as a FIXED UNROLL of
+  // chained CTEs (p_k -> b_k -> s_k), not recursion — a global argmax
+  // per round is an aggregate over the previous iterate, which
+  // recursive SQL disallows; the unroll IS the fixed budget.
+  private val BpeTrainRounds = 16
+  private val BpeTrainTypeCap = 4096
+
+  def bpeTrain(documents: DataFrame, nMerges: Int = BpeTrainRounds,
+      maxWordTypes: Int = BpeTrainTypeCap): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val types = documents
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(maxWordTypes)
+    var state = types
+      .select(array_join(
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"),
+        "|").as("s"), col("freq"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      // Spark's sequence(1, n) counts DOWN for n < 1 — guard 1-token
+      // types out before the pair explode (DuckDB's generate_series
+      // is simply empty there)
+      val top = state
+        .select(col("freq"), split(col("s"), "\\|").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((r.toLong, a, b, f))
+        val pat = lit(s"|$a|$b|"); val rep = lit(s"|$a$b|")
+        state = state.select(
+          trim(replace(replace(concat(lit("|"), col("s"), lit("|")), pat, rep), pat, rep),
+            "|").as("s"),
+          col("freq")).localCheckpoint()
+        r += 1
+      }
+    }
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
+  }
+
+  /** Unrolled replay of the same greedy recurrence: R chained
+    * (pair-count → argmax → merge) stages over the identical capped
+    * type table, two-pass replace and all. Every stage is
+    * MATERIALIZED: s_k references s_(k-1) twice, so default CTE
+    * inlining would expand the chain 2^R-fold. */
+  val bpeTrainSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH
+w AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) t
+  GROUP BY word ORDER BY freq DESC, word LIMIT $BpeTrainTypeCap),
+s0 AS MATERIALIZED (SELECT array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), '|') AS s, freq FROM w)"""
+    for (k <- 1 to BpeTrainRounds) {
+      val p = k - 1
+      sb ++= s""",
+p$k AS (SELECT t[i] AS a, t[i+1] AS b, sum(freq)::BIGINT AS f
+  FROM (SELECT string_split(s, '|') AS t, freq FROM s$p) x,
+       unnest(generate_series(1, len(t) - 1)) AS g(i)
+  GROUP BY 1, 2),
+b$k AS MATERIALIZED (SELECT a, b, f FROM p$k ORDER BY f DESC, a, b LIMIT 1),
+s$k AS MATERIALIZED (SELECT trim(replace(replace('|' || s || '|', '|'||a||'|'||b||'|', '|'||a||b||'|'), '|'||a||'|'||b||'|', '|'||a||b||'|'), '|') AS s, freq
+  FROM s$p, b$k)"""
+    }
+    sb ++= (1 to BpeTrainRounds)
+      .map(k => s"SELECT ${k - 1}::BIGINT AS merge_rank, a AS lhs, b AS rhs, f AS pair_freq FROM b$k")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
+  /** L33 inference with a LEARNED merges table — the seam end-to-end:
+    * the table rides as expression closure state under a uniquely-
+    * named temp function (per-call model state, the TopCells
+    * pattern); everything else is bpeEncode's plan. */
+  private val bpeWithCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  def bpeEncodeWith(documents: DataFrame,
+      merges: IndexedSeq[(String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    val name = s"graft_bpe_with_${bpeWithCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.BpeEncode(exprs.head, merges, name), "built-in")
+    val words = documents
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+      .toDF("doc_id", "wi", "word")
+    words
+      .select(col("doc_id"), col("wi"), call_function(name, col("word")).as("toks"))
+      .select(col("doc_id"), col("wi"),
+        size(col("toks")).cast("long").as("n_toks"),
+        array_join(col("toks"), "|").as("enc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_bpe_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("wi"), col("enc")))),
+          x => x.getField("enc")), " ")).as("bpe_md5"))
+  }
+
   // ---- L35: top-V vocabulary construction (tokenizer-training shape) ----
   // The frequency-ranked vocab every tokenizer/embedding-table build
   // starts from: corpus-wide token counts (stopwords INCLUDED — a

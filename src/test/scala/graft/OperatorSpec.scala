@@ -189,6 +189,56 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain learns greedy-frequency merges that feed the encode seam (L33t)") {
+    import graft.operators.TextAnalysis
+    val learned = TextAnalysis.bpeTrain(documents).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(learned.length == 16, s"expected the full 16-round budget, got ${learned.length}")
+    // rank 0 must be the globally most frequent character pair —
+    // independently recomputable from raw text
+    val charPairs = documents.select(col("text")).collect()
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(0).toLowerCase))
+      .flatMap(w => w.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val top = charPairs.toSeq.sortBy { case (p, f) => (-f, p) }.head
+    assert((learned(0)._2 + learned(0)._3, learned(0)._4) == (top._1, top._2),
+      s"rank-0 merge ${learned(0)} != corpus-wide best char pair $top")
+    // frequencies never increase along ranks WITHIN the char-only
+    // prefix is not guaranteed (merged tokens unlock new pairs), but
+    // every recorded pair_freq must be positive and the pairs distinct
+    assert(learned.forall(_._4 > 0))
+    assert(learned.map(t => (t._2, t._3)).distinct.length == learned.length)
+    // determinism across physical layout
+    val rep = TextAnalysis.bpeTrain(documents.repartition(13)).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(learned.toSeq == rep.toSeq, "training is layout-dependent")
+    // the seam: the learned table drops into the same encode plan, and
+    // the output is a true greedy fixpoint — no adjacent token pair in
+    // any encoded word is still mergeable under the learned table
+    val mergesIdx = learned.map(t => (t._2, t._3)).toIndexedSeq
+    val mergeSet = mergesIdx.toSet
+    val enc = TextAnalysis.bpeEncodeWith(documents, mergesIdx)
+      .select("doc_id", "n_bpe_tokens", "bpe_md5").collect()
+    assert(enc.length == documents.count())
+    val encodedWords = documents.limit(50).select(col("text")).collect()
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(0).toLowerCase).take(20))
+      .map(w => graft.functions.Bpe.encodeWith(w, mergesIdx,
+        mergesIdx.zipWithIndex.map { case (p, i) => p -> i }.toMap))
+    encodedWords.foreach { toks =>
+      toks.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(!mergeSet.contains((a, b)),
+          s"not a fixpoint: adjacent ($a,$b) still mergeable in ${toks.mkString("|")}")
+      }
+    }
+    // learned merges compress: fewer tokens than characters
+    val chars = documents.select(sum(length(regexp_replace(lower(col("text")), "[^a-z]", ""))))
+      .head().getLong(0)
+    val bpeToks = enc.map(_.getLong(1)).sum
+    assert(bpeToks < chars, s"no compression: $bpeToks tokens vs $chars chars")
+  }
+
   test("interval join matches the naive BETWEEN join and stays an equi hash join (C26)") {
     val orders = Tables.load(spark, sf, "orders")
     val lineitem = Tables.load(spark, sf, "lineitem")
