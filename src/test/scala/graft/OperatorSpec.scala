@@ -189,6 +189,44 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("html extraction is byte-exact under adversarial markup (L55)") {
+    import graft.operators.{Html, TextAnalysis}
+    // fixtures the corpus can't provide: entity chars, a literal <p>
+    // block INSIDE the content (must survive escaped), empty text,
+    // exact multi-block chunking
+    val fixture = Seq(
+      (1L, "a < b & c > d && x <p>not a block</p> done"),
+      (2L, ""),
+      (3L, "plain text only"),
+      (4L, "x" * 200)).toDF("doc_id", "text")
+    val out = Html.htmlExtract(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out.values.forall(_._3), s"roundtrip broken: $out")
+    assert(out(1L)._1 == "Doc 1")
+    assert(out(2L)._2 == 1L, "empty text still one (empty) block")
+    assert(out(4L)._2 == 3L, "200 chars -> 3 blocks of 80")
+    val ext = Html.extractText(Html.asHtml(fixture))
+      .select("doc_id", "extracted").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // boilerplate <p> bodies (script string, nav menu, footer) never leak
+    ext.values.foreach { t =>
+      assert(!t.contains("BOILERPLATE") && !t.contains("Home | About")
+        && !t.contains("Copyright"), s"boilerplate leaked: $t")
+    }
+    // and the content's own literal markup round-trips through the
+    // escape/unescape pair byte-for-byte
+    assert(ext(1L) == "a < b & c > d && x <p>not a block</p> done")
+    // composes in front of L9: quality on extracted text == quality on
+    // the source (the crawl-pipeline ordering the verdict asked for)
+    val viaHtml = TextAnalysis.quality(
+      Html.extractText(Html.asHtml(fixture)).where(length(col("extracted")) > 0)
+        .select(col("doc_id"), col("extracted").as("text"))).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val direct = TextAnalysis.quality(fixture.where(length(col("text")) > 0)).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaHtml == direct, s"$viaHtml vs $direct")
+  }
+
   test("bpeTrain learns greedy-frequency merges that feed the encode seam (L33t)") {
     import graft.operators.TextAnalysis
     val learned = TextAnalysis.bpeTrain(documents).collect()
