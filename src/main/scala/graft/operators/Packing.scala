@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for LLM training batches (SURVEY §2.3 L27).
@@ -19,23 +19,28 @@ import org.apache.spark.sql.functions._
   * [[graft.traffic.SlidingScan]]. Shard count scales with the cluster;
   * state per shard is two longs (current bin, current fill); one
   * exchange of (shard, doc_id, tok) triples total.
+  *
+  * Two budget meters: [[packSequences]] uses the whitespace proxy
+  * (cheap, split-only); [[packSequencesBpe]] (r6) budgets by REAL BPE
+  * token counts — L33's `graft_bpe` inference riding the same select,
+  * so the count a training batch actually pays is the count the bins
+  * are sized by. The packing recurrence is shared; only the `tok`
+  * column differs.
   */
 object Packing {
 
   private val DefaultBudget = 256L
   private val DefaultShards = 32
 
-  /** (shard, doc_id, tok, bin, fill): bin = next-fit bin index within
-    * the shard, fill = bin occupancy AFTER placing this doc. */
-  def packSequences(documents: DataFrame, budget: Long = DefaultBudget,
-      shards: Int = DefaultShards): DataFrame = {
-    val spark = documents.sparkSession
+  /** BPE budget — sized from the corpus (median ~250 alpha chars/doc
+    * pre-merge → ~5 docs/bin), mirrored in the oracle. */
+  private val BpeBudget = 1024L
+
+  /** The shared next-fit core over (shard, doc_id, tok). */
+  private def nextFit(toks: DataFrame, budget: Long): DataFrame = {
+    val spark = toks.sparkSession
     import spark.implicits._
-    documents
-      .select(
-        pmod(col("doc_id"), lit(shards)).cast("int").as("shard"),
-        col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("tok"))
+    toks
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .as[(Int, Long, Long)]
@@ -55,6 +60,46 @@ object Packing {
       .toDF("shard", "doc_id", "tok", "bin", "fill")
   }
 
+  private def sharded(documents: DataFrame, tok: Column, shards: Int): DataFrame =
+    documents.select(
+      pmod(col("doc_id"), lit(shards)).cast("int").as("shard"),
+      col("doc_id"),
+      tok.cast("long").as("tok"))
+
+  /** (shard, doc_id, tok, bin, fill): bin = next-fit bin index within
+    * the shard, fill = bin occupancy AFTER placing this doc. */
+  def packSequences(documents: DataFrame, budget: Long = DefaultBudget,
+      shards: Int = DefaultShards): DataFrame =
+    nextFit(sharded(documents, size(split(col("text"), " ")), shards), budget)
+
+  /** Token-exact twin (r6): the SAME next-fit recurrence, budgeted by
+    * the real BPE token count — Σ over [a-z]+ words of
+    * len(graft_bpe(word)). The count rides the scan as one map-only
+    * aggregate-of-transform (no explode, no per-word shuffle: the
+    * lambda only touches its own element, so evaluation is linear),
+    * then the one (shard) exchange is identical to L27. Docs with no
+    * [a-z]+ word pack as tok=0. */
+  def packSequencesBpe(documents: DataFrame, budget: Long = BpeBudget,
+      shards: Int = DefaultShards): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val bpeTok = expr(
+      """aggregate(
+        |  transform(regexp_extract_all(lower(text), '[a-z]+', 0),
+        |            w -> size(graft_bpe(w))),
+        |  0L, (acc, x) -> acc + x)""".stripMargin)
+    nextFit(sharded(documents, bpeTok, shards), budget)
+  }
+
+  private def packCtes(toksCte: String, budget: Long): String =
+    s"""pack AS (
+  SELECT shard, rn, doc_id, tok, 0::BIGINT AS bin, tok AS fill FROM $toksCte WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.tok,
+         CASE WHEN p.fill + t.tok <= $budget THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + t.tok <= $budget THEN p.fill + t.tok ELSE t.tok END
+  FROM pack p JOIN $toksCte t ON t.shard = p.shard AND t.rn = p.rn + 1)
+SELECT shard, doc_id, tok, bin, fill FROM pack"""
+
   /** Recursive-CTE mirror: one recursion step per doc per shard, same
     * next-fit recurrence. */
   val packSequencesSql: String =
@@ -63,12 +108,19 @@ object Packing {
          len(string_split(text, ' '))::BIGINT AS tok,
          row_number() OVER (PARTITION BY doc_id % $DefaultShards ORDER BY doc_id) AS rn
   FROM documents),
-pack AS (
-  SELECT shard, rn, doc_id, tok, 0::BIGINT AS bin, tok AS fill FROM toks WHERE rn = 1
-  UNION ALL
-  SELECT t.shard, t.rn, t.doc_id, t.tok,
-         CASE WHEN p.fill + t.tok <= $DefaultBudget THEN p.bin ELSE p.bin + 1 END,
-         CASE WHEN p.fill + t.tok <= $DefaultBudget THEN p.fill + t.tok ELSE t.tok END
-  FROM pack p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1)
-SELECT shard, doc_id, tok, bin, fill FROM pack"""
+${packCtes("toks", DefaultBudget)}"""
+
+  /** BPE-twin mirror: per-doc counts from the SAME greedy-merge replay
+    * as bpeEncodeSql (TextAnalysis.bpeFinCtes), then the identical
+    * packing recursion. LEFT JOIN keeps wordless docs at tok 0. */
+  val packSequencesBpeSql: String =
+    s"""WITH RECURSIVE
+${TextAnalysis.bpeFinCtes},
+btoks AS (
+  SELECT d.doc_id, (d.doc_id % $DefaultShards)::INT AS shard,
+         coalesce(sum(f.n_toks), 0)::BIGINT AS tok,
+         row_number() OVER (PARTITION BY d.doc_id % $DefaultShards ORDER BY d.doc_id) AS rn
+  FROM documents d LEFT JOIN fin f USING (doc_id)
+  GROUP BY d.doc_id),
+${packCtes("btoks", BpeBudget)}"""
 }

@@ -143,7 +143,11 @@ FROM documents"""
           x => x.getField("enc")), " ")).as("bpe_md5"))
   }
 
-  val bpeEncodeSql: String = {
+  /** Shared WITH-RECURSIVE body replaying graft_bpe's greedy loop per
+    * (doc, word): `fin` holds (doc_id, wi, e, n_toks). Reused by
+    * [[bpeEncodeSql]] and Packing.packSequencesBpeSql (L27's
+    * token-exact twin budgets by these counts). */
+  private[operators] val bpeFinCtes: String = {
     import graft.functions.Bpe.Merges
     // CASE arms generated from the SAME Scala merges table
     def pairRank(a: String, b: String): String = Merges.zipWithIndex.map {
@@ -157,8 +161,7 @@ FROM documents"""
     }.mkString("CASE best ", " ", " END")
     val bestExpr =
       s"list_min(list_transform(generate_series(1, len(toks) - 1), i -> ${pairRank("toks[i]", "toks[i+1]")}))"
-    s"""WITH RECURSIVE
-wd AS (SELECT doc_id, i AS wi, ws[i] AS word
+    s"""wd AS (SELECT doc_id, i AS wi, ws[i] AS word
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
        unnest(generate_series(1, len(ws))) AS g(i)),
 init AS (SELECT doc_id, wi,
@@ -176,11 +179,15 @@ enc AS (
     FROM (SELECT doc_id, wi, toks, $bestExpr AS best FROM enc) b
     WHERE best IS NOT NULL) m),
 fin AS (SELECT doc_id, wi, array_to_string(toks, '|') AS e, len(toks) AS n_toks
-  FROM enc WHERE $bestExpr IS NULL)
+  FROM enc WHERE $bestExpr IS NULL)"""
+  }
+
+  val bpeEncodeSql: String =
+    s"""WITH RECURSIVE
+$bpeFinCtes
 SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_toks)::BIGINT AS n_bpe_tokens,
   md5(string_agg(e, ' ' ORDER BY wi)) AS bpe_md5
 FROM fin GROUP BY doc_id"""
-  }
 
   // ---- L33t: BPE merge TRAINING (r6 — the learning half of L33) ----
   // Sennrich et al. 2016's training loop: from the corpus word-type

@@ -45,6 +45,47 @@ class PackingSpec extends SparkSpec {
       Seq((0L, 10L), (1L, 100L), (2L, 10L), (2L, 20L)))
   }
 
+  test("packSequencesBpe: bins budgeted by real BPE counts, wordless and oversize docs handled") {
+    import graft.functions.Bpe
+    // fixtures the corpus can't provide: a wordless doc (tok must be
+    // 0, not a dropped row), an oversize-vs-budget doc, and texts
+    // whose BPE count differs sharply from the whitespace count
+    val docs = Seq(
+      (0L, "the theatre, rendered 42 times!"),  // merges bite hard
+      (1L, "123 456 --- !!!"),                  // no [a-z]+ word: tok 0
+      (2L, Seq.fill(30)("zq").mkString(" ")),   // 60 unmergeable tokens
+      (3L, "and another thing")
+    ).toDF("doc_id", "text")
+    val budget = 24L
+    val got = Packing.packSequencesBpe(docs, budget = budget, shards = 1)
+      .select("doc_id", "tok", "bin", "fill").as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // composition: tok per doc is EXACTLY Σ len(Bpe.encode(word))
+    val expTok = Seq(
+      "the theatre rendered times", "", Seq.fill(30)("zq").mkString(" "),
+      "and another thing").map(_.split(" ").filter(_.nonEmpty)
+        .map(w => Bpe.encode(w.toLowerCase).length.toLong).sum)
+    assert(got.map(_._2).toSeq == expTok, s"got ${got.toSeq} want $expTok")
+    // and the next-fit replay over those counts: doc0 fits bin0,
+    // doc1 (tok 0) joins it for free, doc2 (60 > 24) overflows to its
+    // own bin, doc3 opens bin2
+    var bin = 0L; var fill = got(0)._2; var exp = List((0L, fill))
+    got.drop(1).foreach { case (_, tok, _, _) =>
+      if (fill + tok <= budget) fill += tok else { bin += 1; fill = tok }
+      exp = (bin, fill) :: exp
+    }
+    assert(got.map(r => (r._3, r._4)).toSeq == exp.reverse)
+    assert(got(1)._2 == 0L, "wordless doc must pack at tok 0")
+    assert(got(2)._4 > budget && got(2)._3 != got(3)._3,
+      "oversize doc sits alone over budget; the next doc opens a new bin")
+    // corpus-level composition: tok == bpeEncode's n_bpe_tokens for
+    // every doc that has words (the twin meters EXACTLY what L33 pays)
+    val meter = Packing.packSequencesBpe(documents).select("doc_id", "tok")
+    val paid = TextAnalysis.bpeEncode(documents).select(col("doc_id"), col("n_bpe_tokens"))
+    assert(meter.join(paid, "doc_id")
+      .where(col("tok") =!= col("n_bpe_tokens")).count() == 0)
+  }
+
   test("chunkDedup: first occurrence wins, shared and whole-doc dups drop") {
     def words(p: String) = (1 to 10).map(p + _).mkString(" ")
     val (a, b, c) = (words("a"), words("b"), words("c"))
