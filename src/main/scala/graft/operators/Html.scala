@@ -69,12 +69,15 @@ object Html {
     * crawl pipeline composes in front of L9 quality / L20 curation. */
   def extractText(html: DataFrame, htmlCol: String = "html",
       keep: Seq[String] = Nil): DataFrame = {
+    // tags may carry attributes (`<p class="x">`, `<script type=…>`)
+    // — `(?:\s[^>]*)?` accepts them without touching `<pre>`-style
+    // distinct tag names; RE2-safe, identical in DuckDB
     val stripped = Containers.foldLeft(col(htmlCol)) { (acc, t) =>
-      regexp_replace(acc, s"(?s)<$t>.*?</$t>", "")
+      regexp_replace(acc, s"(?s)<$t(?:\\s[^>]*)?>.*?</$t>", "")
     }
     html.select(col("doc_id") +: keep.map(col) :+
         regexp_extract(col(htmlCol), "<title>(.*?)</title>", 1).as("title") :+
-        regexp_extract_all(stripped, lit("(?s)<p>(.*?)</p>"), lit(1)).as("blocks"): _*)
+        regexp_extract_all(stripped, lit("(?s)<p(?:\\s[^>]*)?>(.*?)</p>"), lit(1)).as("blocks"): _*)
       .select(col("doc_id") +: keep.map(col) :+ col("title") :+
         size(col("blocks")).cast("long").as("n_blocks") :+
         array_join(transform(col("blocks"), b => unesc(b)), "").as("extracted"): _*)
@@ -93,7 +96,7 @@ object Html {
     val escSql =
       "replace(replace(replace(substr(text, i * 80 + 1, 80), '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
     val strippedSql = Containers.foldLeft("html") { (acc, t) =>
-      s"regexp_replace($acc, '(?s)<$t>.*?</$t>', '', 'g')"
+      s"regexp_replace($acc, '(?s)<$t(?:\\s[^>]*)?>.*?</$t>', '', 'g')"
     }
     s"""WITH g AS (
   SELECT doc_id, text,
@@ -114,7 +117,7 @@ object Html {
 x AS (
   SELECT doc_id, text,
     regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
-    regexp_extract_all($strippedSql, '(?s)<p>(.*?)</p>', 1) AS blocks
+    regexp_extract_all($strippedSql, '(?s)<p(?:\\s[^>]*)?>(.*?)</p>', 1) AS blocks
   FROM g),
 e AS (
   SELECT doc_id, text, title, len(blocks)::BIGINT AS n_blocks,

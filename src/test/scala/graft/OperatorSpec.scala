@@ -216,6 +216,18 @@ class OperatorSpec extends SparkSpec {
     // and the content's own literal markup round-trips through the
     // escape/unescape pair byte-for-byte
     assert(ext(1L) == "a < b & c > d && x <p>not a block</p> done")
+    // real crawl markup carries attributes: containers and <p> tags
+    // with attributes must strip/extract the same as bare ones
+    val wild = Seq((9L,
+      """<html><head><title>t</title><script type="text/javascript" async>junk()</script>
+        |</head><body><nav role="nav"><p class="m">MENU</p></nav>
+        |<p class="lead" id="p1">first</p><p>second</p>
+        |<footer data-x="1"><p>FOOT</p></footer></body></html>""".stripMargin))
+      .toDF("doc_id", "html")
+    val w = Html.extractText(wild).select("extracted", "n_blocks")
+      .head()
+    assert(w.getString(0) == "firstsecond" && w.getLong(1) == 2L,
+      s"attributed markup mishandled: $w")
     // composes in front of L9: quality on extracted text == quality on
     // the source (the crawl-pipeline ordering the verdict asked for)
     val viaHtml = TextAnalysis.quality(
