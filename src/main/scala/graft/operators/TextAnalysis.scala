@@ -57,6 +57,21 @@ SELECT *, CASE $pred ELSE 'und' END AS pred_lang FROM scored"""
   // ---- L9: quality scoring ----
   // length/punct/digit/stopword ratios + a length bonus, rounded to 6
   // decimals (both engines compute the identical doubles first).
+  /** The composite quality score as a reusable column — shared by
+    * [[quality]] and the L56 NB trainer's weak labels. */
+  private def qualityScoreCol: Column = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val digits = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    val stops = hitCount(toks, stopwords.head._2).cast("double")
+    val nToks = size(toks).cast("double")
+    round(stops / nToks - punct / nChars - digits / nChars +
+      least(nChars / lit(500.0), lit(1.0)) * 0.2, 6)
+  }
+
   def quality(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nChars = length(col("text")).cast("double")
@@ -72,8 +87,7 @@ SELECT *, CASE $pred ELSE 'und' END AS pred_lang FROM scored"""
       round(punct / nChars, 6).as("punct_ratio"),
       round(digits / nChars, 6).as("digit_ratio"),
       round(stops / nToks, 6).as("stopword_ratio"),
-      round(stops / nToks - punct / nChars - digits / nChars +
-        least(nChars / lit(500.0), lit(1.0)) * 0.2, 6).as("quality_score"))
+      qualityScoreCol.as("quality_score"))
   }
 
   val qualitySql: String = {
@@ -860,6 +874,143 @@ FROM (
   FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents)
   WHERE length(t) > 0)
 GROUP BY doc_id"""
+
+  // ---- L56 (r6): Naive Bayes classifier TRAINING (learning half of
+  // L31, the bpeTrain→bpeEncode symmetry applied to quality filtering)
+  // ----
+  // L31 is inference for a linear bag-of-words filter with a
+  // hash-derived weight table; this LEARNS the table. Multinomial NB
+  // with add-α smoothing is the countable member of the linear-filter
+  // family: per-token log-odds ARE linear weights, and training is
+  // nothing but two aggregations — per-(token, class) occurrence
+  // counts and class totals. Weak labels come from the L9 heuristic
+  // (quality_score > 0.2, the classic bootstrap: heuristic labels →
+  // generalizing model); the train/test split is doc_id % 5.
+  //
+  // Cross-engine exactness: every ln input derives from exact BIGINT
+  // counts (c+α over N+αV with α=0.5 — halves are exact doubles), so
+  // both engines compute identical doubles (tfidf/lm precedent),
+  // round(.,6). Classification sums the rounded weights as
+  // decimal(18,6) — order-independent, exact.
+  //
+  // Scale shape: labeling is map-only (the L9 expression fused into
+  // the scan); training is ONE vocab-bounded (token) shuffle + a
+  // single-row totals broadcast; the model is a vocab-sized table —
+  // broadcast, the tokenizer-swap seam of L31 made real (swap this
+  // for fasttext weights and nothing else changes). Classification:
+  // broadcast join + one (doc) shuffle of decimal partials.
+  private val NbAlpha = 0.5
+  private val NbCut = 0.2
+  private val NbBiasTok = "<bias>"
+
+  /** (doc_id, y, t) token stream with the weak label computed ONCE
+    * per doc: the single-element explode is a Generate barrier (the
+    * extractLanes pattern) — without it Catalyst delays the label
+    * projection past the token explode and the O(|doc|) score
+    * expression runs per TOKEN, O(|doc|²) per doc (measured 12.7 s
+    * vs ~2 s at sf0.1). */
+  private def labeledTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array(struct((qualityScoreCol > NbCut).cast("long").as("y"),
+          tokens(col("text")).as("toks")))).as("s"))
+      .select(col("doc_id"), col("s.y").as("y"), explode(col("s.toks")).as("t"))
+      .where(length(col("t")) > 0)
+
+  /** (token, c_pos, c_neg, w): per-token smoothed log-odds learned on
+    * the train split, plus one `<bias>` row carrying the class prior
+    * (c_pos/c_neg = doc counts there). */
+  def nbTrain(documents: DataFrame): DataFrame = {
+    val train = documents.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val toks = labeledTokens(train)
+    val counts = toks.groupBy(col("t"))
+      .agg(sum(col("y")).as("c_pos"), sum(lit(1) - col("y")).as("c_neg"))
+    val totals = counts.agg(sum(col("c_pos")).as("n_pos"),
+      sum(col("c_neg")).as("n_neg"), count(lit(1)).as("v"))
+    val w = round(
+      log((col("c_pos") + NbAlpha) / (col("n_pos") + col("v") * NbAlpha)) -
+        log((col("c_neg") + NbAlpha) / (col("n_neg") + col("v") * NbAlpha)), 6)
+    val tokenRows = counts.crossJoin(broadcast(totals))
+      .select(col("t").as("token"), col("c_pos"), col("c_neg"), w.as("w"))
+    val biasRow = train
+      .agg(sum((qualityScoreCol > NbCut).cast("long")).as("d_pos"),
+        count(lit(1)).as("d_all"))
+      .select(lit(NbBiasTok).as("token"), col("d_pos").as("c_pos"),
+        (col("d_all") - col("d_pos")).as("c_neg"),
+        round(log(col("d_pos").cast("double") / (col("d_all") - col("d_pos"))), 6).as("w"))
+    tokenRows.unionAll(biasRow)
+  }
+
+  /** Score the held-out split with a learned weight table (defaults to
+    * [[nbTrain]] on the same corpus — train on 80%, generalize to the
+    * 20% the model never saw). Unseen tokens score 0 (they cancel in
+    * the log-odds view). */
+  def nbClassify(documents: DataFrame, weights: Option[DataFrame] = None): DataFrame = {
+    // the model is vocab-sized — materialize it once (localCheckpoint,
+    // the bpeTrain precedent) so its two consumers below don't each
+    // replay the whole training pipeline
+    val model = weights.getOrElse(nbTrain(documents).localCheckpoint())
+    val tw = model.where(col("token") =!= NbBiasTok)
+      .select(col("token").as("t"), col("w"))
+    val biasDf = model.where(col("token") === NbBiasTok).select(col("w").as("bias"))
+    val logit = col("wsum").cast("double") + col("bias")
+    labeledTokens(documents.where(pmod(col("doc_id"), lit(5)) === 0))
+      .withColumnRenamed("y", "label")
+      .join(broadcast(tw), Seq("t"), "left")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(coalesce(col("w"), lit(0.0)).cast("decimal(18,6)")).as("wsum"),
+        count(lit(1)).as("n_tokens"))
+      .crossJoin(broadcast(biasDf))
+      .select(col("doc_id"), col("n_tokens"), round(logit, 6).as("logit"),
+        (logit > 0).cast("long").as("pred_keep"), col("label"),
+        ((logit > 0).cast("long") === col("label")).cast("long").as("correct"))
+  }
+
+  private val nbTrainCtes: String = {
+    val lst = stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""qs AS (SELECT doc_id, text,
+  round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> list_contains($lst, t)))::DOUBLE
+          / len(string_split_regex(lower(text), '\\s+'))
+        - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)
+        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+        + least(length(text)::DOUBLE / 500.0, 1.0) * 0.2, 6) AS q
+  FROM documents),
+lab AS (SELECT doc_id, (q > $NbCut)::BIGINT AS y, text FROM qs WHERE doc_id % 5 <> 0),
+tok AS (SELECT doc_id, y, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM lab),
+cnt AS (SELECT t, sum(y)::BIGINT AS c_pos, sum(1 - y)::BIGINT AS c_neg
+  FROM tok WHERE length(t) > 0 GROUP BY t),
+tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg, count(*) AS v FROM cnt),
+dt AS (SELECT sum(y)::BIGINT AS d_pos, count(*)::BIGINT AS d_all FROM lab),
+model AS (
+  SELECT t AS token, c_pos, c_neg,
+    round(ln((c_pos + $NbAlpha) / (n_pos + $NbAlpha * v))
+        - ln((c_neg + $NbAlpha) / (n_neg + $NbAlpha * v)), 6) AS w
+  FROM cnt CROSS JOIN tot
+  UNION ALL
+  SELECT '$NbBiasTok', d_pos, (d_all - d_pos)::BIGINT,
+    round(ln(d_pos::DOUBLE / (d_all - d_pos)), 6) FROM dt)"""
+  }
+
+  val nbTrainSql: String =
+    s"""WITH $nbTrainCtes
+SELECT token, c_pos, c_neg, w FROM model"""
+
+  val nbClassifySql: String =
+    s"""WITH $nbTrainCtes,
+test AS (SELECT doc_id, (q > $NbCut)::BIGINT AS label, text FROM qs WHERE doc_id % 5 = 0),
+ttok AS (SELECT doc_id, label, unnest(string_split_regex(lower(text), '\\s+')) AS t
+  FROM test),
+agg AS (
+  SELECT doc_id, label,
+    sum(coalesce(m.w, 0.0)::DECIMAL(18,6)) AS wsum, count(*)::BIGINT AS n_tokens
+  FROM (SELECT * FROM ttok WHERE length(t) > 0) x
+  LEFT JOIN (SELECT token, w FROM model WHERE token <> '$NbBiasTok') m ON m.token = x.t
+  GROUP BY doc_id, label)
+SELECT doc_id, n_tokens,
+  round(wsum::DOUBLE + b.w, 6) AS logit,
+  (wsum::DOUBLE + b.w > 0)::BIGINT AS pred_keep, label,
+  ((wsum::DOUBLE + b.w > 0)::BIGINT = label)::BIGINT AS correct
+FROM agg CROSS JOIN (SELECT w FROM model WHERE token = '$NbBiasTok') b"""
 
   // ---- L26: text normalization (case fold, control strip, whitespace
   // collapse) ----

@@ -239,6 +239,48 @@ class OperatorSpec extends SparkSpec {
     assert(viaHtml == direct, s"$viaHtml vs $direct")
   }
 
+  test("nbTrain learns signed token evidence; nbClassify generalizes held-out (L56)") {
+    import graft.operators.TextAnalysis
+    // planted signal: 'zzgood' appears only in heuristic-high docs
+    // (stopword-rich, clean), 'zzbad' only in heuristic-low docs
+    // (digit/punct-heavy) — the learned log-odds must recover the sign
+    val good = "the the the the the zzgood"
+    val bad = "111. 222. 333. zzbad 444. 555."
+    val docs = (Seq(0L, 10L).map(id => (id, good)) ++ Seq(5L, 20L).map(id => (id, bad)) ++
+      (1L to 9L).filterNot(_ == 5L).map(id => (id, if (id % 2 == 0) good else bad)))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.nbTrain(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(model("zzgood")._3 > 0 && model("zzbad")._3 < 0,
+      s"planted signal not recovered: $model")
+    assert(model("zzgood")._2 == 0 && model("zzbad")._1 == 0,
+      "planted tokens must be class-pure in the train counts")
+    assert(model.contains("<bias>") && model.size ==
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(explode(split(lower(col("text")), "\\s+"))).distinct().count() + 1,
+      "one weight row per train token plus the bias row")
+    // logit exactness: the scored held-out docs reproduce bias + Σw(t)
+    // from the collected model (decimal-sum path has no drift)
+    val scored = TextAnalysis.nbClassify(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3), r.getLong(5))).toMap
+    val bias = model("<bias>")._3
+    Seq(0L -> good, 10L -> good, 5L -> bad, 20L -> bad).foreach { case (id, text) =>
+      val exp = bias + text.split("\\s+").map(t => model.get(t).map(_._3).getOrElse(0.0)).sum
+      assert(math.abs(scored(id)._1 - exp) < 1e-6, s"doc $id logit ${scored(id)._1} != $exp")
+    }
+    // the planted test docs classify correctly
+    assert(scored(0L)._2 == 1 && scored(10L)._2 == 1 &&
+      scored(5L)._2 == 0 && scored(20L)._2 == 0)
+    // corpus: held-out accuracy beats the majority class — the model
+    // GENERALIZES the heuristic rather than memorizing it
+    val out = TextAnalysis.nbClassify(documents)
+      .agg(avg(col("correct")).as("acc"), avg(col("label")).as("pos"))
+      .head()
+    val (acc, pos) = (out.getDouble(0), out.getDouble(1))
+    assert(acc > math.max(pos, 1 - pos),
+      s"held-out accuracy $acc does not beat majority ${math.max(pos, 1 - pos)}")
+  }
+
   test("bpeTrain learns greedy-frequency merges that feed the encode seam (L33t)") {
     import graft.operators.TextAnalysis
     val learned = TextAnalysis.bpeTrain(documents).collect()
@@ -554,7 +596,9 @@ class OperatorSpec extends SparkSpec {
       "q_source_mixture" -> "crossJoin(broadcast(single-row totals))",
       "q_contamination_bloom" -> "crossJoin(broadcast(single-row 16 KB bloom bit array))",
       "q_hll_rolling" -> "day-range join over the POST-AGGREGATE daily sketch frame — calendar-bounded (365 rows/yr), never the raw events",
-      "q_pmi" -> "crossJoin(broadcast(single-row token-count total)) — the tfidf/lm_score pattern")
+      "q_pmi" -> "crossJoin(broadcast(single-row token-count total)) — the tfidf/lm_score pattern",
+      "q_nb_train" -> "crossJoin(broadcast(single-row class totals)) — the tfidf/lm_score pattern",
+      "q_nb_score" -> "crossJoin(broadcast(single-row bias from the checkpointed vocab-sized model))")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
