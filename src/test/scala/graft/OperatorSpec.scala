@@ -239,6 +239,41 @@ class OperatorSpec extends SparkSpec {
     assert(viaHtml == direct, s"$viaHtml vs $direct")
   }
 
+  test("url canonicalization collapses the fetch space, preserves meaning (L57)") {
+    import graft.operators.Urls
+    val cases = Seq(
+      // default ports drop, both schemes, with and without a path
+      "https://Host.COM:443/x" -> "https://host.com/x",
+      "http://host.com:80" -> "http://host.com",
+      "http://host.com:8080/x" -> "http://host.com:8080/x", // non-default kept
+      // case: host folds, path/query case is SIGNIFICANT
+      "HTTP://WWW.Host.com/CaseSensitive?Q=Up" -> "http://host.com/CaseSensitive?Q=Up",
+      // fragment drops; root slash survives; deep trailing slash drops
+      "http://h.com/a/b/#frag" -> "http://h.com/a/b",
+      "http://h.com/" -> "http://h.com/",
+      // tracking-only query drops the '?'; survivors sort bytewise
+      "http://h.com/p?utm_source=x&utm_medium=y" -> "http://h.com/p",
+      "http://h.com/p?z=1&a=2&fbclid=abc&gclid=g" -> "http://h.com/p?a=2&z=1",
+      // utm must match as a prefixed PARAM, not a substring of a value
+      "http://h.com/p?a=utm_source" -> "http://h.com/p?a=utm_source")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Urls.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)}, want $want")
+    }
+    // corpus: every spelling class collapses — 17 logical pages from
+    // 500 adversarial spellings, one canonical fetch each, and the
+    // blocked class is exactly the %17=13 residue
+    val out = Urls.urlDedup(documents)
+      .agg(countDistinct(col("canon_url")).as("n"),
+        sum(col("is_canonical_fetch")).as("owners"),
+        sum(col("blocked")).as("blocked")).head()
+    assert(out.getLong(0) == 17 && out.getLong(1) == 17)
+    assert(out.getLong(2) ==
+      documents.where(col("doc_id") % 17 === 13).count())
+  }
+
   test("nbTrain learns signed token evidence; nbClassify generalizes held-out (L56)") {
     import graft.operators.TextAnalysis
     // planted signal: 'zzgood' appears only in heuristic-high docs
