@@ -54,6 +54,87 @@ object Curation {
         (col("n_emails") + col("n_urls")).as("n_pii"), col("scrubbed_md5"))
   }
 
+  // ---- L58 (r6): web-corpus curation capstone ----
+  // The full crawl-shaped chain the r6 operators exist for, composed:
+  //
+  //   1. URL gate (L57)   — canonical fetch only, blocklisted domains
+  //                         out. Page identity: docs with doc_id % 10
+  //                         = 7 are refetch spellings of page id−1
+  //                         (~10% refetch rate); pages with
+  //                         page % 31 = 13 live on a blocked host.
+  //   2. HTML (L55)       — every surviving doc renders through the
+  //                         adversarial page generator and the
+  //                         EXTRACTED text feeds ALL downstream
+  //                         stages. The oracle runs on the SOURCE
+  //                         text — the hash gate therefore proves
+  //                         extraction is byte-exact INSIDE the
+  //                         composition, not just in isolation.
+  //   3. quality floor (L9) + NB keep (L56) — heuristic floor, then
+  //                         the learned filter (trained on the raw
+  //                         corpus train split, applied to ALL docs).
+  //   4. near-dup dedup (L3/L19) over the FULL corpus (same reasoning
+  //                         as L20: dedup must see dropped copies).
+  //   5. token-exact metering (L33) — survivors priced in real BPE
+  //                         tokens, the count a training batch pays.
+  //
+  // Composition stays left-semi/inner joins on doc_id — narrow id
+  // sets, the text column never re-shuffles.
+  def webPipeline(documents: DataFrame): DataFrame = {
+    val pageId = col("doc_id") -
+      when(col("doc_id") % 10 === 7, 1).otherwise(0)
+    val urlKeep = Urls.canonicalFetches(documents, pageId, pageId % 31 === 13)
+    val extracted = Html.extractText(Html.asHtml(documents))
+      .select(col("doc_id"), col("extracted").as("text"))
+    val q = TextAnalysis.quality(extracted)
+      .where(col("quality_score") >= QualityFloor)
+      .select(col("doc_id"), col("quality_score"))
+    // model trains on the raw train split (byte-equal to extracted —
+    // the L55 roundtrip — and skips one replay of the html chain);
+    // scoring runs over the EXTRACTED text
+    val nb = TextAnalysis.nbClassify(extracted,
+        weights = Some(TextAnalysis.nbTrain(documents).localCheckpoint()),
+        heldOutOnly = false)
+      .where(col("pred_keep") === 1)
+      .select(col("doc_id"), col("logit").as("nb_logit"))
+    val nearKeep = Dedup.dedupClusters(documents)
+      .where(col("keep") === 1).select(col("doc_id"))
+    val kept = documents.select(col("doc_id"))
+      .join(urlKeep, Seq("doc_id"), "left_semi")
+      .join(q, "doc_id")
+      .join(nb, "doc_id")
+      .join(nearKeep, Seq("doc_id"), "left_semi")
+    // meter AFTER filtering — the BPE walk (the chain's priciest
+    // per-byte stage) only runs on the ~30% that survives
+    val toks = TextAnalysis.bpeEncode(
+        extracted.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    kept.join(toks, "doc_id")
+  }
+
+  val webPipelineSql: String = {
+    val urlSql = Urls.urlDedupSqlFor(
+      "doc_id - CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END",
+      "(doc_id - CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) % 31 = 13")
+    // oracle stages run on the SOURCE text (see scaladoc): stage SQL
+    // reused verbatim from the member operators' own oracles
+    s"""WITH RECURSIVE uk AS (
+  SELECT doc_id FROM ($urlSql) WHERE is_canonical_fetch = 1 AND blocked = 0),
+q AS (SELECT doc_id, quality_score FROM (${TextAnalysis.qualitySql})
+  WHERE quality_score >= $QualityFloor),
+nb AS (SELECT doc_id, logit AS nb_logit FROM (${TextAnalysis.nbClassifySqlFor("TRUE")})
+  WHERE pred_keep = 1),
+cl AS (${Dedup.dedupClustersSql}),
+nk AS (SELECT doc_id FROM cl WHERE keep = 1),
+toks AS (SELECT doc_id, n_bpe_tokens FROM (${TextAnalysis.bpeEncodeSql}))
+SELECT d.doc_id, q.quality_score, nb.nb_logit, toks.n_bpe_tokens
+FROM documents d
+JOIN uk ON uk.doc_id = d.doc_id
+JOIN q ON q.doc_id = d.doc_id
+JOIN nb ON nb.doc_id = d.doc_id
+JOIN nk ON nk.doc_id = d.doc_id
+JOIN toks ON toks.doc_id = d.doc_id"""
+  }
+
   // ---- L21: benchmark contamination detection ----
   // The eval-decontamination step every training pipeline needs: flag
   // corpus docs sharing word-8-grams with a benchmark set. The

@@ -944,7 +944,8 @@ GROUP BY doc_id"""
     * [[nbTrain]] on the same corpus — train on 80%, generalize to the
     * 20% the model never saw). Unseen tokens score 0 (they cancel in
     * the log-odds view). */
-  def nbClassify(documents: DataFrame, weights: Option[DataFrame] = None): DataFrame = {
+  def nbClassify(documents: DataFrame, weights: Option[DataFrame] = None,
+      heldOutOnly: Boolean = true): DataFrame = {
     // the model is vocab-sized — materialize it once (localCheckpoint,
     // the bpeTrain precedent) so its two consumers below don't each
     // replay the whole training pipeline
@@ -953,7 +954,10 @@ GROUP BY doc_id"""
       .select(col("token").as("t"), col("w"))
     val biasDf = model.where(col("token") === NbBiasTok).select(col("w").as("bias"))
     val logit = col("wsum").cast("double") + col("bias")
-    labeledTokens(documents.where(pmod(col("doc_id"), lit(5)) === 0))
+    val scoreSet =
+      if (heldOutOnly) documents.where(pmod(col("doc_id"), lit(5)) === 0)
+      else documents
+    labeledTokens(scoreSet)
       .withColumnRenamed("y", "label")
       .join(broadcast(tw), Seq("t"), "left")
       .groupBy(col("doc_id"), col("label"))
@@ -995,9 +999,9 @@ model AS (
     s"""WITH $nbTrainCtes
 SELECT token, c_pos, c_neg, w FROM model"""
 
-  val nbClassifySql: String =
+  def nbClassifySqlFor(scoreFilter: String): String =
     s"""WITH $nbTrainCtes,
-test AS (SELECT doc_id, (q > $NbCut)::BIGINT AS label, text FROM qs WHERE doc_id % 5 = 0),
+test AS (SELECT doc_id, (q > $NbCut)::BIGINT AS label, text FROM qs WHERE $scoreFilter),
 ttok AS (SELECT doc_id, label, unnest(string_split_regex(lower(text), '\\s+')) AS t
   FROM test),
 agg AS (
@@ -1011,6 +1015,8 @@ SELECT doc_id, n_tokens,
   (wsum::DOUBLE + b.w > 0)::BIGINT AS pred_keep, label,
   ((wsum::DOUBLE + b.w > 0)::BIGINT = label)::BIGINT AS correct
 FROM agg CROSS JOIN (SELECT w FROM model WHERE token = '$NbBiasTok') b"""
+
+  val nbClassifySql: String = nbClassifySqlFor("doc_id % 5 = 0")
 
   // ---- L26: text normalization (case fold, control strip, whitespace
   // collapse) ----

@@ -41,12 +41,20 @@ object Urls {
   /** Deterministic adversarial spelling of page (doc_id % 17). */
   def asUrls(documents: DataFrame): DataFrame = {
     val k = col("doc_id") % Pages
+    asUrls(documents, k, k === 13)
+  }
+
+  /** Generator with an arbitrary page-identity column (which docs are
+    * refetches of the same logical page) and blocklist predicate —
+    * the spelling noise stays keyed to the FETCH (doc_id). */
+  def asUrls(documents: DataFrame, pageId: Column, blockedWhen: Column): DataFrame = {
+    val k = pageId
     val host = concat(
       when(col("doc_id") % 3 === 0, lit("WWW.Site")).otherwise(lit("site")),
       k.cast("string"),
       when(col("doc_id") % 11 === 0, lit(".EXAMPLE.com")).otherwise(lit(".example.com")),
-      // one residue class lands on a blocklisted host entirely
-      when(col("doc_id") % Pages === 13, lit(".spam-mill.net")).otherwise(lit("")))
+      // blocklisted pages land on a blocklisted host entirely
+      when(blockedWhen, lit(".spam-mill.net")).otherwise(lit("")))
     val port = when(col("doc_id") % 4 === 0, lit(":80")).otherwise(lit(""))
     val path = concat(lit("/articles/item"), k.cast("string"),
       when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")))
@@ -93,7 +101,12 @@ object Urls {
     * is_canonical_fetch): URL-level dedup — keep the lowest doc_id
     * per canonical URL, flag blocklisted domains. */
   def urlDedup(documents: DataFrame): DataFrame = {
-    val canon = asUrls(documents)
+    val k = col("doc_id") % Pages
+    urlDedup(documents, k, k === 13)
+  }
+
+  def urlDedup(documents: DataFrame, pageId: Column, blockedWhen: Column): DataFrame = {
+    val canon = asUrls(documents, pageId, blockedWhen)
       .select(col("doc_id"), col("url"), canonicalizeUrl(col("url")).as("canon_url"))
       .withColumn("domain", hostOf(col("canon_url")))
     val groups = canon.groupBy(col("canon_url"))
@@ -106,18 +119,20 @@ object Urls {
         (col("doc_id") === col("first_id")).cast("long").as("is_canonical_fetch"))
   }
 
-  val urlDedupSql: String = {
+  /** Oracle with the same (pageId, blockedWhen) parameters as the
+    * Spark generator — pass SQL expressions over doc_id. */
+  def urlDedupSqlFor(pageSql: String, blockedWhenSql: String): String = {
     val gen = s"""'http://'
     || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END
-    || (doc_id % $Pages)::VARCHAR
+    || ($pageSql)::VARCHAR
     || CASE WHEN doc_id % 11 = 0 THEN '.EXAMPLE.com' ELSE '.example.com' END
-    || CASE WHEN doc_id % $Pages = 13 THEN '.spam-mill.net' ELSE '' END
+    || CASE WHEN $blockedWhenSql THEN '.spam-mill.net' ELSE '' END
     || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
-    || '/articles/item' || (doc_id % $Pages)::VARCHAR
+    || '/articles/item' || ($pageSql)::VARCHAR
     || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
     || CASE WHEN doc_id % 2 = 0
-         THEN '?b=' || (doc_id % $Pages)::VARCHAR || '&utm_source=feed&a=1'
-         ELSE '?a=1&fbclid=xyz' || doc_id::VARCHAR || '&b=' || (doc_id % $Pages)::VARCHAR END
+         THEN '?b=' || ($pageSql)::VARCHAR || '&utm_source=feed&a=1'
+         ELSE '?a=1&fbclid=xyz' || doc_id::VARCHAR || '&b=' || ($pageSql)::VARCHAR END
     || CASE WHEN doc_id % 7 = 0 THEN '#sec' || doc_id::VARCHAR ELSE '' END"""
     val blockedSql = Blocked
       .map(b => s"domain LIKE '%$b'").mkString("(", " OR ", ")")
@@ -149,4 +164,19 @@ SELECT doc_id, url, canon_url, domain, $blockedSql::BIGINT AS blocked,
   group_size, first_id, (doc_id = first_id)::BIGINT AS is_canonical_fetch
 FROM cd JOIN g USING (canon_url)"""
   }
+
+  val urlDedupSql: String =
+    urlDedupSqlFor(s"doc_id % $Pages", s"doc_id % $Pages = 13")
+
+  /** Just the keep set (doc_id of each canonical, unblocked fetch) —
+    * ONE canonicalization pass + one (canon_url) aggregate, no
+    * join-back; what a pipeline stage composes (the full [[urlDedup]]
+    * report keeps per-fetch provenance instead). */
+  def canonicalFetches(documents: DataFrame, pageId: Column,
+      blockedWhen: Column): DataFrame =
+    asUrls(documents, pageId, blockedWhen)
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("canon_url"))
+      .groupBy(col("canon_url")).agg(min(col("doc_id")).as("doc_id"))
+      .where(!Blocked.map(b => hostOf(col("canon_url")).endsWith(b)).reduce(_ || _))
+      .select(col("doc_id"))
 }

@@ -274,6 +274,41 @@ class OperatorSpec extends SparkSpec {
       documents.where(col("doc_id") % 17 === 13).count())
   }
 
+  test("webPipeline: every stage gate is live and refetches never survive (L58)") {
+    import graft.operators.{Curation, Dedup, TextAnalysis, Urls}
+    val out = Curation.webPipeline(documents).cache()
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.size < documents.count(),
+      "capstone must keep a strict non-empty subset")
+    // URL gate: a refetch (doc_id % 10 = 7) respells page id-1, whose
+    // owner is always the earlier fetch — refetches can never survive;
+    // neither can blocked pages (page % 31 = 13)
+    assert(!ids.exists(_ % 10 == 7), "a refetch spelling survived the URL gate")
+    val pageOf = (id: Long) => if (id % 10 == 7) id - 1 else id
+    assert(!ids.exists(pageOf(_) % 31 == 13), "a blocklisted page survived")
+    // each downstream gate is individually live: survivors are inside
+    // every stage's keep set, and each stage excludes someone
+    val ext = graft.operators.Html.extractText(graft.operators.Html.asHtml(documents))
+      .select(col("doc_id"), col("extracted").as("text"))
+    val qKeep = TextAnalysis.quality(ext).where(col("quality_score") >= 0.15)
+      .select("doc_id").as[Long].collect().toSet
+    val nbKeep = TextAnalysis.nbClassify(ext, heldOutOnly = false)
+      .where(col("pred_keep") === 1).select("doc_id").as[Long].collect().toSet
+    val nearKeep = Dedup.dedupClusters(documents).where(col("keep") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    val urlKeep = Urls.canonicalFetches(documents,
+        col("doc_id") - when(col("doc_id") % 10 === 7, 1).otherwise(0),
+        (col("doc_id") - when(col("doc_id") % 10 === 7, 1).otherwise(0)) % 31 === 13)
+      .as[Long].collect().toSet
+    val total = documents.count()
+    Seq("url" -> urlKeep, "quality" -> qKeep, "nb" -> nbKeep, "near" -> nearKeep)
+      .foreach { case (name, keep) =>
+        assert(ids.subsetOf(keep), s"$name gate violated by survivors")
+        assert(keep.size < total, s"$name gate vacuous (drops nobody)")
+      }
+    out.unpersist()
+  }
+
   test("nbTrain learns signed token evidence; nbClassify generalizes held-out (L56)") {
     import graft.operators.TextAnalysis
     // planted signal: 'zzgood' appears only in heuristic-high docs
@@ -633,7 +668,8 @@ class OperatorSpec extends SparkSpec {
       "q_hll_rolling" -> "day-range join over the POST-AGGREGATE daily sketch frame — calendar-bounded (365 rows/yr), never the raw events",
       "q_pmi" -> "crossJoin(broadcast(single-row token-count total)) — the tfidf/lm_score pattern",
       "q_nb_train" -> "crossJoin(broadcast(single-row class totals)) — the tfidf/lm_score pattern",
-      "q_nb_score" -> "crossJoin(broadcast(single-row bias from the checkpointed vocab-sized model))")
+      "q_nb_score" -> "crossJoin(broadcast(single-row bias from the checkpointed vocab-sized model))",
+      "q_curation_web" -> "inherits q_nb_score's single-row bias crossJoin via the composed NB stage")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
