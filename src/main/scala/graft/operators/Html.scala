@@ -92,14 +92,12 @@ object Html {
         md5(col("extracted")).as("extracted_md5"),
         (col("extracted") === col("text")).as("roundtrip_exact"))
 
-  val htmlExtractSql: String = {
+  /** The asHtml generator mirrored in SQL — shared by the L55 and L59
+    * oracles (must be declared before both). */
+  private val htmlGenSql: String = {
     val escSql =
       "replace(replace(replace(substr(text, i * 80 + 1, 80), '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
-    val strippedSql = Containers.foldLeft("html") { (acc, t) =>
-      s"regexp_replace($acc, '(?s)<$t(?:\\s[^>]*)?>.*?</$t>', '', 'g')"
-    }
-    s"""WITH g AS (
-  SELECT doc_id, text,
+    s"""SELECT doc_id, text,
     '<html><head><title>Doc ' || doc_id::VARCHAR || '</title>'
     || '<style>body { margin: 0; } .ad { color: red }</style>'
     || '<script>var s = "<p>BOILERPLATE</p>"; if (1 < 2 && 3 > 1) { s = s + s; }</script>'
@@ -113,7 +111,117 @@ object Html {
     || '</div>'
     || '<footer><p>Copyright &amp; Terms</p></footer>'
     || '</body></html>' AS html
-  FROM documents),
+  FROM documents"""
+  }
+
+  // ---- L59 (r6): boilerplate BLOCK removal by document frequency ----
+  // The CCNet-style second boilerplate pass: container stripping (L55)
+  // removes nav/footer/script, but real sites repeat sidebar/promo
+  // blocks INSIDE the content area where no tag marks them. The only
+  // signal is repetition: a block whose text recurs across many
+  // documents of the same source is boilerplate, whatever tag holds
+  // it. Drop blocks with per-source document frequency >= BoilerDf
+  // (10: comfortably above the corpus's max content-chunk df of 3 and
+  // below the 25..250 docs/source the injected blocks span, at every
+  // sf).
+  //
+  // Scale shape: one (source, block-hash) aggregate with map-side
+  // partials (hot boilerplate keys collapse before the shuffle), one
+  // hash join of blocks to their df (key multiplicity bounded by
+  // docs/source), one (doc_id) reassembly aggregate ordered by block
+  // position. The df frame could broadcast at 100 TB only if filtered
+  // to df >= threshold FIRST (boilerplate is rare-distinct); the join
+  // keeps that option open.
+  private val BoilerDf = 10
+
+  /** Page generator with per-source boilerplate injected INSIDE the
+    * content div — front promo + back syndication line — exactly
+    * where container stripping cannot reach it. */
+  def asHtmlBoiler(documents: DataFrame): DataFrame = {
+    val front = concat(lit("<p>"), col("source"),
+      lit(" breaking | subscribe &amp; follow</p>"))
+    val back = concat(lit("<p>(c) "), col("source"),
+      lit(" syndication network</p>"))
+    asHtml(documents)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("text"),
+        regexp_replace(col("html"), lit("<div class=\"content\">"),
+          concat(lit("<div class=\"content\">"), front))
+          .as("html"))
+      .select(col("doc_id"), col("source"), col("text"),
+        regexp_replace(col("html"), lit("</div>"), concat(back, lit("</div>")))
+          .as("html"))
+  }
+
+  /** (doc_id, n_blocks, n_kept, kept_md5, roundtrip_exact): strip
+    * df-heavy blocks, reassemble the rest in order; the survivors must
+    * rebuild the source text byte-exactly. */
+  def boilerStrip(documents: DataFrame): DataFrame = {
+    val stripped = Containers.foldLeft(col("html")) { (acc, t) =>
+      regexp_replace(acc, s"(?s)<$t(?:\\s[^>]*)?>.*?</$t>", "")
+    }
+    val blocks = asHtmlBoiler(documents)
+      .select(col("doc_id"), col("source"), col("text"),
+        posexplode(regexp_extract_all(stripped,
+          lit("(?s)<p(?:\\s[^>]*)?>(.*?)</p>"), lit(1))))
+      .toDF("doc_id", "source", "text", "pos", "blk")
+    val df = blocks.groupBy(col("source"), md5(col("blk")).as("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    blocks.withColumn("h", md5(col("blk")))
+      .join(df, Seq("source", "h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum((col("df") < BoilerDf).cast("long")).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("df") < BoilerDf,
+            struct(col("pos"), col("blk"))))),
+          x => unesc(x.getField("blk"))), "")).as("kept_md5"),
+        (array_join(transform(
+          array_sort(collect_list(when(col("df") < BoilerDf,
+            struct(col("pos"), col("blk"))))),
+          x => unesc(x.getField("blk"))), "") === first(col("text")))
+          .as("roundtrip_exact"))
+  }
+
+  val boilerStripSql: String = {
+    val strippedSql = Containers.foldLeft("html") { (acc, t) =>
+      s"regexp_replace($acc, '(?s)<$t(?:\\s[^>]*)?>.*?</$t>', '', 'g')"
+    }
+    s"""WITH g AS (
+  SELECT d.doc_id, d.source, d.text,
+    regexp_replace(regexp_replace(h.html,
+      '<div class="content">',
+      '<div class="content"><p>' || d.source || ' breaking | subscribe &amp; follow</p>'),
+      '</div>',
+      '<p>(c) ' || d.source || ' syndication network</p></div>') AS html
+  FROM documents d JOIN ($htmlGenSql) h ON h.doc_id = d.doc_id),
+b0 AS (
+  SELECT doc_id, source, text,
+    regexp_extract_all($strippedSql, '(?s)<p(?:\\s[^>]*)?>(.*?)</p>', 1) AS blks
+  FROM g),
+blocks AS (
+  SELECT doc_id, source, text, i AS pos, blks[i] AS blk
+  FROM b0, unnest(generate_series(1, len(blks))) AS u(i)),
+df AS (SELECT source, md5(blk) AS h, count(DISTINCT doc_id)::BIGINT AS df
+  FROM blocks GROUP BY 1, 2),
+j AS (SELECT b.doc_id, b.pos, b.blk, b.text, f.df
+  FROM blocks b JOIN df f ON f.source = b.source AND f.h = md5(b.blk))
+SELECT doc_id, count(*)::BIGINT AS n_blocks,
+  sum((df < $BoilerDf)::BIGINT)::BIGINT AS n_kept,
+  md5(string_agg(CASE WHEN df < $BoilerDf
+    THEN replace(replace(replace(blk, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')
+    ELSE '' END, '' ORDER BY pos)) AS kept_md5,
+  (string_agg(CASE WHEN df < $BoilerDf
+    THEN replace(replace(replace(blk, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')
+    ELSE '' END, '' ORDER BY pos) = any_value(text)) AS roundtrip_exact
+FROM j GROUP BY doc_id"""
+  }
+
+  val htmlExtractSql: String = {
+    val strippedSql = Containers.foldLeft("html") { (acc, t) =>
+      s"regexp_replace($acc, '(?s)<$t(?:\\s[^>]*)?>.*?</$t>', '', 'g')"
+    }
+    s"""WITH g AS ($htmlGenSql),
 x AS (
   SELECT doc_id, text,
     regexp_extract(html, '<title>(.*?)</title>', 1) AS title,

@@ -274,6 +274,39 @@ class OperatorSpec extends SparkSpec {
       documents.where(col("doc_id") % 17 === 13).count())
   }
 
+  test("boilerStrip: df threshold is per-source and exact at the boundary (L59)") {
+    import graft.operators.Html
+    // the same 80-char chunk leads 10 docs of source A (df = 10 =
+    // threshold -> dropped) and 9 docs of source B (df = 9 -> kept);
+    // the injected boiler blocks follow the same arithmetic (10 vs 9)
+    val shared = "A" * 80
+    val docs = ((100L to 109L).map(id => (id, shared + s"tail $id", "srcA")) ++
+      (200L to 208L).map(id => (id, shared + s"tail $id", "srcB")))
+      .toDF("doc_id", "text", "source")
+    val out = Html.boilerStrip(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    out.foreach { case (id, (nBlocks, nKept, rt)) =>
+      assert(nBlocks == 4, s"doc $id: front boiler + 2 chunks + back boiler")
+      if (id < 200) {
+        // source A: boiler AND the shared chunk hit df=10 -> only the
+        // unique tail survives; the roundtrip honestly reports loss
+        assert(nKept == 1 && !rt, s"doc $id: $nKept kept, rt=$rt")
+      } else {
+        // source B: everything is below threshold -> all 4 kept,
+        // including the boiler df-based removal cannot see (rt=false
+        // because the SURVIVING boiler is extra text)
+        assert(nKept == 4 && !rt, s"doc $id: $nKept kept, rt=$rt")
+      }
+    }
+    // corpus (oracle-proven too): boiler always spans the whole
+    // source, so every doc loses exactly its 2 injected blocks and
+    // rebuilds its source text byte-exactly
+    val corpus = Html.boilerStrip(documents)
+      .agg(min(col("roundtrip_exact").cast("int")).as("rt"),
+        max(col("n_blocks") - col("n_kept")).as("dropped")).head()
+    assert(corpus.getInt(0) == 1 && corpus.getLong(1) == 2L)
+  }
+
   test("webPipeline: every stage gate is live and refetches never survive (L58)") {
     import graft.operators.{Curation, Dedup, TextAnalysis, Urls}
     val out = Curation.webPipeline(documents).cache()
