@@ -31,7 +31,7 @@ import graft.functions.Portable._
   */
 object Curation {
 
-  private val QualityFloor = 0.15
+  private[graft] val QualityFloor = 0.15
 
   def curationPipeline(documents: DataFrame): DataFrame = {
     val q = TextAnalysis.quality(documents)

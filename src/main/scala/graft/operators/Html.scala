@@ -46,23 +46,27 @@ object Html {
     * (style + a script whose STRING BODY contains a fake `<p>` block),
     * nav with a boilerplate `<p>`, header, the content as 80-char
     * `<p>` chunks (entity-escaped), and a footer with an entity. */
-  def asHtml(documents: DataFrame): DataFrame = {
+  def asHtml(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"), pageCol.as("html"))
+
+  /** The generated page as a pure column over (doc_id, text) —
+    * streams compose it with withColumn. */
+  def pageCol: Column = {
     val nb = greatest(expr("(length(text) + 79) div 80"), lit(1))
     val paras = array_join(
       transform(sequence(lit(0), nb - 1),
         i => concat(lit("<p>"), esc(col("text").substr(i * 80 + 1, lit(80))), lit("</p>"))),
       "")
-    documents.select(col("doc_id"), col("text"),
-      concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit("</title>"),
-        lit("<style>body { margin: 0; } .ad { color: red }</style>"),
-        lit("<script>var s = \"<p>BOILERPLATE</p>\"; if (1 < 2 && 3 > 1) { s = s + s; }</script>"),
-        lit("</head><body>"),
-        lit("<nav><p>Home | About | <a href=\"/contact\">Contact</a></p></nav>"),
-        lit("<header><h1>Doc "), col("doc_id").cast("string"), lit("</h1></header>"),
-        lit("<div class=\"content\">"), paras, lit("</div>"),
-        lit("<footer><p>Copyright &amp; Terms</p></footer>"),
-        lit("</body></html>")).as("html"))
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit("</title>"),
+      lit("<style>body { margin: 0; } .ad { color: red }</style>"),
+      lit("<script>var s = \"<p>BOILERPLATE</p>\"; if (1 < 2 && 3 > 1) { s = s + s; }</script>"),
+      lit("</head><body>"),
+      lit("<nav><p>Home | About | <a href=\"/contact\">Contact</a></p></nav>"),
+      lit("<header><h1>Doc "), col("doc_id").cast("string"), lit("</h1></header>"),
+      lit("<div class=\"content\">"), paras, lit("</div>"),
+      lit("<footer><p>Copyright &amp; Terms</p></footer>"),
+      lit("</body></html>"))
   }
 
   /** (doc_id, extracted) from an html column — the reusable stage a

@@ -58,8 +58,9 @@ SELECT *, CASE $pred ELSE 'und' END AS pred_lang FROM scored"""
   // length/punct/digit/stopword ratios + a length bonus, rounded to 6
   // decimals (both engines compute the identical doubles first).
   /** The composite quality score as a reusable column — shared by
-    * [[quality]] and the L56 NB trainer's weak labels. */
-  private def qualityScoreCol: Column = {
+    * [[quality]], the L56 NB trainer's weak labels, and the streaming
+    * web-curation twin. */
+  def qualityScoreCol: Column = {
     val toks = tokens(col("text"))
     val nChars = length(col("text")).cast("double")
     val punct = (length(col("text")) -

@@ -47,7 +47,12 @@ object Urls {
   /** Generator with an arbitrary page-identity column (which docs are
     * refetches of the same logical page) and blocklist predicate —
     * the spelling noise stays keyed to the FETCH (doc_id). */
-  def asUrls(documents: DataFrame, pageId: Column, blockedWhen: Column): DataFrame = {
+  def asUrls(documents: DataFrame, pageId: Column, blockedWhen: Column): DataFrame =
+    documents.select(col("doc_id"), urlCol(pageId, blockedWhen).as("url"))
+
+  /** The generated spelling as a pure column (streams compose it with
+    * withColumn — no join needed to keep their other columns). */
+  def urlCol(pageId: Column, blockedWhen: Column): Column = {
     val k = pageId
     val host = concat(
       when(col("doc_id") % 3 === 0, lit("WWW.Site")).otherwise(lit("site")),
@@ -64,9 +69,12 @@ object Urls {
         lit("&b="), k.cast("string")))
     val frag = when(col("doc_id") % 7 === 0,
       concat(lit("#sec"), col("doc_id").cast("string"))).otherwise(lit(""))
-    documents.select(col("doc_id"),
-      concat(lit("http://"), host, port, path, query, frag).as("url"))
+    concat(lit("http://"), host, port, path, query, frag)
   }
+
+  /** Blocklist predicate over a canonical URL. */
+  def isBlockedDomain(canon: Column): Column =
+    Blocked.map(b => hostOf(canon).endsWith(b)).reduce(_ || _)
 
   /** The canonicalization chain over a url column. */
   def canonicalizeUrl(url: Column): Column = {
@@ -177,6 +185,6 @@ FROM cd JOIN g USING (canon_url)"""
     asUrls(documents, pageId, blockedWhen)
       .select(col("doc_id"), canonicalizeUrl(col("url")).as("canon_url"))
       .groupBy(col("canon_url")).agg(min(col("doc_id")).as("doc_id"))
-      .where(!Blocked.map(b => hostOf(col("canon_url")).endsWith(b)).reduce(_ || _))
+      .where(!isBlockedDomain(col("canon_url")))
       .select(col("doc_id"))
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Html, TextAnalysis, Urls}
+
+/** Streaming twin of the L58 web-curation capstone (SURVEY §2.3 L58s,
+  * r6) — continuous crawl ingest: every stage of the batch chain that
+  * is map-only in batch stays map-only on the stream, so the hot path
+  * has ZERO shuffles and the only stateful operator is page-level
+  * dedup.
+  *
+  *   - URL canonicalize + blocklist — pure columns ([[Urls.urlCol]] /
+  *     [[Urls.canonicalizeUrl]]), unchanged on a stream;
+  *   - page-level exactly-once — `dropDuplicates(canon_url)`: the one
+  *     stateful stage (state = one row per distinct page; with an
+  *     event-time column use dropDuplicatesWithinWatermark to bound
+  *     it to the crawl-revisit horizon);
+  *   - HTML extraction + quality floor — pure columns (L55, L9);
+  *   - NB quality filter — the MODEL IS CLOSURE STATE: the learned
+  *     vocab-sized table rides as a map literal (the TopCells
+  *     pattern), so scoring is a per-row fold over the doc's tokens
+  *     with a decimal accumulator — bit-identical to the batch
+  *     decimal-sum logit, NO stream aggregation, no join. This is the
+  *     100 TB stream posture: broadcast-sized model state, map-only
+  *     scoring.
+  *
+  * Deliberately absent: the corpus-global near-dup CC stage — graph
+  * clustering over ALL documents is a batch semantics (L19); its
+  * incremental counterpart is batch-vs-corpus dedup (L40) on the
+  * micro-batch boundary.
+  */
+object WebStream {
+
+  /** (doc_id, canon_url, quality_score, nb_logit, pred_keep) for each
+    * surviving fetch. `model` is a BATCH nbTrain output (token,
+    * c_pos, c_neg, w) — collected here into closure state. */
+  def curate(docs: DataFrame, model: DataFrame): DataFrame = {
+    val rows = model.select(col("token"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val bias = rows.collectFirst { case ("<bias>", w) => w }
+      .getOrElse(sys.error("model has no <bias> row"))
+    val weights = rows.filter(_._1 != "<bias>")
+    // vocab-sized map literal: the model travels with the plan
+    val wmap = map(weights.flatMap { case (t, w) =>
+      Seq(lit(t), lit(w)) }: _*)
+    val logit = round(
+      aggregate(
+        graft.functions.Portable.tokens(col("text")),
+        lit(BigDecimal(0)).cast("decimal(28,6)"),
+        (acc, t) => (acc +
+          coalesce(element_at(wmap, t), lit(0.0)).cast("decimal(18,6)"))
+          .cast("decimal(28,6)"))
+        .cast("double") + lit(bias), 6)
+    val pageId = col("doc_id") - when(col("doc_id") % 10 === 7, 1).otherwise(0)
+    val staged = docs
+      .withColumn("canon_url", Urls.canonicalizeUrl(
+        Urls.urlCol(pageId, pageId % 31 === 13)))
+      .where(!Urls.isBlockedDomain(col("canon_url")))
+      .dropDuplicates("canon_url")
+      .withColumn("html", Html.pageCol)
+    Html.extractText(staged, keep = Seq("canon_url"))
+      .select(col("doc_id"), col("canon_url"), col("extracted").as("text"))
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol)
+      .where(col("quality_score") >= Curation.QualityFloor)
+      .withColumn("nb_logit", logit)
+      .withColumn("pred_keep", (col("nb_logit") > 0).cast("long"))
+      .where(col("pred_keep") === 1)
+      .drop("text")
+  }
+}

@@ -639,6 +639,71 @@ class StreamingSpec extends SparkSpec {
     assert(fin <= 2, s"drained users must be GC'd, not retained: $fin rows")
   }
 
+  test("streaming web curation matches batch stages; replays stay exactly-once (L58s)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val model = operators.TextAnalysis.nbTrain(Tables.load(spark, sf, "documents"))
+      .localCheckpoint()
+    val stream = MemoryStream[(Long, String)]
+    val q = streaming.WebStream.curate(
+        stream.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("webcur").outputMode("append").start()
+    // feed in two micro-batches, then REPLAY the first half verbatim —
+    // page-level dedup must keep the output exactly-once
+    val (h1, h2) = docs.splitAt(docs.size / 2)
+    stream.addData(h1: _*); q.processAllAvailable()
+    stream.addData(h2: _*); q.processAllAvailable()
+    stream.addData(h1: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("webcur")
+      .select("doc_id", "canon_url", "quality_score", "nb_logit", "pred_keep")
+      .collect()
+    // exactly-once per page despite the replay
+    val canons = got.map(_.getString(1))
+    assert(canons.length == canons.distinct.length, "a page row was emitted twice")
+    // batch reference: same stage predicates over whichever fetch the
+    // stream kept — each kept doc's metrics must equal the batch
+    // computation for THAT doc, and its canon_url must be unblocked
+    val batchDocs = docs.toDF("doc_id", "text")
+    val pageId = col("doc_id") - when(col("doc_id") % 10 === 7, 1).otherwise(0)
+    val batchEval = batchDocs
+      .withColumn("canon_url", operators.Urls.canonicalizeUrl(
+        operators.Urls.urlCol(pageId, pageId % 31 === 13)))
+      .withColumn("blocked", operators.Urls.isBlockedDomain(col("canon_url")))
+    val ext = operators.Html.extractText(
+        operators.Html.asHtml(batchDocs)).select(col("doc_id"), col("extracted").as("text"))
+    val nbBatch = operators.TextAnalysis.nbClassify(ext,
+        weights = Some(model), heldOutOnly = false)
+      .select(col("doc_id"), col("logit"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val qBatch = operators.TextAnalysis.quality(ext)
+      .select(col("doc_id"), col("quality_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val canonBatch = batchEval.select("doc_id", "canon_url", "blocked")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (cu, blocked) = canonBatch(id)
+      assert(r.getString(1) == cu && !blocked, s"doc $id url mismatch/blocked")
+      assert(r.getDouble(2) == qBatch(id), s"doc $id quality drift")
+      assert(r.getDouble(3) == nbBatch(id), s"doc $id logit drift (closure map vs batch join)")
+      assert(r.getLong(4) == 1 && r.getDouble(3) > 0)
+    }
+    // the stream's survivor PAGES equal the batch chain's survivor
+    // pages (dedup winner may differ; the page set may not)
+    val batchPages = batchEval.where(!col("blocked")).select("doc_id", "canon_url")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, _) => qBatch.get(id).exists(_ >= 0.15) &&
+        nbBatch.get(id).exists(_ > 0) }
+      .map(_._2).toSet
+    // every emitted page is a batch-survivor page; a page absent from
+    // the stream output means ITS winning fetch failed a later gate —
+    // legal only if some fetch of that page fails a gate
+    assert(canons.toSet.subsetOf(batchPages), "stream emitted a non-survivor page")
+    assert(got.nonEmpty && canons.length < docs.size)
+  }
+
   test("streaming misra-gries keeps the heavy-hitter guarantee across micro-batches (L43)") {
     // the MG state is a mergeable summary, so the SAME aggregator runs
     // as a stateful streaming aggregate (the trending-tokens shape):
