@@ -135,6 +135,46 @@ JOIN nk ON nk.doc_id = d.doc_id
 JOIN toks ON toks.doc_id = d.doc_id"""
   }
 
+  // ---- L60 (r6): quality-annealed epoch schedule ----
+  // The data-side half of curriculum/annealing (the FineWeb-Edu /
+  // Llama-3 recipe): every doc trains in epoch 0, and only
+  // higher-quality docs persist into later epochs, so mean quality
+  // RISES per epoch and the final epoch is the top quartile alone.
+  // Replication by quality bucket: top quartile → epochs 0..3, second
+  // quartile → 0..1, lower half → epoch 0 only.
+  //
+  // Scale shape: bucketing is NOT a global sort/ntile (a rank over
+  // 100 TB forces a single-partition window) — the two thresholds
+  // (p50, p75 of the quality score) come from one exact-percentile
+  // aggregate (C13 machinery; swap in C25's GK sketch at 100×, same
+  // one-row broadcast), and bucket assignment + epoch fan-out are
+  // map-side (CASE + explode(sequence)). One tiny aggregate, one
+  // broadcast, zero wide shuffles.
+  def epochSchedule(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val scored = documents.select(col("doc_id"),
+      TextAnalysis.qualityScoreCol.as("q"))
+    val thresholds = scored.agg(
+      expr("percentile(q, 0.5D)").as("p50"),
+      expr("percentile(q, 0.75D)").as("p75"))
+    val nEpochs = when(col("q") >= col("p75"), 4L)
+      .when(col("q") >= col("p50"), 2L).otherwise(1L)
+    scored.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("q").as("quality_score"),
+        nEpochs.as("n_epochs"))
+      .select(col("doc_id"), col("quality_score"), col("n_epochs"),
+        explode(sequence(lit(0L), col("n_epochs") - 1)).as("epoch"))
+  }
+
+  val epochScheduleSql: String =
+    s"""WITH s AS (SELECT doc_id, ${TextAnalysis.qualityScoreSqlExpr} AS q FROM documents),
+t AS (SELECT quantile_cont(q, 0.5) AS p50, quantile_cont(q, 0.75) AS p75 FROM s),
+b AS (SELECT doc_id, q AS quality_score,
+  CASE WHEN q >= p75 THEN 4 WHEN q >= p50 THEN 2 ELSE 1 END::BIGINT AS n_epochs
+  FROM s CROSS JOIN t)
+SELECT doc_id, quality_score, n_epochs, (e - 1)::BIGINT AS epoch
+FROM b, unnest(generate_series(1, n_epochs)) AS u(e)"""
+
   // ---- L21: benchmark contamination detection ----
   // The eval-decontamination step every training pipeline needs: flag
   // corpus docs sharing word-8-grams with a benchmark set. The

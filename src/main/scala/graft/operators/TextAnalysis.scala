@@ -109,6 +109,19 @@ SELECT doc_id, len(toks)::BIGINT AS n_tokens,
 FROM base"""
   }
 
+  /** The quality score as a standalone SQL expression over `text` —
+    * shared by the L56 and L60 oracles (mirror of [[qualityScoreCol]];
+    * declared before both). */
+  private[operators] val qualityScoreSqlExpr: String = {
+    val lst = stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> list_contains($lst, t)))::DOUBLE
+          / len(string_split_regex(lower(text), '\\s+'))
+        - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)
+        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+        + least(length(text)::DOUBLE / 500.0, 1.0) * 0.2, 6)"""
+  }
+
   // ---- L10: token counting (whitespace + BPE-ish regex) ----
   private val bpeish = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
@@ -971,14 +984,7 @@ GROUP BY doc_id"""
   }
 
   private val nbTrainCtes: String = {
-    val lst = stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""qs AS (SELECT doc_id, text,
-  round(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                        t -> list_contains($lst, t)))::DOUBLE
-          / len(string_split_regex(lower(text), '\\s+'))
-        - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)
-        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
-        + least(length(text)::DOUBLE / 500.0, 1.0) * 0.2, 6) AS q
+    s"""qs AS (SELECT doc_id, text, $qualityScoreSqlExpr AS q
   FROM documents),
 lab AS (SELECT doc_id, (q > $NbCut)::BIGINT AS y, text FROM qs WHERE doc_id % 5 <> 0),
 tok AS (SELECT doc_id, y, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM lab),

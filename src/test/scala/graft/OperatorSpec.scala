@@ -274,6 +274,39 @@ class OperatorSpec extends SparkSpec {
       documents.where(col("doc_id") % 17 === 13).count())
   }
 
+  test("epochSchedule anneals: every epoch is a quality-filtered subset of epoch 0 (L60)") {
+    import graft.operators.Curation
+    val out = Curation.epochSchedule(documents).cache()
+    val total = documents.count()
+    // epoch 0 trains on EVERYTHING exactly once
+    assert(out.where(col("epoch") === 0).count() == total)
+    // each later epoch is a strict subset, and mean quality rises
+    // monotonically — the defining annealing property
+    val perEpoch = out.groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n"), avg(col("quality_score")).as("mq"))
+      .orderBy(col("epoch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(perEpoch.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    perEpoch.sliding(2).foreach { case Array((_, n1, q1), (e, n2, q2)) =>
+      assert(n2 < n1 || (n2 == n1 && e == 3),
+        s"epoch $e must shrink (or equal the top-quartile tail)")
+      // mean quality rises whenever the set shrinks; equal membership
+      // (the 2->3 top-quartile tail) keeps it constant
+      if (n2 < n1) assert(q2 > q1, s"epoch $e mean quality $q2 must exceed $q1")
+      else assert(q2 == q1)
+    }
+    // the final epochs are the top quartile alone (threshold = p75,
+    // ties included — so at least a quarter, at most slightly more)
+    val last = perEpoch.last._2
+    assert(last >= total / 4 && last <= total * 3 / 8,
+      s"final epoch holds $last of $total")
+    assert(perEpoch(2)._2 == last, "epochs 2 and 3 are both top-quartile only")
+    // deterministic: same schedule on a rerun
+    assert(out.collect().map(_.toSeq).toSet ==
+      Curation.epochSchedule(documents).collect().map(_.toSeq).toSet)
+    out.unpersist()
+  }
+
   test("boilerStrip: df threshold is per-source and exact at the boundary (L59)") {
     import graft.operators.Html
     // the same 80-char chunk leads 10 docs of source A (df = 10 =
@@ -702,7 +735,8 @@ class OperatorSpec extends SparkSpec {
       "q_pmi" -> "crossJoin(broadcast(single-row token-count total)) — the tfidf/lm_score pattern",
       "q_nb_train" -> "crossJoin(broadcast(single-row class totals)) — the tfidf/lm_score pattern",
       "q_nb_score" -> "crossJoin(broadcast(single-row bias from the checkpointed vocab-sized model))",
-      "q_curation_web" -> "inherits q_nb_score's single-row bias crossJoin via the composed NB stage")
+      "q_curation_web" -> "inherits q_nb_score's single-row bias crossJoin via the composed NB stage",
+      "q_epoch_schedule" -> "crossJoin(broadcast(single-row p50/p75 thresholds)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
