@@ -550,6 +550,74 @@ WHERE length(token) > 0 AND NOT list_contains($lst, token)
 GROUP BY token"""
   }
 
+  // ---- L61 (r6): inverted index with doc-range posting blocks ----
+  // The search/retrieval index-build shape (the corpus side of BM25 and
+  // of every "which training docs contain X" audit): term -> postings
+  // of (doc_id, tf), doc-gap delta-encoded. The scale decision is the
+  // BLOCKING key: postings are segmented by doc RANGE (block = doc_id
+  // div 128, the Lucene-segment shape), NOT row_number — a row_number
+  // posting layout needs one ordered window over every posting of a
+  // term, which serializes the hottest (= most valuable) terms through
+  // one reducer. Range blocks make every (term, block) cell independent:
+  // delta-encoding needs only the previous doc IN THE SAME BLOCK, so the
+  // first entry stores the absolute doc_id and the whole cell is built
+  // map-side after one fine-grained (term, block) shuffle. Per-term
+  // df/cf then aggregate over block SUMMARIES (rows = blocks, not
+  // postings — the only per-term window touches ~df/128 rows). At
+  // 100 TB: two partial-agged shuffles on fine-grained keys; the skew a
+  // hot term used to cause is bounded by 128 docs per cell.
+  private val PostingBlock = 128L
+
+  def invertedIndex(documents: DataFrame): DataFrame = {
+    val stops = stopwords.flatMap(_._2)
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0 && !col("token").isInCollection(stops))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val blocks = tf
+      .withColumn("block", expr(s"doc_id div $PostingBlock"))
+      .groupBy(col("token"), col("block"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"),
+        count(lit(1)).as("n_block"), sum(col("tf")).as("block_cf"))
+    // shifted[i] = ps[i-1] (zero-struct at i=0), so gap_0 = absolute
+    // doc_id and gap_i = doc_i - doc_{i-1}: linear zip_with, no nested
+    // per-element HOF
+    val shifted = concat(
+      array(struct(lit(0L).as("doc_id"), lit(0L).as("tf"))),
+      slice(col("ps"), lit(1), size(col("ps")) - 1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    blocks
+      .withColumn("postings", array_join(
+        zip_with(col("ps"), shifted, (x, p) => concat(
+          (x.getField("doc_id") - p.getField("doc_id")).cast("string"),
+          lit(":"), x.getField("tf").cast("string"))), ","))
+      .select(col("token"), col("block"),
+        sum(col("n_block")).over(w).as("df"),
+        sum(col("block_cf")).over(w).as("cf"),
+        col("n_block"), col("postings"))
+  }
+
+  val invertedIndexSql: String = {
+    val lst = stopwords.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tf AS (
+  SELECT token, doc_id, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+  WHERE length(token) > 0 AND NOT list_contains($lst, token)
+  GROUP BY 1, 2),
+g AS (SELECT token, doc_id // $PostingBlock AS block, doc_id, tf,
+        coalesce(doc_id - lag(doc_id) OVER (PARTITION BY token, doc_id // $PostingBlock ORDER BY doc_id), doc_id) AS gap
+      FROM tf),
+b AS (SELECT token, block,
+        string_agg(gap::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY doc_id) AS postings,
+        count(*)::BIGINT AS n_block, sum(tf)::BIGINT AS block_cf
+      FROM g GROUP BY 1, 2)
+SELECT token, block, sum(n_block) OVER (PARTITION BY token)::BIGINT AS df,
+       sum(block_cf) OVER (PARTITION BY token)::BIGINT AS cf,
+       n_block, postings
+FROM b"""
+  }
+
   // ---- L14: TF-IDF (top term per doc) ----
   // tf from an explode+count, df derived from tf, idf = ln(N/df).
   // Joined back on the token with a SHUFFLE join: at 100 TB the distinct

@@ -274,6 +274,48 @@ class OperatorSpec extends SparkSpec {
       documents.where(col("doc_id") % 17 === 13).count())
   }
 
+  test("invertedIndex: delta decode rebuilds exact posting sets per range block (L61)") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.invertedIndex(documents).collect()
+    // decode: within a block, cumulative gap sums rebuild absolute
+    // doc_ids (first gap is the absolute id)
+    val decoded: Map[String, Seq[(Long, Long)]] = out.groupBy(_.getString(0)).map {
+      case (tok, rows) =>
+        tok -> rows.sortBy(_.getLong(1)).flatMap { r =>
+          val block = r.getLong(1)
+          val posts = r.getString(5).split(",").map { e =>
+            val Array(g, tf) = e.split(":"); (g.toLong, tf.toLong)
+          }
+          val docs = posts.scanLeft(0L)(_ + _._1).tail
+          // every decoded doc lands in the block that named the cell
+          docs.foreach(d => assert(d / 128 == block, s"$tok doc $d in block $block"))
+          assert(posts.length == r.getLong(4), "n_block matches postings")
+          docs.zip(posts.map(_._2)).toSeq
+        }.toSeq
+    }
+    // ground truth straight from the corpus (stopword-filtered tf)
+    val stops = Seq("the","a","of","and","to","in","is","der","die","das","und","ist",
+      "ein","el","la","los","y","que","un","le","les","des","et","une","est",
+      "的","是","在","了","和")
+    val truth = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("t"))
+      .where(length(col("t")) > 0 && !col("t").isInCollection(stops))
+      .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .collect().groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      }
+    assert(decoded.keySet == truth.keySet)
+    decoded.foreach { case (t, ps) => assert(ps == truth(t), s"postings for $t") }
+    // df/cf are per-term totals, identical on every block row of a term
+    out.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      assert(rows.map(_.getLong(2)).distinct.length == 1)
+      assert(rows.head.getLong(2) == truth(t).size, s"df for $t")
+      assert(rows.head.getLong(3) == truth(t).map(_._2).sum, s"cf for $t")
+    }
+    // range blocking genuinely bites: hot terms span multiple blocks
+    assert(out.groupBy(_.getString(0)).values.exists(_.length >= 4))
+  }
+
   test("epochSchedule anneals: every epoch is a quality-filtered subset of epoch 0 (L60)") {
     import graft.operators.Curation
     val out = Curation.epochSchedule(documents).cache()
