@@ -123,4 +123,45 @@ btoks AS (
   FROM documents d LEFT JOIN fin f USING (doc_id)
   GROUP BY d.doc_id),
 ${packCtes("btoks", BpeBudget)}"""
+
+  // ---- L62 (r6): overlapping context-window chunking ----
+  // The concat-free half of batch prep (RAG passage windows, long-doc
+  // truncation-free training): each doc splits into windows of W=32
+  // tokens at stride S=24 (overlap W-S=8), so no token is ever lost at
+  // a window boundary and every chunk carries its absolute offset.
+  // Scale: PURE MAP — n_chunks and every window derive from the one
+  // token array already in the row (sequence + explode + slice), zero
+  // shuffles, fused into the parquet scan. The 100 TB posture is
+  // exactly the scan's: output rows ~= input tokens / S.
+  private val ChunkW = 32L
+  private val ChunkS = 24L
+
+  def chunkDocs(documents: DataFrame): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // ceil((n-W)/S)+1 windows; sequence() counts DOWN if the bound
+      // goes negative, so the n <= W case pins n_chunks to 1
+      .withColumn("n_chunks", when(col("n") <= ChunkW, lit(1L))
+        .otherwise(expr(s"(n - $ChunkW + $ChunkS - 1) div $ChunkS") + 1L))
+    base
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * ChunkS)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        least(lit(ChunkW), col("n") - col("start_tok")).as("chunk_len"),
+        array_join(slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          lit(ChunkW.toInt)), " ").as("chunk_text"))
+  }
+
+  val chunkDocsSql: String =
+    s"""WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+c AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+  CASE WHEN len(toks) <= $ChunkW THEN 1
+       ELSE (len(toks) - $ChunkW + $ChunkS - 1) // $ChunkS + 1 END::BIGINT AS n_chunks
+  FROM base)
+SELECT doc_id, (e - 1)::BIGINT AS chunk_id, ((e - 1) * $ChunkS)::BIGINT AS start_tok,
+  least($ChunkW, n - (e - 1) * $ChunkS)::BIGINT AS chunk_len,
+  array_to_string(toks[((e - 1) * $ChunkS + 1):((e - 1) * $ChunkS + $ChunkW)], ' ') AS chunk_text
+FROM c, unnest(generate_series(1, n_chunks)) AS u(e)"""
 }

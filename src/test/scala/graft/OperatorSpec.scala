@@ -274,6 +274,33 @@ class OperatorSpec extends SparkSpec {
       documents.where(col("doc_id") % 17 === 13).count())
   }
 
+  test("chunkDocs: drop-the-overlap reconstruction is lossless (L62)") {
+    import graft.operators.Packing
+    val out = Packing.chunkDocs(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val truth = documents.select(col("doc_id"), lower(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    out.groupBy(_._1).foreach { case (doc, rows) =>
+      val chunks = rows.sortBy(_._2)
+      // chunk ids dense from 0; offsets exactly stride apart
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+      chunks.foreach { case (_, id, start, len, text) =>
+        val toks = text.split(" ").toSeq
+        assert(start == id * 24 && len == toks.length && len <= 32 && len >= 1)
+        // the chunk is literally the doc's tokens at [start, start+len)
+        assert(toks == truth(doc).slice(start.toInt, start.toInt + len.toInt))
+      }
+      // reconstruction: chunk 0 whole, later chunks minus the 8-token
+      // overlap — equals the full token stream, no loss, no repeat
+      val rebuilt = chunks.head._5.split(" ").toSeq ++
+        chunks.tail.toSeq.flatMap(_._5.split(" ").drop(8).toSeq)
+      assert(rebuilt == truth(doc), s"doc $doc rebuild")
+    }
+    // the corpus genuinely exercises 1-chunk and 4-chunk docs
+    val sizes = out.groupBy(_._1).values.map(_.length).toSet
+    assert(sizes.contains(1) && sizes.exists(_ >= 4), s"chunk spread $sizes")
+  }
+
   test("invertedIndex: delta decode rebuilds exact posting sets per range block (L61)") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.invertedIndex(documents).collect()
