@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.operators.{Curation, Html, TextAnalysis, Urls}
 
@@ -69,4 +70,46 @@ object WebStream {
       .where(col("pred_keep") === 1)
       .drop("text")
   }
+
+  /** Per-bucket Misra–Gries snapshot: `n_bucket` tokens seen so far by
+    * this bucket, candidates as a sorted `token:est` list. `n_bucket`
+    * is monotone, so the final snapshot is the max-n row per bucket. */
+  case class HhSummary(bucket: Int, n_bucket: Long, candidates: String)
+
+  /** L63s: streaming heavy hitters — the continuous twin of L43's
+    * batch Misra–Gries pass (same [[graft.functions.MisraGriesAggregator]]
+    * reduce logic, driven as `flatMapGroupsWithState` closure state).
+    *
+    * The token space shards by hash into `buckets` groups, so state is
+    * `buckets × cap` counters TOTAL regardless of stream length, and
+    * each token's whole count lives in exactly one bucket — the MG
+    * deficit bound tightens from N/(cap+1) to n_bucket/(cap+1). Every
+    * micro-batch emits the bucket's current snapshot (Update mode, no
+    * timeout: the summary never expires; it IS the bounded state).
+    * At scale: `buckets` is the parallelism knob; the hot path is one
+    * narrow shuffle of raw tokens to their bucket owner — no
+    * per-token state, no vocabulary materialization.
+    */
+  def heavyHittersStream(texts: Dataset[String], buckets: Int = 8,
+      cap: Int = 255): Dataset[HhSummary] = {
+    import texts.sparkSession.implicits._
+    val agg = new graft.functions.MisraGriesAggregator(cap)
+    texts
+      .flatMap(_.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+      .groupByKey(t => math.floorMod(t.hashCode, buckets))
+      .flatMapGroupsWithState[MgBucket, HhSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket, toks, state) =>
+          val st = state.getOption.getOrElse(MgBucket(Map.empty, 0L))
+          val buf = graft.functions.MGState(
+            scala.collection.mutable.HashMap.from(st.counters), st.n)
+          toks.foreach(agg.reduce(buf, _))
+          state.update(MgBucket(buf.counters.toMap, buf.n))
+          Iterator.single(HhSummary(bucket, buf.n,
+            buf.counters.toSeq.sortBy(_._1)
+              .map { case (t, c) => s"$t:$c" }.mkString(",")))
+      }
+  }
+
+  case class MgBucket(counters: Map[String, Long], n: Long)
 }

@@ -735,4 +735,79 @@ class StreamingSpec extends SparkSpec {
       }
     assert(cs.size <= 31, "capacity bound")
   }
+
+  test("bucketed heavy-hitter stream: corpus estimates exact at capacity, superset of batch (L63s)") {
+    // cap 255 over a 31-token vocabulary: no bucket ever evicts, so
+    // the streamed estimates must EQUAL exact counts — this pins the
+    // state threading (MGState round-trips through the case-class
+    // state across micro-batches) with zero slack
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Tables.load(spark, sf, "documents")
+      .select("text").as[String].collect().toSeq
+    val stream = MemoryStream[String]
+    val q = streaming.WebStream.heavyHittersStream(stream.toDS(), buckets = 4)
+      .writeStream.format("memory").queryName("hhs").outputMode("update").start()
+    texts.grouped(200).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // final snapshot per bucket = max-n row (n_bucket is monotone)
+    val fin = spark.table("hhs").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
+    val est = fin.flatMap(_._3.split(",").filter(_.nonEmpty).map { e =>
+      val i = e.lastIndexOf(':'); e.take(i) -> e.drop(i + 1).toLong
+    }).toMap
+    val exact = texts.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    assert(est == exact, "no-eviction streamed MG must be the exact counts")
+    // tokens are sharded: each lives in exactly one bucket, and bucket
+    // token totals partition N
+    assert(fin.map(_._2).sum == exact.values.sum)
+    // superset of the batch operator's final heavy-hitter set
+    val batchHh = operators.TextAnalysis.heavyHitters(
+      Tables.load(spark, sf, "documents"))
+      .select("token").as[String].collect().toSet
+    assert(batchHh.subsetOf(est.keySet))
+  }
+
+  test("bucketed heavy-hitter stream under eviction: underestimates within the per-bucket MG bound (L63s)") {
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 4
+    // skewed stream: 3 hot tokens + 40 rare — far over capacity, so
+    // decrement-alls genuinely fire in every bucket
+    val data = Seq.fill(300)("hot_a") ++ Seq.fill(200)("hot_b") ++
+      Seq.fill(120)("hot_c") ++
+      (0 until 40).flatMap(i => Seq.fill(5)(s"rare_$i"))
+    val shuffled = new scala.util.Random(7).shuffle(data)
+    val stream = MemoryStream[String]
+    val q = streaming.WebStream.heavyHittersStream(stream.toDS(),
+        buckets = 2, cap = cap)
+      .writeStream.format("memory").queryName("hhe").outputMode("update").start()
+    shuffled.grouped(250).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val fin = spark.table("hhe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
+    val exact = data.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val bucketOf = (t: String) => math.floorMod(t.hashCode, 2)
+    fin.foreach { case (b, nb, cands) =>
+      val est = cands.split(",").filter(_.nonEmpty).map { e =>
+        val i = e.lastIndexOf(':'); e.take(i) -> e.drop(i + 1).toLong
+      }.toMap
+      assert(est.size <= cap, "capacity bound per bucket")
+      // every estimate is an underestimate within n_bucket/(cap+1)
+      est.foreach { case (t, c) =>
+        assert(c <= exact(t), s"$t overcounted")
+        assert(exact(t) - c <= nb / (cap + 1), s"$t deficit beyond MG bound")
+      }
+      // guarantee: any token with freq > n_bucket/(cap+1) in THIS
+      // bucket must be present (the per-bucket tightening)
+      exact.filter { case (t, f) => bucketOf(t) == b && f > nb / (cap + 1) }
+        .foreach { case (t, _) => assert(est.contains(t), s"guaranteed $t missing") }
+    }
+    // the skew makes the guarantee non-vacuous: all three hot tokens
+    // must be guaranteed somewhere
+    val all = fin.flatMap(_._3.split(",").filter(_.nonEmpty).map(e =>
+      e.take(e.lastIndexOf(':')))).toSet
+    assert(Set("hot_a", "hot_b", "hot_c").subsetOf(all))
+  }
 }
