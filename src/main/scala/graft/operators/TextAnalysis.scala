@@ -618,6 +618,67 @@ SELECT token, block, sum(n_block) OVER (PARTITION BY token)::BIGINT AS df,
 FROM b"""
   }
 
+  // ---- L64 (r6): BM25 ranked retrieval ----
+  // The query side of L61's index (and the scorer behind
+  // retrieval-based data selection / decontamination-by-retrieval):
+  // Robertson/Okapi BM25 with k1=1.2, b=0.75 over a literal query
+  // term set. Scale shape: the token stream filters to QUERY TERMS
+  // map-side before any shuffle (the wire carries docs x |Q| rows, not
+  // the corpus); df derives from tf; df (<=|Q| rows) and the
+  // (n_docs, avgdl) singleton broadcast; top-k cut is
+  // TakeOrderedAndProject. Portability: idf/length-normalized term
+  // contributions are IEEE-identical doubles (ln + division over
+  // identical inputs — the tfidf/lm precedent), rounded to 6 then
+  // summed as DECIMAL so the per-doc score is order-independent; the
+  // (score DESC, doc_id) cut is therefore engine-identical.
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Query = Seq("join", "vector", "query", "dup")
+  private val Bm25TopK = 25
+
+  def bm25(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .where(col("token").isInCollection(Bm25Query))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 6)
+        .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val bm25Sql: String = {
+    val q = Bm25Query.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM base),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf FROM (
+    SELECT doc_id, dl, unnest(toks) AS token FROM d)
+  WHERE list_contains($q, token) GROUP BY 1, 2, 3),
+df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+c AS (SELECT doc_id,
+    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+      (tf * ($Bm25K1 + 1.0)) /
+      (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 6)::DECIMAL(18,6) AS contrib
+  FROM tf JOIN df USING (token) CROSS JOIN stats)
+SELECT doc_id, sum(contrib)::DOUBLE AS score, count(*)::BIGINT AS n_terms
+FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+  }
+
   // ---- L14: TF-IDF (top term per doc) ----
   // tf from an explode+count, df derived from tf, idf = ln(N/df).
   // Joined back on the token with a SHUFFLE join: at 100 TB the distinct

@@ -274,6 +274,40 @@ class OperatorSpec extends SparkSpec {
       documents.where(col("doc_id") % 17 === 13).count())
   }
 
+  test("bm25 equals a from-first-principles ranking; rare terms dominate (L64)") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.bm25(documents).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // independent BM25 over the raw corpus (plain Scala, no Spark)
+    val corpus = documents.select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)
+    val query = Seq("join", "vector", "query", "dup")
+    val n = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length).sum / n
+    val dfm = query.map(t => t -> corpus.count(_._2.contains(t)).toDouble).toMap
+    val scored = corpus.map { case (id, toks) =>
+      val contribs = query.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None else Some {
+          val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          val c = idf * (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks.length / avgdl))
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+      (id, contribs.sum.toDouble, contribs.size.toLong)
+    }.filter(_._3 > 0)
+    val want = scored.sortBy { case (id, s, _) => (-s, id) }.take(25).toSeq
+    assert(out.toSeq == want, "top-25 ranking drift vs first principles")
+    // the rare query term ('dup', df ~25 of 500) must dominate: every
+    // dup-containing doc outranks every doc matching only common terms
+    val dupDocs = corpus.filter(_._2.contains("dup")).map(_._1).toSet
+    assert(dupDocs.nonEmpty && dupDocs.size < 50)
+    val minDup = scored.filter(p => dupDocs(p._1)).map(_._2).min
+    val maxNonDup = scored.filter(p => !dupDocs(p._1)).map(_._2).max
+    assert(minDup > maxNonDup, "idf failed to separate the rare term")
+  }
+
   test("chunkDocs: drop-the-overlap reconstruction is lossless (L62)") {
     import graft.operators.Packing
     val out = Packing.chunkDocs(documents).collect()
@@ -805,7 +839,8 @@ class OperatorSpec extends SparkSpec {
       "q_nb_train" -> "crossJoin(broadcast(single-row class totals)) — the tfidf/lm_score pattern",
       "q_nb_score" -> "crossJoin(broadcast(single-row bias from the checkpointed vocab-sized model))",
       "q_curation_web" -> "inherits q_nb_score's single-row bias crossJoin via the composed NB stage",
-      "q_epoch_schedule" -> "crossJoin(broadcast(single-row p50/p75 thresholds)) — the tfidf/lm_score pattern")
+      "q_epoch_schedule" -> "crossJoin(broadcast(single-row p50/p75 thresholds)) — the tfidf/lm_score pattern",
+      "q_bm25" -> "crossJoin(broadcast(single-row n_docs/avgdl)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
