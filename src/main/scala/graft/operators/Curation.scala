@@ -175,6 +175,71 @@ b AS (SELECT doc_id, q AS quality_score,
 SELECT doc_id, quality_score, n_epochs, (e - 1)::BIGINT AS epoch
 FROM b, unnest(generate_series(1, n_epochs)) AS u(e)"""
 
+  // ---- L65 (r6): DSIR — hashed n-gram importance weights ----
+  // Data Selection via Importance Resampling (Xie et al. 2023): score
+  // every raw doc by how target-like its hashed bigram distribution
+  // is, log w(d) = sum over bigram occurrences of
+  // ln p_target(bucket) − ln p_raw(bucket), with add-one smoothing
+  // over B buckets. The target sample here is the deterministic
+  // doc_id % 10 < 2 split (a trained pipeline swaps in its domain
+  // corpus — the L31 rule: the table changes, the plan doesn't).
+  // Scale: bigrams hash into B=1024 buckets MAP-SIDE (md5Long, the
+  // portable hash), so the distribution tables are B rows regardless
+  // of corpus size — both sides' bucket counts come from ONE shuffle
+  // with map-side partials (two conditional sums), broadcast back over
+  // the per-(doc, bucket) counts; the per-doc reduce ships exact
+  // decimal products. ln over identical doubles is IEEE-identical
+  // (tfidf/pmi precedent); per-bucket log-ratios round to 6 and
+  // multiply exact counts, so doc scores are order-independent.
+  private val DsirBuckets = 1024L
+
+  def dsirWeights(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val grams = documents
+      .select(col("doc_id"), (col("doc_id") % 10 < 2).as("is_target"),
+        explode(expr("graft_grams(split(lower(text), '\\\\s+'), 2)")).as("g"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(md5Long(lit("dsir"), col("g")), lit(DsirBuckets)).as("bucket"))
+    val buckets = grams.groupBy(col("bucket")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+    val totals = buckets.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lr = buckets.crossJoin(broadcast(totals))
+      .select(col("bucket"), round(
+        log((col("ct") + 1.0) / (col("nt") + lit(DsirBuckets.toDouble))) -
+          log((col("cr") + 1.0) / (col("nr") + lit(DsirBuckets.toDouble))), 6)
+        .cast("decimal(18,6)").as("lr"))
+    grams.where(!col("is_target"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lr") * col("cnt")).cast("double").as("log_w"),
+        sum(col("cnt")).as("n_grams"))
+      .select(col("doc_id"), col("log_w"), col("n_grams"),
+        (col("log_w") > 0).cast("long").as("selected"))
+  }
+
+  val dsirWeightsSql: String = {
+    import graft.functions.Portable.{md5LongSql, wordGramsSql}
+    val toks = "string_split_regex(lower(text), '\\s+')"
+    s"""WITH grams AS (
+  SELECT doc_id, doc_id % 10 < 2 AS is_target,
+         ${md5LongSql("'dsir'", "g")} % $DsirBuckets AS bucket
+  FROM (SELECT doc_id, unnest(${wordGramsSql(toks, 2)}) AS g FROM documents)),
+b AS (SELECT bucket, sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct,
+        sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cr
+      FROM grams GROUP BY 1),
+t AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM b),
+lr AS (SELECT bucket, round(ln((ct + 1.0) / (nt + ${DsirBuckets}.0)) -
+          ln((cr + 1.0) / (nr + ${DsirBuckets}.0)), 6)::DECIMAL(18,6) AS lr
+       FROM b CROSS JOIN t),
+dc AS (SELECT doc_id, bucket, count(*)::BIGINT AS cnt FROM grams
+       WHERE NOT is_target GROUP BY 1, 2)
+SELECT doc_id, sum(lr * cnt)::DOUBLE AS log_w, sum(cnt)::BIGINT AS n_grams,
+       (sum(lr * cnt) > 0)::BIGINT AS selected
+FROM dc JOIN lr USING (bucket) GROUP BY doc_id"""
+  }
+
   // ---- L21: benchmark contamination detection ----
   // The eval-decontamination step every training pipeline needs: flag
   // corpus docs sharing word-8-grams with a benchmark set. The

@@ -274,6 +274,55 @@ class OperatorSpec extends SparkSpec {
       documents.where(col("doc_id") % 17 === 13).count())
   }
 
+  test("dsirWeights: target-like docs score positive, first-principles exact (L65)") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // targets (doc_id % 10 < 2) speak "alpha beta"; the raw background
+    // speaks "zz yy"; raw doc 5 echoes the target phrase, raw doc 6
+    // echoes the background
+    val fixture = Seq(
+      (0L, "alpha beta alpha beta alpha"), (1L, "alpha beta alpha beta"),
+      (10L, "alpha beta alpha"), (11L, "beta alpha beta"),
+      (5L, "alpha beta alpha beta"), (6L, "zz yy zz yy"),
+      (7L, "zz yy zz"), (8L, "yy zz yy zz yy")).toDF("doc_id", "text")
+    val out = Curation.dsirWeights(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    // only raw docs are scored
+    assert(out.keySet == Set(5L, 6L, 7L, 8L))
+    // directionality: the target-like raw doc is selected, background
+    // raw docs are not
+    assert(out(5L)._1 > 0 && out(5L)._3 == 1, s"target-like doc: ${out(5L)}")
+    Seq(6L, 7L, 8L).foreach(id =>
+      assert(out(id)._1 < 0 && out(id)._3 == 0, s"background doc $id: ${out(id)}"))
+    // first principles: recompute log w from raw bigram hashing
+    def md5bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$g".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1024L
+    }
+    val all = Seq((0L, "alpha beta alpha beta alpha"), (1L, "alpha beta alpha beta"),
+      (10L, "alpha beta alpha"), (11L, "beta alpha beta"),
+      (5L, "alpha beta alpha beta"), (6L, "zz yy zz yy"),
+      (7L, "zz yy zz"), (8L, "yy zz yy zz yy"))
+      .map { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        (id, toks.sliding(2).map(_.mkString(" ")).map(md5bucket).toSeq)
+      }
+    val (tg, raw) = all.partition(_._1 % 10 < 2)
+    val ct = tg.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = raw.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nt, nr) = (tg.map(_._2.size).sum.toDouble, raw.map(_._2.size).sum.toDouble)
+    raw.foreach { case (id, bs) =>
+      val want = bs.map { b =>
+        val l = math.log((ct.getOrElse(b, 0L) + 1.0) / (nt + 1024.0)) -
+          math.log((cr.getOrElse(b, 0L) + 1.0) / (nr + 1024.0))
+        BigDecimal(l).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(out(id)._1 == want, s"doc $id log_w ${out(id)._1} != $want")
+      assert(out(id)._2 == bs.size.toLong)
+    }
+  }
+
   test("bm25 equals a from-first-principles ranking; rare terms dominate (L64)") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.bm25(documents).collect()
@@ -840,7 +889,8 @@ class OperatorSpec extends SparkSpec {
       "q_nb_score" -> "crossJoin(broadcast(single-row bias from the checkpointed vocab-sized model))",
       "q_curation_web" -> "inherits q_nb_score's single-row bias crossJoin via the composed NB stage",
       "q_epoch_schedule" -> "crossJoin(broadcast(single-row p50/p75 thresholds)) — the tfidf/lm_score pattern",
-      "q_bm25" -> "crossJoin(broadcast(single-row n_docs/avgdl)) — the tfidf/lm_score pattern")
+      "q_bm25" -> "crossJoin(broadcast(single-row n_docs/avgdl)) — the tfidf/lm_score pattern",
+      "q_dsir_weights" -> "crossJoin(broadcast(single-row nt/nr gram totals)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
