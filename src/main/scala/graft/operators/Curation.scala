@@ -417,6 +417,42 @@ r AS (
 m AS (SELECT doc_id, max(w)::BIGINT AS w, min(rk) AS pri FROM r GROUP BY doc_id)
 SELECT doc_id, w, pri FROM m ORDER BY pri, doc_id LIMIT $WeightedK"""
 
+  // ---- L66 (r6): rendezvous (HRW) shard assignment ----
+  // The elastic upgrade of L34's mod-K sharding: shard(doc) = argmax
+  // over shards s of md5('hrw'+s : doc_id) — highest-random-weight
+  // hashing (Thaler & Ravishankar). Where mod-K reshuffles (K-1)/K of
+  // the corpus when K changes, HRW moves EXACTLY the docs whose new
+  // shard's hash wins — expectation 1/(K+1) of the corpus, and every
+  // mover lands ON the new shard (the defining invariant; spec-pinned
+  // exactly, not statistically). The operator emits both the K=8 and
+  // K=9 assignments plus the moved flag, so the oracle hash-checks the
+  // stability claim itself. Scale: PURE MAP — the K-way argmax is a
+  // per-row array_max over K seeded hashes, zero shuffles; growing a
+  // 1000-executor ingest by one shard re-routes ~1/K of traffic with
+  // no coordination and no lookup table.
+  private val HrwShards = 8
+
+  def hrwShards(documents: DataFrame): DataFrame = {
+    def assign(k: Int) =
+      array_max(array((0 until k).map(s => struct(
+        md5Long(lit(s"hrw$s"), col("doc_id")).as("h"),
+        lit(s.toLong).as("s"))): _*)).getField("s")
+    documents
+      .select(col("doc_id"), assign(HrwShards).as("shard"),
+        assign(HrwShards + 1).as("shard_plus"))
+      .withColumn("moved", (col("shard") =!= col("shard_plus")).cast("long"))
+  }
+
+  val hrwShardsSql: String =
+    s"""WITH g AS (
+  SELECT doc_id, s, ${md5LongSql("'hrw' || s", "doc_id")} AS h
+  FROM documents, LATERAL unnest(generate_series(0, $HrwShards)) AS u(s)),
+a8 AS (SELECT doc_id, arg_max(s, h)::BIGINT AS shard FROM g
+       WHERE s < $HrwShards GROUP BY doc_id),
+a9 AS (SELECT doc_id, arg_max(s, h)::BIGINT AS shard_plus FROM g GROUP BY doc_id)
+SELECT doc_id, shard, shard_plus, (shard <> shard_plus)::BIGINT AS moved
+FROM a8 JOIN a9 USING (doc_id)"""
+
   // ---- L30: source-mixture balancing (token-budget reweighting) ----
   // The mixture step of a multi-source corpus: cap every source at an
   // equal share of a target token budget (70% of the uniform share

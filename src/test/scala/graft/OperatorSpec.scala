@@ -274,6 +274,29 @@ class OperatorSpec extends SparkSpec {
       documents.where(col("doc_id") % 17 === 13).count())
   }
 
+  test("hrwShards: movers land exactly on the new shard, ~1/(K+1) move (L66)") {
+    import graft.operators.Curation
+    val out = Curation.hrwShards(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = out.length
+    assert(n == documents.count())
+    out.foreach { case (id, s8, s9, moved) =>
+      assert(s8 >= 0 && s8 < 8 && s9 >= 0 && s9 < 9)
+      assert(moved == (if (s8 == s9) 0L else 1L))
+      // THE rendezvous invariant: adding shard 8 only ever steals docs
+      // INTO shard 8 — a mover's new home is the new shard, full stop
+      if (moved == 1) assert(s9 == 8L, s"doc $id moved $s8 -> $s9, not to the new shard")
+      if (s9 == 8L) assert(moved == 1L)
+    }
+    // stability: movers ~ Binomial(n, 1/9); allow a wide band
+    val movers = out.count(_._4 == 1)
+    assert(movers > n / 18 && movers < n / 5, s"$movers of $n moved")
+    // balance: every K=8 shard is populated, none grossly hot
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0L until 8L).toSet)
+    assert(sizes.values.max < 2 * n / 8 + 10, s"shard skew: $sizes")
+  }
+
   test("dsirWeights: target-like docs score positive, first-principles exact (L65)") {
     import graft.operators.Curation
     import spark.implicits._
