@@ -891,4 +891,98 @@ SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1)::BIGINT AS dup_tokens,
   max(n_tokens)::BIGINT AS n_tokens
 FROM spans GROUP BY doc_id"""
   }
+
+  // ---- L67 (r6): KMV sketch set operations — the source-overlap
+  // matrix ----
+  // Distinct-INTERSECTION estimation across sources (Beyer et al.,
+  // "On synopses for distinct-value estimation"): the sketch op HLL
+  // cannot do — HLL unions losslessly but cannot intersect. Per source,
+  // the KMV synopsis = the k=256 smallest md5 hashes of its distinct
+  // word trigrams; for a pair, U = the k smallest of the merged
+  // sketches, D_union = (k-1)·2^60/h_k, Jaccard = |U ∩ S_a ∩ S_b|/k,
+  // D_inter = Jaccard · D_union. Everything downstream of the sketch
+  // build runs on SKETCH-SIZED data (k rows/source — broadcastable at
+  // any corpus size): the 100 TB shape is one distinct-gram shuffle to
+  // build synopses, then pairwise math on ~nothing. The estimate is
+  // DETERMINISTIC given the hash (no RNG), so the DuckDB oracle
+  // replays it bit-for-bit; `true_inter` (the exact audit twin, an
+  // L41-style verification column) rides along to let the spec bound
+  // the relative error honestly. Sketch build here is a per-source
+  // window (clear + engine-portable); the bounded k-heap aggregator
+  // (TopK pattern) is the drop-in at 100 TB — result-identical by the
+  // (h asc) total order.
+  private val KmvK = 256
+
+  def kmvOverlap(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val g = documents.select(col("source"),
+        explode(expr("graft_shingles(split(lower(text), '\\\\s+'), 3)")).as("s"))
+      .distinct()
+      .select(col("source"), md5Long(lit("kmv"), col("s")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val sk = g.withColumn("rn", row_number().over(w)).where(col("rn") <= KmvK)
+      .select(col("source"), col("h"))
+    val pairs = sk.select(col("source").as("source_a")).distinct()
+      .join(sk.select(col("source").as("source_b")).distinct(),
+        col("source_a") < col("source_b"))
+    // merged sketch rows per pair, with membership flags (a shared hash
+    // collapses to one row carrying both flags)
+    val m = pairs.join(sk.withColumnRenamed("source", "source_a"), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionAll(pairs.join(sk.withColumnRenamed("source", "source_b"), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("h"), lit(0L).as("ia"), lit(1L).as("ib")))
+      .groupBy(col("source_a"), col("source_b"), col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))
+    val est = m.withColumn("rn", row_number().over(wp)).where(col("rn") <= KmvK)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("ia") * col("ib")).as("n_shared"), max(col("h")).as("hk"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(lit((KmvK - 1).toDouble * math.pow(2, 60)) / col("hk"), 6).as("est_union"),
+        round(col("n_shared") * (lit((KmvK - 1).toDouble * math.pow(2, 60)) / col("hk"))
+          / KmvK.toDouble, 6).as("est_inter"))
+    val truth = g.select(col("source").as("source_a"), col("h"))
+      .join(g.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("true_inter"))
+    est.join(truth, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("est_union"), col("est_inter"),
+        coalesce(col("true_inter"), lit(0L)).as("true_inter"))
+  }
+
+  val kmvOverlapSql: String = {
+    val toks = "string_split_regex(lower(text), '\\s+')"
+    val two60 = "1152921504606846976.0"
+    s"""WITH g AS (
+  SELECT DISTINCT source, ${md5LongSql("'kmv'", "s")} AS h FROM (
+    SELECT DISTINCT source, unnest(${wordShinglesSql(toks, 3)}) AS s FROM documents)),
+sk AS (SELECT source, h FROM g
+       QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= $KmvK),
+p AS (SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM sk) a, (SELECT DISTINCT source FROM sk) b
+      WHERE a.source < b.source),
+m AS (SELECT source_a, source_b, h, max(ia)::BIGINT AS ia, max(ib)::BIGINT AS ib FROM (
+    SELECT p.source_a, p.source_b, s.h, 1 AS ia, 0 AS ib
+    FROM p JOIN sk s ON s.source = p.source_a
+    UNION ALL
+    SELECT p.source_a, p.source_b, s.h, 0 AS ia, 1 AS ib
+    FROM p JOIN sk s ON s.source = p.source_b)
+  GROUP BY 1, 2, 3),
+e AS (SELECT source_a, source_b, sum(ia * ib)::BIGINT AS n_shared, max(h) AS hk
+      FROM (SELECT * FROM m
+            QUALIFY row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) <= $KmvK)
+      GROUP BY 1, 2),
+t AS (SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS true_inter
+      FROM g a JOIN g b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared,
+  round(($KmvK - 1) * $two60 / hk, 6) AS est_union,
+  round(n_shared * (($KmvK - 1) * $two60 / hk) / $KmvK.0, 6) AS est_inter,
+  coalesce(true_inter, 0)::BIGINT AS true_inter
+FROM e LEFT JOIN t USING (source_a, source_b)"""
+  }
 }

@@ -274,6 +274,36 @@ class OperatorSpec extends SparkSpec {
       documents.where(col("doc_id") % 17 === 13).count())
   }
 
+  test("kmvOverlap: union estimates within KMV error, hot pairs surface (L67)") {
+    import graft.operators.Dedup
+    val out = Dedup.kmvOverlap(documents).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(out.length == 20 * 19 / 2, "every source pair present")
+    // exact per-source distinct trigram counts for the union truth
+    graft.functions.VectorFunctions.register(spark)
+    val sizes = documents
+      .select(col("source"), explode(expr(
+        "graft_shingles(split(lower(text), '\\\\s+'), 3)")).as("s"))
+      .distinct().groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case ((a, b), nShared, estU, estI, trueI) =>
+      assert(nShared >= 0 && nShared <= 256)
+      assert(estI <= estU + 1e-9)
+      val trueU = (sizes(a) + sizes(b) - trueI).toDouble
+      // KMV union error ~ 1/sqrt(k) ~ 6%; allow 4 sigma
+      assert(math.abs(estU - trueU) / trueU < 0.25,
+        s"($a,$b) est_union $estU vs $trueU")
+    }
+    // the injected hot pairs must surface: the top-3 by estimate are
+    // genuinely top-true pairs (the audit finds the duplication)
+    val byEst = out.sortBy(-_._4).map(x => (x._1, x._5))
+    val trueTop = out.map(_._5).sorted(Ordering[Long].reverse)
+    byEst.take(3).foreach { case (p, t) =>
+      assert(t >= trueTop(5), s"est-top pair $p has true_inter $t")
+    }
+  }
+
   test("hrwShards: movers land exactly on the new shard, ~1/(K+1) move (L66)") {
     import graft.operators.Curation
     val out = Curation.hrwShards(documents).collect()
@@ -913,7 +943,8 @@ class OperatorSpec extends SparkSpec {
       "q_curation_web" -> "inherits q_nb_score's single-row bias crossJoin via the composed NB stage",
       "q_epoch_schedule" -> "crossJoin(broadcast(single-row p50/p75 thresholds)) — the tfidf/lm_score pattern",
       "q_bm25" -> "crossJoin(broadcast(single-row n_docs/avgdl)) — the tfidf/lm_score pattern",
-      "q_dsir_weights" -> "crossJoin(broadcast(single-row nt/nr gram totals)) — the tfidf/lm_score pattern")
+      "q_dsir_weights" -> "crossJoin(broadcast(single-row nt/nr gram totals)) — the tfidf/lm_score pattern",
+      "q_kmv_overlap" -> "source-pair enumeration: BNLJ over the DISTINCT SOURCE list (20 rows, corpus-size-independent) — all per-gram work is equi-joined")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
