@@ -636,7 +636,9 @@ FROM b"""
   private val Bm25Query = Seq("join", "vector", "query", "dup")
   private val Bm25TopK = 25
 
-  def bm25(documents: DataFrame): DataFrame = {
+  /** Per-doc BM25 scores before the top-k cut — shared by [[bm25]] and
+    * the L68 RRF fusion's sparse arm. */
+  private def bm25Scores(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
@@ -657,13 +659,18 @@ FROM b"""
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).cast("double").as("score"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(Bm25TopK)
   }
 
-  val bm25Sql: String = {
+  def bm25(documents: DataFrame): DataFrame =
+    bm25Scores(documents)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+
+  /** The `WITH`-body through the scored-doc CTE `sc` — shared by
+    * [[bm25Sql]] and [[hybridRrfSql]]. */
+  private val bm25Ctes: String = {
     val q = Bm25Query.map(t => s"'$t'").mkString("[", ", ", "]")
-    s"""WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+    s"""base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM base),
 stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
 tf AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf FROM (
@@ -674,10 +681,95 @@ c AS (SELECT doc_id,
     round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
       (tf * ($Bm25K1 + 1.0)) /
       (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 6)::DECIMAL(18,6) AS contrib
-  FROM tf JOIN df USING (token) CROSS JOIN stats)
-SELECT doc_id, sum(contrib)::DOUBLE AS score, count(*)::BIGINT AS n_terms
-FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+  FROM tf JOIN df USING (token) CROSS JOIN stats),
+sc AS (SELECT doc_id, sum(contrib)::DOUBLE AS score, count(*)::BIGINT AS n_terms
+  FROM c GROUP BY doc_id)"""
   }
+
+  val bm25Sql: String =
+    s"""WITH $bm25Ctes
+SELECT doc_id, score, n_terms FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+
+  // ---- L68 (r6): hybrid retrieval — reciprocal-rank fusion ----
+  // The fusion step every production retrieval stack runs on top of
+  // L64 (sparse) and a dense arm: RRF (Cormack/Clarke/Buettcher 2009),
+  // score(d) = Σ_arms 1/(C + rank_arm(d)) with the standard C = 60.
+  // Used in data pipelines for retrieval-based decontamination and
+  // example selection, where neither arm alone is trusted. Demo query:
+  // the L64 literal term set (sparse) + the corpus embedding of
+  // `vec_id = 0` as the dense query vector (vec_id ≡ doc_id, the L32
+  // contract). Scale shape: each arm is the scale path that already
+  // exists — BM25's map-side term filter + TakeOrderedAndProject, and
+  // a broadcast single-vector cosine scan with a TakeOrdered cut — so
+  // the fusion input is two ≤`RrfArmK`-row frames; the full-outer
+  // fusion join, rank windows, and final cut all run over k-bounded
+  // data (the single-partition windows touch ≤50 rows BY CONSTRUCTION,
+  // not by luck — the arms' limits precede them).
+  // Portability: arm ranks are integer row_numbers over
+  // (rounded score DESC, doc_id) — identical in both engines given the
+  // L64/L6 score precedents — and 1/(C+rank) is one IEEE double
+  // division rounded to 6 and summed as DECIMAL, so fused scores and
+  // the final (rrf DESC, doc_id) cut are engine-identical.
+  private val RrfC = 60L
+  private val RrfArmK = 50
+  private val RrfTopK = 25
+  private val RrfDenseQueryId = 0L
+
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val armW = org.apache.spark.sql.expressions.Window
+    // sparse arm: L64's scorer, cut to RrfArmK, then ranked (the
+    // window sorts the already-cut 50-row frame)
+    val sparse = bm25Scores(documents)
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfArmK)
+      .withColumn("r_sparse", row_number()
+        .over(armW.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_sparse"))
+    // dense arm: one broadcast query vector against the corpus scan
+    val qv = embeddings.where(col("vec_id") === RrfDenseQueryId)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val dense = embeddings.where(col("vec_id") =!= RrfDenseQueryId)
+      .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("cv"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), round(
+        expr("graft_dot(qv, cv)") /
+          (sqrt(expr("graft_dot(qv, qv)")) * sqrt(expr("graft_dot(cv, cv)"))), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfArmK)
+      .withColumn("r_dense", row_number()
+        .over(armW.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_dense"))
+    def contrib(r: Column): Column =
+      when(r > 0, round(lit(1.0) / (lit(RrfC) + r), 6)).otherwise(lit(0.0))
+        .cast("decimal(18,6)")
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+      .withColumn("rrf",
+        (contrib(col("r_sparse")) + contrib(col("r_dense"))).cast("double"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(RrfTopK)
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH $bm25Ctes,
+sp AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_sparse
+  FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT $RrfArmK)),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $RrfDenseQueryId),
+dc AS (SELECT vec_id AS doc_id, round(
+    list_dot_product(qv, embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cos
+  FROM embeddings, qv WHERE vec_id <> $RrfDenseQueryId),
+dn AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+  FROM (SELECT * FROM dc ORDER BY cos DESC, doc_id LIMIT $RrfArmK)),
+f AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+    coalesce(r_sparse, 0)::BIGINT AS r_sparse,
+    coalesce(r_dense, 0)::BIGINT AS r_dense,
+    ((CASE WHEN r_sparse IS NOT NULL THEN round(1.0 / ($RrfC + r_sparse), 6) ELSE 0 END)::DECIMAL(18,6)
+     + (CASE WHEN r_dense IS NOT NULL THEN round(1.0 / ($RrfC + r_dense), 6) ELSE 0 END)::DECIMAL(18,6)) AS rrf
+  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+SELECT doc_id, r_sparse, r_dense, rrf::DOUBLE AS rrf
+FROM f ORDER BY rrf DESC, doc_id LIMIT $RrfTopK"""
 
   // ---- L14: TF-IDF (top term per doc) ----
   // tf from an explode+count, df derived from tf, idf = ln(N/df).

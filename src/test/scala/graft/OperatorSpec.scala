@@ -410,6 +410,59 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("hybridRrf equals first-principles fusion of its two arms (L68)") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.hybridRrf(documents, embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // sparse arm from first principles (the L64 recurrence, top-50)
+    val corpus = documents.select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)
+    val query = Seq("join", "vector", "query", "dup")
+    val n = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length).sum / n
+    val dfm = query.map(t => t -> corpus.count(_._2.contains(t)).toDouble).toMap
+    val sparseRank = corpus.flatMap { case (id, toks) =>
+      val contribs = query.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None else Some {
+          val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          BigDecimal(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+      if (contribs.isEmpty) None else Some(id -> contribs.sum.toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // dense arm from first principles (cosine to vec 0, top-50)
+    val vecs = embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q0 = vecs(0L)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val denseRank = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      id -> BigDecimal(dot(q0, v) / (math.sqrt(dot(q0, q0)) * math.sqrt(dot(v, v))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    def c(r: Option[Long]): BigDecimal = r.map(rk =>
+      BigDecimal(1.0 / (60L + rk)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .getOrElse(BigDecimal(0))
+    val want = (sparseRank.keySet ++ denseRank.keySet).toSeq.map { id =>
+      (id, sparseRank.getOrElse(id, 0L), denseRank.getOrElse(id, 0L),
+        (c(sparseRank.get(id)) + c(denseRank.get(id))).toDouble)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(25)
+    assert(out.toSeq == want, "fused top-25 drifts from first-principles RRF")
+    // fusion must genuinely mix: both arms contribute to the top-25,
+    // and any doc ranked by BOTH arms outscores a doc holding the same
+    // best single-arm rank alone (1/(C+r) + something positive)
+    assert(out.exists(_._2 > 0) && out.exists(_._3 > 0), "an arm never reached the fused cut")
+    val both = out.filter(r => r._2 > 0 && r._3 > 0)
+    both.foreach { case (_, rs, rd, s) =>
+      val single = 1.0 / (60.0 + math.min(rs, rd))
+      assert(s > single - 1e-9, "two-arm doc scored below its best single arm")
+    }
+  }
+
   test("chunkDocs: drop-the-overlap reconstruction is lossless (L62)") {
     import graft.operators.Packing
     val out = Packing.chunkDocs(documents).collect()
