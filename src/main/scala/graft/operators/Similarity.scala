@@ -220,6 +220,76 @@ WHERE cos >= $tau"""
 WHERE rk <= $TopK"""
   }
 
+  // ---- L69 (r6): hard-negative mining for contrastive training ----
+  // The mined-negatives recipe behind dense-retriever / embedding-model
+  // training (DPR, Sentence-BERT fine-tuning): for each query vector,
+  // the top-k most-similar corpus vectors whose `label` DIFFERS — the
+  // negatives that actually move a contrastive loss, because random
+  // negatives are trivially far. Each row carries `margin` =
+  // best-same-label cosine − negative cosine: margin ≈ 0 rows are the
+  // valuable near-boundary negatives (and margin < 0 flags probable
+  // label noise — the cleaning signal riding along for free).
+  // Scale shape: annTopK's contract — the query set is bounded
+  // broadcast state (the L6 cap), the corpus streams past it map-side
+  // ONCE producing both arms (negatives through the bounded
+  // TopKAggregator, positives through a per-query max — map-side
+  // partials both), so the exchange carries k rows per (query × task),
+  // never the scored corpus. Portability: the L6 cosine precedent
+  // (graft_dot = left-to-right double sum = list_dot_product, round 6);
+  // margin subtracts two already-rounded doubles and re-rounds.
+  private val HardNegK = 5
+
+  def hardNegatives(embeddings: DataFrame,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = boundedQueries(embeddings, querySet)
+      .select(col("vec_id").as("q_id"), asD(col("embedding")).as("qv"),
+        col("label").cast("long").as("q_label"))
+      .withColumn("nq", sqrt(expr("graft_dot(qv, qv)")))
+    val c = embeddings
+      .select(col("vec_id").as("cand_id"), asD(col("embedding")).as("cv"),
+        col("label").cast("long").as("c_label"))
+      .withColumn("nc", sqrt(expr("graft_dot(cv, cv)")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("q_label"), col("cand_id"), col("c_label"),
+        round(gdot("qv", "cv") / (col("nq") * col("nc")), 6).as("cos"))
+    // the contrastive anchor: best same-label cosine per query
+    val pos = scored.where(col("c_label") === col("q_label"))
+      .groupBy(col("q_id")).agg(max(col("cos")).as("pos_cos"))
+    val agg = new graft.functions.TopKAggregator(HardNegK).toColumn
+    val negs = scored.where(col("c_label") =!= col("q_label"))
+      .select(col("q_id"), col("cand_id").as("id"), col("cos").as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(agg)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case (e, i) => (qid, e.id, e.score, (i + 1).toLong) }
+      }
+      .toDF("q_id", "cand_id", "cos", "rk")
+    negs.join(broadcast(pos), "q_id")
+      .select(col("q_id"), col("cand_id"), col("cos"), col("rk"),
+        round(col("pos_cos") - col("cos"), 6).as("margin"))
+  }
+
+  val hardNegativesSql: String = {
+    val c = cosineSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")
+    s"""WITH s AS (
+  SELECT q.vec_id AS q_id, q.label::BIGINT AS q_label, c.vec_id AS cand_id,
+         c.label::BIGINT AS c_label, round($c, 6) AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id % 97 = 0 AND c.vec_id <> q.vec_id),
+p AS (SELECT q_id, max(cos) AS pos_cos FROM s WHERE c_label = q_label GROUP BY q_id),
+n AS (SELECT q_id, cand_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id ASC) AS rk
+      FROM s WHERE c_label <> q_label)
+SELECT n.q_id, n.cand_id, n.cos, n.rk, round(p.pos_cos - n.cos, 6) AS margin
+FROM n JOIN p USING (q_id) WHERE rk <= $HardNegK"""
+  }
+
   // ---- L7: LSH-bucketed ANN (the scale path; rows-check + recall test) ----
   // A query's candidates are corpus vectors sharing its bucket in ANY
   // table; candidates are re-ranked exactly. At 100 TB the bucket join

@@ -410,6 +410,43 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("hardNegatives: brute-force-exact cross-label top-k with anchored margins (L69)") {
+    import graft.operators.Similarity
+    val out = Similarity.hardNegatives(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]) = BigDecimal(
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = vecs.filter(_._1 % 97 == 0).flatMap { case (qid, qv, ql) =>
+      val scored = vecs.filter(_._1 != qid).map { case (cid, cv, cl) => (cid, cos(qv, cv), cl) }
+      val posCos = scored.filter(_._3 == ql).map(_._2).max
+      scored.filter(_._3 != ql).sortBy { case (cid, c, _) => (-c, cid) }.take(5)
+        .zipWithIndex.map { case ((cid, c, _), i) =>
+          (qid, cid, c, (i + 1).toLong,
+            BigDecimal(posCos - c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSeq.sortBy(r => (r._1, r._4))
+    assert(out.toSeq.sortBy(r => (r._1, r._4)) == want,
+      "mined negatives drift from the brute-force cross-label top-k")
+    // the mined set must exclude the query's own class entirely
+    val labels = vecs.map(v => v._1 -> v._3).toMap
+    out.foreach { case (q, cand, _, _, _) =>
+      assert(labels(q) != labels(cand), s"query $q mined a same-label 'negative' $cand")
+    }
+    // margins are anchored at the best positive: min margin per query > 0
+    // means the anchor beat every negative; a negative margin would flag
+    // label noise — either way the anchor must dominate rank-k's margin
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.head._5 <= byRank.last._5 + 1e-9, "margin not monotone in rank")
+    }
+  }
+
   test("hybridRrf equals first-principles fusion of its two arms (L68)") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.hybridRrf(documents, embeddings).collect()
