@@ -489,6 +489,50 @@ SELECT t.doc_id, t.source, t.tok, r.bp
 FROM t JOIN r USING (source)
 WHERE ${md5LongSql("'mix'", "t.doc_id")} % 10000 < r.bp"""
 
+  // ---- L70 (r6): temperature-scaled source mixing (α = 1/2) ----
+  // The published multilingual/multi-source sampling recipe (mT5 /
+  // XLM-R: p_s ∝ n_s^α, α < 1 upweights small sources without
+  // drowning large ones) at α = 1/2, where it is EXACTLY computable:
+  // IEEE-754 sqrt is correctly rounded, so w_s = floor(sqrt(src_tok))
+  // is the identical BIGINT in both engines whenever src_tok < 2^52
+  // (~4.5e15 tokens/source ≈ 18 PB of text — document, not a real
+  // bound). Every decision after sqrt is integer arithmetic: sampling
+  // rate bp_s = min(10000, tot·TempTargetBp·w_s div (W·src_tok)) in
+  // 128-bit (DECIMAL(38,0) / HUGEINT — the BIGINT product overflows
+  // past ~60 GB of text, so the width is the scale contract), giving
+  // expected sampled tokens = (TempTargetBp/10^4)·tot distributed
+  // ∝ sqrt(n_s). Survival is the L30 md5-threshold gate — per-doc,
+  // deterministic, map-only. Distinct from L30, which CAPS every
+  // source at an equal share (α = 0); this interpolates.
+  private val TempTargetBp = 5000L // sampled-corpus target: 50% of tokens
+
+  def temperatureMixture(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("tok"))
+    val bySrc = toks.groupBy(col("source")).agg(sum(col("tok")).as("src_tok"))
+      .withColumn("w", floor(sqrt(col("src_tok"))).cast("long"))
+    val totals = bySrc.agg(sum(col("src_tok")).as("tot"), sum(col("w")).as("tw"))
+    val rates = bySrc.crossJoin(broadcast(totals))
+      .select(col("source"), least(lit(10000L), expr(
+        s"CAST(tot AS DECIMAL(38,0)) * $TempTargetBp * w div (CAST(tw AS DECIMAL(38,0)) * src_tok)"))
+        .as("bp"))
+    toks.join(broadcast(rates), "source")
+      .where(pmod(md5Long(lit("tmix"), col("doc_id")), lit(10000)) < col("bp"))
+      .select(col("doc_id"), col("source"), col("tok"), col("bp"))
+  }
+
+  val temperatureMixtureSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+  len(string_split_regex(lower(text), '\\s+'))::BIGINT AS tok FROM documents),
+s AS (SELECT source, sum(tok)::BIGINT AS src_tok FROM t GROUP BY source),
+sw AS (SELECT source, src_tok, floor(sqrt(src_tok))::BIGINT AS w FROM s),
+g AS (SELECT sum(src_tok)::BIGINT AS tot, sum(w)::BIGINT AS tw FROM sw),
+r AS (SELECT source, least(10000, (tot::HUGEINT * $TempTargetBp * w) // (tw::HUGEINT * src_tok))::BIGINT AS bp
+  FROM sw, g)
+SELECT t.doc_id, t.source, t.tok, r.bp
+FROM t JOIN r USING (source)
+WHERE ${md5LongSql("'tmix'", "t.doc_id")} % 10000 < r.bp"""
+
   // ---- L34: deterministic training-shard assignment ----
   // The last step before tokenization: scatter the curated corpus into
   // K shards with a DETERMINISTIC pseudo-random order — shard =

@@ -410,6 +410,54 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("temperatureMixture: sqrt-temperature rates, exact integers, mass on target (L70)") {
+    import graft.operators.Curation
+    val out = Curation.temperatureMixture(documents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // first-principles rates in exact BigInt arithmetic
+    val srcTok = documents.select(col("source"), lower(col("text"))).collect()
+      .map(r => r.getString(0) -> r.getString(1).split("\\s+").count(_.nonEmpty).toLong)
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val w = srcTok.map { case (s, n) => s -> math.sqrt(n.toDouble).toLong }
+    val tot = BigInt(srcTok.values.sum)
+    val tw = BigInt(w.values.sum)
+    val bp = srcTok.map { case (s, n) =>
+      s -> ((tot * 5000 * w(s)) / (tw * n)).min(10000).toLong
+    }
+    out.foreach { case (_, s, _, b) => assert(b == bp(s), s"bp drift for source $s") }
+    // temperature property: bigger sources sample at LOWER rates, yet
+    // still contribute more expected tokens (upweight small sources
+    // without drowning large ones — the α=1/2 interpolation)
+    val bySize = srcTok.toSeq.sortBy(_._2)
+    for (Seq((sa, na), (sb, nb)) <- bySize.sliding(2) if na < nb) {
+      // rate inverse in size, up to the integer-sqrt quantization: at
+      // toy scale w ≈ 37 the floor carries a 1/w relative error that
+      // can cross near-equal sources at an isqrt boundary; the slack
+      // DECAYS as 1/sqrt(n) and is sub-bp at any real corpus size
+      val slack = bp(sa) / w(sa) + 1
+      assert(bp(sa) + slack >= bp(sb), s"rate not inverse in size: $sa vs $sb")
+      // one bp-unit of floor slack: the continuous rate is in [bp, bp+1)
+      assert(na * (bp(sa) + slack) >= na * bp(sa), "overflow guard")
+      assert(na * bp(sa) <= nb * (bp(sb) + slack) || bp(sb) == 10000,
+        s"expected-token mass not monotone in size: $sa vs $sb")
+    }
+    // extremes are far outside quantization noise: strictly ordered
+    val (sMin, nMin) = bySize.head
+    val (sMax, nMax) = bySize.last
+    assert(bp(sMin) > bp(sMax), "smallest source must sample at a strictly higher rate")
+    assert(nMin * bp(sMin) < nMax * bp(sMax),
+      "largest source must still contribute more expected tokens")
+    // expected sampled mass lands on the 50% target (floor loses at
+    // most one bp-unit per source; the cap only lifts small sources)
+    val mass = srcTok.map { case (s, n) => BigInt(n) * bp(s) }.sum
+    val frac = BigDecimal(mass) / BigDecimal(tot * 10000)
+    assert(frac > 0.45 && frac < 0.56, s"sampled token mass $frac off the 0.5 target")
+    // survivors deterministic: rerun equality
+    val again = Curation.temperatureMixture(documents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("hardNegatives: brute-force-exact cross-label top-k with anchored margins (L69)") {
     import graft.operators.Similarity
     val out = Similarity.hardNegatives(embeddings).collect()
