@@ -217,6 +217,76 @@ SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_toks)::BIGINT AS n_bpe_tokens,
   md5(string_agg(e, ' ' ORDER BY wi)) AS bpe_md5
 FROM fin GROUP BY doc_id"""
 
+  /** L71 oracle: `fin`'s encoded word `e` rebuilds its source word by
+    * dropping the '|' separators, so chars = length(e) − (n_toks−1). */
+  val tokenizerFertilitySql: String = {
+    def toksSql = "string_split_regex(lower(text), '\\s+')"
+    val scores = stopwords.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($toksSql, t -> list_contains($lst, t)))::BIGINT AS score_$l"
+    }.mkString(",\n  ")
+    val best = "greatest(" + stopwords.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
+    val pred = stopwords.map { case (l, _) =>
+      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH RECURSIVE
+$bpeFinCtes,
+lang AS (SELECT doc_id, CASE $pred ELSE 'und' END AS pred_lang
+  FROM (SELECT doc_id, $scores FROM documents) scored),
+pd AS (SELECT doc_id, sum(n_toks)::BIGINT AS t,
+    sum(length(e) - (n_toks - 1))::BIGINT AS c
+  FROM fin GROUP BY doc_id),
+pl AS (SELECT pred_lang, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS bpe_tokens,
+    sum(c)::BIGINT AS chars
+  FROM pd JOIN lang USING (doc_id) GROUP BY pred_lang)
+SELECT pred_lang, n_docs, bpe_tokens, chars,
+  round(100.0 * bpe_tokens / chars, 6) AS fertility
+FROM pl"""
+  }
+
+  // ---- L71 (r6): tokenizer fertility by language ----
+  // The standard tokenizer-evaluation metric (fertility = subword
+  // tokens per unit of text, reported per language — how multilingual
+  // tokenizer studies expose vocabulary bias: languages far from the
+  // merge-table's training mix fragment into more tokens per
+  // character). Composes L8's language ID with L33's real BPE: per
+  // PREDICTED language, BPE tokens per 100 alphabetic chars over the
+  // same [a-z]+ word stream graft_bpe encodes. Scale shape: pred_lang
+  // rides the row through a single-element-explode Generate barrier
+  // (the L56 lesson — without it the O(|doc|) lang score recomputes
+  // per WORD), then one (lang, doc) aggregate with map-side partials
+  // and a lang-cardinality rollup — no joins, the corpus is scanned
+  // once. Portability: all sums are exact BIGINTs; the one division
+  // happens per language at the end (IEEE + round 6).
+  def tokenizerFertility(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val toks = tokens(col("text"))
+    val scored = documents.select(
+      Seq(col("doc_id"), col("text")) ++
+        stopwords.map { case (l, ws) => hitCount(toks, ws).cast("long").as(s"score_$l") }: _*)
+    val best = greatest(stopwords.map { case (l, _) => col(s"score_$l") }: _*)
+    val pred = stopwords.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // Generate barrier: pred_lang + the word array materialize once
+    // per doc before the per-word explode
+    val words = scored
+      .select(col("doc_id"), explode(array(struct(pred.as("pl"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws")))).as("s"))
+      .select(col("doc_id"), col("s.pl").as("pred_lang"), explode(col("s.ws")).as("word"))
+    words
+      .select(col("pred_lang"), col("doc_id"),
+        size(expr("graft_bpe(word)")).cast("long").as("t"),
+        length(col("word")).cast("long").as("c"))
+      .groupBy(col("pred_lang"), col("doc_id"))
+      .agg(sum(col("t")).as("t"), sum(col("c")).as("c"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("bpe_tokens"),
+        sum(col("c")).as("chars"))
+      .withColumn("fertility",
+        round(lit(100.0) * col("bpe_tokens") / col("chars"), 6))
+  }
+
   // ---- L33t: BPE merge TRAINING (r6 — the learning half of L33) ----
   // Sennrich et al. 2016's training loop: from the corpus word-type
   // table (word, freq), repeatedly (1) count every adjacent token pair

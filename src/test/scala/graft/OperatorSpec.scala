@@ -410,6 +410,45 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("tokenizerFertility: per-language tokens-per-100-chars, first principles (L71)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // constructed multilingual fixture — the corpus is en-dominant, so
+    // the per-language dimension is pinned here instead
+    val fix = Seq(
+      (1L, "the machine learning pipeline processes the data with the model"),
+      (2L, "der hund und die katze ist ein guter freund von der familie"),
+      (3L, "le chat et les chiens est une belle ville de la terre"),
+      (4L, "xqzt bbbb qqqq zzzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenizerFertility(fix).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    val texts = Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und")
+    val rows = Seq(1L, 2L, 3L, 4L).map { id =>
+      val text = fix.where(col("doc_id") === id).collect()(0).getString(1)
+      val words = "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+      val t = words.map(w => graft.functions.Bpe.encode(w).length.toLong).sum
+      val c = words.map(_.length.toLong).sum
+      (texts(id), t, c)
+    }
+    val want = rows.groupBy(_._1).map { case (l, rs) =>
+      val (t, c) = (rs.map(_._2).sum, rs.map(_._3).sum)
+      (l, rs.size.toLong, t, c,
+        BigDecimal(100.0 * t / c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    assert(out == want, "per-language fertility drifts from first principles")
+    // every language present, none collapsed into 'und' wrongly
+    assert(out.map(_._1) == Seq("de", "en", "fr", "und"))
+    // corpus-level invariants: a BPE token is >=1 char (fertility <= 100)
+    // and the merge table genuinely compresses (< 100 strictly)
+    val corpus = TextAnalysis.tokenizerFertility(documents).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val f = r.getDouble(4)
+      assert(f > 0 && f < 100.0, s"fertility $f out of the compressing range")
+    }
+  }
+
   test("temperatureMixture: sqrt-temperature rates, exact integers, mass on target (L70)") {
     import graft.operators.Curation
     val out = Curation.temperatureMixture(documents).collect()
