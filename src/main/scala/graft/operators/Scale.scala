@@ -72,6 +72,31 @@ object Scale {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
 
+  /** Small-files compaction — the OPTIMIZE / bin-packing half of the
+    * layout story (zorderWrite is the clustering half). A streaming
+    * ingest or over-parallel batch job leaves thousands of KB-sized
+    * parquet files; every later scan then pays one task + one
+    * footer-read per file, and at 100 TB the driver's file listing
+    * alone becomes the bottleneck. Compaction sizes the output from
+    * the ACTUAL input bytes (no row-size estimation): nFiles =
+    * ceil(totalBytes / targetBytes), round-robin repartition for
+    * near-equal file sizes, one file per task. Returns the computed
+    * file count. Content is untouched — the spec proves bytes-exact
+    * row equality and the file-count contract. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Write both sides bucketed by the join key so the subsequent join
     * needs no Exchange: the classic co-located join. Requires a
     * warehouse-backed table (bucket metadata lives in the catalog).

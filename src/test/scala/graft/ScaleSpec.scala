@@ -90,6 +90,35 @@ class ScaleSpec extends SparkSpec {
     assert(zU < tU, "z-order must beat the time-sorted layout on the user dimension")
   }
 
+  test("compactParquet bin-packs small files to the byte target, content untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val docs = Tables.load(spark, sf, "documents")
+    // simulate an over-parallel ingest: 64 files for ~500 rows
+    docs.repartition(64).write.mode("overwrite").parquet(s"$dir/small")
+    def files(p: String) = new java.io.File(p).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    val small = files(s"$dir/small")
+    assert(small.size == 64, "fixture must start fragmented")
+    val totalBytes = small.map(_.length).sum
+    val target = totalBytes / 4
+    val n = Scale.compactParquet(spark, s"$dir/small", s"$dir/packed", target)
+    val packed = files(s"$dir/packed")
+    // the file-count contract: ceil(total/target) files, actually on disk
+    assert(n == math.ceil(totalBytes.toDouble / target).toInt)
+    assert(packed.size == n, s"expected $n files, found ${packed.size}")
+    // round-robin keeps sizes near-equal: no file more than 2x the mean
+    // (per-file parquet overhead shrinks, so files land UNDER target)
+    val mean = packed.map(_.length).sum.toDouble / packed.size
+    assert(packed.forall(_.length < 2 * mean), "a packed file is badly skewed")
+    // content is bytes-exact: same rows, nothing reordered away
+    val before = docs.select(col("doc_id"), md5(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val after = spark.read.parquet(s"$dir/packed")
+      .select(col("doc_id"), md5(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(after == before, "compaction altered content")
+  }
+
   test("hive-style partition layout prunes directories at planning time") {
     // at 100 TB, date-partitioned layout turns a date predicate into a
     // directory listing instead of a data scan — assert the filter
