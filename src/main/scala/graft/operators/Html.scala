@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable._
+
 /** HTML boilerplate extraction (SURVEY §2.3 L55, r6) — the missing
   * first stage of a web-crawl corpus: every curation pipeline starts
   * from markup, not clean text, and L8-L31 all assume the markup is
@@ -239,5 +241,113 @@ e AS (
 SELECT doc_id, title, n_blocks, md5(extracted) AS extracted_md5,
   extracted = text AS roundtrip_exact
 FROM e"""
+  }
+
+  // ---- L72 (r6): host link graph + integer PageRank over hosts ----
+  // The link-based quality signal every web corpus ranks with (the
+  // CCNet/Common-Crawl host-level PageRank): outlinks come OUT OF THE
+  // MARKUP — each page declares its host in a canonical <link> and its
+  // outlinks as absolute <a href> anchors; edges aggregate per
+  // (src_host, dst_host) with multiplicity as the weight, and the C39
+  // integer fixed-point recurrence runs over the HOST graph. Generator
+  // contract (the L55 pattern — a real crawl swaps in its html column
+  // and nothing else changes): host = h(doc_id mod 16) — all 16 hosts
+  // occupied once ids cover 0..15 — one deterministic RING link to
+  // h(id+1 mod 16) guaranteeing every host ≥1 in-edge (the recursion's
+  // coverage precondition, structural rather than probabilistic), plus
+  // three md5-derived links. Scale shape: link extraction is map-only
+  // over the corpus; ONE (src, dst) aggregate with map-side partials
+  // collapses 100 TB of pages to a host-cardinality edge list; the
+  // iteration then runs on host-sized frames (lineage-cut per wave —
+  // the C39 rule). Integer portability: contribution =
+  // (rank div out_w)·w — truncate-then-scale, so every intermediate is
+  // ≤ rank and BIGINT overflow is impossible by construction; teleport
+  // and damping are the C39 constants.
+  private val HostCount = 16L
+  private val HrUnit = 1000000000000L
+  private val HrIters = 10
+  private val HrTeleport = (15L * (HrUnit / HostCount)) / 100L
+
+  private def hostCol(id: Column): Column =
+    concat(lit("h"), pmod(id, lit(HostCount)).cast("string"))
+
+  private def linkHost(k: Int, id: Column): Column =
+    concat(lit("h"), pmod(md5Long(lit(s"link$k"), id), lit(HostCount)).cast("string"))
+
+  /** [[pageCol]] plus a canonical host declaration in the head and a
+    * links block ahead of the footer. */
+  def linkedPageCol: Column = {
+    val id = col("doc_id")
+    def anchor(host: Column, tag: String): Column =
+      concat(lit("<a href=\"https://"), host, lit(".example.com/p"),
+        id.cast("string"), lit(s"\">$tag</a>"))
+    val canonical = concat(lit("<link rel=\"canonical\" href=\"https://"),
+      hostCol(id), lit(".example.com/p"), id.cast("string"), lit("\">"))
+    val links = concat(
+      Seq(lit("<div class=\"links\">"), anchor(hostCol(id + 1), "next")) ++
+        (0 until 3).map(k => anchor(linkHost(k, id), s"ref$k")) :+
+        lit("</div>"): _*)
+    replace(
+      replace(pageCol, lit("</head>"), concat(canonical, lit("</head>"))),
+      lit("<footer>"), concat(links, lit("<footer>")))
+  }
+
+  def asLinkedHtml(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"), linkedPageCol.as("html"))
+
+  /** (host, out_w, rank): weighted integer PageRank of the host graph
+    * extracted from the linked pages. */
+  def hostGraphRank(documents: DataFrame): DataFrame = {
+    val html = asLinkedHtml(documents).select(col("doc_id"), col("html"))
+    val parsed = html.select(
+      regexp_extract(col("html"),
+        "rel=\"canonical\" href=\"https://(h[0-9]+)\\.example\\.com", 1).as("src"),
+      regexp_extract_all(col("html"),
+        lit("<a href=\"https://(h[0-9]+)\\.example\\.com"), lit(1)).as("dsts"))
+    val edges = parsed.select(col("src"), explode(col("dsts")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+      .localCheckpoint()
+    var ranks = deg.select(col("src").as("v"), lit(HrUnit / HostCount).as("rank"))
+    for (_ <- 1 to HrIters) {
+      val contrib = ranks.join(deg.withColumnRenamed("src", "v"), "v")
+        .select(col("v"), expr("rank div out_w").as("c"))
+      val inflow = edges.join(contrib.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst")).agg(sum(expr("c * w")).as("in_sum"))
+      ranks = deg.select(col("src").as("v"))
+        .join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
+        .select(col("v"),
+          (lit(HrTeleport) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("v").as("host"), col("rank"))
+      .join(deg.select(col("src").as("host"), col("out_w")), "host")
+      .select(col("host"), col("out_w"), col("rank"))
+  }
+
+  /** Generator-arithmetic oracle (the L42/L50 pattern): hrefs are
+    * regenerated from the same md5/mod arithmetic — the html-string
+    * round trip is pinned by the ScalaTest with an independent
+    * java-regex extractor. */
+  val hostGraphRankSql: String = {
+    val src = s"'h' || (doc_id % $HostCount)::VARCHAR"
+    val ring = s"'h' || ((doc_id + 1) % $HostCount)::VARCHAR"
+    def mk(k: Int) = s"'h' || (${md5LongSql(s"'link$k'", "doc_id")} % $HostCount)::VARCHAR"
+    s"""WITH RECURSIVE raw AS (
+  SELECT $src AS src, unnest([$ring, ${mk(0)}, ${mk(1)}, ${mk(2)}]) AS dst
+  FROM documents),
+e AS (SELECT src, dst, count(*)::BIGINT AS w FROM raw GROUP BY 1, 2),
+deg AS (SELECT src, sum(w)::BIGINT AS out_w FROM e GROUP BY src),
+pr(iter, v, rank) AS (
+  SELECT 0, src, ${HrUnit / HostCount} FROM deg
+  UNION ALL
+  SELECT iter + 1, dst, $HrTeleport + (85 * s) // 100
+  FROM (SELECT p.iter AS iter, e.dst AS dst, sum((p.rank // dg.out_w) * e.w) AS s
+        FROM pr p JOIN deg dg ON dg.src = p.v JOIN e ON e.src = p.v
+        GROUP BY p.iter, e.dst)
+  WHERE iter < $HrIters)
+SELECT p.v AS host, deg.out_w, p.rank::BIGINT AS rank
+FROM pr p JOIN deg ON deg.src = p.v WHERE iter = $HrIters"""
   }
 }

@@ -410,6 +410,48 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("hostGraphRank: markup-extracted edges match arithmetic; rank mass conserved (L72)") {
+    import graft.operators.Html
+    val out = Html.hostGraphRank(documents).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // independent extraction: java regex over the actual page strings,
+    // NOT the generator arithmetic — pins the markup round trip
+    val canonRe = "rel=\"canonical\" href=\"https://(h[0-9]+)\\.example\\.com".r
+    val hrefRe = "<a href=\"https://(h[0-9]+)\\.example\\.com".r
+    val pages = Html.asLinkedHtml(documents).select(col("doc_id"), col("html")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val extracted = pages.flatMap { case (_, html) =>
+      val src = canonRe.findFirstMatchIn(html).get.group(1)
+      hrefRe.findAllMatchIn(html).map(m => (src, m.group(1))).toSeq
+    }.groupBy(identity).map { case (e, xs) => e -> xs.size.toLong }
+    // arithmetic edges (the oracle's view) from raw md5
+    def md5h(seed: String, id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 16L
+    }
+    val arith = pages.flatMap { case (id, _) =>
+      val src = s"h${id % 16}"
+      Seq((src, s"h${(id + 1) % 16}")) ++
+        (0 until 3).map(k => (src, s"h${md5h(s"link$k", id)}"))
+    }.groupBy(identity).map { case (e, xs) => e -> xs.size.toLong }
+    assert(extracted == arith, "markup-extracted edge list drifts from the generator arithmetic")
+    // every host materializes, every host has genuine inflow (> teleport)
+    assert(out.map(_._1).toSet == (0 until 16).map(i => s"h$i").toSet)
+    val teleport = (15L * (1000000000000L / 16L)) / 100L
+    out.foreach { case (h, ow, r) =>
+      assert(ow >= 4, s"host $h lost outlinks")
+      assert(r > teleport, s"host $h has no inflow — the ring guarantee broke")
+    }
+    // integer truncation only LOSES mass: sum in (0.9, 1.0] of the unit
+    val mass = out.map(_._3).sum.toDouble / 1000000000000L
+    assert(mass > 0.9 && mass <= 1.0 + 1e-12, s"rank mass $mass out of band")
+    // bit-identical rerun (the C39 determinism contract)
+    val again = Html.hostGraphRank(documents).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(out == again)
+  }
+
   test("tokenizerFertility: per-language tokens-per-100-chars, first principles (L71)") {
     import graft.operators.TextAnalysis
     import spark.implicits._
