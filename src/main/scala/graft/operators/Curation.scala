@@ -616,6 +616,33 @@ JOIN toks ON toks.doc_id = d.doc_id"""
       .where(col("cum_before") < TokenBudget)
   }
 
+  // ---- L73 (r6): leakage-safe train/val/test splits ----
+  // The dedup-aware split (the published fix for eval contamination by
+  // near-duplicates: a doc-level random split puts one copy of a
+  // near-dup pair in train and the other in test, and the model
+  // "generalizes" to its own training data): the SPLIT UNIT is the
+  // near-dup CLUSTER, not the document — bucket = md5(cluster_id) mod
+  // 10 → 0-7 train / 8 val / 9 test, so every member of a cluster
+  // lands in the same split by construction. Composes L19's connected
+  // components; everything after the cluster table is one map-only
+  // projection (the corpus never re-shuffles for the split itself).
+  def clusterSplit(documents: DataFrame): DataFrame =
+    graft.operators.Dedup.dedupClusters(documents)
+      .select(col("doc_id"), col("cluster_id"),
+        pmod(md5Long(lit("split"), col("cluster_id")), lit(10L)).as("bucket"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+
+  val clusterSplitSql: String =
+    s"""WITH c AS (${graft.operators.Dedup.dedupClustersSql}),
+b AS (SELECT doc_id, cluster_id,
+  ${md5LongSql("'split'", "cluster_id")} % 10 AS bucket FROM c)
+SELECT doc_id, cluster_id,
+  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+FROM b"""
+
   val budgetSelectSql: String =
     s"""WITH q AS (SELECT doc_id, n_tokens, quality_score FROM (${TextAnalysis.qualitySql})),
 j AS (SELECT q.doc_id, d.source, q.n_tokens, q.quality_score

@@ -410,6 +410,37 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("clusterSplit: near-dup pairs never straddle a split boundary (L73)") {
+    import graft.operators.{Curation, Dedup}
+    val out = Curation.clusterSplit(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val splitOf = out.map(r => r._1 -> r._3).toMap
+    // the leakage property, checked against the PAIR GENERATOR (not the
+    // cluster table the split itself used): both endpoints of every
+    // near-dup edge share a split
+    val pairs = Dedup.minhashLsh(documents).select(col("x"), col("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture corpus lost its near-dup pairs")
+    pairs.foreach { case (x, y) =>
+      assert(splitOf(x) == splitOf(y), s"near-dup pair ($x, $y) straddles splits")
+    }
+    // split is cluster-constant and covers every doc exactly once
+    assert(out.length == documents.count())
+    out.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"cluster $c split inconsistently")
+    }
+    // fractions land near 80/10/10 at CLUSTER granularity (binomial
+    // spread at ~500 clusters — wide bands)
+    val byCluster = out.groupBy(_._2).map { case (_, rs) => rs.head._3 }.toSeq
+    val n = byCluster.size.toDouble
+    val frac = byCluster.groupBy(identity).map { case (s, xs) => s -> xs.size / n }
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train ${frac("train")}")
+    Seq("val", "test").foreach { s =>
+      assert(frac.getOrElse(s, 0.0) > 0.03 && frac.getOrElse(s, 0.0) < 0.18,
+        s"$s ${frac.getOrElse(s, 0.0)}")
+    }
+  }
+
   test("hostGraphRank: markup-extracted edges match arithmetic; rank mass conserved (L72)") {
     import graft.operators.Html
     val out = Html.hostGraphRank(documents).collect()
