@@ -1316,6 +1316,51 @@ FROM agg CROSS JOIN (SELECT w FROM model WHERE token = '$NbBiasTok') b"""
 
   val nbClassifySql: String = nbClassifySqlFor("doc_id % 5 = 0")
 
+  // ---- L74 (r6): sentence segmentation with byte offsets ----
+  // The unit-of-text stage between raw docs and chunking/packing
+  // (RAG passage boundaries, sentence-level dedup, citation spans all
+  // need SENTENCES WITH POSITIONS, not bags of tokens). Segmentation
+  // is one alternation regex, `[^.!?]*[.!?]+\s* | [^.!?]+\z`:
+  // a sentence is anything up to and including a terminator run plus
+  // its trailing whitespace, or the unterminated tail. Every character
+  // position starts a match (terminator → arm 1 with an empty prefix;
+  // non-terminator → arm 1 if a terminator lies ahead, else arm 2), so
+  // consecutive matches PARTITION the text exactly — offsets derive
+  // from the sentences themselves and substr(text, start, len)
+  // rebuilds each sentence byte-exactly (spec-pinned; \z not $, which
+  // java would let match before a final newline while RE2 would not).
+  // Scale shape: extraction is map-only; offsets need a running sum
+  // ordered by sentence index — the C4 ordered-scan contract (window
+  // partition = the DOC, bounded), one doc-keyed exchange. RE2-safe,
+  // identical pattern both engines.
+  private val SentencePattern = "[^.!?]*[.!?]+\\s*|[^.!?]+\\z"
+
+  def sentenceSplit(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("text"), lit(SentencePattern), lit(0))))
+      .toDF("doc_id", "idx", "sent")
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        (lit(1L) + coalesce(sum(length(col("sent")).cast("long")).over(w), lit(0L)))
+          .as("start"),
+        length(col("sent")).cast("long").as("len"),
+        md5(col("sent")).as("sent_md5"))
+  }
+
+  val sentenceSplitSql: String =
+    s"""WITH s AS (SELECT doc_id, regexp_extract_all(text, '$SentencePattern', 0) AS sents
+  FROM documents),
+u AS (SELECT doc_id, i - 1 AS idx, sents[i] AS sent
+  FROM s, unnest(generate_series(1, len(sents))) AS g(i))
+SELECT doc_id, idx::BIGINT AS idx,
+  (1 + coalesce(sum(length(sent)) OVER (PARTITION BY doc_id ORDER BY idx
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS start,
+  length(sent)::BIGINT AS len, md5(sent) AS sent_md5
+FROM u"""
+
   // ---- L26: text normalization (case fold, control strip, whitespace
   // collapse) ----
   // The corpus is already clean (lowercase, single-spaced), so the

@@ -410,6 +410,54 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("sentenceSplit: spans partition the text byte-exactly (L74)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // adversarial fixture — the corpus has no terminator punctuation,
+    // so the splitting semantics are pinned here
+    val fix = Seq(
+      (1L, "Hello world. How are you? Fine! Thanks"),
+      (2L, "No terminators at all just words"),
+      (3L, "... leading dots. then text"),
+      (4L, "Multi.  spaced.   runs!!! Done"),
+      (5L, "ends with newline.\nnext line here\n"),
+      (6L, "a.b.c")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceSplit(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val texts = fix.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // every span rebuilds its sentence from (start, len) byte-exactly,
+    // and consecutive spans tile the whole text with no gap or overlap
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val text = texts(id)
+      val sorted = rows.sortBy(_._2)
+      var pos = 1L
+      sorted.foreach { case (_, _, start, len, h) =>
+        assert(start == pos, s"doc $id: gap/overlap at offset $start (expected $pos)")
+        val span = text.substring((start - 1).toInt, (start - 1 + len).toInt)
+        assert(md5(span) == h, s"doc $id: span at $start does not hash to its sentence")
+        pos += len
+      }
+      assert(pos - 1 == text.length, s"doc $id: spans cover ${pos - 1} of ${text.length} bytes")
+    }
+    // the semantics themselves: terminator runs + trailing space stay
+    // with their sentence; unterminated tails survive
+    def sentsOf(id: Long) = out.filter(_._1 == id).sortBy(_._2).map { case (_, _, s, l, _) =>
+      texts(id).substring((s - 1).toInt, (s - 1 + l).toInt) }.toSeq
+    assert(sentsOf(1L) == Seq("Hello world. ", "How are you? ", "Fine! ", "Thanks"))
+    assert(sentsOf(2L) == Seq("No terminators at all just words"))
+    assert(sentsOf(3L) == Seq("... ", "leading dots. ", "then text"))
+    assert(sentsOf(4L) == Seq("Multi.  ", "spaced.   ", "runs!!! ", "Done"))
+    assert(sentsOf(5L) == Seq("ends with newline.\n", "next line here\n"))
+    assert(sentsOf(6L) == Seq("a.", "b.", "c"))
+    // corpus smoke: full coverage holds there too (sum of lens = doc len)
+    val corpusLens = TextAnalysis.sentenceSplit(documents).groupBy("doc_id")
+      .agg(sum("len").as("n")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    documents.select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .foreach(r => assert(corpusLens(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("clusterSplit: near-dup pairs never straddle a split boundary (L73)") {
     import graft.operators.{Curation, Dedup}
     val out = Curation.clusterSplit(documents).collect()
