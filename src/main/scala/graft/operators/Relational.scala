@@ -657,6 +657,58 @@ WHERE rn = 1"""
    AND o.o_orderdate >= e.ts - INTERVAL '$AsofTolDays days')
 WHERE rn = 1"""
 
+  // ---- C46 (r6): last-touch marketing attribution ----
+  // The attribution query every event warehouse runs (credit each
+  // conversion to the most recent qualifying touch within a lookback
+  // window, else 'organic') — and the workload the NATIVE as-of join
+  // exists for: purchases as-of-backward clicks per user with a 24 h
+  // tolerance is ONE co-partitioned sorted merge walk
+  // (|purchases| + |clicks| intermediate rows), where the composed
+  // join+argmax shape fans out purchases × clicks-per-user first. Tie
+  // semantics are the exec's contract: latest click wins, equal
+  // timestamps break toward the larger click_id (the payload sort) —
+  // mirrored DESC/DESC in the oracle.
+  private val AttribTolHours = 24L
+
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    org.apache.spark.sql.graftshim.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id"), col("value"))
+    val c = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val lp = p.queryExecution.analyzed
+    val rp = c.queryExecution.analyzed
+    def a(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      pl.output.find(_.name == n).get
+    val node = graft.plans.AsOfJoin(lp, rp,
+      leftKey = a(lp, "user_id"), rightKey = a(rp, "c_user"),
+      leftTime = a(lp, "p_ts"), rightTime = a(rp, "c_ts"),
+      direction = "backward", toleranceUs = AttribTolHours * 3600L * 1000000L)
+    org.apache.spark.sql.graftshim.ofRows(spark, node)
+      .select(col("p_id"), col("user_id"), col("click_id"),
+        when(col("click_id").isNotNull, lit("click")).otherwise(lit("organic"))
+          .as("channel"),
+        col("value").as("value_credited"))
+  }
+
+  val lastTouchAttributionSql: String =
+    s"""SELECT p_id, user_id, click_id,
+  CASE WHEN click_id IS NULL THEN 'organic' ELSE 'click' END AS channel,
+  value_credited
+FROM (
+  SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
+         p.value AS value_credited,
+         row_number() OVER (PARTITION BY p.event_id
+           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL '$AttribTolHours hours')
+WHERE rn = 1"""
+
   val asofJoinSql: String =
     """SELECT event_id, asof_orderkey, asof_orderdate, asof_totalprice FROM (
   SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,

@@ -410,6 +410,32 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("lastTouchAttribution: native walk equals brute-force lookback credit (C46)") {
+    import graft.operators.Relational
+    val out = Relational.lastTouchAttribution(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    val raw = events.select(col("event_id"), col("ts").cast("long"),
+        col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val clicks = raw.filter(_._4 == "click")
+    // cast(ts as long) is SECONDS since epoch — the tolerance must match
+    val tolSec = 24L * 3600L
+    val want = raw.filter(_._4 == "purchase").map { case (pid, pts, u, _, v) =>
+      val qual = clicks.filter(c => c._3 == u && c._2 <= pts && c._2 >= pts - tolSec)
+      if (qual.isEmpty) (pid, u, -1L, "organic", v)
+      else {
+        val best = qual.maxBy(c => (c._2, c._1))
+        (pid, u, best._1, "click", v)
+      }
+    }.sortBy(_._1).toSeq
+    assert(out == want, "attribution drifts from the brute-force lookback")
+    // both channels genuinely exercised, window genuinely bites
+    assert(out.exists(_._4 == "click") && out.exists(_._4 == "organic"))
+    assert(want.count(_._4 == "organic") > 0)
+  }
+
   test("sentenceSplit: spans partition the text byte-exactly (L74)") {
     import graft.operators.TextAnalysis
     import spark.implicits._
@@ -1242,7 +1268,10 @@ class OperatorSpec extends SparkSpec {
       "q_epoch_schedule" -> "crossJoin(broadcast(single-row p50/p75 thresholds)) — the tfidf/lm_score pattern",
       "q_bm25" -> "crossJoin(broadcast(single-row n_docs/avgdl)) — the tfidf/lm_score pattern",
       "q_dsir_weights" -> "crossJoin(broadcast(single-row nt/nr gram totals)) — the tfidf/lm_score pattern",
-      "q_kmv_overlap" -> "source-pair enumeration: BNLJ over the DISTINCT SOURCE list (20 rows, corpus-size-independent) — all per-gram work is equi-joined")
+      "q_kmv_overlap" -> "source-pair enumeration: BNLJ over the DISTINCT SOURCE list (20 rows, corpus-size-independent) — all per-gram work is equi-joined",
+      "q_hard_negatives" -> "the q_ann_topk contract: broadcast capped query set x corpus is the brute-force scorer's definition",
+      "q_rrf_fusion" -> "crossJoin(broadcast(single-row dense query vector)) — the tfidf/lm_score pattern",
+      "q_temp_mixture" -> "crossJoin(broadcast(single-row tot/tw totals)) — the q_source_mixture pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
