@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable._
+
 /** URL canonicalization + URL-level dedup (SURVEY §2.3 L57, r6) —
   * the first dedup key of every web crawl: the same page is fetched
   * under dozens of spellings (case, default ports, tracking params,
@@ -52,11 +54,16 @@ object Urls {
 
   /** The generated spelling as a pure column (streams compose it with
     * withColumn — no join needed to keep their other columns). */
-  def urlCol(pageId: Column, blockedWhen: Column): Column = {
+  def urlCol(pageId: Column, blockedWhen: Column): Column =
+    urlCol(pageId, pageId, blockedWhen)
+
+  /** As above with an independent host identity — many pages per host
+    * (the L75 politeness regime); the default keeps host ≡ page. */
+  def urlCol(pageId: Column, hostId: Column, blockedWhen: Column): Column = {
     val k = pageId
     val host = concat(
       when(col("doc_id") % 3 === 0, lit("WWW.Site")).otherwise(lit("site")),
-      k.cast("string"),
+      hostId.cast("string"),
       when(col("doc_id") % 11 === 0, lit(".EXAMPLE.com")).otherwise(lit(".example.com")),
       // blocklisted pages land on a blocklisted host entirely
       when(blockedWhen, lit(".spam-mill.net")).otherwise(lit("")))
@@ -113,8 +120,13 @@ object Urls {
     urlDedup(documents, k, k === 13)
   }
 
-  def urlDedup(documents: DataFrame, pageId: Column, blockedWhen: Column): DataFrame = {
-    val canon = asUrls(documents, pageId, blockedWhen)
+  def urlDedup(documents: DataFrame, pageId: Column, blockedWhen: Column): DataFrame =
+    urlDedup(documents, pageId, pageId, blockedWhen)
+
+  def urlDedup(documents: DataFrame, pageId: Column, hostId: Column,
+      blockedWhen: Column): DataFrame = {
+    val canon = documents
+      .select(col("doc_id"), urlCol(pageId, hostId, blockedWhen).as("url"))
       .select(col("doc_id"), col("url"), canonicalizeUrl(col("url")).as("canon_url"))
       .withColumn("domain", hostOf(col("canon_url")))
     val groups = canon.groupBy(col("canon_url"))
@@ -129,10 +141,13 @@ object Urls {
 
   /** Oracle with the same (pageId, blockedWhen) parameters as the
     * Spark generator — pass SQL expressions over doc_id. */
-  def urlDedupSqlFor(pageSql: String, blockedWhenSql: String): String = {
+  def urlDedupSqlFor(pageSql: String, blockedWhenSql: String): String =
+    urlDedupSqlFor(pageSql, pageSql, blockedWhenSql)
+
+  def urlDedupSqlFor(pageSql: String, hostSql: String, blockedWhenSql: String): String = {
     val gen = s"""'http://'
     || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END
-    || ($pageSql)::VARCHAR
+    || ($hostSql)::VARCHAR
     || CASE WHEN doc_id % 11 = 0 THEN '.EXAMPLE.com' ELSE '.example.com' END
     || CASE WHEN $blockedWhenSql THEN '.spam-mill.net' ELSE '' END
     || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
@@ -187,4 +202,49 @@ FROM cd JOIN g USING (canon_url)"""
       .groupBy(col("canon_url")).agg(min(col("doc_id")).as("doc_id"))
       .where(!isBlockedDomain(col("canon_url")))
       .select(col("doc_id"))
+
+  // ---- L75 (r6): crawl-frontier politeness scheduling ----
+  // The fetch scheduler a crawler runs over its deduped frontier:
+  // POLITENESS means at most `PerHostPerRound` fetches per host per
+  // round, so a host's queue position — not global priority — decides
+  // WHEN a URL is fetched: queue_pos = rank within the host by
+  // (deterministic priority, id), fetch_round = (queue_pos−1) div R.
+  // A 10^6-URL host stretches over 5·10^5 rounds while a 10-URL host
+  // finishes in 5 — the long-tail/hot-host asymmetry is the point.
+  // Scale shape: the frontier gate is L57's one canonicalization pass
+  // + one (canon_url) aggregate; the schedule itself is ONE per-host
+  // ordered scan (window partition = the host — the per-host order is
+  // what a polite fetcher must materialize anyway) and a map-only
+  // round projection. Priority is md5-hash demo state; a real crawler
+  // swaps in host rank/recency and the shape is unchanged.
+  private val PerHostPerRound = 2L
+  private val FrontierHosts = 5L
+
+  def frontierSchedule(documents: DataFrame): DataFrame = {
+    val page = col("doc_id") % Pages
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+      .orderBy(md5Long(lit("prio"), col("doc_id")), col("doc_id"))
+    // hostId = page mod 5: several pages per host — the regime where
+    // per-host queueing (not global priority) decides the fetch time
+    urlDedup(documents, page, page % FrontierHosts, page === 13)
+      .where(col("is_canonical_fetch") === 1 && col("blocked") === 0)
+      .select(col("doc_id"), col("domain"))
+      .withColumn("queue_pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("domain"), col("queue_pos"),
+        expr(s"(queue_pos - 1) div $PerHostPerRound").as("fetch_round"))
+  }
+
+  val frontierScheduleSql: String = {
+    val dd = urlDedupSqlFor(s"doc_id % $Pages",
+      s"(doc_id % $Pages) % $FrontierHosts", s"doc_id % $Pages = 13")
+    s"""WITH dd AS ($dd),
+f AS (SELECT doc_id, domain FROM dd WHERE is_canonical_fetch = 1 AND blocked = 0),
+q AS (SELECT doc_id, domain,
+  row_number() OVER (PARTITION BY domain
+    ORDER BY ${md5LongSql("'prio'", "doc_id")}, doc_id)::BIGINT AS queue_pos
+  FROM f)
+SELECT doc_id, domain, queue_pos,
+  ((queue_pos - 1) // $PerHostPerRound)::BIGINT AS fetch_round
+FROM q"""
+  }
 }

@@ -410,6 +410,36 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("frontierSchedule: per-host politeness cap, dense queues, full coverage (L75)") {
+    import graft.operators.Urls
+    val out = Urls.frontierSchedule(documents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the frontier is exactly the unblocked canonical pages (16 of 17)
+    assert(out.length == 16, s"frontier size ${out.length}")
+    assert(out.forall(!_._2.contains("spam-mill")), "a blocked host was scheduled")
+    out.groupBy(_._2).foreach { case (host, rows) =>
+      // queue positions dense 1..n within the host
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"$host queue not dense")
+      // politeness: at most 2 fetches per (host, round), and a later
+      // round only exists because every earlier round is saturated
+      val byRound = rows.groupBy(_._4).toSeq.sortBy(_._1)
+      assert(byRound.map(_._1) == (0L until byRound.length).toSeq, s"$host rounds not dense")
+      byRound.foreach { case (r, rs) => assert(rs.length <= 2, s"$host round $r over cap") }
+      byRound.dropRight(1).foreach { case (r, rs) =>
+        assert(rs.length == 2, s"$host round $r unsaturated but a later round exists")
+      }
+      // round follows queue position exactly
+      rows.foreach { case (_, _, q, r) => assert(r == (q - 1) / 2) }
+    }
+    // non-vacuous: some host genuinely needs multiple rounds
+    assert(out.exists(_._4 > 0), "no host ever reached round 1 — cap never bit")
+    // deterministic rerun
+    val again = Urls.frontierSchedule(documents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("lastTouchAttribution: native walk equals brute-force lookback credit (C46)") {
     import graft.operators.Relational
     val out = Relational.lastTouchAttribution(events).collect()
