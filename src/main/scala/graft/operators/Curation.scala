@@ -616,6 +616,41 @@ JOIN toks ON toks.doc_id = d.doc_id"""
       .where(col("cum_before") < TokenBudget)
   }
 
+  // ---- L76 (r6): k-anonymity release gate ----
+  // The re-identification audit run before a curated corpus ships
+  // (Sweeney's k-anonymity over quasi-identifiers): a row whose
+  // QUASI-IDENTIFIER combination — attributes individually harmless
+  // but jointly identifying — matches fewer than k rows total can be
+  // linked back to a person by anyone holding an auxiliary table with
+  // the same attributes. QI here = (source, lang, length bucket of
+  // 256 chars); rows in groups of size < k are flagged `at_risk` (the
+  // release decision — suppress, generalize the bucket, or drop — is
+  // the caller's; the audit's job is the exact flag). Scale shape: one
+  // partial-agged (QI) aggregate + one shuffle join back ON THE SAME
+  // KEY (co-partitioned, no second shuffle of the corpus side beyond
+  // the join's own); group cardinality ~ |sources|×|langs|×buckets ≪
+  // corpus, but NOT broadcast-safe in general — the join stays a hash
+  // join on the QI key.
+  private val AnonK = 5L
+
+  def kAnonymity(documents: DataFrame): DataFrame = {
+    val qi = documents.select(col("doc_id"), col("source"), col("lang"),
+      expr("n_chars div 256").as("len_bucket"))
+    val groups = qi.groupBy(col("source"), col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("grp_n"))
+    qi.join(groups, Seq("source", "lang", "len_bucket"))
+      .select(col("doc_id"), col("source"), col("lang"), col("len_bucket"),
+        col("grp_n"), (col("grp_n") < AnonK).cast("long").as("at_risk"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH qi AS (SELECT doc_id, source, lang, n_chars // 256 AS len_bucket FROM documents),
+g AS (SELECT source, lang, len_bucket, count(*)::BIGINT AS grp_n
+  FROM qi GROUP BY 1, 2, 3)
+SELECT doc_id, source, lang, len_bucket, grp_n,
+  (grp_n < $AnonK)::BIGINT AS at_risk
+FROM qi JOIN g USING (source, lang, len_bucket)"""
+
   // ---- L73 (r6): leakage-safe train/val/test splits ----
   // The dedup-aware split (the published fix for eval contamination by
   // near-duplicates: a doc-level random split puts one copy of a

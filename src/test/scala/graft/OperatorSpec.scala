@@ -410,6 +410,35 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("kAnonymity: exact group sizes, boundary at k (L76)") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // boundary fixture: one QI group of exactly k = 5 (safe) and one of
+    // k - 1 = 4 (at risk)
+    val fix = ((1 to 5).map(i => (i.toLong, "a", "en", 300L)) ++
+      (6 to 9).map(i => (i.toLong, "b", "en", 300L)))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val fres = Curation.kAnonymity(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    fres.filter(_._1 <= 5).foreach { case (id, n, risk) =>
+      assert(n == 5 && risk == 0, s"doc $id: group of exactly k must be safe")
+    }
+    fres.filter(_._1 > 5).foreach { case (id, n, risk) =>
+      assert(n == 4 && risk == 1, s"doc $id: group of k-1 must be at risk")
+    }
+    // corpus: flags equal a first-principles recount
+    val out = Curation.kAnonymity(documents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val counts = out.groupBy(r => (r._2, r._3, r._4)).map { case (k, rs) => k -> rs.length.toLong }
+    out.foreach { case (id, s, l, b, n, risk) =>
+      assert(n == counts((s, l, b)), s"doc $id group size drift")
+      assert(risk == (if (n < 5) 1L else 0L), s"doc $id flag drift")
+    }
+    // non-vacuous both ways on the corpus
+    assert(out.exists(_._6 == 1) && out.exists(_._6 == 0))
+  }
+
   test("frontierSchedule: per-host politeness cap, dense queues, full coverage (L75)") {
     import graft.operators.Urls
     val out = Urls.frontierSchedule(documents).collect()
