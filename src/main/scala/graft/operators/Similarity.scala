@@ -290,6 +290,93 @@ SELECT n.q_id, n.cand_id, n.cos, n.rk, round(p.pos_cos - n.cos, 6) AS margin
 FROM n JOIN p USING (q_id) WHERE rk <= $HardNegK"""
   }
 
+  // ---- L77 (r6): truncated-embedding retrieval fidelity ----
+  // The audit behind Matryoshka/dimension-truncated embedding stores:
+  // keeping only the first D dims cuts the vector store 4× (64 → 16
+  // here), and the question that decides whether a 100 TB index can
+  // ship truncated is RETRIEVAL fidelity, not reconstruction error —
+  // per query, how much of the full-dimension top-k survives under
+  // truncated scoring (overlap@k), and does the top-1 move. One
+  // scored pass computes BOTH cosines per (query, cand) — the
+  // truncated vectors are prefix SLICES, so no second corpus store
+  // exists — then two bounded TopK aggregates and a per-query overlap
+  // join, all on k-bounded frames. Corpus-side cost: the one
+  // map-side-scored scan feeding two aggregates (Spark recomputes the
+  // scan per aggregate absent a cache — two map-only passes at scale,
+  // still zero shuffles of vector data). Portability: the L6 cosine
+  // precedent; prefix dot products are left-to-right over the same 16
+  // doubles in both engines.
+  private val MrlDims = 16
+  private val MrlK = 5
+
+  def truncationFidelity(embeddings: DataFrame,
+      querySet: Option[DataFrame] = None, dims: Int = MrlDims): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = boundedQueries(embeddings, querySet)
+      .select(col("vec_id").as("q_id"), asD(col("embedding")).as("qv"))
+      .withColumn("qt", slice(col("qv"), 1, dims))
+      .withColumn("nq", sqrt(expr("graft_dot(qv, qv)")))
+      .withColumn("nqt", sqrt(expr("graft_dot(qt, qt)")))
+    val c = embeddings
+      .select(col("vec_id").as("cand_id"), asD(col("embedding")).as("cv"))
+      .withColumn("ct", slice(col("cv"), 1, dims))
+      .withColumn("nc", sqrt(expr("graft_dot(cv, cv)")))
+      .withColumn("nct", sqrt(expr("graft_dot(ct, ct)")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(gdot("qv", "cv") / (col("nq") * col("nc")), 6).as("cos_f"),
+        round(gdot("qt", "ct") / (col("nqt") * col("nct")), 6).as("cos_t"))
+    def topk(score: String): DataFrame = {
+      val agg = new graft.functions.TopKAggregator(MrlK).toColumn
+      scored.select(col("q_id"), col("cand_id").as("id"), col(score).as("score"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+        .agg(agg)
+        .flatMap { case (qid, top) =>
+          top.iterator.zipWithIndex.map { case (e, i) => (qid, e.id, (i + 1).toLong) }
+        }
+        .toDF("q_id", "cand_id", "rk")
+    }
+    val full = topk("cos_f")
+    val trunc = topk("cos_t")
+    val overlap = full.join(trunc, Seq("q_id", "cand_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("overlap"))
+    full.where(col("rk") === 1).select(col("q_id"), col("cand_id").as("full_top1"))
+      .join(trunc.where(col("rk") === 1)
+        .select(col("q_id"), col("cand_id").as("trunc_top1")), "q_id")
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("overlap"), lit(0L)).as("overlap"),
+        col("full_top1"), col("trunc_top1"))
+  }
+
+  val truncationFidelitySql: String = {
+    val cf = cosineSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")
+    val ct = cosineSql(s"(q.embedding::DOUBLE[])[1:$MrlDims]",
+      s"(c.embedding::DOUBLE[])[1:$MrlDims]")
+    s"""WITH s AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         round($cf, 6) AS cos_f, round($ct, 6) AS cos_t
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id % 97 = 0 AND c.vec_id <> q.vec_id),
+f AS (SELECT q_id, cand_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_f DESC, cand_id) AS rk
+  FROM s QUALIFY rk <= $MrlK),
+t AS (SELECT q_id, cand_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_t DESC, cand_id) AS rk
+  FROM s QUALIFY rk <= $MrlK),
+ov AS (SELECT f.q_id, count(*)::BIGINT AS overlap
+  FROM f JOIN t ON f.q_id = t.q_id AND f.cand_id = t.cand_id GROUP BY 1)
+SELECT f.q_id, coalesce(ov.overlap, 0)::BIGINT AS overlap,
+  f.cand_id AS full_top1, t.cand_id AS trunc_top1
+FROM f JOIN t ON f.q_id = t.q_id AND f.rk = 1 AND t.rk = 1
+LEFT JOIN ov ON ov.q_id = f.q_id
+WHERE f.rk = 1"""
+  }
+
   // ---- L7: LSH-bucketed ANN (the scale path; rows-check + recall test) ----
   // A query's candidates are corpus vectors sharing its bucket in ANY
   // table; candidates are re-ranked exactly. At 100 TB the bucket join

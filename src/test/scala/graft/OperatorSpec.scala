@@ -410,6 +410,42 @@ class OperatorSpec extends SparkSpec {
     assert(minDup > maxNonDup, "idf failed to separate the rare term")
   }
 
+  test("truncationFidelity: overlap@k equals brute force; full dims are a fixpoint (L77)") {
+    import graft.operators.Similarity
+    val out = Similarity.truncationFidelity(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val vecs = embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]) = BigDecimal(
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def top5(qid: Long, d: Int): Seq[Long] = {
+      val qv = vecs(qid).take(d)
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v.take(d))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    }
+    val want = vecs.keys.filter(_ % 97 == 0).toSeq.sorted.map { qid =>
+      val f = top5(qid, 64)
+      val t = top5(qid, 16)
+      (qid, f.toSet.intersect(t.toSet).size.toLong, f.head, t.head)
+    }
+    assert(out == want, "fidelity audit drifts from brute force")
+    // the audit must DETECT low fidelity on untrained random embeddings
+    // (prefix dims carry no privileged variance — that is the point of
+    // running the audit before shipping a truncated store)
+    assert(out.map(_._2).sum < out.length * 4, "overlap suspiciously high for random embeddings")
+    // fixpoint sanity: at the full dimension the two rankings coincide
+    val full = Similarity.truncationFidelity(embeddings, dims = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    full.foreach { case (q, ov, f1, t1) =>
+      assert(ov == 5 && f1 == t1, s"query $q: full-dim audit must be a fixpoint")
+    }
+  }
+
   test("kAnonymity: exact group sizes, boundary at k (L76)") {
     import graft.operators.Curation
     import spark.implicits._
@@ -1329,6 +1365,7 @@ class OperatorSpec extends SparkSpec {
       "q_dsir_weights" -> "crossJoin(broadcast(single-row nt/nr gram totals)) — the tfidf/lm_score pattern",
       "q_kmv_overlap" -> "source-pair enumeration: BNLJ over the DISTINCT SOURCE list (20 rows, corpus-size-independent) — all per-gram work is equi-joined",
       "q_hard_negatives" -> "the q_ann_topk contract: broadcast capped query set x corpus is the brute-force scorer's definition",
+      "q_trunc_fidelity" -> "the q_ann_topk contract: broadcast capped query set x corpus, scored at two prefix widths in one pass",
       "q_rrf_fusion" -> "crossJoin(broadcast(single-row dense query vector)) — the tfidf/lm_score pattern",
       "q_temp_mixture" -> "crossJoin(broadcast(single-row tot/tw totals)) — the q_source_mixture pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
