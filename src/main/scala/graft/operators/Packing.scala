@@ -154,6 +154,80 @@ ${packCtes("btoks", BpeBudget)}"""
           lit(ChunkW.toInt)), " ").as("chunk_text"))
   }
 
+  // ---- L78 (r6): fixed-length causal-LM example assembly ----
+  // The third member of the batch-prep trio: L27 packs WHOLE docs into
+  // budget bins (no doc split), L62 windows WITHIN a doc (no concat);
+  // this is the GPT-pretraining layout — concatenate the corpus token
+  // stream in doc_id order and tile it into fixed E-token examples,
+  // emitting one row per (example, doc-segment) so the consumer can
+  // rebuild both the example content and its attention-boundary mask:
+  //   ex_start  = segment position within the example,
+  //   doc_start = segment position within the source doc,
+  //   seg_len   = tokens in the segment.
+  // The trailing partial example (< E tokens) is dropped, as training
+  // would drop it.
+  //
+  // Scale: the only global state is the PREFIX SUM of per-doc token
+  // counts in doc order — computed hierarchically: one (granule)
+  // aggregate collapses the corpus to docs/Granule rows, granule bases
+  // cumsum on that small frame (single-partition window over the
+  // GRANULE table only; Granule is the knob — 1e5 docs/granule keeps
+  // that frame ~1e5 rows at 1e10 docs, and a third level is the same
+  // recurrence), then doc offsets finish with a within-granule window
+  // behind one (granule) exchange that the join reuses. Tiling itself
+  // is map-only (explode over the doc's own example range). n_examples
+  // rides the same granule window — no single-row crossJoin needed.
+  private val ExLen = 32L
+  private val Granule = 64L
+
+  def lmExamples(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .withColumn("g", expr(s"doc_id div $Granule"))
+    val gw = Window.orderBy("g")
+    val gBase = d.groupBy("g").agg(sum("n").as("g_n"))
+      .select(col("g"),
+        coalesce(sum("g_n").over(gw.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("g_base"),
+        expr(s"(sum(g_n) over (order by g rows between unbounded preceding " +
+          s"and unbounded following)) div $ExLen").as("n_ex"))
+    d.join(gBase, "g")
+      .withColumn("cum",
+        sum("n").over(Window.partitionBy("g").orderBy("doc_id")))
+      .withColumn("off", col("g_base") + col("cum") - col("n"))
+      // a doc entirely inside the dropped tail emits nothing; the guard
+      // also keeps sequence() from counting down
+      .where(col("off") < col("n_ex") * ExLen)
+      .withColumn("example_id", explode(sequence(
+        expr(s"off div $ExLen"),
+        least(expr(s"(off + n - 1) div $ExLen"), col("n_ex") - 1))))
+      .select(col("example_id"), col("doc_id"),
+        (greatest(col("off"), col("example_id") * ExLen)
+          - col("example_id") * ExLen).as("ex_start"),
+        (greatest(col("off"), col("example_id") * ExLen)
+          - col("off")).as("doc_start"),
+        (least(col("off") + col("n"), (col("example_id") + 1) * ExLen)
+          - greatest(col("off"), col("example_id") * ExLen)).as("seg_len"))
+  }
+
+  /** The oracle skips the granule decomposition (semantically inert)
+    * and takes the prefix sum in one window — identical offsets. */
+  val lmExamplesSql: String =
+    s"""WITH d AS (SELECT doc_id,
+    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n FROM documents),
+o AS (SELECT doc_id, n,
+    coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off,
+    (sum(n) OVER () // $ExLen)::BIGINT AS n_ex
+  FROM d)
+SELECT e::BIGINT AS example_id, doc_id,
+  (greatest(off, e * $ExLen) - e * $ExLen)::BIGINT AS ex_start,
+  (greatest(off, e * $ExLen) - off)::BIGINT AS doc_start,
+  (least(off + n, (e + 1) * $ExLen) - greatest(off, e * $ExLen))::BIGINT AS seg_len
+FROM o, unnest(generate_series(off // $ExLen, least((off + n - 1) // $ExLen, n_ex - 1))) AS u(e)
+WHERE off < n_ex * $ExLen"""
+
   val chunkDocsSql: String =
     s"""WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
 c AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,

@@ -856,6 +856,64 @@ class OperatorSpec extends SparkSpec {
     assert(sizes.contains(1) && sizes.exists(_ >= 4), s"chunk spread $sizes")
   }
 
+  test("lmExamples: segments tile the concatenated token stream exactly (L78)") {
+    import graft.operators.Packing
+    val out = Packing.lmExamples(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._3))
+    // first principles: concat tokens in doc_id order, tile at E=32,
+    // drop the partial tail, derive every (example, doc-segment)
+    val E = 32L
+    val docs = documents.select(col("doc_id"), lower(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").length.toLong)
+      .sortBy(_._1)
+    val offs = docs.scanLeft(0L)(_ + _._2)
+    val total = offs.last
+    val nEx = total / E
+    val want = docs.zip(offs).flatMap { case ((doc, n), off) =>
+      (off / E to math.min((off + n - 1) / E, nEx - 1))
+        .filter(_ => off < nEx * E)
+        .map { e =>
+          val lo = math.max(off, e * E)
+          (e, doc, lo - e * E, lo - off, math.min(off + n, (e + 1) * E) - lo)
+        }
+    }.sortBy(t => (t._1, t._3))
+    assert(out.toSeq == want.toSeq, "segments drift from the first-principles tiling")
+    // every kept example is tiled gap-free to exactly E tokens, with
+    // segments in source order (ex_start contiguous)
+    val byEx = out.groupBy(_._1)
+    assert(byEx.keySet == (0L until nEx).toSet, "example ids not dense [0, n_ex)")
+    byEx.foreach { case (e, segs) =>
+      val s = segs.sortBy(_._3)
+      assert(s.head._3 == 0L && s.map(_._5).sum == E, s"example $e not E tokens")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 == b._3, s"gap inside example $e")
+        case _ =>
+      }
+    }
+    // each doc's covered positions are one contiguous prefix-to-cut
+    // range [doc_start0, doc_start0+sum) starting at 0 unless the doc
+    // straddles the dropped tail
+    out.groupBy(_._2).foreach { case (doc, segs) =>
+      val s = segs.sortBy(_._4)
+      assert(s.head._4 == 0L, s"doc $doc coverage must start at token 0")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"gap inside doc $doc")
+        case _ =>
+      }
+    }
+    // the layout genuinely crosses boundaries: multi-segment examples
+    // exist, and at least one doc spans two examples
+    assert(byEx.values.exists(_.length >= 2), "no example holds a doc boundary")
+    assert(out.groupBy(_._2).values.exists(_.map(_._1).distinct.length >= 2),
+      "no doc spans an example boundary")
+    // the hierarchical prefix sum cannot depend on physical layout
+    val reparted = Packing.lmExamples(documents.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(reparted.toSeq == out.toSeq, "offsets depend on input partitioning")
+  }
+
   test("invertedIndex: delta decode rebuilds exact posting sets per range block (L61)") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.invertedIndex(documents).collect()
