@@ -1316,6 +1316,86 @@ FROM agg CROSS JOIN (SELECT w FROM model WHERE token = '$NbBiasTok') b"""
 
   val nbClassifySql: String = nbClassifySqlFor("doc_id % 5 = 0")
 
+  // ---- L79 (r6): precision/recall threshold sweep (filter
+  // calibration) ----
+  // The step between training a quality filter (L56) and running it
+  // over 100 TB (L20/L58): pred_keep > 0 is one point on the curve,
+  // but the threshold a pipeline ships is chosen from the whole
+  // precision/recall trade-off. The scalable sweep is BINNED: logits
+  // histogram into B fixed-width bins (one aggregate, map-side
+  // partials), and the descending-threshold cumulative — TP(b)/FP(b)
+  // = keep everything scoring in bin b or above — is a window over
+  // the B-ROW bin frame, so curve state is B rows at any corpus
+  // size (the C20 histogram + C4 scan pattern, never a corpus-wide
+  // sort the way an exact per-score sweep would be).
+  //
+  // Cross-engine exactness: bin = floor((logit − Lo)/W) on the
+  // round(6) logit — Lo/W are exact binary doubles (−25, 2.5), one
+  // IEEE subtraction + division, identical floors; counts are exact
+  // BIGINTs; precision/recall/f1 are one BIGINT-derived double
+  // division each, round(6) (tfidf precedent).
+  private val PrBins = 40L
+  private val PrLo = -10.0 // exact binary; W=0.5 exact: floors IEEE-identical
+  private val PrW = 0.5
+
+  /** One row per occupied-or-above threshold bin: (bin, threshold,
+    * tp, fp, fn, precision, recall, f1) for the rule "keep docs with
+    * logit ≥ threshold", evaluated against the held-out weak labels. */
+  def prCurve(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = nbClassify(documents)
+    val binned = scored
+      .select(least(lit(PrBins - 1), greatest(lit(0L),
+          floor((col("logit") - PrLo) / PrW))).cast("long").as("bin"),
+        col("label"))
+      .groupBy("bin")
+      .agg(sum(col("label")).as("pos"), sum(lit(1L) - col("label")).as("neg"))
+    val desc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .select(col("bin"),
+        sum("pos").over(desc).as("tp"), sum("neg").over(desc).as("fp"),
+        sum("pos").over(all).as("p_all"))
+      .select(col("bin"), (lit(PrLo) + col("bin") * PrW).as("threshold"),
+        col("tp"), col("fp"), (col("p_all") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("precision"),
+        round(col("tp").cast("double") / col("p_all"), 6).as("recall"),
+        round(lit(2.0) * col("tp") / (col("tp") + col("tp") + col("fp")
+          + col("p_all") - col("tp")), 6).as("f1"))
+  }
+
+  val prCurveSql: String =
+    s"""WITH $nbTrainCtes,
+test AS (SELECT doc_id, (q > $NbCut)::BIGINT AS label, text FROM qs WHERE doc_id % 5 = 0),
+ttok AS (SELECT doc_id, label, unnest(string_split_regex(lower(text), '\\s+')) AS t
+  FROM test),
+agg AS (
+  SELECT doc_id, label,
+    sum(coalesce(m.w, 0.0)::DECIMAL(18,6)) AS wsum
+  FROM (SELECT * FROM ttok WHERE length(t) > 0) x
+  LEFT JOIN (SELECT token, w FROM model WHERE token <> '$NbBiasTok') m ON m.token = x.t
+  GROUP BY doc_id, label),
+sc AS (SELECT round(wsum::DOUBLE + b.w, 6) AS logit, label
+  FROM agg CROSS JOIN (SELECT w FROM model WHERE token = '$NbBiasTok') b),
+binned AS (
+  SELECT least($PrBins - 1, greatest(0, floor((logit - ($PrLo)) / $PrW)))::BIGINT AS bin,
+    sum(label)::BIGINT AS pos, sum(1 - label)::BIGINT AS neg
+  FROM sc GROUP BY 1),
+cum AS (
+  SELECT bin,
+    sum(pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+    sum(neg) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp,
+    sum(pos) OVER ()::BIGINT AS p_all
+  FROM binned)
+SELECT bin, ($PrLo + bin * $PrW)::DOUBLE AS threshold, tp, fp,
+  (p_all - tp)::BIGINT AS fn,
+  round(tp::DOUBLE / (tp + fp), 6) AS precision,
+  round(tp::DOUBLE / p_all, 6) AS recall,
+  round(2.0 * tp / (tp + tp + fp + p_all - tp), 6) AS f1
+FROM cum"""
+
   // ---- L74 (r6): sentence segmentation with byte offsets ----
   // The unit-of-text stage between raw docs and chunking/packing
   // (RAG passage boundaries, sentence-level dedup, citation spans all

@@ -1099,6 +1099,49 @@ class OperatorSpec extends SparkSpec {
       s"held-out accuracy $acc does not beat majority ${math.max(pos, 1 - pos)}")
   }
 
+  test("prCurve: binned sweep equals a first-principles recount; the trade-off is real (L79)") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.prCurve(documents).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(_._1)
+    // first principles from the scorer's own held-out output
+    val scored = TextAnalysis.nbClassify(documents)
+      .select(col("logit"), col("label")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAll = scored.map(_._2).sum
+    val byBin = scored.groupBy { case (l, _) =>
+      math.min(39L, math.max(0L, math.floor((l - -10.0) / 0.5).toLong))
+    }
+    val want = byBin.keys.toSeq.sorted.map { b =>
+      val above = byBin.filter(_._1 >= b).values.flatten
+      val tp = above.map(_._2).sum
+      val fp = above.size - tp
+      (b, -10.0 + b * 0.5, tp, fp, pAll - tp,
+        r6(tp.toDouble / (tp + fp)), r6(tp.toDouble / pAll),
+        r6(2.0 * tp / (tp + fp + pAll)))
+    }
+    assert(out.toSeq == want, "curve drifts from the first-principles sweep")
+    // the sweep is a genuine trade-off, not a constant: as the
+    // threshold rises, recall is non-increasing and the top of the
+    // curve is strictly more precise than the base rate
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._7 >= b._7, s"recall rose with the threshold at bin ${b._1}")
+        assert(a._3 >= b._3 && a._4 >= b._4, "cumulatives not monotone")
+      case _ =>
+    }
+    val base = out.head._6 // lowest emitted bin keeps everything scored at/above it
+    assert(out.head._7 == 1.0, "lowest bin must recall every positive")
+    assert(out.last._6 > base + 0.1,
+      s"top-threshold precision ${out.last._6} does not beat base rate $base")
+    // resolution: the corpus occupies enough bins to choose a
+    // threshold from (the reason the bin width is 0.5)
+    assert(out.length >= 8, s"only ${out.length} curve points")
+  }
+
   test("bpeTrain learns greedy-frequency merges that feed the encode seam (L33t)") {
     import graft.operators.TextAnalysis
     val learned = TextAnalysis.bpeTrain(documents).collect()
@@ -1418,6 +1461,7 @@ class OperatorSpec extends SparkSpec {
       "q_nb_train" -> "crossJoin(broadcast(single-row class totals)) — the tfidf/lm_score pattern",
       "q_nb_score" -> "crossJoin(broadcast(single-row bias from the checkpointed vocab-sized model))",
       "q_curation_web" -> "inherits q_nb_score's single-row bias crossJoin via the composed NB stage",
+      "q_pr_curve" -> "inherits q_nb_score's single-row bias crossJoin via the composed NB scorer",
       "q_epoch_schedule" -> "crossJoin(broadcast(single-row p50/p75 thresholds)) — the tfidf/lm_score pattern",
       "q_bm25" -> "crossJoin(broadcast(single-row n_docs/avgdl)) — the tfidf/lm_score pattern",
       "q_dsir_weights" -> "crossJoin(broadcast(single-row nt/nr gram totals)) — the tfidf/lm_score pattern",
