@@ -377,6 +377,97 @@ LEFT JOIN ov ON ov.q_id = f.q_id
 WHERE f.rk = 1"""
   }
 
+  // ---- L80 (r6): margin-based bitext mining ----
+  // The parallel-pair miner behind CCMatrix/WikiMatrix (Artetxe &
+  // Schwenk 2019): absolute cosine cannot mine translation pairs —
+  // hubness makes some vectors near EVERYTHING — so a candidate is
+  // scored by its RATIO MARGIN, cos(x,y) / mean of the two sides'
+  // k-NN cosines: a true pair stands out from both neighborhoods,
+  // a hub does not. X = the source-language query side (bounded, the
+  // L6 broadcast contract; default label-0 slice), Y = the
+  // target-language corpus side (label 1), neighborhoods within the
+  // mined bipartite frame.
+  //
+  // Scale shape: the |X|x|Y| scored frame NEVER shuffles. It is
+  // fanned out map-side twice: pass 1 feeds the two top-k-mean
+  // aggregates (per-x: k rows/query/task on the wire; per-y: each
+  // y's |X| rows are task-local, so the partial agg completes
+  // map-side and the exchange carries ONE row per y); pass 2 rides
+  // after the corpus joins its own yk row back (the only corpus
+  // exchange, |Y| narrow rows) and X + xk broadcast in, then the
+  // per-x argmax is a bounded max_by aggregate. Portability: round-6
+  // cosines sum as exact decimals, one IEEE division per mean and
+  // per margin (tfidf precedent); argmax tie-break (margin DESC,
+  // y_id ASC) mirrors the oracle's row_number order.
+  private val BitextK = 4
+  private val BitextTau = 1.35
+
+  def bitextMine(embeddings: DataFrame,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val defaultX = embeddings.where(col("label") === 0 && col("vec_id") % 7 === 0)
+    val x = withNorm(boundedQueries(embeddings, Some(querySet.getOrElse(defaultX))),
+      "q_id", "qv", "nq")
+    val y = withNorm(embeddings.where(col("label") === 1), "y_id", "yv", "ny")
+    val cosCol = round(gdot("qv", "yv") / (col("nq") * col("ny")), 6)
+    val scored = y.crossJoin(broadcast(x))
+      .select(col("q_id"), col("y_id"), cosCol.as("cos"))
+    def topkMean(key: String, other: String, out: String): DataFrame =
+      scored.select(col(key), col(other), col("cos"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+        .agg(new graft.functions.TopKAggregator(BitextK).toColumn)
+        .map { case (k, top) =>
+          val sum = top.iterator
+            .map(e => BigDecimal(e.score).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .foldLeft(BigDecimal(0))(_ + _)
+          val mean = BigDecimal(sum.toDouble / top.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (k, mean)
+        }
+        .toDF(key, out)
+    val xk = topkMean("q_id", "y_id", "xk")
+    val yk = topkMean("y_id", "q_id", "yk")
+    val margin = round(col("cos") / ((col("xk") + col("yk")) / 2), 6)
+    y.join(yk, "y_id")
+      .crossJoin(broadcast(x))
+      .select(col("q_id"), col("y_id"), col("yk"), cosCol.as("cos"))
+      .join(broadcast(xk), "q_id")
+      .withColumn("margin", margin)
+      .groupBy(col("q_id"))
+      .agg(max_by(struct(col("y_id"), col("cos"), col("margin")),
+        struct(col("margin"), -col("y_id"))).as("b"))
+      .select(col("q_id"), col("b.y_id").as("best_id"), col("b.cos").as("cos"),
+        col("b.margin").as("margin"),
+        (col("b.margin") >= BitextTau).cast("long").as("mined"))
+  }
+
+  val bitextMineSql: String = {
+    val c = cosineSql("x.qv", "y.yv")
+    s"""WITH x AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE label = 0 AND vec_id % 7 = 0),
+y AS (SELECT vec_id AS y_id, embedding::DOUBLE[] AS yv FROM embeddings WHERE label = 1),
+s AS (SELECT q_id, y_id, round($c, 6) AS cos FROM x, y),
+xr AS (SELECT q_id, y_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, y_id) AS r FROM s),
+xk AS (SELECT q_id, round((sum(cos::DECIMAL(18,6)))::DOUBLE / count(*), 6) AS xk
+  FROM xr WHERE r <= $BitextK GROUP BY 1),
+yr AS (SELECT q_id, y_id, cos,
+    row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, q_id) AS r FROM s),
+yk AS (SELECT y_id, round((sum(cos::DECIMAL(18,6)))::DOUBLE / count(*), 6) AS yk
+  FROM yr WHERE r <= $BitextK GROUP BY 1),
+m AS (SELECT s.q_id, s.y_id, s.cos,
+    round(s.cos / ((xk.xk + yk.yk) / 2), 6) AS margin
+  FROM s JOIN xk USING (q_id) JOIN yk USING (y_id)),
+b AS (SELECT q_id, y_id, cos, margin,
+    row_number() OVER (PARTITION BY q_id ORDER BY margin DESC, y_id) AS r FROM m)
+SELECT q_id, y_id AS best_id, cos, margin, (margin >= $BitextTau)::BIGINT AS mined
+FROM b WHERE r = 1"""
+  }
+
   // ---- L7: LSH-bucketed ANN (the scale path; rows-check + recall test) ----
   // A query's candidates are corpus vectors sharing its bucket in ANY
   // table; candidates are re-ranked exactly. At 100 TB the bucket join

@@ -446,6 +446,77 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bitextMine: the ratio margin defeats hubness where raw cosine cannot (L80)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // planted bipartite fixture (dim 6):
+    //   X: x0=e0, x1=e1, x2=e2 (the "source language" side)
+    //   Y: y10 ~ x0 (the true pair), y11 = HUB close to every x,
+    //      y12 close ONLY to x1 (cos 1/sqrt(3)), y13/y14 distractors
+    val s3 = (1.0 / math.sqrt(3)).toFloat
+    val t3 = math.sqrt(2.0 / 3).toFloat
+    val hn = math.sqrt(1 + 1 + 0.36).toFloat
+    val fixture = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 1f, 0f, 0f, 0f), 0),
+      (10L, Array(0.99f, 0.141f, 0f, 0f, 0f, 0f), 1),
+      (11L, Array(1f / hn, 1f / hn, 0.6f / hn, 0f, 0f, 0f), 1),
+      (12L, Array(0f, s3, 0f, t3, 0f, 0f), 1),
+      (13L, Array(0f, 0f, 0f, 0f, 1f, 0f), 1),
+      (14L, Array(0f, 0f, 0f, 0f, 0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.bitextMine(fixture,
+        querySet = Some(fixture.where(col("label") === 0))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // first principles: replay cosines, top-k means, margins exactly
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = fixture.select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def dot(u: Array[Double], v: Array[Double]) =
+        u.indices.foldLeft(0.0)((s, i) => s + u(i) * v(i))
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    }
+    val xs = vecs.filter(_._3 == 0)
+    val ys = vecs.filter(_._3 == 1)
+    val c = (for { x <- xs; y <- ys } yield (x._1, y._1) -> cos(x._2, y._2)).toMap
+    def mean(v: Seq[Double]) = {
+      val s = v.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _)
+      r6(s.toDouble / v.length)
+    }
+    val xk = xs.map(x => x._1 -> mean(ys.map(y => (c(x._1 -> y._1), y._1))
+      .sortBy(t => (-t._1, t._2)).take(4).map(_._1))).toMap
+    val yk = ys.map(y => y._1 -> mean(xs.map(x => (c(x._1 -> y._1), x._1))
+      .sortBy(t => (-t._1, t._2)).take(4).map(_._1))).toMap
+    val want = xs.map { x =>
+      val best = ys.map { y =>
+        (y._1, c(x._1 -> y._1), r6(c(x._1 -> y._1) / ((xk(x._1) + yk(y._1)) / 2)))
+      }.sortBy(t => (-t._3, t._1)).head
+      x._1 -> (best._1, best._2, best._3, if (best._3 >= 1.35) 1L else 0L)
+    }.toMap
+    assert(out == want, "mined pairs drift from the first-principles margin replay")
+    // the true pair mines with the top margin
+    assert(out(0L)._1 == 10L && out(0L)._4 == 1L, "true pair not mined")
+    // hub demotion: x1's best by RAW COSINE is the hub y11, but the
+    // margin argmax picks the exclusive neighbor y12 instead
+    assert(c(1L -> 11L) > c(1L -> 12L), "fixture: hub must win on raw cosine")
+    assert(out(1L)._1 == 12L && out(1L)._4 == 1L,
+      s"margin argmax failed to demote the hub: ${out(1L)}")
+    // x2's only candidate IS the hub: margin stays under tau — not
+    // mined, even though its cosine is far above distractor level
+    assert(c(2L -> 11L) > 0.3, "fixture: hub visibly close to x2")
+    assert(out(2L)._1 == 11L && out(2L)._4 == 0L,
+      s"hub-only match must stay unmined: ${out(2L)}")
+    // corpus smoke: every query emits exactly one row with a positive
+    // margin (full correctness is the oracle's hash gate)
+    val corpus = Similarity.bitextMine(embeddings).collect()
+    assert(corpus.length > 0 && corpus.forall(_.getDouble(3) > 0))
+  }
+
   test("kAnonymity: exact group sizes, boundary at k (L76)") {
     import graft.operators.Curation
     import spark.implicits._
@@ -1468,6 +1539,7 @@ class OperatorSpec extends SparkSpec {
       "q_kmv_overlap" -> "source-pair enumeration: BNLJ over the DISTINCT SOURCE list (20 rows, corpus-size-independent) — all per-gram work is equi-joined",
       "q_hard_negatives" -> "the q_ann_topk contract: broadcast capped query set x corpus is the brute-force scorer's definition",
       "q_trunc_fidelity" -> "the q_ann_topk contract: broadcast capped query set x corpus, scored at two prefix widths in one pass",
+      "q_bitext_mine" -> "the q_ann_topk contract: broadcast capped source-language query set x target corpus; the scored frame never shuffles",
       "q_rrf_fusion" -> "crossJoin(broadcast(single-row dense query vector)) — the tfidf/lm_score pattern",
       "q_temp_mixture" -> "crossJoin(broadcast(single-row tot/tw totals)) — the q_source_mixture pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
