@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -708,6 +708,61 @@ FROM (
     ON p.user_id = c.user_id AND c.ts <= p.ts
    AND c.ts >= p.ts - INTERVAL '$AttribTolHours hours')
 WHERE rn = 1"""
+
+  // ---- C47 (r6): recursive hierarchy flatten (dimension closure) ----
+  // The org-chart / BOM / category-tree walk every warehouse needs and
+  // plain SQL needs WITH RECURSIVE for: each node's root ancestor,
+  // depth, and leaf flag over a parent-pointer dimension (here the
+  // decimal-prefix forest parent(k) = k div 10 on customer keys —
+  // swap any parent expression in; a node whose parent key does not
+  // exist in the table is a root). A per-node parent WALK is
+  // O(depth) sequential joins; pointer DOUBLING squares the reach
+  // each round — state (node, anc, depth-covered) joins itself on
+  // anc, so after r rounds every pointer spans min(2^r, depth)
+  // levels and converges in ceil(log2 maxdepth) cluster-wide waves
+  // (the C39/L19 wave pattern: lineage-cut per round, fixed budget;
+  // roots self-loop at depth 0 so converged pointers are fixpoints).
+  // Rounds = 7 covers depth 128 — far beyond any real dimension.
+  private val HierRounds = 7
+
+  def hierarchyFlatten(customer: DataFrame,
+      parentOf: Column => Column = c => floor(c / 10).cast("long"),
+      rounds: Int = HierRounds): DataFrame = {
+    val keys = customer.select(col("c_custkey").cast("long").as("k"))
+    // non-root = parent differs from self AND exists in the table; a
+    // self-parent (key 0 under div 10) is a ROOT, not a cycle
+    val pRaw = keys.select(col("k"), parentOf(col("k")).as("p"))
+    val known = keys.select(col("k").as("p"))
+    val nonRoot = pRaw.where(col("p") =!= col("k"))
+      .join(known, Seq("p"), "left_semi")
+      .select(col("k"), col("p").as("anc"), lit(1L).as("d"))
+    var state = nonRoot
+      .unionAll(keys.join(nonRoot.select(col("k")), Seq("k"), "left_anti")
+        .select(col("k"), col("k").as("anc"), lit(0L).as("d")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val m = state.select(col("k").as("anc"), col("anc").as("anc2"), col("d").as("d2"))
+      state = state.join(m, "anc")
+        .select(col("k"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
+        .localCheckpoint()
+    }
+    val hasChild = pRaw.where(col("p") =!= col("k"))
+      .select(col("p").as("k")).distinct().withColumn("hc", lit(1L))
+    state.join(hasChild, Seq("k"), "left")
+      .select(col("k").as("c_custkey"), col("anc").as("root"), col("d").as("depth"),
+        when(col("hc").isNull, 1L).otherwise(0L).as("is_leaf"))
+  }
+
+  val hierarchyFlattenSql: String =
+    """WITH RECURSIVE ks AS (SELECT c_custkey::BIGINT AS k FROM customer),
+walk AS (
+  SELECT k AS node, k AS cur, 0::BIGINT AS depth FROM ks
+  UNION ALL
+  SELECT w.node, p.k, w.depth + 1
+  FROM walk w JOIN ks p ON p.k = w.cur // 10 AND w.cur // 10 <> w.cur)
+SELECT node AS c_custkey, max_by(cur, depth) AS root, max(depth) AS depth,
+  (node NOT IN (SELECT k // 10 FROM ks WHERE k // 10 <> k))::BIGINT AS is_leaf
+FROM walk GROUP BY node"""
 
   val asofJoinSql: String =
     """SELECT event_id, asof_orderkey, asof_orderdate, asof_totalprice FROM (

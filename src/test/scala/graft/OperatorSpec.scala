@@ -446,6 +446,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val customer = Tables.load(spark, sf, "customer")
+    val out = Relational.hierarchyFlatten(customer).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // first principles: walk each key's parent chain sequentially
+    val ks = customer.select(col("c_custkey").cast("long")).collect().map(_.getLong(0)).toSet
+    def walk(k: Long): (Long, Long) = {
+      var cur = k; var d = 0L
+      while (cur / 10 != cur && ks.contains(cur / 10)) { cur = cur / 10; d += 1 }
+      (cur, d)
+    }
+    val children = ks.groupBy(k => k / 10).filter { case (p, cs) => cs.exists(_ != p) }.keySet
+    val want = ks.map { k =>
+      val (root, d) = walk(k)
+      k -> (root, d, if (children.contains(k)) 0L else 1L)
+    }.toMap
+    assert(out == want, "flattened hierarchy drifts from the sequential walk")
+    // structure is non-trivial: real depth spread, roots self-rooted
+    assert(out.values.map(_._2).max >= 3, "fixture depth too shallow to prove doubling")
+    out.foreach { case (k, (root, d, _)) =>
+      assert((d == 0) == (root == k), s"node $k: depth-0 iff self-rooted")
+      assert(out(root)._2 == 0L, s"node $k: root $root is not a root")
+    }
+    assert(out.values.count(_._3 == 1L) > 0 && out.values.count(_._3 == 0L) > 0)
+    // the round budget genuinely covers deep chains: a 100-node path
+    // (depth 99) must flatten exactly with the default 7 rounds
+    val chain = (1L to 100L).toDF("c_custkey")
+    val deep = Relational.hierarchyFlatten(chain, parentOf = c => c - lit(1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (1L to 100L).foreach { k =>
+      assert(deep(k) == ((1L, k - 1, if (k == 100L) 1L else 0L)),
+        s"chain node $k: ${deep(k)}")
+    }
+  }
+
   test("bitextMine: the ratio margin defeats hubness where raw cosine cannot (L80)") {
     import graft.operators.Similarity
     import spark.implicits._
