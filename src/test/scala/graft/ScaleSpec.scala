@@ -203,6 +203,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("global rank equals the single-reducer window and survives any input layout") {
+    val orders = Tables.load(spark, sf, "orders")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val want = orders.select(col("o_orderkey"), col("o_totalprice"),
+      row_number().over(w).cast("long").as("rk"))
+    val got = graft.operators.Relational.globalRank(orders)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the rank must be a pure function of the DATA: any physical input
+    // layout (different partition count → different range-sample draws
+    // → different seam placement) must yield identical ranks
+    val relaid = graft.operators.Relational.globalRank(orders.repartition(7))
+    assert(relaid.exceptAll(want).isEmpty && want.exceptAll(relaid).isEmpty)
+    // plan shape: the corpus rides one range exchange + a broadcast
+    // hash join; the only Window sits above the P-row counts aggregate
+    // (bounded by cluster geometry), never above the scan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    val windowAt = plan.indexOf("Window")
+    val aggAt = plan.indexOf("HashAggregate")
+    assert(windowAt >= 0 && aggAt > windowAt,
+      s"the Window must be the offsets prefix-sum over per-partition counts:\n$plan")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val orders = Tables.load(spark, sf, "orders").limit(500)
     val lineitem = Tables.load(spark, sf, "lineitem").limit(500)
