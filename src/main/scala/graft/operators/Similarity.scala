@@ -1084,4 +1084,59 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
       .agg(avg(col("cands"))).head().getDouble(0)
     perQuery / n
   }
+
+  // ---- L81 (r7): seeded random projection (Johnson–Lindenstrauss) ----
+  // The third member of the compression family (L29 quantizes values,
+  // L48 quantizes subspaces; this cuts DIMENSIONS): project d=64 → m=16
+  // with a ±1 sign matrix — the database-friendly JL construction
+  // (Achlioptas 2003: Rademacher entries satisfy the JL lemma with the
+  // same constants as Gaussians), the published scale path for distance
+  // sketches over embedding corpora. Unlike L77's prefix truncation —
+  // which the fidelity audit rightly rejects for untrained axes — a
+  // dense random projection spreads EVERY input axis over every output
+  // coordinate, so pairwise distances concentrate at E[‖ya−yb‖²/m] =
+  // ‖xa−xb‖² regardless of which axes carry variance.
+  // Exactness: coordinates scale to 1e-6-unit BIGINTs (the L29 round
+  // precedent), the sign matrix derives from md5("rp:j:i") parity, and
+  // each output coordinate is an exact BIGINT dot product — both
+  // engines replay it bit-for-bit; no float summation order anywhere.
+  // Scale: PURE MAP — the sign matrix is a 16×64 literal baked into
+  // the plan at build time (model state in closure, the TopCells
+  // pattern), the corpus never shuffles, output rows = 16 per vector.
+  private val RpOutDims = 16
+  private val RpInDims = 64
+
+  /** Parity of the first 15 md5 hex chars of "rp:j:i" → ±1 — the
+    * driver-side twin of the oracle's md5 expression. */
+  private[graft] def rpSign(j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    1L - 2L * (java.lang.Long.parseLong(hex, 16) % 2L)
+  }
+
+  def randomProjection(embeddings: DataFrame): DataFrame = {
+    val signs = typedLit(Seq.tabulate(RpOutDims, RpInDims)((j, i) => rpSign(j + 1, i + 1)))
+    embeddings
+      .select(col("vec_id"),
+        transform(asD(col("embedding")), x =>
+          round(x * lit(1000000.0), 0).cast("long")).as("xi"))
+      .select(col("vec_id"), explode(sequence(lit(1), lit(RpOutDims))).as("j"), col("xi"))
+      .select(col("vec_id"), col("j"),
+        aggregate(sequence(lit(1), lit(RpInDims)), lit(0L),
+          (acc, i) => acc +
+            element_at(element_at(signs, col("j")), i) * element_at(col("xi"), i))
+          .as("y"))
+  }
+
+  val randomProjectionSql: String = {
+    val sign = s"(1 - 2 * (${graft.functions.Portable.md5LongSql("'rp'", "j || ':' || i")} % 2))"
+    s"""WITH v AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[], x -> round(x * 1000000, 0)::BIGINT) AS xi
+  FROM embeddings)
+SELECT vec_id, j,
+       list_sum(list_transform(generate_series(1, $RpInDims),
+         i -> $sign * xi[i]))::BIGINT AS y
+FROM v, generate_series(1, $RpOutDims) t(j)"""
+  }
 }

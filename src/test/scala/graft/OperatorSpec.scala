@@ -446,6 +446,44 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("randomProjection replays exactly, preserves pair distances, and never shuffles (L81)") {
+    import graft.operators.Similarity
+    val proj = Similarity.randomProjection(embeddings)
+    // the map-only contract: the whole operator fuses into the scan
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "random projection must be a pure map")
+    val got = proj.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val vecs = embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def xi(v: Array[Double]): Array[Long] = v.map(x =>
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    // exact first-principles replay: same scaled ints, same md5 signs
+    vecs.foreach { case (id, v) =>
+      val ints = xi(v)
+      (1 to 16).foreach { j =>
+        val want = (1 to 64).map(i => Similarity.rpSign(j, i) * ints(i - 1)).sum
+        assert(got((id, j)) == want, s"vec $id coord $j drifts from the md5 recurrence")
+      }
+    }
+    // the JL guarantee the operator exists for: E[||ya-yb||^2 / m] =
+    // ||xa-xb||^2 — per-pair ratios concentrate near 1 and their mean
+    // over 50 pairs lands well inside the Rademacher concentration band
+    val ids = vecs.keys.toSeq.sorted.take(100)
+    val ratios = ids.grouped(2).collect { case Seq(a, b) =>
+      val (xa, xb) = (xi(vecs(a)), xi(vecs(b)))
+      val dx = xa.indices.foldLeft(0.0) { (s, i) =>
+        val d = (xa(i) - xb(i)).toDouble; s + d * d
+      }
+      val dy = (1 to 16).foldLeft(0.0) { (s, j) =>
+        val d = (got((a, j)) - got((b, j))).toDouble; s + d * d
+      }
+      dy / 16.0 / dx
+    }.toSeq
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.25, s"mean distance ratio $mean outside JL band")
+    assert(ratios.forall(r => r > 0.2 && r < 3.5), s"pair ratio outside tail bound: $ratios")
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
