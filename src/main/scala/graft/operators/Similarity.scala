@@ -1129,6 +1129,101 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
           .as("y"))
   }
 
+  // ---- L82 (r7): oracle-exact distributed Lloyd k-means ----
+  // The clustering stage of the curation stack, finally ORACLE-EXACT:
+  // IVF/PQ/SemDeDup cluster with sampled float k-means (rows-only by
+  // design — float means are order-dependent); this operator makes the
+  // full Lloyd recurrence itself hash-checkable by moving it onto
+  // integers. Coordinates scale to 1e-6-unit BIGINTs shifted
+  // non-negative (+2^22, so floor and truncating division coincide in
+  // both engines — distances are shift-invariant); seeds are the K
+  // points with smallest (md5("km:" + vec_id), vec_id) — a replayable
+  // deterministic draw; each round assigns by exact integer squared-L2
+  // argmin (first-minimum tie-break = lowest cid) and recomputes
+  // centroids as truncated integer means (empty cluster keeps its
+  // centroid). Every number in the recurrence is a BIGINT, so DuckDB
+  // replays all `iters` rounds bit-for-bit through unrolled CTE stages
+  // (the L54 fixed-unroll precedent).
+  // Scale shape: centroids are K×d driver/closure model state (the L54
+  // collect-per-round contract, K·d·8 bytes — nothing corpus-sized);
+  // ASSIGNMENT IS A PURE MAP (argmin over a literal centroid array —
+  // no join, no shuffle); each update round partial-aggregates
+  // (cid, dim) sums map-side, so its exchange carries K·d rows per
+  // task. The returned plan is scan → project: zero exchanges. At
+  // 100 TB the per-cluster coordinate sums approach BIGINT range only
+  // past ~10^12 rows × 2^22 — swap the sum to DECIMAL(38,0) there;
+  // everything else is unchanged.
+  private val KmK = 8
+  private val KmAssignIters = 3
+  private val KmShift = 1L << 22
+
+  private def kmScaled(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(asD(col("embedding")), x =>
+        round(x * lit(1000000.0), 0).cast("long") + lit(KmShift)).as("xi"))
+
+  def kmeansAssign(embeddings: DataFrame, k: Int = KmK,
+      iters: Int = KmAssignIters): DataFrame = {
+    val pts = kmScaled(embeddings)
+    val seedRows = pts
+      .withColumn("h", graft.functions.Portable.md5Long(lit("km"), col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("h"), col("vec_id"), col("xi")).collect()
+    var cents: IndexedSeq[Array[Long]] = seedRows
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+      .map(_.getSeq[Long](2).toArray).toIndexedSeq
+    def assigned(cs: IndexedSeq[Array[Long]]): DataFrame = {
+      val lit2 = typedLit(cs.map(_.toSeq).toSeq)
+      pts
+        .withColumn("dists", transform(lit2, c =>
+          aggregate(zip_with(col("xi"), c, (a, b) => (a - b) * (a - b)),
+            lit(0L), (s, d) => s + d)))
+        .withColumn("dist", array_min(col("dists")))
+        .withColumn("cid", array_position(col("dists"), col("dist")))
+    }
+    for (_ <- 1 until iters) {
+      val upd = assigned(cents)
+        .select(col("cid"), posexplode(col("xi")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.indices.map { c =>
+        upd.get(c + 1L) match {
+          case Some(rows) =>
+            val byPos = rows.map(r => r.getInt(1) -> r.getLong(2) / r.getLong(3)).toMap
+            Array.tabulate(cents(c).length)(byPos(_))
+          case None => cents(c)
+        }
+      }
+    }
+    assigned(cents).select(col("vec_id"), col("cid"), col("dist"))
+  }
+
+  val kmeansAssignSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'km'", "vec_id")
+    val distSql =
+      "list_sum(list_transform(generate_series(1, 64), i -> (v.xi[i] - c.ci[i]) * (v.xi[i] - c.ci[i])))::BIGINT"
+    def aStage(r: Int) =
+      s"""a$r AS (SELECT vec_id, xi, cid, dist FROM (
+  SELECT v.vec_id, v.xi, c.cid, $distSql AS dist FROM v, c${r - 1} c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"""
+    def cStage(r: Int) =
+      s"""c$r AS (SELECT c${r - 1}.cid, coalesce(u.ci2, c${r - 1}.ci) AS ci FROM c${r - 1} LEFT JOIN (
+  SELECT cid, list(s // n ORDER BY pos) AS ci2 FROM (
+    SELECT cid, i AS pos, sum(xi[i]) AS s, count(*) AS n
+    FROM a$r, generate_series(1, 64) t(i) GROUP BY cid, i) GROUP BY cid) u USING (cid))"""
+    val stages = (1 until KmAssignIters).flatMap(r => Seq(aStage(r), cStage(r))) :+
+      aStage(KmAssignIters)
+    s"""WITH v AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[], x -> round(x * 1000000, 0)::BIGINT + $KmShift) AS xi
+  FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cid, xi AS ci FROM (
+  SELECT vec_id, xi, $h AS h FROM v) ORDER BY h, vec_id LIMIT $KmK),
+${stages.mkString(",\n")}
+SELECT vec_id, cid, dist FROM a$KmAssignIters"""
+  }
+
   val randomProjectionSql: String = {
     val sign = s"(1 - 2 * (${graft.functions.Portable.md5LongSql("'rp'", "j || ':' || i")} % 2))"
     s"""WITH v AS (SELECT vec_id,

@@ -484,6 +484,70 @@ class OperatorSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0.2 && r < 3.5), s"pair ratio outside tail bound: $ratios")
   }
 
+  test("kmeansAssign replays the integer Lloyd recurrence exactly and recovers planted blobs (L82)") {
+    import graft.operators.Similarity
+    def md5km(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"km:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def scaleXi(v: Array[Double]): Array[Long] = v.map(x =>
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong + (1L << 22))
+    // first-principles replay of the full recurrence on the real corpus
+    val vecs = embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> scaleXi(r.getSeq[Double](1).toArray)).toMap
+    def lloyd(pts: Map[Long, Array[Long]], k: Int, iters: Int): Map[Long, (Long, Long)] = {
+      var cents = pts.toSeq.sortBy { case (id, _) => (md5km(id), id) }
+        .take(k).map(_._2.clone).toIndexedSeq
+      def assign(cs: IndexedSeq[Array[Long]]) = pts.map { case (id, xi) =>
+        val ds = cs.map(c => xi.indices.foldLeft(0L)((s, i) =>
+          s + (xi(i) - c(i)) * (xi(i) - c(i))))
+        val best = ds.min
+        id -> ((ds.indexOf(best) + 1).toLong, best)
+      }
+      for (_ <- 1 until iters) {
+        val a = assign(cents)
+        cents = cents.indices.map { c =>
+          val members = pts.keys.filter(id => a(id)._1 == c + 1).toSeq
+          if (members.isEmpty) cents(c)
+          else Array.tabulate(cents(c).length)(i =>
+            members.map(id => pts(id)(i)).sum / members.size)
+        }
+      }
+      assign(cents)
+    }
+    val want = lloyd(vecs, 8, 3)
+    val got = Similarity.kmeansAssign(embeddings).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, "operator drifts from the first-principles integer Lloyd replay")
+    // physical layout must not matter: exact integer partials commute
+    val relaid = Similarity.kmeansAssign(embeddings.repartition(13)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(relaid == want, "assignment depends on input partitioning")
+    // planted recovery: three identical-point blobs, each guaranteed a
+    // seed (blob membership chosen AFTER hashing — the operator still
+    // draws its own); Lloyd must land every point on its blob's
+    // centroid exactly (dist 0) with blob-constant assignment
+    val ids = (0L until 30L).toSeq
+    val ranked = ids.sortBy(id => (md5km(id), id))
+    val blobOf = ranked.zipWithIndex.map { case (id, i) => id -> i % 3 }.toMap
+    val centers = Seq(
+      Array.fill(64)(1.0f), Array.fill(64)(-1.0f),
+      Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    import spark.implicits._
+    val blobs = ids.map(id => (id, centers(blobOf(id)).toSeq)).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(blobs, k = 3, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (id, _, dist) =>
+      assert(dist == 0L, s"point $id not on its blob centroid after convergence")
+    }
+    val byBlob = out.groupBy(t => blobOf(t._1)).view.mapValues(_.map(_._2).toSet)
+    byBlob.foreach { case (b, cids) =>
+      assert(cids.size == 1, s"blob $b split across clusters $cids")
+    }
+    assert(byBlob.values.flatten.toSet.size == 3, "blobs merged into fewer clusters")
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
