@@ -1224,6 +1224,71 @@ ${stages.mkString(",\n")}
 SELECT vec_id, cid, dist FROM a$KmAssignIters"""
   }
 
+  // ---- L83 (r7): k-center greedy diversity selection ----
+  // Farthest-point (maxmin) selection — the k-center coreset recipe
+  // for diverse exemplar picking (Gonzalez 1985's 2-approximation;
+  // Sener & Savarese 2018 as the data-selection application): start
+  // from a deterministic md5 draw, then repeatedly take the point
+  // farthest from everything selected so far. The selection radius
+  // sequence is the product as much as the centers are — radius_r is
+  // a certified covering bound for any (r−1)-subset downstream.
+  // Same integer domain as L82 (exact squared-L2 BIGINTs), so the
+  // whole greedy recurrence unrolls into oracle CTE stages bit-for-bit
+  // (ties: larger min-dist first, then smaller vec_id).
+  // Scale: the selected set is ≤K rows of driver/closure model state;
+  // each round is a PURE MAP (min-dist against a literal center array)
+  // into one singleton max_by aggregate — map-side partials, one row
+  // per task on the wire, K−1 cluster-wide waves total. No join, no
+  // corpus shuffle anywhere.
+  private val KcK = 8
+
+  def kcenterSelect(embeddings: DataFrame, k: Int = KcK): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pts = kmScaled(embeddings)
+    val first = pts
+      .withColumn("h", graft.functions.Portable.md5Long(lit("kc"), col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("xi")).collect()(0)
+    var selected = Vector((first.getLong(0), first.getSeq[Long](1).toArray, 0L))
+    for (_ <- 2 to k) {
+      val lit2 = typedLit(selected.map(_._2.toSeq).toSeq)
+      val winner = pts
+        .withColumn("mind", array_min(transform(lit2, c =>
+          aggregate(zip_with(col("xi"), c, (a, b) => (a - b) * (a - b)),
+            lit(0L), (s, d) => s + d))))
+        .agg(min_by(struct(col("vec_id"), col("xi"), col("mind")),
+          struct(-col("mind"), col("vec_id"))).as("m"))
+        .select(col("m.vec_id"), col("m.xi"), col("m.mind")).collect()(0)
+      selected :+= ((winner.getLong(0), winner.getSeq[Long](1).toArray, winner.getLong(2)))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, radius), i) => ((i + 1).toLong, id, radius) }
+      .toDF("rk", "vec_id", "radius")
+  }
+
+  val kcenterSelectSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'kc'", "vec_id")
+    def dist = "list_sum(list_transform(generate_series(1, 64), i -> (v.xi[i] - s.xi[i]) * (v.xi[i] - s.xi[i])))::BIGINT"
+    def selUnion(r: Int) =
+      (1 until r).map(j => s"SELECT vec_id, xi FROM s$j").mkString(" UNION ALL ")
+    val rounds = (2 to KcK).map { r =>
+      s"""s$r AS (SELECT vec_id, xi, mind AS radius FROM (
+  SELECT v.vec_id, v.xi, min($dist) AS mind
+  FROM v, (${selUnion(r)}) s GROUP BY v.vec_id, v.xi)
+  ORDER BY mind DESC, vec_id LIMIT 1)"""
+    }
+    val out = (1 to KcK).map(r => s"SELECT $r::BIGINT AS rk, vec_id, radius FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[], x -> round(x * 1000000, 0)::BIGINT + $KmShift) AS xi
+  FROM embeddings),
+s1 AS (SELECT vec_id, xi, 0::BIGINT AS radius FROM (
+  SELECT vec_id, xi, $h AS h FROM v) ORDER BY h, vec_id LIMIT 1),
+${rounds.mkString(",\n")}
+$out"""
+  }
+
   val randomProjectionSql: String = {
     val sign = s"(1 - 2 * (${graft.functions.Portable.md5LongSql("'rp'", "j || ':' || i")} % 2))"
     s"""WITH v AS (SELECT vec_id,

@@ -548,6 +548,56 @@ class OperatorSpec extends SparkSpec {
     assert(byBlob.values.flatten.toSet.size == 3, "blobs merged into fewer clusters")
   }
 
+  test("kcenterSelect replays greedy maxmin exactly; radii certify coverage and separation (L83)") {
+    import graft.operators.Similarity
+    def md5kc(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"kc:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def scaleXi(v: Array[Double]): Array[Long] = v.map(x =>
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong + (1L << 22))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((s, i) => s + (a(i) - b(i)) * (a(i) - b(i)))
+    val vecs = embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> scaleXi(r.getSeq[Double](1).toArray)).toMap
+    // first-principles greedy replay
+    val start = vecs.keys.minBy(id => (md5kc(id), id))
+    var sel = Vector((1L, start, 0L))
+    (2 to 8).foreach { r =>
+      val (id, mind) = vecs.toSeq.map { case (id, xi) =>
+        id -> sel.map(s => d2(vecs(s._2), xi)).min
+      }.minBy { case (id, m) => (-m, id) }
+      sel :+= ((r.toLong, id, mind))
+    }
+    val got = Similarity.kcenterSelect(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toVector
+    assert(got == sel, "operator drifts from the greedy maxmin replay")
+    // the greedy invariants the radii certify: selection radii are
+    // non-increasing; selected centers are pairwise >= the last radius
+    // apart; every corpus point lies within the last radius of a center
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b }, s"radii increase: $radii")
+    val centers = got.map(g => vecs(g._2))
+    for (i <- centers.indices; j <- i + 1 until centers.size)
+      assert(d2(centers(i), centers(j)) >= radii.last, s"centers $i,$j closer than the final radius")
+    val coverage = vecs.values.map(xi => centers.map(c => d2(c, xi)).min).max
+    assert(coverage <= radii.last, s"coverage $coverage exceeds certified radius ${radii.last}")
+    // planted fixture: three identical-point blobs — greedy must take
+    // one center per blob by round 3, after which every radius is 0
+    val centersF = Seq(
+      Array.fill(64)(1.0f), Array.fill(64)(-1.0f),
+      Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    import spark.implicits._
+    val blobs = (0L until 30L).map(id => (id, centersF((id % 3).toInt).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kcenterSelect(blobs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val blobsHit = out.take(3).map(_._2 % 3).toSet
+    assert(blobsHit.size == 3, s"first three centers span ${blobsHit.size} blobs, not 3")
+    assert(out.drop(3).forall(_._3 == 0L), "radius must collapse to 0 once every blob is covered")
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
