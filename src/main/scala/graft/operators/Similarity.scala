@@ -1289,6 +1289,79 @@ ${rounds.mkString(",\n")}
 $out"""
   }
 
+  // ---- L84 (r7): embedding distribution drift across groups ----
+  // The distribution-shift gate a training pipeline runs before mixing
+  // a new batch/source into the corpus (embedding-space drift
+  // detection: if the new slice occupies a different region than the
+  // reference, the mixture weights and dedup thresholds fitted on the
+  // old distribution are stale). Per group: exact centroid + dispersion
+  // via the one-pass identity E‖x‖² − ‖μ‖² (no second scan); per group
+  // PAIR: squared centroid distance and drift = cdist² / mean
+  // dispersion — a scale-free two-sample separation score (≫1 = the
+  // groups occupy different regions; ≈0 = same region).
+  // Portability: per-dim coordinate and coordinate-square sums ride
+  // DECIMAL(18,6) over round-6 inputs (order-independent,
+  // engine-exact); means are one IEEE division each; the ‖μ‖² and
+  // centroid-distance dot products are graft_dot = list_dot_product
+  // (the L6 left-to-right precedent).
+  // Scale: ONE corpus scan — the (group, dim) aggregate carries both
+  // sums and partial-aggs map-side, so the exchange is groups×64 rows
+  // per task; all pairwise work happens on the post-aggregate GROUP
+  // frame (bounded by the label alphabet, the L67 KMV pattern — never
+  // the corpus).
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val lbl = embeddings.select(col("label"), asD(col("embedding")).as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"),
+        sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).as("s2"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          t => t.getField("s")).as("ss"),
+        sum(col("s2")).as("sq"))
+      .select(col("label"), col("n"),
+        transform(col("ss"), s => round(s.cast("double") / col("n"), 6)).as("mu"),
+        round(col("sq").cast("double") / col("n"), 6).as("msq"))
+      .withColumn("disp", round(col("msq") - round(gdot("mu", "mu"), 6), 6))
+    val a = lbl.select(col("label").as("label_a"), col("n").as("n_a"),
+      col("mu").as("mu_a"), col("disp").as("disp_a"))
+    val b = lbl.select(col("label").as("label_b"), col("n").as("n_b"),
+      col("mu").as("mu_b"), col("disp").as("disp_b"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("dm", zip_with(col("mu_a"), col("mu_b"), (x, y) => x - y))
+      .withColumn("cdist2", round(gdot("dm", "dm"), 6))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("disp_a"), col("disp_b"), col("cdist2"),
+        round(col("cdist2") / ((col("disp_a") + col("disp_b")) / 2.0), 6).as("drift"))
+  }
+
+  val embeddingDriftSql: String =
+    """WITH su AS (
+  SELECT label, i AS pos, sum(round(v[i], 6)::DECIMAL(18,6)) AS s,
+         sum(round(v[i] * v[i], 6)::DECIMAL(18,6)) AS s2, count(*) AS n
+  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+       generate_series(1, 64) t(i)
+  GROUP BY label, i),
+lbl AS (SELECT label, max(n) AS n, list(s ORDER BY pos) AS ss, sum(s2) AS sq
+  FROM su GROUP BY label),
+m AS (SELECT label, n,
+  list_transform(ss, s -> round(s::DOUBLE / n, 6)) AS mu,
+  round(sq::DOUBLE / n, 6) AS msq FROM lbl),
+d AS (SELECT label, n, mu,
+  round(msq - round(list_dot_product(mu, mu), 6), 6) AS disp FROM m)
+SELECT label_a, label_b, n_a, n_b, disp_a, disp_b, cdist2,
+       round(cdist2 / ((disp_a + disp_b) / 2), 6) AS drift
+FROM (
+  SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+         a.disp AS disp_a, b.disp AS disp_b,
+         round(list_dot_product(
+           list_transform(generate_series(1, 64), i -> a.mu[i] - b.mu[i]),
+           list_transform(generate_series(1, 64), i -> a.mu[i] - b.mu[i])), 6) AS cdist2
+  FROM d a JOIN d b ON a.label < b.label)"""
+
   val randomProjectionSql: String = {
     val sign = s"(1 - 2 * (${graft.functions.Portable.md5LongSql("'rp'", "j || ':' || i")} % 2))"
     s"""WITH v AS (SELECT vec_id,

@@ -598,6 +598,61 @@ class OperatorSpec extends SparkSpec {
     assert(out.drop(3).forall(_._3 == 0L), "radius must collapse to 0 once every blob is covered")
   }
 
+  test("embeddingDrift separates planted shifted groups and zeroes same-distribution pairs (L84)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // groups 0 and 1 draw from the SAME deterministic pseudo-random
+    // cloud; group 2 is the same cloud translated far away — the audit
+    // must score (0,1) near zero and (0,2)/(1,2) >> 1
+    def jitter(id: Long, i: Int): Float = (((id * 31 + i * 7) % 13) - 6) / 10.0f
+    val rows = (0L until 90L).map { id =>
+      val g = (id % 3).toInt
+      val shift = if (g == 2) 8.0f else 0.0f
+      (id, Array.tabulate(64)(i => jitter(id / 3, i) + shift).toSeq, g)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label").cast("int"))
+    val out = Similarity.embeddingDrift(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(6), r.getDouble(7))).toMap
+    val (same, sameDrift) = out((0, 1))
+    assert(same < 1e-6 && sameDrift < 0.01,
+      s"same-distribution pair scored cdist2=$same drift=$sameDrift")
+    Seq((0, 2), (1, 2)).foreach { p =>
+      val (cd, dr) = out(p)
+      assert(cd > 4000 && dr > 100, s"shifted pair $p scored cdist2=$cd drift=$dr")
+    }
+    // exact replay on the real corpus: decimal sums, IEEE means,
+    // left-to-right dot products — every cell bit-identical
+    val vecs = embeddings.select(col("label"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val stats = byLabel.map { case (l, vs) =>
+      val n = vs.size
+      val mu = Array.tabulate(64) { i =>
+        val s = vs.map(v => BigDecimal(r6(v(i))).setScale(6)).sum
+        r6(s.toDouble / n)
+      }
+      // decimal-sum mean of per-element squares, matching the operator
+      val sq = vs.flatMap(v => v.map(x => BigDecimal(r6(x * x)).setScale(6))).sum
+      val msq = r6(sq.toDouble / n)
+      l -> (n, mu, r6(msq - r6(dot(mu, mu))))
+    }
+    val real = Similarity.embeddingDrift(embeddings).collect()
+    real.foreach { r =>
+      val (na, mua, da) = stats(r.getInt(0))
+      val (nb, mub, db) = stats(r.getInt(1))
+      val dm = Array.tabulate(64)(i => mua(i) - mub(i))
+      assert(r.getLong(2) == na && r.getLong(3) == nb)
+      assert(r.getDouble(4) == da && r.getDouble(5) == db,
+        s"dispersion drifts for pair (${r.getInt(0)},${r.getInt(1)})")
+      assert(r.getDouble(6) == r6(dot(dm, dm)), "centroid distance drifts")
+    }
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
@@ -1730,7 +1785,8 @@ class OperatorSpec extends SparkSpec {
       "q_trunc_fidelity" -> "the q_ann_topk contract: broadcast capped query set x corpus, scored at two prefix widths in one pass",
       "q_bitext_mine" -> "the q_ann_topk contract: broadcast capped source-language query set x target corpus; the scored frame never shuffles",
       "q_rrf_fusion" -> "crossJoin(broadcast(single-row dense query vector)) — the tfidf/lm_score pattern",
-      "q_temp_mixture" -> "crossJoin(broadcast(single-row tot/tw totals)) — the q_source_mixture pattern")
+      "q_temp_mixture" -> "crossJoin(broadcast(single-row tot/tw totals)) — the q_source_mixture pattern",
+      "q_embed_drift" -> "group-pair enumeration over the POST-AGGREGATE label frame (label-alphabet-bounded) — the q_kmv_overlap pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
