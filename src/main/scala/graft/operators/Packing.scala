@@ -228,6 +228,66 @@ SELECT e::BIGINT AS example_id, doc_id,
 FROM o, unnest(generate_series(off // $ExLen, least((off + n - 1) // $ExLen, n_ex - 1))) AS u(e)
 WHERE off < n_ex * $ExLen"""
 
+  // ---- L85 (r7): length-bucketed inference batch assembly ----
+  // The batch-prep shape INFERENCE needs (L27/L78 serve training):
+  // batched generation pads every sequence in a batch to the longest
+  // member, so batching arbitrary-length docs together burns compute
+  // on pad tokens. Standard fix: bucket by length ceiling (powers of
+  // two, 16..1024), then assemble fixed-size batches WITHIN a bucket —
+  // per batch the pad waste is bounded by the bucket granularity, and
+  // the waste column prices it exactly (clamped at 0 in the open-ended
+  // top bucket). The batch key needs a rank within each bucket;
+  // computing it with one window per bucket would serialize the
+  // corpus through ~8 reducers, so the rank is HIERARCHICAL (the L78
+  // recurrence, here per bucket): per-(bucket, granule) counts →
+  // per-bucket granule-frame prefix sum → within-granule row_number
+  // behind one (bucket, granule) exchange that the offset join then
+  // reuses. Granule is the knob; the granule frame is docs/Granule
+  // rows per bucket, and a third level is the same recurrence.
+  // The oracle takes the flat per-bucket window — identical ranks.
+  private val BatchB = 8L
+  private val BkGranule = 64L
+
+  def lengthBatches(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .withColumn("bucket",
+        when(col("n") <= 16, 16).when(col("n") <= 32, 32)
+          .when(col("n") <= 64, 64).when(col("n") <= 128, 128)
+          .when(col("n") <= 256, 256).when(col("n") <= 512, 512)
+          .otherwise(1024))
+      .withColumn("g", expr(s"doc_id div $BkGranule"))
+    val gw = Window.partitionBy("bucket").orderBy("g")
+    val gBase = d.groupBy("bucket", "g").agg(count(lit(1)).as("g_n"))
+      .select(col("bucket"), col("g"),
+        coalesce(sum("g_n").over(gw.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("g_base"))
+    d.join(gBase, Seq("bucket", "g"))
+      .withColumn("rk", col("g_base") +
+        row_number().over(Window.partitionBy("bucket", "g").orderBy("doc_id")))
+      .withColumn("batch", expr(s"(rk - 1) div $BatchB"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_toks"),
+        max(col("n")).as("max_len"),
+        sum(greatest(lit(0L), col("bucket") - col("n"))).as("waste"))
+  }
+
+  val lengthBatchesSql: String =
+    s"""WITH d AS (SELECT doc_id,
+    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n FROM documents),
+b AS (SELECT doc_id, n,
+    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+         WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+         ELSE 1024 END AS bucket FROM d),
+r AS (SELECT doc_id, n, bucket,
+    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk FROM b)
+SELECT bucket, (rk - 1) // $BatchB AS batch, count(*) AS n_docs,
+       sum(n)::BIGINT AS sum_toks, max(n) AS max_len,
+       sum(greatest(0, bucket - n))::BIGINT AS waste
+FROM r GROUP BY bucket, batch"""
+
   val chunkDocsSql: String =
     s"""WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
 c AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,

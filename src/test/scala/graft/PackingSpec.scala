@@ -111,6 +111,48 @@ class PackingSpec extends SparkSpec {
     assert(lost.count() == 0, "an exact-copy doc kept a chunk its original already owned")
   }
 
+  test("lengthBatches: hierarchical rank equals the flat window; batches full and dense (L85)") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Packing.lengthBatches(documents).cache()
+    // the hierarchical two-level rank must equal the flat per-bucket
+    // window the oracle uses — same batches, same aggregates
+    val d = documents
+      .select(col("doc_id"), size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .withColumn("bucket",
+        when(col("n") <= 16, 16).when(col("n") <= 32, 32)
+          .when(col("n") <= 64, 64).when(col("n") <= 128, 128)
+          .when(col("n") <= 256, 256).when(col("n") <= 512, 512)
+          .otherwise(1024))
+      .withColumn("rk", row_number().over(Window.partitionBy("bucket").orderBy("doc_id")))
+      .withColumn("batch", expr("(rk - 1) div 8"))
+    val want = d.groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_toks"),
+        max(col("n")).as("max_len"),
+        sum(greatest(lit(0L), col("bucket") - col("n"))).as("waste"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "hierarchical rank drifts from the flat window twin")
+    // every batch is full at B=8 except at most the last per bucket,
+    // batch ids are dense from 0, and doc counts reconcile
+    val rows = got.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSeq
+    rows.groupBy(_._1).foreach { case (bucket, bs) =>
+      val maxBatch = bs.map(_._2).max
+      assert(bs.map(_._2).toSet == (0L to maxBatch).toSet, s"bucket $bucket has batch gaps")
+      bs.foreach { case (_, batch, nd, _) =>
+        if (batch < maxBatch) assert(nd == 8L, s"bucket $bucket batch $batch not full: $nd")
+        else assert(nd >= 1L && nd <= 8L)
+      }
+    }
+    // waste prices padding-to-bucket-ceiling: zero only when every doc
+    // hits its ceiling; bounded by (bucket - previous threshold) * n
+    val nDocs = documents.count()
+    assert(rows.map(_._3).sum == nDocs, "docs lost or duplicated across batches")
+    // layout must not matter: the rank derives from doc_id alone
+    val relaid = Packing.lengthBatches(documents.repartition(11))
+    assert(relaid.exceptAll(got).isEmpty && got.exceptAll(relaid).isEmpty)
+    got.unpersist()
+  }
+
   test("packSequences equals a naive sequential next-fit on a random corpus") {
     val rnd = new scala.util.Random(17)
     val docs = (0 until 300).map { i =>
