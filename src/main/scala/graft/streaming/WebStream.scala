@@ -112,4 +112,56 @@ object WebStream {
   }
 
   case class MgBucket(counters: Map[String, Long], n: Long)
+
+  /** One surviving (first-occurrence) key and the shard that owns it. */
+  case class DedupOut(key: String, shard: Int)
+
+  case class BloomShard(bits: Array[Long])
+
+  /** L86 (r7): streaming dedup with BOUNDED state — the 100 TB stream
+    * posture for exact `dropDuplicates` (R13), whose state grows one
+    * row per distinct key FOREVER on an unbounded crawl. Each shard
+    * owns a fixed Bloom filter (`mBits` bits, `k` md5-seeded hashes)
+    * driven as `flatMapGroupsWithState` closure state, so total state
+    * is `shards × mBits / 8` bytes regardless of stream length.
+    *
+    * The guarantee points the safe direction for dedup: Bloom has no
+    * false negatives, so a true duplicate is NEVER emitted twice —
+    * the exactly-once-per-key invariant holds unconditionally. The
+    * price is the false-positive rate: once the filter saturates,
+    * some genuine first occurrences are dropped as "seen" — the
+    * standard crawl trade (URL-seen sets in production crawlers are
+    * exactly this structure). Size mBits ≈ 10× expected distincts
+    * for <1% FP; shards is the parallelism knob and the hot path is
+    * one narrow key shuffle.
+    */
+  def bloomDedupStream(keys: Dataset[String], shards: Int = 8,
+      mBits: Int = 1 << 14, k: Int = 3): Dataset[DedupOut] = {
+    import keys.sparkSession.implicits._
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    def hashes(key: String): Seq[Int] = (1 to k).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"bd$i:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % mBits).toInt
+    }
+    keys.groupByKey(kk => math.floorMod(kk.hashCode, shards))
+      .flatMapGroupsWithState[BloomShard, DedupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard, it, state) =>
+          val bits = state.getOption.map(_.bits.clone())
+            .getOrElse(new Array[Long](mBits / 64))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DedupOut]
+          it.foreach { key =>
+            val hs = hashes(key)
+            val seen = hs.forall(h => (bits(h >> 6) & (1L << (h & 63))) != 0L)
+            if (!seen) {
+              hs.foreach(h => bits(h >> 6) |= 1L << (h & 63))
+              out += DedupOut(key, shard)
+            }
+          }
+          state.update(BloomShard(bits))
+          out.iterator
+      }
+  }
 }

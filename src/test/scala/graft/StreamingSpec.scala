@@ -736,6 +736,46 @@ class StreamingSpec extends SparkSpec {
     assert(cs.size <= 31, "capacity bound")
   }
 
+  test("bloom dedup stream: exactly-once per key across micro-batches, bounded state (L86)") {
+    implicit val sqlCtx = spark.sqlContext
+    // 180 distinct keys, each arriving 3 times spread ACROSS
+    // micro-batches (the state-threading case exact dedup handles with
+    // unbounded state); filter sized 10x distincts -> no FP drops here
+    val keys = (0 until 180).map(i => s"page_$i")
+    val arrivals = keys ++ keys.reverse ++ keys
+    val stream = MemoryStream[String]
+    val q = streaming.WebStream.bloomDedupStream(stream.toDS())
+      .writeStream.format("memory").queryName("bds").outputMode("append").start()
+    arrivals.grouped(100).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val emitted = spark.table("bds").collect().map(_.getString(0)).toSeq
+    assert(emitted.size == emitted.distinct.size,
+      "a key was emitted twice — the no-false-negative invariant broke")
+    assert(emitted.toSet == keys.toSet,
+      "first occurrences lost despite a filter sized far above distincts")
+  }
+
+  test("bloom dedup stream under saturation: still zero duplicates, FP drops priced (L86)") {
+    implicit val sqlCtx = spark.sqlContext
+    // 600 distinct keys through a deliberately tiny 256-bit filter:
+    // saturation forces false positives — the declared trade. The
+    // exactly-once invariant must survive; the drop count prices it.
+    val keys = (0 until 600).map(i => s"doc_$i")
+    val stream = MemoryStream[String]
+    val q = streaming.WebStream.bloomDedupStream(stream.toDS(),
+        shards = 2, mBits = 256, k = 3)
+      .writeStream.format("memory").queryName("bdsat").outputMode("append").start()
+    (keys ++ keys).grouped(150).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val emitted = spark.table("bdsat").collect().map(_.getString(0)).toSeq
+    assert(emitted.size == emitted.distinct.size, "duplicate emitted under saturation")
+    assert(emitted.toSet.subsetOf(keys.toSet))
+    assert(emitted.size < keys.size,
+      "a 256-bit filter over 600 keys must drop some first occurrences — FP is the trade")
+    assert(emitted.size > keys.size / 10,
+      s"only ${emitted.size} of ${keys.size} survived — filter behaves like always-full")
+  }
+
   test("bucketed heavy-hitter stream: corpus estimates exact at capacity, superset of batch (L63s)") {
     // cap 255 over a 31-token vocabulary: no bucket ever evicts, so
     // the streamed estimates must EQUAL exact counts — this pins the
