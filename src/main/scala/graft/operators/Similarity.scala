@@ -1362,6 +1362,96 @@ FROM (
            list_transform(generate_series(1, 64), i -> a.mu[i] - b.mu[i])), 6) AS cdist2
   FROM d a JOIN d b ON a.label < b.label)"""
 
+  // ---- L87 (r7): top principal component — exact power iteration ----
+  // The embedding-QA axis audit (which single direction carries the
+  // most corpus variance, and how much): dominant-eigenvector scoring
+  // is the first-line diagnostic for collapsed/anisotropic embedding
+  // spaces (a healthy encoder spreads variance; a degenerate one puts
+  // most of it on one axis) and the whitening/ABTT precursor. Exact
+  // pipeline: ONE corpus scan aggregates the 64×64 second-moment grid
+  // and per-dim sums (DECIMAL(18,6) over round-6 products, map-side
+  // partials — the exchange carries ≤4096+64 rows per task); the
+  // covariance C = E[xᵢxⱼ] − μᵢμⱼ collects to the driver as bounded
+  // model state (4 KB), where 8 MAX-NORM power iterations run in
+  // decimal arithmetic: wᵢ = Σⱼ dec(round(Cᵢⱼ·vⱼ, 6)), v′ = round(w /
+  // max|w|, 6) — max-norm instead of L2 avoids sqrt, keeping every
+  // step one IEEE op over rounded values, so DuckDB replays the WHOLE
+  // recurrence (covariance grid + 8 unrolled matvec CTEs on the
+  // 64-row frame) bit-for-bit. The final map projects every vector
+  // onto the component: score = Σ dec(round((xᵢ−μᵢ)·vᵢ, 6)) — a pure
+  // map with μ, v, λ as literals; λ = max|w| of the last iteration
+  // (power-iteration Rayleigh estimate under max-norm scaling).
+  private val PcIters = 8
+
+  def topComponent(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asD(col("embedding")).as("v"))
+    val grid = base
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("xi") * col("xj"), 6).cast("decimal(18,6)")).as("sxx"),
+        sum(when(col("j") === 0, round(col("xi"), 6).cast("decimal(18,6)"))).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = grid.head.getLong(4)
+    val mu = new Array[Double](64)
+    grid.filter(_.getInt(1) == 0).foreach { r =>
+      mu(r.getInt(0)) = r6(r.getDecimal(3).doubleValue() / n)
+    }
+    val c = Array.ofDim[Double](64, 64)
+    grid.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      c(i)(j) = r6(r.getDecimal(2).doubleValue() / n - mu(i) * mu(j))
+    }
+    var v = Array.fill(64)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to PcIters) {
+      val w = Array.tabulate(64) { i =>
+        (0 until 64).map(j => BigDecimal(r6(c(i)(j) * v(j))).setScale(6)).sum.toDouble
+      }
+      lambda = w.map(math.abs).max
+      v = w.map(x => r6(x / lambda))
+    }
+    val muLit = typedLit(mu.toSeq)
+    val vLit = typedLit(v.toSeq)
+    base.select(col("vec_id"),
+      aggregate(sequence(lit(1), lit(64)),
+        lit(BigDecimal(0)).cast("decimal(28,6)"),
+        (acc, i) => (acc + round(
+          (element_at(col("v"), i) - element_at(muLit, i)) * element_at(vLit, i), 6)
+          .cast("decimal(18,6)")).cast("decimal(28,6)"))
+        .cast("double").as("score"),
+      lit(r6(lambda)).as("eigval"))
+  }
+
+  val topComponentSql: String = {
+    val iterCtes = (1 to PcIters).map { r =>
+      s"""w$r AS (SELECT c.i AS i, sum(round(c.c * p.v, 6)::DECIMAL(18,6))::DOUBLE AS w
+  FROM cov c JOIN p${r - 1} p ON c.j = p.i GROUP BY c.i),
+m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+p$r AS (SELECT i, round(w / m, 6) AS v FROM w$r, m$r)"""
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+g AS (SELECT i, j,
+    sum(round(v[i + 1] * v[j + 1], 6)::DECIMAL(18,6)) AS sxx,
+    sum(CASE WHEN j = 0 THEN round(v[i + 1], 6)::DECIMAL(18,6) END) AS sx,
+    count(*) AS n
+  FROM base, generate_series(0, 63) s(i), generate_series(0, 63) t(j)
+  GROUP BY i, j),
+mu AS (SELECT i, round(sx::DOUBLE / n, 6) AS mu FROM g WHERE j = 0),
+cov AS (SELECT g.i, g.j,
+    round(g.sxx::DOUBLE / g.n - a.mu * b.mu, 6) AS c
+  FROM g JOIN mu a ON a.i = g.i JOIN mu b ON b.i = g.j),
+p0 AS (SELECT i, 1.0::DOUBLE AS v FROM generate_series(0, 63) s(i)),
+$iterCtes
+SELECT vec_id,
+  (SELECT sum(round((b.v[d.i + 1] - d.mu) * d.pv, 6)::DECIMAL(18,6))::DOUBLE
+   FROM (SELECT mu.i, mu.mu, p.v AS pv FROM mu JOIN p$PcIters p USING (i)) d) AS score,
+  (SELECT round(m, 6) FROM m$PcIters) AS eigval
+FROM base b"""
+  }
+
   val randomProjectionSql: String = {
     val sign = s"(1 - 2 * (${graft.functions.Portable.md5LongSql("'rp'", "j || ':' || i")} % 2))"
     s"""WITH v AS (SELECT vec_id,

@@ -653,6 +653,63 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("topComponent recovers a planted variance axis and replays exactly (L87)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // planted: all variance along the all-ones axis, tiny jitter noise
+    // — the dominant eigen-gap is huge, so 8 iterations converge hard
+    val rows = (0L until 63L).map { k =>
+      val t = ((k % 21).toDouble - 10) / 10.0
+      (k, Array.tabulate(64)(i => (t + (((k * 7 + i * 13) % 11) - 5) / 1000.0).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val out = Similarity.topComponent(df).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val eig = out.head._3
+    val ts = rows.map { case (k, _) => k -> (((k % 21).toDouble - 10) / 10.0) }.toMap
+    val xs = out.map(o => ts(o._1))
+    val ys = out.map(_._2)
+    def mean(a: Seq[Double]) = a.sum / a.size
+    val (mx, my) = (mean(xs), mean(ys))
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val corr = cov / math.sqrt(
+      xs.map(a => (a - mx) * (a - mx)).sum * ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(corr) > 0.999, s"score-vs-planted-coefficient correlation $corr")
+    val varT = { val m = mean(xs); mean(xs.map(a => (a - m) * (a - m))) }
+    assert(math.abs(eig - varT * 64) / (varT * 64) < 0.1,
+      s"eigval $eig far from planted ${varT * 64}")
+    // exact replay on the real corpus: decimal grid, decimal matvec,
+    // max-norm scaling — every score and the eigenvalue bit-identical
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val n = vecs.length
+    val mu = Array.tabulate(64)(i =>
+      r6(vecs.map(v => BigDecimal(r6(v._2(i))).setScale(6)).sum.toDouble / n))
+    val c = Array.tabulate(64, 64)((i, j) =>
+      r6(vecs.map(v => BigDecimal(r6(v._2(i) * v._2(j))).setScale(6)).sum.toDouble / n
+        - mu(i) * mu(j)))
+    var pv = Array.fill(64)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(64)(i =>
+        (0 until 64).map(j => BigDecimal(r6(c(i)(j) * pv(j))).setScale(6)).sum.toDouble)
+      lambda = w.map(math.abs).max
+      pv = w.map(x => r6(x / lambda))
+    }
+    val want = vecs.map { case (id, v) =>
+      id -> (0 until 64).map(i => BigDecimal(r6((v(i) - mu(i)) * pv(i))).setScale(6))
+        .sum.toDouble
+    }.toMap
+    val real = Similarity.topComponent(embeddings).collect()
+    real.foreach { r =>
+      assert(r.getDouble(1) == want(r.getLong(0)),
+        s"score drifts for vec ${r.getLong(0)}")
+      assert(r.getDouble(2) == r6(lambda), "eigenvalue drifts")
+    }
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
