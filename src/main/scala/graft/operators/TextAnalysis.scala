@@ -1470,6 +1470,67 @@ FROM u"""
         (normalizeText(col("pert")) === col("text")).cast("long").as("restored"))
   }
 
+  // ---- L88 (r7): Zipf rank-frequency fit — corpus-health audit ----
+  // Natural text follows Zipf's law (freq ∝ rank^−s, s ≈ 1); a corpus
+  // whose token distribution departs hard from the power law is a
+  // known contamination/degeneracy signal (template spam flattens the
+  // head, boilerplate repetition steepens it, synthetic text drifts
+  // both ways). The audit: OLS of ln(freq) on ln(rank) over the top-V
+  // token frame — slope, intercept, r². Stopwords stay IN (they are
+  // the head of the law). Scale: one partial-agged (token) aggregate,
+  // a TakeOrdered top-V cut (the L35 contract — never a vocab-wide
+  // sort), then the rank window + OLS run on the V-row frame, bounded
+  // by construction. Portability: ln is IEEE-identical (L24/L65
+  // precedent); log-domain sums ride DECIMAL(18,6) over round-6
+  // values; the slope/r² expression is textually mirrored in the
+  // oracle so the double op sequence is identical (the C40 pattern).
+  private val ZipfTopV = 64
+
+  def zipfFit(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(ZipfTopV)
+    val w = Window.orderBy(col("freq").desc, col("token").asc)
+    val pts = freqs
+      .withColumn("rk", row_number().over(w))
+      .select(round(log(col("rk").cast("double")), 6).as("x"),
+        round(log(col("freq").cast("double")), 6).as("y"))
+    val s = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,6)")).as("sx"),
+      sum(col("y").cast("decimal(18,6)")).as("sy"),
+      sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).as("sxx"),
+      sum(round(col("x") * col("y"), 6).cast("decimal(18,6)")).as("sxy"),
+      sum(round(col("y") * col("y"), 6).cast("decimal(18,6)")).as("syy"))
+    val slopeQ = "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+    s.selectExpr("n AS n_terms",
+      s"round($slopeQ, 6) AS slope",
+      s"round((cast(sy as double) - ($slopeQ) * cast(sx as double)) / cast(n as double), 6) AS intercept",
+      s"round((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / nullif((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)), 0.0), 6) AS r2")
+  }
+
+  val zipfFitSql: String = {
+    val slopeQ = "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+    s"""WITH f AS (SELECT token, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+  WHERE length(token) > 0 GROUP BY token ORDER BY freq DESC, token LIMIT $ZipfTopV),
+r AS (SELECT round(ln(row_number() OVER (ORDER BY freq DESC, token)), 6) AS x,
+             round(ln(freq), 6) AS y FROM f),
+s AS (SELECT count(*) AS n, sum(x::DECIMAL(18,6)) AS sx, sum(y::DECIMAL(18,6)) AS sy,
+             sum(round(x * x, 6)::DECIMAL(18,6)) AS sxx,
+             sum(round(x * y, 6)::DECIMAL(18,6)) AS sxy,
+             sum(round(y * y, 6)::DECIMAL(18,6)) AS syy FROM r)
+SELECT n AS n_terms,
+  round($slopeQ, 6) AS slope,
+  round((cast(sy as double) - ($slopeQ) * cast(sx as double)) / cast(n as double), 6) AS intercept,
+  round((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / nullif((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)), 0.0), 6) AS r2
+FROM s"""
+  }
+
   val normalizeSql: String = {
     val norm = "trim(regexp_replace(regexp_replace(lower(pert), '[[:cntrl:]]', ' ', 'g'), ' +', ' ', 'g'))"
     """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

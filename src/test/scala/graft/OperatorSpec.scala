@@ -710,6 +710,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit recovers a planted power law at slope -1 and flags a flat distribution (L88)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // planted Zipf: token w_k appears floor(2048/k) times, k = 1..64 —
+    // the fit must recover slope ~ -1 with near-perfect r2
+    val zipf = (1 to 64).flatMap(k => Seq.fill(2048 / k)(s"w$k"))
+    val zdf = zipf.grouped(100).map(_.mkString(" ")).toSeq.toDF("text")
+    val zfit = TextAnalysis.zipfFit(zdf).collect()(0)
+    val (zslope, zr2) = (zfit.getDouble(1), zfit.getDouble(3))
+    assert(math.abs(zslope + 1.0) < 0.05, s"planted Zipf slope $zslope not ~ -1")
+    assert(zr2 > 0.99, s"planted Zipf r2 $zr2")
+    // degenerate flat distribution (template spam shape): every token
+    // equally frequent -> slope ~ 0; the audit must separate the two
+    val flat = (1 to 64).flatMap(k => Seq.fill(32)(s"t$k"))
+    val ffit = TextAnalysis.zipfFit(flat.grouped(64).map(_.mkString(" ")).toSeq.toDF("text"))
+      .collect()(0)
+    assert(math.abs(ffit.getDouble(1)) < 0.01, s"flat corpus slope ${ffit.getDouble(1)}")
+    // real corpus sanity: a negative power-law-ish head
+    // the synthetic corpus vocabulary is smaller than V — the cut
+    // takes what exists
+    val real = TextAnalysis.zipfFit(documents).collect()(0)
+    assert(real.getLong(0) >= 20L, s"only ${real.getLong(0)} terms in the fit frame")
+    assert(real.getDouble(1) < -0.1, s"real-corpus slope ${real.getDouble(1)} not negative")
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
