@@ -228,6 +228,42 @@ class ScaleSpec extends SparkSpec {
       s"the Window must be the offsets prefix-sum over per-partition counts:\n$plan")
   }
 
+  test("hive-partitioned layout: scan prunes partitions; dynamic overwrite replaces only its own") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    // partition pruning: the lang predicate must land in
+    // PartitionFilters (directory-level skip — zero data files of
+    // other languages opened), not PushedFilters (row-group skip)
+    val scan = spark.read.parquet(dir).where(col("lang") === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang predicate did not become a partition filter:\n${plan.take(1500)}")
+    assert(scan.count() == docs.where(col("lang") === "en").count())
+    // dynamic partition overwrite: rewriting ONE language must leave
+    // every other partition's files byte-identical (static overwrite
+    // would truncate the whole table — the 100 TB incremental-refresh
+    // hazard)
+    val before = spark.read.parquet(dir).where(col("lang") =!= "en")
+      .agg(sum(col("doc_id"))).head.getLong(0)
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      docs.where(col("lang") === "en")
+        .withColumn("n_chars", lit(-1L))
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(dir)
+    assert(after.where(col("lang") === "en").agg(min(col("n_chars"))).head.getLong(0) == -1L
+      && after.where(col("lang") === "en").agg(max(col("n_chars"))).head.getLong(0) == -1L,
+      "en partition not replaced")
+    assert(after.where(col("lang") =!= "en").agg(sum(col("doc_id"))).head.getLong(0) == before,
+      "dynamic overwrite disturbed sibling partitions")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val orders = Tables.load(spark, sf, "orders").limit(500)
     val lineitem = Tables.load(spark, sf, "lineitem").limit(500)
