@@ -546,6 +546,61 @@ FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y"""
   private val PrIters = 10
   private val PrUnit = 1000000000000L // 1e-12 rank units
 
+  // ---- C49 (r7): k-core membership by iterative peeling ----
+  // The fourth graph primitive (CC finds components, triangles count
+  // local density, PageRank ranks, this isolates the DENSE SUBGRAPH):
+  // repeatedly delete nodes of degree < k until the remainder is
+  // stable — what survives is the k-core, the standard spam/link-farm
+  // and dup-farm detector (a content farm's near-dup graph is a dense
+  // core; organic near-dups are trees and chains that peel away).
+  // Each wave is one degree aggregate + two semi-joins on a frame that
+  // only SHRINKS, lineage-cut per round (the C39/L19 wave pattern);
+  // `rounds` is a fixed unroll budget mirrored in the oracle CTE
+  // chain, and the spec proves the corpus reaches the fixpoint inside
+  // it (one extra wave changes nothing). Defining property — every
+  // surviving node has ≥ k neighbors AMONG SURVIVORS — is checked on
+  // the output, not assumed.
+  private val KCoreK = 2
+  private val KCoreRounds = 6
+
+  def kCoreEdges(e0: DataFrame, k: Int = KCoreK,
+      rounds: Int = KCoreRounds): DataFrame = {
+    var e = e0.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select(col("v")).localCheckpoint()
+      e = e
+        .join(keep.withColumnRenamed("v", "x"), Seq("x"), "left_semi")
+        .join(keep.withColumnRenamed("v", "y"), Seq("y"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  def kCore(documents: DataFrame): DataFrame =
+    kCoreEdges(simhashDedup(documents).select(col("x"), col("y")))
+      .select(col("v").as("doc_id"), col("core_deg"))
+
+  lazy val kCoreSql: String = {
+    // MATERIALIZED (the L54 precedent): each wave references the
+    // previous edge CTE three times — inlined, the expansion doubles
+    // per round and re-reads the parquet 2^rounds times
+    val waves = (1 to KCoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+    SELECT x AS v FROM e${r - 1} UNION ALL SELECT y FROM e${r - 1}) GROUP BY v),
+k$r AS (SELECT v FROM d$r WHERE d >= $KCoreK),
+e$r AS MATERIALIZED (SELECT e.x, e.y FROM e${r - 1} e
+  JOIN k$r a ON a.v = e.x JOIN k$r b ON b.v = e.y)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($simhashDedupSql),
+e0 AS MATERIALIZED (SELECT x, y FROM pairs),
+$waves
+SELECT v AS doc_id, count(*) AS core_deg FROM (
+  SELECT x AS v FROM e$KCoreRounds UNION ALL SELECT y FROM e$KCoreRounds) GROUP BY v"""
+  }
+
   def pageRank(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     val e = simhashDedup(documents).select(col("x"), col("y"))

@@ -735,6 +735,54 @@ class OperatorSpec extends SparkSpec {
     assert(real.getDouble(1) < -0.1, s"real-corpus slope ${real.getDouble(1)} not negative")
   }
 
+  test("kCore peels tails, keeps cliques and cycles, and reaches the fixpoint in budget (C49)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // planted: a 4-clique (nodes 1-4) with a pendant path 5-6-7, plus
+    // a disjoint 4-cycle (10-13). At k=2 the path peels away node by
+    // node; the clique and the cycle survive intact.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // clique
+      (4L, 5L), (5L, 6L), (6L, 7L),                               // pendant path
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L)              // cycle
+    ).toDF("x", "y")
+    val core = Dedup.kCoreEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L),
+      s"2-core should be clique + cycle, got ${core.keySet}")
+    Seq(1L, 2L, 3L, 4L).foreach(v => assert(core(v) == 3L, s"clique degree of $v"))
+    Seq(10L, 11L, 12L, 13L).foreach(v => assert(core(v) == 2L, s"cycle degree of $v"))
+    // corpus: the defining property — every survivor has >= k
+    // neighbors among survivors — and the fixpoint is reached inside
+    // the unroll budget (one extra wave changes nothing)
+    val e0 = Dedup.simhashDedup(documents).select(col("x"), col("y"))
+    val got = Dedup.kCore(documents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = got.keySet
+    val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val coreDeg = pairs.filter { case (a, b) => survivors(a) && survivors(b) }
+      .flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    survivors.foreach { v =>
+      assert(coreDeg.getOrElse(v, 0L) >= 2L, s"survivor $v has core degree < k")
+      assert(coreDeg(v) == got(v), s"reported core_deg wrong for $v")
+    }
+    val extra = Dedup.kCoreEdges(e0, rounds = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(extra == got, "corpus did not reach the k-core fixpoint within the budget")
+    // peeled nodes genuinely fail membership: sequential peel replay
+    var alive = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    var changed = true
+    while (changed) {
+      val deg = pairs.filter(p => alive(p._1) && alive(p._2))
+        .flatMap(p => Seq(p._1, p._2)).groupBy(identity).view.mapValues(_.size).toMap
+      val next = alive.filter(v => deg.getOrElse(v, 0) >= 2)
+      changed = next != alive
+      alive = next
+    }
+    assert(alive == survivors, "distributed peeling drifts from the sequential replay")
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
