@@ -1384,25 +1384,28 @@ FROM (
   private val PcIters = 8
 
   def topComponent(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val base = embeddings.select(col("vec_id"), asD(col("embedding")).as("v"))
-    val grid = base
-      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(round(col("xi") * col("xj"), 6).cast("decimal(18,6)")).as("sxx"),
-        sum(when(col("j") === 0, round(col("xi"), 6).cast("decimal(18,6)"))).as("sx"),
-        count(lit(1)).as("n"))
-      .collect()
+    // one typed-aggregator pass: identical decimal sums to the
+    // oracle's explode-and-sum grid (see MomentGridAggregator — the
+    // explode plan generated |corpus|·4096 rows; this ships one
+    // ~17 KB buffer per task), upper triangle mirrored below
+    val buf = base.select(col("v")).as[Array[Double]]
+      .select(new graft.functions.MomentGridAggregator(64).toColumn)
+      .head()
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val n = grid.head.getLong(4)
-    val mu = new Array[Double](64)
-    grid.filter(_.getInt(1) == 0).foreach { r =>
-      mu(r.getInt(0)) = r6(r.getDecimal(3).doubleValue() / n)
-    }
+    def dec6(micros: Long): Double =
+      java.math.BigDecimal.valueOf(micros, 6).doubleValue()
+    val n = buf(0)
+    val mu = Array.tabulate(64)(i => r6(dec6(buf(1 + i)) / n))
     val c = Array.ofDim[Double](64, 64)
-    grid.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      c(i)(j) = r6(r.getDecimal(2).doubleValue() / n - mu(i) * mu(j))
+    var k = 1 + 64
+    for (i <- 0 until 64; j <- i until 64) {
+      val v = r6(dec6(buf(k)) / n - mu(i) * mu(j))
+      c(i)(j) = v
+      c(j)(i) = v
+      k += 1
     }
     var v = Array.fill(64)(1.0)
     var lambda = 0.0
