@@ -1470,6 +1470,101 @@ FROM u"""
         (normalizeText(col("pert")) === col("text")).cast("long").as("restored"))
   }
 
+  // ---- L89 (r7): hashed doc embeddings + inverted-index cosine ----
+  // The model-free bridge from the text corpus into the similarity
+  // family: every ANN operator (L5–L7, L16, L48) consumes the
+  // `embeddings` table; this derives a document vector FROM CONTENT —
+  // feature hashing (the hashing trick): token → md5 bucket in [0,64),
+  // tf per bucket, L2-normalized. Exact: counts are BIGINTs, the norm
+  // is one correctly-rounded IEEE sqrt of an integer, each weight one
+  // division, round 6 — both engines bit-identical.
+  // docSimilarity then scores query docs against the corpus through
+  // the SPARSE shape L6 can't use: vectors join on BUCKET (the
+  // inverted-index cosine — only co-occurring buckets generate work,
+  // |pairs| ∝ posting-list products, not |Q|×|corpus|×64), per-pair
+  // dot = decimal sum of round(wq·wc, 6) = cosine on unit vectors,
+  // top-k through the bounded TopKAggregator. Query side is the L6
+  // capped-broadcast contract. Output stays LONG-FORMAT (doc_id,
+  // bucket, w) — the r5 q_pq_encode lesson: array columns crash the
+  // driver's rows-only comparator.
+  private val DeB = 64
+
+  def docEmbed(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("doc_id"),
+        pmod(md5Long(lit("de"), col("token")), lit(DeB)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("nrm",
+        sqrt(sum(col("c") * col("c"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))
+          .cast("double")))
+      .select(col("doc_id"), col("bucket"),
+        round(col("c").cast("double") / col("nrm"), 6).as("w"))
+
+  val docEmbedSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'de'", "token")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents),
+c AS (SELECT doc_id, $h % $DeB AS bucket, count(*) AS c
+  FROM t WHERE length(token) > 0 GROUP BY doc_id, bucket),
+n AS (SELECT doc_id, sqrt(sum(c * c)::DOUBLE) AS nrm FROM c GROUP BY doc_id)
+SELECT doc_id, bucket, round(c::DOUBLE / nrm, 6) AS w
+FROM c JOIN n USING (doc_id)"""
+  }
+
+  private val DocSimK = 5
+  // the L6/r6 ANN query-set contract: query docs are broadcast model
+  // state and must not scale with the corpus — the % 97 slice is the
+  // sf demo default; a real deployment passes a small external set
+  private val DocSimQueryCap = 2000L
+
+  def docSimilarity(documents: DataFrame,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val emb = docEmbed(documents)
+    val qDocs = querySet.getOrElse(documents.where(col("doc_id") % 97 === 0))
+      .select(col("doc_id"))
+    val nq = qDocs.limit((DocSimQueryCap + 1).toInt).count()
+    require(nq <= DocSimQueryCap,
+      s"doc-similarity query set exceeds the $DocSimQueryCap-doc cap: pass a small " +
+        "external query table (querySet = Some(df)) instead of a corpus-derived slice")
+    val queries = emb.join(broadcast(qDocs), "doc_id")
+      .select(col("doc_id").as("q_id"), col("bucket"), col("w").as("wq"))
+    val scored = emb
+      .join(broadcast(queries), "bucket")
+      .where(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(round(col("w") * col("wq"), 6).cast("decimal(18,6)"))
+        .cast("double").as("cos"))
+    val agg = new graft.functions.TopKAggregator(DocSimK).toColumn
+    scored
+      .select(col("q_id"), col("doc_id").as("id"), col("cos").as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(agg)
+      .flatMap { case (q, top) =>
+        top.iterator.zipWithIndex.map { case (e, i) => (q, e.id, e.score, (i + 1).toLong) }
+      }
+      .toDF("q_id", "cand_id", "cos", "rk")
+  }
+
+  lazy val docSimilaritySql: String =
+    s"""WITH emb AS ($docEmbedSql),
+q AS (SELECT doc_id AS q_id, bucket, w AS wq FROM emb WHERE doc_id % 97 = 0),
+s AS (SELECT q.q_id, e.doc_id,
+    sum(round(e.w * q.wq, 6)::DECIMAL(18,6))::DOUBLE AS cos
+  FROM emb e JOIN q ON e.bucket = q.bucket AND e.doc_id <> q.q_id
+  GROUP BY q.q_id, e.doc_id)
+SELECT q_id, doc_id AS cand_id, cos, rk FROM (
+  SELECT q_id, doc_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rk
+  FROM s)
+WHERE rk <= $DocSimK"""
+
   // ---- L88 (r7): Zipf rank-frequency fit — corpus-health audit ----
   // Natural text follows Zipf's law (freq ∝ rank^−s, s ≈ 1); a corpus
   // whose token distribution departs hard from the power law is a

@@ -783,6 +783,57 @@ class OperatorSpec extends SparkSpec {
     assert(alive == survivors, "distributed peeling drifts from the sequential replay")
   }
 
+  test("docEmbed unit-norms hashed vectors; docSimilarity matches dense cosine exactly (L89)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // unit-norm invariant on the real corpus (within rounding slack)
+    val emb = TextAnalysis.docEmbed(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    emb.groupBy(_._1).foreach { case (d, rows) =>
+      val n2 = rows.map(r => r._3 * r._3).sum
+      assert(math.abs(n2 - 1.0) < 1e-4, s"doc $d norm^2 = $n2")
+      assert(rows.map(_._2).distinct.length == rows.length, s"doc $d repeats a bucket")
+    }
+    // identical text -> identical hashed vector; near-identical query
+    // retrieves its twin at cos ~ 1.0 rank 1, disjoint vocab scores low
+    val fix = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "omicron sigma tau upsilon phi chi psi")).toDF("doc_id", "text")
+    val sim = TextAnalysis.docSimilarity(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val top = sim.filter(s => s._1 == 0L && s._4 == 1L).head
+    assert(top._2 == 1L && math.abs(top._3 - 1.0) < 1e-5,
+      s"identical doc not retrieved at cos 1: $top")
+    sim.filter(s => s._1 == 0L && s._2 == 2L)
+      .foreach(s => assert(s._3 < 0.5, s"disjoint-vocab doc scored ${s._3}"))
+    // sparse bucket-join scoring == dense cosine replay on the corpus
+    val byDoc = emb.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    def denseCos(a: Map[Long, Double], b: Map[Long, Double]): Double =
+      a.keySet.intersect(b.keySet).toSeq.sorted
+        .map(k => BigDecimal(
+          BigDecimal(a(k) * b(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .setScale(6)).sum.toDouble
+    val got = graft.operators.TextAnalysis.docSimilarity(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val qids = byDoc.keys.filter(_ % 97 == 0)
+    qids.foreach { q =>
+      val want = byDoc.keys.filter(_ != q).toSeq
+        .map(c => (c, denseCos(byDoc(q), byDoc(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(5)
+      want.zipWithIndex.foreach { case ((c, s), i) =>
+        assert(got((q, i + 1L)) == ((c, s)),
+          s"query $q rank ${i + 1}: got ${got((q, i + 1L))}, want ($c, $s)")
+      }
+    }
+    // the query-set cap guard (the r5 ANN verdict made contract)
+    val big = spark.range(2001).select(col("id").as("doc_id"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.docSimilarity(documents, querySet = Some(big))
+    }
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
