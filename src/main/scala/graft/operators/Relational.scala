@@ -1499,4 +1499,49 @@ FROM events e JOIN s USING (event_type)"""
     """SELECT o_orderkey, o_totalprice,
        row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
 FROM orders"""
+
+  // C50: incremental aggregate maintenance — the materialized-rollup
+  // refresh every warehouse runs nightly: a standing per-key aggregate
+  // STATE (count/sum/min/max — the mergeable-state algebra; decimal
+  // sums so merge order can't matter) absorbs a new delta batch by
+  // state union + re-aggregate, WITHOUT rescanning the base data. At
+  // 100 TB this is the difference between scanning yesterday's corpus
+  // again and scanning only today's arrivals: the base state is
+  // key-cardinality rows. Non-mergeable statistics are the known
+  // boundary — exact distinct needs C29's mergeable HLL sketch, exact
+  // percentiles need C25's GK sketch; avg derives from (sum, count) at
+  // read time, never stored. The oracle is the FULL RECOMPUTE over
+  // base + delta — the defining equation of incremental maintenance,
+  // hash-checked rather than assumed. The split here is a date
+  // boundary on the demo table; production keeps `state(base)`
+  // materialized and feeds only the delta scan.
+  private val IncrSplit = "1997-01-01 00:00:00"
+
+  def aggState(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("tot"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+
+  def mergeAggStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionAll _).groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  def incrementalAgg(orders: DataFrame): DataFrame = {
+    val split = to_timestamp(lit(IncrSplit))
+    val base = aggState(orders.where(col("o_orderdate") < split))
+    val delta = aggState(orders.where(col("o_orderdate") >= split))
+    mergeAggStates(base, delta)
+      .select(col("o_orderpriority"), col("n"),
+        col("tot").cast("double").as("total"),
+        col("mn"), col("mx"),
+        round(col("tot").cast("double") / col("n"), 6).as("avg_price"))
+  }
+
+  val incrementalAggSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total,
+       min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+       round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_price
+FROM orders GROUP BY o_orderpriority"""
 }

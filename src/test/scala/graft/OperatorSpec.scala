@@ -834,6 +834,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("incremental aggregate state merges associatively and covers one-sided keys (C50)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val orders = Tables.load(spark, sf, "orders")
+    // associativity: merging three daily states pairwise in either
+    // order equals the one-shot merge — the mergeable-state law that
+    // makes nightly refresh correct under any batching
+    val split1 = to_timestamp(lit("1996-06-01 00:00:00"))
+    val split2 = to_timestamp(lit("1997-06-01 00:00:00"))
+    val s1 = Relational.aggState(orders.where(col("o_orderdate") < split1))
+    val s2 = Relational.aggState(
+      orders.where(col("o_orderdate") >= split1 && col("o_orderdate") < split2))
+    val s3 = Relational.aggState(orders.where(col("o_orderdate") >= split2))
+    val oneShot = Relational.mergeAggStates(s1, s2, s3)
+    val nested = Relational.mergeAggStates(Relational.mergeAggStates(s1, s2), s3)
+    val nested2 = Relational.mergeAggStates(s1, Relational.mergeAggStates(s2, s3))
+    assert(oneShot.exceptAll(nested).isEmpty && nested.exceptAll(oneShot).isEmpty)
+    assert(oneShot.exceptAll(nested2).isEmpty && nested2.exceptAll(oneShot).isEmpty)
+    // merged state equals the full recompute (the oracle equation,
+    // also pinned here against a direct aggregate)
+    val full = Relational.aggState(orders)
+    assert(oneShot.exceptAll(full).isEmpty && full.exceptAll(oneShot).isEmpty)
+    // keys present on only one side of the split survive the merge
+    val a = Seq(("ONLY_BASE", 10.0), ("BOTH", 1.0)).toDF("o_orderpriority", "o_totalprice")
+    val b = Seq(("ONLY_DELTA", 20.0), ("BOTH", 3.0)).toDF("o_orderpriority", "o_totalprice")
+    val m = Relational.mergeAggStates(Relational.aggState(a), Relational.aggState(b))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue(), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m("ONLY_BASE") == ((1L, 10.0, 10.0, 10.0)))
+    assert(m("ONLY_DELTA") == ((1L, 20.0, 20.0, 20.0)))
+    assert(m("BOTH") == ((2L, 4.0, 1.0, 3.0)))
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
