@@ -1,20 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Plan-inspection main: prints `explain("formatted")` for the named
-  * queries (all when none given) — the evidence PLANS.md records. */
+/** Plan-capture utility: prints `.explain("formatted")` for the named
+  * queries (all queries if none named) — the source of PLANS.md. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
-      println(s"==== $n ====")
+      println(s"==== $n")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
