@@ -1538,6 +1538,52 @@ FROM orders"""
         round(col("tot").cast("double") / col("n"), 6).as("avg_price"))
   }
 
+  // C51: peak session concurrency — the sweep-line operator (max
+  // concurrent sessions per day, the capacity-planning metric every
+  // event warehouse reports). Composes C5's sessions into an endpoint
+  // stream (+1 at start, −1 at end; ends sort AFTER starts at the
+  // same instant — closed intervals overlap at the boundary). The
+  // scale decision: a single global ordered scan is the C48
+  // anti-plan, so the sweep is DAY-PARTITIONED with an explicit
+  // boundary CARRY — carry(day) = sessions spanning midnight into the
+  // day (map-only explode over the ≤few boundaries each session
+  // crosses), and peak(day) = carry + max in-day prefix sum. The
+  // per-day window is the C4 contract (day is the parallelism unit);
+  // the oracle runs the equivalent single global sweep and takes
+  // max-per-day — the carry decomposition must land on identical
+  // peaks, which is exactly what the hash check proves. Peak is
+  // measured just after each endpoint event (the oracle's global-max
+  // semantics); within-tie permutations of equal deltas cannot move
+  // a max, so no unique tiebreak is needed.
+  private val DayUs = 86400L * 1000000L
+
+  def peakConcurrency(events: DataFrame): DataFrame = {
+    val sessions = sessionize(events).select(
+      unix_micros(col("start_ts")).as("s"), unix_micros(col("end_ts")).as("e"))
+    val pts = sessions.select(col("s").as("t"), lit(1L).as("d"))
+      .unionAll(sessions.select(col("e").as("t"), lit(-1L).as("d")))
+      .withColumn("day", expr(s"t div $DayUs"))
+    val carry = sessions
+      .where(expr(s"e div $DayUs") > expr(s"s div $DayUs"))
+      .select(explode(sequence(expr(s"s div $DayUs") + 1, expr(s"e div $DayUs"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("carry"))
+    val w = Window.partitionBy(col("day")).orderBy(col("t").asc, col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("run", sum(col("d")).over(w))
+      .groupBy(col("day")).agg(max(col("run")).as("mx"))
+      .join(carry, Seq("day"), "left")
+      .select(col("day"), (coalesce(col("carry"), lit(0L)) + col("mx")).as("peak"))
+  }
+
+  val peakConcurrencySql: String =
+    s"""WITH sess AS ($sessionizeSql),
+iv AS (SELECT epoch_us(start_ts) AS s, epoch_us(end_ts) AS e FROM sess),
+pts AS (SELECT s AS t, 1 AS d FROM iv UNION ALL SELECT e AS t, -1 AS d FROM iv),
+r AS (SELECT t // $DayUs AS day,
+  sum(d) OVER (ORDER BY t, d DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM pts)
+SELECT day, max(run)::BIGINT AS peak FROM r GROUP BY day"""
+
   val incrementalAggSql: String =
     """SELECT o_orderpriority, count(*) AS n,
        sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total,

@@ -867,6 +867,45 @@ class OperatorSpec extends SparkSpec {
     assert(m("BOTH") == ((2L, 4.0, 1.0, 3.0)))
   }
 
+  test("peakConcurrency: day-partitioned sweep with carry equals the global sweep (C51)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // planted: user A's session crosses midnight (exercises carry),
+    // users B and C overlap A on day 1 -> peak 3; day 0 peak 2 (A+B0)
+    def ev(id: Long, u: Long, dayMin: Long): (Long, java.sql.Timestamp, Long, String, Double, String) =
+      (id, new java.sql.Timestamp(dayMin * 60000L), u, "view", 1.0, "{}")
+    val day = 1440L
+    val rows = Seq(
+      ev(1, 1, day - 10), ev(2, 1, day + 10),            // A: 23:50 -> 00:10 (crosses)
+      ev(3, 2, day - 15), ev(4, 2, day - 5),             // B: 23:45 -> 23:55, overlaps A
+      ev(5, 3, day + 5), ev(6, 3, day + 15),             // C: 00:05 -> 00:15, overlaps A
+      ev(7, 5, day + 7), ev(8, 5, day + 9),              // E: inside A∩C -> 3-way overlap
+      ev(9, 4, day + 300), ev(10, 4, day + 310))         // D: day-1, disjoint
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational.peakConcurrency(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 2L, s"day-0 peak ${got.get(0L)} (A overlaps B)")
+    assert(got(1L) == 3L, s"day-1 peak ${got.get(1L)} (carried A + C + E)")
+    // real corpus: the carry decomposition must equal a driver-side
+    // global sweep over the same session intervals
+    val events = Tables.load(spark, sf, "events")
+    val sessions = Relational.sessionize(events)
+      .select(unix_micros(col("start_ts")), unix_micros(col("end_ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pts = sessions.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var run = 0L
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    pts.foreach { case (t, d) =>
+      run += d
+      val day0 = t / 86400000000L
+      want(day0) = math.max(want.getOrElse(day0, Long.MinValue), run)
+    }
+    val real = Relational.peakConcurrency(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(real == want.toMap, "carry decomposition drifts from the global sweep")
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
