@@ -921,6 +921,98 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming"""
         max(col("n_tokens")).as("n_tokens"))
   }
 
+  // ---- L90 (r7): intra-document duplicate-span REMOVAL ----
+  // The rewrite half of span-level dedup (L37 finds cross-corpus
+  // spans; L17 measures repetition; this CUTS it): within each doc,
+  // any k-gram recurring later in the SAME doc marks its later
+  // occurrences, maximal runs merge into spans (the L37 gap rule),
+  // and the doc is reassembled without the spanned tokens — the
+  // CCNet-style repeated-block scrub at token granularity, first
+  // occurrence always kept so content never vanishes. Doc-local by
+  // definition, so every stage keys on doc_id: the corpus shuffles
+  // only on its own ids (the C4 contract, the doc is the parallelism
+  // unit) and no cross-doc state exists. Accounting is part of the
+  // output: kept md5 + token counts, and the spec proves the
+  // token-exact complement (kept + removed tiles the original) and
+  // IDEMPOTENCE (rewriting the rewritten corpus removes nothing).
+  private[graft] def rewrittenDocs(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SpanGram
+    val toks = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+    val gramArr = when(size(col("t")) >= k,
+      transform(sequence(lit(1), size(col("t")) - lit(k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(col("t"), i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        md5Long(lit("sp"), col("g")).as("gh"))
+    val firsts = grams.groupBy(col("doc_id"), col("gh"))
+      .agg(min(col("pos")).as("fp"), count(lit(1)).as("c"))
+    val hits = grams.join(firsts, Seq("doc_id", "gh"))
+      .where(col("c") > 1 && col("pos") > col("fp"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val rem = hits
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+      .distinct()
+    toks
+      .select(col("doc_id"), col("n_tokens"), posexplode(col("t")).as(Seq("q0", "tok")))
+      .select(col("doc_id"), col("n_tokens"), (col("q0") + 1).cast("long").as("pos"), col("tok"))
+      .join(rem.withColumn("r", lit(1L)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("r").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("r").isNull,
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("kept_text"))
+  }
+
+  def dedupRewrite(documents: DataFrame): DataFrame =
+    rewrittenDocs(documents)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("kept_text")).as("kept_md5"))
+
+  val dedupRewriteSql: String = {
+    val k = SpanGram
+    val gram = (0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    val h = md5LongSql("'sp'", gram)
+    s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i::BIGINT AS pos, $h AS gh
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - ${k - 1})) AS u(i)),
+firsts AS (SELECT doc_id, gh, min(pos) AS fp, count(*) AS c
+  FROM grams GROUP BY doc_id, gh),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN firsts f USING (doc_id, gh)
+  WHERE f.c > 1 AND g.pos > f.fp),
+flagged AS (SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER w <= $k THEN 0 ELSE 1 END AS new_span
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+numbered AS (SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM flagged),
+spans AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + ${k - 1} AS e
+  FROM numbered GROUP BY doc_id, span_id),
+rem AS (SELECT DISTINCT doc_id, p AS pos
+  FROM spans, LATERAL unnest(generate_series(s, e)) AS u(p)),
+tk AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, i::BIGINT AS pos, t[i] AS tok
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i))
+SELECT tk.doc_id, max(tk.n_tokens) AS n_tokens,
+  sum(CASE WHEN rem.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+  md5(string_agg(CASE WHEN rem.pos IS NULL THEN tk.tok END, ' ' ORDER BY tk.pos)) AS kept_md5
+FROM tk LEFT JOIN rem ON rem.doc_id = tk.doc_id AND rem.pos = tk.pos
+GROUP BY tk.doc_id"""
+  }
+
   val dupSpansSql: String = {
     val k = SpanGram
     val gram = (0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")

@@ -906,6 +906,42 @@ class OperatorSpec extends SparkSpec {
     assert(real == want.toMap, "carry decomposition drifts from the global sweep")
   }
 
+  test("dedupRewrite cuts later duplicate spans, keeps firsts, and is idempotent (L90)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // planted: an 8-token block repeated three times + unique tail.
+    // First occurrence survives; the two later copies (contiguous,
+    // span-merged) are cut; the unique tail is untouched.
+    val block = (1 to 8).map(i => s"w$i").mkString(" ")
+    val tail = "unique ending words here"
+    val fix = Seq(
+      (0L, s"$block $block $block $tail"),
+      (1L, s"plain text with no repeats at all")).toDF("doc_id", "text")
+    val out = Dedup.rewrittenDocs(fix).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val (n0, rem0, kept0) = out(0L)
+    assert(n0 == 28L && rem0 == 16L, s"doc 0: n=$n0 removed=$rem0")
+    assert(kept0 == s"$block $tail", s"doc 0 kept: '$kept0'")
+    val (n1, rem1, kept1) = out(1L)
+    assert(rem1 == 0L && kept1 == "plain text with no repeats at all")
+    // complement accounting on the real corpus: kept + removed tiles
+    // the original token count, and removal only fires where intra-doc
+    // dup grams exist
+    val real = Dedup.rewrittenDocs(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    real.foreach { case (id, n, rem, kept) =>
+      val keptToks = if (kept.isEmpty) 0 else kept.split(" ").length
+      assert(keptToks + rem == n, s"doc $id: kept $keptToks + removed $rem != $n")
+    }
+    // idempotence: rewriting the rewritten corpus removes nothing
+    val again = Dedup.rewrittenDocs(
+      real.toSeq.toDF("doc_id", "n_tokens", "n_removed", "text")
+        .select(col("doc_id"), col("text"))).collect()
+    again.foreach { r =>
+      assert(r.getLong(2) == 0L, s"doc ${r.getLong(0)} not a fixpoint: ${r.getLong(2)} removed")
+    }
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
