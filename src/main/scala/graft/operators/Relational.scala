@@ -1584,6 +1584,44 @@ r AS (SELECT t // $DayUs AS day,
   FROM pts)
 SELECT day, max(run)::BIGINT AS peak FROM r GROUP BY day"""
 
+  // C52: time-weighted average over irregular samples — the TWAP/
+  // gauge-averaging metric (billing meters, market TWAP, sensor duty
+  // cycles): a plain avg() over irregular samples weights a value by
+  // its SAMPLE COUNT, not by how long it held; the honest mean
+  // integrates the step function — Σ valueᵢ·(tᵢ₊₁−tᵢ) / Σ(tᵢ₊₁−tᵢ).
+  // Segments run sample-to-next within (type, day); the day's last
+  // sample opens no segment (no hold across the boundary — the
+  // interval simply isn't observed). Exactness: durations are integer
+  // micros, the weighted numerator is DECIMAL(18,6)·BIGINT (exact,
+  // order-free), one IEEE division at the end. One (type, day)-keyed
+  // lead() scan — the C4 contract; no state beyond the window.
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val base = events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), round(col("value"), 6).as("v"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_us"), col("event_id"))
+    base
+      .withColumn("dur", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .where(col("dur").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_segs"), sum(col("dur")).as("dur_us"),
+        sum(col("v").cast("decimal(18,6)") * col("dur")).as("num"))
+      .select(col("event_type"), col("day"), col("n_segs"), col("dur_us"),
+        round(col("num").cast("double") / col("dur_us"), 6).as("twa"))
+  }
+
+  val timeWeightedAvgSql: String =
+    s"""WITH base AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+    round(value, 6) AS v, epoch_us(ts) // $DayUs AS day FROM events),
+seg AS (SELECT event_type, day, v,
+    lead(ts_us) OVER (PARTITION BY event_type, day ORDER BY ts_us, event_id) - ts_us AS dur
+  FROM base)
+SELECT event_type, day, count(*) AS n_segs, sum(dur)::BIGINT AS dur_us,
+       round(sum(v::DECIMAL(18,6) * dur)::DOUBLE / sum(dur), 6) AS twa
+FROM seg WHERE dur IS NOT NULL GROUP BY event_type, day"""
+
   val incrementalAggSql: String =
     """SELECT o_orderpriority, count(*) AS n,
        sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total,

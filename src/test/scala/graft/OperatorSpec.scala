@@ -942,6 +942,45 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("timeWeightedAvg integrates the step function, not the sample count (C52)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // planted: value 1.0 held 10 s, then 3.0 held 30 s — TWA 2.5,
+    // while the naive sample mean is 2.0 (the difference is the point)
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(0L), 1L, "gauge", 1.0, "{}"),
+      (2L, new java.sql.Timestamp(10000L), 1L, "gauge", 3.0, "{}"),
+      (3L, new java.sql.Timestamp(40000L), 1L, "gauge", 99.0, "{}")) // opens no segment
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational.timeWeightedAvg(rows).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(2) == 2L && r.getLong(3) == 40000000L, s"segments: $r")
+    assert(r.getDouble(4) == 2.5, s"twa ${r.getDouble(4)}")
+    // real corpus: driver-side replay of the integral per (type, day)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val events = Tables.load(spark, sf, "events")
+    val samples = events.select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")), round(col("value"), 6))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    val want = samples.groupBy(s => (s._1, s._3 / 86400000000L)).flatMap { case (k, ss) =>
+      val ord = ss.sortBy(s => (s._3, s._2))
+      val segs = ord.zip(ord.drop(1)).map { case (a, b) => (a._4, b._3 - a._3) }
+      if (segs.isEmpty) None
+      else {
+        val dur = segs.map(_._2).sum
+        val num = segs.map { case (v, d) =>
+          (BigDecimal(v).setScale(6) * BigDecimal(d)).setScale(6)
+        }.sum
+        Some(k -> ((segs.size.toLong, dur, r6(num.toDouble / dur))))
+      }
+    }
+    val real = Relational.timeWeightedAvg(events).collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(real == want, "TWA drifts from the step-function integral replay")
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
