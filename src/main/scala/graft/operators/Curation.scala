@@ -689,4 +689,79 @@ w AS (SELECT doc_id, source, n_tokens, quality_score,
       FROM j)
 SELECT doc_id, source, n_tokens, quality_score, cum_before
 FROM w WHERE cum_before < $TokenBudget"""
+
+  // ---- L91 (r7): dataset datasheet — the release-stats report ----
+  // The "datasheet for datasets" every corpus release ships (Gebru et
+  // al. 2021 as the practice; model cards cite exactly these rows):
+  // corpus-level size, exact-dup rate, quality distribution, and
+  // composition shares, as ONE (metric, value) frame a release
+  // pipeline can diff across versions. Everything derives from two
+  // scans: one corpus-wide aggregate (counts / decimal quality sums /
+  // distinct-text count — the distinct is the one genuinely heavy
+  // stat, a 16-byte-key exchange; swap in C7's HLL when 100× makes
+  // exactness optional) exploded into metric rows map-side, plus
+  // per-lang and per-source share aggregates whose final windows run
+  // over alphabet-bounded frames. Values are counts (exact in
+  // doubles to 2^53) or one IEEE division of exact sums, round 6 —
+  // every row hash-portable.
+  def datasheet(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents.select(
+      size(tokens(col("text"))).cast("long").as("nt"),
+      length(col("text")).cast("long").as("nc"),
+      TextAnalysis.qualityScoreCol.as("q"),
+      col("lang"), col("source"), md5(col("text")).as("h"))
+    val tot = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+      sum(col("nc")).as("n_chars"), countDistinct(col("h")).as("n_distinct"),
+      sum(col("q").cast("decimal(18,6)")).as("sq"),
+      sum((col("q") >= QualityFloor).cast("long")).as("nq"))
+    val scalars = tot.select(explode(array(
+      struct(lit("n_docs").as("metric"), col("n_docs").cast("double").as("value")),
+      struct(lit("n_tokens").as("metric"), col("n_tokens").cast("double").as("value")),
+      struct(lit("n_chars").as("metric"), col("n_chars").cast("double").as("value")),
+      struct(lit("distinct_texts").as("metric"), col("n_distinct").cast("double").as("value")),
+      struct(lit("exact_dup_rate").as("metric"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6).as("value")),
+      struct(lit("mean_quality").as("metric"),
+        round(col("sq").cast("double") / col("n_docs"), 6).as("value")),
+      struct(lit("quality_pass_share").as("metric"),
+        round(col("nq").cast("double") / col("n_docs"), 6).as("value")),
+      struct(lit("mean_doc_tokens").as("metric"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("value")))).as("m"))
+      .select(col("m.metric"), col("m.value"))
+    def shares(key: String, prefix: String) =
+      base.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .select(concat(lit(prefix), col(key)).as("metric"),
+          round(col("c").cast("double")
+            / sum(col("c")).over(Window.partitionBy()), 6).as("value"))
+    scalars
+      .unionAll(shares("lang", "lang_share:"))
+      .unionAll(shares("source", "source_share:"))
+  }
+
+  val datasheetSql: String = {
+    val q = TextAnalysis.qualityScoreSqlExpr
+    s"""WITH base AS (SELECT
+    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS nt,
+    length(text)::BIGINT AS nc, $q AS q, lang, source, md5(text) AS h
+  FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+    sum(nc)::BIGINT AS n_chars, count(DISTINCT h)::BIGINT AS n_distinct,
+    sum(q::DECIMAL(18,6))::DOUBLE AS sq,
+    sum(CASE WHEN q >= $QualityFloor THEN 1 ELSE 0 END)::BIGINT AS nq
+  FROM base)
+SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM tot
+UNION ALL SELECT 'n_tokens', n_tokens::DOUBLE FROM tot
+UNION ALL SELECT 'n_chars', n_chars::DOUBLE FROM tot
+UNION ALL SELECT 'distinct_texts', n_distinct::DOUBLE FROM tot
+UNION ALL SELECT 'exact_dup_rate', round(1.0 - n_distinct::DOUBLE / n_docs, 6) FROM tot
+UNION ALL SELECT 'mean_quality', round(sq / n_docs, 6) FROM tot
+UNION ALL SELECT 'quality_pass_share', round(nq::DOUBLE / n_docs, 6) FROM tot
+UNION ALL SELECT 'mean_doc_tokens', round(n_tokens::DOUBLE / n_docs, 6) FROM tot
+UNION ALL SELECT 'lang_share:' || lang,
+  round(count(*)::DOUBLE / (sum(count(*)) OVER ()), 6) FROM base GROUP BY lang
+UNION ALL SELECT 'source_share:' || source,
+  round(count(*)::DOUBLE / (sum(count(*)) OVER ()), 6) FROM base GROUP BY source"""
+  }
 }

@@ -981,6 +981,32 @@ class OperatorSpec extends SparkSpec {
     assert(real == want, "TWA drifts from the step-function integral replay")
   }
 
+  test("datasheet rows reconcile internally and against the source operators (L91)") {
+    import graft.operators.{Curation, Dedup}
+    val rows = Curation.datasheet(documents).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val nDocs = documents.count().toDouble
+    assert(rows("n_docs") == nDocs)
+    // cross-operator reconciliation: distinct_texts equals the exact-
+    // dedup group count; dup rate derives from it
+    val distinct = Dedup.exact(documents).count().toDouble
+    assert(rows("distinct_texts") == distinct)
+    assert(rows("exact_dup_rate") ==
+      BigDecimal(1.0 - distinct / nDocs).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // shares partition to 1 within rounding; every lang/source present
+    val langShares = rows.filter(_._1.startsWith("lang_share:"))
+    val srcShares = rows.filter(_._1.startsWith("source_share:"))
+    assert(math.abs(langShares.values.sum - 1.0) < 1e-4, s"lang shares ${langShares.values.sum}")
+    assert(math.abs(srcShares.values.sum - 1.0) < 1e-4)
+    val langs = documents.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langShares.keySet.map(_.stripPrefix("lang_share:")) == langs)
+    // derived means reconcile with their numerators
+    assert(rows("mean_doc_tokens") ==
+      BigDecimal(rows("n_tokens") / nDocs).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows("quality_pass_share") >= 0.0 && rows("quality_pass_share") <= 1.0)
+    assert(rows("mean_quality") > -1.0 && rows("mean_quality") < 1.2)
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
