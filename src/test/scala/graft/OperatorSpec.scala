@@ -1007,6 +1007,49 @@ class OperatorSpec extends SparkSpec {
     assert(rows("mean_quality") > -1.0 && rows("mean_quality") < 1.2)
   }
 
+  test("chatTurns: spans substr-exact, masks cover assistant turns, malformed flagged (L92)") {
+    import graft.operators.Chat
+    import spark.implicits._
+    // corpus-wide: every parsed span must slice the rendered
+    // transcript back to its content BYTE-EXACTLY — checked in-engine
+    // over all turns, not a sample
+    val rendered = documents.select(col("doc_id"), Chat.transcriptCol.as("transcript"))
+    val turns = Chat.parseChat(rendered)
+    val bad = turns.join(rendered, "doc_id")
+      .where(md5(expr("substring(transcript, cast(start_byte as int), cast(len as int))"))
+        =!= col("content_md5"))
+    assert(bad.count() == 0, "a span does not slice back to its content")
+    // generator-structure invariants: turn 1 is the system head, roles
+    // alternate (turn_ok everywhere), trainable == assistant exactly
+    val rows = turns.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.forall(_._6 == 1L), "alternation/system-head violated on generated chats")
+    rows.groupBy(_._1).foreach { case (d, ts) =>
+      val byIdx = ts.sortBy(_._2)
+      assert(byIdx.head._3 == "system", s"doc $d head ${byIdx.head._3}")
+      byIdx.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 != b._3, s"doc $d repeats role at ${b._2}")
+        case _ =>
+      }
+      ts.foreach { t => assert((t._3 == "assistant") == (t._5 == 1L)) }
+    }
+    // the trainable mask partitions content tokens: assistant +
+    // non-assistant == all turn tokens
+    val tokSum = rows.map(_._4).sum
+    val trainSum = rows.filter(_._5 == 1L).map(_._4).sum
+    assert(trainSum > 0 && trainSum < tokSum, s"mask degenerate: $trainSum/$tokSum")
+    // malformed transcript (repeated role, no system head) is flagged
+    // per turn, not dropped
+    val malformed = Seq((99L,
+      "<|user|>hi there<|end|><|user|>again<|end|><|assistant|>ok<|end|>"))
+      .toDF("doc_id", "transcript")
+    val mt = Chat.parseChat(malformed).collect()
+      .map(r => r.getLong(1) -> r.getLong(7)).toMap
+    assert(mt(1L) == 0L, "turn 1 without system head must flag")
+    assert(mt(2L) == 0L, "repeated role must flag")
+    assert(mt(3L) == 1L, "valid alternation must not flag")
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
