@@ -1565,6 +1565,44 @@ SELECT q_id, doc_id AS cand_id, cos, rk FROM (
   FROM s)
 WHERE rk <= $DocSimK"""
 
+  // ---- L93 (r7): seeded word-dropout augmentation ----
+  // Deterministic data augmentation (UDA/consistency-training recipe,
+  // also the "rejected"-variant synthesizer for preference data):
+  // drop each token with p = 1/8, decided by md5("aug:" doc ":" pos)
+  // parity — SEEDED, so the augmented corpus is a pure function of
+  // the input (re-runnable pipelines, cacheable shards), and
+  // position-keyed, so the same word drops independently at each
+  // occurrence. Position 1 never drops (a doc can't augment to
+  // empty). PURE MAP — the per-row filter() HOF closes over its own
+  // row only; zero shuffles, fused into the scan. Output carries
+  // exact accounting (kept/dropped counts + md5 of the augmented
+  // text); the spec pins the drop-rate band, determinism, order
+  // preservation, and the never-empty guard.
+  def augmentDropout(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val kept = filter(toks, (t, i) =>
+      i === 0 || pmod(md5Long(lit("aug"),
+        concat(col("doc_id").cast("string"), lit(":"), (i + 1).cast("string"))),
+        lit(8)) =!= 0)
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(toks) - size(kept)).cast("long").as("n_dropped"),
+      md5(concat_ws(" ", kept)).as("aug_md5"))
+  }
+
+  val augmentDropoutSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'aug'", "doc_id::VARCHAR || ':' || i::VARCHAR")
+    s"""WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+k AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+    list_transform(list_filter(generate_series(1, len(t)),
+      i -> i = 1 OR $h % 8 <> 0), i -> t[i]) AS kept
+  FROM base)
+SELECT doc_id, n_tokens, (n_tokens - len(kept))::BIGINT AS n_dropped,
+       md5(array_to_string(kept, ' ')) AS aug_md5
+FROM k"""
+  }
+
   // ---- L88 (r7): Zipf rank-frequency fit — corpus-health audit ----
   // Natural text follows Zipf's law (freq ∝ rank^−s, s ≈ 1); a corpus
   // whose token distribution departs hard from the power law is a

@@ -1050,6 +1050,38 @@ class OperatorSpec extends SparkSpec {
     assert(mt(3L) == 1L, "valid alternation must not flag")
   }
 
+  test("augmentDropout drops ~1/8 deterministically, preserves order, never empties (L93)") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.augmentDropout(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // seeded determinism: a rerun is bit-identical
+    val again = TextAnalysis.augmentDropout(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == again.toSeq, "augmentation is not a pure function of the input")
+    // corpus-wide drop rate inside a generous binomial band around 1/8
+    val (tot, dropped) = (out.map(_._2).sum.toDouble, out.map(_._3).sum.toDouble)
+    val rate = dropped / tot
+    assert(rate > 0.09 && rate < 0.16, s"drop rate $rate far from 1/8")
+    out.foreach { case (id, n, d, _) =>
+      assert(d < n, s"doc $id augmented to empty")
+    }
+    // exact replay incl. order preservation and the position-1 guard
+    val texts = documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def keepPos(doc: Long, i: Int): Boolean = i == 1 ||
+      java.lang.Long.parseLong(md5hex(s"aug:$doc:$i").take(15), 16) % 8 != 0
+    out.foreach { case (id, n, d, augMd5) =>
+      val toks = texts(id).toLowerCase.split("\\s+")
+      val kept = toks.zipWithIndex.collect { case (t, i) if keepPos(id, i + 1) => t }
+      assert(kept.length == n - d, s"doc $id kept count")
+      assert(md5hex(kept.mkString(" ")) == augMd5, s"doc $id augmented text drifts")
+    }
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
