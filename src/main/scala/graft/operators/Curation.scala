@@ -690,6 +690,48 @@ w AS (SELECT doc_id, source, n_tokens, quality_score,
 SELECT doc_id, source, n_tokens, quality_score, cum_before
 FROM w WHERE cum_before < $TokenBudget"""
 
+  // ---- L94 (r7): balanced fixed-N stratified sample ----
+  // The balanced-eval-set draw L22 cannot produce: sampleBy takes
+  // FRACTIONS (per-stratum counts drift with stratum size), but a
+  // benchmark slice wants EXACTLY N per stratum (min(N, size) for
+  // small strata). Deterministic: rank strata members by a seeded
+  // md5 draw (folded to 48 bits so the double-scored top-k buffer is
+  // exact — 2^48 < 2^53), keep the N smallest. The rank runs through
+  // the bounded TopKAggregator, NOT a per-stratum window: map-side
+  // partials keep N rows per (stratum × task), so the exchange
+  // carries N·tasks rows and no reducer ever sorts a whole stratum —
+  // at 100 TB a per-stratum row_number window serializes each
+  // stratum through one task. Spec pins exact equality with the
+  // window twin anyway (the aggregator is plan, not semantics).
+  private val BalancedN = 20
+
+  def balancedSample(documents: DataFrame, n: Int = BalancedN): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val keyed = documents.select(col("lang"), col("doc_id"),
+      pmod(md5Long(lit("bs"), col("doc_id")), lit(1L << 48)).as("k"))
+    val agg = new graft.functions.TopKAggregator(n).toColumn
+    keyed
+      .select(col("lang"), col("doc_id").as("id"), (-col("k").cast("double")).as("score"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(agg)
+      .flatMap { case (lang, top) =>
+        top.iterator.zipWithIndex.map { case (e, i) => (lang, e.id, (i + 1).toLong) }
+      }
+      .toDF("lang", "doc_id", "rk")
+  }
+
+  val balancedSampleSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'bs'", "doc_id")
+    s"""SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rk
+  FROM (SELECT lang, doc_id, $h % ${1L << 48} AS k FROM documents))
+WHERE rk <= $BalancedN"""
+  }
+
   // ---- L91 (r7): dataset datasheet — the release-stats report ----
   // The "datasheet for datasets" every corpus release ships (Gebru et
   // al. 2021 as the practice; model cards cite exactly these rows):

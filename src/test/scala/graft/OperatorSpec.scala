@@ -1082,6 +1082,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("balancedSample takes exactly N per stratum through a bounded buffer, not a window (L94)") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val got = Curation.balancedSample(documents)
+    // the aggregator is plan, not semantics: exact equality with the
+    // per-stratum window twin
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("k"), col("doc_id"))
+    val want = documents.select(col("lang"), col("doc_id"),
+      pmod(graft.functions.Portable.md5Long(lit("bs"), col("doc_id")), lit(1L << 48)).as("k"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 20)
+      .select(col("lang"), col("doc_id"), col("rk"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // no per-stratum window in the executed plan — the scale claim
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "balancedSample must not plan a per-stratum window")
+    // per-stratum counts: exactly N for big strata, all-of for small
+    val counts = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (l, sz) =>
+      assert(counts(l) == math.min(20L, sz), s"stratum $l: ${counts(l)} of $sz")
+    }
+    // a 5-doc stratum yields all 5, ranked 1..5
+    val tiny = Seq.tabulate(5)(i => (i.toLong, "xx")).toDF("doc_id", "lang")
+    val t = Curation.balancedSample(tiny).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(t.map(_._1).toSet == (0L until 5L).toSet && t.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("hierarchyFlatten: pointer doubling matches the sequential walk; chain-100 within budget (C47)") {
     import graft.operators.Relational
     import spark.implicits._
