@@ -113,6 +113,32 @@ object WebStream {
 
   case class MgBucket(counters: Map[String, Long], n: Long)
 
+  /** L91s (r7): streaming dataset datasheet — the live-ingestion twin
+    * of the batch release report. One update-mode aggregate keyed on
+    * (lang, source) — the finest datasheet granularity — carrying the
+    * MERGEABLE state the batch datasheet derives its rows from:
+    * counts, token/char sums, the decimal quality sum, and the
+    * pass count. State is one row per (lang × source) — alphabet-
+    * bounded at any stream length — and every global row (totals,
+    * shares, means) derives from the snapshot at read time, the C50
+    * rule: store mergeable state, derive ratios. Deliberately absent:
+    * the exact distinct-text count — the datasheet's one unbounded
+    * stat; L86's bloom bounds it approximately on a stream, the
+    * batch L91 owns exactness. The decimal quality sum makes the
+    * streamed mean BIT-IDENTICAL to batch (spec-pinned equality).
+    */
+  def datasheetStream(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      size(graft.functions.Portable.tokens(col("text"))).cast("long").as("nt"),
+      length(col("text")).cast("long").as("nc"),
+      TextAnalysis.qualityScoreCol.as("q"), col("lang"), col("source"))
+    base.groupBy(col("lang"), col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+      sum(col("nc")).as("n_chars"),
+      sum(col("q").cast("decimal(18,6)")).as("q_sum"),
+      sum((col("q") >= Curation.QualityFloor).cast("long")).as("n_pass"))
+  }
+
   /** One surviving (first-occurrence) key and the shard that owns it. */
   case class DedupOut(key: String, shard: Int)
 

@@ -736,6 +736,47 @@ class StreamingSpec extends SparkSpec {
     assert(cs.size <= 31, "capacity bound")
   }
 
+  test("streaming datasheet snapshot reconciles bit-exactly with the batch report (L91s)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = docs.select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val stream = MemoryStream[(Long, String, String, String)]
+    val q = streaming.WebStream.datasheetStream(
+        stream.toDS().toDF("doc_id", "text", "lang", "source"))
+      .writeStream.format("memory").queryName("dss").outputMode("update").start()
+    rows.grouped(120).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // n_docs per key is monotone: the final snapshot is the max row
+    val snap = spark.table("dss").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDecimal(5), r.getLong(6))))
+      .groupBy(_._1).values.map(_.maxBy(_._2._1)).toMap
+    // derive the batch datasheet's rows from the streamed state
+    val batch = operators.Curation.datasheet(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val nDocs = snap.values.map(_._1).sum
+    assert(nDocs.toDouble == batch("n_docs"))
+    assert(snap.values.map(_._2).sum.toDouble == batch("n_tokens"))
+    assert(snap.values.map(_._3).sum.toDouble == batch("n_chars"))
+    // decimal quality sums make the derived mean bit-identical
+    val qSum = snap.values.map(v => BigDecimal(v._4)).sum
+    val mean = BigDecimal(qSum.toDouble / nDocs)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mean == batch("mean_quality"), s"streamed mean $mean vs ${batch("mean_quality")}")
+    val pass = snap.values.map(_._5).sum
+    val passShare = BigDecimal(pass.toDouble / nDocs)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(passShare == batch("quality_pass_share"))
+    // lang shares derive from per-key counts
+    snap.keys.map(_._1).toSet.foreach { (l: String) =>
+      val share = BigDecimal(
+        snap.filter(_._1._1 == l).values.map(_._1).sum.toDouble / nDocs)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(share == batch(s"lang_share:$l"), s"lang $l share drifts")
+    }
+  }
+
   test("bloom dedup stream: exactly-once per key across micro-batches, bounded state (L86)") {
     implicit val sqlCtx = spark.sqlContext
     // 180 distinct keys, each arriving 3 times spread ACROSS
