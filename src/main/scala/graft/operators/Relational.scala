@@ -1628,4 +1628,138 @@ FROM seg WHERE dur IS NOT NULL GROUP BY event_type, day"""
        min(o_totalprice) AS mn, max(o_totalprice) AS mx,
        round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_price
 FROM orders GROUP BY o_orderpriority"""
+
+  // C53: temporal interval-intersection join — the point-in-time
+  // alignment of two versioned histories (bitemporal warehouses,
+  // feature stores): given per-key SEGMENT and TIER version tables,
+  // each a half-open [from, to) tiling of the timeline, emit every
+  // (segment version, tier version) pair that coexisted, with the
+  // intersected validity window. This is the join that makes ML
+  // feature backfills leakage-free — a training row at time t must see
+  // the attribute values valid AT t, which is exactly the intersected
+  // window this operator materializes. Plan shape: both histories are
+  // key-partitioned, so the overlap predicate rides a hash EQUI join
+  // on the key (never a range-only join — the C26 trap); per-key
+  // version counts are bounded by the dimension's churn, not by the
+  // fact table, so the pair fan-out per key is small by construction.
+  // All validity arithmetic is integer micros; both inputs derive
+  // deterministically from `customer` so the oracle states the same
+  // construction. An open-ended current version carries to =
+  // 2100-01-01 (finite sentinel, so greatest/least stay BIGINT-exact).
+  private val TjBaseUs = 788918400000000L // 1995-01-01 UTC
+  private val TjYearUs = 365L * DayUs
+  private val TjStepUs = 200L * DayUs
+  private val TjMaxUs = 4102444800000000L // 2100-01-01 UTC
+
+  def temporalJoin(customer: DataFrame): DataFrame = {
+    val segs = customer
+      .select(col("c_custkey").as("key"),
+        explode(sequence(lit(0L), col("c_custkey") % 3)).as("v"))
+      .select(col("key"),
+        concat(lit("seg-"), col("v")).as("segment"),
+        (lit(TjBaseUs) + col("v") * lit(TjYearUs)).as("a_from"),
+        when(col("v") < col("key") % 3, lit(TjBaseUs) + (col("v") + 1) * lit(TjYearUs))
+          .otherwise(lit(TjMaxUs)).as("a_to"))
+    val tiers = customer
+      .select(col("c_custkey").as("key"),
+        explode(sequence(lit(0L), col("c_custkey") % 4)).as("w"))
+      .select(col("key"),
+        concat(lit("tier-"), col("w")).as("tier"),
+        (lit(TjBaseUs) + col("w") * lit(TjStepUs)).as("b_from"),
+        when(col("w") < col("key") % 4, lit(TjBaseUs) + (col("w") + 1) * lit(TjStepUs))
+          .otherwise(lit(TjMaxUs)).as("b_to"))
+    segs.join(tiers, Seq("key"))
+      .where(col("a_from") < col("b_to") && col("b_from") < col("a_to"))
+      .select(col("key"), col("segment"), col("tier"),
+        greatest(col("a_from"), col("b_from")).as("ov_from"),
+        least(col("a_to"), col("b_to")).as("ov_to"))
+      .withColumn("dur_us", col("ov_to") - col("ov_from"))
+  }
+
+  val temporalJoinSql: String =
+    s"""WITH segs AS (
+  SELECT c_custkey AS key, 'seg-' || v AS segment,
+    $TjBaseUs + v * $TjYearUs AS a_from,
+    CASE WHEN v < c_custkey % 3 THEN $TjBaseUs + (v + 1) * $TjYearUs
+         ELSE $TjMaxUs END AS a_to
+  FROM (SELECT c_custkey, unnest(generate_series(0, c_custkey % 3)) AS v FROM customer)),
+tiers AS (
+  SELECT c_custkey AS key, 'tier-' || w AS tier,
+    $TjBaseUs + w * $TjStepUs AS b_from,
+    CASE WHEN w < c_custkey % 4 THEN $TjBaseUs + (w + 1) * $TjStepUs
+         ELSE $TjMaxUs END AS b_to
+  FROM (SELECT c_custkey, unnest(generate_series(0, c_custkey % 4)) AS w FROM customer))
+SELECT s.key, s.segment, t.tier,
+       greatest(s.a_from, t.b_from) AS ov_from,
+       least(s.a_to, t.b_to) AS ov_to,
+       least(s.a_to, t.b_to) - greatest(s.a_from, t.b_from) AS dur_us
+FROM segs s JOIN tiers t ON s.key = t.key
+WHERE s.a_from < t.b_to AND t.b_from < s.a_to"""
+
+  // C57: CDC log compaction — replay an out-of-order change-data-
+  // capture stream (insert / update / delete with tombstones) into the
+  // table state at a point in time. The log is keyed; the winner per
+  // key is the op with the greatest (ts, seq) at or before the
+  // snapshot time, and a 'D' winner means the key is absent. The whole
+  // reduction is ONE max(struct(...)) aggregate per snapshot — partial
+  // aggregation collapses each key's ops map-side, no per-key window
+  // sort, no driver state — so a 100 TB log compacts in a single
+  // shuffle of one row per (snapshot, live key). Out-of-order arrival
+  // is free: argmax is commutative, so the log needs no pre-sort (the
+  // spec shuffles the log and re-proves equality). The op log derives
+  // deterministically from `orders` (insert for every key; update for
+  // key%3=0; delete for key%5=0; late re-insert for key%15=0), and the
+  // two snapshots — one between update and delete, one final — are
+  // emitted as one labeled frame.
+  private val CdcT0 = 800000000000000L // base insert wave
+  private val CdcT1 = 810000000000000L // updates
+  private val CdcT2 = 820000000000000L // deletes
+  private val CdcT3 = 830000000000000L // re-inserts
+  private val CdcMid = 815000000000000L
+
+  def cdcCompact(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey").as("key"),
+      round(col("o_totalprice"), 2).cast("decimal(18,2)").as("price"))
+    val ops = base.select(col("key"), lit("I").as("op"), col("price"),
+        lit(CdcT0).as("ts"), lit(0L).as("seq"))
+      .unionAll(base.where(col("key") % 3 === 0)
+        .select(col("key"), lit("U").as("op"),
+          (col("price") + lit(10).cast("decimal(18,2)")).as("price"),
+          lit(CdcT1).as("ts"), lit(1L).as("seq")))
+      .unionAll(base.where(col("key") % 5 === 0)
+        .select(col("key"), lit("D").as("op"),
+          lit(null).cast("decimal(18,2)").as("price"), lit(CdcT2).as("ts"), lit(2L).as("seq")))
+      .unionAll(base.where(col("key") % 15 === 0)
+        .select(col("key"), lit("R").as("op"), col("price"),
+          lit(CdcT3).as("ts"), lit(3L).as("seq")))
+    def snapshot(atUs: Long, label: String) = ops
+      .where(col("ts") <= atUs)
+      .groupBy(col("key"))
+      .agg(max(struct(col("ts"), col("seq"), col("op"), col("price"))).as("win"))
+      .where(col("win.op") =!= "D")
+      .select(lit(label).as("snap"), col("key"),
+        col("win.op").as("op"), col("win.price").cast("double").as("price"),
+        col("win.ts").as("ts_us"))
+    snapshot(CdcMid, "mid").unionAll(snapshot(Long.MaxValue, "final"))
+  }
+
+  val cdcCompactSql: String =
+    s"""WITH base AS (
+  SELECT o_orderkey AS key, round(o_totalprice, 2)::DECIMAL(18,2) AS price FROM orders),
+ops AS (
+  SELECT key, 'I' AS op, price, $CdcT0 AS ts, 0 AS seq FROM base
+  UNION ALL
+  SELECT key, 'U' AS op, price + 10, $CdcT1 AS ts, 1 AS seq FROM base WHERE key % 3 = 0
+  UNION ALL
+  SELECT key, 'D' AS op, NULL, $CdcT2 AS ts, 2 AS seq FROM base WHERE key % 5 = 0
+  UNION ALL
+  SELECT key, 'R' AS op, price, $CdcT3 AS ts, 3 AS seq FROM base WHERE key % 15 = 0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, snap ORDER BY ts DESC, seq DESC) AS rn
+  FROM (
+    SELECT 'mid' AS snap, * FROM ops WHERE ts <= $CdcMid
+    UNION ALL
+    SELECT 'final' AS snap, * FROM ops))
+SELECT snap, key, op, price::DOUBLE AS price, ts::BIGINT AS ts_us
+FROM ranked WHERE rn = 1 AND op <> 'D'"""
 }

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Statistical estimation operators: uncertainty quantification and
+  * cardinality estimation for corpus metrics at 100 TB.
+  *
+  * Everything here follows the repo's exactness discipline: random
+  * choices derive from md5 (portable, partitioning-independent),
+  * moneyed sums aggregate as decimals (order-free), and the one IEEE
+  * operation happens identically in both engines on identical inputs.
+  */
+object Stats {
+
+  // ---- C56: Poisson-bootstrap confidence intervals ----
+  // The distributed bootstrap. Classical bootstrap resamples n rows
+  // WITH replacement B times — a coordinated global sample per
+  // replicate, unusable when one machine cannot see the corpus. The
+  // Poisson bootstrap replaces the multinomial resample with an
+  // independent Poisson(1) weight PER (row, replicate): no
+  // coordination, no global count needed up front, and the replicate
+  // totals converge to the classical bootstrap distribution (the
+  // standard large-scale formulation). Every weight is DETERMINISTIC
+  // here: u = md5("boot<b>:<event_id>") is a 60-bit uniform, and the
+  // weight is the count of Poisson(1) CDF thresholds (floor(cdf·2^60),
+  // fixed BIGINT literals baked into both engines) lying at or below
+  // u — pure integer comparisons, no floats anywhere near the draw,
+  // identical on any engine, partitioning, or rerun. The tail is
+  // truncated at weight 8 (P ≈ 1e-5, absorbed into the top bucket) —
+  // part of the declared contract, mirrored by the oracle.
+  //
+  // Plan shape: the B-way explode rides the scan (projection is three
+  // narrow columns) and partial aggregation absorbs it map-side, so
+  // the exchange carries |event_type|·B rows — the corpus is read
+  // once, never shuffled. The B md5 evaluations per row are the
+  // bootstrap's honest CPU price. Replicate means are exact-decimal
+  // sums divided once in IEEE double; the CI is the exact interpolated
+  // percentile over B=50 replicate means per group (a B-row frame —
+  // bounded by construction).
+  private[graft] val BootB = 50
+  private[graft] val BootWeightCap = 8
+
+  /** floor(CDF_Poisson(1)(k) · 2^60) for k = 0..6 — weight w is the
+    * number of thresholds ≤ u, so w = k while cdf(k-1) ≤ u/2^60 <
+    * cdf(k), truncated at [[BootWeightCap]]. */
+  private[graft] val BootThresholds: Seq[Long] = {
+    val scale = math.pow(2, 60)
+    var p = math.exp(-1.0)
+    var c = 0.0
+    (0 until BootWeightCap).map { k =>
+      if (k > 0) p = p / k
+      c += p
+      (c * scale).toLong
+    }
+  }
+
+  /** Poisson(1) weight of a 60-bit uniform column. */
+  private[graft] def bootWeight(u: org.apache.spark.sql.Column) =
+    BootThresholds.map(t => when(u >= lit(t), 1L).otherwise(0L)).reduce(_ + _)
+
+  def bootstrapCi(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), col("event_id"),
+      round(col("value"), 6).cast("decimal(18,6)").as("v"))
+    val point = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("v")).cast("double") / count(lit(1)), 6).as("mean"))
+    val reps = base
+      .select(col("event_type"), col("event_id"), col("v"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u",
+        md5Long(concat(lit("boot"), col("b").cast("string")), col("event_id").cast("string")))
+      .withColumn("w", bootWeight(col("u")))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("n"), sum(col("v") * col("w")).as("s"))
+      .where(col("n") > 0)
+      .select(col("event_type"), col("n"),
+        (col("s").cast("double") / col("n")).as("rep_mean"))
+    val ci = reps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_reps"),
+        round(expr("percentile(rep_mean, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(rep_mean, 0.975)"), 6).as("ci_hi"))
+    point.join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("mean"),
+        col("n_reps"), col("ci_lo"), col("ci_hi"))
+  }
+
+  val bootstrapCiSql: String = {
+    val u = md5LongSql("'boot' || b", "event_id")
+    val w = BootThresholds.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH base AS (
+  SELECT event_type, event_id, round(value, 6)::DECIMAL(18,6) AS v FROM events),
+rep AS (
+  SELECT event_type, v, g.b, $u AS u
+  FROM base CROSS JOIN generate_series(0, ${BootB - 1}) AS g(b)),
+wtd AS (SELECT event_type, b, v, $w AS w FROM rep),
+agg AS (
+  SELECT event_type, b, sum(w)::BIGINT AS n, sum(v * w) AS s
+  FROM wtd GROUP BY event_type, b),
+reps AS (SELECT event_type, s::DOUBLE / n AS rep_mean FROM agg WHERE n > 0),
+point AS (
+  SELECT event_type, count(*) AS n_events,
+         round(sum(v)::DOUBLE / count(*), 6) AS mean
+  FROM base GROUP BY event_type),
+ci AS (
+  SELECT event_type, count(*) AS n_reps,
+         round(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+         round(quantile_cont(rep_mean, 0.975), 6) AS ci_hi
+  FROM reps GROUP BY event_type)
+SELECT p.event_type, p.n_events, p.mean, c.n_reps, c.ci_lo, c.ci_hi
+FROM point p JOIN ci c USING (event_type)"""
+  }
+
+  // ---- C54: join-cardinality estimation via CMS inner product ----
+  // The planner statistic a 100 TB join needs BEFORE running it: will
+  // |A ⋈ B| explode? Exact answer = Σ_k cntA(k)·cntB(k) — a full
+  // aggregation of both sides. The sketch answer: build a count-min
+  // sketch (d rows × w counters, the L41 machinery) over each side's
+  // join key and take min_j Σ_i cellA[j][i]·cellB[j][i] — the classic
+  // CMS inner-product estimate. Collisions only ADD mass, so the
+  // estimate is ONE-SIDED: est ≥ exact always (spec-pinned), with
+  // expected excess ≤ |A|·|B|/w per row. Plan shape per side: one
+  // partial-agged groupBy(key) → d·w bounded cell grid (two tiny
+  // shuffles); the comparison join of the two d×w grids is
+  // constant-sized regardless of data volume. The exact join size is
+  // computed beside the estimate so the oracle hash-proves the sketch
+  // arithmetic AND the error ratio end-to-end.
+  private val JsD = 4
+  private val JsW = 1024L
+
+  private def cmsCells(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        explode(array((0 until JsD).map(j => struct(lit(j.toLong).as("j"),
+          pmod(md5Long(lit(s"js$j"), col("k").cast("string")), lit(JsW)).as("idx"))): _*)).as("h"))
+      .select(col("h.j").as("j"), col("h.idx").as("idx"), col("cnt"))
+      .groupBy(col("j"), col("idx")).agg(sum(col("cnt")).as("cell"))
+
+  def joinSizeEst(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val a = cmsCells(orders, "o_orderkey").withColumnRenamed("cell", "cell_a")
+    val b = cmsCells(lineitem, "l_orderkey").withColumnRenamed("cell", "cell_b")
+    val est = a.join(b, Seq("j", "idx"))
+      .groupBy(col("j")).agg(sum(col("cell_a") * col("cell_b")).as("dot"))
+      .agg(min(col("dot")).as("est_size"))
+    val exact = orders.select(col("o_orderkey").as("k"))
+      .join(lineitem.select(col("l_orderkey").as("k")), Seq("k"))
+      .agg(count(lit(1)).as("exact_size"))
+    est.crossJoin(exact)
+      .select(col("est_size"), col("exact_size"),
+        round(col("est_size").cast("double") / col("exact_size"), 6).as("ratio"))
+  }
+
+  val joinSizeEstSql: String = {
+    def cells(tbl: String, key: String) = {
+      val hashes = (0 until JsD).map(j =>
+        s"SELECT $j AS j, ${md5LongSql(s"'js$j'", "k")} % $JsW AS idx, cnt FROM ${tbl}_cnt")
+        .mkString("\n    UNION ALL ")
+      s"""${tbl}_cnt AS (SELECT $key AS k, count(*) AS cnt FROM $tbl GROUP BY $key),
+${tbl}_cells AS (
+  SELECT j, idx, sum(cnt)::BIGINT AS cell FROM (
+    $hashes) GROUP BY j, idx)"""
+    }
+    s"""WITH ${cells("orders", "o_orderkey")},
+${cells("lineitem", "l_orderkey")},
+est AS (
+  SELECT min(dot)::BIGINT AS est_size FROM (
+    SELECT a.j, sum(a.cell * b.cell) AS dot
+    FROM orders_cells a JOIN lineitem_cells b ON a.j = b.j AND a.idx = b.idx
+    GROUP BY a.j)),
+ex AS (
+  SELECT count(*) AS exact_size
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT e.est_size, x.exact_size,
+       round(e.est_size::DOUBLE / x.exact_size, 6) AS ratio
+FROM est e CROSS JOIN ex x"""
+  }
+
+  // ---- C55: distributed Pareto skyline ----
+  // The multi-criteria frontier ("no other order is both at least as
+  // recent AND at least as expensive, one strictly"): the classic
+  // skyline operator, whose naive form is a quadratic NOT EXISTS
+  // self-join. Scale decomposition for 2-D: r is dominated iff
+  // (a) some row on a strictly LATER date has price ≥ r's — captured
+  // by M(d) = running max of per-date max price over later dates — or
+  // (b) some row on the SAME date has price > r's — captured by the
+  // per-date max E(d). So: one groupBy(date) produces the per-date
+  // frame (bounded by the calendar, the C48 small-frame rule), the
+  // running max is a window over THAT frame (never over data), and the
+  // verdict joins back broadcast + map-only. No sort of the fact
+  // table, no pairwise join, no cartesian — the oracle states the
+  // quadratic dominance semantics directly and the hash gate re-proves
+  // the decomposition. Ties: equal (date, price) duplicates dominate
+  // neither way and all surface (spec-pinned). For continuous dims,
+  // bucket the axis and add the C26-style in-bucket residual check —
+  // the calendar date here IS the bucketing.
+  def skyline(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = orders.select(col("o_orderkey"),
+      round(col("o_totalprice"), 2).cast("decimal(18,2)").as("price"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"))
+    val byDate = base.groupBy(col("date_us")).agg(max(col("price")).as("e"))
+    val later = byDate.withColumn("m",
+      max(col("e")).over(Window.orderBy(col("date_us").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    base.join(broadcast(later), Seq("date_us"))
+      .where((col("m").isNull || col("price") > col("m")) && col("price") === col("e"))
+      .select(col("o_orderkey"), col("price").cast("double").as("price"), col("date_us"))
+  }
+
+  val skylineSql: String =
+    """WITH base AS (
+  SELECT o_orderkey, round(o_totalprice, 2)::DECIMAL(18,2) AS price,
+         epoch_us(o_orderdate) AS date_us
+  FROM orders)
+SELECT o_orderkey, price::DOUBLE AS price, date_us
+FROM base r
+WHERE NOT EXISTS (
+  SELECT 1 FROM base s
+  WHERE s.price >= r.price AND s.date_us >= r.date_us
+    AND (s.price > r.price OR s.date_us > r.date_us))"""
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, Stats}
+
+/** Round-8 estimation operators: bootstrap CI, temporal join, CDC
+  * compaction, join-size estimation, skyline.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.load(spark, sf, "events")
+  private lazy val orders = Tables.load(spark, sf, "orders")
+  private lazy val lineitem = Tables.load(spark, sf, "lineitem")
+  private lazy val customer = Tables.load(spark, sf, "customer")
+
+  test("bootstrap weights are Poisson(1)-distributed integers in [0, 8] (C56)") {
+    val n = 20000
+    val w = spark.range(n).toDF("id")
+      .select(Stats.bootWeight(
+        graft.functions.Portable.md5Long(lit("boot0"), col("id").cast("string"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(w.keys.max <= 8 && w.keys.min >= 0)
+    val mean = w.map { case (k, c) => k * c }.sum.toDouble / n
+    assert(math.abs(mean - 1.0) < 0.03, s"weight mean $mean drifted from 1")
+    val p0 = w.getOrElse(0L, 0L).toDouble / n
+    assert(math.abs(p0 - math.exp(-1.0)) < 0.02, s"P(w=0)=$p0 vs 1/e")
+  }
+
+  test("bootstrapCi brackets the point mean and is partitioning-invariant (C56)") {
+    val r = Stats.bootstrapCi(events)
+    val rows = r.select("event_type", "mean", "n_reps", "ci_lo", "ci_hi")
+      .as[(String, Double, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, mean, nReps, lo, hi) =>
+      assert(nReps == Stats.BootB, s"$t: lost replicates ($nReps)")
+      assert(lo <= mean && mean <= hi, s"$t: CI [$lo,$hi] misses mean $mean")
+      assert(hi > lo, s"$t: degenerate CI")
+    }
+    val again = Stats.bootstrapCi(events.repartition(7)).collect().toSet
+    assert(again == r.collect().toSet, "bootstrap depends on partitioning")
+  }
+
+  test("temporalJoin intersections exactly tile the timeline per key (C53)") {
+    val span = 4102444800000000L - 788918400000000L // [1995, 2100)
+    val perKey = Relational.temporalJoin(customer)
+      .groupBy(col("key")).agg(sum(col("dur_us")).as("covered"), count(lit(1)).as("pairs"))
+      .as[(Long, Long, Long)].collect()
+    assert(perKey.length == customer.count())
+    perKey.foreach { case (k, covered, pairs) =>
+      assert(covered == span, s"key $k: intersections cover $covered != $span")
+      assert(pairs >= 1 && pairs <= 12, s"key $k: pair fan-out $pairs out of bounds")
+    }
+    // every (segment, tier) pair meets at most once
+    val dup = Relational.temporalJoin(customer)
+      .groupBy("key", "segment", "tier").count().where(col("count") > 1).count()
+    assert(dup == 0, "a version pair intersected twice")
+  }
+
+  test("cdcCompact applies tombstones, late re-inserts, and ignores arrival order (C57)") {
+    val r = Relational.cdcCompact(orders).cache()
+    val nKeys = orders.count()
+    val del = orders.where(col("o_orderkey") % 5 === 0).count()
+    val res = orders.where(col("o_orderkey") % 15 === 0).count()
+    // mid snapshot precedes the delete wave: every key alive
+    assert(r.where(col("snap") === "mid").count() == nKeys)
+    // final: deletes applied, re-inserts resurrected
+    assert(r.where(col("snap") === "final").count() == nKeys - del + res)
+    val finals = r.where(col("snap") === "final")
+    assert(finals.where(col("key") % 15 === 0 && col("op") =!= "R").count() == 0)
+    assert(finals.where(col("key") % 5 === 0 && col("key") % 15 =!= 0).count() == 0)
+    // updates won over inserts where no later op exists
+    assert(finals.where(col("key") % 3 === 0 && col("key") % 5 =!= 0 && col("op") =!= "U").count() == 0)
+    // argmax is commutative: partitioning/arrival order cannot matter
+    val shuffled = Relational.cdcCompact(orders.repartition(11)).collect().toSet
+    assert(shuffled == r.collect().toSet)
+    r.unpersist()
+  }
+
+  test("joinSizeEst is one-sided: CMS estimate >= exact join size (C54)") {
+    val (est, exact, ratio) = Stats.joinSizeEst(orders, lineitem)
+      .as[(Long, Long, Double)].collect().head
+    assert(exact > 0)
+    assert(est >= exact, s"CMS inner product $est under exact $exact — impossible")
+    assert(ratio < 50.0, s"estimate $est uselessly loose vs $exact")
+    info(f"join size exact=$exact est=$est ratio=$ratio%.3f")
+  }
+
+  test("skyline equals brute-force dominance and keeps tied duplicates (C55)") {
+    val sky = Stats.skyline(orders)
+      .select("o_orderkey").as[Long].collect().toSet
+    // brute force on the small sf
+    val pts = orders.select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("p"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d"))
+      .as[(Long, Double, Long)].collect()
+    val brute = pts.filter { case (_, p, d) =>
+      !pts.exists { case (_, p2, d2) => p2 >= p && d2 >= d && (p2 > p || d2 > d) }
+    }.map(_._1).toSet
+    assert(sky == brute, s"skyline mismatch: ${sky.size} vs brute ${brute.size}")
+    assert(sky.nonEmpty)
+    // no cartesian/nested-loop in the plan
+    val plan = Stats.skyline(orders).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "skyline planned a quadratic join")
+  }
+}
