@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
@@ -650,6 +650,120 @@ g AS (SELECT source, lang, len_bucket, count(*)::BIGINT AS grp_n
 SELECT doc_id, source, lang, len_bucket, grp_n,
   (grp_n < $AnonK)::BIGINT AS at_risk
 FROM qi JOIN g USING (source, lang, len_bucket)"""
+
+  // ---- L96 (r8): differentially-private histogram release ----
+  // The other release gate beside L76's k-anonymity audit: publish
+  // per-category activity counts with a formal privacy bound instead
+  // of a heuristic one. Two pieces, both exact-integer end to end:
+  //
+  //   1. CONTRIBUTION BOUNDING — DP sensitivity is per USER, not per
+  //      row: an unbounded user could shift a count arbitrarily. Keep
+  //      each user's first `DpCap` events (row_number over the
+  //      per-user window — the C4 contract), so one user's presence
+  //      changes the released vector by at most DpCap in L1.
+  //   2. THE GEOMETRIC MECHANISM — the discrete Laplace: noise k with
+  //      P(k) ∝ α^|k|, α = 1/2, giving ε = ln 2 per unit sensitivity
+  //      (ε_total = DpCap·ln 2 for the histogram). With α = 1/2 every
+  //      CDF value is a dyadic rational over 3, so the inverse-CDF
+  //      draw is PURE INTEGER: u = md5-60-bit uniform, noise =
+  //      |{thresholds ≤ u}| − 8 over floor(cdf·2^60) BigInt-exact
+  //      literals baked into both engines. No ln(), no float, no
+  //      engine drift anywhere near the draw. Tails truncate at ±8
+  //      (P ≈ 0.26% total, declared contract, oracle-mirrored).
+  //
+  // The draw is seeded per release ("dp1") and keyed by the category,
+  // so the release is deterministic and partitioning-independent —
+  // reproducible audits — while remaining a faithful sample of the
+  // mechanism across categories. (A true fresh-randomness release
+  // would swap the seed; the plumbing is identical.) `true_n` rides
+  // along for the oracle's benefit; a production release drops it.
+  private val DpCap = 4
+  private[graft] val DpNoiseThresholds: Seq[Long] = {
+    val scale = BigInt(2).pow(60)
+    val ks = (-8 to 7)
+    ks.map { k =>
+      // CDF(k) of the two-sided geometric with alpha = 1/2:
+      //   k = -m (m>=1): 1 / (3 * 2^(m-1));  k = m>=0: (3*2^m - 1) / (3*2^m)
+      val (num, den) =
+        if (k < 0) (BigInt(1), BigInt(3) * BigInt(2).pow(-k - 1))
+        else (BigInt(3) * BigInt(2).pow(k) - 1, BigInt(3) * BigInt(2).pow(k))
+      ((num * scale) / den).toLong
+    }
+  }
+
+  /** Two-sided geometric(α=1/2) noise in [-8, 8] from a 60-bit uniform. */
+  private[graft] def geomNoise(u: Column): Column =
+    DpNoiseThresholds.map(t => when(u >= lit(t), 1L).otherwise(0L)).reduce(_ + _) - lit(8L)
+
+  def dpHistogram(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bounded = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= DpCap)
+    bounded.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("noise", geomNoise(md5Long(lit("dp1"), col("event_type"))))
+      .select(col("event_type"), col("true_n"), col("noise"),
+        (col("true_n") + col("noise")).as("released_n"))
+  }
+
+  val dpHistogramSql: String = {
+    val u = md5LongSql("'dp1'", "event_type")
+    val n = DpNoiseThresholds.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ") + " - 8"
+    s"""WITH bounded AS (
+  SELECT event_type FROM (
+    SELECT event_type,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events)
+  WHERE rn <= $DpCap),
+hist AS (SELECT event_type, count(*) AS true_n, $u AS u
+  FROM bounded GROUP BY event_type)
+SELECT event_type, true_n, ($n)::BIGINT AS noise,
+       (true_n + $n)::BIGINT AS released_n
+FROM hist"""
+  }
+
+  // ---- L97 (r8): deterministic pseudonymization ----
+  // The third privacy tool: replace identifying keys and names with
+  // keyed md5 surrogate tokens BEFORE data leaves the trust boundary,
+  // such that the SAME input always maps to the SAME token — so joins,
+  // group-bys, and dedup on the pseudonymized tables still work
+  // (referential integrity survives), but the raw identifiers never
+  // appear downstream. 128-bit tokens: collision-free in practice at
+  // any corpus size (birthday bound ~2^64 keys). Map-only on both
+  // tables; the demonstration query joins the two pseudonymized tables
+  // on the surrogate and aggregates — proving linkage is preserved
+  // with no raw key in sight. The secret is the seed prefix; rotating
+  // it re-keys the release (unlinkability across releases).
+  def pseudonymize(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cust = customer.select(
+      md5(concat(lit("pk:"), col("c_custkey"))).as("cust_token"),
+      md5(concat(lit("nm:"), col("c_name"))).as("name_token"),
+      col("c_mktsegment").as("segment"))
+    val ord = orders.select(
+      md5(concat(lit("pk:"), col("o_custkey"))).as("cust_token"),
+      dec(col("o_totalprice")).as("price"))
+    ord.join(cust, Seq("cust_token"))
+      .groupBy(col("cust_token"), col("name_token"), col("segment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).cast("double").as("total_spend"))
+  }
+
+  val pseudonymizeSql: String =
+    """WITH cust AS (
+  SELECT md5('pk:' || c_custkey) AS cust_token, md5('nm:' || c_name) AS name_token,
+         c_mktsegment AS segment
+  FROM customer),
+ord AS (
+  SELECT md5('pk:' || o_custkey) AS cust_token,
+         o_totalprice::DECIMAL(18,2) AS price
+  FROM orders)
+SELECT o.cust_token, c.name_token, c.segment,
+       count(*) AS n_orders, sum(o.price)::DOUBLE AS total_spend
+FROM ord o JOIN cust c USING (cust_token)
+GROUP BY o.cust_token, c.name_token, c.segment"""
 
   // ---- L73 (r6): leakage-safe train/val/test splits ----
   // The dedup-aware split (the published fix for eval contamination by

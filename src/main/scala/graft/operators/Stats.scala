@@ -220,4 +220,90 @@ WHERE NOT EXISTS (
   SELECT 1 FROM base s
   WHERE s.price >= r.price AND s.date_us >= r.date_us
     AND (s.price > r.price OR s.date_us > r.date_us))"""
+
+  // ---- L95: binned isotonic calibration (PAVA) ----
+  // A quality classifier's raw scores are not probabilities; training
+  // -data selection that thresholds on them (L44's budget select, L31's
+  // classifier) wants CALIBRATED P(label | score). Isotonic regression
+  // is the standard distribution-free calibrator, and its scale shape
+  // here is two-level: scores collapse into ≤B fixed-width bins in ONE
+  // partial-agged groupBy (the corpus never sorts), then
+  // pool-adjacent-violators runs on the B-row bin frame as bounded
+  // driver model state (the k-means/top-component precedent) with
+  // EXACT BigInt rational comparisons — pooled means are compared by
+  // cross-multiplication, so no float decides a pool. The fitted step
+  // function is the released artifact (bin → calibrated prob); mapping
+  // the corpus through it is a broadcast lookup, map-only.
+  //
+  // The oracle replays none of the sequential PAVA: it states the
+  // CLOSED FORM the PAVA theorem guarantees — iso(i) = max_{k≤i}
+  // min_{j≥i} mean(k..j) over prefix sums (the minimax
+  // characterization of the unique isotonic fit) — as three small SQL
+  // joins over the B-row frame, so the hash gate proves the pooling
+  // algorithm against the mathematical definition, not against a
+  // reimplementation of itself. Score = 'the'-token rate (a crude but
+  // monotone Englishness signal); label = (lang = 'en').
+  private val CalBins = 20
+
+  /** PAVA over (n, pos) per ascending bin: returns the pooled block
+    * (n, pos) each bin lands in. Exact rational comparisons. */
+  private[graft] def pava(bins: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    case class Blk(n: BigInt, pos: BigInt, span: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Blk]
+    bins.foreach { case (n, pos) =>
+      var cur = Blk(BigInt(n), BigInt(pos), 1)
+      // pool while the previous block's mean exceeds the current's
+      while (stack.nonEmpty && stack.last.pos * cur.n > cur.pos * stack.last.n) {
+        val p = stack.remove(stack.length - 1)
+        cur = Blk(p.n + cur.n, p.pos + cur.pos, p.span + cur.span)
+      }
+      stack += cur
+    }
+    stack.flatMap(b => Seq.fill(b.span)((b.n.toLong, b.pos.toLong))).toSeq
+  }
+
+  def calibrate(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents.select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+      (size(filter(toks, t => t === "the")).cast("double") /
+        greatest(lit(1), size(toks))).as("score"))
+      .select(col("label"),
+        least(floor(col("score") * CalBins).cast("long"), lit(CalBins - 1L)).as("bin"))
+    val binRows = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+      .orderBy(col("bin"))
+      .collect() // ≤ CalBins rows — bounded model state
+    val pooled = pava(binRows.map(r => (r.getLong(1), r.getLong(2))).toSeq)
+    val sp = documents.sparkSession
+    import sp.implicits._
+    binRows.zip(pooled).map { case (r, (pn, pp)) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), pp.toDouble / pn.toDouble)
+    }.toSeq.toDF("bin", "n", "pos", "cal")
+      .withColumn("cal", round(col("cal"), 6)) // same rounding fn pair as every oracle
+  }
+
+  val calibrateSql: String =
+    s"""WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+    least(floor((len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t = 'the'))::DOUBLE
+      / greatest(1, len(string_split_regex(lower(text), '\\s+')))) * $CalBins)::BIGINT,
+      ${CalBins - 1}) AS bin
+  FROM documents),
+bins AS (SELECT bin, count(*) AS n, sum(label)::BIGINT AS pos FROM scored GROUP BY bin),
+ord AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS i FROM bins),
+pre AS (SELECT i, bin, n, pos,
+  sum(n) OVER (ORDER BY i) AS cn, sum(pos) OVER (ORDER BY i) AS cp FROM ord),
+m AS (
+  SELECT lo.i AS k, hi.i AS j,
+    (hi.cp - coalesce(lo2.cp, 0))::DOUBLE / (hi.cn - coalesce(lo2.cn, 0)) AS mean
+  FROM pre hi JOIN pre lo ON lo.i <= hi.i
+  LEFT JOIN pre lo2 ON lo2.i = lo.i - 1),
+inner_min AS (
+  SELECT m.k, p.i, min(m.mean) AS v
+  FROM m JOIN pre p ON m.k <= p.i AND m.j >= p.i
+  GROUP BY m.k, p.i),
+iso AS (SELECT i, max(v) AS cal FROM inner_min GROUP BY i)
+SELECT o.bin, o.n, o.pos, round(iso.cal, 6) AS cal
+FROM ord o JOIN iso ON iso.i = o.i"""
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, Stats}
+import graft.operators.{Curation, Relational, Stats}
 
 /** Round-8 estimation operators: bootstrap CI, temporal join, CDC
   * compaction, join-size estimation, skyline.
@@ -86,6 +86,90 @@ class StatsSpec extends SparkSpec {
     assert(est >= exact, s"CMS inner product $est under exact $exact — impossible")
     assert(ratio < 50.0, s"estimate $est uselessly loose vs $exact")
     info(f"join size exact=$exact est=$est ratio=$ratio%.3f")
+  }
+
+  private lazy val documents = Tables.load(spark, sf, "documents")
+
+  test("pava pools violations exactly and conserves weight (L95)") {
+    // means [0.1, 0.9, 0.3, 0.6]: bins 2-3 pool to 0.6, then 0.6 vs
+    // 0.6 holds (no strict violation) -> blocks [1], [2,3], [4]
+    val in = Seq((10L, 1L), (10L, 9L), (10L, 3L), (10L, 6L))
+    val out = Stats.pava(in)
+    assert(out == Seq((10L, 1L), (20L, 12L), (20L, 12L), (10L, 6L)))
+    // full-reversal input pools to one block
+    val rev = Stats.pava(Seq((1L, 1L), (1L, 0L)))
+    assert(rev == Seq((2L, 1L), (2L, 1L)))
+    // already isotonic input is untouched
+    val iso = Seq((5L, 0L), (5L, 2L), (5L, 5L))
+    assert(Stats.pava(iso) == iso)
+  }
+
+  test("calibrate output is monotone and equals the minimax closed form (L95)") {
+    val r = Stats.calibrate(documents)
+      .orderBy("bin").as[(Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.sliding(2).foreach {
+      case Array((b1, _, _, c1), (b2, _, _, c2)) =>
+        assert(c1 <= c2 + 1e-12, s"calibration not isotonic: bin $b1=$c1 > bin $b2=$c2")
+      case _ =>
+    }
+    // minimax characterization: iso(i) = max_{k<=i} min_{j>=i} mean(k..j)
+    val ns = r.map(_._2); val ps = r.map(_._3)
+    r.indices.foreach { i =>
+      val minimax = (0 to i).map { k =>
+        (i until r.length).map { j =>
+          ps.slice(k, j + 1).sum.toDouble / ns.slice(k, j + 1).sum
+        }.min
+      }.max
+      assert(math.abs(r(i)._4 - math.rint(minimax * 1e6) / 1e6) <= 1e-6,
+        s"bin ${r(i)._1}: pava ${r(i)._4} != minimax $minimax")
+    }
+  }
+
+  test("geometric DP noise is integer, bounded, and centred (L96)") {
+    val n = 20000
+    val w = spark.range(n).toDF("id")
+      .select(Curation.geomNoise(
+        graft.functions.Portable.md5Long(lit("dpTest"), col("id").cast("string"))).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(w.keys.max <= 8 && w.keys.min >= -8)
+    val mean = w.map { case (k, c) => k * c }.sum.toDouble / n
+    assert(math.abs(mean) < 0.05, s"noise mean $mean drifted from 0")
+    val p0 = w.getOrElse(0L, 0L).toDouble / n
+    assert(math.abs(p0 - 1.0 / 3) < 0.02, s"P(0)=$p0 vs 1/3")
+    // symmetric tails, roughly
+    val pPos = w.filter(_._1 > 0).values.sum.toDouble / n
+    val pNeg = w.filter(_._1 < 0).values.sum.toDouble / n
+    assert(math.abs(pPos - pNeg) < 0.02, s"asymmetric noise: +$pPos vs -$pNeg")
+  }
+
+  test("dpHistogram bounds each user's contribution at the cap (L96)") {
+    val r = Curation.dpHistogram(events)
+    val released = r.select(sum(col("true_n"))).as[Long].collect().head
+    val expected = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .select(sum(least(col("c"), lit(4L)))).as[Long].collect().head
+    assert(released == expected,
+      s"bounded total $released != sum of per-user min(cap, n) $expected")
+    r.as[(String, Long, Long, Long)].collect().foreach { case (t, tn, nz, rl) =>
+      assert(math.abs(nz) <= 8 && rl == tn + nz, s"$t: bad noise arithmetic")
+    }
+    // deterministic release: same seed, any partitioning
+    val again = Curation.dpHistogram(events.repartition(13)).collect().toSet
+    assert(again == r.collect().toSet)
+  }
+
+  test("pseudonymize preserves linkage with no raw keys (L97)") {
+    val r = Curation.pseudonymize(customer, orders).cache()
+    // one token per customer with orders; grouped order counts survive
+    val perKey = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect().sorted.toSeq
+    val perTok = r.select("n_orders").as[Long].collect().sorted.toSeq
+    assert(perTok == perKey, "order-count multiset changed under pseudonymization")
+    assert(r.select("cust_token").distinct().count() == perKey.length)
+    // tokens are opaque 32-hex, not echoes of the key
+    assert(r.where(!col("cust_token").rlike("^[0-9a-f]{32}$")).count() == 0)
+    r.unpersist()
   }
 
   test("skyline equals brute-force dominance and keeps tied duplicates (C55)") {
