@@ -1762,4 +1762,57 @@ ranked AS (
     SELECT 'final' AS snap, * FROM ops))
 SELECT snap, key, op, price::DOUBLE AS price, ts::BIGINT AS ts_us
 FROM ranked WHERE rn = 1 AND op <> 'D'"""
+
+  // C58: interval coalescing — merge each key's overlapping validity
+  // intervals into maximal covered spans (machine uptime, SLA
+  // windows, lock-hold unions — the "total covered time" primitive
+  // C5's GAP-based sessionize cannot express, because input intervals
+  // arrive with explicit ends and genuinely overlap). Islands over
+  // the per-key (start, end) order: an interval starts a new span iff
+  // its start exceeds the running max of every earlier end (running
+  // max, not lag — an early long interval can swallow several later
+  // ones, where lag(end) would split the span; half-open [from, to)
+  // means touching spans merge). One (key) exchange + in-partition
+  // sort shared by both window passes — the C4 contract; keys are
+  // customers, so parallelism scales with the data. Intervals derive
+  // deterministically from orders (order date + orderkey-dependent
+  // duration), so the oracle states the same construction.
+  def coalesceIntervals(orders: DataFrame): DataFrame = {
+    val iv = orders.select(col("o_custkey").as("key"), col("o_orderkey").as("id"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("s"))
+      .withColumn("e", col("s") + (col("id") % 30 + 1) * lit(DayUs))
+    val ord = Window.partitionBy(col("key")).orderBy(col("s"), col("e"), col("id"))
+    val prevMax = max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = iv
+      .withColumn("new_span", when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("span", sum(col("new_span"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("key"), col("span"))
+      .agg(min(col("s")).as("from_us"), max(col("e")).as("to_us"),
+        count(lit(1)).as("n_merged"))
+      .select(col("key"), col("span"), col("from_us"), col("to_us"),
+        (col("to_us") - col("from_us")).as("dur_us"), col("n_merged"))
+  }
+
+  val coalesceIntervalsSql: String =
+    s"""WITH iv AS (
+  SELECT o_custkey AS key, o_orderkey AS id, epoch_us(o_orderdate) AS s,
+         epoch_us(o_orderdate) + (o_orderkey % 30 + 1) * $DayUs AS e
+  FROM orders),
+flagged AS (
+  SELECT key, id, s, e,
+    CASE WHEN max(e) OVER (PARTITION BY key ORDER BY s, e, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1
+         WHEN s > max(e) OVER (PARTITION BY key ORDER BY s, e, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1
+         ELSE 0 END AS new_span
+  FROM iv),
+spans AS (
+  SELECT key, s, e,
+    sum(new_span) OVER (PARTITION BY key ORDER BY s, e, id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM flagged)
+SELECT key, span::BIGINT AS span, min(s) AS from_us, max(e) AS to_us,
+       max(e) - min(s) AS dur_us, count(*) AS n_merged
+FROM spans GROUP BY key, span"""
 }

@@ -264,6 +264,41 @@ class ScaleSpec extends SparkSpec {
       "dynamic overwrite disturbed sibling partitions")
   }
 
+  test("schema evolution: merged read unions columns, nulls the gaps, rejects type conflicts") {
+    // a long-lived ingest directory accretes batches written by
+    // different pipeline versions; the reader must present one union
+    // schema (old rows null-extended) without rewriting history —
+    // at 100 TB a backfill-on-schema-change is not an option
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/t"
+    docs.select(col("doc_id"), col("text")).write.parquet(s"$dir/batch=1")
+    docs.select(col("doc_id"), col("text"), col("n_chars").as("quality"))
+      .write.parquet(s"$dir/batch=2") // v2 adds a column
+    docs.select(col("text"), col("doc_id")) // v3 reorders — by-name, not positional
+      .write.parquet(s"$dir/batch=3")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("batch", "doc_id", "quality", "text"))
+    val n = docs.count()
+    assert(merged.count() == 3 * n)
+    // pre-schema-change rows surface as NULL, never as garbage
+    assert(merged.where(col("quality").isNotNull).count() == n)
+    assert(merged.where(col("batch") === 1 && col("quality").isNotNull).count() == 0)
+    // by-name resolution: the reordered batch still lines up
+    val a = docs.agg(sum(col("doc_id"))).head.getLong(0)
+    assert(merged.where(col("batch") === 3).agg(sum(col("doc_id"))).head.getLong(0) == a)
+    // an incompatible type for the SAME column must fail loudly at
+    // read (silent coercion would corrupt downstream aggregates)
+    docs.select(col("doc_id"), col("text"), col("lang").as("quality"))
+      .write.parquet(s"$dir/batch=4")
+    val conflicted = intercept[Throwable] {
+      spark.read.option("mergeSchema", "true").parquet(dir).collect()
+    }
+    assert(Option(conflicted.getMessage).exists(m =>
+      m.toLowerCase.contains("merge") || m.toLowerCase.contains("incompatible")
+        || m.toLowerCase.contains("failed")),
+      s"type conflict surfaced wrong error: ${conflicted.getMessage}")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val orders = Tables.load(spark, sf, "orders").limit(500)
     val lineitem = Tables.load(spark, sf, "lineitem").limit(500)

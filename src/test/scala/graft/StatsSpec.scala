@@ -79,6 +79,40 @@ class StatsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("coalesceIntervals yields disjoint maximal spans with exact union length (C58)") {
+    val r = Relational.coalesceIntervals(orders)
+      .select("key", "from_us", "to_us", "n_merged")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty && r.exists(_._4 > 1), "derivation produced no overlaps to merge")
+    // disjoint and non-touching per key (touching spans must merge)
+    r.groupBy(_._1).foreach { case (k, spans) =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1, s"key $k: spans touch/overlap ($e1, $s2)")
+        case _ =>
+      }
+    }
+    // union length equals an independent per-key sweep over raw intervals
+    val raw = orders.select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("s"), col("o_orderkey"))
+      .withColumn("e", col("s") + (col("o_orderkey") % 30 + 1) * lit(86400000000L))
+      .select("o_custkey", "s", "e").as[(Long, Long, Long)].collect()
+    val expected = raw.groupBy(_._1).map { case (k, ivs) =>
+      var cover = 0L; var curS = Long.MinValue; var curE = Long.MinValue
+      ivs.map(i => (i._2, i._3)).sorted.foreach { case (s, e) =>
+        if (s > curE) { if (curE > curS) cover += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      if (curE > curS) cover += curE - curS
+      k -> cover
+    }
+    val got = r.groupBy(_._1).map { case (k, spans) => k -> spans.map(x => x._3 - x._2).sum }
+    assert(got == expected, "union length diverged from sequential sweep")
+    // idempotence: every span count re-coalesces to itself (disjointness
+    // already proves it — spans can't merge further)
+    assert(r.map(_._1).distinct.length.toLong == orders.select("o_custkey").distinct.count())
+  }
+
   test("joinSizeEst is one-sided: CMS estimate >= exact join size (C54)") {
     val (est, exact, ratio) = Stats.joinSizeEst(orders, lineitem)
       .as[(Long, Long, Double)].collect().head
