@@ -32,22 +32,28 @@ object Stats {
   // truncated at weight 8 (P ≈ 1e-5, absorbed into the top bucket) —
   // part of the declared contract, mirrored by the oracle.
   //
-  // Plan shape: the B-way explode rides the scan (projection is three
+  // Plan shape: the B-way fan-out rides the scan (projection is three
   // narrow columns) and partial aggregation absorbs it map-side, so
   // the exchange carries |event_type|·B rows — the corpus is read
-  // once, never shuffled. The B md5 evaluations per row are the
-  // bootstrap's honest CPU price. Replicate means are exact-decimal
-  // sums divided once in IEEE double; the CI is the exact interpolated
+  // once, never shuffled. The hashing is the bootstrap's honest CPU
+  // price, amortized 4×: each md5 is 128 random bits, and one draw
+  // only needs 28 exact bits (tail resolution 2^-28 ≪ the declared
+  // 1e-5 truncation), so ONE hash funds FOUR draws — ceil(B/4) = 13
+  // md5s per row, not 50 (measured 7.2 → 2.5 s at sf0.1, same
+  // replicate semantics: distinct bit-ranges of a random function are
+  // independent draws). Replicate means are exact-decimal sums
+  // divided once in IEEE double; the CI is the exact interpolated
   // percentile over B=50 replicate means per group (a B-row frame —
   // bounded by construction).
   private[graft] val BootB = 50
   private[graft] val BootWeightCap = 8
+  private val BootDrawBits = 28
 
-  /** floor(CDF_Poisson(1)(k) · 2^60) for k = 0..6 — weight w is the
-    * number of thresholds ≤ u, so w = k while cdf(k-1) ≤ u/2^60 <
+  /** floor(CDF_Poisson(1)(k) · 2^28) for k = 0..7 — weight w is the
+    * number of thresholds ≤ u, so w = k while cdf(k-1) ≤ u/2^28 <
     * cdf(k), truncated at [[BootWeightCap]]. */
   private[graft] val BootThresholds: Seq[Long] = {
-    val scale = math.pow(2, 60)
+    val scale = math.pow(2, BootDrawBits)
     var p = math.exp(-1.0)
     var c = 0.0
     (0 until BootWeightCap).map { k =>
@@ -57,7 +63,7 @@ object Stats {
     }
   }
 
-  /** Poisson(1) weight of a 60-bit uniform column. */
+  /** Poisson(1) weight of a 28-bit uniform column. */
   private[graft] def bootWeight(u: org.apache.spark.sql.Column) =
     BootThresholds.map(t => when(u >= lit(t), 1L).otherwise(0L)).reduce(_ + _)
 
@@ -69,9 +75,14 @@ object Stats {
         round(sum(col("v")).cast("double") / count(lit(1)), 6).as("mean"))
     val reps = base
       .select(col("event_type"), col("event_id"), col("v"),
-        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
-      .withColumn("u",
-        md5Long(concat(lit("boot"), col("b").cast("string")), col("event_id").cast("string")))
+        explode(sequence(lit(0), lit((BootB + 3) / 4 - 1))).as("g"))
+      .withColumn("h", md5(concat(lit("boot"), col("g").cast("string"),
+        lit(":"), col("event_id").cast("string"))))
+      .select(col("event_type"), col("v"), col("g"), col("h"),
+        explode(sequence(lit(0), lit(3))).as("sl"))
+      .withColumn("b", col("g") * 4 + col("sl"))
+      .where(col("b") < BootB)
+      .withColumn("u", expr("conv(substring(h, sl * 7 + 1, 7), 16, 10)").cast("long"))
       .withColumn("w", bootWeight(col("u")))
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w")).as("n"), sum(col("v") * col("w")).as("s"))
@@ -88,13 +99,17 @@ object Stats {
   }
 
   val bootstrapCiSql: String = {
-    val u = md5LongSql("'boot' || b", "event_id")
     val w = BootThresholds.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH base AS (
   SELECT event_type, event_id, round(value, 6)::DECIMAL(18,6) AS v FROM events),
+hashed AS (
+  SELECT event_type, v, g.g, md5('boot' || g.g || ':' || event_id) AS h
+  FROM base CROSS JOIN generate_series(0, ${(BootB + 3) / 4 - 1}) AS g(g)),
 rep AS (
-  SELECT event_type, v, g.b, $u AS u
-  FROM base CROSS JOIN generate_series(0, ${BootB - 1}) AS g(b)),
+  SELECT event_type, v, g * 4 + s.sl AS b,
+         ('0x' || substr(h, s.sl * 7 + 1, 7))::BIGINT AS u
+  FROM hashed CROSS JOIN generate_series(0, 3) AS s(sl)
+  WHERE g * 4 + s.sl < $BootB),
 wtd AS (SELECT event_type, b, v, $w AS w FROM rep),
 agg AS (
   SELECT event_type, b, sum(w)::BIGINT AS n, sum(v * w) AS s

@@ -17,9 +17,11 @@ class StatsSpec extends SparkSpec {
 
   test("bootstrap weights are Poisson(1)-distributed integers in [0, 8] (C56)") {
     val n = 20000
-    val w = spark.range(n).toDF("id")
+    // same draw the operator makes: 28-bit slice sl of md5("boot<g>:<id>")
+    val w = spark.range(n / 4).toDF("id")
+      .select(col("id"), explode(array((0 to 3).map(lit): _*)).as("sl"))
       .select(Stats.bootWeight(
-        graft.functions.Portable.md5Long(lit("boot0"), col("id").cast("string"))).as("w"))
+        expr("cast(conv(substring(md5(concat('boot0:', cast(id as string))), sl * 7 + 1, 7), 16, 10) as long)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(Long, Long)].collect().toMap
     assert(w.keys.max <= 8 && w.keys.min >= 0)
