@@ -2248,7 +2248,8 @@ class OperatorSpec extends SparkSpec {
       "q_bitext_mine" -> "the q_ann_topk contract: broadcast capped source-language query set x target corpus; the scored frame never shuffles",
       "q_rrf_fusion" -> "crossJoin(broadcast(single-row dense query vector)) — the tfidf/lm_score pattern",
       "q_temp_mixture" -> "crossJoin(broadcast(single-row tot/tw totals)) — the q_source_mixture pattern",
-      "q_embed_drift" -> "group-pair enumeration over the POST-AGGREGATE label frame (label-alphabet-bounded) — the q_kmv_overlap pattern")
+      "q_embed_drift" -> "group-pair enumeration over the POST-AGGREGATE label frame (label-alphabet-bounded) — the q_kmv_overlap pattern",
+      "q_join_size_est" -> "crossJoin(broadcast(single-row CMS estimate x single-row exact count)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
