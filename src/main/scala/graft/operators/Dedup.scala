@@ -1132,4 +1132,71 @@ SELECT source_a, source_b, n_shared,
   coalesce(true_inter, 0)::BIGINT AS true_inter
 FROM e LEFT JOIN t USING (source_a, source_b)"""
   }
+
+  // ---- L98 (r8): golden-record survivorship ----
+  // The OTHER half of entity resolution: L53 emits matched PAIRS, but
+  // a master-data pipeline must ship ONE consolidated record per
+  // entity. Transitive closure over the linkage pairs (the L19
+  // pointer-doubling machinery, reused verbatim — matches chain A~B~C
+  // even when A~C never scored) groups the duplicates; survivorship
+  // rules then fuse each cluster's attributes field-wise, every rule a
+  // deterministic aggregate with a total-order tie-break:
+  //   golden_id = min member id;       name = longest (ties: greatest)
+  //   segment  = mode (ties: greatest); balance = exact-decimal total
+  // Plan: linkage pairs (blocked, capped) -> O(log D) CC waves on the
+  // pair graph only -> ONE (cluster) aggregate for the scalar rules +
+  // one (cluster, segment) count + argmax for the mode — every shuffle
+  // keys on cluster or (cluster, attr), nothing corpus-wide sorts.
+  // The oracle recomputes closure as a recursive CTE and each rule as
+  // its window formulation — fusion semantics proven end-to-end.
+  def goldenRecord(customer: DataFrame): DataFrame = {
+    val pairs = recordLinkage(customer).select(col("x"), col("y"))
+    val cc = connectedComponents(pairs, customer.select(col("c_custkey").as("doc_id")))
+    val recs = customer
+      .select(col("c_custkey").as("doc_id"), col("c_name"), col("c_mktsegment"),
+        dec(col("c_acctbal")).as("bal"))
+      .join(cc.select(col("doc_id"), col("cluster_id")), "doc_id")
+    val scalars = recs.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("golden_id"),
+        max(struct(length(col("c_name")).as("l"), col("c_name").as("nm")))
+          .getField("nm").as("name"),
+        sum(col("bal")).cast("double").as("bal_total"))
+    val mode = recs.groupBy(col("cluster_id"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("cnt"), col("c_mktsegment").as("seg")))
+        .getField("seg").as("segment"))
+    scalars.join(mode, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("golden_id"),
+        col("name"), col("segment"), col("bal_total"))
+  }
+
+  val goldenRecordSql: String =
+    s"""WITH RECURSIVE pairs AS ($recordLinkageSql),
+edges AS (SELECT x AS a, y AS b FROM pairs UNION ALL SELECT y AS a, x AS b FROM pairs),
+reach AS (SELECT a AS id, b AS r FROM edges
+  UNION SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b),
+labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+recs AS (
+  SELECT c.c_custkey AS doc_id, c.c_name, c.c_mktsegment,
+         CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+         coalesce(l.label, c.c_custkey) AS cluster_id
+  FROM customer c LEFT JOIN labels l ON l.id = c.c_custkey),
+scalars AS (
+  SELECT cluster_id, count(*) AS n_members, min(doc_id) AS golden_id,
+         sum(bal)::DOUBLE AS bal_total
+  FROM recs GROUP BY cluster_id),
+named AS (
+  SELECT cluster_id, c_name AS name FROM (
+    SELECT cluster_id, c_name, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY length(c_name) DESC, c_name DESC) AS rn
+    FROM recs) WHERE rn = 1),
+mode AS (
+  SELECT cluster_id, seg AS segment FROM (
+    SELECT cluster_id, c_mktsegment AS seg, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY count(*) DESC, c_mktsegment DESC) AS rn
+    FROM recs GROUP BY cluster_id, c_mktsegment) WHERE rn = 1)
+SELECT s.cluster_id, s.n_members, s.golden_id, n.name, m.segment, s.bal_total
+FROM scalars s JOIN named n USING (cluster_id) JOIN mode m USING (cluster_id)"""
 }

@@ -321,4 +321,72 @@ inner_min AS (
 iso AS (SELECT i, max(v) AS cal FROM inner_min GROUP BY i)
 SELECT o.bin, o.n, o.pos, round(iso.cal, 6) AS cal
 FROM ord o JOIN iso ON iso.i = o.i"""
+
+  // ---- C59: data-quality constraint report ----
+  // The Deequ-style verification suite an ingest runs before
+  // publishing a partition: declarative constraints evaluated
+  // wholesale, emitted as one diffable report row per rule (the L91
+  // datasheet's enforcement-side twin). Cost discipline: the four
+  // ROW-LEVEL rules (null, range, domain, date sanity) share ONE scan
+  // — a single aggregate of conditional sums unpivoted by stack();
+  // uniqueness is one partial-agged key aggregate (violations =
+  // Σ(cnt−1), so a key counted twice contributes one violation);
+  // referential integrity is one equi left join against the distinct
+  // parent keys with the null-probe counted in the same aggregate —
+  // no anti-join + recount double pass, no cross join. At 100 TB the
+  // whole suite costs one fact scan + one key shuffle + one RI join,
+  // independent of how many row-level rules pile on.
+  def qualityReport(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val rowRules = orders.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v1"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v2"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v3"),
+      sum(when(col("o_orderdate") < to_timestamp(lit("1992-01-01 00:00:00")) ||
+        col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")), 1L)
+        .otherwise(0L)).as("v4"))
+      .select(col("n").as("n_checked"), expr(
+        """stack(4, 'not_null:o_custkey', v1, 'positive:o_totalprice', v2,
+                    'domain:o_orderstatus', v3, 'range:o_orderdate', v4)
+           as (rule, n_violations)"""))
+    val uniq = orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_checked"), sum(col("c") - 1).as("n_violations"))
+      .select(col("n_checked"), lit("unique:o_orderkey").as("rule"), col("n_violations"))
+    val ref = orders.select(col("o_custkey"))
+      .join(customer.select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(col("n_checked"), lit("ref:o_custkey->customer").as("rule"), col("n_violations"))
+    rowRules.unionByName(uniq).unionByName(ref)
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).cast("long").as("pass"))
+  }
+
+  val qualityReportSql: String =
+    """WITH rr AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v1,
+    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v2,
+    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS v3,
+    sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+          OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS v4
+  FROM orders),
+rows_unpivot AS (
+  SELECT 'not_null:o_custkey' AS rule, n AS n_checked, v1::BIGINT AS n_violations FROM rr
+  UNION ALL SELECT 'positive:o_totalprice', n, v2::BIGINT FROM rr
+  UNION ALL SELECT 'domain:o_orderstatus', n, v3::BIGINT FROM rr
+  UNION ALL SELECT 'range:o_orderdate', n, v4::BIGINT FROM rr),
+uniq AS (
+  SELECT 'unique:o_orderkey' AS rule, sum(c)::BIGINT AS n_checked,
+         sum(c - 1)::BIGINT AS n_violations
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+ref AS (
+  SELECT 'ref:o_custkey->customer' AS rule, count(*) AS n_checked,
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey),
+allr AS (
+  SELECT * FROM rows_unpivot UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM ref)
+SELECT rule, n_checked, n_violations, (n_violations = 0)::BIGINT AS pass FROM allr"""
 }

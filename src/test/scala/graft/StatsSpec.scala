@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Relational, Stats}
+import graft.operators.{Curation, Dedup, Relational, Stats}
 
 /** Round-8 estimation operators: bootstrap CI, temporal join, CDC
   * compaction, join-size estimation, skyline.
@@ -206,6 +206,75 @@ class StatsSpec extends SparkSpec {
     // tokens are opaque 32-hex, not echoes of the key
     assert(r.where(!col("cust_token").rlike("^[0-9a-f]{32}$")).count() == 0)
     r.unpersist()
+  }
+
+  test("goldenRecord fuses a planted chain and reconciles with manual fusion (L98)") {
+    // three records whose names chain A~B~C through the 16-char block
+    // (adjacent suffix distance 2, ends distance 4 — never scored as a
+    // pair) must fuse into ONE golden record
+    val blk = "BlockPrefix16Chr" // exactly 16 chars
+    // A~B and B~C: near-name + seg + balance agree (1300); C~D: exact
+    // name + balance agree despite seg disagreement (1400); A~C is
+    // name-far (-100) and B~D only 800 — the closure, not the pair
+    // list, must connect all four
+    val planted = Seq(
+      (9001L, s"$blk", "AUTOMOBILE", 100.0),
+      (9002L, s"${blk}ab", "AUTOMOBILE", 150.0),
+      (9003L, s"${blk}abcd", "AUTOMOBILE", 180.0),
+      (9004L, s"${blk}abcd", "HOUSEHOLD", 180.0))
+      .toDF("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    val fused = Dedup.goldenRecord(planted).collect()
+    assert(fused.length == 1, s"chain did not fuse: ${fused.length} clusters")
+    val r = fused.head
+    assert(r.getAs[Long]("cluster_id") == 9001L && r.getAs[Long]("golden_id") == 9001L)
+    assert(r.getAs[Long]("n_members") == 4)
+    assert(r.getAs[String]("name") == s"${blk}abcd", "longest-name rule lost")
+    assert(r.getAs[String]("segment") == "AUTOMOBILE", "mode rule lost")
+    assert(math.abs(r.getAs[Double]("bal_total") - 610.0) < 1e-9)
+    // corpus reconciliation: fusion equals a manual per-cluster fold
+    val cc = Dedup.connectedComponents(
+      Dedup.recordLinkage(customer).select("x", "y"),
+      customer.select(col("c_custkey").as("doc_id")))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val members = customer.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, String, Double)].collect()
+      .groupBy { case (k, _, _, _) => cc(k) }
+    val got = Dedup.goldenRecord(customer).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    assert(got.keySet == members.keySet)
+    members.foreach { case (cid, ms) =>
+      val g = got(cid)
+      assert(g.getAs[Long]("n_members") == ms.length)
+      assert(g.getAs[Long]("golden_id") == ms.map(_._1).min)
+      assert(g.getAs[String]("name") == ms.map(_._2).maxBy(n => (n.length, n)))
+      val bestSeg = ms.groupBy(_._3).map { case (s, xs) => (xs.length, s) }.max._2
+      assert(g.getAs[String]("segment") == bestSeg)
+    }
+  }
+
+  test("qualityReport counts exactly the planted violations (C59)") {
+    val clean = Stats.qualityReport(orders, customer).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val bad = Seq(
+      (null.asInstanceOf[java.lang.Long], 777001L, "O", 10.0, "1995-06-01 00:00:00", "1-URGENT"),
+      (java.lang.Long.valueOf(999999999L), 777002L, "O", 10.0, "1995-06-01 00:00:00", "1-URGENT"),
+      (java.lang.Long.valueOf(1L), 777003L, "X", -5.0, "2005-06-01 00:00:00", "1-URGENT"))
+      .toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "d", "o_orderpriority")
+      .withColumn("o_orderdate", col("d").cast("timestamp_ntz")).drop("d")
+    val dup = orders.limit(1) // duplicate an existing key verbatim
+    val corrupted = orders.unionByName(bad.select(orders.columns.map(col): _*))
+      .unionByName(dup)
+    val dirty = Stats.qualityReport(corrupted, customer).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(dirty("not_null:o_custkey") == clean("not_null:o_custkey") + 1)
+    assert(dirty("positive:o_totalprice") == clean("positive:o_totalprice") + 1)
+    assert(dirty("domain:o_orderstatus") == clean("domain:o_orderstatus") + 1)
+    assert(dirty("range:o_orderdate") == clean("range:o_orderdate") + 1)
+    assert(dirty("unique:o_orderkey") == clean("unique:o_orderkey") + 1)
+    // the null key and the orphan both fail the parent probe
+    assert(dirty("ref:o_custkey->customer") == clean("ref:o_custkey->customer") + 2)
+    // clean corpus passes what it should
+    assert(clean("unique:o_orderkey") == 0 && clean("ref:o_custkey->customer") == 0)
   }
 
   test("skyline equals brute-force dominance and keeps tied duplicates (C55)") {
