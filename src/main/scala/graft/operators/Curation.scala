@@ -651,7 +651,7 @@ SELECT doc_id, source, lang, len_bucket, grp_n,
   (grp_n < $AnonK)::BIGINT AS at_risk
 FROM qi JOIN g USING (source, lang, len_bucket)"""
 
-  // ---- L96 (r8): differentially-private histogram release ----
+  // ---- L96 (r7): differentially-private histogram release ----
   // The other release gate beside L76's k-anonymity audit: publish
   // per-category activity counts with a formal privacy bound instead
   // of a heuristic one. Two pieces, both exact-integer end to end:
@@ -726,7 +726,7 @@ SELECT event_type, true_n, ($n)::BIGINT AS noise,
 FROM hist"""
   }
 
-  // ---- L97 (r8): deterministic pseudonymization ----
+  // ---- L97 (r7): deterministic pseudonymization ----
   // The third privacy tool: replace identifying keys and names with
   // keyed md5 surrogate tokens BEFORE data leaves the trust boundary,
   // such that the SAME input always maps to the SAME token — so joins,

@@ -1133,7 +1133,7 @@ SELECT source_a, source_b, n_shared,
 FROM e LEFT JOIN t USING (source_a, source_b)"""
   }
 
-  // ---- L98 (r8): golden-record survivorship ----
+  // ---- L98 (r7): golden-record survivorship ----
   // The OTHER half of entity resolution: L53 emits matched PAIRS, but
   // a master-data pipeline must ship ONE consolidated record per
   // entity. Transitive closure over the linkage pairs (the L19
