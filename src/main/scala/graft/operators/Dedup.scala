@@ -1199,4 +1199,77 @@ mode AS (
     FROM recs GROUP BY cluster_id, c_mktsegment) WHERE rn = 1)
 SELECT s.cluster_id, s.n_members, s.golden_id, n.name, m.segment, s.bal_total
 FROM scalars s JOIN named n USING (cluster_id) JOIN mode m USING (cluster_id)"""
+
+  // ---- C60 (r7): label propagation community detection ----
+  // The fifth graph primitive: L19's CC answers "which docs are
+  // transitively connected"; communities answer the finer question a
+  // crawl-quality pipeline actually asks — which docs form a COHESIVE
+  // group (a template family, a mirror farm) inside one big connected
+  // blob. Synchronous LPA with a fully deterministic update: each
+  // round, v adopts the label held by the PLURALITY of its neighbors
+  // (count desc, then smallest label — encoded as one
+  // min(struct(-cnt, label)) aggregate, no window over data). Fixed
+  // R-round unroll (the C39/C49 budget pattern), lineage-cut per
+  // round; isolated docs keep their own id via the final left join.
+  // Each round = one (src) hash join + one (dst, label) partial-agged
+  // count + one (dst) argmax — every shuffle keys on a vertex, and
+  // the tally frame is |E| rows at worst, so a 100 TB edge list runs
+  // R bounded waves. The oracle unrolls the identical recurrence as
+  // MATERIALIZED CTE stages (row_number tie-break mirrors the struct
+  // min exactly); the spec plants two cliques joined by one bridge
+  // edge and proves they resolve to separate communities, plus
+  // repartition invariance on the corpus.
+  private val LpaRounds = 4
+
+  /** Synchronous deterministic LPA over an (x, y) pair list. */
+  def labelPropagationEdges(pairs: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    val edges = pairs.unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
+      .select(col("x").as("src"), col("y").as("dst")).localCheckpoint()
+    var labels = edges.select(col("src").as("v"))
+      .distinct().select(col("v"), col("v").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = edges.join(labels.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .getField("l").as("label"))
+        .select(col("dst").as("v"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** (doc_id, community, n_members) over the simhash near-dup graph;
+    * docs absent from the graph are their own singleton community. */
+  def labelPropagation(documents: DataFrame): DataFrame = {
+    val labels = labelPropagationEdges(
+      simhashDedup(documents).select(col("x"), col("y")))
+    val all = documents.select(col("doc_id"))
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
+    val sizes = all.groupBy(col("community")).agg(count(lit(1)).as("n_members"))
+    all.join(sizes, "community")
+      .select(col("doc_id"), col("community"), col("n_members"))
+  }
+
+  lazy val labelPropagationSql: String = {
+    val waves = (1 to LpaRounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+  SELECT dst AS v, label FROM (
+    SELECT e.dst, l.label, row_number() OVER (
+      PARTITION BY e.dst ORDER BY count(*) DESC, l.label) AS rn
+    FROM e JOIN l${r - 1} l ON l.v = e.src
+    GROUP BY e.dst, l.label) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($simhashDedupSql),
+e AS MATERIALIZED (SELECT x AS src, y AS dst FROM pairs UNION ALL SELECT y, x FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM e),
+$waves,
+alld AS (
+  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS community
+  FROM documents d LEFT JOIN l$LpaRounds l ON l.v = d.doc_id),
+sizes AS (SELECT community, count(*) AS n_members FROM alld GROUP BY community)
+SELECT a.doc_id, a.community, s.n_members
+FROM alld a JOIN sizes s USING (community)"""
+  }
 }

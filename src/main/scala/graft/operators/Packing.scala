@@ -298,4 +298,68 @@ SELECT doc_id, (e - 1)::BIGINT AS chunk_id, ((e - 1) * $ChunkS)::BIGINT AS start
   least($ChunkW, n - (e - 1) * $ChunkS)::BIGINT AS chunk_len,
   array_to_string(toks[((e - 1) * $ChunkS + 1):((e - 1) * $ChunkS + $ChunkW)], ' ') AS chunk_text
 FROM c, unnest(generate_series(1, n_chunks)) AS u(e)"""
+
+  // ---- L99 (r7): content-defined chunking (rolling-hash boundaries) ----
+  // The dedup-friendly third chunker: L62's fixed stride means one
+  // inserted token SHIFTS every later window — chunk-level dedup (L25)
+  // then sees a near-identical doc as 100% novel chunks. Content-
+  // defined chunking (the rsync/LBFS/restic recipe) places a boundary
+  // wherever a rolling hash of the k=3 PRECEDING tokens hits a magic
+  // residue (rate 1/32): the decision is a pure function of local
+  // content, so an edit realigns within ~k tokens and every later
+  // chunk is byte-identical again — the property that makes chunk
+  // stores and near-dup chunk dedup work across document versions.
+  // Hash: per-token md5 folded to 10 bits, three lags packed into one
+  // <2^30 key (no overflow on either engine), boundary iff key % 32 =
+  // 0. Plan: posexplode + per-doc lag/prefix-sum windows + ordered
+  // reassembly behind ONE (doc_id) exchange — the C4 "doc is the
+  // parallelism unit" contract; nothing cross-doc. Spec proves the
+  // defining property ON PURPOSE-BUILT VERSIONS: a token prepended to
+  // a 400-token doc changes only the leading chunks (all others
+  // md5-identical), chunks tile each doc exactly, and layout
+  // invariance; the oracle replays hash, boundaries, and reassembly.
+  private val CdcFold = 1024L // 10-bit per-token fold
+  private val CdcMask = 32L   // boundary rate 1/32
+
+  def cdcChunk(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Portable.md5Long
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    documents
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("d", pmod(md5Long(lit("cdc"), col("tok")), lit(CdcFold)))
+      .withColumn("rk", lag(col("d"), 3).over(w) * CdcFold * CdcFold +
+        lag(col("d"), 2).over(w) * CdcFold + lag(col("d"), 1).over(w))
+      .withColumn("s", when(col("pos") === 0 ||
+        (col("pos") >= 3 && pmod(col("rk"), lit(CdcMask)) === 0), 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("s")).over(w) - 1)
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("n_toks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ")).as("chunk_md5"))
+  }
+
+  val cdcChunkSql: String = {
+    import graft.functions.Portable.md5LongSql
+    s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+tok AS (
+  SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+h AS (SELECT doc_id, pos, tok, ${md5LongSql("'cdc'", "tok")} % $CdcFold AS d FROM tok),
+k AS (
+  SELECT doc_id, pos, tok,
+    lag(d, 3) OVER w * $CdcFold * $CdcFold + lag(d, 2) OVER w * $CdcFold
+      + lag(d, 1) OVER w AS rk
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+c AS (
+  SELECT doc_id, pos, tok, sum(s) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS chunk_id
+  FROM (SELECT doc_id, pos, tok, CASE WHEN pos = 0
+      OR (pos >= 3 AND rk % $CdcMask = 0) THEN 1 ELSE 0 END AS s FROM k))
+SELECT doc_id, chunk_id, min(pos) AS start_pos, count(*) AS n_toks,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+FROM c GROUP BY doc_id, chunk_id"""
+  }
 }

@@ -389,4 +389,122 @@ ref AS (
 allr AS (
   SELECT * FROM rows_unpivot UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM ref)
 SELECT rule, n_checked, n_violations, (n_violations = 0)::BIGINT AS pass FROM allr"""
+
+  // ---- C61: one-scan Pearson correlation matrix ----
+  // The feature-audit primitive (collinearity screening before a model
+  // fit, drift checks between corpus versions): all pairwise
+  // correlations of k numeric features in ONE scan. Naive pairwise
+  // corr() calls scan the table k(k+1)/2 times; this aggregates the
+  // full moment set — n, per-feature sums, and every pairwise product
+  // sum — in a single partial-agged aggregate (the L87 moment-grid
+  // idea, flattened columnar since k is small), then derives every
+  // cell from the one-row frame, exploded long-format map-side.
+  // Exactness: features scale to cent BIGINTs (the C28 idiom), every
+  // sum and every num/den polynomial (n·Σxy − ΣxΣy) rides
+  // DECIMAL(38,0) — order-free, bit-equal cross-engine; corr performs
+  // the identical double-cast → sqrt → divide → round-6 sequence in
+  // both engines. Values stay < 1e38 through 100 TB row counts (the
+  // polynomial is ~n²·x̄² ≈ 1e32 at 1e9 rows of 1e7-cent values).
+  private val CorrFeats = Seq("qty", "price", "disc", "tax")
+
+  def corrMatrix(lineitem: DataFrame): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = lineitem.select(
+      (dec(col("l_quantity")) * 100).cast("long").as("qty"),
+      (dec(col("l_extendedprice")) * 100).cast("long").as("price"),
+      (dec(col("l_discount")) * 100).cast("long").as("disc"),
+      (dec(col("l_tax")) * 100).cast("long").as("tax"))
+    val pairs = for {
+      i <- CorrFeats.indices; j <- i until CorrFeats.size
+    } yield (CorrFeats(i), CorrFeats(j))
+    val aggs = CorrFeats.map(f => sum(d38(col(f))).as(s"s_$f")) ++
+      pairs.map { case (a, b) => sum(d38(d38(col(a)) * col(b))).as(s"p_${a}_$b") }
+    val g = base.agg(count(lit(1)).as("n"), aggs: _*)
+    def num(a: String, b: String) =
+      col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+    g.select(col("n"), explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("f1"), lit(b).as("f2"),
+          round(num(a, b).cast("double") /
+            sqrt(num(a, a).cast("double")) / sqrt(num(b, b).cast("double")), 6)
+            .as("corr"))
+      }: _*)).as("c"))
+      .select(col("c.f1").as("f1"), col("c.f2").as("f2"), col("n"), col("c.corr").as("corr"))
+  }
+
+  val corrMatrixSql: String = {
+    val feats = Map("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val pairs = for {
+      i <- CorrFeats.indices; j <- i until CorrFeats.size
+    } yield (CorrFeats(i), CorrFeats(j))
+    // DuckDB's decimal multiply binds at width w1+w2 (> 38 here), so
+    // products ride HUGEINT — exact int128, same integers as Spark's
+    // capped-width DECIMAL(38,0) arithmetic at these magnitudes
+    val sums = (CorrFeats.map(f => s"sum($f::HUGEINT) AS s_$f") ++
+      pairs.map { case (a, b) => s"sum($a::HUGEINT * $b) AS p_${a}_$b" })
+      .mkString(", ")
+    def num(a: String, b: String) =
+      s"(n::HUGEINT * p_${a}_$b - s_$a * s_$b)"
+    val arms = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS f1, '$b' AS f2, n,
+  round(${num(a, b)}::DOUBLE / sqrt(${num(a, a)}::DOUBLE)
+    / sqrt(${num(b, b)}::DOUBLE), 6) AS corr FROM g"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH base AS (
+  SELECT ${feats.map { case (k, v) => s"((($v)::DECIMAL(18,2)) * 100)::BIGINT AS $k" }.mkString(", ")}
+  FROM lineitem),
+g AS (SELECT count(*) AS n, $sums FROM base)
+$arms"""
+  }
+
+  // ---- C62: categorical association — mutual information + chi² ----
+  // The dependence audit between two categorical columns (is activity
+  // type independent of weekday? does source predict language?):
+  // per-cell pointwise MI, the cell's MI contribution, and its chi²
+  // term, from ONE partial-agged (x, y) contingency aggregate — the
+  // corpus never shuffles twice; margins and totals derive from the
+  // alphabet-bounded cell frame (the L67/L84 post-aggregate pattern)
+  // behind broadcast-sized joins. Exactness: every count is an exact
+  // BIGINT; each released value performs the identical
+  // integer-product → double-divide → ln/square → round-6 sequence in
+  // both engines (c·n and rx·cy stay < 2^63 through 1e9-row inputs;
+  // at 100 TB promote the products to DECIMAL(38,0) — same plan).
+  // Weekday = (epoch-day + 4) % 7 in pure integer arithmetic (the C31
+  // rule: no date_trunc conventions cross-engine).
+  def mutualInfo(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        pmod(expr(s"unix_micros(ts) div ${86400L * 1000000L}") + 4, lit(7)).as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("c"))
+    val rx = cells.groupBy(col("event_type")).agg(sum(col("c")).as("rx"))
+    val cy = cells.groupBy(col("dow")).agg(sum(col("c")).as("cy"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    cells.join(broadcast(rx), "event_type").join(broadcast(cy), "dow")
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("dow"), col("c"), col("rx"), col("cy"), col("n"),
+        round(log((col("c") * col("n")).cast("double") /
+          (col("rx") * col("cy")).cast("double")), 6).as("pmi"),
+        round((col("c").cast("double") / col("n")) *
+          log((col("c") * col("n")).cast("double") /
+            (col("rx") * col("cy")).cast("double")), 6).as("mi_term"),
+        round(pow((col("c").cast("double") -
+            (col("rx") * col("cy")).cast("double") / col("n")), 2) /
+          ((col("rx") * col("cy")).cast("double") / col("n")), 6).as("chi2_term"))
+  }
+
+  val mutualInfoSql: String =
+    s"""WITH cells AS (
+  SELECT event_type, (epoch_us(ts) // ${86400L * 1000000L} + 4) % 7 AS dow,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+rx AS (SELECT event_type, sum(c)::BIGINT AS rx FROM cells GROUP BY 1),
+cy AS (SELECT dow, sum(c)::BIGINT AS cy FROM cells GROUP BY 1),
+n AS (SELECT sum(c)::BIGINT AS n FROM cells)
+SELECT cells.event_type, cells.dow, cells.c, rx.rx, cy.cy, n.n,
+  round(ln((cells.c * n.n)::DOUBLE / (rx.rx * cy.cy)::DOUBLE), 6) AS pmi,
+  round((cells.c::DOUBLE / n.n) *
+    ln((cells.c * n.n)::DOUBLE / (rx.rx * cy.cy)::DOUBLE), 6) AS mi_term,
+  round(pow(cells.c::DOUBLE - (rx.rx * cy.cy)::DOUBLE / n.n, 2)
+    / ((rx.rx * cy.cy)::DOUBLE / n.n), 6) AS chi2_term
+FROM cells JOIN rx USING (event_type) JOIN cy USING (dow) CROSS JOIN n"""
 }

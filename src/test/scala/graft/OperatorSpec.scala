@@ -783,6 +783,40 @@ class OperatorSpec extends SparkSpec {
     assert(alive == survivors, "distributed peeling drifts from the sequential replay")
   }
 
+  test("labelPropagation splits bridged cliques, refines CC, survives repartition (C60)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // planted: two 4-cliques joined by one bridge edge (4, 5) — CC
+    // sees ONE component; LPA must resolve TWO communities, each
+    // converging to its clique's min id
+    val cl1 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val cl2 = for { a <- 5L to 8L; b <- (a + 1) to 8L } yield (a, b)
+    val edges = (cl1 ++ cl2 :+ (4L, 5L)).toDF("x", "y")
+    val planted = Dedup.labelPropagationEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(v => assert(planted(v) == 1L, s"clique-1 node $v -> ${planted(v)}"))
+    Seq(5L, 6L, 7L, 8L).foreach(v => assert(planted(v) == 5L, s"clique-2 node $v -> ${planted(v)}"))
+    // corpus: output covers every doc exactly once, n_members reconciles
+    val r = Dedup.labelPropagation(documents)
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(rows.length == documents.count().toInt, "not a partition of the corpus")
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate doc rows")
+    val sz = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach(x => assert(x._3 == sz(x._2), s"n_members drifts for community ${x._2}"))
+    // LPA refines connected components: a community never spans two
+    val comp = Dedup.connectedComponents(
+      Dedup.simhashDedup(documents).select(col("x"), col("y")), documents)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(m => comp(m._1)).distinct.length == 1,
+        s"community $c spans connected components")
+    }
+    // deterministic under physical layout
+    val again = Dedup.labelPropagation(documents.repartition(7))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(again == rows.toSet, "LPA labels depend on partitioning")
+  }
+
   test("docEmbed unit-norms hashed vectors; docSimilarity matches dense cosine exactly (L89)") {
     import graft.operators.TextAnalysis
     import spark.implicits._

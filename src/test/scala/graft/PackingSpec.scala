@@ -177,6 +177,53 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunk realigns after an edit and tiles each doc exactly (L99)") {
+    // deterministic 400-token pseudo-text; docB = docA with ONE token
+    // prepended — the edit that shifts every fixed-stride window
+    val words = (0 until 400).map(i => s"w${i * 7919 % 997}")
+    val docA = (0L, words.mkString(" "))
+    val docB = (1L, ("zzz" +: words).mkString(" "))
+    val two = Seq(docA, docB).toDF("doc_id", "text")
+    val chunks = Packing.cdcChunk(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val a = chunks.filter(_._1 == 0L).sortBy(_._2)
+    val b = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(a.length >= 5, s"expected several chunks, got ${a.length}")
+    // content-defined property: all but the leading chunk(s) of the
+    // edited doc are md5-identical to the original's
+    val shared = a.map(_._5).toSet.intersect(b.map(_._5).toSet)
+    assert(shared.size >= a.length - 2,
+      s"edit broke realignment: ${shared.size} of ${a.length} chunks survive")
+    // fixed-stride contrast: the same edit leaves chunkDocs nothing
+    val fixed = Packing.chunkDocs(two).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val fA = fixed.filter(_._1 == 0L).map(_._2).toSet
+    val fB = fixed.filter(_._1 == 1L).map(_._2).toSet
+    assert(fA.intersect(fB).size <= 1,
+      "fixed-stride chunking unexpectedly survived the edit — contrast broken")
+    // chunks tile the doc: starts chain, token counts reconcile
+    for (cs <- Seq(a, b)) {
+      assert(cs.head._3 == 0L)
+      cs.sliding(2).foreach { case Array(p, n) =>
+        assert(n._3 == p._3 + p._4, s"gap between chunks ${p._2} and ${n._2}")
+      case _ => ()
+      }
+      assert(cs.map(_._4).sum == (if (cs == a) 400L else 401L))
+    }
+    // corpus: tiling + layout invariance
+    val r = Packing.cdcChunk(documents).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    val nToks = documents.select(col("doc_id"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    r.groupBy(_._1).foreach { case (d, cs) =>
+      assert(cs.map(_._4).sum == nToks(d), s"doc $d chunks do not tile")
+    }
+    val again = Packing.cdcChunk(documents.repartition(7)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    assert(again.toSet == r.toSet, "cdc chunks depend on partitioning")
+  }
+
   test("normalizeText cleans unicode controls, case, and whitespace runs") {
     val dirty = Seq(
       (1L, "Hello\t\tWORLD  \r\n  foo"),

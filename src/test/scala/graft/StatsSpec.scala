@@ -295,4 +295,66 @@ class StatsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       "skyline planned a quadratic join")
   }
+
+  test("corrMatrix: planted ±1/0 correlations exact, real corpus matches corr() (C61)") {
+    // qty = i, price = 2i (corr +1), disc = 100 - i (corr -1),
+    // tax over (1,0,0,1) against (1,2,3,4): num = 4·5 - 10·2 = 0 exactly
+    val planted = (1 to 4).map(i =>
+      (i.toDouble, 2.0 * i, 100.0 - i, if (i == 1 || i == 4) 0.01 else 0.0))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = Stats.corrMatrix(planted).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got(("qty", "price")) == 1.0, s"perfect corr: ${got(("qty", "price"))}")
+    assert(got(("qty", "disc")) == -1.0, s"anti corr: ${got(("qty", "disc"))}")
+    assert(got(("qty", "tax")) == 0.0, s"zero corr: ${got(("qty", "tax"))}")
+    Seq("qty", "price", "disc", "tax").foreach(f =>
+      assert(got((f, f)) == 1.0, s"self-corr of $f: ${got((f, f))}"))
+    // real corpus: every cell within rounding of Spark's own corr()
+    // over the identical cent-scaled features
+    val cents = lineitem.select(
+      (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").cast("double").as("qty"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").cast("double").as("price"),
+      (col("l_discount").cast("decimal(18,2)") * 100).cast("long").cast("double").as("disc"),
+      (col("l_tax").cast("decimal(18,2)") * 100).cast("long").cast("double").as("tax"))
+    val real = Stats.corrMatrix(lineitem).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    for { (a, b) <- real.keys if a != b } {
+      val ref = cents.agg(corr(col(a), col(b))).head().getDouble(0)
+      assert(math.abs(real((a, b)) - ref) < 1e-5,
+        s"corr($a, $b) = ${real((a, b))} vs Spark corr $ref")
+    }
+  }
+
+  test("mutualInfo: zero on planted independence, ln 2 on the diagonal (C62)") {
+    import java.sql.Timestamp
+    def tsOnDay(d: Long) = new Timestamp(d * 86400L * 1000L)
+    // dow = (day + 4) % 7: day 3 -> 0, day 4 -> 1
+    def rows(tp: String, day: Long, n: Int) =
+      Seq.fill(n)((tp, tsOnDay(day)))
+    // independent: P(x, y) = P(x)P(y) cell-exactly -> all terms 0
+    val ind = (rows("a", 3, 10) ++ rows("a", 4, 20) ++
+      rows("b", 3, 20) ++ rows("b", 4, 40)).toDF("event_type", "ts")
+    Stats.mutualInfo(ind).collect().foreach { r =>
+      assert(r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0 && r.getDouble(8) == 0.0,
+        s"independence should zero every term: $r")
+    }
+    // perfectly dependent diagonal: each cell's pmi = ln 2
+    val dep = (rows("a", 3, 10) ++ rows("b", 4, 10)).toDF("event_type", "ts")
+    val depRows = Stats.mutualInfo(dep).collect()
+    assert(depRows.length == 2)
+    depRows.foreach { r =>
+      assert(math.abs(r.getDouble(6) - math.log(2.0)) < 1e-6, s"pmi: $r")
+      assert(math.abs(r.getDouble(7) - 0.5 * math.log(2.0)) < 1e-6, s"mi_term: $r")
+    }
+    // real corpus: margins reconcile and total MI is non-negative
+    val real = Stats.mutualInfo(events).collect()
+    val byType = real.groupBy(_.getString(0))
+    byType.foreach { case (tp, cells) =>
+      assert(cells.map(_.getLong(2)).sum == cells.head.getLong(3),
+        s"rx margin drifts for $tp")
+    }
+    val totalMi = real.map(_.getDouble(7)).sum
+    assert(totalMi >= -1e-4 * real.length, s"total MI negative: $totalMi")
+    real.foreach(r => assert(r.getDouble(8) >= 0.0, s"chi2 term negative: $r"))
+  }
 }
