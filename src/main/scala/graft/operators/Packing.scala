@@ -335,7 +335,7 @@ FROM c, unnest(generate_series(1, n_chunks)) AS u(e)"""
         (col("pos") >= 3 && pmod(col("rk"), lit(CdcMask)) === 0), 1L).otherwise(0L))
       .withColumn("chunk_id", sum(col("s")).over(w) - 1)
       .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("n_toks"),
+      .agg(min(col("pos").cast("long")).as("start_pos"), count(lit(1)).as("n_toks"),
         md5(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           e => e.getField("tok")), " ")).as("chunk_md5"))
@@ -355,10 +355,10 @@ k AS (
       + lag(d, 1) OVER w AS rk
   FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
 c AS (
-  SELECT doc_id, pos, tok, sum(s) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS chunk_id
+  SELECT doc_id, pos, tok, (sum(s) OVER (PARTITION BY doc_id ORDER BY pos) - 1)::BIGINT AS chunk_id
   FROM (SELECT doc_id, pos, tok, CASE WHEN pos = 0
       OR (pos >= 3 AND rk % $CdcMask = 0) THEN 1 ELSE 0 END AS s FROM k))
-SELECT doc_id, chunk_id, min(pos) AS start_pos, count(*) AS n_toks,
+SELECT doc_id, chunk_id, min(pos)::BIGINT AS start_pos, count(*) AS n_toks,
        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
 FROM c GROUP BY doc_id, chunk_id"""
   }

@@ -470,11 +470,17 @@ $arms"""
   // both engines (c·n and rx·cy stay < 2^63 through 1e9-row inputs;
   // at 100 TB promote the products to DECIMAL(38,0) — same plan).
   // Weekday = (epoch-day + 4) % 7 in pure integer arithmetic (the C31
-  // rule: no date_trunc conventions cross-engine).
+  // rule: no date_trunc conventions cross-engine). Epoch-day uses
+  // FLOORED division on both engines — Spark's `div` truncates toward
+  // zero while DuckDB's `//` floors, so the naive forms diverge for
+  // pre-1970 timestamps; (us - pmod(us, D)) div D floors exactly, and
+  // the oracle wraps its `%` to the non-negative residue.
   def mutualInfo(events: DataFrame): DataFrame = {
+    val D = 86400L * 1000000L
     val cells = events
       .select(col("event_type"),
-        pmod(expr(s"unix_micros(ts) div ${86400L * 1000000L}") + 4, lit(7)).as("dow"))
+        pmod(expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${D}L)) div ${D}L") + 4,
+          lit(7)).as("dow"))
       .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("c"))
     val rx = cells.groupBy(col("event_type")).agg(sum(col("c")).as("rx"))
     val cy = cells.groupBy(col("dow")).agg(sum(col("c")).as("cy"))
@@ -494,7 +500,7 @@ $arms"""
 
   val mutualInfoSql: String =
     s"""WITH cells AS (
-  SELECT event_type, (epoch_us(ts) // ${86400L * 1000000L} + 4) % 7 AS dow,
+  SELECT event_type, ((epoch_us(ts) // ${86400L * 1000000L} + 4) % 7 + 7) % 7 AS dow,
          count(*) AS c
   FROM events GROUP BY 1, 2),
 rx AS (SELECT event_type, sum(c)::BIGINT AS rx FROM cells GROUP BY 1),
