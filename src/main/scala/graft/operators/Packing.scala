@@ -362,4 +362,50 @@ SELECT doc_id, chunk_id, min(pos)::BIGINT AS start_pos, count(*) AS n_toks,
        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
 FROM c GROUP BY doc_id, chunk_id"""
   }
+
+  // ---- L101 (r8): content-defined chunk-store dedup ----
+  // The reason CDC exists: a chunk STORE keeps one copy of each
+  // distinct chunk, so near-identical document versions (the dominant
+  // redundancy in crawl snapshots and versioned wikis) share all but
+  // O(1) chunks — L25's chunk dedup at storage granularity, made
+  // edit-stable by L99's content-defined boundaries (a fixed-stride
+  // chunker would re-store the entire tail of every edited doc).
+  // Stored copy of a chunk = the (doc_id, chunk_id)-least occurrence,
+  // as ONE min(struct) aggregate per chunk_md5 — partial aggregation
+  // collapses duplicate chunks map-side, no window over the chunk
+  // frame. Per-doc report: chunks/tokens total vs actually stored.
+  // Shuffles: the chunker's (doc_id) exchange, one (chunk_md5)
+  // store aggregate, the owner join back, one (doc_id) rollup —
+  // all keyed, nothing corpus-wide. Oracle replays the store rule as
+  // the equivalent row_number-over-md5 formulation; the spec edits a
+  // doc and proves only its leading chunks enter the store.
+  def cdcDedup(documents: DataFrame): DataFrame = {
+    val chunks = cdcChunk(documents)
+    val store = chunks
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("o"),
+        count(lit(1)).as("n_copies"))
+      .select(col("chunk_md5"), col("o.doc_id").as("o_doc"),
+        col("o.chunk_id").as("o_chunk"), col("n_copies"))
+    chunks.join(store, "chunk_md5")
+      .withColumn("stored",
+        (col("o_doc") === col("doc_id") && col("o_chunk") === col("chunk_id"))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("stored")).as("n_stored"),
+        sum(col("n_toks")).as("toks_total"),
+        sum(col("stored") * col("n_toks")).as("toks_stored"))
+  }
+
+  val cdcDedupSql: String =
+    s"""WITH chunks AS ($cdcChunkSql),
+r AS (SELECT doc_id, chunk_id, n_toks,
+        row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_stored,
+       sum(n_toks)::BIGINT AS toks_total,
+       sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END)::BIGINT AS toks_stored
+FROM r GROUP BY doc_id"""
 }

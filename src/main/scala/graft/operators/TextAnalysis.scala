@@ -1481,13 +1481,20 @@ FROM u"""
   // docSimilarity then scores query docs against the corpus through
   // the SPARSE shape L6 can't use: vectors join on BUCKET (the
   // inverted-index cosine — only co-occurring buckets generate work,
-  // |pairs| ∝ posting-list products, not |Q|×|corpus|×64), per-pair
-  // dot = decimal sum of round(wq·wc, 6) = cosine on unit vectors,
-  // top-k through the bounded TopKAggregator. Query side is the L6
-  // capped-broadcast contract. Output stays LONG-FORMAT (doc_id,
-  // bucket, w) — the r5 q_pq_encode lesson: array columns crash the
-  // driver's rows-only comparator.
-  private val DeB = 64
+  // |pairs| ∝ posting-list products Σ_b |Pq(b)|·|Pc(b)|, not
+  // |Q|×|corpus|×DeB), per-pair dot in exact integer micro-units
+  // (below), top-k through the bounded TopKAggregator. Query side is
+  // the L6 capped-broadcast contract. Output stays LONG-FORMAT
+  // (doc_id, bucket, w) — the r5 q_pq_encode lesson: array columns
+  // crash the driver's rows-only comparator.
+  // DeB: 4096, not 64 (the r7 verdict's dense-bucket item) — with a
+  // 64-bucket space every full-length doc occupies nearly every
+  // bucket, so the bucket join degenerates to a dense |Q|×|corpus|
+  // pairing through 64 hot keys (64 reducers cap parallelism). At
+  // 2^12 buckets a doc occupies only ~|distinct tokens| buckets and
+  // two docs co-join only on genuinely SHARED token buckets — the
+  // posting-volume contract the spec pins.
+  private val DeB = 4096
 
   def docEmbed(documents: DataFrame): DataFrame =
     documents
@@ -1520,25 +1527,41 @@ FROM c JOIN n USING (doc_id)"""
   // sf demo default; a real deployment passes a small external set
   private val DocSimQueryCap = 2000L
 
+  // Exact-integer dot product (the r7 "agg spends its time in decimal
+  // sums" measurement): a round-6 unit weight is exactly carried by
+  // wu = round(w·1e6) as a BIGINT micro-unit, and the per-bucket
+  // contribution round-6(w·wq) becomes (wu·wqu + 500000) div 1e6 —
+  // pure 64-bit integer half-up, no decimal buffers, no float drift
+  // near ties; cos = Σcu / 1e6 is one IEEE division at the end.
+  // Per-pair |cu| ≤ 1e6 and pairs/doc ≤ corpus, so the sum stays
+  // far under 2^53. Both engines replay the identical integers.
+  private def microWeights(emb: DataFrame): DataFrame =
+    emb.select(col("doc_id"), col("bucket"),
+      round(col("w") * 1e6).cast("long").as("wu"))
+
   def docSimilarity(documents: DataFrame,
       querySet: Option[DataFrame] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val emb = docEmbed(documents)
     val qDocs = querySet.getOrElse(documents.where(col("doc_id") % 97 === 0))
       .select(col("doc_id"))
     val nq = qDocs.limit((DocSimQueryCap + 1).toInt).count()
     require(nq <= DocSimQueryCap,
       s"doc-similarity query set exceeds the $DocSimQueryCap-doc cap: pass a small " +
         "external query table (querySet = Some(df)) instead of a corpus-derived slice")
-    val queries = emb.join(broadcast(qDocs), "doc_id")
-      .select(col("doc_id").as("q_id"), col("bucket"), col("w").as("wq"))
+    val emb = microWeights(docEmbed(documents))
+    // per-doc weights depend only on the doc's own tokens, so the
+    // broadcast build embeds the |Q| query docs directly instead of
+    // re-deriving the whole corpus embedding and filtering it
+    val queries = microWeights(docEmbed(documents.join(broadcast(qDocs), "doc_id")))
+      .select(col("doc_id").as("q_id"), col("bucket"), col("wu").as("wqu"))
     val scored = emb
       .join(broadcast(queries), "bucket")
       .where(col("q_id") =!= col("doc_id"))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(round(col("w") * col("wq"), 6).cast("decimal(18,6)"))
-        .cast("double").as("cos"))
+      .agg(sum(expr("(wu * wqu + 500000) div 1000000")).as("cu"))
+      .select(col("q_id"), col("doc_id"),
+        (col("cu").cast("double") / 1e6).as("cos"))
     val agg = new graft.functions.TopKAggregator(DocSimK).toColumn
     scored
       .select(col("q_id"), col("doc_id").as("id"), col("cos").as("score"))
@@ -1554,15 +1577,121 @@ FROM c JOIN n USING (doc_id)"""
 
   lazy val docSimilaritySql: String =
     s"""WITH emb AS ($docEmbedSql),
-q AS (SELECT doc_id AS q_id, bucket, w AS wq FROM emb WHERE doc_id % 97 = 0),
+m AS (SELECT doc_id, bucket, round(w * 1000000)::BIGINT AS wu FROM emb),
+q AS (SELECT doc_id AS q_id, bucket, wu AS wqu FROM m WHERE doc_id % 97 = 0),
 s AS (SELECT q.q_id, e.doc_id,
-    sum(round(e.w * q.wq, 6)::DECIMAL(18,6))::DOUBLE AS cos
-  FROM emb e JOIN q ON e.bucket = q.bucket AND e.doc_id <> q.q_id
+    sum((e.wu * q.wqu + 500000) // 1000000)::BIGINT AS cu
+  FROM m e JOIN q ON e.bucket = q.bucket AND e.doc_id <> q.q_id
   GROUP BY q.q_id, e.doc_id)
-SELECT q_id, doc_id AS cand_id, cos, rk FROM (
-  SELECT q_id, doc_id, cos,
-         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rk
+SELECT q_id, doc_id AS cand_id, cu::DOUBLE / 1000000 AS cos, rk FROM (
+  SELECT q_id, doc_id, cu,
+         row_number() OVER (PARTITION BY q_id ORDER BY cu DESC, doc_id) AS rk
   FROM s)
+WHERE rk <= $DocSimK"""
+
+  // ---- L100 (r8): pruned-index retrieval + exact rerank ----
+  // docSimilarity's bucket join is exact but its posting volume grows
+  // with document LENGTH — every occupied bucket of every corpus doc
+  // joins. The scale recipe every IVF-PQ/ColBERT-style stack uses
+  // (and L49 already proved on vectors) is retrieve-then-rerank:
+  // (1) RETRIEVE over a PRUNED inverted index — only each doc's
+  // top-m strongest postings (m=8, by weight desc then bucket) are
+  // indexed, so index size and join volume are m·|D| REGARDLESS of
+  // doc length — rank top-C candidates per query by the pruned
+  // integer dot; (2) RERANK only those C candidates with the exact
+  // full-vector dot (work ∝ C·|Q| pairs · postings/doc, corpus-size-
+  // independent), emit exact top-k. Both stages ride the same
+  // micro-unit integer arithmetic as docSimilarity, so the oracle
+  // replays candidate generation AND rerank bit-for-bit; the spec
+  // pins recall vs the exhaustive path and exact-cos agreement on
+  // every emitted pair.
+  private val RerankM = 12  // postings kept per doc in the pruned index
+  private val RerankC = 40  // candidates per query surviving to rerank
+
+  def docSimilarityRerank(documents: DataFrame,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qDocs = querySet.getOrElse(documents.where(col("doc_id") % 97 === 0))
+      .select(col("doc_id"))
+    val nq = qDocs.limit((DocSimQueryCap + 1).toInt).count()
+    require(nq <= DocSimQueryCap,
+      s"doc-similarity query set exceeds the $DocSimQueryCap-doc cap: pass a small " +
+        "external query table (querySet = Some(df)) instead of a corpus-derived slice")
+    val emb = microWeights(docEmbed(documents))
+    val queries = microWeights(docEmbed(documents.join(broadcast(qDocs), "doc_id")))
+      .select(col("doc_id").as("q_id"), col("bucket"), col("wu").as("wqu"))
+    val pruned = emb
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("wu").desc, col("bucket"))))
+      .where(col("rn") <= RerankM).drop("rn")
+    val prunedQ = queries
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("wqu").desc, col("bucket"))))
+      .where(col("rn") <= RerankM).drop("rn")
+    val approx = pruned.join(broadcast(prunedQ), "bucket")
+      .where(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(expr("(wu * wqu + 500000) div 1000000")).as("acu"))
+    val candAgg = new graft.functions.TopKAggregator(RerankC).toColumn
+    val cands = approx
+      .select(col("q_id"), col("doc_id").as("id"), col("acu").cast("double").as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(candAgg)
+      .flatMap { case (q, top) => top.iterator.map(e => (q, e.id)) }
+      .toDF("q_id", "cand_id")
+    val exact = broadcast(cands)
+      .join(emb, cands("cand_id") === emb("doc_id"))
+      .join(broadcast(queries), Seq("q_id", "bucket"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(expr("(wu * wqu + 500000) div 1000000")).as("cu"))
+      .select(col("q_id"), col("cand_id"),
+        (col("cu").cast("double") / 1e6).as("cos"))
+    val agg = new graft.functions.TopKAggregator(DocSimK).toColumn
+    exact
+      .select(col("q_id"), col("cand_id").as("id"), col("cos").as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(agg)
+      .flatMap { case (q, top) =>
+        top.iterator.zipWithIndex.map { case (e, i) => (q, e.id, e.score, (i + 1).toLong) }
+      }
+      .toDF("q_id", "cand_id", "cos", "rk")
+  }
+
+  lazy val docSimilarityRerankSql: String =
+    s"""WITH emb AS ($docEmbedSql),
+m AS (SELECT doc_id, bucket, round(w * 1000000)::BIGINT AS wu FROM emb),
+q AS (SELECT doc_id AS q_id, bucket, wu AS wqu FROM m WHERE doc_id % 97 = 0),
+pm AS (SELECT doc_id, bucket, wu FROM (
+  SELECT doc_id, bucket, wu,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wu DESC, bucket) AS rn
+  FROM m) WHERE rn <= $RerankM),
+pq AS (SELECT q_id, bucket, wqu FROM (
+  SELECT q_id, bucket, wqu,
+         row_number() OVER (PARTITION BY q_id ORDER BY wqu DESC, bucket) AS rn
+  FROM q) WHERE rn <= $RerankM),
+a AS (SELECT pq.q_id, pm.doc_id,
+    sum((pm.wu * pq.wqu + 500000) // 1000000)::BIGINT AS acu
+  FROM pm JOIN pq ON pm.bucket = pq.bucket AND pm.doc_id <> pq.q_id
+  GROUP BY pq.q_id, pm.doc_id),
+c AS (SELECT q_id, doc_id AS cand_id FROM (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY acu DESC, doc_id) AS rn
+  FROM a) WHERE rn <= $RerankC),
+x AS (SELECT c.q_id, c.cand_id,
+    sum((m.wu * q.wqu + 500000) // 1000000)::BIGINT AS cu
+  FROM c JOIN m ON m.doc_id = c.cand_id
+         JOIN q ON q.q_id = c.q_id AND q.bucket = m.bucket
+  GROUP BY c.q_id, c.cand_id)
+SELECT q_id, cand_id, cu::DOUBLE / 1000000 AS cos, rk FROM (
+  SELECT q_id, cand_id, cu,
+         row_number() OVER (PARTITION BY q_id ORDER BY cu DESC, cand_id) AS rk
+  FROM x)
 WHERE rk <= $DocSimK"""
 
   // ---- L93 (r7): seeded word-dropout augmentation ----

@@ -224,6 +224,38 @@ class PackingSpec extends SparkSpec {
     assert(again.toSet == r.toSet, "cdc chunks depend on partitioning")
   }
 
+  test("cdcDedup: an edited doc version contributes only its changed chunks to the store (L101)") {
+    // docB = docA with ONE token prepended — under fixed-stride
+    // chunking every window shifts and B re-stores everything; under
+    // CDC only B's leading (realigned) chunks are novel
+    val words = (0 until 400).map(i => s"w${i * 7919 % 997}")
+    val docA = (0L, words.mkString(" "))
+    val docB = (1L, ("zzz" +: words).mkString(" "))
+    val two = Seq(docA, docB).toDF("doc_id", "text")
+    val stats = Packing.cdcDedup(two).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (aChunks, aStored, aTot, aStoredToks) = stats(0L)
+    val (bChunks, bStored, bTot, bStoredToks) = stats(1L)
+    // doc A arrives first: it stores every one of its chunks
+    assert(aStored == aChunks && aStoredToks == aTot, s"doc A not fully stored: ${stats(0L)}")
+    // doc B: only the chunks touched by the edit are novel
+    assert(bChunks >= 5, s"fixture too coarse: $bChunks chunks")
+    assert(bStored <= 2, s"edited doc stored $bStored of $bChunks chunks — edit not contained")
+    assert(bStoredToks < bTot / 2,
+      s"edited doc stored $bStoredToks of $bTot tokens — chunk store not deduplicating")
+    // store accounting: stored chunks across docs = distinct chunk hashes
+    val chunks = Packing.cdcChunk(two).collect().map(_.getString(4))
+    assert(aStored + bStored == chunks.distinct.length,
+      "per-doc stored counts do not reconcile with the distinct-chunk store")
+    // corpus smoke: totals reconcile and every doc appears exactly once
+    val corpus = Packing.cdcDedup(documents).collect()
+    assert(corpus.map(_.getLong(0)).distinct.length == corpus.length)
+    val storedToks = corpus.map(_.getLong(4)).sum
+    val totToks = corpus.map(_.getLong(3)).sum
+    assert(storedToks <= totToks)
+  }
+
   test("normalizeText cleans unicode controls, case, and whitespace runs") {
     val dirty = Seq(
       (1L, "Hello\t\tWORLD  \r\n  foo"),
