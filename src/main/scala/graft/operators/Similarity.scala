@@ -89,39 +89,59 @@ object Similarity {
   private val NearDupTau = 0.45
   private val DefaultMaxOcc = 512
 
-  /** Candidate id pairs from capped-occupancy bucket co-occurrence —
-    * exposed separately so specs can bound the candidate volume. */
-  def embeddingCandidatePairs(embeddings: DataFrame,
+  /** Scored candidate pairs (x, y, cos) from capped-occupancy bucket
+    * co-occurrence. Vectors ride THROUGH the bucket self-join and each
+    * pair is scored in-bucket; a (x, y) max-aggregate dedupes
+    * multi-table hits (cos is deterministic per pair, so max == the
+    * value). This shape replaced the r7 one (distinct id pairs, then
+    * two joins back onto the vector table) after stage-level profiling
+    * of the r8 q_knn_graph regression: at local scale AQE saw the
+    * few-MB pair frame, broadcast it, and serialized the whole
+    * candidate generation into single-task broadcast builds plus a
+    * per-task broadcast deserialize — bytes are a terrible proxy for
+    * dot-product CPU. The bucket join is hinted SHUFFLE_HASH: the
+    * per-key build side is occupancy-capped (≤ maxOcc rows), the key
+    * space is T·2^P, and neither side is ever driver-collected — the
+    * same plan that is mandatory at 100 TB, now also taken at sf0.01. */
+  def scoredCandidatePairs(embeddings: DataFrame,
       tables: Int = DefaultTables, planes: Int = DefaultPlanes,
       maxOcc: Int = DefaultMaxOcc): DataFrame = {
     val hp = hyperplanes(tables, planes)
     val base = withNorm(embeddings, "vec_id", "v", "nv")
-    // combined bucket key t*2^P+b (b < 2^P)
-    val ids = base.select(col("vec_id"),
+    // combined bucket key t*2^P+b (b < 2^P), vector carried along
+    val ids = base.select(col("vec_id"), col("v"), col("nv"),
       explode(array((0 until tables).map(t =>
         bucket(hp, t, "v") + lit(t.toLong * (1L << planes))): _*)).as("bk"))
-    // drop over-occupied buckets BEFORE the self-join: count + semi-join
-    // on the same key the join shuffles on — no sort, no window
-    val keep = ids.join(
-      ids.groupBy(col("bk")).agg(count(lit(1)).as("occ"))
-        .where(col("occ") <= maxOcc).select(col("bk")),
-      "bk")
-    keep.as("l")
-      .join(keep.as("r"), col("l.bk") === col("r.bk") && col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("x"), col("r.vec_id").as("y")).distinct()
+    // drop over-occupied buckets BEFORE the self-join; the occupancy
+    // frame is ≤ T·2^P rows — broadcast by construction at any scale
+    val occ = ids.groupBy(col("bk")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") <= maxOcc).select(col("bk"))
+    val keep = ids.join(broadcast(occ), "bk")
+    val l = keep.select(col("bk"), col("vec_id").as("x"),
+      col("v").as("va"), col("nv").as("na"))
+    val r = keep.select(col("bk"), col("vec_id").as("y"),
+      col("v").as("vb"), col("nv").as("nb"))
+    l.hint("SHUFFLE_HASH")
+      .join(r.hint("SHUFFLE_HASH"), Seq("bk"))
+      .where(col("x") < col("y"))
+      .select(col("x"), col("y"),
+        round(gdot("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
+      .groupBy(col("x"), col("y")).agg(max(col("cos")).as("cos"))
   }
+
+  /** Candidate id pairs — exposed separately so specs can bound the
+    * candidate volume. */
+  def embeddingCandidatePairs(embeddings: DataFrame,
+      tables: Int = DefaultTables, planes: Int = DefaultPlanes,
+      maxOcc: Int = DefaultMaxOcc): DataFrame =
+    scoredCandidatePairs(embeddings, tables, planes, maxOcc)
+      .select(col("x"), col("y"))
 
   def embeddingNearDup(embeddings: DataFrame,
       tables: Int = DefaultTables, planes: Int = DefaultPlanes,
-      tau: Double = NearDupTau, maxOcc: Int = DefaultMaxOcc): DataFrame = {
-    val base = withNorm(embeddings, "vec_id", "v", "nv")
-    embeddingCandidatePairs(embeddings, tables, planes, maxOcc)
-      .join(base.select(col("vec_id").as("x"), col("v").as("va"), col("nv").as("na")), "x")
-      .join(base.select(col("vec_id").as("y"), col("v").as("vb"), col("nv").as("nb")), "y")
-      .select(col("x"), col("y"),
-        round(gdot("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
+      tau: Double = NearDupTau, maxOcc: Int = DefaultMaxOcc): DataFrame =
+    scoredCandidatePairs(embeddings, tables, planes, maxOcc)
       .where(col("cos") >= tau)
-  }
 
   /** DuckDB bucket-key list for one vector column `e` (mirrors
     * [[bucket]]: key = t*2^P + sum over planes of 2^p where proj > 0). */
@@ -716,12 +736,7 @@ FROM b WHERE r = 1"""
       k: Int = KnnK): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val base = withNorm(embeddings, "vec_id", "v", "nv")
-    val scored = embeddingCandidatePairs(embeddings, tables, planes, maxOcc)
-      .join(base.select(col("vec_id").as("x"), col("v").as("va"), col("nv").as("na")), "x")
-      .join(base.select(col("vec_id").as("y"), col("v").as("vb"), col("nv").as("nb")), "y")
-      .select(col("x"), col("y"),
-        round(gdot("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
+    val scored = scoredCandidatePairs(embeddings, tables, planes, maxOcc)
     val sym = scored.unionAll(
       scored.select(col("y").as("x"), col("x").as("y"), col("cos")))
     val agg = new graft.functions.TopKAggregator(k).toColumn
