@@ -920,4 +920,59 @@ UNION ALL SELECT 'lang_share:' || lang,
 UNION ALL SELECT 'source_share:' || source,
   round(count(*)::DOUBLE / (sum(count(*)) OVER ()), 6) FROM base GROUP BY source"""
   }
+
+  // ---- L102 (r8): leakage-safe standardization — train-only fit ----
+  // The fit/transform separation every feature pipeline must get
+  // right and very many get wrong: normalization statistics computed
+  // over the WHOLE corpus leak test-set information into training
+  // features (the canonical preprocessing leak). Discipline here:
+  // (1) the split is USER-level (md5 parity of user_id, 80/20) so all
+  // of an entity's rows land on one side — the same grouping-leakage
+  // argument as L73's cluster-aware splits, one level down;
+  // (2) per-event-type mean/stddev are fitted on TRAIN rows ONLY
+  // (one filtered aggregate over the alphabet-bounded type frame,
+  // broadcast back — a pure map over the corpus afterwards);
+  // (3) the report emits per (event_type, split) moments of the
+  // standardized value: train shows mean 0 / sd 1 BY CONSTRUCTION,
+  // test deviates — the output itself is the no-leakage witness (a
+  // whole-corpus fit would show 0/1 on both sides). Scale: one
+  // train-side aggregate + one broadcast join + one (type, split)
+  // aggregate; nothing corpus-wide sorts or windows.
+  private val SplitMod = 5 // md5 % 5: 0-3 train (80%), 4 test (20%)
+
+  def leakageSafeScale(events: DataFrame): DataFrame = {
+    val tagged = events.select(col("event_type"), col("value"),
+      when(pmod(md5Long(lit("spl"), col("user_id")), lit(SplitMod)) < SplitMod - 1,
+        lit("train")).otherwise(lit("test")).as("split"))
+    val fit = tagged.where(col("split") === "train")
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    tagged.join(broadcast(fit), "event_type")
+      .select(col("event_type"), col("split"),
+        ((col("value") - col("mu")) / col("sd")).as("z"))
+      .groupBy(col("event_type"), col("split"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("z")), 4).as("z_mean"),
+        round(stddev_samp(col("z")), 4).as("z_sd"),
+        round(min(col("z")), 6).as("z_min"),
+        round(max(col("z")), 6).as("z_max"))
+  }
+
+  val leakageSafeScaleSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'spl'", "user_id")
+    s"""WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN $h % $SplitMod < ${SplitMod - 1} THEN 'train' ELSE 'test' END AS split
+  FROM events),
+fit AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM tagged WHERE split = 'train' GROUP BY event_type),
+z AS (
+  SELECT t.event_type, t.split, (t.value - f.mu) / f.sd AS z
+  FROM tagged t JOIN fit f USING (event_type))
+SELECT event_type, split, count(*)::BIGINT AS n,
+       round(avg(z), 4) AS z_mean, round(stddev_samp(z), 4) AS z_sd,
+       round(min(z), 6) AS z_min, round(max(z), 6) AS z_max
+FROM z GROUP BY event_type, split"""
+  }
 }

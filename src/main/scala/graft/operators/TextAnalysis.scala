@@ -1806,4 +1806,63 @@ SELECT doc_id,
   (length(pert) - length(regexp_replace(pert, '\t', '', 'g')))::BIGINT AS n_tabs,
   md5(""" + norm + ") AS norm_md5,\n  (" + norm + " = text)::BIGINT AS restored\nFROM p"
   }
+
+  // ---- L103 (r8): blocklist phrase tagging ----
+  // The dictionary-tagging pass every safety/compliance pipeline runs
+  // (blocklists, brand terms, jailbreak markers): find every document
+  // containing any of K multi-word phrases as an exact TOKEN SEQUENCE.
+  // The naive regex alternation (one giant `(p1|p2|…)` pattern) is the
+  // wrong tool at K in the thousands — pattern compilation blows up
+  // and every byte of the corpus is scanned K-ways. The scale shape is
+  // a dictionary JOIN (the FlashText/Aho-Corasick insight expressed
+  // relationally): explode token positions once, hash-join the
+  // ANCHOR (first token) against the broadcast phrase table, and
+  // verify the remaining tokens with one array-slice comparison
+  // against the doc's own token array — work ∝ corpus tokens +
+  // anchor hits, independent of K. Matching is case-folded,
+  // whitespace-tokenized, overlap-counting (each start position
+  // counts once). Output: one row per (doc, phrase) with the hit
+  // count. The phrase table is declared model state (a blocklist is
+  // configuration, like the L13 stopword list).
+  private[graft] val Blocklist: Seq[String] = Seq(
+    "big data", "table scan", "window group", "spark stream",
+    "slow scan", "big data scan")
+
+  def blocklistTag(documents: DataFrame,
+      phrases: Seq[String] = Blocklist): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
+      "blocklist must be non-empty phrases")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val phraseDf = phrases.map { p =>
+        val ts = p.toLowerCase.split("\\s+").toSeq
+        (p, ts.head, ts.drop(1), ts.length)
+      }.toDF("phrase", "anchor", "tail", "plen")
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(broadcast(phraseDf), col("tok") === col("anchor"))
+      // slice is 1-based: tokens AFTER the anchor start at pos+2
+      .where(slice(col("toks"), col("pos") + 2, col("plen") - 1) === col("tail"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  lazy val blocklistTagSql: String = {
+    val values = Blocklist.map { p =>
+      val ts = p.toLowerCase.split("\\s+")
+      val tail = ts.drop(1).map(t => s"'$t'").mkString("[", ", ", "]")
+      s"('$p', '${ts.head}', $tail, ${ts.length})"
+    }.mkString(",\n    ")
+    s"""WITH ph(phrase, anchor, tail, plen) AS (VALUES
+    $values),
+t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+pos AS (SELECT doc_id, toks, g.i - 1 AS pos, toks[g.i] AS tok
+  FROM t, unnest(generate_series(1, len(toks))) AS g(i))
+SELECT doc_id, phrase, count(*)::BIGINT AS n_hits
+FROM pos JOIN ph ON pos.tok = ph.anchor
+WHERE toks[pos + 2 : pos + plen] = ph.tail
+GROUP BY doc_id, phrase"""
+  }
 }

@@ -901,6 +901,91 @@ class OperatorSpec extends SparkSpec {
       s"bucket volume $bucketVolume not below the old dense floor $dense")
   }
 
+  test("frequentPairs: support threshold, lift arithmetic, basket cap all bite (C63)") {
+    import graft.operators.Stats
+    import spark.implicits._
+    // baskets: {1,2} together 3x, {1,3} once, plus one oversized basket
+    // (> MaxBasket items) containing {1,2} that must NOT count
+    val rows =
+      Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L), (103L, 1L), (103L, 2L),
+        (104L, 1L), (104L, 3L), (105L, 4L), (105L, 4L)) ++ // dup line collapses
+        (0 until 70).map(i => (999L, 1000L + i)) :+ (999L, 1L) :+ (999L, 2L)
+    val li = rows.toDF("l_orderkey", "l_partkey")
+      .withColumn("l_quantity", lit(1.0))
+    val got = Stats.frequentPairs(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // only (1,2) reaches minsup=2; the oversized basket contributed nothing
+    assert(got.keySet == Set((1L, 2L)), s"got ${got.keySet}")
+    val (support, lift) = got((1L, 2L))
+    assert(support == 3L)
+    // 5 surviving baskets; s(1)=4, s(2)=3 -> lift = 3*5/12
+    assert(lift == math.rint(3.0 * 5 / 12 * 1e6) / 1e6, s"lift $lift")
+    // corpus smoke: every pair ordered, support >= minsup, lift positive
+    val corpus = Stats.frequentPairs(Tables.load(spark, sf, "lineitem")).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 2L)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("leakageSafeScale: train standardizes to 0/1, test deviates, split is user-level (L102)") {
+    import graft.operators.Curation
+    val events = Tables.load(spark, sf, "events")
+    val got = Curation.leakageSafeScale(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val types = got.keys.map(_._1).toSet
+    types.foreach { t =>
+      val (ntr, zm, zsd) = got((t, "train"))
+      assert(ntr > 0)
+      // fitted on train => train moments are 0/1 BY CONSTRUCTION
+      assert(zm == 0.0, s"$t train z_mean $zm")
+      assert(zsd == 1.0, s"$t train z_sd $zsd")
+    }
+    // the no-leakage witness: at least one type's test moments deviate
+    // (a whole-corpus fit would force 0/1 on both sides)
+    assert(types.exists { t =>
+      got.get((t, "test")).exists { case (_, zm, zsd) => zm != 0.0 || zsd != 1.0 }
+    }, "test split shows the train moments — the fit leaked")
+    // user-level split: every user's events land on exactly one side
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val perUser = events.select(col("user_id"),
+      when(pmod(graft.functions.Portable.md5Long(lit("spl"), col("user_id")), lit(5)) < 4,
+        lit("train")).otherwise(lit("test")).as("split"))
+      .groupBy("user_id").agg(countDistinct("split").as("k"))
+      .where(col("k") > 1).count()
+    assert(perUser == 0L)
+  }
+
+  test("blocklistTag matches exact token sequences: case fold, counts, boundaries (L103)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "we love Big  DATA and big data scan pipelines"), // 2x "big data", 1x "big data scan"
+      (2L, "bigdata is one word and big-data is hyphenated"), // substrings must NOT match
+      (3L, "the table scan"), // phrase at end of doc
+      (4L, "scan table"), // reversed order must not match
+      (5L, "big")) // anchor at end, no tail
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistTag(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, "big data") -> 2L,
+      (1L, "big data scan") -> 1L,
+      (3L, "table scan") -> 1L), s"got $got")
+    // corpus smoke: hits exist and every count is positive
+    val corpus = TextAnalysis.blocklistTag(documents).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(r.getLong(2) >= 1L))
+    // the plan is join-after-explode against a broadcast dictionary —
+    // no regex alternation, no cartesian
+    val plan = TextAnalysis.blocklistTag(documents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("Cartesian"), plan.take(400))
+  }
+
   test("docSimilarityRerank reranks with the true cos and recalls the exhaustive top-k (L100)") {
     import graft.operators.TextAnalysis
     def mu(x: Double): Long =
@@ -2348,7 +2433,8 @@ class OperatorSpec extends SparkSpec {
       "q_temp_mixture" -> "crossJoin(broadcast(single-row tot/tw totals)) — the q_source_mixture pattern",
       "q_embed_drift" -> "group-pair enumeration over the POST-AGGREGATE label frame (label-alphabet-bounded) — the q_kmv_overlap pattern",
       "q_join_size_est" -> "crossJoin(broadcast(single-row CMS estimate x single-row exact count)) — the tfidf/lm_score pattern",
-      "q_mutual_info" -> "crossJoin(broadcast(single-row grand total)) — the tfidf/lm_score pattern")
+      "q_mutual_info" -> "crossJoin(broadcast(single-row grand total)) — the tfidf/lm_score pattern",
+      "q_freq_pairs" -> "crossJoin(broadcast(single-row basket total)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
