@@ -1815,4 +1815,68 @@ spans AS (
 SELECT key, span::BIGINT AS span, min(s) AS from_us, max(e) AS to_us,
        max(e) - min(s) AS dur_us, count(*) AS n_merged
 FROM spans GROUP BY key, span"""
+
+  // ---- C64 (r8): CEP pattern instance extraction ----
+  // The complex-event-processing shape (Flink CEP / SQL
+  // MATCH_RECOGNIZE): not "how many users reach each funnel stage"
+  // (C30 answers that) but the INSTANCES — for every purchase, the
+  // triggering view → click → purchase chain with its timestamps,
+  // subject to a time bound (24 h here — the corpus is ~2 events per
+  // user-day; a clickstream would use minutes). Match rule
+  // (deterministic, oracle-exact):
+  // the chain behind a purchase is the LATEST click strictly before it
+  // and that click's latest strictly-preceding view, with the whole
+  // span inside `CepWindowMin` minutes — the last-touch convention
+  // (C46) lifted from one edge to a typed 3-event path.
+  // Plan: ONE (user) exchange and a single ordered pass carrying two
+  // running aggregates — a conditional running max for "latest view so
+  // far", then a running max over a (click_us, view_at_click) STRUCT
+  // whose lexicographic order IS argmax-by-click-time (the C6/C51
+  // struct-argmax idiom; null view coalesces to -1 so struct compare
+  // never sees nulls). No self-joins, no per-user collect; DuckDB
+  // replays the identical windows (struct max verified supported).
+  private val CepWindowMin = 1440L
+
+  def cepPattern(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUs = CepWindowMin * 60L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("click_chain",
+        max(when(col("event_type") === "click",
+          struct(col("us").as("cus"),
+            coalesce(col("last_view"), lit(-1L)).as("vus")))).over(w))
+      .where(col("event_type") === "purchase" &&
+        col("click_chain").isNotNull &&
+        col("click_chain.vus") >= 0 &&
+        col("us") - col("click_chain.vus") <= wUs)
+      .select(col("user_id"), col("click_chain.vus").as("view_us"),
+        col("click_chain.cus").as("click_us"), col("us").as("purchase_us"),
+        (col("us") - col("click_chain.vus")).as("span_us"))
+  }
+
+  val cepPatternSql: String =
+    s"""WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (
+  SELECT user_id, event_id, event_type, us,
+    max(CASE WHEN event_type = 'view' THEN us END) OVER w AS last_view
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+c AS (
+  SELECT user_id, event_type, us,
+    max(CASE WHEN event_type = 'click'
+        THEN {'cus': us, 'vus': coalesce(last_view, -1)} END) OVER w AS chain
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, chain.vus AS view_us, chain.cus AS click_us,
+       us AS purchase_us, us - chain.vus AS span_us
+FROM c
+WHERE event_type = 'purchase' AND chain IS NOT NULL
+  AND chain.vus >= 0 AND us - chain.vus <= ${CepWindowMin * 60L * 1000000L}"""
 }

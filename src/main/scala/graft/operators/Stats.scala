@@ -576,4 +576,102 @@ FROM pairs
 JOIN supp s1 ON s1.item = pairs.p1
 JOIN supp s2 ON s2.item = pairs.p2
 CROSS JOIN nb"""
+
+  // ---- C65 (r8): PSI drift report — binned share drift vs reference ----
+  // The production-ML drift metric (population stability index): has a
+  // feature's DISTRIBUTION moved between a reference window and the
+  // current one? L84 answers this for embeddings and C34 for exact row
+  // sets; PSI is the tabular-feature standard — decile bins are FITTED
+  // ON THE REFERENCE window (the L102 fit/transform discipline: the
+  // current window must not influence its own yardstick), both
+  // windows' bin shares are Laplace-smoothed ((c+1)/(n+B), so an
+  // empty current bin contributes a finite term instead of ln 0), and
+  // psi_term = (p_cur - p_ref)·ln(p_cur/p_ref) per bin; Σ over bins
+  // is the headline number (>0.25 = action). Windows split the corpus
+  // at its temporal midpoint (min/max micros — one single-row
+  // broadcast, the declared crossJoin). Scale: one reference decile
+  // aggregate per type (exact percentile; swap the C25 GK sketch at
+  // 100× per the C13 precedent), one map-side binning pass (a
+  // 10-element array filter per row), one (type, win, bin) count —
+  // the corpus never joins itself. Exact: counts are BIGINTs, every
+  // released double runs the identical share → ln → round-6 sequence
+  // on both engines.
+  private val PsiBins = 10
+
+  def psiDrift(events: DataFrame): DataFrame = {
+    val mid = events.agg(expr(
+      "min(unix_micros(ts)) + (max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+      .as("mid"))
+    val qs = (1 until PsiBins).map(i => i.toDouble / PsiBins)
+    val tagged = events
+      .crossJoin(broadcast(mid))
+      .select(col("event_type"), col("value"),
+        when(expr("unix_micros(ts)") < col("mid"), lit("ref"))
+          .otherwise(lit("cur")).as("win"))
+    val edges = tagged.where(col("win") === "ref")
+      .groupBy(col("event_type"))
+      .agg(expr(s"percentile(value, array(${qs.mkString("D, ")}D))").as("edges"))
+    val counts = tagged
+      .join(broadcast(edges), "event_type")
+      .withColumn("bin", size(filter(col("edges"), e => col("value") > e)).cast("long"))
+      .groupBy(col("event_type"), col("win"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val grid = edges
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(PsiBins - 1L))).as("bin"))
+    val cells = grid
+      .join(counts.where(col("win") === "ref")
+        .select(col("event_type"), col("bin"), col("c").as("c_ref")),
+        Seq("event_type", "bin"), "left")
+      .join(counts.where(col("win") === "cur")
+        .select(col("event_type"), col("bin"), col("c").as("c_cur")),
+        Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+    val totals = tagged.groupBy(col("event_type"))
+      .agg(sum(when(col("win") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("bin"), col("c_ref"), col("c_cur"),
+        round(
+          ((col("c_cur") + 1).cast("double") / (col("n_cur") + PsiBins) -
+            (col("c_ref") + 1).cast("double") / (col("n_ref") + PsiBins)) *
+            log(((col("c_cur") + 1).cast("double") / (col("n_cur") + PsiBins)) /
+              ((col("c_ref") + 1).cast("double") / (col("n_ref") + PsiBins))),
+          6).as("psi_term"))
+  }
+
+  val psiDriftSql: String = {
+    val qs = (1 until PsiBins).map(i => i.toDouble / PsiBins).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+mid AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM e),
+tagged AS (SELECT event_type, value,
+    CASE WHEN us < mid.mid THEN 'ref' ELSE 'cur' END AS win
+  FROM e CROSS JOIN mid),
+edges AS (SELECT event_type, quantile_cont(value, $qs) AS edges
+  FROM tagged WHERE win = 'ref' GROUP BY event_type),
+binned AS (SELECT t.event_type, t.win,
+    len(list_filter(e.edges, x -> t.value > x))::BIGINT AS bin
+  FROM tagged t JOIN edges e USING (event_type)),
+counts AS (SELECT event_type, win, bin, count(*)::BIGINT AS c
+  FROM binned GROUP BY event_type, win, bin),
+grid AS (SELECT event_type, g.b AS bin
+  FROM edges, unnest(generate_series(0, ${PsiBins - 1})) AS g(b)),
+cells AS (SELECT grid.event_type, grid.bin,
+    coalesce(r.c, 0) AS c_ref, coalesce(cu.c, 0) AS c_cur
+  FROM grid
+  LEFT JOIN (SELECT event_type, bin, c FROM counts WHERE win = 'ref') r
+    ON r.event_type = grid.event_type AND r.bin = grid.bin
+  LEFT JOIN (SELECT event_type, bin, c FROM counts WHERE win = 'cur') cu
+    ON cu.event_type = grid.event_type AND cu.bin = grid.bin),
+totals AS (SELECT event_type,
+    sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+    sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END)::BIGINT AS n_cur
+  FROM tagged GROUP BY event_type)
+SELECT c.event_type, c.bin, c.c_ref, c.c_cur,
+  round(((c.c_cur + 1)::DOUBLE / (t.n_cur + $PsiBins) -
+         (c.c_ref + 1)::DOUBLE / (t.n_ref + $PsiBins)) *
+        ln(((c.c_cur + 1)::DOUBLE / (t.n_cur + $PsiBins)) /
+           ((c.c_ref + 1)::DOUBLE / (t.n_ref + $PsiBins))), 6) AS psi_term
+FROM cells c JOIN totals t USING (event_type)"""
+  }
 }

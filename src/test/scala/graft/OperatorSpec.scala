@@ -901,6 +901,72 @@ class OperatorSpec extends SparkSpec {
       s"bucket volume $bucketVolume not below the old dense floor $dense")
   }
 
+  test("cepPattern extracts the last-touch chain behind each purchase, time-bounded (C64)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // user 1: view(1h) click(2h) view(3h) purchase(4h) purchase(5h)
+    //   -> both purchases chain through click@2h whose view is @1h (not @3h)
+    // user 2: purchase with no prior click -> no instance
+    // user 3: complete chain but 30h wide -> outside the 24h window
+    val rows = Seq(
+      (1L, 1L, "view", ts(1 * h)), (1L, 2L, "click", ts(2 * h)),
+      (1L, 3L, "view", ts(3 * h)), (1L, 4L, "purchase", ts(4 * h)),
+      (1L, 5L, "purchase", ts(5 * h)),
+      (2L, 6L, "view", ts(1 * h)), (2L, 7L, "purchase", ts(2 * h)),
+      (3L, 8L, "view", ts(1 * h)), (3L, 9L, "click", ts(20 * h)),
+      (3L, 10L, "purchase", ts(31 * h)))
+    val ev = rows.toDF("user_id", "event_id", "event_type", "ts")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), lit(0.0).as("value"), lit("").as("props"))
+    val got = Relational.cepPattern(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 1 * h, 2 * h, 4 * h),
+      (1L, 1 * h, 2 * h, 5 * h)), s"got $got")
+    // corpus: every instance is ordered and inside the window
+    val corpus = Relational.cepPattern(Tables.load(spark, sf, "events")).collect()
+    corpus.foreach { r =>
+      val (v, c, p, s) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(v < c && c < p, s"instance out of order: $r")
+      assert(s == p - v && s <= 24L * 3600 * 1000000, s"span violates window: $r")
+    }
+  }
+
+  test("psiDrift: reference-fitted bins, shifted feature lights up, stable one stays dark (C65)") {
+    import graft.operators.Stats
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // ref window (hour 0-9) and cur window (hour 90-99); midpoint ~ h*49.5
+    // "stable": identical value sets in both windows -> psi ~ 0
+    // "shift": cur values displaced entirely above the ref deciles
+    val rows =
+      (0 until 100).map(i => (1000L + i, ts(i % 10 * h), 1L, "stable", (i % 50).toDouble)) ++
+      (0 until 100).map(i => (2000L + i, ts((90 + i % 10) * h), 2L, "stable", (i % 50).toDouble)) ++
+      (0 until 100).map(i => (3000L + i, ts(i % 10 * h), 3L, "shift", (i % 50).toDouble)) ++
+      (0 until 100).map(i => (4000L + i, ts((90 + i % 10) * h), 4L, "shift", 1000.0 + i))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("").as("props"))
+    val got = Stats.psiDrift(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // complete 10-bin grid per type, counts reconcile per window
+    Seq("stable", "shift").foreach { t =>
+      assert((0L until 10L).forall(b => got.contains((t, b))), s"$t grid incomplete")
+      assert((0L until 10L).map(b => got((t, b))._1).sum == 100L)
+      assert((0L until 10L).map(b => got((t, b))._2).sum == 100L)
+    }
+    val psi = Seq("stable", "shift").map(t =>
+      t -> (0L until 10L).map(b => got((t, b))._3).sum).toMap
+    assert(psi("stable") < 0.05, s"stable drifted: ${psi("stable")}")
+    assert(psi("shift") > 1.0, s"shift not detected: ${psi("shift")}")
+    // the displaced mass sits entirely in the top bin
+    assert(got(("shift", 9L))._2 == 100L)
+  }
+
   test("frequentPairs: support threshold, lift arithmetic, basket cap all bite (C63)") {
     import graft.operators.Stats
     import spark.implicits._
@@ -2434,7 +2500,8 @@ class OperatorSpec extends SparkSpec {
       "q_embed_drift" -> "group-pair enumeration over the POST-AGGREGATE label frame (label-alphabet-bounded) — the q_kmv_overlap pattern",
       "q_join_size_est" -> "crossJoin(broadcast(single-row CMS estimate x single-row exact count)) — the tfidf/lm_score pattern",
       "q_mutual_info" -> "crossJoin(broadcast(single-row grand total)) — the tfidf/lm_score pattern",
-      "q_freq_pairs" -> "crossJoin(broadcast(single-row basket total)) — the tfidf/lm_score pattern")
+      "q_freq_pairs" -> "crossJoin(broadcast(single-row basket total)) — the tfidf/lm_score pattern",
+      "q_psi_drift" -> "crossJoin(broadcast(single-row temporal midpoint)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
