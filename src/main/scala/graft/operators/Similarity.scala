@@ -771,6 +771,33 @@ SELECT vec_id, nbr_id, cos, rk FROM (
 WHERE rk <= $KnnK"""
   }
 
+  // ---- L104 (r8): mutual-kNN pairs — reciprocal best match ----
+  // The high-precision edge filter on top of L28's kNN graph: a pair
+  // survives iff each vector is the OTHER's single nearest neighbor.
+  // One-directional top-1 is noisy (hubs attract many best-match
+  // arrows they do not return); reciprocity is the standard
+  // strictness step in alignment and near-dup mining (the margin
+  // criterion's cheaper cousin — L80 rationalizes the same asymmetry
+  // with ratios, this one simply demands agreement). Pure composition:
+  // rank-1 edges from the bounded TopK aggregate, one self-join keyed
+  // on the (x, y) pair — every scale property (capped candidates,
+  // no corpus-wide sort) is inherited from L28.
+  def mutualKnn(embeddings: DataFrame): DataFrame = {
+    val e = knnGraph(embeddings).where(col("rk") === 1)
+      .select(col("vec_id").as("x"), col("nbr_id").as("y"), col("cos"))
+    e.where(col("x") < col("y"))
+      .join(e.select(col("y").as("x"), col("x").as("y")),
+        Seq("x", "y"))
+      .select(col("x"), col("y"), col("cos"))
+  }
+
+  val mutualKnnSql: String =
+    s"""WITH knn AS ($knnGraphSql),
+e AS (SELECT vec_id AS x, nbr_id AS y, cos FROM knn WHERE rk = 1)
+SELECT a.x, a.y, a.cos
+FROM e a JOIN e b ON a.x = b.y AND a.y = b.x
+WHERE a.x < a.y"""
+
   // ---- L32: SemDeDup (semantic dedup over the embedding graph) ----
   // The semantic-dedup pass modern curation runs AFTER exact/fuzzy
   // text dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):

@@ -934,6 +934,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("mutualKnn keeps exactly the reciprocal rank-1 pairs (L104)") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val top1 = Similarity.knnGraph(emb).collect()
+      .filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = Similarity.mutualKnn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "corpus yields no reciprocal pairs — fixture too weak")
+    got.foreach { case (x, y, c) =>
+      assert(x < y)
+      assert(top1(x) == ((y, c)), s"$x's best is ${top1(x)}, not ($y,$c)")
+      assert(top1(y)._1 == x, s"$y's best is ${top1(y)._1}, not $x — not reciprocal")
+    }
+    // completeness: every reciprocal rank-1 pair is emitted
+    val expect = top1.toSeq.collect {
+      case (x, (y, c)) if x < y && top1.get(y).exists(_._1 == x) => (x, y, c)
+    }.toSet
+    assert(got.toSet == expect)
+  }
+
   test("psiDrift: reference-fitted bins, shifted feature lights up, stable one stays dark (C65)") {
     import graft.operators.Stats
     import spark.implicits._

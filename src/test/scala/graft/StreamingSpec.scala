@@ -891,4 +891,39 @@ class StreamingSpec extends SparkSpec {
       e.take(e.lastIndexOf(':')))).toSet
     assert(Set("hot_a", "hot_b", "hot_c").subsetOf(all))
   }
+  test("streaming CEP emits the batch matches even when chains span micro-batches (R16)") {
+    import graft.streaming.CepStream
+    import graft.streaming.CepStream.CepEvent
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000L
+    // chains split across batches ON PURPOSE:
+    //   user 1: view(b1) click(b2) purchase(b3)       -> match via carried state
+    //   user 2: click(b1) purchase(b2), no view       -> no match
+    //   user 3: view click in b1, purchase 30h later  -> window exclusion
+    //   user 1: second purchase in b3                 -> same chain again
+    val b1 = Seq(CepEvent(1, 1, "view", 1 * h), CepEvent(2, 2, "click", 1 * h),
+      CepEvent(3, 3, "view", 1 * h), CepEvent(3, 4, "click", 2 * h))
+    val b2 = Seq(CepEvent(1, 5, "click", 2 * h), CepEvent(2, 6, "purchase", 2 * h))
+    val b3 = Seq(CepEvent(1, 7, "purchase", 4 * h), CepEvent(1, 8, "purchase", 5 * h),
+      CepEvent(3, 9, "purchase", 32 * h))
+    val stream = MemoryStream[CepEvent]
+    val q = CepStream.cepStream(stream.toDS())
+      .writeStream.format("memory").queryName("cep").outputMode("append").start()
+    Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("cep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 1 * h, 2 * h, 4 * h), (1L, 1 * h, 2 * h, 5 * h)), s"got $got")
+
+    // full parity with the batch operator on the same event log
+    val all = (b1 ++ b2 ++ b3)
+    val asDf = all.toDF()
+      .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+        col("eventType").as("event_type"),
+        (col("us") / 1000000L).cast("timestamp").as("ts"),
+        lit(0.0).as("value"), lit("").as("props"))
+    val batch = graft.operators.Relational.cepPattern(asDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch, s"stream $got != batch $batch")
+  }
 }
