@@ -471,10 +471,11 @@ $arms"""
   // at 100 TB promote the products to DECIMAL(38,0) — same plan).
   // Weekday = (epoch-day + 4) % 7 in pure integer arithmetic (the C31
   // rule: no date_trunc conventions cross-engine). Epoch-day uses
-  // FLOORED division on both engines — Spark's `div` truncates toward
-  // zero while DuckDB's `//` floors, so the naive forms diverge for
-  // pre-1970 timestamps; (us - pmod(us, D)) div D floors exactly, and
-  // the oracle wraps its `%` to the non-negative residue.
+  // FLOORED division on both engines: both Spark `div` and DuckDB `//`
+  // TRUNCATE toward zero (measured: -7 // 2 = -3), which misplaces
+  // every pre-1970 timestamp by a day; subtracting the non-negative
+  // residue first ((us - pmod(us, D)) div D, mirrored in the oracle)
+  // makes the division exact and the weekday correct for all signs.
   def mutualInfo(events: DataFrame): DataFrame = {
     val D = 86400L * 1000000L
     val cells = events
@@ -500,7 +501,13 @@ $arms"""
 
   val mutualInfoSql: String =
     s"""WITH cells AS (
-  SELECT event_type, ((epoch_us(ts) // ${86400L * 1000000L} + 4) % 7 + 7) % 7 AS dow,
+  SELECT event_type,
+    -- floored epoch-day: DuckDB's integer // TRUNCATES toward zero
+    -- (measured: -7 // 2 = -3), so subtract the non-negative residue
+    -- first to make the division exact, mirroring Spark's
+    -- (us - pmod(us, D)) div D
+    (((epoch_us(ts) - ((epoch_us(ts) % ${86400L * 1000000L}) + ${86400L * 1000000L}) % ${86400L * 1000000L})
+      // ${86400L * 1000000L} + 4) % 7 + 7) % 7 AS dow,
          count(*) AS c
   FROM events GROUP BY 1, 2),
 rx AS (SELECT event_type, sum(c)::BIGINT AS rx FROM cells GROUP BY 1),
@@ -673,5 +680,88 @@ SELECT c.event_type, c.bin, c.c_ref, c.c_cur,
         ln(((c.c_cur + 1)::DOUBLE / (t.n_cur + $PsiBins)) /
            ((c.c_ref + 1)::DOUBLE / (t.n_ref + $PsiBins))), 6) AS psi_term
 FROM cells c JOIN totals t USING (event_type)"""
+  }
+
+  // ---- C67 (r8): Kaplan-Meier survival — time-to-churn with censoring ----
+  // Retention grids (C31) show cohort activity shares; survival
+  // analysis answers the harder question those shares bias: how long
+  // do users LAST, given that users still active at corpus end have
+  // NOT churned — dropping them (or counting them as churned) skews
+  // every lifetime estimate, and right-censoring is the fix.
+  // Subjects: one row per user — duration = floored days between
+  // first and last event; CHURNED iff silent for > 7 days before the
+  // corpus end (else censored); cohort = first-seen epoch-week.
+  // Estimator per cohort over ordered distinct durations t_i:
+  //   n_i = at-risk = N − (subjects gone before t_i)   [exact ints]
+  //   S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+  // The running product rides exp(Σ ln(factor)) over the ordered
+  // prefix (released at round 6 — the pmi/lm_score ln precedent); a
+  // zero factor (everyone at risk churns) is handled by a prefix
+  // zero-flag instead of ln(0), which Spark nulls and DuckDB sends to
+  // -inf — the one cross-engine trap here. Scale: one (user)
+  // aggregate over the corpus, then everything operates on the
+  // per-subject frame (≤ one row per user) and the calendar-bounded
+  // duration frame; corpus end is the declared single-row broadcast.
+  private val ChurnHorizonDays = 7L
+
+  def survival(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = 86400L * 1000000L
+    val end = events.agg(max(expr("unix_micros(ts)")).as("end_us"))
+    val subjects = events
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts)")).as("first_us"),
+        max(expr("unix_micros(ts)")).as("last_us"))
+      .crossJoin(broadcast(end))
+      .select(
+        expr(s"first_us div (7 * ${D}L)").as("cohort"),
+        expr(s"(last_us - first_us) div ${D}L").as("dur"),
+        (col("end_us") - col("last_us") > ChurnHorizonDays * D)
+          .cast("long").as("churned"))
+    val g = subjects.groupBy(col("cohort"), col("dur"))
+      .agg(sum(col("churned")).as("d"), count(lit(1)).as("leaving"))
+    val n = subjects.groupBy(col("cohort")).agg(count(lit(1)).as("n_total"))
+    val wPrev = Window.partitionBy("cohort").orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPfx = Window.partitionBy("cohort").orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.join(broadcast(n), "cohort")
+      .withColumn("n_risk", col("n_total") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
+      .withColumn("factor",
+        (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+      .withColumn("dead", max(when(col("factor") === 0.0, 1L).otherwise(0L)).over(wPfx))
+      .select(col("cohort"), col("dur"), col("n_risk"), col("d"), col("leaving"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(exp(sum(
+            when(col("factor") > 0.0, log(col("factor"))).otherwise(lit(0.0))).over(wPfx)), 6))
+          .as("surv"))
+  }
+
+  val survivalSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+fin AS (SELECT max(us) AS end_us FROM e),
+subj AS (
+  SELECT first_us // (7 * $D) AS cohort,
+         (last_us - first_us) // $D AS dur,
+         (end_us - last_us > ${ChurnHorizonDays * D})::BIGINT AS churned
+  FROM (SELECT user_id, min(us) AS first_us, max(us) AS last_us
+        FROM e GROUP BY user_id) CROSS JOIN fin),
+g AS (SELECT cohort, dur, sum(churned)::BIGINT AS d, count(*)::BIGINT AS leaving
+  FROM subj GROUP BY cohort, dur),
+n AS (SELECT cohort, count(*)::BIGINT AS n_total FROM subj GROUP BY cohort),
+r AS (SELECT g.cohort, g.dur, g.d, g.leaving,
+    (n.n_total - coalesce(sum(g.leaving) OVER (PARTITION BY g.cohort ORDER BY g.dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+  FROM g JOIN n USING (cohort)),
+f AS (SELECT *, (n_risk - d)::DOUBLE / n_risk AS factor FROM r),
+z AS (SELECT *,
+    max(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER w AS dead,
+    sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END) OVER w AS lsum
+  FROM f WINDOW w AS (PARTITION BY cohort ORDER BY dur
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT cohort, dur, n_risk, d, leaving,
+  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lsum), 6) END AS surv
+FROM z"""
   }
 }

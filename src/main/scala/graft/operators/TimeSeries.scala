@@ -117,4 +117,71 @@ fold AS (
   SELECT t.event_id, t.user_id, t.ts, t.rn, (t.x + 3 * f.s) // 4
   FROM fold f JOIN src t ON t.user_id = f.user_id AND t.rn = f.rn + 1)
 SELECT event_id, user_id, ts, s AS ewma_micros FROM fold"""
+
+  // ---- C66 (r8): additive seasonal decomposition (weekly) ----
+  // The windowed member of the family (EWMA/Holt are the recursive
+  // ones): split each type's DAILY series into trend + weekly seasonal
+  // + residual — the classic STL-lite every metrics pipeline runs
+  // before anomaly flags so a weekend dip doesn't page anyone.
+  //   trend(d)    = centered 7-day moving average (RANGE -3..+3 over
+  //                 the integer day key — edge days average their
+  //                 available frame, mirrored exactly in the oracle)
+  //   seasonal(w) = mean of (daily - trend) per weekday, re-centered
+  //                 by the series mean so seasonal averages to zero
+  //                 across the days of each type (the additive-model
+  //                 identifiability convention, day-weighted)
+  //   residual    = daily - trend - seasonal
+  // Exactness: the daily level is an exact DECIMAL sum cast once to
+  // double; trend/seasonal/residual are short deterministic-order
+  // float reductions released at round 4 (the C19 precedent), with
+  // weekday from the floored epoch-day idiom (C62). Scale: one
+  // (type, day) aggregate — days(type) is calendar-bounded, so the
+  // window/group passes after it are ~free at any corpus size; the
+  // raw corpus is touched exactly once.
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = 86400L * 1000000L
+    val daily = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${D}L)) div ${D}L").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("daily"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)))
+    val wTrend = Window.partitionBy("event_type").orderBy("day")
+      .rangeBetween(-3, 3)
+    val t = daily.withColumn("trend", avg(col("daily")).over(wTrend))
+      .withColumn("detr", col("daily") - col("trend"))
+    val wDow = Window.partitionBy("event_type", "dow")
+    val wType = Window.partitionBy("event_type")
+    t.withColumn("s_raw", avg(col("detr")).over(wDow))
+      .withColumn("seasonal", col("s_raw") - avg(col("s_raw")).over(wType))
+      .select(col("event_type"), col("day"), col("dow"),
+        round(col("daily"), 4).as("daily"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("daily") - col("trend") - col("seasonal"), 4).as("residual"))
+  }
+
+  val seasonalDecomposeSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH daily AS (
+  SELECT event_type,
+    (epoch_us(ts) - ((epoch_us(ts) % $D) + $D) % $D) // $D AS day,
+    sum(value::DECIMAL(18,6))::DOUBLE AS daily
+  FROM events GROUP BY 1, 2),
+d2 AS (SELECT *, ((day + 4) % 7 + 7) % 7 AS dow FROM daily),
+tr AS (SELECT *,
+    avg(daily) OVER (PARTITION BY event_type ORDER BY day
+      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  FROM d2),
+se AS (SELECT *, daily - trend AS detr,
+    avg(daily - trend) OVER (PARTITION BY event_type, dow) AS s_raw
+  FROM tr)
+SELECT event_type, day, dow,
+  round(daily, 4) AS daily, round(trend, 4) AS trend,
+  round(s_raw - avg(s_raw) OVER (PARTITION BY event_type), 4) AS seasonal,
+  round(daily - trend - (s_raw - avg(s_raw) OVER (PARTITION BY event_type)), 4) AS residual
+FROM se"""
+  }
 }

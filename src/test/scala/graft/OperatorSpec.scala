@@ -934,6 +934,87 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("survival: KM estimator with right-censoring on a hand-computed cohort (C67)") {
+    import graft.operators.Stats
+    import spark.implicits._
+    val D = 86400L * 1000000L
+    def ts(d: Long) = new java.sql.Timestamp(d * D / 1000 + 1)
+    // corpus end = day 20 (user 90's last event). cohort-0 users all
+    // start day 0: two churn at dur 2, one at dur 5; one censored at
+    // dur 14 (silent 6d < 7d horizon), one censored at dur 20.
+    // KM: S(2) = 3/5 = .6, S(5) = .6 * 2/3 = .4, then flat.
+    val rows = Seq(
+      (1L, Seq(0L, 2L)), (2L, Seq(0L, 1L, 2L)), (3L, Seq(0L, 5L)),
+      (4L, Seq(0L, 10L, 20L)), (5L, Seq(0L, 14L)),
+      (90L, Seq(20L))).flatMap { case (u, days) =>
+      days.map(d => (u * 100 + d, ts(d), u, "view", 0.0, ""))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val got = Stats.survival(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // cohort 0: the full bookkeeping row by row
+    assert(got((0L, 2L)) == ((5L, 2L, 2L, 0.6)), s"t=2: ${got((0L, 2L))}")
+    assert(got((0L, 5L)) == ((3L, 1L, 1L, 0.4)), s"t=5: ${got((0L, 5L))}")
+    assert(got((0L, 14L)) == ((2L, 0L, 1L, 0.4)), s"t=14 censored: ${got((0L, 14L))}")
+    assert(got((0L, 20L)) == ((1L, 0L, 1L, 0.4)), s"t=20 censored: ${got((0L, 20L))}")
+    // the sentinel's own cohort: one censored subject, surv stays 1
+    assert(got((2L, 0L)) == ((1L, 0L, 1L, 1.0)))
+    assert(got.size == 5)
+    // corpus: surv non-increasing within each cohort, n_risk reconciles
+    val corpus = Stats.survival(Tables.load(spark, sf, "events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))
+    corpus.groupBy(_._1).foreach { case (_, rs) =>
+      val ord = rs.sortBy(_._2)
+      ord.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 <= a._5 + 1e-9, s"surv increased: $a -> $b")
+          assert(b._3 == a._3 - a._4, s"n_risk bookkeeping: $a -> $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("seasonalDecompose recovers a planted weekly pattern; identity holds (C66)") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    val D = 86400L * 1000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // 35 days, one event per day: flat base 100 with a +10 bump every
+    // dow=0 day -> trend flattens to ~100+10/7, seasonal absorbs the bump
+    val rows = (0 until 35).map { d =>
+      val dow = (d + 4) % 7
+      (d.toLong, ts(d * D + D / 2), 1L, "metric",
+        100.0 + (if (dow == 0) 10.0 else 0.0))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("").as("props"))
+    val got = TimeSeries.seasonalDecompose(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.size == 35)
+    got.foreach { case (day, (dow, daily, trend, seasonal, residual)) =>
+      assert(dow == (day + 4) % 7)
+      // additive identity survives the per-column rounding
+      assert(math.abs(daily - (trend + seasonal + residual)) < 3e-4,
+        s"day $day identity broken")
+    }
+    // interior days: full 7-day frames -> exact constant trend and the
+    // planted seasonal shape
+    (3 until 32).foreach { d =>
+      val (dow, _, trend, seasonal, _) = got(d.toLong)
+      assert(math.abs(trend - (100.0 + 10.0 / 7)) < 0.01, s"day $d trend $trend")
+      val want = if (dow == 0) 10.0 - 10.0 / 7 else -10.0 / 7
+      assert(math.abs(seasonal - want) < 0.5, s"day $d dow $dow seasonal $seasonal")
+    }
+    // day-weighted seasonal mean is ~zero (the identifiability convention)
+    val sMean = got.values.map(_._4).sum / got.size
+    assert(math.abs(sMean) < 0.01, s"seasonal mean $sMean")
+  }
+
   test("mutualKnn keeps exactly the reciprocal rank-1 pairs (L104)") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, sf, "embeddings")
@@ -2522,7 +2603,8 @@ class OperatorSpec extends SparkSpec {
       "q_join_size_est" -> "crossJoin(broadcast(single-row CMS estimate x single-row exact count)) — the tfidf/lm_score pattern",
       "q_mutual_info" -> "crossJoin(broadcast(single-row grand total)) — the tfidf/lm_score pattern",
       "q_freq_pairs" -> "crossJoin(broadcast(single-row basket total)) — the tfidf/lm_score pattern",
-      "q_psi_drift" -> "crossJoin(broadcast(single-row temporal midpoint)) — the tfidf/lm_score pattern")
+      "q_psi_drift" -> "crossJoin(broadcast(single-row temporal midpoint)) — the tfidf/lm_score pattern",
+      "q_survival" -> "crossJoin(broadcast(single-row corpus-end timestamp)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
