@@ -1879,4 +1879,71 @@ SELECT user_id, chain.vus AS view_us, chain.cus AS click_us,
 FROM c
 WHERE event_type = 'purchase' AND chain IS NOT NULL
   AND chain.vus >= 0 AND us - chain.vus <= ${CepWindowMin * 60L * 1000000L}"""
+
+  // ---- C68 (r8): FIFO allocation — inventory lot matching ----
+  // The warehouse matching problem (FIFO stock consumption, payment/
+  // invoice settlement, cost-lot accounting): issue demand against
+  // receipt lots strictly first-in-first-out per part. Looks
+  // inherently sequential — every textbook solution is a per-key
+  // cursor loop — but FIFO has an exact INTERVAL-ALGEBRA form: lay
+  // receipts end to end on a per-part quantity axis (cumulative
+  // [start, end) from one running-sum window), lay issues on the same
+  // axis, and an (issue, receipt) pair allocates exactly where the
+  // intervals overlap: qty = min(ends) − max(starts). One ordered
+  // window per side + one per-part overlap join replaces the cursor —
+  // fully parallel over parts (the C26 interval-join shape with the
+  // axis derived, not stored). Excess demand beyond total supply
+  // falls off the axis and allocates nothing, by construction.
+  // Quantities ride exact cent-scaled BIGINTs; ordering is
+  // (l_shipdate, l_orderkey, l_linenumber) — total, so both engines
+  // lay identical axes. Join fan-out is bounded: consecutive lots
+  // overlap each issue interval at most (issue span / min lot) times,
+  // and per-part frames are catalog-bounded.
+  def fifoAllocate(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(status: String, role: String) = {
+      val w = Window.partitionBy("part")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      lineitem.where(col("l_linestatus") === status)
+        .select(col("l_partkey").as("part"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          (dec(col("l_quantity")) * 100).cast("long").as("q"))
+        .withColumn("s", coalesce(sum(col("q")).over(w), lit(0L)))
+        .select(col("part"),
+          col("l_orderkey").as(s"${role}_order"),
+          col("l_linenumber").as(s"${role}_line"),
+          col("s").as(s"${role}_s"), (col("s") + col("q")).as(s"${role}_e"))
+    }
+    val rec = side("F", "r")
+    val iss = side("O", "i")
+    // i_s / r_s (the axis positions) ride into the output: they are the
+    // per-side row identity — the synthetic data contains duplicate
+    // (orderkey, linenumber) pairs, and the axis position is unique and
+    // deterministic by construction
+    iss.join(rec, Seq("part"))
+      .where(col("i_s") < col("r_e") && col("r_s") < col("i_e"))
+      .select(col("part"), col("i_order"), col("i_line"), col("i_s"),
+        col("r_order"), col("r_line"), col("r_s"),
+        (least(col("i_e"), col("r_e")) - greatest(col("i_s"), col("r_s")))
+          .as("alloc_q"))
+  }
+
+  val fifoAllocateSql: String =
+    s"""WITH base AS (
+  SELECT l_partkey AS part, l_orderkey, l_linenumber, l_linestatus,
+    ((l_quantity::DECIMAL(18,2)) * 100)::BIGINT AS q,
+    coalesce(sum(((l_quantity::DECIMAL(18,2)) * 100)::BIGINT) OVER (
+      PARTITION BY l_partkey, l_linestatus
+      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM lineitem WHERE l_linestatus IN ('F', 'O')),
+rec AS (SELECT part, l_orderkey AS r_order, l_linenumber AS r_line,
+    s AS r_s, s + q AS r_e FROM base WHERE l_linestatus = 'F'),
+iss AS (SELECT part, l_orderkey AS i_order, l_linenumber AS i_line,
+    s AS i_s, s + q AS i_e FROM base WHERE l_linestatus = 'O')
+SELECT part, i_order, i_line, i_s, r_order, r_line, r_s,
+  (least(i_e, r_e) - greatest(i_s, r_s))::BIGINT AS alloc_q
+FROM iss JOIN rec USING (part)
+WHERE i_s < r_e AND r_s < i_e"""
 }

@@ -934,6 +934,68 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("fifoAllocate: interval algebra reproduces cursor FIFO, conservation holds (C68)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(86400000L * d)
+    // part 1: receipts 5 then 10; issues 3,3,3,3 (demand 12 of 15)
+    // part 2: receipt 5; issues 4,4 (demand 8 of 5 -> 3 units unfilled)
+    val rows = Seq(
+      (1L, 10L, 1, "F", 5.0, ts(1)), (1L, 11L, 1, "F", 10.0, ts(2)),
+      (1L, 20L, 1, "O", 3.0, ts(1)), (1L, 21L, 1, "O", 3.0, ts(2)),
+      (1L, 22L, 1, "O", 3.0, ts(3)), (1L, 23L, 1, "O", 3.0, ts(4)),
+      (2L, 30L, 1, "F", 5.0, ts(1)),
+      (2L, 40L, 1, "O", 4.0, ts(1)), (2L, 41L, 1, "O", 4.0, ts(2)))
+    val li = rows.toDF("l_partkey", "l_orderkey", "l_linenumber",
+        "l_linestatus", "l_quantity", "l_shipdate")
+    val got = Relational.fifoAllocate(li)
+      .select(col("part"), col("i_order"), col("r_order"), col("alloc_q").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val cents = 100L
+    assert(got == Map(
+      (1L, 20L, 10L) -> 3 * cents,
+      (1L, 21L, 10L) -> 2 * cents, (1L, 21L, 11L) -> 1 * cents,
+      (1L, 22L, 11L) -> 3 * cents, (1L, 23L, 11L) -> 3 * cents,
+      (2L, 40L, 30L) -> 4 * cents, (2L, 41L, 30L) -> 1 * cents), s"got $got")
+    // corpus: the interval algebra must equal a reference CURSOR FIFO
+    // replayed in plain Scala over the same total order
+    val li0 = Tables.load(spark, sf, "lineitem")
+    val gotCorpus = Relational.fifoAllocate(li0)
+      .select(col("part"), col("i_s"), col("r_s"), col("alloc_q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rows2 = li0.where(col("l_linestatus").isin("F", "O"))
+      .select(col("l_partkey"), col("l_linestatus"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("ship_us"),
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5)))
+    val expect = rows2.groupBy(_._1).flatMap { case (p, rs) =>
+      def ordered(status: String) = rs.filter(_._2 == status)
+        .sortBy(t => (t._3, t._4, t._5)).map(_._6)
+      val recsQ = ordered("F"); val issQ = ordered("O")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var ri = 0; var rConsumed = 0L; var rAxis = 0L; var iAxis = 0L
+      issQ.foreach { iq =>
+        var remaining = iq
+        while (remaining > 0 && ri < recsQ.length) {
+          val take = math.min(recsQ(ri) - rConsumed, remaining)
+          if (take > 0) out += ((p, iAxis, rAxis, take))
+          remaining -= take; rConsumed += take
+          if (rConsumed == recsQ(ri)) { rAxis += recsQ(ri); ri += 1; rConsumed = 0L }
+        }
+        iAxis += iq
+      }
+      out
+    }.toSet
+    assert(gotCorpus == expect,
+      s"interval FIFO != cursor FIFO: ${gotCorpus.diff(expect).take(3)} / ${expect.diff(gotCorpus).take(3)}")
+    assert(gotCorpus.nonEmpty)
+  }
+
   test("survival: KM estimator with right-censoring on a hand-computed cohort (C67)") {
     import graft.operators.Stats
     import spark.implicits._
