@@ -1880,6 +1880,80 @@ FROM c
 WHERE event_type = 'purchase' AND chain IS NOT NULL
   AND chain.vus >= 0 AND us - chain.vus <= ${CepWindowMin * 60L * 1000000L}"""
 
+  // ---- C70 (r8): U-shaped multi-touch attribution ----
+  // C46 gives the last touch 100% of the conversion; position-based
+  // (U-shaped) attribution is what marketing analytics actually
+  // reports: 40% to the FIRST touch, 40% to the LAST, 20% split
+  // across the middles — first-touch discovery and last-touch close
+  // both matter. Credits are EXACT INTEGER ppm (1e6 per conversion):
+  // n=1 → 1e6; n=2 → 500000 each; n>2 → middles get 200000 div (n−2)
+  // each and the integer remainder goes to the first touch, so every
+  // conversion's credits sum to exactly 1e6 — no float leakage, the
+  // conservation property is a spec assertion, and channel totals are
+  // order-free BIGINT sums. Touch = view/click within 7 days before
+  // the purchase; channel derives from the event's props payload.
+  // Plan: one per-user interval join (purchases × prior touches,
+  // user-keyed), one window over the PAIRS frame partitioned by
+  // conversion (conversion-keyed — parallel), one channel aggregate.
+  private val AttribWindowDays = 7L
+
+  def uShapedAttribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = AttribWindowDays * 86400L * 1000000L
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), expr("unix_micros(ts)").as("us"),
+      concat(lit("ch"), pmod(get_json_object(col("props"), "$.k").cast("long"), lit(4)))
+        .as("channel"))
+    val touches = base.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("us").as("tus"), col("event_id").as("tid"),
+        col("channel"))
+    val convs = base.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"), col("event_id").as("pid"))
+    val w = Window.partitionBy("user_id", "pid")
+    val pairs = convs.join(touches, Seq("user_id"))
+      .where(col("tus") < col("pus") && col("tus") >= col("pus") - W)
+      .withColumn("rn", row_number().over(w.orderBy(col("tus"), col("tid"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val credited = pairs.withColumn("credit",
+      when(col("n") === 1, lit(1000000L))
+        .when(col("n") === 2,
+          lit(500000L))
+        .when(col("rn") === 1,
+          lit(400000L) + lit(200000L) % (col("n") - 2))
+        .when(col("rn") === col("n"), lit(400000L))
+        .otherwise(expr("200000L div (n - 2)")))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"), sum(col("credit")).as("credit_ppm"))
+  }
+
+  val uShapedAttributionSql: String = {
+    val W = AttribWindowDays * 86400L * 1000000L
+    s"""WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+    'ch' || (((json_extract_string(props, '$$.k')::BIGINT) % 4 + 4) % 4) AS channel
+  FROM events),
+t AS (SELECT user_id, us AS tus, event_id AS tid, channel FROM base
+  WHERE event_type IN ('view', 'click')),
+c AS (SELECT user_id, us AS pus, event_id AS pid FROM base
+  WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.user_id, c.pid, t.tus, t.tid, t.channel,
+    row_number() OVER (PARTITION BY c.user_id, c.pid ORDER BY t.tus, t.tid) AS rn,
+    count(*) OVER (PARTITION BY c.user_id, c.pid) AS n
+  FROM c JOIN t ON c.user_id = t.user_id
+    AND t.tus < c.pus AND t.tus >= c.pus - $W),
+credited AS (
+  SELECT channel,
+    CASE WHEN n = 1 THEN 1000000
+         WHEN n = 2 THEN 500000
+         WHEN rn = 1 THEN 400000 + 200000 % (n - 2)
+         WHEN rn = n THEN 400000
+         ELSE 200000 // (n - 2) END AS credit
+  FROM pairs)
+SELECT channel, count(*)::BIGINT AS touches, sum(credit)::BIGINT AS credit_ppm
+FROM credited GROUP BY channel"""
+  }
+
   // ---- C68 (r8): FIFO allocation — inventory lot matching ----
   // The warehouse matching problem (FIFO stock consumption, payment/
   // invoice settlement, cost-lot accounting): issue demand against

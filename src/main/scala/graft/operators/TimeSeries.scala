@@ -184,4 +184,96 @@ SELECT event_type, day, dow,
   round(daily - trend - (s_raw - avg(s_raw) OVER (PARTITION BY event_type)), 4) AS residual
 FROM se"""
   }
+
+  // ---- C69 (r8): CUSUM change-point detection — integer-exact ----
+  // The sequential monitoring classic (Page 1954): an upward level
+  // shift smaller than any single day's noise still accumulates —
+  // s_t = max(0, s_{t-1} + (x_t − μ − k)) grows linearly once the
+  // mean moves by > k, and s_t > h flags the change; 3σ-style per-day
+  // tests (C28) structurally cannot see it. Self-calibrating with the
+  // fit-on-prefix discipline (L102/C65): μ = prefix mean and
+  // d = prefix mean absolute deviation over each type's first
+  // `CusumFitDays` days, k = d/2, h = 4d — ALL in truncating integer
+  // micro-arithmetic (sum div n; both engines truncate — measured),
+  // so the whole operator is bit-exact with zero float ops. The
+  // recursion runs on the POST-AGGREGATE calendar-bounded daily frame
+  // (the corpus is touched once, by the daily sum); per-type fold is
+  // the EWMA ordered-scan pattern, one long of state. Oracle: daily
+  // CTE + prefix-fit + recursive-CTE fold.
+  private val CusumFitDays = 14L
+
+  def cusum(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val D = 86400L * 1000000L
+    val daily = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${D}L)) div ${D}L").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * 1000000L)
+        .cast("long").as("x"))
+      .withColumn("d0", min(col("day")).over(Window.partitionBy("event_type")))
+    val mu = daily.where(col("day") < col("d0") + CusumFitDays)
+      .groupBy(col("event_type"))
+      .agg(expr("sum(x) div count(1)").as("mu"))
+    val fit = daily.join(broadcast(mu), "event_type")
+      .where(col("day") < col("d0") + CusumFitDays)
+      .groupBy(col("event_type"), col("mu"))
+      .agg(expr("sum(abs(x - mu)) div count(1)").as("dev"))
+      .select(col("event_type"), col("mu"),
+        expr("dev div 2").as("k"), (col("dev") * 4).as("h"))
+    daily.join(broadcast(fit), "event_type")
+      .select(col("event_type"), col("day"), col("x"),
+        col("mu"), col("k"), col("h"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("day"))
+      .as[(String, Long, Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var key = ""
+        var s = 0L
+        it.map { case (t, day, x, mu0, k, h) =>
+          if (t != key) { key = t; s = 0L }
+          s = math.max(0L, s + (x - mu0 - k))
+          (t, day, x, s, if (s > h) 1L else 0L)
+        }
+      }
+      .toDF("event_type", "day", "x_micros", "cusum_micros", "flag")
+  }
+
+  val cusumSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH RECURSIVE daily AS (
+  SELECT event_type,
+    (epoch_us(ts) - ((epoch_us(ts) % $D) + $D) % $D) // $D AS day,
+    (sum(value::DECIMAL(18,6)) * 1000000)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+mu AS (
+  SELECT daily.event_type, sum(x) // count(*) AS mu
+  FROM daily JOIN d0 USING (event_type)
+  WHERE day < d0 + $CusumFitDays GROUP BY 1),
+fit AS (
+  SELECT daily.event_type, mu,
+    (sum(abs(x - mu)) // count(*)) // 2 AS k,
+    (sum(abs(x - mu)) // count(*)) * 4 AS h
+  FROM daily JOIN d0 USING (event_type) JOIN mu USING (event_type)
+  WHERE day < d0 + $CusumFitDays GROUP BY 1, 2),
+src AS (
+  SELECT daily.event_type, day, x, mu, k, h,
+    row_number() OVER (PARTITION BY daily.event_type ORDER BY day) AS rn
+  FROM daily JOIN fit USING (event_type)),
+fold AS (
+  SELECT event_type, day, x, mu, k, h, rn,
+    greatest(0, x - mu - k)::BIGINT AS s
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT t.event_type, t.day, t.x, t.mu, t.k, t.h, t.rn,
+    greatest(0, f.s + (t.x - t.mu - t.k))::BIGINT
+  FROM fold f JOIN src t ON t.event_type = f.event_type AND t.rn = f.rn + 1)
+SELECT event_type, day, x AS x_micros, s AS cusum_micros,
+       (s > h)::BIGINT AS flag
+FROM fold"""
+  }
 }

@@ -934,6 +934,98 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("uShapedAttribution: position credits are exact ppm and conserve per conversion (C70)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    def ev(id: Long, u: Long, tp: String, t: Long, k: Int) =
+      (id, ts(t), u, tp, 0.0, s"""{"k": $k}""")
+    // user 1: 5 touches (ch0 ch1 ch2 ch3 ch0) then purchase ->
+    //   first ch0: 400000 + 200000%3=2 -> 400002; last ch0: 400000;
+    //   middles ch1,ch2,ch3: 66666 each. ch0 total 800002.
+    // user 2: 1 touch ch1 -> 1000000. user 3: 2 touches ch2 ch3 -> 500000 each.
+    // user 4: touch outside the 7-day window -> no credit, purchase uncredited.
+    val rows = Seq(
+      ev(1, 1, "view", 1 * h, 0), ev(2, 1, "click", 2 * h, 1),
+      ev(3, 1, "view", 3 * h, 2), ev(4, 1, "click", 4 * h, 3),
+      ev(5, 1, "view", 5 * h, 4), ev(6, 1, "purchase", 6 * h, 9),
+      ev(7, 2, "view", 1 * h, 1), ev(8, 2, "purchase", 2 * h, 9),
+      ev(9, 3, "view", 1 * h, 2), ev(10, 3, "click", 2 * h, 3),
+      ev(11, 3, "purchase", 3 * h, 9),
+      ev(12, 4, "view", 1 * h, 0), ev(13, 4, "purchase", 1 * h + 8L * 24 * h, 9))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val got = Relational.uShapedAttribution(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // k=4 -> ch0 (pmod 4); user1 touches: k 0,1,2,3,4 -> ch0 ch1 ch2 ch3 ch0
+    assert(got == Map(
+      "ch0" -> ((2L, 800002L)),
+      "ch1" -> ((2L, 1066666L)),
+      "ch2" -> ((2L, 566666L)),
+      "ch3" -> ((2L, 566666L))), s"got $got")
+    // conservation: total credit = 1e6 x credited conversions (3 of 4)
+    assert(got.values.map(_._2).sum == 3000000L)
+    // corpus: channel totals are multiples-free but conserve globally
+    val ev0 = Tables.load(spark, sf, "events")
+    val corpus = Relational.uShapedAttribution(ev0).collect()
+      .map(r => r.getLong(2)).sum
+    val nCredited = {
+      val W = 7L * 86400L * 1000000L
+      val base = ev0.select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      val t0 = base.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("us").as("tus"))
+      base.where(col("event_type") === "purchase")
+        .join(t0, Seq("user_id"))
+        .where(col("tus") < col("us") && col("tus") >= col("us") - W)
+        .select(col("user_id"), col("us")).distinct().count()
+    }
+    assert(corpus == nCredited * 1000000L,
+      s"corpus credit $corpus != ${nCredited}e6 — ppm leaked")
+  }
+
+  test("cusum flags a sub-noise mean shift that per-day tests cannot see (C69)") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    val D = 86400L * 1000000L
+    def ts(d: Long) = new java.sql.Timestamp(d * D / 1000 + 1)
+    // one event per day: 20 days alternating 99/101 (mu=100, mad=1),
+    // then 15 days at 102 — a +2 shift, only 1 mad above noise, well
+    // inside the daily swing; k=0.5, h=4 in value units
+    val rows = (0 until 35).map { d =>
+      val v = if (d < 20) (if (d % 2 == 0) 99.0 else 101.0) else 102.0
+      (d.toLong, ts(d.toLong), 1L, "metric", v, "")
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val got = TimeSeries.cusum(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 35)
+    // pre-shift: the alternating noise never accumulates past h
+    (0 until 20).foreach { d =>
+      assert(got(d.toLong)._2 == 0L, s"false alarm on day $d: ${got(d.toLong)}")
+    }
+    // post-shift: +1.5/day net drift crosses h=4 within 3 days and stays up
+    assert((20 until 23).exists(d => got(d.toLong)._2 == 1L), "shift not flagged within 3 days")
+    (23 until 35).foreach { d =>
+      assert(got(d.toLong)._2 == 1L, s"flag dropped on day $d")
+    }
+    // cusum grows linearly once shifted: s(d+1) - s(d) = 1.5e6 micros
+    (21 until 34).foreach { d =>
+      assert(got(d.toLong + 1)._1 - got(d.toLong)._1 == 1500000L, s"drift rate at day $d")
+    }
+    // corpus smoke: runs, flags are 0/1, cusum non-negative
+    val corpus = TimeSeries.cusum(Tables.load(spark, sf, "events")).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getLong(3) >= 0L)
+      assert(Set(0L, 1L)(r.getLong(4)))
+    }
+  }
+
   test("fifoAllocate: interval algebra reproduces cursor FIFO, conservation holds (C68)") {
     import graft.operators.Relational
     import spark.implicits._
