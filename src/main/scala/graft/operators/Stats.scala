@@ -682,6 +682,104 @@ SELECT c.event_type, c.bin, c.c_ref, c.c_cur,
 FROM cells c JOIN totals t USING (event_type)"""
   }
 
+  // ---- C71 (r8): sequential A/B monitoring — two-proportion z by day ----
+  // The experiment-analysis daily readout: cumulative users and
+  // converters per arm as of each day, with the pooled two-proportion
+  // z statistic — the curve an experimenter watches (and the input to
+  // any alpha-spending rule). Scale discipline: "distinct users to
+  // date" is NOT a windowed distinct over the event log — each user
+  // collapses to (variant, first_seen_day, first_conversion_day) in
+  // ONE corpus aggregate, and the daily curve is two prefix sums over
+  // the calendar-bounded (variant, day) frame. Counts exact BIGINTs;
+  // z runs the identical share → sqrt → divide → round-6 sequence on
+  // both engines, NULL until both arms have users and the pooled rate
+  // is informative (p in (0,1)). Variant = user parity (stand-in for
+  // the assignment column a real experiment carries).
+  def abSequential(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = 86400L * 1000000L
+    val users = events
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) div ${D}L").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_seen"),
+        min(when(col("event_type") === "purchase", col("day"))).as("first_conv"))
+      .select(when(pmod(col("user_id"), lit(2)) === 0, lit("A")).otherwise(lit("B"))
+        .as("variant"), col("first_seen"), col("first_conv"))
+    val days = users.select(col("first_seen").as("day"))
+      .unionAll(users.where(col("first_conv").isNotNull)
+        .select(col("first_conv").as("day")))
+      .distinct()
+    val perDay = users.groupBy(col("variant"), col("first_seen").as("day"))
+      .agg(count(lit(1)).as("joined"))
+    val convDay = users.where(col("first_conv").isNotNull)
+      .groupBy(col("variant"), col("first_conv").as("day"))
+      .agg(count(lit(1)).as("converted"))
+    val w = Window.partitionBy("variant").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = days
+      .select(col("day"), explode(array(lit("A"), lit("B"))).as("variant"))
+      .join(perDay, Seq("variant", "day"), "left")
+      .join(convDay, Seq("variant", "day"), "left")
+      .na.fill(0L, Seq("joined", "converted"))
+      .withColumn("n", sum(col("joined")).over(w))
+      .withColumn("x", sum(col("converted")).over(w))
+    val a = curve.where(col("variant") === "A")
+      .select(col("day"), col("n").as("n_a"), col("x").as("x_a"))
+    val b = curve.where(col("variant") === "B")
+      .select(col("day"), col("n").as("n_b"), col("x").as("x_b"))
+    a.join(b, "day")
+      .select(col("day"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+            col("x_a") + col("x_b") > 0 &&
+            col("x_a") + col("x_b") < col("n_a") + col("n_b"),
+          round(
+            (col("x_a").cast("double") / col("n_a") -
+              col("x_b").cast("double") / col("n_b")) /
+            sqrt(((col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+          .as("z"))
+  }
+
+  val abSequentialSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH u AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    min(epoch_us(ts) // $D) AS first_seen,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) // $D END) AS first_conv
+  FROM events GROUP BY user_id),
+days AS (SELECT day, v.variant
+  FROM (SELECT first_seen AS day FROM u
+        UNION SELECT first_conv FROM u WHERE first_conv IS NOT NULL),
+       unnest(['A', 'B']) AS v(variant)),
+pd AS (SELECT variant, first_seen AS day, count(*)::BIGINT AS joined
+  FROM u GROUP BY 1, 2),
+cd AS (SELECT variant, first_conv AS day, count(*)::BIGINT AS converted
+  FROM u WHERE first_conv IS NOT NULL GROUP BY 1, 2),
+curve AS (
+  SELECT d.variant, d.day,
+    sum(coalesce(pd.joined, 0)) OVER w ::BIGINT AS n,
+    sum(coalesce(cd.converted, 0)) OVER w ::BIGINT AS x
+  FROM days d
+  LEFT JOIN pd ON pd.variant = d.variant AND pd.day = d.day
+  LEFT JOIN cd ON cd.variant = d.variant AND cd.day = d.day
+  WINDOW w AS (PARTITION BY d.variant ORDER BY d.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ab AS (
+  SELECT a.day, a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+  FROM (SELECT * FROM curve WHERE variant = 'A') a
+  JOIN (SELECT * FROM curve WHERE variant = 'B') b USING (day))
+SELECT day, n_a, x_a, n_b, x_b,
+  CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+    THEN round((x_a::DOUBLE / n_a - x_b::DOUBLE / n_b) /
+      sqrt(((x_a + x_b)::DOUBLE / (n_a + n_b)) *
+           (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)) *
+           (1.0 / n_a + 1.0 / n_b)), 6)
+    ELSE NULL END AS z
+FROM ab"""
+  }
+
   // ---- C67 (r8): Kaplan-Meier survival — time-to-churn with censoring ----
   // Retention grids (C31) show cohort activity shares; survival
   // analysis answers the harder question those shares bias: how long

@@ -934,6 +934,47 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("abSequential: cumulative arm bookkeeping and hand-computed z, null-guarded (C71)") {
+    import graft.operators.Stats
+    import spark.implicits._
+    val D = 86400L * 1000000L
+    def ts(d: Long) = new java.sql.Timestamp(d * D / 1000 + 1)
+    def ev(id: Long, u: Long, tp: String, d: Long) = (id, ts(d), u, tp, 0.0, "")
+    // parity variants: even users A, odd B.
+    // day 0: A users 2,4 join; user 2 converts. (B arm empty -> z NULL)
+    // day 1: B users 1,3 join; user 1 converts. -> 0.5 vs 0.5, z = 0
+    // day 2: A user 6, B user 5 join; user 3 converts.
+    //        A: 1/3, B: 2/3, pooled 0.5 -> z = -(1/3)*sqrt(6) = -0.816497
+    val rows = Seq(
+      ev(1, 2, "view", 0), ev(2, 4, "view", 0), ev(3, 2, "purchase", 0),
+      ev(4, 1, "view", 1), ev(5, 3, "view", 1), ev(6, 1, "purchase", 1),
+      ev(7, 6, "view", 2), ev(8, 5, "view", 2), ev(9, 3, "purchase", 2))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val got = Stats.abSequential(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(got(0L) == ((2L, 1L, 0L, 0L, None)), s"day0 ${got(0L)}")
+    assert(got(1L) == ((2L, 1L, 2L, 1L, Some(0.0))), s"day1 ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, 3L, 2L, Some(-0.816497))), s"day2 ${got(2L)}")
+    assert(got.size == 3)
+    // corpus: arms monotone, totals reconcile with distinct users
+    val ev0 = Tables.load(spark, sf, "events")
+    val corpus = Stats.abSequential(ev0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    corpus.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2 && b._4 >= a._4, "n not monotone")
+        assert(b._3 >= a._3 && b._5 >= a._5, "x not monotone")
+      case _ => ()
+    }
+    val last = corpus.last
+    val nUsers = ev0.select(col("user_id")).distinct().count()
+    assert(last._2 + last._4 == nUsers, "final N != distinct users")
+  }
+
   test("uShapedAttribution: position credits are exact ppm and conserve per conversion (C70)") {
     import graft.operators.Relational
     import spark.implicits._
