@@ -202,6 +202,54 @@ FROM se"""
   // CTE + prefix-fit + recursive-CTE fold.
   private val CusumFitDays = 14L
 
+  // ---- C72 (r8): Theil-Sen robust trend — median of pairwise slopes ----
+  // C40's OLS slope moves arbitrarily far under ONE corrupted point
+  // (breakdown 0); Theil-Sen (median of all pairwise slopes) has
+  // breakdown 29% and is the standard robust trend for noisy metric
+  // series. The O(n²) pair enumeration would be disqualifying on raw
+  // events — so it runs on the POST-AGGREGATE daily frame (the
+  // C66/C69 pattern): the corpus is touched once by the daily sum,
+  // and per type the frame is calendar-bounded (30 days → 435 pairs;
+  // even 10 years → ~6.7M pairs per type, a per-key flatMap, not a
+  // shuffle). Exactness: each pairwise slope is the round-6 double of
+  // an exact integer ratio (Δmicros div Δdays happens as ONE double
+  // division), and the median over those round-6 doubles is the exact
+  // interpolated C13 percentile — deterministic on both engines.
+  def theilSen(events: DataFrame): DataFrame = {
+    val D = 86400L * 1000000L
+    val daily = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${D}L)) div ${D}L").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * 1000000L).cast("long").as("x"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        round((col("b.x") - col("a.x")).cast("double") /
+          ((col("b.day") - col("a.day")) * 1000000L).cast("double"), 6).as("slope"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5D)"), 6).as("slope_per_day"))
+  }
+
+  val theilSenSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH daily AS (
+  SELECT event_type,
+    (epoch_us(ts) - ((epoch_us(ts) % $D) + $D) % $D) // $D AS day,
+    (sum(value::DECIMAL(18,6)) * 1000000)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+    round((b.x - a.x)::DOUBLE / ((b.day - a.day) * 1000000)::DOUBLE, 6) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day)
+SELECT event_type, count(*)::BIGINT AS n_pairs,
+       round(quantile_cont(slope, 0.5), 6) AS slope_per_day
+FROM pairs GROUP BY event_type"""
+  }
+
   def cusum(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

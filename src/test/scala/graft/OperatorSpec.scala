@@ -934,6 +934,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("theilSen: one wild outlier cannot move the trend OLS loses (C72)") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    val D = 86400L * 1000000L
+    def ts(d: Long) = new java.sql.Timestamp(d * D / 1000 + 1)
+    // perfect +2/day trend over 35 days with ONE corrupted day
+    val rows = (0 until 35).map { d =>
+      val v = if (d == 10) 100000.0 else 2.0 * d
+      (d.toLong, ts(d.toLong), 1L, "metric", v, "")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val got = TimeSeries.theilSen(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (nPairs, slope) = got("metric")
+    assert(nPairs == 35L * 34 / 2)
+    // the clean pairs dominate: the median slope is EXACTLY the trend
+    assert(slope == 2.0, s"robust slope $slope moved by the outlier")
+    // corpus smoke: one row per type, pair counts = C(days,2)
+    val corpus = TimeSeries.theilSen(Tables.load(spark, sf, "events")).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(r.getLong(1) > 0))
+  }
+
   test("abSequential: cumulative arm bookkeeping and hand-computed z, null-guarded (C71)") {
     import graft.operators.Stats
     import spark.implicits._

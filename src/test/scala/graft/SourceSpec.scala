@@ -78,4 +78,35 @@ class SourceSpec extends SparkSpec {
       "SELECT graft_extract_reading('01/05/2024 03:04:05,42,FW2,N" + ",7" * 46 + "') IS NOT NULL")
       .head().getBoolean(0))
   }
+  test("quarantine: bad records preserved byte-exact, good parsed, nothing lost (R17)") {
+    import graft.sources.Quarantine
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType)))
+    val rows = Seq(
+      (1L, """{"k": 7, "name": "ok"}"""),
+      (2L, """{"k": 8}"""),                     // missing field -> good, null name
+      (3L, """{"k": "not a number", "name": "x"}"""), // type failure -> quarantine
+      (4L, """{"k": 9, "name": "fine"}"""),
+      (5L, """not json at all"""),              // syntax failure -> quarantine
+      (6L, """{"k": 10, "name": "tail"}extra""")) // trailing garbage: the
+      // parser stops at the end of the first complete value and accepts
+      // the row (measured engine contract) -> good
+    val raw = rows.toDF("id", "payload")
+    val (good, bad) = Quarantine.parseJson(raw, "payload", schema, Seq("id"))
+    val g = good.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      Option(r.getString(2)))).toSet
+    val b = bad.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g == Set((1L, Some(7L), Some("ok")), (2L, Some(8L), None),
+      (4L, Some(9L), Some("fine")), (6L, Some(10L), Some("tail"))), s"good $g")
+    // quarantined payloads byte-exact
+    val wantBad = rows.filter(r => Set(3L, 5L)(r._1)).toSet
+    assert(b == wantBad, s"bad $b")
+    // conservation: every input row lands exactly once
+    assert(good.count() + bad.count() == raw.count())
+    // the corrupt filter composes with further transforms without reparse
+    assert(good.where(col("k") > 8).count() == 2)
+  }
 }
