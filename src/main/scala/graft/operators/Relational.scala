@@ -1880,6 +1880,53 @@ FROM c
 WHERE event_type = 'purchase' AND chain IS NOT NULL
   AND chain.vus >= 0 AND us - chain.vus <= ${CepWindowMin * 60L * 1000000L}"""
 
+  // ---- C73 (r8): rolling active users — DAU/WAU/MAU + stickiness ----
+  // The product-analytics headline metrics. "Users active in the last
+  // 7/28 days as of EACH day" is a rolling WINDOWED DISTINCT — not
+  // expressible as a window frame (COUNT(DISTINCT) OVER RANGE is
+  // unsupported everywhere) and not a prefix distinct (C71's
+  // first-seen trick only works for cumulative-from-start). The
+  // scale shape: collapse the corpus ONCE to the distinct (user, day)
+  // presence frame — the thing that is orders of magnitude smaller
+  // than the event log — then each presence row contributes to the N
+  // following days by an explode(sequence) fan-out (×7/×28 of the
+  // presence frame, bounded and predictable), dedupe per (user,
+  // window-day), count. hll_rolling (C29) is this metric's sketch
+  // twin; this is the exact path. Stickiness = DAU/MAU, the ratio PMs
+  // actually watch. Output restricted to days with any activity.
+  def rollingActive(events: DataFrame): DataFrame = {
+    val D = 86400L * 1000000L
+    val ud = events
+      .select(expr(s"unix_micros(ts) div ${D}L").as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    def rolling(n: Int, name: String) = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (n - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as(name))
+    dau
+      .join(rolling(7, "wau"), "day")
+      .join(rolling(28, "mau"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+  }
+
+  val rollingActiveSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH ud AS (
+  SELECT DISTINCT epoch_us(ts) // $D AS day, user_id FROM events),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+w AS (SELECT day, count(*)::BIGINT AS wau FROM (
+  SELECT DISTINCT user_id, day + o.o AS day
+  FROM ud, unnest(generate_series(0, 6)) AS o(o)) GROUP BY day),
+m AS (SELECT day, count(*)::BIGINT AS mau FROM (
+  SELECT DISTINCT user_id, day + o.o AS day
+  FROM ud, unnest(generate_series(0, 27)) AS o(o)) GROUP BY day)
+SELECT day, dau, wau, mau, round(dau::DOUBLE / mau, 6) AS stickiness
+FROM dau JOIN w USING (day) JOIN m USING (day)"""
+  }
+
   // ---- C70 (r8): U-shaped multi-touch attribution ----
   // C46 gives the last touch 100% of the conversion; position-based
   // (U-shaped) attribution is what marketing analytics actually

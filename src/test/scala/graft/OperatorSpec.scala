@@ -934,6 +934,42 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("rollingActive: windowed distinct equals brute-force recount (C73)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val D = 86400L * 1000000L
+    def ts(d: Long) = new java.sql.Timestamp(d * D / 1000 + 1)
+    // user 1 active days 0,1; user 2 day 0 only; user 3 days 8, 20;
+    // a repeat visit inside one day must not double-count
+    val rows = Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L), (3L, 8L), (3L, 20L))
+      .zipWithIndex.map { case ((u, d), i) => (i.toLong, ts(d), u, "view", 0.0, "") }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val got = Relational.rollingActive(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // day 0: dau 2 (repeat visit collapsed), wau 2, mau 2
+    // day 1: dau 1 (u1), wau 2 (u1, u2 within 7d)
+    // day 8: only u3 that week, but the 28d window still sees days 0-8
+    // day 20: u3 alone in the week; the 28d window reaches back to day 0
+    assert(got(0L) == ((2L, 2L, 2L)), s"day0 ${got(0L)}")
+    assert(got(1L) == ((1L, 2L, 2L)), s"day1 ${got(1L)}")
+    assert(got(8L) == ((1L, 1L, 3L)), s"day8 ${got(8L)}")
+    assert(got(20L) == ((1L, 1L, 3L)), s"day20 ${got(20L)}")
+    // corpus: every (dau, wau, mau) must equal a brute-force recount
+    val ev0 = Tables.load(spark, sf, "events")
+    val ud = ev0.select(expr(s"unix_micros(ts) div ${D}L").as("day"), col("user_id"))
+      .distinct().as[(Long, Long)].collect()
+    val gotC = Relational.rollingActive(ev0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(gotC.nonEmpty)
+    gotC.foreach { case (d, (dau, wau, mau)) =>
+      def active(w: Long) = ud.filter(x => x._1 <= d && x._1 > d - w).map(_._2).distinct.length
+      assert(dau == active(1) && wau == active(7) && mau == active(28),
+        s"day $d: ($dau,$wau,$mau) != (${active(1)},${active(7)},${active(28)})")
+    }
+  }
+
   test("theilSen: one wild outlier cannot move the trend OLS loses (C72)") {
     import graft.operators.TimeSeries
     import spark.implicits._
