@@ -921,7 +921,94 @@ UNION ALL SELECT 'source_share:' || source,
   round(count(*)::DOUBLE / (sum(count(*)) OVER ()), 6) FROM base GROUP BY source"""
   }
 
-  // ---- L102 (r8): leakage-safe standardization — train-only fit ----
+  // ---- C74 (r8): water-filling budget allocation — capped proportional ----
+  // The resource-allocation primitive behind every "give each source
+  // its fair share of the token budget, but no source can give more
+  // than it has" decision (L30 reweights by target shares; this
+  // SOLVES the allocation when caps bind): find the water level λ
+  // with Σ min(cap_i, λ·w_i) = B — sources with cap_i/w_i ≤ λ
+  // saturate, the rest take λ·w_i. Closed form, not iteration: sort
+  // sources by ratio = cap/w ascending; for each prefix k,
+  // λ(k) = (B − Σ_{j≤k} cap_j) / Σ_{j>k} w_j, and the correct k is
+  // the unique row where ratio_k ≤ λ(k) < ratio_{k+1} — ONE window
+  // pass over the alphabet-bounded source frame, every comparison an
+  // exact integer cross-multiplication on DECIMAL(38,0) products (no
+  // float λ anywhere); unsaturated allocations truncate
+  // ((num·w) div den), so Σ alloc ∈ (B − n, B] — the deterministic
+  // integer water-fill, spec-pinned. The corpus is touched ONCE (the
+  // per-source token/doc counts); budget = 40% of total tokens, the
+  // declared single-row broadcast.
+  private val FillNum = 2L
+  private val FillDen = 5L // budget = 2/5 of total tokens
+
+  def waterFill(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = documents
+      .select(col("source"), size(split(lower(col("text")), "\\s+")).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("t")).as("cap"), count(lit(1)).as("w"))
+    val budget = src.agg(expr(s"(sum(cap) * $FillNum) div $FillDen").as("b"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val wOrd = Window.orderBy(col("ratio_n"), col("source"))
+    val frame = src.crossJoin(broadcast(budget))
+      // ratio as an exact pair (cap, w): comparisons cross-multiply
+      .withColumn("ratio_n", col("cap").cast("double") / col("w"))
+      .withColumn("pfx_cap", coalesce(sum(col("cap"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("sfx_w", sum(col("w"))
+        .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      // λ at THIS row if all strictly-prior rows saturate:
+      //   num/den = (B - pfx_cap) / sfx_w
+      .withColumn("num", col("b") - col("pfx_cap"))
+      .withColumn("den", col("sfx_w"))
+      // this row saturates iff its ratio ≤ λ here: cap·den ≤ num·w
+      .withColumn("sat",
+        (d38(col("cap")) * d38(col("den")) <= d38(col("num")) * d38(col("w")))
+          .cast("long"))
+    // λ is frozen at the FIRST unsaturated row; every later row is
+    // unsaturated too (ratios ascend, λ(j) ≤ λ*), so carry that row's
+    // exact (num, den) with a prefix min-struct keyed by row number
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("lam", min(when(col("sat") === 0,
+        struct(col("rn").as("o"), col("num").as("n"), col("den").as("d"))))
+        .over(wAll))
+      .select(col("source"), col("cap"), col("w"), col("b"),
+        when(col("sat") === 1, col("cap"))
+          .otherwise(expr("CAST((CAST(lam.n AS DECIMAL(38,0)) * w) div lam.d AS BIGINT)"))
+          .as("alloc"),
+        col("sat").as("saturated"))
+  }
+
+  val waterFillSql: String =
+    s"""WITH src AS (
+  SELECT source, sum(len(string_split_regex(lower(text), '\\s+')))::BIGINT AS cap,
+         count(*)::BIGINT AS w
+  FROM documents GROUP BY source),
+b AS (SELECT ((sum(cap) * $FillNum) // $FillDen)::BIGINT AS b FROM src),
+f AS (
+  SELECT source, cap, w, b.b,
+    cap::DOUBLE / w AS ratio_n,
+    coalesce(sum(cap) OVER (ORDER BY cap::DOUBLE / w, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pfx_cap,
+    sum(w) OVER (ORDER BY cap::DOUBLE / w, source
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS sfx_w,
+    row_number() OVER (ORDER BY cap::DOUBLE / w, source) AS rn
+  FROM src CROSS JOIN b),
+s AS (
+  SELECT *, (b - pfx_cap)::BIGINT AS num, sfx_w AS den,
+    (cap::HUGEINT * sfx_w <= (b - pfx_cap)::HUGEINT * w)::BIGINT AS sat
+  FROM f),
+lam AS (
+  SELECT *, min(CASE WHEN sat = 0 THEN {'o': rn, 'n': num, 'd': den} END)
+    OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lam
+  FROM s)
+SELECT source, cap, w, b,
+  CASE WHEN sat = 1 THEN cap
+       ELSE ((lam.n::HUGEINT * w) // lam.d)::BIGINT END AS alloc,
+  sat AS saturated
+FROM lam"""
   // The fit/transform separation every feature pipeline must get
   // right and very many get wrong: normalization statistics computed
   // over the WHOLE corpus leak test-set information into training

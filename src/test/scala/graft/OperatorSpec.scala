@@ -934,6 +934,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("waterFill: caps saturate below the level, the rest split by weight, budget conserved (C74)") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // caps/weights: a = (10 tok, 10 docs), b = (100, 10), c = (1000, 10)
+    // budget = 2/5 of 1110 = 444: a saturates (λ₁ = 14.8 ≥ 1),
+    // b saturates (λ₂ = 21.7 ≥ 10), c takes λ* = 334/10 → 334.
+    val docs =
+      (1 to 10).map(i => (i.toLong, "t", "en", "a", 1L)) ++
+      (1 to 10).map(i => (100 + i.toLong, Seq.fill(10)("t").mkString(" "), "en", "b", 1L)) ++
+      (1 to 10).map(i => (200 + i.toLong, Seq.fill(100)("t").mkString(" "), "en", "c", 1L))
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.waterFill(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("a") == ((10L, 10L, 10L, 1L)), s"a ${got("a")}")
+    assert(got("b") == ((100L, 10L, 100L, 1L)), s"b ${got("b")}")
+    assert(got("c") == ((1000L, 10L, 334L, 0L)), s"c ${got("c")}")
+    assert(got.values.map(_._3).sum == 444L, "budget not exactly consumed")
+    // corpus: allocations conserve within the truncation bound and
+    // never exceed caps; saturated rows take exactly their caps
+    val corpus = Curation.waterFill(Tables.load(spark, sf, "documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val b = corpus.head._4
+    val total = corpus.map(_._5).sum
+    assert(total <= b && total > b - corpus.length,
+      s"allocated $total of budget $b with ${corpus.length} sources")
+    corpus.foreach { case (src, cap, _, _, alloc, sat) =>
+      assert(alloc <= cap, s"$src allocated over cap")
+      if (sat == 1L) assert(alloc == cap, s"$src saturated but alloc != cap")
+    }
+  }
+
   test("rollingActive: windowed distinct equals brute-force recount (C73)") {
     import graft.operators.Relational
     import spark.implicits._
@@ -2860,7 +2893,8 @@ class OperatorSpec extends SparkSpec {
       "q_mutual_info" -> "crossJoin(broadcast(single-row grand total)) — the tfidf/lm_score pattern",
       "q_freq_pairs" -> "crossJoin(broadcast(single-row basket total)) — the tfidf/lm_score pattern",
       "q_psi_drift" -> "crossJoin(broadcast(single-row temporal midpoint)) — the tfidf/lm_score pattern",
-      "q_survival" -> "crossJoin(broadcast(single-row corpus-end timestamp)) — the tfidf/lm_score pattern")
+      "q_survival" -> "crossJoin(broadcast(single-row corpus-end timestamp)) — the tfidf/lm_score pattern",
+      "q_water_fill" -> "crossJoin(broadcast(single-row total-token budget)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
