@@ -1880,6 +1880,112 @@ FROM c
 WHERE event_type = 'purchase' AND chain IS NOT NULL
   AND chain.vus >= 0 AND us - chain.vus <= ${CepWindowMin * 60L * 1000000L}"""
 
+  // ---- C75 (r8): temporal integrity audit — SCD2 validity QA ----
+  // The warehouse QA pass that belongs next to every SCD2/temporal
+  // table (C32 writes them; this proves they stay well-formed):
+  // per key, consecutive validity intervals must CHAIN — an interval
+  // starting before its predecessor ends is an OVERLAP (two truths at
+  // once — the bug that silently double-counts in as-of joins), one
+  // starting later leaves a GAP (no truth at all), and exactly ONE
+  // open (null-ended) current row may exist. One (key) exchange, one
+  // ordered lag pass, one per-key rollup — the C4 contract; nothing
+  // corpus-wide. Output: per-key audit row; `clean` rolls the three
+  // invariants into the bit a publish gate checks.
+  def temporalAudit(dim: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("valid_from"), col("valid_to"))
+    dim
+      .select(col("key"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.cast("long").as("open"))
+      .withColumn("prev_to", lag(col("valid_to"), 1).over(w))
+      .withColumn("overlap",
+        (col("prev_to").isNotNull && col("valid_from") < col("prev_to")).cast("long"))
+      .withColumn("gap",
+        (col("prev_to").isNotNull && col("valid_from") > col("prev_to")).cast("long"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(col("overlap")).as("n_overlaps"),
+        sum(col("gap")).as("n_gaps"),
+        sum(col("open")).as("n_open"))
+      .withColumn("clean",
+        (col("n_overlaps") === 0 && col("n_gaps") === 0 && col("n_open") === 1)
+          .cast("long"))
+  }
+
+  /** The registered audit: C32's merged dimension, audited. */
+  def scd2Audit(customer: DataFrame): DataFrame =
+    temporalAudit(scd2Merge(customer))
+
+  val scd2AuditSql: String =
+    s"""WITH dim AS ($scd2MergeSql),
+l AS (
+  SELECT key, valid_from, valid_to,
+    (valid_to IS NULL)::BIGINT AS open,
+    lag(valid_to) OVER (PARTITION BY key ORDER BY valid_from, valid_to) AS prev_to
+  FROM dim),
+g AS (
+  SELECT key, count(*)::BIGINT AS n_versions,
+    sum((prev_to IS NOT NULL AND valid_from < prev_to)::INT)::BIGINT AS n_overlaps,
+    sum((prev_to IS NOT NULL AND valid_from > prev_to)::INT)::BIGINT AS n_gaps,
+    sum(open)::BIGINT AS n_open
+  FROM l GROUP BY key)
+SELECT key, n_versions, n_overlaps, n_gaps, n_open,
+  (n_overlaps = 0 AND n_gaps = 0 AND n_open = 1)::BIGINT AS clean
+FROM g"""
+
+  // ---- C76 (r8): inclusion-dependency profile — FK discovery ----
+  // The data-catalog profiling question: which column pairs actually
+  // satisfy referential containment, and how strongly? Declared
+  // candidate pairs are checked with exact DISTINCT-level arithmetic:
+  // containment(child ⊆ parent) = |distinct child ∩ parent| /
+  // |distinct child| — 1.0 means the pair is a real foreign key
+  // (C59's RI rule assumes one; this DISCOVERS them, and the
+  // deliberate reverse pair quantifies how far the converse fails).
+  // Scale: each side collapses to its distinct key frame first (the
+  // C73 presence-frame discipline), the probe is one keyed left join
+  // per pair over those frames, and the per-pair outputs are
+  // single-row aggregates unioned into the report.
+  def inclusionProfile(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame, part: DataFrame): DataFrame = {
+    def contain(name: String, child: DataFrame, childCol: String,
+        parent: DataFrame, parentCol: String): DataFrame = {
+      val c = child.select(col(childCol).as("k")).distinct()
+      val p = parent.select(col(parentCol).as("k")).distinct()
+        .withColumn("hit", lit(1L))
+      c.join(p, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contained"))
+        .select(lit(name).as("pair"), col("n_child"), col("n_contained"),
+          round(col("n_contained").cast("double") / col("n_child"), 6)
+            .as("containment"),
+          (col("n_contained") === col("n_child")).cast("long").as("is_fk"))
+    }
+    contain("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey")
+      .unionByName(contain("lineitem.orderkey->orders", lineitem, "l_orderkey",
+        orders, "o_orderkey"))
+      .unionByName(contain("lineitem.partkey->part", lineitem, "l_partkey",
+        part, "p_partkey"))
+      .unionByName(contain("customer.custkey->orders", customer, "c_custkey",
+        orders, "o_custkey"))
+  }
+
+  val inclusionProfileSql: String = {
+    def arm(name: String, ct: String, cc: String, pt: String, pc: String) =
+      s"""SELECT '$name' AS pair, count(*)::BIGINT AS n_child,
+    sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contained,
+    round(sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+      AS containment,
+    (sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) = count(*))::BIGINT AS is_fk
+  FROM (SELECT DISTINCT $cc AS k FROM $ct) c
+  LEFT JOIN (SELECT DISTINCT $pc AS k FROM $pt) p USING (k)"""
+    Seq(
+      arm("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      arm("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      arm("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      arm("customer.custkey->orders", "customer", "c_custkey", "orders", "o_custkey")
+    ).mkString("\nUNION ALL\n")
+  }
+
   // ---- C73 (r8): rolling active users — DAU/WAU/MAU + stickiness ----
   // The product-analytics headline metrics. "Users active in the last
   // 7/28 days as of EACH day" is a rolling WINDOWED DISTINCT — not

@@ -934,6 +934,59 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("temporalAudit flags overlaps, gaps, and double-opens exactly (C75)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(86400000L * d)
+    val dim = Seq(
+      // key 1: clean chain, one open
+      (1L, ts(0), Some(ts(10))), (1L, ts(10), None),
+      // key 2: overlap (second starts before first ends)
+      (2L, ts(0), Some(ts(10))), (2L, ts(5), None),
+      // key 3: gap (second starts after first ends)
+      (3L, ts(0), Some(ts(10))), (3L, ts(12), None),
+      // key 4: two open rows
+      (4L, ts(0), None), (4L, ts(10), None))
+      .map { case (k, f, t) => (k, f, t.orNull) }
+      .toDF("key", "valid_from", "valid_to")
+    val got = Relational.temporalAudit(dim).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((2L, 0L, 0L, 1L, 1L)), s"clean key ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 0L, 1L, 0L)), s"overlap key ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 1L, 1L, 0L)), s"gap key ${got(3L)}")
+    assert(got(4L) == ((2L, 0L, 0L, 2L, 0L)), s"double-open key ${got(4L)}")
+    // positive control: the C32 merge is well-formed for every key
+    val audited = Relational.scd2Audit(Tables.load(spark, sf, "customer")).collect()
+    assert(audited.nonEmpty)
+    audited.foreach(r => assert(r.getLong(5) == 1L, s"scd2 key ${r.getLong(0)} not clean"))
+  }
+
+  test("inclusionProfile: real FKs read 1.0, the reverse quantifies the converse (C76)") {
+    import graft.operators.Relational
+    val (o, c, l, p) = (Tables.load(spark, sf, "orders"), Tables.load(spark, sf, "customer"),
+      Tables.load(spark, sf, "lineitem"), Tables.load(spark, sf, "part"))
+    val got = Relational.inclusionProfile(o, c, l, p).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))).toMap
+    assert(got.size == 4)
+    Seq("orders.custkey->customer", "lineitem.orderkey->orders",
+      "lineitem.partkey->part").foreach { pair =>
+      val (n, m, cont, fk) = got(pair)
+      assert(n == m && cont == 1.0 && fk == 1L, s"$pair not a clean FK: ${got(pair)}")
+    }
+    // the reverse direction quantifies customers with no orders
+    val (nc, mc, contC, fkC) = got("customer.custkey->orders")
+    val expect = {
+      val ck = c.select(col("c_custkey")).distinct()
+      val ok = o.select(col("o_custkey")).distinct()
+      (ck.count(), ck.join(ok, ck("c_custkey") === ok("o_custkey"), "left_semi").count())
+    }
+    assert((nc, mc) == expect, s"reverse pair counts $nc/$mc vs brute $expect")
+    assert(fkC == (if (nc == mc) 1L else 0L))
+    assert(contC == math.rint(mc.toDouble / nc * 1e6) / 1e6)
+  }
+
   test("waterFill: caps saturate below the level, the rest split by weight, budget conserved (C74)") {
     import graft.operators.Curation
     import spark.implicits._
