@@ -798,6 +798,42 @@ SELECT a.x, a.y, a.cos
 FROM e a JOIN e b ON a.x = b.y AND a.y = b.x
 WHERE a.x < a.y"""
 
+  // ---- L105 (r8): embedding outlier scores — kNN-distance novelty ----
+  // SemDeDup prunes what is TOO similar; curation equally needs the
+  // other tail — vectors far from everything (OOD junk, encoding
+  // garbage, mislabeled modalities). The standard unsupervised score
+  // is distance to the k nearest neighbors: here score = mean cosine
+  // to the (≤ k) nearest bucket-mates from L28's capped kNN graph,
+  // and a vector with NO surviving bucket-mate in any of the T tables
+  // is the extreme case — emitted with score NULL and flagged, not
+  // silently dropped (at 8×4 banding a vector must disagree with
+  // every neighbor in all 8 tables to isolate). Pure composition:
+  // one (vec) aggregate over the kNN edge frame + an anti-join-style
+  // left join from the id frame; every scale bound inherited from
+  // L28. Threshold: outlier iff isolated OR mean cos < tau.
+  private val OutlierTau = 0.2
+
+  def embeddingOutliers(embeddings: DataFrame,
+      tau: Double = OutlierTau): DataFrame = {
+    val knn = knnGraph(embeddings)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("k_used"),
+        round(avg(col("cos")), 6).as("knn_cos"))
+    embeddings.select(col("vec_id"))
+      .join(knn, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("k_used"), lit(0L)).as("k_used"), col("knn_cos"),
+        (col("knn_cos").isNull || col("knn_cos") < tau).cast("long").as("outlier"))
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH knn AS ($knnGraphSql),
+s AS (SELECT vec_id, count(*)::BIGINT AS k_used, round(avg(cos), 6) AS knn_cos
+  FROM knn GROUP BY vec_id)
+SELECT e.vec_id, coalesce(s.k_used, 0)::BIGINT AS k_used, s.knn_cos,
+  (s.knn_cos IS NULL OR s.knn_cos < $OutlierTau)::BIGINT AS outlier
+FROM (SELECT vec_id FROM embeddings) e LEFT JOIN s USING (vec_id)"""
+
   // ---- L32: SemDeDup (semantic dedup over the embedding graph) ----
   // The semantic-dedup pass modern curation runs AFTER exact/fuzzy
   // text dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):

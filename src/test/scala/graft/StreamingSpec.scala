@@ -926,4 +926,25 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == batch, s"stream $got != batch $batch")
   }
+  test("edge-triggered alerts: transitions only, hysteresis suppresses flapping (R18)") {
+    import graft.streaming.AlertStream
+    import graft.streaming.AlertStream.Reading
+    implicit val sqlCtx = spark.sqlContext
+    // band [lo=5, hi=10]: values flap inside the band without re-paging
+    val b1 = Seq(Reading("m", 1, 2.0), Reading("m", 2, 12.0),   // -> alert@2
+      Reading("m", 3, 11.0), Reading("m", 4, 7.0))              // in band: silent
+    val b2 = Seq(Reading("m", 5, 6.0), Reading("m", 6, 3.0),    // -> recover@6
+      Reading("m", 7, 9.0))                                     // below hi: silent
+    val b3 = Seq(Reading("m", 8, 15.0),                         // -> alert@8
+      Reading("n", 9, 20.0))                                    // second key -> alert@9
+    val stream = MemoryStream[Reading]
+    val q = AlertStream.edgeAlerts(stream.toDS(), hi = 10.0, lo = 5.0)
+      .writeStream.format("memory").queryName("alerts").outputMode("append").start()
+    Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("alerts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(("m", 2L, "alert"), ("m", 6L, "recover"),
+      ("m", 8L, "alert"), ("n", 9L, "alert")), s"got $got")
+  }
 }
