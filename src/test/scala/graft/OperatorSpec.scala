@@ -934,6 +934,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("embeddingOutliers: isolated vectors flag with null score, clustered ones pass (L105)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val dim = 64
+    // a tight cluster of 6 near-identical vectors + one vector that
+    // negates every coordinate pattern (lands in complementary buckets
+    // across all tables -> no bucket-mates -> isolated)
+    val base = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else 0.5f)
+    val rows = (0 until 6).map { j =>
+      (j.toLong, base.zipWithIndex.map { case (v, i) =>
+        v + (if (i == j) 0.01f else 0f) }.toSeq, 0)
+    } :+ ((99L, base.map(v => -v).toSeq, 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingOutliers(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))).toMap
+    assert(got.size == 7)
+    (0 until 6).foreach { j =>
+      val (k, cos, out) = got(j.toLong)
+      assert(k >= 1 && cos.exists(_ > 0.9) && out == 0L, s"cluster member $j: ${got(j.toLong)}")
+    }
+    val (k99, cos99, out99) = got(99L)
+    assert(k99 == 0L && cos99.isEmpty && out99 == 1L, s"isolated vector: ${got(99L)}")
+    // corpus: outlier iff isolated or below tau, never silently dropped
+    val embC = Tables.load(spark, sf, "embeddings")
+    val corpus = Similarity.embeddingOutliers(embC).collect()
+    assert(corpus.length == embC.count())
+    corpus.foreach { r =>
+      val flagged = r.getLong(3) == 1L
+      val isolated = r.isNullAt(2)
+      val low = !isolated && r.getDouble(2) < 0.2
+      assert(flagged == (isolated || low), s"flag rule broken: $r")
+    }
+  }
+
   test("temporalAudit flags overlaps, gaps, and double-opens exactly (C75)") {
     import graft.operators.Relational
     import spark.implicits._
