@@ -1880,6 +1880,59 @@ FROM c
 WHERE event_type = 'purchase' AND chain IS NOT NULL
   AND chain.vus >= 0 AND us - chain.vus <= ${CepWindowMin * 60L * 1000000L}"""
 
+  // ---- C77 (r8): BOM quantity rollup — multiplicative path closure ----
+  // C47 flattens the hierarchy (root, depth); a bill-of-materials
+  // additionally needs the QUANTITY along the path — "one product
+  // needs 3 assemblies, each needs 4 brackets" ⇒ 12 brackets per
+  // product — i.e. the PRODUCT of edge quantities from node to root,
+  // then per-root totals (the BOM explosion). The point being proved:
+  // pointer doubling carries ANY associative aggregate, not just
+  // depth — each round composes (anc, qty-to-anc) pairs by
+  // multiplication exactly as C47 adds depths, so the closure still
+  // converges in ceil(log2 depth) lineage-cut waves. Edge quantity =
+  // 1 + k % 5 (synthetic, as C47's parent rule); path products are
+  // exact BIGINTs (≤ 5^7 at the forest's max depth — a real BOM's
+  // depth is similarly bounded). Oracle: WITH RECURSIVE replaying the
+  // same product.
+  def bomRollup(customer: DataFrame, rounds: Int = HierRounds): DataFrame = {
+    val keys = customer.select(col("c_custkey").cast("long").as("k"))
+    val pRaw = keys.select(col("k"), expr("k div 10").as("p"),
+      (lit(1L) + pmod(col("k"), lit(5))).as("q"))
+    val known = keys.select(col("k").as("p"))
+    val nonRoot = pRaw.where(col("p") =!= col("k"))
+      .join(known, Seq("p"), "left_semi")
+      .select(col("k"), col("p").as("anc"), col("q").as("pq"))
+    var state = nonRoot
+      .unionAll(keys.join(nonRoot.select(col("k")), Seq("k"), "left_anti")
+        .select(col("k"), col("k").as("anc"), lit(1L).as("pq")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val m = state.select(col("k").as("anc"), col("anc").as("anc2"), col("pq").as("pq2"))
+      state = state.join(m, "anc")
+        .select(col("k"), col("anc2").as("anc"), (col("pq") * col("pq2")).as("pq"))
+        .localCheckpoint()
+    }
+    val totals = state.groupBy(col("anc")).agg(sum(col("pq")).as("root_total_qty"))
+    state.join(totals, "anc")
+      .select(col("k").as("c_custkey"), col("anc").as("root"),
+        col("pq").as("path_qty"), col("root_total_qty"))
+  }
+
+  val bomRollupSql: String =
+    s"""WITH RECURSIVE keys AS (SELECT c_custkey::BIGINT AS k FROM customer),
+edges AS (
+  SELECT k, k // 10 AS p, 1 + k % 5 AS q FROM keys
+  WHERE k // 10 <> k AND k // 10 IN (SELECT k FROM keys)),
+walk AS (
+  SELECT k, k AS anc, 1::BIGINT AS pq FROM keys
+  WHERE k NOT IN (SELECT k FROM edges)
+  UNION ALL
+  SELECT e.k, w.anc, (e.q * w.pq)::BIGINT
+  FROM edges e JOIN walk w ON e.p = w.k),
+tot AS (SELECT anc, sum(pq)::BIGINT AS root_total_qty FROM walk GROUP BY anc)
+SELECT w.k AS c_custkey, w.anc AS root, w.pq AS path_qty, t.root_total_qty
+FROM walk w JOIN tot t ON t.anc = w.anc"""
+
   // ---- C75 (r8): temporal integrity audit — SCD2 validity QA ----
   // The warehouse QA pass that belongs next to every SCD2/temporal
   // table (C32 writes them; this proves they stay well-formed):

@@ -934,6 +934,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bomRollup: path quantity products match a sequential walk (C77)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // forest under parent(k) = k div 10, edge qty = 1 + k % 5:
+    // keys {7, 73, 731}: 731 -> 73 (q=1+1=2), 73 -> 7 (q=1+3=4), 7 root
+    // path_qty(731) = 2 * 4 = 8; root totals = 1 + 4 + 8 = 13
+    val c = Seq(7L, 73L, 731L, 9L).toDF("c_custkey")
+      .select(col("c_custkey"), lit("x").as("c_mktsegment"))
+    val got = Relational.bomRollup(c).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(7L) == ((7L, 1L, 13L)), s"root ${got(7L)}")
+    assert(got(73L) == ((7L, 4L, 13L)), s"mid ${got(73L)}")
+    assert(got(731L) == ((7L, 8L, 13L)), s"leaf ${got(731L)}")
+    assert(got(9L) == ((9L, 1L, 1L)), s"lone root ${got(9L)}")
+    // corpus: every path product equals the sequential parent walk
+    val cust = Tables.load(spark, sf, "customer")
+    val ks = cust.select(col("c_custkey").cast("long")).collect().map(_.getLong(0)).toSet
+    val corpus = Relational.bomRollup(cust).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    corpus.foreach { case (k, (root, pq)) =>
+      var cur = k; var prod = 1L
+      while (cur / 10 != cur && ks(cur / 10)) { prod *= 1 + cur % 5; cur = cur / 10 }
+      assert(root == cur && pq == prod, s"node $k: got ($root,$pq), walk gives ($cur,$prod)")
+    }
+  }
+
   test("embeddingOutliers: isolated vectors flag with null score, clustered ones pass (L105)") {
     import graft.operators.Similarity
     import spark.implicits._
