@@ -1880,6 +1880,94 @@ FROM c
 WHERE event_type = 'purchase' AND chain IS NOT NULL
   AND chain.vus >= 0 AND us - chain.vus <= ${CepWindowMin * 60L * 1000000L}"""
 
+  // ---- C78 (r8): burst detection — max sliding event rate per user ----
+  // The abuse/rate-limit audit: a user's peak request rate is the max
+  // over time of "events in the trailing window" — not a tumbling
+  // count (C6), which halves apparent bursts that straddle bucket
+  // edges. Exact formulation: an event-time RANGE frame counts each
+  // event's trailing window IN THE SAME ordered pass the C4 contract
+  // already pays for — peak = max of that running count per user;
+  // the report carries when the peak happened (argmax via the C6
+  // struct idiom, ties to the earliest burst) and flags users whose
+  // peak exceeds the limit. One (user) exchange; the window is
+  // event-time RANGE, so sparse users cost nothing.
+  private val BurstWindowSec = 3600L
+  private val BurstLimit = 5L
+
+  def burstDetect(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-BurstWindowSec * 1000000L, 0)
+    events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("in_window", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("in_window").as("c"), (-col("us")).as("nts"))).as("pk"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        col("pk.c").as("peak_rate"), (-col("pk.nts")).as("peak_at_us"),
+        (col("pk.c") > BurstLimit).cast("long").as("flagged"))
+  }
+
+  val burstDetectSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+r AS (
+  SELECT user_id, us,
+    count(*) OVER (PARTITION BY user_id ORDER BY us
+      RANGE BETWEEN ${BurstWindowSec * 1000000L} PRECEDING AND CURRENT ROW)::BIGINT
+      AS in_window
+  FROM e),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+    max(struct_pack(c := in_window, nts := -us)) AS pk
+  FROM r GROUP BY user_id)
+SELECT user_id, n_events, pk.c AS peak_rate, -pk.nts AS peak_at_us,
+  (pk.c > $BurstLimit)::BIGINT AS flagged
+FROM g"""
+
+  // ---- C79 (r8): join-key skew profiler ----
+  // The diagnostic that DECIDES when C16's salted join is needed:
+  // per declared join key, the cardinality, the heaviest key and its
+  // count, the mean rows per key, and the skew factor max/mean — the
+  // number that predicts one straggling reducer at 100 TB. One
+  // partial-agged count per key column + a single-row summary (argmax
+  // via struct max, exact integer mean as a round-6 double at the
+  // edge); report rows union across declared keys.
+  def skewProfile(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    def profile(name: String, df: DataFrame, keyCol: String): DataFrame =
+      df.groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(lit(name).as("key"), count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(struct(col("c").as("c"), col("k").as("k"))).as("top"))
+        .select(col("key"), col("n_keys"), col("n_rows"),
+          col("top.k").as("heaviest_key"), col("top.c").as("heaviest_count"),
+          round(col("top.c") * col("n_keys").cast("double") / col("n_rows"), 6)
+            .as("skew_factor"))
+    profile("lineitem.l_orderkey", lineitem, "l_orderkey")
+      .unionByName(profile("lineitem.l_partkey", lineitem, "l_partkey"))
+      .unionByName(profile("lineitem.l_suppkey", lineitem, "l_suppkey"))
+      .unionByName(profile("orders.o_custkey", orders, "o_custkey"))
+  }
+
+  val skewProfileSql: String = {
+    def arm(name: String, table: String, keyCol: String) =
+      s"""SELECT '$name' AS key, count(*)::BIGINT AS n_keys,
+    sum(c)::BIGINT AS n_rows,
+    max(struct_pack(c := c, k := k)).k AS heaviest_key,
+    max(struct_pack(c := c, k := k)).c AS heaviest_count,
+    round(max(struct_pack(c := c, k := k)).c * count(*)::DOUBLE / sum(c), 6)
+      AS skew_factor
+  FROM (SELECT $keyCol::BIGINT AS k, count(*)::BIGINT AS c
+        FROM $table GROUP BY 1)"""
+    Seq(
+      arm("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      arm("lineitem.l_partkey", "lineitem", "l_partkey"),
+      arm("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      arm("orders.o_custkey", "orders", "o_custkey")
+    ).mkString("\nUNION ALL\n")
+  }
+
   // ---- C77 (r8): BOM quantity rollup — multiplicative path closure ----
   // C47 flattens the hierarchy (root, depth); a bill-of-materials
   // additionally needs the QUANTITY along the path — "one product

@@ -934,6 +934,59 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("burstDetect: trailing-window peak beats tumbling, straddled bursts counted whole (C78)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val m = 60L * 1000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // user 1: six events in 10 minutes straddling an hour boundary
+    // (55..65 min) — a tumbling hour sees 3+3, the trailing window 6
+    val u1 = (0 until 6).map(i => (i.toLong, ts((55 + 2 * i) * m), 1L))
+    // user 2: steady one event per 2h -> peak 1
+    val u2 = (0 until 5).map(i => (10L + i, ts(i * 120 * m), 2L))
+    val df = (u1 ++ u2).toDF("event_id", "ts", "user_id")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        lit("view").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+    val got = Relational.burstDetect(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((6L, 6L, 65 * m, 1L)), s"burst user ${got(1L)}")
+    assert(got(2L) == ((5L, 1L, 0L, 0L)), s"steady user ${got(2L)}")
+    // corpus: every peak equals a brute-force trailing-window recount
+    val ev0 = Tables.load(spark, sf, "events")
+    val byUser = ev0.select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    Relational.burstDetect(ev0).collect().foreach { r =>
+      val (u, peak) = (r.getLong(0), r.getLong(2))
+      val us = byUser(u)
+      val brute = us.map(t => us.count(x => x <= t && x >= t - 3600L * 1000000L)).max
+      assert(peak == brute, s"user $u peak $peak != brute $brute")
+    }
+  }
+
+  test("skewProfile: heaviest keys and skew factors match brute-force recounts (C79)") {
+    import graft.operators.Relational
+    val (l, o) = (Tables.load(spark, sf, "lineitem"), Tables.load(spark, sf, "orders"))
+    val got = Relational.skewProfile(l, o).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == 4)
+    def brute(df: org.apache.spark.sql.DataFrame, c: String) = {
+      val counts = df.groupBy(col(c).cast("long")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val (hk, hc) = counts.maxBy(x => (x._2, x._1))
+      (counts.length.toLong, counts.map(_._2).sum, hk, hc)
+    }
+    Seq(("lineitem.l_orderkey", l, "l_orderkey"), ("orders.o_custkey", o, "o_custkey"))
+      .foreach { case (name, df, c) =>
+        val (nk, nr, hk, hc) = brute(df, c)
+        val (gnk, gnr, ghk, ghc, gsf) = got(name)
+        assert((gnk, gnr, ghk, ghc) == ((nk, nr, hk, hc)), s"$name: ${got(name)}")
+        assert(gsf == math.rint(hc * nk.toDouble / nr * 1e6) / 1e6)
+      }
+  }
+
   test("bomRollup: path quantity products match a sequential walk (C77)") {
     import graft.operators.Relational
     import spark.implicits._
