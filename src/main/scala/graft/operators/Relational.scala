@@ -1880,6 +1880,55 @@ FROM c
 WHERE event_type = 'purchase' AND chain IS NOT NULL
   AND chain.vus >= 0 AND us - chain.vus <= ${CepWindowMin * 60L * 1000000L}"""
 
+  // ---- C80 (r8): sequential pattern support — ordered type pairs ----
+  // C42 counts ADJACENT trigrams; real sequence mining (the
+  // PrefixSpan/SPADE question) asks about ordered co-occurrence with
+  // ANY gap: "what fraction of users do A at some point and B at any
+  // LATER point?" — the signal behind funnel design and causal-ish
+  // ordering hypotheses. Exact gap-free formulation with NO pair
+  // explosion over events: per user, ONE aggregate keeps each type's
+  // FIRST and LAST occurrence time; user supports (a → b) iff
+  // first(a) < last(b) — an existence proof (some a precedes some b)
+  // computed from 2·|alphabet| numbers per user, never from event
+  // pairs. The (a, b) support tally then runs on the user×alphabet²
+  // frame (alphabet-bounded per user). Output: support, the two
+  // marginals, and round-6 confidence support/support(a) — the
+  // association-rule readout.
+  def seqPairSupport(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val a = perUser.select(col("user_id"), col("event_type").as("a"),
+      col("first_us"))
+    val b = perUser.select(col("user_id"), col("event_type").as("b"),
+      col("last_us"))
+    val pairs = a.join(b, Seq("user_id"))
+      .where(col("a") =!= col("b") && col("first_us") < col("last_us"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    val marg = perUser.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(marg.select(col("event_type").as("a"), col("n_users").as("n_a")), "a")
+      .join(marg.select(col("event_type").as("b"), col("n_users").as("n_b")), "b")
+      .select(col("a"), col("b"), col("support"), col("n_a"), col("n_b"),
+        round(col("support").cast("double") / col("n_a"), 6).as("confidence"))
+  }
+
+  val seqPairSupportSql: String =
+    s"""WITH pu AS (
+  SELECT user_id, event_type, min(epoch_us(ts)) AS first_us,
+         max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id, event_type),
+p AS (
+  SELECT a.event_type AS a, b.event_type AS b, count(*)::BIGINT AS support
+  FROM pu a JOIN pu b ON a.user_id = b.user_id
+    AND a.event_type <> b.event_type AND a.first_us < b.last_us
+  GROUP BY 1, 2),
+m AS (SELECT event_type, count(*)::BIGINT AS n_users FROM pu GROUP BY 1)
+SELECT p.a, p.b, p.support, ma.n_users AS n_a, mb.n_users AS n_b,
+  round(p.support::DOUBLE / ma.n_users, 6) AS confidence
+FROM p JOIN m ma ON ma.event_type = p.a JOIN m mb ON mb.event_type = p.b"""
+
   // ---- C78 (r8): burst detection — max sliding event rate per user ----
   // The abuse/rate-limit audit: a user's peak request rate is the max
   // over time of "events in the trailing window" — not a tumbling

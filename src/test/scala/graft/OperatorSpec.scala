@@ -934,6 +934,51 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("seqPairSupport: ordered co-occurrence with any gap, not adjacency (C80)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // user 1: view, error, click  -> (view->click) holds WITH a gap
+    // user 2: click, view         -> (view->click) does NOT hold
+    // user 3: view, click, view   -> holds both directions
+    val rows = Seq(
+      (1L, 1L, "view"), (2L, 2L, "error"), (3L, 3L, "click"),
+      (10L, 1L, "click"), (11L, 2L, "view"),
+      (20L, 1L, "view"), (21L, 2L, "click"), (22L, 3L, "view"))
+      .zipWithIndex.map { case ((id, t, tp), i) =>
+        val u = if (id < 10) 1L else if (id < 20) 2L else 3L
+        (id, ts(t * h), u, tp, 0.0, "")
+      }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val got = Relational.seqPairSupport(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(5))))
+      .toMap
+    // view->click: users 1 and 3 (gap allowed), not 2 -> support 2;
+    // confidence = 2 / 3 view-users
+    assert(got(("view", "click")) == ((2L, 0.666667)), s"${got(("view", "click"))}")
+    // click->view: users 2 and 3 -> support 2, conf 2/3 click-users
+    assert(got(("click", "view")) == ((2L, 0.666667)))
+    // error->click: user 1 only; error->view absent (nothing after)
+    assert(got(("error", "click"))._1 == 1L)
+    assert(!got.contains(("view", "error")) || got(("view", "error"))._1 == 1L)
+    // corpus: support equals a brute recount for one pair
+    val ev0 = Tables.load(spark, sf, "events")
+    val gotC = Relational.seqPairSupport(ev0).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val brute = ev0.select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).count { case (_, es) =>
+        val v = es.filter(_._2 == "view").map(_._3)
+        val p = es.filter(_._2 == "purchase").map(_._3)
+        v.nonEmpty && p.nonEmpty && v.min < p.max
+      }
+    assert(gotC(("view", "purchase")) == brute.toLong,
+      s"view->purchase ${gotC(("view", "purchase"))} != brute $brute")
+  }
+
   test("burstDetect: trailing-window peak beats tumbling, straddled bursts counted whole (C78)") {
     import graft.operators.Relational
     import spark.implicits._
