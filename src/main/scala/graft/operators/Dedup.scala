@@ -1252,6 +1252,76 @@ FROM scalars s JOIN named n USING (cluster_id) JOIN mode m USING (cluster_id)"""
       .select(col("doc_id"), col("community"), col("n_members"))
   }
 
+  // ---- C81 (r8): modularity audit — scoring the community partition ----
+  // C60 produces a partition; modularity is the standard number that
+  // says whether it MEANS anything: Q = Σ_c [e_c/m − (d_c/2m)²] —
+  // intra-community edge share minus what random wiring with the same
+  // degrees would give. Q ≈ 0 ⇒ the "communities" are noise; the audit
+  // belongs beside the operator it scores (the C75-audits-C32
+  // pattern). EXACT arithmetic: per community the integer numerator
+  // 4m·e_c − d_c² (DECIMAL(38,0)-safe at any scale) is released
+  // alongside the round-6 float term, so Σ q_num / 4m² replays Q with
+  // zero float accumulation. Plan: the edge list joins the label frame
+  // on EACH ENDPOINT (two keyed joins), degrees are one symmetrized
+  // count, everything aggregates per community; m is the declared
+  // single-row broadcast.
+  def modularityAudit(documents: DataFrame): DataFrame =
+    modularityEdges(simhashDedup(documents).select(col("x"), col("y")),
+      labelPropagation(documents).select(col("doc_id"), col("community")))
+
+  /** Core scorer over an explicit (x, y) edge list and a (doc_id,
+    * community) partition — exposed so specs can plant graphs. */
+  def modularityEdges(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val lx = labels.select(col("doc_id").as("x"), col("community").as("cx"))
+    val ly = labels.select(col("doc_id").as("y"), col("community").as("cy"))
+    val tagged = pairs.join(lx, "x").join(ly, "y")
+    val intra = tagged.where(col("cx") === col("cy"))
+      .groupBy(col("cx").as("community")).agg(count(lit(1)).as("e_intra"))
+    val deg = pairs.select(col("x").as("v")).unionAll(pairs.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val dsum = labels.join(deg, labels("doc_id") === deg("v"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("d"), lit(0L))).as("d_sum"))
+    dsum.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("e_intra"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_members"), col("e_intra"),
+        col("d_sum"), col("m"),
+        (lit(4).cast("decimal(38,0)") * col("m") * col("e_intra") -
+          col("d_sum").cast("decimal(38,0)") * col("d_sum")).as("q_num"),
+        round(col("e_intra").cast("double") / col("m") -
+          (col("d_sum").cast("double") / (col("m") * 2)) *
+          (col("d_sum").cast("double") / (col("m") * 2)), 6).as("q_term"))
+  }
+
+  lazy val modularityAuditSql: String =
+    s"""WITH lpa AS MATERIALIZED ($labelPropagationSql),
+p2 AS MATERIALIZED ($simhashDedupSql),
+pe AS (SELECT x, y FROM p2),
+m AS (SELECT count(*)::BIGINT AS m FROM pe),
+tagged AS (
+  SELECT lx.community AS cx, ly.community AS cy
+  FROM pe JOIN lpa lx ON lx.doc_id = pe.x JOIN lpa ly ON ly.doc_id = pe.y),
+intra AS (SELECT cx AS community, count(*)::BIGINT AS e_intra
+  FROM tagged WHERE cx = cy GROUP BY cx),
+deg AS (SELECT v, count(*)::BIGINT AS d FROM (
+  SELECT x AS v FROM pe UNION ALL SELECT y FROM pe) GROUP BY v),
+ds AS (
+  SELECT l.community, count(*)::BIGINT AS n_members,
+         sum(coalesce(deg.d, 0))::BIGINT AS d_sum
+  FROM (SELECT DISTINCT doc_id, community FROM lpa) l
+  LEFT JOIN deg ON deg.v = l.doc_id
+  GROUP BY l.community)
+SELECT ds.community, ds.n_members, coalesce(i.e_intra, 0)::BIGINT AS e_intra,
+  ds.d_sum, m.m,
+  (4::HUGEINT * m.m * coalesce(i.e_intra, 0)
+    - ds.d_sum::HUGEINT * ds.d_sum)::DECIMAL(38,0) AS q_num,
+  round(coalesce(i.e_intra, 0)::DOUBLE / m.m -
+    (ds.d_sum::DOUBLE / (2 * m.m)) * (ds.d_sum::DOUBLE / (2 * m.m)), 6) AS q_term
+FROM ds LEFT JOIN intra i USING (community) CROSS JOIN m"""
+
   lazy val labelPropagationSql: String = {
     val waves = (1 to LpaRounds).map { r =>
       s"""l$r AS MATERIALIZED (

@@ -817,6 +817,39 @@ class OperatorSpec extends SparkSpec {
     assert(again == rows.toSet, "LPA labels depend on partitioning")
   }
 
+  test("modularityAudit: planted cliques score high, bookkeeping exact (C81)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // two 4-cliques + one bridge: m = 13, per clique e = 6,
+    // d_sum = 3+3+3+4 = 13 -> q_num = 4*13*6 - 169 = 143 each,
+    // Q = 286 / (4*169) = 0.423077
+    val cl1 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val cl2 = for { a <- 5L to 8L; b <- (a + 1) to 8L } yield (a, b)
+    val edges = (cl1 ++ cl2 :+ (4L, 5L)).toDF("x", "y")
+    val labels = (1L to 8L).map(v => (v, if (v <= 4) 1L else 5L))
+      .toDF("doc_id", "community")
+    val got = Dedup.modularityEdges(edges, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDecimal(5).longValueExact(), r.getDouble(6)))).toMap
+    assert(got(1L) == ((4L, 6L, 13L, 143L, 0.211538)), s"c1 ${got(1L)}")
+    assert(got(5L) == ((4L, 6L, 13L, 143L, 0.211538)), s"c5 ${got(5L)}")
+    val q = got.values.map(_._4).sum.toDouble / (4.0 * 13 * 13)
+    assert(math.abs(q - 0.423077) < 1e-6, s"Q $q")
+    // corpus audit: degrees sum to 2m, intra edges never exceed m,
+    // and the integer numerators replay the float terms
+    val corpus = Dedup.modularityAudit(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDecimal(5).longValueExact(), r.getDouble(6)))
+    assert(corpus.nonEmpty)
+    val m = corpus.head._5
+    assert(corpus.map(_._4).sum == 2 * m, "degree sum != 2m")
+    assert(corpus.map(_._3).sum <= m, "intra edges exceed m")
+    corpus.foreach { case (_, _, e, d, mm, qn, qt) =>
+      assert(qn == 4L * mm * e - d * d)
+      assert(math.abs(qt - qn.toDouble / (4.0 * mm * mm)) < 1e-6)
+    }
+  }
+
   test("docEmbed unit-norms hashed vectors; docSimilarity matches dense cosine exactly (L89)") {
     import graft.operators.TextAnalysis
     import spark.implicits._
@@ -3106,7 +3139,8 @@ class OperatorSpec extends SparkSpec {
       "q_freq_pairs" -> "crossJoin(broadcast(single-row basket total)) — the tfidf/lm_score pattern",
       "q_psi_drift" -> "crossJoin(broadcast(single-row temporal midpoint)) — the tfidf/lm_score pattern",
       "q_survival" -> "crossJoin(broadcast(single-row corpus-end timestamp)) — the tfidf/lm_score pattern",
-      "q_water_fill" -> "crossJoin(broadcast(single-row total-token budget)) — the tfidf/lm_score pattern")
+      "q_water_fill" -> "crossJoin(broadcast(single-row total-token budget)) — the tfidf/lm_score pattern",
+      "q_modularity" -> "crossJoin(broadcast(single-row edge count m)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
