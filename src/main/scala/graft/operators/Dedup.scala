@@ -1265,9 +1265,16 @@ FROM scalars s JOIN named n USING (cluster_id) JOIN mode m USING (cluster_id)"""
   // on EACH ENDPOINT (two keyed joins), degrees are one symmetrized
   // count, everything aggregates per community; m is the declared
   // single-row broadcast.
-  def modularityAudit(documents: DataFrame): DataFrame =
-    modularityEdges(simhashDedup(documents).select(col("x"), col("y")),
-      labelPropagation(documents).select(col("doc_id"), col("community")))
+  def modularityAudit(documents: DataFrame): DataFrame = {
+    // the edge list feeds BOTH the partition (LPA) and the scorer —
+    // checkpoint it once instead of running the simhash band join twice
+    val pairs = simhashDedup(documents).select(col("x"), col("y")).localCheckpoint()
+    val lbl = labelPropagationEdges(pairs).withColumnRenamed("v", "doc_id")
+    val labels = documents.select(col("doc_id"))
+      .join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
+    modularityEdges(pairs, labels)
+  }
 
   /** Core scorer over an explicit (x, y) edge list and a (doc_id,
     * community) partition — exposed so specs can plant graphs. */
