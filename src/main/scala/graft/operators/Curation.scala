@@ -792,6 +792,58 @@ SELECT doc_id, cluster_id,
   CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
 FROM b"""
 
+  // ---- L106 (r8): split-leakage audit — the proof L73 exists for ----
+  // The quantified justification for cluster-aware splitting: take the
+  // SAME near-dup pair relation the clustering consumed (L3's minhash
+  // pairs) and count, for each split strategy, how many dup pairs
+  // CROSS a split boundary — each one is a test example the model saw
+  // in training. The naive doc-level split leaks ∝ pair count by
+  // construction (independent md5 coin per doc: P(cross) = 2·0.8·0.2
+  // per train/test pair); the cluster-aware split leaks EXACTLY ZERO,
+  // because both endpoints of every pair share a cluster and the
+  // cluster is the split unit — the audit proves it corpus-wide, not
+  // by argument. One pair frame, two label joins per strategy, one
+  // tally; all keyed on doc ids.
+  def splitLeakage(documents: DataFrame): DataFrame = {
+    val pairs = graft.operators.Dedup.minhashLsh(documents)
+      .select(col("x"), col("y")).localCheckpoint()
+    val clustered = clusterSplit(documents).select(col("doc_id"), col("split"))
+    val naive = documents.select(col("doc_id"),
+      when(pmod(md5Long(lit("nsplit"), col("doc_id")), lit(10L)) < 8, lit("train"))
+        .when(pmod(md5Long(lit("nsplit"), col("doc_id")), lit(10L)) === 8, lit("val"))
+        .otherwise(lit("test")).as("split"))
+    def audit(name: String, lab: DataFrame) = pairs
+      .join(lab.select(col("doc_id").as("x"), col("split").as("sx")), "x")
+      .join(lab.select(col("doc_id").as("y"), col("split").as("sy")), "y")
+      .agg(lit(name).as("strategy"), count(lit(1)).as("n_pairs"),
+        sum((col("sx") =!= col("sy")).cast("long")).as("n_cross"))
+      .select(col("strategy"), col("n_pairs"), col("n_cross"),
+        round(col("n_cross").cast("double") / col("n_pairs"), 6).as("leak_rate"))
+    audit("doc_level", naive).unionByName(audit("cluster_aware", clustered))
+  }
+
+  val splitLeakageSql: String = {
+    val h = md5LongSql("'nsplit'", "doc_id")
+    s"""WITH pairs AS MATERIALIZED (${graft.operators.Dedup.minhashLshSql}),
+cl AS (SELECT doc_id, split FROM ($clusterSplitSql)),
+nv AS (SELECT doc_id,
+  CASE WHEN $h % 10 < 8 THEN 'train' WHEN $h % 10 = 8 THEN 'val'
+       ELSE 'test' END AS split
+  FROM documents),
+a AS (
+  SELECT 'doc_level' AS strategy, count(*)::BIGINT AS n_pairs,
+    sum((lx.split <> ly.split)::INT)::BIGINT AS n_cross
+  FROM pairs JOIN nv lx ON lx.doc_id = pairs.x JOIN nv ly ON ly.doc_id = pairs.y),
+b AS (
+  SELECT 'cluster_aware' AS strategy, count(*)::BIGINT AS n_pairs,
+    sum((lx.split <> ly.split)::INT)::BIGINT AS n_cross
+  FROM pairs JOIN cl lx ON lx.doc_id = pairs.x JOIN cl ly ON ly.doc_id = pairs.y),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT strategy, n_pairs, n_cross,
+  round(n_cross::DOUBLE / n_pairs, 6) AS leak_rate
+FROM u"""
+  }
+
   val budgetSelectSql: String =
     s"""WITH q AS (SELECT doc_id, n_tokens, quality_score FROM (${TextAnalysis.qualitySql})),
 j AS (SELECT q.doc_id, d.source, q.n_tokens, q.quality_score

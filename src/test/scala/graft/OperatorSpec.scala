@@ -817,6 +817,24 @@ class OperatorSpec extends SparkSpec {
     assert(again == rows.toSet, "LPA labels depend on partitioning")
   }
 
+  test("splitLeakage: cluster-aware split leaks exactly zero, doc-level leaks (L106)") {
+    import graft.operators.Curation
+    val got = Curation.splitLeakage(documents).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == 2)
+    val (np, crossC, _) = got("cluster_aware")
+    val (np2, crossD, rateD) = got("doc_level")
+    assert(np == np2 && np > 0, "pair frames differ between strategies")
+    // THE property: every dup pair shares a cluster, the cluster is the
+    // split unit, so zero pairs cross — proven corpus-wide
+    assert(crossC == 0L, s"cluster-aware split leaked $crossC of $np pairs")
+    // the naive split leaks (P(cross) = 1 - 0.64 - 0.01 - 0.01 = 0.34
+    // per pair in expectation; assert it leaks at all and the rate
+    // reconciles)
+    assert(crossD > 0L, "doc-level split unexpectedly leak-free — fixture too weak")
+    assert(rateD == math.rint(crossD.toDouble / np * 1e6) / 1e6)
+  }
+
   test("modularityAudit: planted cliques score high, bookkeeping exact (C81)") {
     import graft.operators.Dedup
     import spark.implicits._
