@@ -1880,6 +1880,44 @@ FROM c
 WHERE event_type = 'purchase' AND chain IS NOT NULL
   AND chain.vus >= 0 AND us - chain.vus <= ${CepWindowMin * 60L * 1000000L}"""
 
+  // ---- C82 (r8): point-in-time join — facts × versioned dimension ----
+  // The feature-store primitive (and the reason SCD2 tables exist at
+  // all): each fact row must see the dimension version THAT WAS TRUE
+  // AT ITS OWN TIMESTAMP — joining the current version backfills
+  // today's attributes onto yesterday's facts, the classic training-
+  // serving leak. Semantics: fact (key, ts) matches the dim row with
+  // valid_from ≤ ts < valid_to (null = open); under C75's audited
+  // invariants (no overlaps, no gaps in-range, one open row) every
+  // fact in range matches EXACTLY once — the spec asserts the
+  // bijection rather than assuming it. Plan: one equi-join ON KEY
+  // with the validity predicate as a residual filter — the join
+  // never degenerates to an interval cross-product because the key
+  // carries the distribution (versions per key are few); facts
+  // before the dimension's first version report with a NULL segment
+  // (left join), not silently dropped.
+  def pitJoin(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val dim = scd2Merge(customer)
+    val facts = orders.select(col("o_orderkey"), col("o_custkey").as("key"),
+      col("o_orderdate").cast("timestamp").as("ts"))
+    facts.join(dim,
+        facts("key") === dim("key") &&
+          dim("valid_from") <= facts("ts") &&
+          (dim("valid_to").isNull || facts("ts") < dim("valid_to")),
+        "left")
+      .select(col("o_orderkey"), facts("key").as("o_custkey"),
+        expr("unix_micros(ts)").as("order_us"), col("segment"),
+        col("is_current"))
+  }
+
+  val pitJoinSql: String =
+    s"""WITH dim AS ($scd2MergeSql),
+facts AS (SELECT o_orderkey, o_custkey AS key, o_orderdate AS ts FROM orders)
+SELECT f.o_orderkey, f.key AS o_custkey, epoch_us(f.ts) AS order_us,
+       d.segment, d.is_current
+FROM facts f LEFT JOIN dim d
+  ON d.key = f.key AND d.valid_from <= f.ts
+  AND (d.valid_to IS NULL OR f.ts < d.valid_to)"""
+
   // ---- C80 (r8): sequential pattern support — ordered type pairs ----
   // C42 counts ADJACENT trigrams; real sequence mining (the
   // PrefixSpan/SPADE question) asks about ordered co-occurrence with

@@ -817,6 +817,41 @@ class OperatorSpec extends SparkSpec {
     assert(again == rows.toSet, "LPA labels depend on partitioning")
   }
 
+  test("pitJoin: every fact sees the version true at its own timestamp, exactly once (C82)") {
+    import graft.operators.Relational
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    val got = Relational.pitJoin(orders, customer).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // bijection: one output row per order (C75's audited invariants
+    // guarantee single-match; this asserts it rather than assuming)
+    assert(got.length == orders.count().toInt)
+    assert(got.map(_._1).distinct.length == got.length, "an order matched two versions")
+    // semantics: %7 customers changed segment at the SCD2 change date;
+    // their orders BEFORE it read the original segment (is_current 0),
+    // AFTER it the moved-* segment (is_current 1)
+    val changeUs = java.time.LocalDateTime.parse("1998-06-01T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val segs = customer.select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var before = 0; var after = 0
+    got.filter(_._2 % 7 == 0).foreach { case (ok, ck, us, seg, cur) =>
+      if (us < changeUs) {
+        assert(seg.contains(segs(ck)) && cur == 0L, s"order $ok pre-change: $seg/$cur")
+        before += 1
+      } else {
+        assert(seg.contains(s"moved-$ck") && cur == 1L, s"order $ok post-change: $seg/$cur")
+        after += 1
+      }
+    }
+    assert(before > 0 && after > 0, "fixture does not straddle the change date")
+    // unchanged customers always read their one current version
+    got.filter(_._2 % 7 != 0).foreach { case (ok, ck, _, seg, cur) =>
+      assert(seg.contains(segs(ck)) && cur == 1L, s"order $ok unchanged cust: $seg/$cur")
+    }
+  }
+
   test("splitLeakage: cluster-aware split leaks exactly zero, doc-level leaks (L106)") {
     import graft.operators.Curation
     val got = Curation.splitLeakage(documents).collect()
