@@ -31,7 +31,8 @@ object Bench {
       // them to 1-5 tasks and serializes that CPU (the r8 q_knn_graph
       // profile). 64 KB keeps local parallelism; at production SF
       // partitions dwarf either floor, so the setting is inert there.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
