@@ -834,6 +834,42 @@ SELECT e.vec_id, coalesce(s.k_used, 0)::BIGINT AS k_used, s.knn_cos,
   (s.knn_cos IS NULL OR s.knn_cos < $OutlierTau)::BIGINT AS outlier
 FROM (SELECT vec_id FROM embeddings) e LEFT JOIN s USING (vec_id)"""
 
+  // ---- L107 (r8): kNN label precision — retrieval quality readout ----
+  // The ANN-benchmark metric when ground-truth labels exist (the
+  // embeddings table carries one): what fraction of each vector's
+  // retrieved neighbors share its label? Low precision for one label
+  // means that region of the space is mis-clustered or the banding
+  // under-recalls it — the per-class diagnostic behind every "is the
+  // index good enough" decision, computed over L28's capped kNN graph
+  // (two keyed label joins + one per-label aggregate; nothing new
+  // shuffles). `n_vecs` counts vectors OF that label with ≥1
+  // neighbor, so the precision denominator is edges, not vectors.
+  def knnLabelPrecision(embeddings: DataFrame): DataFrame = {
+    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("lab"))
+    val edges = knnGraph(embeddings)
+      .join(lab.select(col("vec_id"), col("lab").as("l_src")), "vec_id")
+      .join(lab.select(col("vec_id").as("nbr_id"), col("lab").as("l_nbr")), "nbr_id")
+    edges.groupBy(col("l_src").as("label"))
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_edges"),
+        sum((col("l_src") === col("l_nbr")).cast("long")).as("n_same"))
+      .withColumn("precision",
+        round(col("n_same").cast("double") / col("n_edges"), 6))
+  }
+
+  val knnLabelPrecisionSql: String =
+    s"""WITH knn AS ($knnGraphSql),
+lab AS (SELECT vec_id, label::BIGINT AS lab FROM embeddings),
+e AS (
+  SELECT ls.lab AS l_src, ln.lab AS l_nbr, knn.vec_id
+  FROM knn JOIN lab ls ON ls.vec_id = knn.vec_id
+           JOIN lab ln ON ln.vec_id = knn.nbr_id)
+SELECT l_src AS label, count(DISTINCT vec_id)::BIGINT AS n_vecs,
+  count(*)::BIGINT AS n_edges,
+  sum((l_src = l_nbr)::INT)::BIGINT AS n_same,
+  round(sum((l_src = l_nbr)::INT)::DOUBLE / count(*), 6) AS precision
+FROM e GROUP BY l_src"""
+
   // ---- L32: SemDeDup (semantic dedup over the embedding graph) ----
   // The semantic-dedup pass modern curation runs AFTER exact/fuzzy
   // text dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):

@@ -817,6 +817,38 @@ class OperatorSpec extends SparkSpec {
     assert(again == rows.toSet, "LPA labels depend on partitioning")
   }
 
+  test("knnLabelPrecision: planted clusters read 1.0, mixed labels dilute, bookkeeping exact (L107)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val dim = 64
+    // two tight clusters with distinct labels -> within-cluster
+    // neighbors only -> precision 1.0 for both labels
+    def vec(center: Double, j: Int) =
+      Array.tabulate(dim)(i => (center + (if (i == j) 0.01 else 0.0)).toFloat).toSeq
+    val rows = (0 until 4).map(j => (j.toLong, vec(1.0, j), 1)) ++
+      (0 until 4).map(j => (10L + j, vec(-1.0, j), 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelPrecision(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    got.foreach { case (l, (nv, ne, ns, p)) =>
+      assert(nv == 4L && ne == ns && p == 1.0, s"label $l: ${got(l)}")
+    }
+    // corpus: precision equals an independent recount from the graph
+    val embC = Tables.load(spark, sf, "embeddings")
+    val labs = embC.select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Similarity.knnGraph(embC).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val gotC = Similarity.knnLabelPrecision(embC).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val brute = edges.groupBy(e => labs(e._1)).view.mapValues { es =>
+      (es.length.toLong, es.count(e => labs(e._1) == labs(e._2)).toLong)
+    }.toMap
+    assert(gotC == brute, s"precision bookkeeping drifts: $gotC vs $brute")
+  }
+
   test("pitJoin: every fact sees the version true at its own timestamp, exactly once (C82)") {
     import graft.operators.Relational
     val orders = Tables.load(spark, sf, "orders")
