@@ -1880,6 +1880,58 @@ FROM c
 WHERE event_type = 'purchase' AND chain IS NOT NULL
   AND chain.vus >= 0 AND us - chain.vus <= ${CepWindowMin * 60L * 1000000L}"""
 
+  // ---- C83 (r8): header-lines reconciliation — the finance audit ----
+  // The double-entry check every invoice/billing pipeline runs: does
+  // each header's stored total equal the sum of its lines? The report
+  // a controller reads is aggregated: per priority bucket, how many
+  // headers match within tolerance, how many are line-less, and the
+  // exact magnitude of the drift (sum/max of |delta| in cents —
+  // DECIMAL all the way; a float drift report is its own reconcile
+  // failure). One (orderkey) line aggregate + one keyed left join +
+  // one bucket rollup. On this synthetic corpus NOTHING reconciles —
+  // which is precisely the situation the report exists to expose; the
+  // spec plants a reconciling fixture to prove the match arm too.
+  private val ReconTolCents = 1L
+
+  def reconcile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lines = lineitem.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("line_cents"))
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("hdr_cents"))
+      .join(lines, Seq("o_orderkey"), "left")
+      .select(col("o_orderpriority"),
+        col("line_cents").isNull.cast("long").as("lineless"),
+        when(col("line_cents").isNull, lit(0L))
+          .otherwise(abs(col("hdr_cents") - col("line_cents"))).as("delta"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("lineless")).as("n_lineless"),
+        sum(((col("lineless") === 0) && col("delta") <= ReconTolCents)
+          .cast("long")).as("n_matched"),
+        sum(col("delta")).as("sum_abs_delta_cents"),
+        max(col("delta")).as("max_abs_delta_cents"))
+  }
+
+  val reconcileSql: String =
+    s"""WITH l AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(((l_extendedprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS line_cents
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o.o_orderpriority,
+    (l.line_cents IS NULL)::BIGINT AS lineless,
+    CASE WHEN l.line_cents IS NULL THEN 0
+         ELSE abs(((o.o_totalprice::DECIMAL(18,2)) * 100)::BIGINT - l.line_cents)
+    END::BIGINT AS delta
+  FROM orders o LEFT JOIN l USING (o_orderkey))
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+  sum(lineless)::BIGINT AS n_lineless,
+  sum((lineless = 0 AND delta <= $ReconTolCents)::INT)::BIGINT AS n_matched,
+  sum(delta)::BIGINT AS sum_abs_delta_cents,
+  max(delta)::BIGINT AS max_abs_delta_cents
+FROM j GROUP BY o_orderpriority"""
+
   // ---- C82 (r8): point-in-time join — facts × versioned dimension ----
   // The feature-store primitive (and the reason SCD2 tables exist at
   // all): each fact row must see the dimension version THAT WAS TRUE

@@ -1807,6 +1807,37 @@ SELECT doc_id,
   md5(""" + norm + ") AS norm_md5,\n  (" + norm + " = text)::BIGINT AS restored\nFROM p"
   }
 
+  // ---- L108 (r8): language-ID confusion audit ----
+  // L8 predicts a language; this scores it against the corpus's
+  // ground-truth labels as a full CONFUSION MATRIX — the readout that
+  // says not just "how accurate" but WHICH languages leak into which
+  // (the es↔fr stopword overlap, the und fallback rate), i.e. where
+  // to spend the next stopword list. Pure composition: one (actual,
+  // predicted) aggregate over L8's output plus per-actual recall —
+  // the L107 evaluates-its-sibling pattern on the text side. Cells
+  // are exact counts; recall is the one round-6 division.
+  def langConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(documents)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_actual",
+        sum(col("n")).over(Window.partitionBy("actual_lang")))
+      .select(col("actual_lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("n_actual"), 6).as("share"),
+        (col("actual_lang") === col("pred_lang")).cast("long").as("correct"))
+  }
+
+  lazy val langConfusionSql: String =
+    s"""WITH l8 AS ($langIdSql),
+c AS (SELECT actual_lang, pred_lang, count(*)::BIGINT AS n
+  FROM l8 GROUP BY 1, 2),
+t AS (SELECT actual_lang, sum(n)::BIGINT AS n_actual FROM c GROUP BY 1)
+SELECT c.actual_lang, c.pred_lang, c.n,
+  round(c.n::DOUBLE / t.n_actual, 6) AS share,
+  (c.actual_lang = c.pred_lang)::BIGINT AS correct
+FROM c JOIN t USING (actual_lang)"""
+
   // ---- L103 (r8): blocklist phrase tagging ----
   // The dictionary-tagging pass every safety/compliance pipeline runs
   // (blocklists, brand terms, jailbreak markers): find every document

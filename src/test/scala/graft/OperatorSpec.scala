@@ -817,6 +817,55 @@ class OperatorSpec extends SparkSpec {
     assert(again == rows.toSet, "LPA labels depend on partitioning")
   }
 
+  test("reconcile: matched, drifted, and line-less headers each land in their column (C83)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(86400000L * d)
+    val orders = Seq(
+      (1L, 1L, "O", 30.00, ts(1), "P1"), // matches its lines exactly
+      (2L, 1L, "O", 50.00, ts(1), "P1"), // lines sum to 30 -> delta 20.00
+      (3L, 1L, "O", 10.00, ts(1), "P2")) // no lines at all
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lines = Seq(
+      (1L, 1L, 1L, 1, 1.0, 10.00), (1L, 2L, 1L, 2, 1.0, 20.00),
+      (2L, 3L, 1L, 1, 1.0, 30.00))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice")
+    val got = Relational.reconcile(orders, lines).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got("P1") == ((2L, 0L, 1L, 2000L, 2000L)), s"P1 ${got("P1")}")
+    assert(got("P2") == ((1L, 1L, 0L, 0L, 0L)), s"P2 ${got("P2")}")
+    // corpus: totals reconcile with raw counts; this synthetic corpus
+    // reconciles NOWHERE — precisely what the report must expose
+    val (o0, l0) = (Tables.load(spark, sf, "orders"), Tables.load(spark, sf, "lineitem"))
+    val corpus = Relational.reconcile(o0, l0).collect()
+    assert(corpus.map(_.getLong(1)).sum == o0.count())
+    assert(corpus.map(_.getLong(3)).sum == 0L, "synthetic corpus unexpectedly reconciles")
+  }
+
+  test("langConfusion: cells reconcile with the classifier output, shares sum to one (L108)") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.langConfusion(documents).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val brute = TextAnalysis.langId(documents)
+      .select(col("actual_lang"), col("pred_lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap == brute, "confusion cells drift from classifier output")
+    assert(got.values.map(_._1).sum == documents.count())
+    // shares sum to 1 per actual language
+    got.keys.map(_._1).toSet.foreach { (a: String) =>
+      val s = got.filter(_._1._1 == a).values.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$a shares sum to $s")
+    }
+    // the diagonal dominates for at least one language (the classifier
+    // is better than chance on its own corpus)
+    assert(got.exists { case ((a, p), (_, share)) => a == p && share > 0.5 })
+  }
+
   test("knnLabelPrecision: planted clusters read 1.0, mixed labels dilute, bookkeeping exact (L107)") {
     import graft.operators.Similarity
     import spark.implicits._
