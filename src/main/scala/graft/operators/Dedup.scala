@@ -83,6 +83,67 @@ WHERE common / (sx.n + sy.n - common) >= 0.5"""
   // 190k -> 3.6k, output pairs 252 -> 240 (and identical at sf0.01).
   private val MinCooc = 2
 
+  // ---- L109 (r8): containment near-dup — the asymmetric relation ----
+  // Jaccard misses the SUBSET case by construction: a tweet quoted
+  // whole inside an article shares all its shingles, yet
+  // |∩|/|∪| ≈ |tweet|/|article| ≈ 0 — L2 never fires. Containment
+  // C(A→B) = |A∩B|/|A| is the asymmetric fix (the quotation/
+  // boilerplate-inclusion/excerpt detector every curation stack runs
+  // beside symmetric dedup): score BOTH directions over the SAME
+  // df-capped candidate machinery as L2 (hot-shingle guard and
+  // co-occurrence floor inherited), keep pairs where either direction
+  // clears τ = 0.8. The spec plants an excerpt pair that L2's
+  // jaccard ≥ 0.5 provably misses and this catches.
+  private val ContainTau = 0.8
+
+  def containmentDedup(documents: DataFrame): DataFrame = {
+    val sh = shingleHashedDf(documents).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxDf).select(col("s"))
+    val rareSh = sh.join(rare, "s")
+    val cands = rareSh.select(col("s"), col("doc_id").as("x"))
+      .join(rareSh.select(col("s"), col("doc_id").as("y")), "s")
+      .where(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nco"))
+      .where(col("nco") >= MinCooc)
+      .select(col("x"), col("y"))
+    val shx = sh.select(col("doc_id").as("x"), col("s"))
+    val shy = sh.select(col("doc_id").as("y"), col("s"))
+    cands
+      .join(shx, "x").join(shy, Seq("y", "s"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("x"), col("n").as("nx")), "x")
+      .join(sizes.select(col("doc_id").as("y"), col("n").as("ny")), "y")
+      .select(col("x"), col("y"), col("common"),
+        round(col("common").cast("double") / col("nx"), 6).as("c_xy"),
+        round(col("common").cast("double") / col("ny"), 6).as("c_yx"))
+      .where(col("c_xy") >= ContainTau || col("c_yx") >= ContainTau)
+  }
+
+  val containmentDedupSql: String =
+    s"""WITH $shingleSqlCte,
+$shingleHashedSqlCte,
+rare AS (SELECT s FROM shh GROUP BY s HAVING count(*) <= $MaxDf),
+cands AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM (SELECT DISTINCT s, doc_id FROM shh JOIN rare USING (s)) a
+  JOIN (SELECT DISTINCT s, doc_id FROM shh JOIN rare USING (s)) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= $MinCooc),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+common AS (
+  SELECT c.x, c.y, count(*)::BIGINT AS common
+  FROM cands c JOIN shh a ON a.doc_id = c.x
+               JOIN shh b ON b.doc_id = c.y AND b.s = a.s
+  GROUP BY c.x, c.y)
+SELECT x, y, common,
+  round(common::DOUBLE / sx.n, 6) AS c_xy,
+  round(common::DOUBLE / sy.n, 6) AS c_yx
+FROM common JOIN sizes sx ON sx.doc_id = x JOIN sizes sy ON sy.doc_id = y
+WHERE round(common::DOUBLE / sx.n, 6) >= $ContainTau
+   OR round(common::DOUBLE / sy.n, 6) >= $ContainTau"""
+
   def ngramJaccard(documents: DataFrame): DataFrame = {
     val sh = shingleHashedDf(documents).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -817,6 +817,38 @@ class OperatorSpec extends SparkSpec {
     assert(again == rows.toSet, "LPA labels depend on partitioning")
   }
 
+  test("containmentDedup catches the excerpt pair Jaccard provably misses (L109)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // doc 2 = an excerpt (first 30 tokens) of doc 1 (200 tokens):
+    // containment(2 -> 1) = 1.0 while jaccard ~ 28/198 << 0.5
+    val words = (0 until 200).map(i => s"w${i * 7919 % 997}")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.take(30).mkString(" ")),
+      (3L, (0 until 50).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.contains((1L, 2L)), s"excerpt pair missed: $got")
+    val (cxy, cyx) = got((1L, 2L))
+    // y = 2 is the excerpt: all 28 of its shingles sit inside doc 1
+    assert(cyx == 1.0, s"excerpt containment $cyx")
+    assert(cxy < 0.2, s"container side should be far from 1: $cxy")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // and L2's symmetric jaccard does NOT emit this pair
+    val jac = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), "jaccard unexpectedly caught the excerpt")
+    // corpus: both directions bounded by 1, thresholds respected
+    val corpus = Dedup.containmentDedup(documents).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    corpus.foreach { case (a, b) =>
+      assert(a <= 1.0 && b <= 1.0)
+      assert(a >= 0.8 || b >= 0.8)
+    }
+  }
+
   test("reconcile: matched, drifted, and line-less headers each land in their column (C83)") {
     import graft.operators.Relational
     import spark.implicits._
