@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.functions.{BpeEncode, DotProduct, ExtractReading, ForwardFill,
-  SimHash60, Winnow, WordShingles}
+  GramHashes, SimHash60, Winnow, WordShingles}
 
 /** SparkSessionExtensions entry point: makes graft's custom Catalyst
   * expressions available in any session (including pure SQL users)
@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Winnow(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GramHashes(exprs(0), exprs(1).eval(null).asInstanceOf[Int],
+          exprs(2).eval(null).toString)))
     ext.injectFunction((
       FunctionIdentifier("graft_ffill"),
       new ExpressionInfo(classOf[ForwardFill].getName, "graft_ffill"),

@@ -21,11 +21,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // schemas of the dumped (canonicalized) results, used to wrap each
+    // oracle in the mirrored canonicalizing projection below
+    val schemas = scala.collection.mutable.Map[String, org.apache.spark.sql.types.StructType]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = Canonical.canonicalize(fn(spark, sfDir))
+        schemas(name) = df.schema
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -43,7 +49,10 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val sql = schemas.get(k).map(s => Canonical.wrapSql(v, s)).getOrElse(v)
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -32,6 +32,14 @@ object Portable {
     * identical decimal then perform the identical nearest-double cast). */
   def sumd(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Canonicalize IEEE negative zero to +0.0 (x + 0.0 maps -0.0 to
+    * 0.0 and is the identity elsewhere). Rounded float aggregates
+    * whose true value is a tiny negative residue can land on -0.0 in
+    * one engine and +0.0 in the other — same value, different bits,
+    * different hash. Wrap every rounded float output in this (and its
+    * SQL mirror `+ 0.0`) so the driver's hash compare sees one repr. */
+  def pz(c: Column): Column = c + lit(0.0)
+
   /** Whitespace word tokens of lowercased text; DuckDB mirror:
     * `string_split_regex(lower(x), '\s+')`. */
   def tokens(c: Column): Column = split(lower(c), "\\s+")

@@ -161,6 +161,64 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
+/** Seeded md5 hashes of every word n-gram of an array<string>, one
+  * tight loop per row — array<long>, position-aligned with the grams.
+  *
+  * Value-identical to `transform(sequence(1, size-n+1),
+  * i -> md5Long(seed, concat_ws(' ', toks[i..i+n-1])))` — hash = first
+  * 15 md5 hex chars of "<seed>:<gram>" as a long, exactly
+  * Portable.md5Long — but never materialises the gram strings as rows:
+  * the HOF form is interpreted per element AND ships ~n× the corpus
+  * text into the explode (the r8 q_dup_spans regression, 2.3 → 4.0 s);
+  * here each gram string exists only transiently in a reused buffer.
+  * Oracle side is unchanged: DuckDB hashes the same joined string.
+  */
+case class GramHashes(child: Expression, n: Int, seed: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val strs = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      strs(i) = if (toks.isNullAt(i)) "" else toks.getUTF8String(i).toString
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder()
+    val out = new Array[Long](cnt)
+    var p = 0
+    while (p < cnt) {
+      sb.setLength(0)
+      sb.append(seed).append(':')
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(strs(p + k))
+        k += 1
+      }
+      md.reset()
+      val digest = md.digest(sb.toString.getBytes("UTF-8"))
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      out(p) = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints of a string in one pass: k-gram (k=5)
   * rolling md5 hashes over the lowercased text, minimum of each
   * 4-hash window, distinct — returned as array<long>.
@@ -500,6 +558,10 @@ object VectorFunctions {
         exprs(1).eval(null).asInstanceOf[Int], distinct = false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", exprs => Winnow(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_hashes", exprs => GramHashes(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).toString), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ffill", exprs => ForwardFill(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")

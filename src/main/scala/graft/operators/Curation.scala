@@ -1088,13 +1088,16 @@ FROM lam"""
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
     tagged.join(broadcast(fit), "event_type")
       .select(col("event_type"), col("split"),
-        ((col("value") - col("mu")) / col("sd")).as("z"))
+        // sd == 0 (constant train group) or NULL (single train row)
+        // both divide to engine-dependent garbage — degrade to NULL z
+        // identically in both engines
+        when(col("sd") > 0, (col("value") - col("mu")) / col("sd")).as("z"))
       .groupBy(col("event_type"), col("split"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("z")), 4).as("z_mean"),
-        round(stddev_samp(col("z")), 4).as("z_sd"),
-        round(min(col("z")), 6).as("z_min"),
-        round(max(col("z")), 6).as("z_max"))
+        pz(round(avg(col("z")), 4)).as("z_mean"),
+        pz(round(stddev_samp(col("z")), 4)).as("z_sd"),
+        pz(round(min(col("z")), 6)).as("z_min"),
+        pz(round(max(col("z")), 6)).as("z_max"))
   }
 
   val leakageSafeScaleSql: String = {
@@ -1107,11 +1110,12 @@ fit AS (
   SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
   FROM tagged WHERE split = 'train' GROUP BY event_type),
 z AS (
-  SELECT t.event_type, t.split, (t.value - f.mu) / f.sd AS z
+  SELECT t.event_type, t.split,
+         CASE WHEN f.sd > 0 THEN (t.value - f.mu) / f.sd END AS z
   FROM tagged t JOIN fit f USING (event_type))
 SELECT event_type, split, count(*)::BIGINT AS n,
-       round(avg(z), 4) AS z_mean, round(stddev_samp(z), 4) AS z_sd,
-       round(min(z), 6) AS z_min, round(max(z), 6) AS z_max
+       round(avg(z), 4) + 0.0 AS z_mean, round(stddev_samp(z), 4) + 0.0 AS z_sd,
+       round(min(z), 6) + 0.0 AS z_min, round(max(z), 6) + 0.0 AS z_max
 FROM z GROUP BY event_type, split"""
   }
 }

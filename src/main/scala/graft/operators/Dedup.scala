@@ -948,19 +948,19 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming"""
 
   def dupSpans(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(documents.sparkSession)
     val k = SpanGram
     val toks = documents
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
-    // sequence(1, 0) counts DOWN — short docs must short-circuit
-    val gramArr = when(size(col("t")) >= k,
-      transform(sequence(lit(1), size(col("t")) - lit(k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(col("t"), i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
+    // graft_gram_hashes: tight-loop gram hashing (short docs -> empty
+    // array), replacing the interpreted concat_ws HOF that materialised
+    // ~k x the corpus text map-side (the r8 bench regression)
     val grams = toks
-      .select(col("doc_id"), col("n_tokens"), posexplode(gramArr).as(Seq("p0", "g")))
-      .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).cast("long").as("pos"),
-        md5Long(lit("sp"), col("g")).as("gh"))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(s"graft_gram_hashes(t, $k, 'sp')")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("p0") + 1).cast("long").as("pos"), col("gh"))
     val dups = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .where(col("n") > 1).select(col("gh"))
     val hits = grams.join(dups, "gh")
@@ -998,18 +998,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming"""
   // IDEMPOTENCE (rewriting the rewritten corpus removes nothing).
   private[graft] def rewrittenDocs(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(documents.sparkSession)
     val k = SpanGram
     val toks = documents
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
-    val gramArr = when(size(col("t")) >= k,
-      transform(sequence(lit(1), size(col("t")) - lit(k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(col("t"), i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
+    // shares the L37 tight-loop gram-hash stage (see dupSpans)
     val grams = toks
-      .select(col("doc_id"), posexplode(gramArr).as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        md5Long(lit("sp"), col("g")).as("gh"))
+      .select(col("doc_id"), posexplode(expr(s"graft_gram_hashes(t, $k, 'sp')")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gh"))
     val firsts = grams.groupBy(col("doc_id"), col("gh"))
       .agg(min(col("pos")).as("fp"), count(lit(1)).as("c"))
     val hits = grams.join(firsts, Seq("doc_id", "gh"))
@@ -1359,9 +1356,9 @@ FROM scalars s JOIN named n USING (cluster_id) JOIN mode m USING (cluster_id)"""
         col("d_sum"), col("m"),
         (lit(4).cast("decimal(38,0)") * col("m") * col("e_intra") -
           col("d_sum").cast("decimal(38,0)") * col("d_sum")).as("q_num"),
-        round(col("e_intra").cast("double") / col("m") -
+        pz(round(col("e_intra").cast("double") / col("m") -
           (col("d_sum").cast("double") / (col("m") * 2)) *
-          (col("d_sum").cast("double") / (col("m") * 2)), 6).as("q_term"))
+          (col("d_sum").cast("double") / (col("m") * 2)), 6)).as("q_term"))
   }
 
   lazy val modularityAuditSql: String =
@@ -1387,7 +1384,7 @@ SELECT ds.community, ds.n_members, coalesce(i.e_intra, 0)::BIGINT AS e_intra,
   (4::HUGEINT * m.m * coalesce(i.e_intra, 0)
     - ds.d_sum::HUGEINT * ds.d_sum)::DECIMAL(38,0) AS q_num,
   round(coalesce(i.e_intra, 0)::DOUBLE / m.m -
-    (ds.d_sum::DOUBLE / (2 * m.m)) * (ds.d_sum::DOUBLE / (2 * m.m)), 6) AS q_term
+    (ds.d_sum::DOUBLE / (2 * m.m)) * (ds.d_sum::DOUBLE / (2 * m.m)), 6) + 0.0 AS q_term
 FROM ds LEFT JOIN intra i USING (community) CROSS JOIN m"""
 
   lazy val labelPropagationSql: String = {

@@ -3335,6 +3335,58 @@ class OperatorSpec extends SparkSpec {
       s"queries registered but absent from SURVEY.md: ${missing.mkString(", ")}")
   }
 
+  test("negative-zero audit: Canonical is exact and the whole dumped surface is -0.0-free") {
+    import org.apache.spark.sql.types._
+    // unit: -0.0 -> +0.0 in scalars and array elements, identity elsewhere,
+    // types preserved (the driver's schema check must not move)
+    val probe = Seq((-0.0, -0.0f, Seq(-0.0, 1.5), Seq(-0.0f), 7L, "s"))
+      .toDF("d", "f", "ad", "af", "i", "t")
+      .select(col("d"), col("f").cast(FloatType).as("f"), col("ad"),
+        col("af").cast(ArrayType(FloatType)).as("af"), col("i"), col("t"))
+    val canon = Canonical.canonicalize(probe)
+    assert(canon.schema == probe.schema, "canonicalize must preserve the schema exactly")
+    val r = canon.collect()(0)
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) == 0L)
+    assert(java.lang.Float.floatToRawIntBits(r.getFloat(1)) == 0)
+    assert(java.lang.Double.doubleToRawLongBits(r.getSeq[Double](2).head) == 0L)
+    assert(r.getSeq[Double](2)(1) == 1.5)
+    assert(java.lang.Float.floatToRawIntBits(r.getSeq[Float](3).head) == 0)
+    assert(r.getLong(4) == 7L && r.getString(5) == "s")
+    // and the SQL mirror wraps exactly the float-typed columns
+    val wrapped = Canonical.wrapSql("SELECT 1", canon.schema)
+    assert(wrapped.contains("(\"d\" + 0.0) AS \"d\"") && wrapped.contains("::REAL) AS \"f\"")
+      && wrapped.contains("list_transform(\"ad\"") && wrapped.contains("\"i\", \"t\""))
+    assert(Canonical.wrapSql("SELECT 1", StructType(Seq(StructField("x", LongType)))) == "SELECT 1",
+      "no-float schema must pass through unwrapped")
+
+    // sweep: every registered query, post-Canonical (exactly what
+    // Verify dumps), carries zero -0.0 cells. Detector: the string
+    // cast preserves the sign of zero ("-0.0"), stays inside codegen,
+    // and needs no division (ANSI mode forbids 1/x probing). The
+    // symmetric oracle wrap makes the DuckDB side clean by the same
+    // arithmetic identity.
+    def negZero(c: org.apache.spark.sql.Column) =
+      c.cast("double").cast("string") === "-0.0"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = Canonical.canonicalize(fn(spark, sf))
+      val checks = df.schema.fields.flatMap { fld =>
+        fld.dataType match {
+          case DoubleType | FloatType =>
+            Some(sum(when(negZero(col(fld.name)), 1).otherwise(0)).as(fld.name))
+          case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+            Some(sum(when(exists(col(fld.name), x => negZero(x)), 1).otherwise(0)).as(fld.name))
+          case _ => None
+        }
+      }
+      if (checks.nonEmpty) {
+        val row = df.agg(checks.head, checks.tail.toIndexedSeq: _*).collect()(0)
+        val dirty = checks.indices.filter(i => !row.isNullAt(i) && row.getLong(i) > 0)
+          .map(i => row.schema.fields(i).name)
+        assert(dirty.isEmpty, s"$name emits -0.0 in ${dirty.mkString(", ")} after canonicalization")
+      }
+    }
+  }
+
   test("BPE encodes by merge rank, not left-to-right adjacency (L33)") {
     import graft.functions.Bpe
     // full-rule words collapse completely
