@@ -627,7 +627,13 @@ FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y"""
   def kCoreEdges(e0: DataFrame, k: Int = KCoreK,
       rounds: Int = KCoreRounds): DataFrame = {
     var e = e0.localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // early exit (r8 verdict): a wave that removes no edge is the
+    // identity, and so is every later wave here and in the oracle's
+    // fixed CTE chain — the peel depth, not the budget, bounds work
+    var n = e.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
       val deg = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
       val keep = deg.where(col("d") >= k).select(col("v")).localCheckpoint()
@@ -635,6 +641,10 @@ FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y"""
         .join(keep.withColumnRenamed("v", "x"), Seq("x"), "left_semi")
         .join(keep.withColumnRenamed("v", "y"), Seq("y"), "left_semi")
         .localCheckpoint()
+      val n2 = e.count()
+      stable = n2 == n
+      n = n2
+      r += 1
     }
     e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
@@ -1285,14 +1295,25 @@ FROM scalars s JOIN named n USING (cluster_id) JOIN mode m USING (cluster_id)"""
       .select(col("x").as("src"), col("y").as("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("v"))
       .distinct().select(col("v"), col("v").as("label")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      labels = edges.join(labels.withColumnRenamed("v", "src"), "src")
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val next = edges.join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
           .getField("l").as("label"))
         .select(col("dst").as("v"), col("label"))
         .localCheckpoint()
+      // early exit: the update is deterministic in the label frame, so
+      // an unchanged round makes every later round (oracle's included)
+      // the identity; one keyed anti-compare per round buys skipped waves
+      stable = next.alias("n")
+        .join(labels.alias("p"), Seq("v"))
+        .where(col("n.label") =!= col("p.label"))
+        .limit(1).count() == 0
+      labels = next
+      r += 1
     }
     labels
   }

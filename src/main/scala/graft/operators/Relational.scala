@@ -740,11 +740,19 @@ WHERE rn = 1"""
       .unionAll(keys.join(nonRoot.select(col("k")), Seq("k"), "left_anti")
         .select(col("k"), col("k").as("anc"), lit(0L).as("d")))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // early exit (r8 verdict): a row moves next round iff its anc is
+    // itself a child; once no row is, every remaining wave (here AND
+    // in the oracle's fixed unroll) is the identity — the forest depth,
+    // not the unroll budget, bounds the checkpoint tax
+    val parents = nonRoot.select(col("k").as("anc")).distinct().localCheckpoint()
+    var r = 0
+    while (r < rounds &&
+        state.join(parents, Seq("anc"), "left_semi").limit(1).count() > 0) {
       val m = state.select(col("k").as("anc"), col("anc").as("anc2"), col("d").as("d2"))
       state = state.join(m, "anc")
         .select(col("k"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
         .localCheckpoint()
+      r += 1
     }
     val hasChild = pRaw.where(col("p") =!= col("k"))
       .select(col("p").as("k")).distinct().withColumn("hc", lit(1L))
@@ -2133,11 +2141,17 @@ FROM g"""
       .unionAll(keys.join(nonRoot.select(col("k")), Seq("k"), "left_anti")
         .select(col("k"), col("k").as("anc"), lit(1L).as("pq")))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // fixpoint early exit — see hierarchyFlatten: once no anc is a
+    // child, remaining waves multiply by pq2 = 1 (identity)
+    val parents = nonRoot.select(col("k").as("anc")).distinct().localCheckpoint()
+    var r = 0
+    while (r < rounds &&
+        state.join(parents, Seq("anc"), "left_semi").limit(1).count() > 0) {
       val m = state.select(col("k").as("anc"), col("anc").as("anc2"), col("pq").as("pq2"))
       state = state.join(m, "anc")
         .select(col("k"), col("anc2").as("anc"), (col("pq") * col("pq2")).as("pq"))
         .localCheckpoint()
+      r += 1
     }
     val totals = state.groupBy(col("anc")).agg(sum(col("pq")).as("root_total_qty"))
     state.join(totals, "anc")
