@@ -2187,7 +2187,13 @@ FROM walk w JOIN tot t ON t.anc = w.anc"""
   // invariants into the bit a publish gate checks.
   def temporalAudit(dim: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("key").orderBy(col("valid_from"), col("valid_to"))
+    // NULL ordering is explicit on both sides (r8 advice): Spark sorts
+    // NULLS FIRST ascending, DuckDB NULLS LAST — an open (null-ended)
+    // interval sharing valid_from with a closed one would otherwise
+    // lag-sequence differently per engine. NULLS LAST is also the
+    // semantically right spot: the open interval extends furthest.
+    val w = Window.partitionBy("key")
+      .orderBy(col("valid_from"), col("valid_to").asc_nulls_last)
     dim
       .select(col("key"), col("valid_from"),
         col("valid_to"), col("valid_to").isNull.cast("long").as("open"))
@@ -2215,7 +2221,7 @@ FROM walk w JOIN tot t ON t.anc = w.anc"""
 l AS (
   SELECT key, valid_from, valid_to,
     (valid_to IS NULL)::BIGINT AS open,
-    lag(valid_to) OVER (PARTITION BY key ORDER BY valid_from, valid_to) AS prev_to
+    lag(valid_to) OVER (PARTITION BY key ORDER BY valid_from, valid_to NULLS LAST) AS prev_to
   FROM dim),
 g AS (
   SELECT key, count(*)::BIGINT AS n_versions,
@@ -2423,8 +2429,13 @@ FROM credited GROUP BY channel"""
   def fifoAllocate(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def side(status: String, role: String) = {
+      // q is the tie-breaking 4th key (r8 advice): the synthetic data
+      // has duplicate (orderkey, linenumber) pairs, so the first three
+      // keys alone are not total. With q appended, any remaining ties
+      // are full-row duplicates, whose order cannot change the output
+      // multiset — the axis is deterministic on both engines.
       val w = Window.partitionBy("part")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "q")
         .rowsBetween(Window.unboundedPreceding, -1)
       lineitem.where(col("l_linestatus") === status)
         .select(col("l_partkey").as("part"),
@@ -2456,7 +2467,7 @@ FROM credited GROUP BY channel"""
     ((l_quantity::DECIMAL(18,2)) * 100)::BIGINT AS q,
     coalesce(sum(((l_quantity::DECIMAL(18,2)) * 100)::BIGINT) OVER (
       PARTITION BY l_partkey, l_linestatus
-      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      ORDER BY l_shipdate, l_orderkey, l_linenumber, ((l_quantity::DECIMAL(18,2)) * 100)::BIGINT
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
   FROM lineitem WHERE l_linestatus IN ('F', 'O')),
 rec AS (SELECT part, l_orderkey AS r_order, l_linenumber AS r_line,

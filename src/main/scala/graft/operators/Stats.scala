@@ -530,9 +530,10 @@ FROM cells JOIN rx USING (event_type) JOIN cy USING (dow) CROSS JOIN n"""
   // (1) baskets dedupe to distinct (basket, item) first — quantity
   // noise never inflates pairs; (2) a basket-size cap drops
   // pathological baskets BEFORE the self-join (a 10k-item basket is
-  // 5·10^7 pairs; the L5/MaxOcc discipline — capped baskets are
-  // reported out-of-band by the count column of the capped frame, not
-  // silently mined); (3) pair generation is a per-basket self-join
+  // 5·10^7 pairs; the L5/MaxOcc discipline — and the cap is NOT
+  // silent: n_dropped_baskets rides the single-row broadcast into
+  // every output row, the repo's no-silent-caps rule);
+  // (3) pair generation is a per-basket self-join
   // keyed on the basket id (high-cardinality key, no hot reducer);
   // (4) per-item supports attach via two keyed joins against the
   // item-support frame — never broadcast (items scale with the
@@ -546,11 +547,13 @@ FROM cells JOIN rx USING (event_type) JOIN cy USING (dow) CROSS JOIN n"""
   def frequentPairs(lineitem: DataFrame): DataFrame = {
     val d = lineitem.select(col("l_orderkey").as("bid"), col("l_partkey").as("item"))
       .distinct()
+    val bsz = d.groupBy(col("bid")).agg(count(lit(1)).as("bsz"))
     val sized = d.join(
-      d.groupBy(col("bid")).agg(count(lit(1)).as("bsz"))
-        .where(col("bsz") <= MaxBasket).select(col("bid")),
+      bsz.where(col("bsz") <= MaxBasket).select(col("bid")),
       "bid")
-    val nb = sized.select(col("bid")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val nb = bsz.agg(
+      sum((col("bsz") <= MaxBasket).cast("long")).as("n_baskets"),
+      sum((col("bsz") > MaxBasket).cast("long")).as("n_dropped_baskets"))
     val supp = sized.groupBy(col("item")).agg(count(lit(1)).as("s"))
     val pairs = sized.as("a")
       .join(sized.as("b"),
@@ -564,21 +567,25 @@ FROM cells JOIN rx USING (event_type) JOIN cy USING (dow) CROSS JOIN n"""
       .crossJoin(broadcast(nb))
       .select(col("p1"), col("p2"), col("support"),
         round((col("support") * col("n_baskets")).cast("double") /
-          (col("s1") * col("s2")).cast("double"), 6).as("lift"))
+          (col("s1") * col("s2")).cast("double"), 6).as("lift"),
+        col("n_dropped_baskets"))
   }
 
   val frequentPairsSql: String =
     s"""WITH d AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem),
+bsz AS (SELECT bid, count(*) AS bsz FROM d GROUP BY bid),
 sized AS (SELECT d.bid, d.item FROM d
-  JOIN (SELECT bid FROM d GROUP BY bid HAVING count(*) <= $MaxBasket) k USING (bid)),
-nb AS (SELECT count(DISTINCT bid)::BIGINT AS n_baskets FROM sized),
+  JOIN (SELECT bid FROM bsz WHERE bsz <= $MaxBasket) k USING (bid)),
+nb AS (SELECT sum((bsz <= $MaxBasket)::INT)::BIGINT AS n_baskets,
+  sum((bsz > $MaxBasket)::INT)::BIGINT AS n_dropped_baskets FROM bsz),
 supp AS (SELECT item, count(*)::BIGINT AS s FROM sized GROUP BY item),
 pairs AS (
   SELECT a.item AS p1, b.item AS p2, count(*)::BIGINT AS support
   FROM sized a JOIN sized b ON a.bid = b.bid AND a.item < b.item
   GROUP BY a.item, b.item HAVING count(*) >= $PairMinSup)
 SELECT p1, p2, support,
-  round((support * nb.n_baskets)::DOUBLE / (s1.s * s2.s)::DOUBLE, 6) AS lift
+  round((support * nb.n_baskets)::DOUBLE / (s1.s * s2.s)::DOUBLE, 6) AS lift,
+  nb.n_dropped_baskets
 FROM pairs
 JOIN supp s1 ON s1.item = pairs.p1
 JOIN supp s2 ON s2.item = pairs.p2
