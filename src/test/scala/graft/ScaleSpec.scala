@@ -299,6 +299,56 @@ class ScaleSpec extends SparkSpec {
       s"type conflict surfaced wrong error: ${conflicted.getMessage}")
   }
 
+  test("catalog-managed partitioned table: saveAsTable registers, metastore prunes, partition DML is surgical") {
+    // the metastore path (vs the path-based layouts above): a table
+    // users address by NAME, partition listing owned by the catalog,
+    // pruning decided from catalog metadata at planning time, and
+    // partition-level DML that leaves sibling partitions untouched —
+    // the warehouse contract a 100 TB table needs (refreshing one day
+    // must never rewrite the other thousand)
+    val docs = Tables.load(spark, sf, "documents")
+    val tbl = "graft_docs_catalog"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    docs.write.partitionBy("lang").format("parquet").saveAsTable(tbl)
+    try {
+      assert(spark.catalog.tableExists(tbl), "saveAsTable must register in the catalog")
+      // catalog owns the partition list
+      val parts = spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).sorted
+      assert(parts.length == docs.select("lang").distinct().count(),
+        s"catalog partition list wrong: ${parts.mkString(", ")}")
+      // name-addressed scan prunes on the partition column at planning
+      val scan = spark.table(tbl).where(col("lang") === "en")
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+        s"metastore scan did not prune on lang:\n${plan.take(1500)}")
+      assert(scan.count() == docs.where(col("lang") === "en").count())
+      // pure-SQL users see the same table
+      assert(spark.sql(s"SELECT count(*) AS c FROM $tbl").head.getLong(0) == docs.count())
+      // partition-surgical DML: overwrite ONE partition through the
+      // catalog; every other partition must be bit-identical after
+      val othersBefore = spark.table(tbl).where(col("lang") =!= "en")
+        .agg(sum(col("doc_id"))).head.getLong(0)
+      docs.where(col("lang") === "en").createOrReplaceTempView("graft_docs_en_src")
+      spark.sql(
+        s"""INSERT OVERWRITE TABLE $tbl PARTITION (lang = 'en')
+            SELECT doc_id, text, source, -1::BIGINT AS n_chars
+            FROM graft_docs_en_src""")
+      val after = spark.table(tbl)
+      assert(after.where(col("lang") === "en").agg(max(col("n_chars"))).head.getLong(0) == -1L,
+        "en partition not overwritten through the catalog")
+      assert(after.where(col("lang") =!= "en").agg(sum(col("doc_id"))).head.getLong(0)
+        == othersBefore, "partition overwrite disturbed sibling partitions")
+      // catalog append lands only in its own partitions
+      val enRows = after.where(col("lang") === "en").count()
+      docs.where(col("lang") === "en")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"), col("lang"))
+        .write.mode("append").partitionBy("lang").format("parquet").saveAsTable(tbl)
+      assert(spark.table(tbl).where(col("lang") === "en").count() == 2 * enRows)
+      assert(spark.table(tbl).where(col("lang") =!= "en").agg(sum(col("doc_id")))
+        .head.getLong(0) == othersBefore)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val orders = Tables.load(spark, sf, "orders").limit(500)
     val lineitem = Tables.load(spark, sf, "lineitem").limit(500)
