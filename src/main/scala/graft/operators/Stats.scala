@@ -869,4 +869,290 @@ SELECT cohort, dur, n_risk, d, leaving,
   CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lsum), 6) END AS surv
 FROM z"""
   }
+
+  // ---- C84 (r9): Benford first-digit audit ----
+  // The forensic-accounting / data-quality screen: naturally occurring
+  // amounts follow Benford's law (P(d) = log10(1+1/d)); fabricated or
+  // systematically generated ones don't, and the per-digit deviation +
+  // chi-square term is the standard test statistic. Exactness: amounts
+  // become exact cents, the first significant digit comes from a pure
+  // integer CASE ladder (no log10 on data — float log at a power-of-10
+  // boundary is an engine-divergence trap), and the nine expected
+  // frequencies are shared 6-decimal literals, so the one float
+  // division (share) happens identically on both engines. Scale: one
+  // map-side digit classification + one 9-bucket aggregate; the share
+  // window runs over the 9-row digit frame, never the corpus.
+  private val BenfordExpected = Seq(
+    1 -> "0.301030", 2 -> "0.176091", 3 -> "0.124939", 4 -> "0.096910",
+    5 -> "0.079181", 6 -> "0.066947", 7 -> "0.057992", 8 -> "0.051153",
+    9 -> "0.045757")
+
+  def benfordAudit(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = lineitem.select((dec(col("l_extendedprice")) * 100).cast("long").as("c"))
+      .where(col("c") > 0)
+    // integer ladder: digit = c div 10^k for the k with 10^k <= c < 10^(k+1)
+    // (fold from k=0 up so the final chain tests the largest power first)
+    val digit = (0 to 14).foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, k) =>
+      val p = math.pow(10, k).toLong
+      when(col("c") >= p, expr(s"c div ${p}L")).otherwise(acc)
+    }
+    val counts = cents.select(digit.as("digit")).groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val expected = BenfordExpected.foldLeft(lit(0.0)) { case (acc, (d, e)) =>
+      when(col("digit") === d, lit(e.toDouble)).otherwise(acc)
+    }
+    val w = Window.partitionBy(lit(1)) // the 9-row digit frame
+    counts
+      .withColumn("share", round(col("n").cast("double") / sum(col("n")).over(w), 6))
+      .withColumn("expected", expected)
+      .withColumn("deviation", round(col("share") - col("expected"), 6))
+      .withColumn("chi_term", round(
+        (col("share") - col("expected")) * (col("share") - col("expected")) /
+          col("expected") * sum(col("n")).over(w), 6))
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        col("deviation"), col("chi_term"))
+  }
+
+  val benfordAuditSql: String = {
+    val ladder = (14 to 0 by -1).map { k =>
+      val p = math.pow(10, k).toLong
+      s"WHEN c >= $p THEN c // $p"
+    }.mkString("\n    ")
+    val exp = BenfordExpected.map { case (d, e) => s"WHEN $d THEN $e" }.mkString(" ")
+    // the cast matters: a bare decimal literal in a DuckDB CASE types
+    // the whole expression DECIMAL, not DOUBLE
+    val expCase = s"(CASE digit $exp ELSE 0.0 END)::DOUBLE"
+    s"""WITH cents AS (
+  SELECT ((l_extendedprice::DECIMAL(18,2)) * 100)::BIGINT AS c
+  FROM lineitem WHERE l_extendedprice > 0),
+dig AS (
+  SELECT CASE
+    $ladder
+    ELSE 0 END AS digit
+  FROM cents),
+cnt AS (SELECT digit, count(*)::BIGINT AS n FROM dig GROUP BY digit),
+tot AS (SELECT digit, n, sum(n) OVER () AS t FROM cnt)
+SELECT digit, n,
+  round(n::DOUBLE / t, 6) AS share,
+  $expCase AS expected,
+  round(round(n::DOUBLE / t, 6) - $expCase, 6) AS deviation,
+  round((round(n::DOUBLE / t, 6) - $expCase)
+    * (round(n::DOUBLE / t, 6) - $expCase)
+    / $expCase * t, 6) AS chi_term
+FROM tot"""
+  }
+
+  // ---- C86 (r9): Gini concentration of revenue per nation ----
+  // The inequality/concentration readout (customer-revenue
+  // concentration, supplier dependency, token-budget skew): per
+  // nation, the Gini coefficient of per-customer revenue via the exact
+  // rank formula G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over ascending
+  // (x, custkey)-ordered revenues. Everything before the one final
+  // division is integer/decimal-exact: revenues are cent BIGINTs, the
+  // rank products accumulate as DECIMAL(38,0) (n·max_cents·n headroom
+  // at any scale), and the (cents, custkey) order is total. Scale: the
+  // corpus aggregates per customer first; the rank window partitions
+  // by nation over the aggregated frame (the C4 contract).
+  def giniConcentration(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").as("nation")), "o_custkey")
+    val w = Window.partitionBy(col("nation")).orderBy(col("cents"), col("o_custkey"))
+    rev.withColumn("i", row_number().over(w))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum((col("i").cast("decimal(38,0)") * col("cents"))).as("ix"))
+      .select(col("nation"), col("n_customers"), col("total_cents"),
+        round((lit(2).cast("decimal(38,0)") * col("ix") -
+          (col("n_customers") + 1).cast("decimal(38,0)") * col("total_cents"))
+          .cast("double") /
+          (col("n_customers").cast("decimal(38,0)") * col("total_cents"))
+            .cast("double"), 6).as("gini"))
+  }
+
+  val giniConcentrationSql: String =
+    """WITH rev AS (
+  SELECT o_custkey, (sum(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS cents
+  FROM orders GROUP BY o_custkey),
+tagged AS (
+  SELECT c.c_nationkey AS nation, r.cents,
+    row_number() OVER (PARTITION BY c.c_nationkey ORDER BY r.cents, r.o_custkey) AS i
+  FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey),
+g AS (
+  SELECT nation, count(*)::BIGINT AS n_customers,
+    sum(cents)::BIGINT AS total_cents,
+    sum(i::HUGEINT * cents)::HUGEINT AS ix
+  FROM tagged GROUP BY nation)
+SELECT nation, n_customers, total_cents,
+  round((2::HUGEINT * ix - (n_customers + 1)::HUGEINT * total_cents)::DOUBLE /
+    (n_customers::HUGEINT * total_cents)::DOUBLE, 6) AS gini
+FROM g"""
+
+  // ---- C87 (r9): Spearman rank correlation ----
+  // The robust monotone-association twin of C61's Pearson matrix:
+  // rank-transform both variables (average ranks for ties — the
+  // standard treatment), then Pearson over the ranks. The doubled
+  // average rank 2r + c − 1 (r = min rank of the tie group, c = tie
+  // size) is an INTEGER, so every moment accumulates exactly in
+  // DECIMAL(38,0) and the single float sequence (three casts, one
+  // sqrt, one division, round 6) runs on identical inputs in both
+  // engines. Scale: two rank windows partitioned by event_type + one
+  // grouped moment aggregate — no corpus-wide window, no self-join.
+  def spearmanCorr(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("x"),
+      unix_micros(col("ts")).as("y"))
+    def rank2(c: String) = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(c))
+      val cw = Window.partitionBy(col("event_type"), col(c))
+      (lit(2) * rank().over(w) + count(lit(1)).over(cw) - 1).cast("long")
+    }
+    val ranked = base
+      .withColumn("rx", rank2("x"))
+      .withColumn("ry", rank2("y"))
+    val d38 = "decimal(38,0)"
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("rx").cast(d38)).as("sx"),
+        sum(col("ry").cast(d38)).as("sy"),
+        sum(col("rx").cast(d38) * col("ry")).as("sxy"),
+        sum(col("rx").cast(d38) * col("rx")).as("sxx"),
+        sum(col("ry").cast(d38) * col("ry")).as("syy"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("spearman"))
+  }
+
+  val spearmanCorrSql: String =
+    """WITH base AS (
+  SELECT event_type, ((value::DECIMAL(18,2)) * 100)::BIGINT AS x,
+         epoch_us(ts) AS y
+  FROM events),
+ranked AS (
+  SELECT event_type,
+    (2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+      + count(*) OVER (PARTITION BY event_type, x) - 1)::BIGINT AS rx,
+    (2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+      + count(*) OVER (PARTITION BY event_type, y) - 1)::BIGINT AS ry
+  FROM base),
+m AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+    sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+    sum(rx::HUGEINT * ry) AS sxy,
+    sum(rx::HUGEINT * rx) AS sxx, sum(ry::HUGEINT * ry) AS syy
+  FROM ranked GROUP BY event_type)
+SELECT event_type, n::BIGINT AS n,
+  round((n * sxy - sx * sy)::DOUBLE /
+    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6) AS spearman
+FROM m"""
+
+  // ---- C89 (r9): CUPED variance reduction for A/B readouts ----
+  // The experimentation-platform standard (Deng et al.'s controlled
+  // pre-experiment data): adjust each unit's experiment-window metric
+  // Y by its PRE-period covariate X, Y' = Y − θ(X − mean X) with
+  // θ = cov(X,Y)/var(X) fitted POOLED across arms (θ from the pooled
+  // frame is assignment-independent, so the adjustment is unbiased),
+  // typically halving the variance the t-test sees. Determinism: the
+  // window split is the corpus temporal midpoint (single-row
+  // broadcast, the C65 idiom), the arm is an md5 parity, X/Y are
+  // exact cent sums per user, every moment is a DECIMAL(38,0)
+  // aggregate, and θ plus the closed-form adjusted variance
+  // Var(Y) − 2θCov + θ²Var(X) run the identical float sequence on
+  // both engines — no per-row float ever accumulates. Scale: one
+  // (user) aggregate, one single-row pooled-moment broadcast, one
+  // (arm) aggregate.
+  def cupedAdjust(events: DataFrame): DataFrame = {
+    val mid = events.agg(expr(
+      "min(unix_micros(ts)) + (max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+      .as("mid"))
+    val d38 = "decimal(38,0)"
+    val units = events.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        (coalesce(sum(when(unix_micros(col("ts")) < col("mid"), dec(col("value")))),
+          lit(0).cast("decimal(18,2)")) * 100).cast("long").as("x"),
+        (coalesce(sum(when(unix_micros(col("ts")) >= col("mid"), dec(col("value")))),
+          lit(0).cast("decimal(18,2)")) * 100).cast("long").as("y"))
+      .withColumn("arm", pmod(md5Long(lit("arm"), col("user_id")), lit(2)))
+    val pooled = units.agg(
+      count(lit(1)).cast(d38).as("pn"),
+      sum(col("x").cast(d38)).as("psx"),
+      sum(col("y").cast(d38)).as("psy"),
+      sum(col("x").cast(d38) * col("x")).as("psxx"),
+      sum(col("x").cast(d38) * col("y")).as("psxy"))
+    val theta = pooled.select(
+      ((col("pn") * col("psxy") - col("psx") * col("psy")).cast("double") /
+        (col("pn") * col("psxx") - col("psx") * col("psx")).cast("double"))
+        .as("theta"),
+      (col("psx").cast("double") / col("pn").cast("double")).as("mean_x"))
+    units.groupBy(col("arm"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("y").cast(d38) * col("y")).as("syy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"))
+      .crossJoin(broadcast(theta))
+      .select(col("arm"), col("n").cast("long").as("n"),
+        round(col("sy").cast("double") / col("n").cast("double") / 100, 4)
+          .as("mean_y"),
+        round((col("sy").cast("double") / col("n").cast("double") -
+          col("theta") * (col("sx").cast("double") / col("n").cast("double") -
+            col("mean_x"))) / 100, 4).as("mean_y_adj"),
+        round(((col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+          (col("n") * col("n")).cast("double")) / 10000, 4).as("var_y"),
+        round(((col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+          (col("n") * col("n")).cast("double") -
+          lit(2.0) * col("theta") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("n")).cast("double")) +
+          col("theta") * col("theta") *
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+              (col("n") * col("n")).cast("double"))) / 10000, 4).as("var_y_adj"))
+  }
+
+  val cupedAdjustSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'arm'", "user_id")
+    s"""WITH mid AS (
+  SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS mid
+  FROM events),
+units AS (
+  SELECT user_id,
+    (coalesce(sum(CASE WHEN epoch_us(ts) < mid THEN value::DECIMAL(18,2) END),
+      0::DECIMAL(18,2)) * 100)::BIGINT AS x,
+    (coalesce(sum(CASE WHEN epoch_us(ts) >= mid THEN value::DECIMAL(18,2) END),
+      0::DECIMAL(18,2)) * 100)::BIGINT AS y,
+    $h % 2 AS arm
+  FROM events CROSS JOIN mid
+  GROUP BY user_id),
+pooled AS (
+  SELECT count(*)::HUGEINT AS pn, sum(x::HUGEINT) AS psx, sum(y::HUGEINT) AS psy,
+    sum(x::HUGEINT * x) AS psxx, sum(x::HUGEINT * y) AS psxy
+  FROM units),
+theta AS (
+  SELECT (pn * psxy - psx * psy)::DOUBLE / (pn * psxx - psx * psx)::DOUBLE AS theta,
+    psx::DOUBLE / pn::DOUBLE AS mean_x
+  FROM pooled),
+arms AS (
+  SELECT arm, count(*)::HUGEINT AS n, sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy
+  FROM units GROUP BY arm)
+SELECT arm, n::BIGINT AS n,
+  round(sy::DOUBLE / n::DOUBLE / 100, 4) AS mean_y,
+  round((sy::DOUBLE / n::DOUBLE - theta * (sx::DOUBLE / n::DOUBLE - mean_x)) / 100, 4)
+    AS mean_y_adj,
+  round(((n * syy - sy * sy)::DOUBLE / (n * n)::DOUBLE) / 10000, 4) AS var_y,
+  round(((n * syy - sy * sy)::DOUBLE / (n * n)::DOUBLE
+    - 2.0 * theta * ((n * sxy - sx * sy)::DOUBLE / (n * n)::DOUBLE)
+    + theta * theta * ((n * sxx - sx * sx)::DOUBLE / (n * n)::DOUBLE)) / 10000, 4)
+    AS var_y_adj
+FROM arms CROSS JOIN theta"""
+  }
 }

@@ -3306,7 +3306,8 @@ class OperatorSpec extends SparkSpec {
       "q_psi_drift" -> "crossJoin(broadcast(single-row temporal midpoint)) — the tfidf/lm_score pattern",
       "q_survival" -> "crossJoin(broadcast(single-row corpus-end timestamp)) — the tfidf/lm_score pattern",
       "q_water_fill" -> "crossJoin(broadcast(single-row total-token budget)) — the tfidf/lm_score pattern",
-      "q_modularity" -> "crossJoin(broadcast(single-row edge count m)) — the tfidf/lm_score pattern")
+      "q_modularity" -> "crossJoin(broadcast(single-row edge count m)) — the tfidf/lm_score pattern",
+      "q_cuped" -> "crossJoin(broadcast(single-row temporal midpoint + single-row pooled theta)) — the q_psi_drift pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }

@@ -357,4 +357,96 @@ class StatsSpec extends SparkSpec {
     assert(totalMi >= -1e-4 * real.length, s"total MI negative: $totalMi")
     real.foreach(r => assert(r.getDouble(8) >= 0.0, s"chi2 term negative: $r"))
   }
+
+  test("benfordAudit classifies first digits by integer ladder, shares tile to 1 (C84)") {
+    // boundary cents: 999 -> 9, 1000 -> 1, 1 -> 1 (no float log anywhere)
+    val planted = Seq(9.99, 10.00, 0.01, 55.50, 55.51, 0.02, 900.00)
+      .toDF("l_extendedprice")
+    val got = Stats.benfordAudit(planted)
+      .select("digit", "n").as[(Long, Long)].collect().toMap
+    assert(got == Map(9L -> 2L, 1L -> 2L, 5L -> 2L, 2L -> 1L), s"got $got")
+    // corpus: shares tile to 1 within rounding, chi terms non-negative,
+    // and the digit-1 chi term replays the formula exactly
+    val rows = Stats.benfordAudit(lineitem)
+      .select("digit", "n", "share", "expected", "chi_term")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (1L to 9L))
+    val total = rows.map(_._2).sum
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    rows.foreach { case (d, n, share, exp, chi) =>
+      assert(chi >= 0.0)
+      val replay = math.rint((share - exp) * (share - exp) / exp * total * 1e6) / 1e6
+      assert(math.abs(chi - replay) < 1e-9, s"digit $d chi $chi != $replay")
+    }
+  }
+
+  test("giniConcentration: equal revenues score 0, one-takes-all approaches (n-1)/n (C86)") {
+    val orders2 = Seq(
+      (1L, 10.00), (2L, 10.00), (3L, 10.00), (4L, 10.00), // nation 1: equal
+      (11L, 0.01), (12L, 0.01), (13L, 0.01), (14L, 1000.00)) // nation 2: skewed
+      .toDF("o_custkey", "o_totalprice")
+    val cust2 = Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1),
+      (11L, 2), (12L, 2), (13L, 2), (14L, 2)).toDF("c_custkey", "c_nationkey")
+    val got = Stats.giniConcentration(orders2, cust2)
+      .select("nation", "n_customers", "total_cents", "gini")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1, 4L, 4000L, 0.0)))
+    // nation 2 exact: x = (1,1,1,100000), sum ix = 400006, sum x = 100003
+    val expect2 = math.rint((2.0 * 400006 - 5.0 * 100003) / (4.0 * 100003) * 1e6) / 1e6
+    assert(got(1)._4 == expect2, s"${got(1)._4} != $expect2")
+    // corpus: bounded in [0, 1)
+    Stats.giniConcentration(orders, customer).select("gini").as[Double]
+      .collect().foreach(g => assert(g >= 0.0 && g < 1.0))
+  }
+
+  test("spearmanCorr: monotone = 1, antitone = -1, ties use average ranks (C87)") {
+    def ev(rows: Seq[(String, Long, Double)]) = rows
+      .toDF("event_type", "us", "value")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val mono = ev((1 to 50).map(i => ("up", i * 1000000L, i * 1.5)))
+    assert(Stats.spearmanCorr(mono).select("spearman").as[Double].head() == 1.0)
+    val anti = ev((1 to 50).map(i => ("dn", i * 1000000L, (100 - i) * 1.5)))
+    assert(Stats.spearmanCorr(anti).select("spearman").as[Double].head() == -1.0)
+    // tie handling: values (1, 2, 2, 3) over times (1, 2, 3, 4) —
+    // doubled average ranks x2: (2, 5, 5, 8), y2: (2, 4, 6, 8);
+    // expected spearman = pearson(x2, y2), replayed sequentially:
+    val tied = ev(Seq(("t", 1000000L, 1.0), ("t", 2000000L, 2.0),
+      ("t", 3000000L, 2.0), ("t", 4000000L, 3.0)))
+    val x2 = Seq(2.0, 5.0, 5.0, 8.0); val y2 = Seq(2.0, 4.0, 6.0, 8.0)
+    val n = 4.0
+    val num = n * x2.zip(y2).map { case (a, b) => a * b }.sum - x2.sum * y2.sum
+    val den = math.sqrt((n * x2.map(a => a * a).sum - x2.sum * x2.sum) *
+      (n * y2.map(a => a * a).sum - y2.sum * y2.sum))
+    val expect = math.rint(num / den * 1e6) / 1e6
+    assert(Stats.spearmanCorr(tied).select("spearman").as[Double].head() == expect)
+  }
+
+  test("cupedAdjust: raw means survive, linear pre/post dependence collapses variance (C89)") {
+    // 40 users, pre-window value x_u at day 1, post-window y_u = 2*x_u
+    // at day 9 (midpoint splits them); arms from md5 parity
+    val rows = (1 to 40).flatMap { u =>
+      val x = 10.0 + (u % 7)
+      Seq((u.toLong, 1L * 86400000000L, x), (u.toLong, 9L * 86400000000L, 2 * x))
+    }
+    val df = rows.toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val got = Stats.cupedAdjust(df)
+      .select("arm", "n", "mean_y", "mean_y_adj", "var_y", "var_y_adj")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq == Seq(0L, 1L))
+    got.foreach { case (arm, n, my, myAdj, vy, vyAdj) =>
+      assert(n > 0)
+      // y = 2x exactly -> theta = 2, adjusted variance collapses to ~0
+      assert(vyAdj <= 1e-6, s"arm $arm: var_y_adj $vyAdj did not collapse (var_y $vy)")
+      // the adjustment re-centers by the pooled mean, so adjusted means
+      // stay within the planted mean spread
+      assert(math.abs(myAdj - my) <= math.sqrt(vy) + 1e-9, s"arm $arm: $myAdj vs $my")
+    }
+    // corpus: two arms, variance never increases materially
+    val corpus = Stats.cupedAdjust(events)
+      .select("arm", "var_y", "var_y_adj").as[(Long, Double, Double)].collect()
+    assert(corpus.length == 2)
+    corpus.foreach { case (arm, vy, vyAdj) =>
+      assert(vyAdj <= vy * 1.05 + 1e-9, s"arm $arm: CUPED increased variance $vy -> $vyAdj") }
+  }
 }
