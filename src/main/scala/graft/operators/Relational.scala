@@ -2478,4 +2478,304 @@ SELECT part, i_order, i_line, i_s, r_order, r_line, r_s,
   (least(i_e, r_e) - greatest(i_s, r_s))::BIGINT AS alloc_q
 FROM iss JOIN rec USING (part)
 WHERE i_s < r_e AND r_s < i_e"""
+
+  // ---- C85 (r9): RFM segmentation ----
+  // The marketing-analytics workhorse: score every customer 1-5 on
+  // Recency / Frequency / Monetary within their market segment (the
+  // partition makes quintiles comparable across markets AND keeps the
+  // ranking window partitioned — no corpus-wide single-reducer sort,
+  // the C48 trap). Determinism: recency anchors on the corpus max
+  // order date (single-row broadcast, the C65 idiom), monetary is an
+  // exact cent sum, and every ntile runs over a TOTAL order (metric,
+  // then custkey) mirrored verbatim in the oracle — ntile is
+  // deterministic given a total order and the same n. Output keeps the
+  // raw metrics beside the scores so downstream can re-bucket.
+  def rfmSegments(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+    val per = orders.crossJoin(broadcast(anchor))
+      .groupBy(col("o_custkey"))
+      .agg(min(datediff(col("anchor"), col("o_orderdate"))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        (sum(dec(col("o_totalprice"))) * 100).cast("long").as("monetary_cents"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("segment")), "o_custkey")
+    def score(order: Seq[org.apache.spark.sql.Column]) =
+      ntile(5).over(Window.partitionBy(col("segment")).orderBy(order: _*))
+    per
+      .withColumn("r_score", score(Seq(col("recency_days").desc, col("o_custkey").desc)).cast("long"))
+      .withColumn("f_score", score(Seq(col("frequency").asc, col("o_custkey").asc)).cast("long"))
+      .withColumn("m_score", score(Seq(col("monetary_cents").asc, col("o_custkey").asc)).cast("long"))
+      .select(col("o_custkey").as("c_custkey"), col("segment"),
+        col("recency_days"), col("frequency"), col("monetary_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("rfm"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+per AS (
+  SELECT o_custkey,
+    min(date_diff('day', o_orderdate::DATE, anchor::DATE))::BIGINT AS recency_days,
+    count(*)::BIGINT AS frequency,
+    (sum(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS monetary_cents
+  FROM orders CROSS JOIN anchor
+  GROUP BY o_custkey),
+tagged AS (
+  SELECT p.*, c.c_mktsegment AS segment
+  FROM per p JOIN customer c ON c.c_custkey = p.o_custkey),
+scored AS (
+  SELECT *,
+    ntile(5) OVER (PARTITION BY segment ORDER BY recency_days DESC, o_custkey DESC)::BIGINT AS r_score,
+    ntile(5) OVER (PARTITION BY segment ORDER BY frequency ASC, o_custkey ASC)::BIGINT AS f_score,
+    ntile(5) OVER (PARTITION BY segment ORDER BY monetary_cents ASC, o_custkey ASC)::BIGINT AS m_score
+  FROM tagged)
+SELECT o_custkey AS c_custkey, segment, recency_days, frequency, monetary_cents,
+  r_score, f_score, m_score,
+  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm
+FROM scored"""
+
+  // ---- C88 (r9): time-decay attribution ----
+  // The third standard attribution model beside last-touch (C46) and
+  // U-shaped (C70): a touch Δ days before the conversion earns weight
+  // 2^(6−Δ) (one-day half-life over the 7-day window) — ALL INTEGER:
+  // weights are exact powers of two, each touch's credit is
+  // w·1e6 div Σw, and the integer remainder goes to the most recent
+  // touch, so every conversion's credits sum to exactly 1e6 (the C70
+  // conservation contract, spec-asserted). Plan identical to C70: one
+  // user-keyed interval join, two windows over the conversion-keyed
+  // pairs frame, one channel rollup.
+  def timeDecayAttribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = AttribWindowDays * 86400L * 1000000L
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), expr("unix_micros(ts)").as("us"),
+      concat(lit("ch"), pmod(get_json_object(col("props"), "$.k").cast("long"), lit(4)))
+        .as("channel"))
+    val touches = base.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("us").as("tus"), col("event_id").as("tid"),
+        col("channel"))
+    val convs = base.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"), col("event_id").as("pid"))
+    val w = Window.partitionBy("user_id", "pid")
+    // STRICT lower bound (unlike C70's >=): an exactly-7-day touch
+    // would take exponent -1 and weight 0, and an all-zero-weight
+    // conversion would divide by zero — the strict bound caps the day
+    // distance at 6 so every in-window weight is >= 1
+    val pairs = convs.join(touches, Seq("user_id"))
+      .where(col("tus") < col("pus") && col("tus") > col("pus") - W)
+      .withColumn("wt", expr(s"cast(pow(2, 6 - (pus - tus) div ${86400L * 1000000L}) as long)"))
+      .withColumn("sw", sum(col("wt")).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("tus"), col("tid"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("credit0", expr("(wt * 1000000L) div sw"))
+    val credited = pairs
+      .withColumn("rem", lit(1000000L) - sum(col("credit0")).over(w))
+      .withColumn("credit",
+        when(col("rn") === col("n"), col("credit0") + col("rem"))
+          .otherwise(col("credit0")))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"), sum(col("credit")).as("credit_ppm"))
+  }
+
+  val timeDecayAttributionSql: String = {
+    val W = AttribWindowDays * 86400L * 1000000L
+    s"""WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+    'ch' || (((json_extract_string(props, '$$.k')::BIGINT) % 4 + 4) % 4) AS channel
+  FROM events),
+t AS (SELECT user_id, us AS tus, event_id AS tid, channel FROM base
+  WHERE event_type IN ('view', 'click')),
+c AS (SELECT user_id, us AS pus, event_id AS pid FROM base
+  WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.user_id, c.pid, t.tid, t.tus, t.channel,
+    (2 ** (6 - (c.pus - t.tus) // ${86400L * 1000000L}))::BIGINT AS wt,
+    row_number() OVER (PARTITION BY c.user_id, c.pid ORDER BY t.tus, t.tid) AS rn,
+    count(*) OVER (PARTITION BY c.user_id, c.pid) AS n
+  FROM c JOIN t ON c.user_id = t.user_id
+    AND t.tus < c.pus AND t.tus > c.pus - $W),
+shared AS (
+  SELECT *, sum(wt) OVER (PARTITION BY user_id, pid) AS sw FROM pairs),
+c0 AS (
+  SELECT *, (wt * 1000000) // sw AS credit0 FROM shared),
+credited AS (
+  SELECT channel,
+    CASE WHEN rn = n
+      THEN credit0 + 1000000 - sum(credit0) OVER (PARTITION BY user_id, pid)
+      ELSE credit0 END AS credit
+  FROM c0)
+SELECT channel, count(*)::BIGINT AS touches, sum(credit)::BIGINT AS credit_ppm
+FROM credited GROUP BY channel"""
+  }
+
+  // ---- C95 (r9): gaps and islands over an id sequence ----
+  // The completeness audit on any dense-id ingest (order numbers,
+  // message offsets, invoice sequences): which consecutive runs exist,
+  // where are the holes? The textbook k − row_number() trick needs ONE
+  // global ordered window — a single-reducer sort at corpus scale. The
+  // distributed form: bucket keys by k div B (map-side), find islands
+  // per bucket with a bucket-partitioned window, then chain-merge
+  // islands that touch across bucket boundaries with one pass over the
+  // POST-AGGREGATE island frame (bounded by true islands + one
+  // boundary candidate per bucket — the C48 small-frame rule; B is
+  // the knob: B ≈ √keyspace makes the merge frame √N, and the merge
+  // is itself mergeable, so a second level gives N^(1/3) if ever
+  // needed). The oracle states the single-window textbook form;
+  // matching it proves the decomposition exact.
+  private val IslandBucket = 4096L
+
+  def idIslands(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // audit the FULFILLED subset: its ids are a strict subset of the
+    // dense key space, so the report carries real islands and gaps
+    // (the full key range would collapse to one vacuous island)
+    val keys = orders.where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k")).distinct()
+      .withColumn("b", expr(s"k div $IslandBucket"))
+    val wb = Window.partitionBy(col("b")).orderBy(col("k"))
+    val local = keys
+      .withColumn("grp", col("k") - row_number().over(wb))
+      .groupBy(col("b"), col("grp"))
+      .agg(min(col("k")).as("s"), max(col("k")).as("e"), count(lit(1)).as("n"))
+    // merge across buckets: post-aggregate frame, globally ordered
+    val wg = Window.orderBy(col("s"))
+    val merged = local
+      .withColumn("new_island",
+        when(col("s") === lag(col("e"), 1).over(wg) + 1, 0L).otherwise(1L))
+      .withColumn("island", sum(col("new_island"))
+        .over(wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("island"))
+      .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+        sum(col("n")).as("n_keys"))
+    merged
+      .withColumn("gap_after",
+        lead(col("island_start"), 1).over(Window.orderBy(col("island_start")))
+          - col("island_end") - 1)
+      .select(col("island_start"), col("island_end"), col("n_keys"), col("gap_after"))
+  }
+
+  val idIslandsSql: String =
+    """WITH keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+grp AS (
+  SELECT k, k - row_number() OVER (ORDER BY k) AS g FROM keys),
+isl AS (
+  SELECT min(k)::BIGINT AS island_start, max(k)::BIGINT AS island_end,
+    count(*)::BIGINT AS n_keys
+  FROM grp GROUP BY g)
+SELECT island_start, island_end, n_keys,
+  (lead(island_start) OVER (ORDER BY island_start) - island_end - 1)::BIGINT AS gap_after
+FROM isl"""
+
+  // ---- C94 (r9): supplier-concentration audit (HHI + top supplier) ----
+  // The supply-chain-risk profile, and the correlated-subquery
+  // decorrelation pattern (TPC-H Q20's shape on this schema): per
+  // part, how concentrated is its supply? "share vs (SELECT total for
+  // this part)" decorrelates into one grouped frame per grain + a
+  // keyed join — no correlated execution, no per-part loop. Exact
+  // machinery: cent volumes, the top supplier by min(struct(-qty,
+  // suppkey)) (the C60 argmax idiom — deterministic under qty ties),
+  // the Herfindahl–Hirschman index from DECIMAL(38,0) squared volumes
+  // with ONE float division, and the dominance flag as the integer
+  // majority test 2·qty > total (no float in a predicate). Supplier
+  // names attach by keyed join on the winner only.
+  def supplierConcentration(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ps = lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(dec(col("l_quantity"))) * 100).cast("long").as("qty_cents"))
+    val prof = ps.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("qty_cents")).as("total_cents"),
+        sum(col("qty_cents").cast(d38) * col("qty_cents")).as("sq"),
+        min(struct((-col("qty_cents")).as("nq"), col("l_suppkey").as("k")))
+          .getField("k").as("top_suppkey"),
+        (-min(struct((-col("qty_cents")).as("nq"), col("l_suppkey").as("k")))
+          .getField("nq")).as("top_cents"))
+    prof
+      .join(supplier.select(col("s_suppkey").as("top_suppkey"), col("s_name")),
+        "top_suppkey")
+      .select(col("l_partkey").as("partkey"), col("n_suppliers"),
+        col("total_cents"), col("top_suppkey"), col("s_name"), col("top_cents"),
+        round(col("top_cents").cast("double") / col("total_cents"), 6)
+          .as("top_share"),
+        round(col("sq").cast("double") /
+          (col("total_cents").cast(d38) * col("total_cents")).cast("double"), 6)
+          .as("hhi"),
+        (col("top_cents") * 2 > col("total_cents")).cast("long").as("dominant"))
+  }
+
+  val supplierConcentrationSql: String =
+    """WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    (sum(l_quantity::DECIMAL(18,2)) * 100)::BIGINT AS qty_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+prof AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_suppliers,
+    sum(qty_cents)::BIGINT AS total_cents,
+    sum(qty_cents::HUGEINT * qty_cents) AS sq
+  FROM ps GROUP BY l_partkey),
+top AS (
+  SELECT l_partkey, l_suppkey AS top_suppkey, qty_cents AS top_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+      ORDER BY qty_cents DESC, l_suppkey) AS rn FROM ps)
+  WHERE rn = 1)
+SELECT p.l_partkey AS partkey, p.n_suppliers, p.total_cents,
+  t.top_suppkey, s.s_name, t.top_cents,
+  round(t.top_cents::DOUBLE / p.total_cents, 6) AS top_share,
+  round(p.sq::DOUBLE / (p.total_cents::HUGEINT * p.total_cents)::DOUBLE, 6) AS hhi,
+  (t.top_cents * 2 > p.total_cents)::BIGINT AS dominant
+FROM prof p JOIN top t USING (l_partkey)
+JOIN supplier s ON s.s_suppkey = t.top_suppkey"""
+
+  // ---- C92 (r9): double-entry trial balance ----
+  // The accounting close: every order posts two legs (debit
+  // accounts-receivable, credit revenue) in exact cents, and the trial
+  // balance rolls them per (account, month) with a running net — the
+  // global debit = credit invariant is the spec's zero-sum assertion
+  // (double-entry by construction; a violation means a lost leg).
+  // Cents are DECIMAL-exact; the running window partitions by account
+  // over the calendar-bounded (account, month) frame; the corpus is
+  // touched once to post legs (map-side explode of 2 rows per order).
+  def trialBalance(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val legs = orders.select(
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("month_key"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .select(col("month_key"), explode(array(
+        struct(lit("AR").as("account"), col("cents").as("debit"), lit(0L).as("credit")),
+        struct(lit("REV").as("account"), lit(0L).as("debit"), col("cents").as("credit"))))
+        .as("leg"))
+      .select(col("month_key"), col("leg.account").as("account"),
+        col("leg.debit").as("debit"), col("leg.credit").as("credit"))
+    val w = Window.partitionBy(col("account")).orderBy(col("month_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    legs.groupBy(col("account"), col("month_key"))
+      .agg(sum(col("debit")).as("debit_cents"), sum(col("credit")).as("credit_cents"))
+      .withColumn("net_cents", col("debit_cents") - col("credit_cents"))
+      .withColumn("running_net_cents", sum(col("net_cents")).over(w))
+      .select(col("account"), col("month_key"), col("debit_cents"),
+        col("credit_cents"), col("net_cents"), col("running_net_cents"))
+  }
+
+  val trialBalanceSql: String =
+    """WITH legs AS (
+  SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS month_key,
+    'AR' AS account,
+    ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS debit, 0::BIGINT AS credit
+  FROM orders
+  UNION ALL
+  SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT,
+    'REV', 0::BIGINT, ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT
+  FROM orders),
+g AS (
+  SELECT account, month_key,
+    sum(debit)::BIGINT AS debit_cents, sum(credit)::BIGINT AS credit_cents
+  FROM legs GROUP BY account, month_key)
+SELECT account, month_key, debit_cents, credit_cents,
+  (debit_cents - credit_cents)::BIGINT AS net_cents,
+  (sum(debit_cents - credit_cents) OVER (PARTITION BY account ORDER BY month_key
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS running_net_cents
+FROM g"""
 }

@@ -3307,7 +3307,8 @@ class OperatorSpec extends SparkSpec {
       "q_survival" -> "crossJoin(broadcast(single-row corpus-end timestamp)) — the tfidf/lm_score pattern",
       "q_water_fill" -> "crossJoin(broadcast(single-row total-token budget)) — the tfidf/lm_score pattern",
       "q_modularity" -> "crossJoin(broadcast(single-row edge count m)) — the tfidf/lm_score pattern",
-      "q_cuped" -> "crossJoin(broadcast(single-row temporal midpoint + single-row pooled theta)) — the q_psi_drift pattern")
+      "q_cuped" -> "crossJoin(broadcast(single-row temporal midpoint + single-row pooled theta)) — the q_psi_drift pattern",
+      "q_rfm" -> "crossJoin(broadcast(single-row corpus max order date)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -4125,5 +4126,127 @@ class OperatorSpec extends SparkSpec {
     val symDiff = (approxFlags | exactFlags).size - (approxFlags & exactFlags).size
     assert(symDiff <= math.max(2, exactFlags.size / 20),
       s"approx/exact flag sets diverge by $symDiff of ${exactFlags.size}")
+  }
+
+  test("rfmSegments scores deterministic quintiles within segment (C85)") {
+    // one segment, 10 customers, strictly distinct metrics: customer i
+    // places i orders of 100 each on day i (of a 10-day window), so
+    // frequency and monetary rank identically and recency inverts
+    val orders2 = (1 to 10).flatMap { i =>
+      (1 to i).map(j => (i.toLong, 100.0,
+        java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")))
+    }.toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val cust2 = (1 to 10).map(i => (i.toLong, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val got = Relational.rfmSegments(orders2, cust2)
+      .select("c_custkey", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", "rfm")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().sortBy(_._1)
+    // customer 10: most recent (recency 0), most frequent, biggest spender
+    assert(got(9) == ((10L, 0L, 10L, 100000L, 5L, 5L, 5L, "555")))
+    // customer 1: stalest, least frequent, smallest
+    assert(got(0) == ((1L, 9L, 1L, 10000L, 1L, 1L, 1L, "111")))
+    // quintiles of 10 = pairs: scores ascend two-by-two in customer order
+    assert(got.map(_._5).toSeq == Seq(1L, 1, 2, 2, 3, 3, 4, 4, 5, 5))
+    // partitioning invariance
+    val again = Relational.rfmSegments(orders2.repartition(7), cust2).collect().toSet
+    assert(again == Relational.rfmSegments(orders2, cust2).collect().toSet)
+  }
+
+  test("timeDecayAttribution: powers-of-two weights, every conversion pays exactly 1e6 ppm (C88)") {
+    def us(day: Long, h: Long = 0) = (day * 24 + h) * 3600L * 1000000L
+    // touches 0, 1, 2 days before the day-10 purchase -> weights 64, 32, 16
+    val rows = Seq(
+      (1L, 100L, "view", us(8), """{"k":0}"""),
+      (2L, 100L, "click", us(9), """{"k":1}"""),
+      (3L, 100L, "view", us(10, -2), """{"k":2}"""),
+      (4L, 100L, "purchase", us(10), """{"k":3}"""))
+      .toDF("event_id", "user_id", "event_type", "uss", "props")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("uss")).as("ts"), col("props"), lit(1.0).as("value"))
+    val got = Relational.timeDecayAttribution(rows)
+      .select("channel", "touches", "credit_ppm")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    // weights 16 (ch0, 2 days), 32 (ch1, 1 day), 64 (ch2, same day): sum 112
+    val w = Map("ch0" -> 16L, "ch1" -> 32L, "ch2" -> 64L)
+    val base = w.view.mapValues(v => v * 1000000L / 112L).toMap
+    val rem = 1000000L - base.values.sum
+    val expect = base.updated("ch2", base("ch2") + rem) // most recent takes remainder
+    assert(got.map(r => r._1 -> r._3).toMap == expect, s"got ${got.toSeq}")
+    assert(got.map(_._3).sum == 1000000L, "conservation")
+    // corpus: total credit is exactly 1e6 x (purchases with >= 1 in-window touch)
+    val W = 7L * 86400L * 1000000L
+    val base2 = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"))
+    val funded = base2.where(col("event_type") === "purchase").as("p")
+      .join(base2.where(col("event_type").isin("view", "click")).as("t"), "user_id")
+      .where(col("t.us") < col("p.us") && col("t.us") > col("p.us") - W)
+      .select("p.event_id").distinct().count()
+    val total = Relational.timeDecayAttribution(events)
+      .agg(sum("credit_ppm")).head.getLong(0)
+    assert(total == funded * 1000000L, s"$total != $funded conversions x 1e6")
+  }
+
+  test("idIslands merges runs across bucket boundaries and reports exact gaps (C95)") {
+    // keys straddle the 4096 bucket boundary: {4094..4097} must be ONE island
+    val keys = Seq(1L, 2L, 3L, 7L, 8L, 4094L, 4095L, 4096L, 4097L, 9000L)
+    val orders2 = keys.map(k => (k, "F")).toDF("o_orderkey", "o_orderstatus")
+    val got = Relational.idIslands(orders2)
+      .select("island_start", "island_end", "n_keys", "gap_after")
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, Some(3L)), (7L, 8L, 2L, Some(4085L)),
+      (4094L, 4097L, 4L, Some(4902L)), (9000L, 9000L, 1L, None)), s"got ${got.toSeq}")
+    // corpus replay: equals the textbook single-window form computed sequentially
+    val orders = Tables.load(spark, sf, "orders")
+    val ks = orders.where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey")).distinct().as[Long].collect().sorted
+    val ref = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var s = ks.head; var p = ks.head
+    for (k <- ks.tail) {
+      if (k != p + 1) { ref += ((s, p, p - s + 1)); s = k }
+      p = k
+    }
+    ref += ((s, p, p - s + 1))
+    val corpus = Relational.idIslands(orders)
+      .select("island_start", "island_end", "n_keys")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(corpus.toSeq == ref.toSeq, s"${corpus.length} islands vs ref ${ref.length}")
+  }
+
+  test("supplierConcentration: HHI and argmax replay; ties break to smallest suppkey (C94)") {
+    val li = Seq(
+      (100L, 1L, 60.0), (100L, 2L, 40.0), // part 100: dominant supplier 1
+      (200L, 5L, 25.0), (200L, 4L, 25.0), (200L, 3L, 25.0), (200L, 6L, 25.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val sup = (1L to 6L).map(k => (k, s"S#$k")).toDF("s_suppkey", "s_name")
+    val got = Relational.supplierConcentration(li, sup)
+      .select("partkey", "n_suppliers", "top_suppkey", "top_share", "hhi", "dominant")
+      .as[(Long, Long, Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((100L, 2L, 1L, 0.6, 0.52, 1L)), s"${got(0)}")
+    // equal split: top = smallest suppkey, hhi = 1/4, not dominant
+    assert(got(1) == ((200L, 4L, 3L, 0.25, 0.25, 0L)), s"${got(1)}")
+  }
+
+  test("trialBalance: double-entry zero-sum and running net replay (C92)") {
+    val orders2 = Seq(
+      (100.0, "2024-01-15"), (50.0, "2024-01-20"), (70.0, "2024-02-05"))
+      .toDF("o_totalprice", "d")
+      .select(col("o_totalprice"), to_timestamp(col("d")).as("o_orderdate"))
+    val got = Relational.trialBalance(orders2)
+      .select("account", "month_key", "debit_cents", "credit_cents",
+        "net_cents", "running_net_cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("AR", 202401L, 15000L, 0L, 15000L, 15000L),
+      ("AR", 202402L, 7000L, 0L, 7000L, 22000L),
+      ("REV", 202401L, 0L, 15000L, -15000L, -15000L),
+      ("REV", 202402L, 0L, 7000L, -7000L, -22000L)), s"got ${got.toSeq}")
+    // corpus: the books balance — global debits equal global credits
+    val corpus = Relational.trialBalance(Tables.load(spark, sf, "orders"))
+      .agg(sum("debit_cents"), sum("credit_cents"), sum("net_cents")).head
+    assert(corpus.getLong(0) == corpus.getLong(1))
+    assert(corpus.getLong(2) == 0L)
   }
 }
