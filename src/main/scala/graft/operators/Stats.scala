@@ -870,6 +870,154 @@ SELECT cohort, dur, n_risk, d, leaving,
 FROM z"""
   }
 
+  // ---- C90 (r9): split-conformal prediction intervals ----
+  // The distribution-free uncertainty wrapper every forecast should
+  // ship with: fit a model on a CALIBRATION split, take the 90th
+  // percentile of its absolute residuals as the band half-width, and
+  // the conformal guarantee says a fresh point lands inside the band
+  // with ≥ 90% probability regardless of the residual distribution —
+  // verified here by scoring the held-out split (the L106
+  // audit-beside-operator pattern). Composition: C40's OLS fit (exact
+  // DECIMAL(38,0) moments over the md5-parity calibration split,
+  // centered time axis), the finite-sample conformal quantile — the
+  // ceil(0.9·(n+1))-th ORDER STATISTIC of the calibration residuals,
+  // not the interpolated 0.9 percentile, which undercovers by ~1/n —
+  // one broadcast of the per-type fit, and an exact count ratio for
+  // the measured coverage. The residual doubles run the identical
+  // IEEE sequence in both engines, so the ≤ q90 comparisons agree
+  // bit-for-bit. Scale: two corpus scans (fit moments, score), two
+  // tiny per-type broadcasts, no wide shuffle.
+  def conformalIntervals(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 1000000L, 0).cast("long").as("y"))
+      .withColumn("cal", pmod(md5Long(lit("cf"), col("event_id")), lit(2)))
+    val t0 = e.groupBy(col("event_type")).agg(min(col("ts_us")).as("t0"))
+    val c = e.join(broadcast(t0), "event_type")
+      .select(col("event_type"), col("cal"),
+        expr("(ts_us - t0) div 1000000").as("x"), col("y"))
+      .localCheckpoint() // feeds the fit AND the residual scan
+    val s = c.where(col("cal") === 0).groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(expr("cast(x * x as decimal(38,0))")).as("sxx"),
+      sum(expr("cast(x * y as decimal(38,0))")).as("sxy"))
+    val slopeQ = "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+    val fit = s.selectExpr("event_type", "n as n_cal",
+      s"($slopeQ) AS slope_mu",
+      s"(cast(sy as double) - ($slopeQ) * cast(sx as double)) / cast(n as double) AS icept_mu")
+    val scored = c.join(broadcast(fit), "event_type")
+      .withColumn("resid",
+        abs(col("y").cast("double") - (col("icept_mu") + col("slope_mu") * col("x"))))
+    // conformal quantile: k-th smallest calibration residual with
+    // k = ceil(0.9 * (n_cal + 1)); rank window partitions by type over
+    // the calibration split (the C13 exact path — the GK sketch is the
+    // declared 100x twin)
+    val q = {
+      import org.apache.spark.sql.expressions.Window
+      val wr = Window.partitionBy(col("event_type")).orderBy(col("resid"))
+      scored.where(col("cal") === 0)
+        .withColumn("rn", row_number().over(wr))
+        // least(): a type with < 9 calibration rows clamps to its max
+        // residual instead of silently vanishing from the report
+        .where(col("rn") ===
+          least(ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"), col("n_cal")))
+        .groupBy(col("event_type")).agg(min(col("resid")).as("q90_mu"))
+    }
+    scored.where(col("cal") === 1).join(broadcast(q), "event_type")
+      .groupBy(col("event_type"), col("n_cal"), col("slope_mu"), col("q90_mu"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("resid") <= col("q90_mu"), 1L).otherwise(0L)).as("covered"))
+      .select(col("event_type"), col("n_cal"), col("n_test"),
+        round(col("slope_mu") * 86400.0 / 1000000.0, 6).as("slope_per_day"),
+        round(col("q90_mu") / 1000000.0, 6).as("q90"),
+        round(col("covered").cast("double") / col("n_test"), 6).as("coverage"))
+  }
+
+  val conformalIntervalsSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'cf'", "event_id")
+    val slopeQ = "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+    s"""WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+    round(value * 1000000)::BIGINT AS y, $h % 2 AS cal
+  FROM events),
+t0 AS (SELECT event_type, min(ts_us) AS t0 FROM e GROUP BY 1),
+c AS (SELECT e.event_type, e.cal, (e.ts_us - t0.t0) // 1000000 AS x, e.y
+  FROM e JOIN t0 USING (event_type)),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM c WHERE cal = 0 GROUP BY event_type),
+fit AS (
+  SELECT event_type, n AS n_cal, ($slopeQ) AS slope_mu,
+    (cast(sy as double) - ($slopeQ) * cast(sx as double)) / cast(n as double) AS icept_mu
+  FROM s),
+scored AS (
+  SELECT c.event_type, c.cal, fit.n_cal, fit.slope_mu,
+    abs(c.y::DOUBLE - (fit.icept_mu + fit.slope_mu * c.x)) AS resid
+  FROM c JOIN fit USING (event_type)),
+q AS (
+  SELECT event_type, min(resid) AS q90_mu
+  FROM (SELECT event_type, n_cal, resid,
+      row_number() OVER (PARTITION BY event_type ORDER BY resid) AS rn
+    FROM scored WHERE cal = 0)
+  WHERE rn = least(ceil(0.9 * (n_cal + 1))::BIGINT, n_cal)
+  GROUP BY event_type)
+SELECT s.event_type, s.n_cal, count(*)::BIGINT AS n_test,
+  round(s.slope_mu * 86400.0 / 1000000.0, 6) AS slope_per_day,
+  round(q.q90_mu / 1000000.0, 6) AS q90,
+  round(sum(CASE WHEN s.resid <= q.q90_mu THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+    AS coverage
+FROM scored s JOIN q USING (event_type)
+WHERE s.cal = 1
+GROUP BY s.event_type, s.n_cal, s.slope_mu, q.q90_mu"""
+  }
+
+  // ---- C93 (r9): Markov transition matrix over event sequences ----
+  // The behavioral model behind "what happens next": per-user event
+  // streams yield adjacent (from, to) transitions (one lag window,
+  // user-keyed — the C42 sequence discipline), counted into the
+  // alphabet-bounded transition matrix with row-normalized
+  // probabilities and a per-cell entropy term −p·ln p. Terms are
+  // released PER CELL (the C62 rule: no cross-engine float sum — the
+  // consumer folds the ≤|alphabet|² rows); counts and row totals are
+  // exact BIGINTs and p is the one division. Scale: one user-keyed
+  // window over the corpus, one (from, to) aggregate; everything
+  // after is alphabet-bounded.
+  def markovTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+    val cnt = pairs.groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
+    cnt.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("row_total"),
+        round(col("n").cast("double") / col("row_total"), 6).as("p"),
+        round(-(col("n").cast("double") / col("row_total")) *
+          log(col("n").cast("double") / col("row_total")), 6).as("h_term"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS from_type,
+    event_type AS to_type
+  FROM events),
+cnt AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n)::BIGINT AS row_total FROM cnt GROUP BY 1)
+SELECT cnt.from_type, cnt.to_type, cnt.n, tot.row_total,
+  round(cnt.n::DOUBLE / tot.row_total, 6) AS p,
+  round(-(cnt.n::DOUBLE / tot.row_total) * ln(cnt.n::DOUBLE / tot.row_total), 6)
+    AS h_term
+FROM cnt JOIN tot USING (from_type)"""
+
   // ---- C84 (r9): Benford first-digit audit ----
   // The forensic-accounting / data-quality screen: naturally occurring
   // amounts follow Benford's law (P(d) = log10(1+1/d)); fabricated or

@@ -324,4 +324,99 @@ SELECT event_type, day, x AS x_micros, s AS cusum_micros,
        (s > h)::BIGINT AS flag
 FROM fold"""
   }
+
+  // ---- C91 (r9): Holt-Winters triple smoothing (additive, weekly) ----
+  // Completes the smoothing family: EWMA (C18) tracks level, Holt
+  // (C21) adds trend, Holt-Winters adds SEASONALITY — the forecast a
+  // weekly-cycled ops metric actually needs (C66 decomposes offline;
+  // this is the online recursive twin). Additive form with a 7-slot
+  // rotating season, all in the repo's µ-unit truncating fixed point
+  // (α=1/4, β=1/8, γ=1/16 as shift-friendly dyadics):
+  //   ℓₜ = (xₜ − s₁ + 3·(ℓ + b)) ÷ 4
+  //   bₜ = (ℓₜ − ℓ + 7·b) ÷ 8
+  //   sₜ = (xₜ − ℓₜ + 15·s₁) ÷ 16    (s₁ = slot from 7 steps ago)
+  //   fitted (one-step-ahead, BEFORE seeing xₜ) = ℓ + b + s₁
+  // Cold start is declared: row 1 sets ℓ = x, b = 0, all slots 0 —
+  // both engines replay the identical fold, so iteration n is
+  // bit-exact. Runs on the post-aggregate calendar-bounded daily
+  // frame (the C66/C69 pattern): corpus touched once by the daily
+  // sum; per-type fold is the EWMA ordered scan with nine longs of
+  // state; oracle carries the seven slots as recursive-CTE columns.
+  def holtWinters(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val D = 86400L * 1000000L
+    events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${D}L)) div ${D}L").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * 1000000L)
+        .cast("long").as("x"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("day"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var key = ""
+        var l = 0L
+        var b = 0L
+        val s = new Array[Long](7)
+        var rn = 0
+        it.map { case (t, day, x) =>
+          if (t != key) {
+            key = t; l = 0L; b = 0L; java.util.Arrays.fill(s, 0L); rn = 0
+          }
+          rn += 1
+          if (rn == 1) {
+            l = x; b = 0L
+            (t, day, x, l, b, 0L, x)
+          } else {
+            val s1 = s(0)
+            val fitted = l + b + s1
+            val lp = (x - s1 + 3L * (l + b)) / 4L
+            val bp = (lp - l + 7L * b) / 8L
+            val snew = (x - lp + 15L * s1) / 16L
+            var i = 0
+            while (i < 6) { s(i) = s(i + 1); i += 1 }
+            s(6) = snew
+            l = lp; b = bp
+            (t, day, x, l, b, snew, fitted)
+          }
+        }
+      }
+      .toDF("event_type", "day", "x_micros", "level_micros", "trend_micros",
+        "season_micros", "fitted_micros")
+  }
+
+  val holtWintersSql: String = {
+    val D = 86400L * 1000000L
+    val lExpr = "(t.x - f.s1 + 3 * (f.l + f.b)) // 4"
+    s"""WITH RECURSIVE daily AS (
+  SELECT event_type,
+    (epoch_us(ts) - ((epoch_us(ts) % $D) + $D) % $D) // $D AS day,
+    (sum(value::DECIMAL(18,6)) * 1000000)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+src AS (
+  SELECT event_type, day, x,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily),
+fold AS (
+  SELECT event_type, day, x, rn, x AS l, 0::BIGINT AS b,
+    0::BIGINT AS s1, 0::BIGINT AS s2, 0::BIGINT AS s3, 0::BIGINT AS s4,
+    0::BIGINT AS s5, 0::BIGINT AS s6, 0::BIGINT AS s7,
+    0::BIGINT AS season, x AS fitted
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT t.event_type, t.day, t.x, t.rn,
+    ($lExpr)::BIGINT,
+    (($lExpr - f.l + 7 * f.b) // 8)::BIGINT,
+    f.s2, f.s3, f.s4, f.s5, f.s6, f.s7,
+    ((t.x - $lExpr + 15 * f.s1) // 16)::BIGINT,
+    ((t.x - $lExpr + 15 * f.s1) // 16)::BIGINT,
+    (f.l + f.b + f.s1)::BIGINT
+  FROM fold f JOIN src t ON t.event_type = f.event_type AND t.rn = f.rn + 1)
+SELECT event_type, day, x AS x_micros, l AS level_micros, b AS trend_micros,
+  season AS season_micros, fitted AS fitted_micros
+FROM fold"""
+  }
 }

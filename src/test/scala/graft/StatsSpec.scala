@@ -358,6 +358,61 @@ class StatsSpec extends SparkSpec {
     real.foreach(r => assert(r.getDouble(8) >= 0.0, s"chi2 term negative: $r"))
   }
 
+  test("conformalIntervals: held-out coverage honors the 90% guarantee (C90)") {
+    val got = Stats.conformalIntervals(events)
+      .select("event_type", "n_cal", "n_test", "q90", "coverage")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val n = events.count()
+    assert(got.map(r => r._2 + r._3).sum == n, "cal + test must tile the corpus")
+    got.foreach { case (t, nCal, nTest, q90, cov) =>
+      assert(nCal > 0 && nTest > 0, s"$t: degenerate split")
+      assert(q90 > 0.0, s"$t: zero band width")
+      // conformal guarantee: >= 90% held-out coverage up to finite-sample
+      // noise (binomial sd ~ 0.3/sqrt(n)), and a band that wide must not
+      // be vacuous either
+      val slack = 3.5 * 0.3 / math.sqrt(nTest.toDouble)
+      assert(cov >= 0.9 - slack, s"$t: coverage $cov below guarantee (n=$nTest)")
+      assert(cov <= 1.0, s"$t: coverage $cov")
+    }
+    // a y = 2x noiseless relation on the calibration fit gives a zero
+    // residual band that still covers every held-out point exactly
+    val lin = (1 to 200).map { i =>
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 3600L)),
+        "lin", i * 2.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val linRes = Stats.conformalIntervals(lin)
+      .select("q90", "coverage").as[(Double, Double)].head()
+    assert(linRes._1 <= 1e-6 && linRes._2 == 1.0, s"noiseless line: $linRes")
+  }
+
+  test("markovTransitions: exact counts, row-stochastic, per-cell entropy terms (C93)") {
+    // user 1: a -> b -> a -> b ; user 2: a -> b -> c
+    def ts(i: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 60L))
+    val ev = Seq(
+      (1L, 1L, "a", ts(1)), (2L, 1L, "b", ts(2)), (3L, 1L, "a", ts(3)), (4L, 1L, "b", ts(4)),
+      (5L, 2L, "a", ts(1)), (6L, 2L, "b", ts(2)), (7L, 2L, "c", ts(3)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Stats.markovTransitions(ev)
+      .select("from_type", "to_type", "n", "row_total", "p", "h_term")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // transitions: a->b x3, b->a x1, b->c x1
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("b", "c")))
+    assert(got(("a", "b"))._3 == 3L && got(("a", "b"))._5 == 1.0)
+    assert(got(("a", "b"))._6 == 0.0, "certain transition has zero entropy term")
+    assert(got(("b", "a"))._3 == 1L && got(("b", "a"))._4 == 2L && got(("b", "a"))._5 == 0.5)
+    val h = math.rint(-(0.5 * math.log(0.5)) * 1e6) / 1e6
+    assert(got(("b", "a"))._6 == h && got(("b", "c"))._6 == h)
+    // corpus: every row is a probability and each from-row sums to ~1
+    val corpus = Stats.markovTransitions(events)
+      .select("from_type", "p").as[(String, Double)].collect()
+    corpus.groupBy(_._1).foreach { case (f, ps) =>
+      val s = ps.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$f row sums to $s")
+    }
+  }
+
   test("benfordAudit classifies first digits by integer ladder, shares tile to 1 (C84)") {
     // boundary cents: 999 -> 9, 1000 -> 1, 1 -> 1 (no float log anywhere)
     val planted = Seq(9.99, 10.00, 0.01, 55.50, 55.51, 0.02, 900.00)

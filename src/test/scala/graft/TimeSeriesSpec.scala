@@ -60,4 +60,53 @@ class TimeSeriesSpec extends SparkSpec {
     // negative numerators — make sure the feed actually exercised it
     assert(sawNegativeTrend, "random feed produced no negative trend — widen the value range")
   }
+
+  test("holtWinters equals a naive sequential fold with a rotating 7-slot season (C91)") {
+    // type-keyed daily series via user_id as the type surrogate is not
+    // possible (operator keys on event_type) — feed a multi-type frame
+    val tRows = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(1700000000000L + rnd.nextInt(40) * 86400000L),
+        s"t${i % 3}", rnd.nextInt(10000) / 100.0)
+    }
+    val df = tRows.toDF("event_id", "ts", "event_type", "value")
+    val got = TimeSeries.holtWinters(df)
+      .select("event_type", "day", "x_micros", "level_micros", "trend_micros",
+        "season_micros", "fitted_micros")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7)).toMap
+    // reference: exact daily sums then the sequential fold
+    val daily = tRows.groupBy(r => (r._3, r._2.getTime / 86400000L))
+      .view.mapValues(rs => rs.map(r => BigDecimal(r._4).setScale(6)).sum)
+      .toSeq.map { case ((t, day), v) => (t, day, (v * 1000000L).toLongExact) }
+    daily.groupBy(_._1).foreach { case (t, rs) =>
+      var l = 0L; var b = 0L; val s = Array.fill(7)(0L)
+      rs.sortBy(_._2).zipWithIndex.foreach { case ((_, day, x), i) =>
+        val expectRow = if (i == 0) { l = x; b = 0L; (x, l, b, 0L, x) }
+        else {
+          val s1 = s(0)
+          val fitted = l + b + s1
+          val lp = (x - s1 + 3L * (l + b)) / 4L
+          val bp = (lp - l + 7L * b) / 8L
+          val snew = (x - lp + 15L * s1) / 16L
+          for (k <- 0 until 6) s(k) = s(k + 1)
+          s(6) = snew
+          l = lp; b = bp
+          (x, l, b, snew, fitted)
+        }
+        assert(got((t, day)) == expectRow, s"($t, $day)")
+      }
+    }
+    // a perfectly weekly signal converges: the fitted one-step-ahead
+    // error shrinks once the season slots warm up
+    val weekly = (0 until 70).map { d =>
+      (1000L + d, new Timestamp(1700000000000L + d * 86400000L), "w",
+        100.0 + 50.0 * (d % 7))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val fit = TimeSeries.holtWinters(weekly)
+      .select("day", "x_micros", "fitted_micros")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val early = fit.slice(1, 15).map(r => math.abs(r._2 - r._3)).max
+    val late = fit.takeRight(14).map(r => math.abs(r._2 - r._3)).max
+    assert(late < early, s"seasonal fit did not improve: early $early late $late")
+  }
 }
