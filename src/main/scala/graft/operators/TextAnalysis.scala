@@ -1896,4 +1896,224 @@ FROM pos JOIN ph ON pos.tok = ph.anchor
 WHERE toks[pos + 2 : pos + plen] = ph.tail
 GROUP BY doc_id, phrase"""
   }
+
+  // ---- L110 (r9): Luhn-validated PAN detection + masking ----
+  // L18 redacts by PATTERN; payment-card numbers need the checksum
+  // step — a 16-digit run is only PII if it Luhn-validates, and
+  // masking every digit run would shred order ids and timestamps. The
+  // validator is the real thing: digits from the right, every second
+  // doubled with 9-subtraction, sum ≡ 0 (mod 10) — pure integer
+  // arithmetic via a codegen'd aggregate() fold on one side and
+  // list_sum(list_transform(...)) on the other, identical by
+  // construction. The corpus text carries no digits, so the query
+  // runs over a PAN column SYNTHESIZED from order keys (the C35
+  // md5-synthesis precedent, stated openly): 15 md5-derived digits +
+  // an md5 check digit, making ~10% of lines Luhn-valid — the report
+  // proves detection AND non-detection. Masking replaces only the
+  // VALIDATED number; the md5 of the masked line makes the oracle
+  // check the replacement byte-for-byte (the L18 contract). Map-only.
+  private val LuhnSumExpr =
+    """aggregate(sequence(0, length(cand) - 1), 0L, (acc, i) -> acc +
+  CASE WHEN i % 2 = 0 THEN ascii(substring(cand, length(cand) - i, 1)) - 48
+       WHEN 2 * (ascii(substring(cand, length(cand) - i, 1)) - 48) > 9
+         THEN 2 * (ascii(substring(cand, length(cand) - i, 1)) - 48) - 9
+       ELSE 2 * (ascii(substring(cand, length(cand) - i, 1)) - 48) END)"""
+
+  def luhnScrub(orders: DataFrame): DataFrame = {
+    val lines = orders.select(col("o_orderkey"),
+      concat(lit("card "),
+        lpad(pmod(md5Long(lit("cc"), col("o_orderkey")), lit(1000000000000000L))
+          .cast("string"), 15, "0"),
+        pmod(md5Long(lit("cd"), col("o_orderkey")), lit(10)).cast("string"),
+        lit(" on file")).as("line"))
+    lines
+      .withColumn("cand", regexp_extract(col("line"), "[0-9]{13,16}", 0))
+      .withColumn("luhn_sum", expr(LuhnSumExpr))
+      .withColumn("valid", (pmod(col("luhn_sum"), lit(10)) === 0).cast("long"))
+      .select(col("o_orderkey"),
+        substring(col("cand"), -4, 4).as("last4"),
+        col("valid"),
+        md5(when(col("valid") === 1, regexp_replace(col("line"), col("cand"), lit("<CC>")))
+          .otherwise(col("line"))).as("masked_md5"))
+  }
+
+  val luhnScrubSql: String = {
+    val h15 = graft.functions.Portable.md5LongSql("'cc'", "o_orderkey")
+    val hd = graft.functions.Portable.md5LongSql("'cd'", "o_orderkey")
+    s"""WITH lines AS (
+  SELECT o_orderkey,
+    'card ' || lpad((($h15 % 1000000000000000 + 1000000000000000) % 1000000000000000)::VARCHAR, 15, '0')
+      || (($hd % 10 + 10) % 10)::VARCHAR || ' on file' AS line
+  FROM orders),
+c AS (
+  SELECT o_orderkey, line, regexp_extract(line, '[0-9]{13,16}') AS cand
+  FROM lines),
+s AS (
+  SELECT o_orderkey, line, cand,
+    list_sum(list_transform(generate_series(0, length(cand) - 1), i ->
+      CASE WHEN i % 2 = 0 THEN substr(cand, length(cand) - i, 1)::INT
+           WHEN 2 * substr(cand, length(cand) - i, 1)::INT > 9
+             THEN 2 * substr(cand, length(cand) - i, 1)::INT - 9
+           ELSE 2 * substr(cand, length(cand) - i, 1)::INT END))::BIGINT AS luhn_sum
+  FROM c)
+SELECT o_orderkey, substr(cand, length(cand) - 3, 4) AS last4,
+  (luhn_sum % 10 = 0)::BIGINT AS valid,
+  md5(CASE WHEN luhn_sum % 10 = 0 THEN replace(line, cand, '<CC>') ELSE line END)
+    AS masked_md5
+FROM s"""
+  }
+
+  // ---- L111 (r9): Kneser-Ney smoothed bigram LM ----
+  // The smoothing that made n-gram LMs work (and the one L24's
+  // add-k proxy approximates): absolute discounting plus the
+  // CONTINUATION back-off — P(w2|w1) = max(c12 − D, 0)/c1 +
+  // (D·N1+(w1·)/c1) · (N1+(·w2)/B), where N1+ counts distinct
+  // continuations, not tokens ("san francisco" is frequent but
+  // "francisco" continues almost nothing, so its unigram back-off is
+  // tiny — the insight add-k misses). D = 0.75, the standard value.
+  // Every input to the formula is an exact BIGINT (bigram counts,
+  // context totals, continuation cardinalities, the global bigram-type
+  // count as the one single-row broadcast); the float sequence runs
+  // once per released row, identically on both engines, round 6.
+  // Scale: the L15 gram pipeline's shuffles (gram-keyed), two distinct
+  // aggregates, keyed joins — nothing quadratic, alphabet-bounded
+  // output under the support floor.
+  private val KnMinSupport = 3L
+
+  def kneserNey(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val bg = documents
+      .select(explode(expr("graft_grams(split(lower(text), '\\\\s+'), 2)")).as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds c1, both continuation frames, and the join
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n_cont_right"))
+    val contLeft = c2.groupBy(col("w2")).agg(count(lit(1)).as("n_cont_left"))
+    val b = c2.agg(count(lit(1)).as("b"))
+    c2.where(col("c12") >= KnMinSupport)
+      .join(c1, "w1")
+      .join(contLeft, "w2")
+      .crossJoin(broadcast(b))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n_cont_right"), col("n_cont_left"), col("b"),
+        round(
+          greatest(col("c12").cast("double") - 0.75, lit(0.0)) / col("c1") +
+            (lit(0.75) * col("n_cont_right") / col("c1")) *
+              (col("n_cont_left").cast("double") / col("b")), 6).as("p_kn"))
+  }
+
+  val kneserNeySql: String = {
+    val grams = graft.functions.Portable.wordGramsSql(
+      "string_split_regex(lower(text), '\\s+')", 2)
+    s"""WITH bg AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[-1] AS w2
+  FROM (SELECT unnest($grams) AS bigram FROM documents)),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n_cont_right
+  FROM c2 GROUP BY w1),
+cl AS (SELECT w2, count(*)::BIGINT AS n_cont_left FROM c2 GROUP BY w2),
+b AS (SELECT count(*)::BIGINT AS b FROM c2)
+SELECT c2.w1, c2.w2, c2.c12, c1.c1, c1.n_cont_right, cl.n_cont_left, b.b,
+  round(greatest(c2.c12::DOUBLE - 0.75, 0.0) / c1.c1 +
+    (0.75 * c1.n_cont_right / c1.c1) * (cl.n_cont_left::DOUBLE / b.b), 6) AS p_kn
+FROM c2
+JOIN c1 USING (w1)
+JOIN cl USING (w2)
+CROSS JOIN b
+WHERE c2.c12 >= $KnMinSupport"""
+  }
+
+  // ---- L113 (r9): readability scoring (Flesch-style) ----
+  // The classic document-difficulty signal (curriculum ordering,
+  // audience filtering, the "too simple / too dense" quality axes L9's
+  // ratios don't capture): words per sentence and syllables per word,
+  // combined by the Flesch reading-ease formula. Syllables use the
+  // standard vowel-group proxy (count of [aeiouy]+ runs — both
+  // regex engines agree, RE2-compatible pattern), sentences the
+  // [.!?]+ terminator groups with a floor of 1 (the corpus's word-soup
+  // docs are one "sentence" — declared). All counts exact integers;
+  // the formula is the one float sequence, round 4. Map-only.
+  def readability(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_words"),
+      greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
+        .as("n_sentences"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("flesch", round(
+        lit(206.835) - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+          - lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 4))
+      .withColumn("band",
+        when(col("flesch") >= 60, "easy")
+          .when(col("flesch") >= 30, "standard").otherwise("difficult"))
+
+  val readabilitySql: String =
+    """SELECT doc_id, n_words, n_sentences, n_syllables,
+  round(206.835 - 1.015 * n_words::DOUBLE / n_sentences
+    - 84.6 * n_syllables::DOUBLE / n_words, 4) AS flesch,
+  CASE WHEN round(206.835 - 1.015 * n_words::DOUBLE / n_sentences
+      - 84.6 * n_syllables::DOUBLE / n_words, 4) >= 60 THEN 'easy'
+    WHEN round(206.835 - 1.015 * n_words::DOUBLE / n_sentences
+      - 84.6 * n_syllables::DOUBLE / n_words, 4) >= 30 THEN 'standard'
+    ELSE 'difficult' END AS band
+FROM (
+  SELECT doc_id,
+    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_words,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+  FROM documents)
+WHERE n_words > 0"""
+
+  // ---- L112 (r9): exact source-overlap matrix over winnowing fingerprints ----
+  // L67 answers source-pair overlap with KMV SKETCHES; this is the
+  // exact twin at fingerprint granularity (and the provenance
+  // question L52 answers for doc pairs, lifted to sources): which
+  // SOURCES share robustly-positioned substrings, by exact Jaccard
+  // over their winnow fingerprint sets. The (source, fp) frame
+  // collapses first (distinct — source sizes are fingerprint-set
+  // cardinalities), the pair join keys on the fingerprint (per fp at
+  // most |sources| rows, so fan-out is alphabet-bounded per key), and
+  // every released number is an exact BIGINT ratio rounded once.
+  def sourceFpOverlap(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val sfp = documents
+      .select(col("source"), explode(expr("graft_winnow(text)")).as("fp"))
+      .distinct()
+      .localCheckpoint() // feeds sizes AND the pair join
+    val sizes = sfp.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = sfp.as("a")
+      .join(sfp.as("b"), col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("source").as("s1"), col("sz").as("sz1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("sz").as("sz2")), "s2")
+      .select(col("s1"), col("s2"), col("n_shared"), col("sz1"), col("sz2"),
+        round(col("n_shared").cast("double") /
+          (col("sz1") + col("sz2") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  val sourceFpOverlapSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'f'", "substr(lower(text), i, 5)")
+    s"""WITH g AS (SELECT source,
+  list_transform(generate_series(1, length(text) - 4), i -> $h) AS grams,
+  length(text) AS n
+FROM documents WHERE length(text) >= 8),
+sfp AS (
+  SELECT DISTINCT source, unnest(list_distinct(
+    list_transform(generate_series(1, n - 7), j -> list_aggregate(grams[j:j+3], 'min')))) AS fp
+  FROM g),
+sizes AS (SELECT source, count(*)::BIGINT AS sz FROM sfp GROUP BY source),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*)::BIGINT AS n_shared
+  FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.s1, i.s2, i.n_shared, z1.sz AS sz1, z2.sz AS sz2,
+  round(i.n_shared::DOUBLE / (z1.sz + z2.sz - i.n_shared), 6) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.source = i.s1
+JOIN sizes z2 ON z2.source = i.s2"""
+  }
 }

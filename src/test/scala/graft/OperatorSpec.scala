@@ -3308,7 +3308,8 @@ class OperatorSpec extends SparkSpec {
       "q_water_fill" -> "crossJoin(broadcast(single-row total-token budget)) — the tfidf/lm_score pattern",
       "q_modularity" -> "crossJoin(broadcast(single-row edge count m)) — the tfidf/lm_score pattern",
       "q_cuped" -> "crossJoin(broadcast(single-row temporal midpoint + single-row pooled theta)) — the q_psi_drift pattern",
-      "q_rfm" -> "crossJoin(broadcast(single-row corpus max order date)) — the tfidf/lm_score pattern")
+      "q_rfm" -> "crossJoin(broadcast(single-row corpus max order date)) — the tfidf/lm_score pattern",
+      "q_kneser_ney" -> "crossJoin(broadcast(single-row bigram-type count B)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -4126,6 +4127,111 @@ class OperatorSpec extends SparkSpec {
     val symDiff = (approxFlags | exactFlags).size - (approxFlags & exactFlags).size
     assert(symDiff <= math.max(2, exactFlags.size / 20),
       s"approx/exact flag sets diverge by $symDiff of ${exactFlags.size}")
+  }
+
+  test("luhnScrub: checksum validation replays exactly; masking touches only valid PANs (L110)") {
+    import graft.operators.TextAnalysis
+    def md5L(seed: String, k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def luhn(s: String): Boolean = {
+      val total = s.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 0) d else { val dd = 2 * d; if (dd > 9) dd - 9 else dd }
+      }.sum
+      total % 10 == 0
+    }
+    val orders = Tables.load(spark, sf, "orders")
+    val got = TextAnalysis.luhnScrub(orders)
+      .select("o_orderkey", "last4", "valid", "masked_md5")
+      .as[(Long, String, Long, String)].collect()
+    assert(got.length == orders.count())
+    got.foreach { case (k, last4, valid, maskedMd5) =>
+      val pan = f"${md5L("cc", k) % 1000000000000000L}%015d" + (md5L("cd", k) % 10)
+      assert(last4 == pan.takeRight(4), s"order $k")
+      assert((valid == 1L) == luhn(pan), s"order $k: validity diverged for $pan")
+      val line = s"card $pan on file"
+      val expectLine = if (valid == 1L) line.replace(pan, "<CC>") else line
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(expectLine.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(maskedMd5 == h, s"order $k: mask digest")
+    }
+    // an md5-uniform check digit validates ~10% of the time
+    val share = got.count(_._3 == 1L).toDouble / got.length
+    assert(share > 0.05 && share < 0.16, s"valid share $share")
+  }
+
+  test("kneserNey: discount and continuation back-off replay from exact counts (L111)") {
+    import graft.operators.TextAnalysis
+    // corpus: every released probability replays the formula from the
+    // row's own exact integers (the formula is the contract; counts
+    // come from the L15 gram machinery, already oracle-checked)
+    val rows = TextAnalysis.kneserNey(documents)
+      .select("c12", "c1", "n_cont_right", "n_cont_left", "b", "p_kn")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length > 100)
+    rows.foreach { case (c12, c1, nr, nl, b, p) =>
+      val expect = math.rint((math.max(c12 - 0.75, 0.0) / c1 +
+        (0.75 * nr / c1) * (nl.toDouble / b)) * 1e6) / 1e6
+      assert(p == expect, s"($c12, $c1, $nr, $nl, $b): $p != $expect")
+      assert(p > 0.0 && p < 1.0 + 1e-9)
+    }
+    // the continuation insight: a bigram seen k times with a PROLIFIC
+    // continuation w2 scores higher than one whose w2 only ever
+    // follows one context — plant it
+    val docs2 = Seq(
+      (1L, "a x a x a x b y b y b y"), (2L, "c x d x e x f y"))
+      .toDF("doc_id", "text")
+    val kn = TextAnalysis.kneserNey(docs2)
+      .select("w1", "w2", "p_kn").as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // "a x" and "b y": same c12=3, c1=6 for both... x continues 5
+    // distinct lefts, y continues 3 -> P(x|a) > P(y|b)
+    assert(kn(("a", "x")) > kn(("b", "y")),
+      s"continuation back-off inverted: ${kn(("a", "x"))} vs ${kn(("b", "y"))}")
+  }
+
+  test("readability: integer counts and the Flesch release replay (L113)") {
+    import graft.operators.TextAnalysis
+    val docs2 = Seq(
+      (1L, "The cat sat on the mat."),
+      (2L, "Incomprehensibilities notwithstanding, the multitudinous ramifications perplexed everyone considerably!"),
+      (3L, "one two. three four! five six?"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs2)
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "band")
+      .as[(Long, Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, w1, s1, sy1, f1, b1) = got(1L)
+    assert(w1 == 6 && s1 == 1, s"doc 1: $w1 words, $s1 sentences")
+    assert(sy1 == 6, s"doc 1 vowel groups: $sy1") // e/a/a/o/e/a
+    val expect1 = math.rint((206.835 - 1.015 * w1.toDouble / s1 - 84.6 * sy1.toDouble / w1) * 1e4) / 1e4
+    assert(f1 == expect1 && b1 == "easy")
+    assert(got(3L)._3 == 3L, "three sentence terminators")
+    // the polysyllabic monster lands in a harder band than the cat
+    assert(got(2L)._5 < got(1L)._5)
+  }
+
+  test("sourceFpOverlap: identical sources read jaccard 1, disjoint sources vanish (L112)") {
+    import graft.operators.TextAnalysis
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs2 = Seq(
+      (1L, "s1", shared), (2L, "s2", shared),
+      (3L, "s3", "zzz qqq vvv kkk www uuu mmm nnn ppp rrr ttt yyy"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceFpOverlap(docs2)
+      .select("s1", "s2", "n_shared", "sz1", "sz2", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.length == 1, s"only the identical pair may surface: ${got.toSeq}")
+    val r = got.head
+    assert(r._1 == "s1" && r._2 == "s2" && r._3 == r._4 && r._4 == r._5 && r._6 == 1.0)
+    // corpus: intersection never exceeds either side
+    val corpus = TextAnalysis.sourceFpOverlap(documents)
+      .select("n_shared", "sz1", "sz2").as[(Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (n, a, b) => assert(n <= math.min(a, b)) }
   }
 
   test("rfmSegments scores deterministic quintiles within segment (C85)") {
