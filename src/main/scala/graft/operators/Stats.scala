@@ -870,6 +870,170 @@ SELECT cohort, dur, n_risk, d, leaving,
 FROM z"""
   }
 
+  // ---- C96 (r9): Wilson-interval ranking ----
+  // The "sort by rating" problem solved correctly: ranking items by
+  // raw success share promotes 1-for-1 flukes over 95-for-100
+  // workhorses; the Wilson score lower bound penalizes small n and is
+  // the standard fix (the Reddit/Evan Miller ranking). Here: parts
+  // ranked by the 95% lower bound of their non-return rate. Counts
+  // are exact BIGINTs; the bound is one mirrored float sequence per
+  // part; ranking windows over the part-catalog-bounded profile frame
+  // (post-aggregate — the C48 small-frame rule) with a total
+  // (bound, partkey) order.
+  def wilsonRanking(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prof = lineitem.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_returnflag") =!= "R").cast("long")).as("pos"))
+    val z2 = "3.8415984400000006" // 1.96^2, shared literal both engines
+    val scored = prof.selectExpr("l_partkey AS partkey", "n", "pos",
+      s"""round((pos / cast(n as double) + $z2 / (2 * n)
+        - 1.96 * sqrt(pos / cast(n as double) * (1.0 - pos / cast(n as double)) / n
+          + $z2 / (4.0 * cast(n as double) * n))) / (1.0 + $z2 / n), 6)
+        AS wilson_lb""")
+    scored.withColumn("rnk",
+      row_number().over(Window.orderBy(col("wilson_lb").desc, col("partkey"))).cast("long"))
+  }
+
+  val wilsonRankingSql: String = {
+    val z2 = "3.8415984400000006"
+    s"""WITH prof AS (
+  SELECT l_partkey AS partkey, count(*)::BIGINT AS n,
+    sum((l_returnflag <> 'R')::INT)::BIGINT AS pos
+  FROM lineitem GROUP BY 1),
+scored AS (
+  SELECT partkey, n, pos,
+    round((pos / cast(n as double) + $z2 / (2 * n)
+      - 1.96 * sqrt(pos / cast(n as double) * (1.0 - pos / cast(n as double)) / n
+        + $z2 / (4.0 * cast(n as double) * n))) / (1.0 + $z2 / n), 6) AS wilson_lb
+  FROM prof)
+SELECT partkey, n, pos, wilson_lb,
+  row_number() OVER (ORDER BY wilson_lb DESC, partkey)::BIGINT AS rnk
+FROM scored"""
+  }
+
+  // ---- C97 (r9): exact two-sample Kolmogorov-Smirnov distance ----
+  // The drift family's distribution-shape member (C65's PSI needs
+  // bins and loses within-bin shifts; KS is binless): per event_type,
+  // D = max |F_a(v) − F_b(v)| between the md5-parity arms. INTEGER
+  // UNTIL THE END: per pooled distinct value, cumulative arm counts
+  // come from one window over the (type, value) frame, and the max
+  // runs over |cum_a·n_b − cum_b·n_a| — exact BIGINT cross products —
+  // so D is ONE division of exact integers and the reject flag
+  // compares identically-computed doubles. The value-frame window is
+  // the C13 exact path (per-type distinct values; a GK-sketch CDF is
+  // the declared 100× twin).
+  def ksDistance(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = events.select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"),
+      pmod(md5Long(lit("ks"), col("event_id")), lit(2)).as("arm"))
+    val cells = tagged.groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("cum0", sum(col("c0")).over(w))
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("n0", sum(col("c0")).over(wt))
+      .withColumn("n1", sum(col("c1")).over(wt))
+      .groupBy(col("event_type"), col("n0"), col("n1"))
+      .agg(max(abs(col("cum0") * col("n1") - col("cum1") * col("n0"))).as("dnum"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        round(col("dnum").cast("double") / (col("n0") * col("n1")).cast("double"), 6)
+          .as("d_stat"),
+        round(lit(1.358) * sqrt((col("n0") + col("n1")).cast("double") /
+          (col("n0") * col("n1")).cast("double")), 6).as("threshold_95"),
+        (col("dnum").cast("double") / (col("n0") * col("n1")).cast("double") >
+          lit(1.358) * sqrt((col("n0") + col("n1")).cast("double") /
+            (col("n0") * col("n1")).cast("double"))).cast("long").as("reject"))
+  }
+
+  val ksDistanceSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'ks'", "event_id")
+    s"""WITH tagged AS (
+  SELECT event_type, ((value::DECIMAL(18,2)) * 100)::BIGINT AS v,
+    $h % 2 AS arm
+  FROM events),
+cells AS (
+  SELECT event_type, v,
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+  FROM tagged GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v, c0, c1,
+    sum(c0) OVER (PARTITION BY event_type ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum0,
+    sum(c1) OVER (PARTITION BY event_type ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum1,
+    sum(c0) OVER (PARTITION BY event_type)::BIGINT AS n0,
+    sum(c1) OVER (PARTITION BY event_type)::BIGINT AS n1
+  FROM cells),
+d AS (
+  SELECT event_type, n0, n1,
+    max(abs(cum0 * n1 - cum1 * n0))::BIGINT AS dnum
+  FROM cum GROUP BY 1, 2, 3)
+SELECT event_type, n0, n1,
+  round(dnum::DOUBLE / (n0 * n1)::DOUBLE, 6) AS d_stat,
+  round(1.358 * sqrt((n0 + n1)::DOUBLE / (n0 * n1)::DOUBLE), 6) AS threshold_95,
+  (dnum::DOUBLE / (n0 * n1)::DOUBLE >
+    1.358 * sqrt((n0 + n1)::DOUBLE / (n0 * n1)::DOUBLE))::BIGINT AS reject
+FROM d"""
+  }
+
+  // ---- C98 (r9): log-log price elasticity ----
+  // The pricing-economics regression: elasticity = d ln(qty)/d ln(price),
+  // the slope of an OLS fit in log-log space, per brand. The float-sum
+  // trap (Σ of ln terms is order-dependent) is closed with the L24
+  // discipline: every per-row log term AND cross product is quantized
+  // to DECIMAL(18,9) BEFORE summation, so the aggregates are
+  // order-free decimals and the closing slope/intercept sequence runs
+  // once per brand on identical inputs. One keyed part-join + one
+  // grouped aggregate; nothing corpus-wide sorts.
+  def priceElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rows = lineitem
+      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand")), "l_partkey")
+      .where(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(col("p_brand"),
+        log(dec(col("l_extendedprice")).cast("double")).as("x"),
+        log(dec(col("l_quantity")).cast("double")).as("y"))
+    val d = "decimal(18,9)"
+    val s = rows.groupBy(col("p_brand")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d)).as("sx"),
+      sum(col("y").cast(d)).as("sy"),
+      sum((col("x") * col("y")).cast(d)).as("sxy"),
+      sum((col("x") * col("x")).cast(d)).as("sxx"))
+    val slopeQ = "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+    s.selectExpr("p_brand", "n",
+      s"round($slopeQ, 6) AS elasticity",
+      s"round((cast(sy as double) - ($slopeQ) * cast(sx as double)) / cast(n as double), 6) AS ln_intercept")
+  }
+
+  val priceElasticitySql: String = {
+    val slopeQ = "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+    s"""WITH rows_ AS (
+  SELECT p.p_brand,
+    ln((l.l_extendedprice::DECIMAL(18,2))::DOUBLE) AS x,
+    ln((l.l_quantity::DECIMAL(18,2))::DOUBLE) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+s AS (
+  SELECT p_brand, count(*) AS n,
+    sum(CAST(x AS DECIMAL(18,9))) AS sx,
+    sum(CAST(y AS DECIMAL(18,9))) AS sy,
+    sum(CAST(x * y AS DECIMAL(18,9))) AS sxy,
+    sum(CAST(x * x AS DECIMAL(18,9))) AS sxx
+  FROM rows_ GROUP BY 1)
+SELECT p_brand, n,
+  round($slopeQ, 6) AS elasticity,
+  round((cast(sy as double) - ($slopeQ) * cast(sx as double)) / cast(n as double), 6)
+    AS ln_intercept
+FROM s"""
+  }
+
   // ---- C90 (r9): split-conformal prediction intervals ----
   // The distribution-free uncertainty wrapper every forecast should
   // ship with: fit a model on a CALIBRATION split, take the 90th

@@ -1963,6 +1963,96 @@ SELECT o_orderkey, substr(cand, length(cand) - 3, 4) AS last4,
 FROM s"""
   }
 
+  // ---- L114 (r9): PII span consolidation — offsets + interval union ----
+  // Redaction pipelines need SPANS, not counts: each detector (email,
+  // URL, PAN...) reports [start, len) character intervals, and the
+  // spans OVERLAP — an email inside a URL must redact once, not twice
+  // (double-replacement corrupts offsets for every later span). Per
+  // pattern, match offsets come from the split-fragment prefix sums
+  // (the L74 technique: start_i = 1 + Σ fragments≤i + Σ matches<i —
+  // exact integers, no regex-engine position API needed); the union of
+  // detectors then coalesces per doc with the C58 lag/cumsum interval
+  // union on the tiny per-doc span frame. The corpus carries no PII,
+  // so the query appends a deterministic payload per doc (the L26
+  // oracle-pinned-injection precedent) with an email, a URL, and a
+  // second email INSIDE the URL — the overlap case is always
+  // exercised. Per-doc output: raw spans, merged spans, covered chars.
+  def piiSpans(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pert = documents.select(col("doc_id"),
+      concat(col("text"), lit(" contact a"), col("doc_id"), lit("@ex.com via http://h"),
+        col("doc_id"), lit(".org/u/a"), col("doc_id"), lit("@ex.com end")).as("t"))
+    def spansOf(re: String): DataFrame = pert
+      .select(col("doc_id"),
+        split(col("t"), re, -1).as("frag"),
+        regexp_extract_all(col("t"), lit(re), lit(0)).as("ms"))
+      .select(col("doc_id"), col("frag"), col("ms"),
+        posexplode(col("ms")).as(Seq("i", "m")))
+      // start of 0-based match i = 1 + len(frag_0..i) + len(m_0..i-1)
+      .select(col("doc_id"),
+        (lit(1L) +
+          expr("aggregate(slice(frag, 1, i + 1), 0L, (a, x) -> a + length(x))") +
+          expr("aggregate(slice(ms, 1, i), 0L, (a, x) -> a + length(x))")).as("start0"),
+        length(col("m")).cast("long").as("len"))
+    val raw = spansOf(EmailRe).unionAll(spansOf(UrlRe))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = raw
+      .select(col("doc_id"), col("start0").as("s"), (col("start0") + col("len")).as("e"))
+      .withColumn("new_span",
+        when(col("s") <= max(col("e")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), 0L).otherwise(1L))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    raw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_raw_spans"))
+      .join(merged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_merged_spans"),
+          sum(col("me") - col("ms")).as("covered_chars")), "doc_id")
+  }
+
+  val piiSpansSql: String =
+    s"""WITH pert AS (
+  SELECT doc_id, text || ' contact a' || doc_id || '@ex.com via http://h' || doc_id
+    || '.org/u/a' || doc_id || '@ex.com end' AS t
+  FROM documents),
+em AS (
+  SELECT doc_id, str_split_regex(t, '$EmailRe') AS frag,
+    regexp_extract_all(t, '$EmailRe', 0) AS ms
+  FROM pert),
+ur AS (
+  SELECT doc_id, str_split_regex(t, '$UrlRe') AS frag,
+    regexp_extract_all(t, '$UrlRe', 0) AS ms
+  FROM pert),
+spans AS (
+  SELECT doc_id,
+    (1 + list_sum(list_transform(frag[1 : i], x -> length(x)))
+       + coalesce(list_sum(list_transform(ms[1 : i - 1], x -> length(x))), 0))::BIGINT AS s,
+    (1 + list_sum(list_transform(frag[1 : i], x -> length(x)))
+       + coalesce(list_sum(list_transform(ms[1 : i - 1], x -> length(x))), 0)
+       + length(ms[i]))::BIGINT AS e
+  FROM (SELECT doc_id, frag, ms FROM em UNION ALL SELECT doc_id, frag, ms FROM ur),
+    unnest(generate_series(1, len(ms))) AS g(i)),
+flagged AS (
+  SELECT doc_id, s, e,
+    CASE WHEN s <= max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      THEN 0 ELSE 1 END AS new_span
+  FROM spans),
+grp AS (
+  SELECT doc_id, s, e,
+    sum(new_span) OVER (PARTITION BY doc_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM flagged),
+m AS (
+  SELECT doc_id, span_id, min(s) AS ms, max(e) AS me
+  FROM grp GROUP BY doc_id, span_id)
+SELECT r.doc_id, r.n_raw_spans, mm.n_merged_spans, mm.covered_chars
+FROM (SELECT doc_id, count(*)::BIGINT AS n_raw_spans FROM spans GROUP BY doc_id) r
+JOIN (SELECT doc_id, count(*)::BIGINT AS n_merged_spans,
+    sum(me - ms)::BIGINT AS covered_chars FROM m GROUP BY doc_id) mm
+  USING (doc_id)"""
+
   // ---- L111 (r9): Kneser-Ney smoothed bigram LM ----
   // The smoothing that made n-gram LMs work (and the one L24's
   // add-k proxy approximates): absolute discounting plus the

@@ -4234,6 +4234,31 @@ class OperatorSpec extends SparkSpec {
     corpus.foreach { case (n, a, b) => assert(n <= math.min(a, b)) }
   }
 
+  test("piiSpans: offsets replay by hand and overlapping detectors merge (L114)") {
+    import graft.operators.TextAnalysis
+    val docs2 = Seq((7L, "hello world")).toDF("doc_id", "text")
+    // injected payload: " contact a7@ex.com via http://h7.org/u/a7@ex.com end"
+    // raw spans: standalone email, url, email INSIDE the url -> merged 2
+    val got = TextAnalysis.piiSpans(docs2)
+      .select("doc_id", "n_raw_spans", "n_merged_spans", "covered_chars")
+      .as[(Long, Long, Long, Long)].head()
+    val email = "a7@ex.com"
+    val url = "http://h7.org/u/a7@ex.com"
+    assert(got == ((7L, 3L, 2L, (email.length + url.length).toLong)), s"got $got")
+    // corpus: the injected shape is invariant per doc (the body has no
+    // PII), so every doc reads raw 3 / merged 2 with the k-dependent
+    // payload width
+    val corpus = TextAnalysis.piiSpans(documents)
+      .select("doc_id", "n_raw_spans", "n_merged_spans", "covered_chars")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.length == documents.count())
+    corpus.foreach { case (k, raw, merged, covered) =>
+      assert(raw == 3L && merged == 2L, s"doc $k: $raw/$merged")
+      val e = s"a$k@ex.com"; val u = s"http://h$k.org/u/a$k@ex.com"
+      assert(covered == e.length + u.length, s"doc $k covered $covered")
+    }
+  }
+
   test("rfmSegments scores deterministic quintiles within segment (C85)") {
     // one segment, 10 customers, strictly distinct metrics: customer i
     // places i orders of 100 each on day i (of a 10-day window), so

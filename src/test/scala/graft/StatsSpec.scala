@@ -358,6 +358,76 @@ class StatsSpec extends SparkSpec {
     real.foreach(r => assert(r.getDouble(8) >= 0.0, s"chi2 term negative: $r"))
   }
 
+  test("wilsonRanking: small-n flukes rank below large-n workhorses (C96)") {
+    // A: 95/100 non-returned, B: 1/1, C: 40/100 — raw share says B first,
+    // Wilson says A
+    val li = ((1 to 100).map(i => (10L, if (i <= 95) "N" else "R")) ++
+      Seq((20L, "N")) ++
+      (1 to 100).map(i => (30L, if (i <= 40) "N" else "R")))
+      .toDF("l_partkey", "l_returnflag")
+    val got = Stats.wilsonRanking(li)
+      .select("partkey", "n", "pos", "wilson_lb", "rnk")
+      .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._5)
+    assert(got.map(_._1).toSeq == Seq(10L, 30L, 20L),
+      s"ranking order wrong: ${got.toSeq}")
+    // formula replay for A
+    val (n, pos) = (100.0, 95.0)
+    val z2 = 3.8415984400000006
+    val p = pos / n
+    val lb = (p + z2 / (2 * n) - 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (1 + z2 / n)
+    assert(got.head._4 == math.rint(lb * 1e6) / 1e6)
+    // corpus: bounds are probabilities, ranking is dense 1..N
+    val corpus = Stats.wilsonRanking(lineitem)
+      .select("wilson_lb", "rnk").as[(Double, Long)].collect()
+    assert(corpus.map(_._2).sorted.toSeq == (1L to corpus.length))
+    corpus.foreach { case (lb2, _) => assert(lb2 >= 0.0 && lb2 <= 1.0) }
+  }
+
+  test("ksDistance replays the exact integer sup-distance per type (C97)") {
+    def md5ks(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ks:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = events.select(col("event_type"), col("event_id"),
+      (graft.functions.Portable.dec(col("value")) * 100).cast("long").as("v"))
+      .as[(String, Long, Long)].collect()
+    val got = Stats.ksDistance(events)
+      .select("event_type", "n0", "n1", "d_stat")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    raw.groupBy(_._1).foreach { case (t, rs) =>
+      val arm = rs.map(r => (r._3, md5ks(r._2) % 2))
+      val (a0, a1) = (arm.filter(_._2 == 0).map(_._1).sorted, arm.filter(_._2 == 1).map(_._1).sorted)
+      val values = (a0 ++ a1).distinct.sorted
+      val dnum = values.map { v =>
+        math.abs(a0.count(_ <= v).toLong * a1.length - a1.count(_ <= v).toLong * a0.length)
+      }.max
+      val expect = math.rint(dnum.toDouble / (a0.length.toLong * a1.length) * 1e6) / 1e6
+      val r = got(t)
+      assert(r._2 == a0.length && r._3 == a1.length, s"$t arm sizes")
+      assert(r._4 == expect, s"$t: d_stat ${r._4} != $expect")
+    }
+  }
+
+  test("priceElasticity recovers a planted power law exactly (C98)") {
+    // qty = K * price^(-2) exactly in log space -> slope -2, and the
+    // quantized-decimal sums keep it -2 to the released 6 decimals
+    val li = (1 to 50).map { i =>
+      val price = 100.0 + i
+      val qty = 1.0e8 / (price * price)
+      (1000L + (i % 5), qty, price)
+    }.toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val parts = (0 to 4).map(k => (1000L + k, "BRAND#1")).toDF("p_partkey", "p_brand")
+    val got = Stats.priceElasticity(li, parts)
+      .select("p_brand", "n", "elasticity").as[(String, Long, Double)].head()
+    assert(got._2 == 50L)
+    assert(math.abs(got._3 - -2.0) < 2e-4, s"elasticity ${got._3}")
+    // corpus: runs per brand with finite outputs
+    val corpus = Stats.priceElasticity(lineitem, Tables.load(spark, sf, "part"))
+      .select("elasticity").as[Double].collect()
+    assert(corpus.nonEmpty && corpus.forall(e => !e.isNaN && !e.isInfinite))
+  }
+
   test("conformalIntervals: held-out coverage honors the 90% guarantee (C90)") {
     val got = Stats.conformalIntervals(events)
       .select("event_type", "n_cal", "n_test", "q90", "coverage")
