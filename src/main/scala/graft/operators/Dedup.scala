@@ -169,6 +169,53 @@ cands AS (
   GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $MinCooc),
 $exactJaccardSql"""
 
+  // ---- L115 (r9): dedup threshold sweep — the tuning readout ----
+  // Before a 100 TB dedup run, the question is "what does τ cost":
+  // how many pairs fire and how many documents get dropped at each
+  // candidate threshold. One pass over L2's ALREADY-REDUCED scored
+  // pair frame (never the corpus) fans it across a 10-row threshold
+  // grid (the declared bounded crossJoin) and counts pairs plus
+  // DISTINCT flagged docs per threshold — distinct-counts don't
+  // telescope across thresholds, so the grid join is the honest
+  // shape, and its volume is |pairs|·10. Jaccard compares happen on
+  // the same unrounded doubles both engines computed from identical
+  // integers.
+  def dedupSweep(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccard(documents).localCheckpoint()
+    val grid = (10 to 19).map(_ / 20.0).toDF("tau")
+    pairs.crossJoin(broadcast(grid))
+      .where(col("jaccard") >= col("tau"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("y")).as("n_docs_flagged"))
+  }
+
+  lazy val dedupSweepSql: String =
+    s"""WITH $shingleSqlCte,
+$shingleHashedSqlCte,
+rare AS (SELECT s FROM shh GROUP BY s HAVING count(*) <= $MaxDf),
+cands AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM shh a JOIN rare r ON a.s = r.s JOIN shh b ON b.s = a.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $MinCooc),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+common AS (
+  SELECT c.x, c.y, count(*) AS common
+  FROM cands c JOIN shh a ON a.doc_id = c.x JOIN shh b ON b.doc_id = c.y AND b.s = a.s
+  GROUP BY c.x, c.y),
+jp AS (
+  SELECT x, y, common / (sx.n + sy.n - common) AS jaccard
+  FROM common JOIN sizes sx ON sx.doc_id = x JOIN sizes sy ON sy.doc_id = y
+  WHERE common / (sx.n + sy.n - common) >= 0.5),
+grid AS (SELECT i / 20.0 AS tau FROM unnest(generate_series(10, 19)) AS g(i))
+SELECT tau, count(*)::BIGINT AS n_pairs,
+  count(DISTINCT y)::BIGINT AS n_docs_flagged
+FROM jp CROSS JOIN grid
+WHERE jp.jaccard >= grid.tau
+GROUP BY tau"""
+
   // ---- L45: exact set-similarity join via prefix filtering ----
   // The AllPairs/PPJoin candidate scheme: EXACT recall by theorem, no
   // probabilistic miss (vs L3 minhash) and no df-cap miss (vs L2).

@@ -2729,6 +2729,86 @@ SELECT p.l_partkey AS partkey, p.n_suppliers, p.total_cents,
 FROM prof p JOIN top t USING (l_partkey)
 JOIN supplier s ON s.s_suppkey = t.top_suppkey"""
 
+  // ---- C99 (r9): ABC / Pareto classification ----
+  // The inventory-management classic: class A = the head items that
+  // cumulatively carry 70% of revenue, B = the next 20%, C = the long
+  // tail — the segmentation every stocking/curation policy keys on.
+  // ENTIRELY integer: cents revenues, a total (cents DESC, partkey)
+  // order, and the class boundaries as exact cross-multiplied
+  // comparisons (cum·10 ≤ total·7 — no float share ever computed; the
+  // released share is display-only). The cumulative window runs over
+  // the part-catalog-bounded post-aggregate frame (the C48 rule); the
+  // corpus is touched once by the per-part aggregate.
+  def abcClassification(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(lit(1))
+    rev
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .withColumn("total_cents", sum(col("cents")).over(wt))
+      .select(col("l_partkey").as("partkey"), col("cents"), col("cum_cents"),
+        round(col("cum_cents").cast("double") / col("total_cents"), 6)
+          .as("cum_share"),
+        when(col("cum_cents") * 10 <= col("total_cents") * 7, "A")
+          .when(col("cum_cents") * 10 <= col("total_cents") * 9, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  val abcClassificationSql: String =
+    """WITH rev AS (
+  SELECT l_partkey AS partkey,
+    (sum(l_extendedprice::DECIMAL(18,2)) * 100)::BIGINT AS cents
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT partkey, cents,
+    sum(cents) OVER (ORDER BY cents DESC, partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cents,
+    sum(cents) OVER ()::BIGINT AS total_cents
+  FROM rev)
+SELECT partkey, cents, cum_cents,
+  round(cum_cents::DOUBLE / total_cents, 6) AS cum_share,
+  CASE WHEN cum_cents * 10 <= total_cents * 7 THEN 'A'
+       WHEN cum_cents * 10 <= total_cents * 9 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM c"""
+
+  // ---- C100 (r9): accounts-receivable aging report ----
+  // The finance-ops staple: open orders bucketed by how overdue they
+  // are (0-30 / 31-60 / 61-90 / 90+ days at the corpus anchor date),
+  // rolled per order priority with counts and exact cent exposure.
+  // Age is an integer day difference from the single-row anchor
+  // broadcast (C65 idiom); buckets are integer CASE arms; money is
+  // DECIMAL-exact. One filtered scan + one (priority, bucket) rollup.
+  def arAging(orders: DataFrame): DataFrame = {
+    val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+    orders.where(col("o_orderstatus").isin("O", "P"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("anchor"), col("o_orderdate")).cast("long").as("age"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .select(col("priority"), col("cents"),
+        when(col("age") <= 30, "0-30").when(col("age") <= 60, "31-60")
+          .when(col("age") <= 90, "61-90").otherwise("90+").as("bucket"))
+      .groupBy(col("priority"), col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("open_cents"))
+  }
+
+  val arAgingSql: String =
+    """WITH anchor AS (SELECT max(o_orderdate) AS anchor FROM orders)
+SELECT o_orderpriority AS priority,
+  CASE WHEN date_diff('day', o_orderdate::DATE, anchor::DATE) <= 30 THEN '0-30'
+       WHEN date_diff('day', o_orderdate::DATE, anchor::DATE) <= 60 THEN '31-60'
+       WHEN date_diff('day', o_orderdate::DATE, anchor::DATE) <= 90 THEN '61-90'
+       ELSE '90+' END AS bucket,
+  count(*)::BIGINT AS n_orders,
+  (sum(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS open_cents
+FROM orders CROSS JOIN anchor
+WHERE o_orderstatus IN ('O', 'P')
+GROUP BY 1, 2"""
+
   // ---- C92 (r9): double-entry trial balance ----
   // The accounting close: every order posts two legs (debit
   // accounts-receivable, credit revenue) in exact cents, and the trial

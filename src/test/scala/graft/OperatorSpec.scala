@@ -3309,7 +3309,9 @@ class OperatorSpec extends SparkSpec {
       "q_modularity" -> "crossJoin(broadcast(single-row edge count m)) — the tfidf/lm_score pattern",
       "q_cuped" -> "crossJoin(broadcast(single-row temporal midpoint + single-row pooled theta)) — the q_psi_drift pattern",
       "q_rfm" -> "crossJoin(broadcast(single-row corpus max order date)) — the tfidf/lm_score pattern",
-      "q_kneser_ney" -> "crossJoin(broadcast(single-row bigram-type count B)) — the tfidf/lm_score pattern")
+      "q_kneser_ney" -> "crossJoin(broadcast(single-row bigram-type count B)) — the tfidf/lm_score pattern",
+      "q_dedup_sweep" -> "crossJoin(broadcast(10-row threshold grid)) over the ALREADY-REDUCED near-dup pair frame — bounded 10x fan-out of a post-candidate frame, never the corpus",
+      "q_ar_aging" -> "crossJoin(broadcast(single-row corpus anchor date)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -4257,6 +4259,69 @@ class OperatorSpec extends SparkSpec {
       val e = s"a$k@ex.com"; val u = s"http://h$k.org/u/a$k@ex.com"
       assert(covered == e.length + u.length, s"doc $k covered $covered")
     }
+  }
+
+  test("dedupSweep: monotone threshold curve consistent with the pair frame (L115)") {
+    import graft.operators.Dedup
+    val sweep = Dedup.dedupSweep(documents)
+      .select("tau", "n_pairs", "n_docs_flagged")
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    assert(sweep.length == 10 && sweep.head._1 == 0.5 && sweep.last._1 == 0.95)
+    // tightening tau can only shrink both counts
+    sweep.sliding(2).foreach { case Array((t1, p1, d1), (t2, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, s"non-monotone at $t1 -> $t2")
+    }
+    // each point replays against the scored pair frame
+    val pairs = Dedup.ngramJaccard(documents)
+      .select("y", "jaccard").as[(Long, Double)].collect()
+    sweep.foreach { case (tau, np, nd) =>
+      val hit = pairs.filter(_._2 >= tau)
+      assert(np == hit.length && nd == hit.map(_._1).distinct.length, s"tau $tau")
+    }
+  }
+
+  test("abcClassification: integer boundaries, head carries the declared share (C99)") {
+    // revenues 50, 30, 12, 5, 3 (x100 cents): cum shares 0.5, 0.8, 0.92,
+    // 0.97, 1.0 -> classes A, B, C, C, C under (<= 70%, <= 90%)
+    val li = Seq((1L, 50.0), (2L, 30.0), (3L, 12.0), (4L, 5.0), (5L, 3.0))
+      .toDF("l_partkey", "l_extendedprice")
+    val got = Relational.abcClassification(li)
+      .select("partkey", "abc_class").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "A", 2L -> "B", 3L -> "C", 4L -> "C", 5L -> "C"), s"$got")
+    // corpus: classes partition the catalog, cum_share is monotone with
+    // the class ladder, and the A head really carries <= 70%
+    val corpus = Relational.abcClassification(Tables.load(spark, sf, "lineitem"))
+      .select("cents", "cum_cents", "cum_share", "abc_class")
+      .as[(Long, Long, Double, String)].collect()
+    val total = corpus.map(_._1).sum
+    val aMax = corpus.filter(_._4 == "A").map(_._2).max
+    assert(aMax * 10 <= total * 7, "class A exceeded its share boundary")
+    assert(corpus.map(_._4).toSet == Set("A", "B", "C"))
+  }
+
+  test("arAging: buckets tile open orders, closed orders excluded (C100)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders2 = Seq(
+      (1L, "O", "P1", 100.0, d("2024-03-30")), // age 1  -> 0-30
+      (2L, "P", "P1", 50.0, d("2024-02-15")),  // age 45 -> 31-60
+      (3L, "O", "P2", 70.0, d("2023-12-01")),  // age 121 -> 90+
+      (4L, "F", "P1", 999.0, d("2024-01-01")), // closed: excluded
+      (5L, "O", "P1", 25.0, d("2024-03-31")))  // age 0 -> 0-30, the anchor
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate")
+    val got = Relational.arAging(orders2)
+      .select("priority", "bucket", "n_orders", "open_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("P1", "0-30", 2L, 12500L), ("P1", "31-60", 1L, 5000L),
+      ("P2", "90+", 1L, 7000L)), s"got $got")
+    // corpus: bucket totals reconcile with the open-order cent sum
+    val orders = Tables.load(spark, sf, "orders")
+    val open = orders.where(col("o_orderstatus").isin("O", "P"))
+    val expect = open.agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+      .cast("long")).head.getLong(0)
+    val gotTotal = Relational.arAging(orders).agg(sum("open_cents")).head.getLong(0)
+    assert(gotTotal == expect)
+    assert(Relational.arAging(orders).agg(sum("n_orders")).head.getLong(0) == open.count())
   }
 
   test("rfmSegments scores deterministic quintiles within segment (C85)") {
