@@ -1467,4 +1467,67 @@ SELECT arm, n::BIGINT AS n,
     AS var_y_adj
 FROM arms CROSS JOIN theta"""
   }
+
+  // ---- C101 (r9): exact ROC AUC — one-vs-rest, per class ----
+  // The classifier-evaluation standard, computed EXACTLY via the
+  // Mann-Whitney identity: AUC = (Σ ranks of positives − n⁺(n⁺+1)/2)
+  // / (n⁺·n⁻), with AVERAGE ranks for score ties (the tie-corrected
+  // estimator — ties count 1/2, exactly what the trapezoidal ROC
+  // integral does). The C87 doubled-rank trick keeps everything
+  // integer: 2·rank + ties − 1 is the doubled average rank, so the
+  // positive-rank sum S2 is a BIGINT and
+  // AUC = (S2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE float division.
+  // Scored one-vs-rest per class: class c's score is embedding
+  // dimension c (a deterministic per-class scorer over the shared
+  // vector — the shape a multi-head probe produces). The class grid
+  // is a declared ≤|alphabet|-row broadcast (q_dedup_sweep pattern).
+  // Scale: the per-class rank window totals-orders the corpus per
+  // class — exact by design at report scale; the C48 two-phase
+  // ranking is the declared 100× path (same integers, same AUC).
+  def rocAuc(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val classes = base.select(col("label").as("class")).distinct()
+    val scored = base.crossJoin(broadcast(classes))
+      .select(col("class"),
+        element_at(col("v"), (col("class") + 1).cast("int")).as("score"),
+        when(col("label") === col("class"), 1L).otherwise(0L).as("pos"))
+    val w = Window.partitionBy(col("class")).orderBy(col("score"))
+    val cw = Window.partitionBy(col("class"), col("score"))
+    scored
+      .withColumn("r2",
+        (lit(2) * rank().over(w) + count(lit(1)).over(cw) - 1).cast("long"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(when(col("pos") === 1, col("r2")).otherwise(0L)).as("s2"))
+      .select(col("class"), col("n_pos"),
+        (col("n") - col("n_pos")).as("n_neg"),
+        round((col("s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2.0) * (col("n_pos") * (col("n") - col("n_pos"))).cast("double")), 6)
+          .as("auc"))
+  }
+
+  val rocAucSql: String =
+    """WITH base AS (
+  SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS v FROM embeddings),
+classes AS (SELECT DISTINCT label AS class FROM base),
+scored AS (
+  SELECT c.class, b.v[(c.class + 1)::INT] AS score,
+    CASE WHEN b.label = c.class THEN 1::BIGINT ELSE 0::BIGINT END AS pos
+  FROM base b CROSS JOIN classes c),
+ranked AS (
+  SELECT class, pos,
+    (2 * rank() OVER (PARTITION BY class ORDER BY score)
+      + count(*) OVER (PARTITION BY class, score) - 1)::BIGINT AS r2
+  FROM scored),
+g AS (
+  SELECT class, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+    sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END)::BIGINT AS s2
+  FROM ranked GROUP BY class)
+SELECT class, n_pos, (n - n_pos) AS n_neg,
+  round((s2 - n_pos * (n_pos + 1))::DOUBLE /
+    (2.0 * (n_pos * (n - n_pos))::DOUBLE), 6) AS auc
+FROM g"""
 }

@@ -620,6 +620,81 @@ WHERE length(token) > 0 AND NOT list_contains($lst, token)
 GROUP BY token"""
   }
 
+  // ---- L117 (r9): binless lexical drift — exact TV + Hellinger ----
+  // The lexical twin of C65's PSI (binned, misses within-bin shifts)
+  // and L84's embedding drift: how far each source's TERM distribution
+  // sits from the rest of the corpus. Two binless distances, chosen
+  // for cross-engine exactness — NO transcendental ever runs (the JSD
+  // alternative needs log, a libm call with no bit-exactness
+  // guarantee; sqrt IS correctly-rounded IEEE on both engines):
+  //   TV  = ½ Σ_t |p_t − q_t|  — FULLY integer until one division:
+  //         numerator Σ|c_s·N_r − c_r·N_s| in DECIMAL(38,0) over the
+  //         common denominator N_s·N_r,
+  //   Hellinger = √(1 − Σ_t √(p_t·q_t)) — per-term Bhattacharyya
+  //         coefficients quantized DECIMAL(18,9) BEFORE summation
+  //         (the C98 order-free discipline), clamped at 0 for the
+  //         identical-distribution quantization edge.
+  // q is the LEAVE-ONE-OUT rest-of-corpus (c_a − c_s over N_a − N_s),
+  // so a dominant source can't mask its own drift. Plan: one token
+  // explode, three partial-agged aggregates, the source×vocab grid is
+  // a declared |sources|-row broadcast fan-out over the POST-AGGREGATE
+  // term frame (the q_kmv_overlap pattern), never the corpus.
+  def tvDrift(documents: DataFrame): DataFrame = {
+    val stops = stopwords.flatMap(_._2)
+    val d38 = "decimal(38,0)"
+    val tok = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0 && !col("token").isInCollection(stops))
+    val st = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).cast(d38).as("c"))
+    val tt = tok.groupBy(col("token")).agg(count(lit(1)).cast(d38).as("ca"))
+    val ns = tok.groupBy(col("source")).agg(count(lit(1)).cast(d38).as("ns"))
+    val na = tok.agg(count(lit(1)).cast(d38).as("na"))
+    val grid = tt.crossJoin(broadcast(ns)).crossJoin(broadcast(na))
+      .join(st, Seq("source", "token"), "left")
+      .select(col("source"), col("ns"), col("na"), col("ca"),
+        coalesce(col("c"), lit(0).cast(d38)).as("c"))
+    val terms = grid.select(col("source"), col("ns"), col("na"),
+      abs(col("c") * (col("na") - col("ns")) - (col("ca") - col("c")) * col("ns")).as("tvn"),
+      sqrt((col("c") * (col("ca") - col("c"))).cast("double") /
+        (col("ns") * (col("na") - col("ns"))).cast("double"))
+        .cast("decimal(18,9)").as("bc"))
+    terms.groupBy(col("source"), col("ns"), col("na"))
+      .agg(sum(col("tvn")).as("tvnum"), sum(col("bc")).as("bcs"))
+      .select(col("source"), col("ns").cast("long").as("n_tokens"),
+        round(col("tvnum").cast("double") /
+          (lit(2).cast(d38) * col("ns") * (col("na") - col("ns"))).cast("double"), 6).as("tv"),
+        round(sqrt(greatest(lit(0.0), lit(1.0) - col("bcs").cast("double"))), 6).as("hellinger"))
+  }
+
+  val tvDriftSql: String = {
+    val lst = stopwords.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tok AS (
+  SELECT source, token FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents)
+  WHERE length(token) > 0 AND NOT list_contains($lst, token)),
+st AS (SELECT source, token, count(*)::HUGEINT AS c FROM tok GROUP BY 1, 2),
+tt AS (SELECT token, count(*)::HUGEINT AS ca FROM tok GROUP BY 1),
+ns AS (SELECT source, count(*)::HUGEINT AS ns FROM tok GROUP BY 1),
+na AS (SELECT count(*)::HUGEINT AS na FROM tok),
+grid AS (
+  SELECT s.source, s.ns, na.na, t.token, t.ca, coalesce(st.c, 0::HUGEINT) AS c
+  FROM tt t CROSS JOIN ns s CROSS JOIN na
+  LEFT JOIN st ON st.source = s.source AND st.token = t.token),
+terms AS (
+  SELECT source, ns, na,
+    abs(c * (na - ns) - (ca - c) * ns)::HUGEINT AS tvn,
+    CAST(sqrt((c * (ca - c))::DOUBLE / ((ns * (na - ns))::DOUBLE)) AS DECIMAL(18,9)) AS bc
+  FROM grid),
+agg AS (SELECT source, ns, na, sum(tvn)::HUGEINT AS tvnum, sum(bc) AS bcs
+  FROM terms GROUP BY 1, 2, 3)
+SELECT source, ns::BIGINT AS n_tokens,
+  round(tvnum::DOUBLE / (2::HUGEINT * ns * (na - ns))::DOUBLE, 6) AS tv,
+  round(sqrt(greatest(0.0, 1.0 - bcs::DOUBLE)), 6) AS hellinger
+FROM agg"""
+  }
+
   // ---- L61 (r6): inverted index with doc-range posting blocks ----
   // The search/retrieval index-build shape (the corpus side of BM25 and
   // of every "which training docs contain X" audit): term -> postings
@@ -1837,6 +1912,60 @@ SELECT c.actual_lang, c.pred_lang, c.n,
   round(c.n::DOUBLE / t.n_actual, 6) AS share,
   (c.actual_lang = c.pred_lang)::BIGINT AS correct
 FROM c JOIN t USING (actual_lang)"""
+
+  // ---- L116 (r9): Cohen's kappa — chance-corrected label agreement ----
+  // The label-quality readout L108's confusion matrix feeds: raw
+  // agreement po flatters any skewed label set (a constant annotator
+  // scores po = majority share), so annotation pipelines gate on
+  // kappa = (po − pe)/(1 − pe), the agreement beyond what marginal
+  // chance pe = Σ_c rowmarg_c·colmarg_c / n² predicts. Annotators:
+  // the declared lang column vs the L8 detector — the exact pair a
+  // relabeling QA compares. ENTIRELY integer until one division:
+  // kappa = (n·Σdiag − Σ rm·cm) / (n² − Σ rm·cm), every term an
+  // exact product of BIGINT counts in DECIMAL(38,0). Plan: one L8
+  // map pass, one lang-alphabet-bounded confusion aggregate, margins
+  // joined on the ≤|langs|² frame — nothing corpus-wide shuffles
+  // twice.
+  def cohenKappa(documents: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val conf = langId(documents)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast(d38).as("c"))
+    val rm = conf.groupBy(col("actual_lang")).agg(sum(col("c")).as("rm"))
+    val cm = conf.groupBy(col("pred_lang")).agg(sum(col("c")).as("cm"))
+    val cross = rm.join(cm, rm("actual_lang") === cm("pred_lang"), "full")
+      .select(coalesce(col("rm"), lit(0)).cast(d38).as("rm"),
+        coalesce(col("cm"), lit(0)).cast(d38).as("cm"))
+      .agg(sum(col("rm") * col("cm")).as("rmcm"), sum(col("rm")).as("n"))
+    val diag = conf.agg(
+      sum(when(col("actual_lang") === col("pred_lang"), col("c")).otherwise(lit(0).cast(d38)))
+        .as("agree"))
+    cross.crossJoin(broadcast(diag))
+      .select(col("n").cast("long").as("n"),
+        col("agree").cast("long").as("n_agree"),
+        round(col("agree").cast("double") / col("n").cast("double"), 6).as("po"),
+        round(col("rmcm").cast("double") / (col("n") * col("n")).cast("double"), 6).as("pe"),
+        round((col("n") * col("agree") - col("rmcm")).cast("double") /
+          (col("n") * col("n") - col("rmcm")).cast("double"), 6).as("kappa"))
+  }
+
+  lazy val cohenKappaSql: String =
+    s"""WITH l8 AS ($langIdSql),
+conf AS (SELECT actual_lang, pred_lang, count(*)::HUGEINT AS c
+  FROM l8 GROUP BY 1, 2),
+rm AS (SELECT actual_lang AS lang, sum(c)::HUGEINT AS rm FROM conf GROUP BY 1),
+cm AS (SELECT pred_lang AS lang, sum(c)::HUGEINT AS cm FROM conf GROUP BY 1),
+cross_ AS (
+  SELECT sum(coalesce(rm.rm, 0::HUGEINT) * coalesce(cm.cm, 0::HUGEINT))::HUGEINT AS rmcm,
+         sum(coalesce(rm.rm, 0::HUGEINT))::HUGEINT AS n
+  FROM rm FULL JOIN cm USING (lang)),
+diag AS (SELECT sum(CASE WHEN actual_lang = pred_lang THEN c ELSE 0::HUGEINT END)::HUGEINT
+    AS agree FROM conf)
+SELECT n::BIGINT AS n, agree::BIGINT AS n_agree,
+  round(agree::DOUBLE / n::DOUBLE, 6) AS po,
+  round(rmcm::DOUBLE / (n * n)::DOUBLE, 6) AS pe,
+  round((n * agree - rmcm)::DOUBLE / (n * n - rmcm)::DOUBLE, 6) AS kappa
+FROM cross_ CROSS JOIN diag"""
 
   // ---- L103 (r8): blocklist phrase tagging ----
   // The dictionary-tagging pass every safety/compliance pipeline runs
