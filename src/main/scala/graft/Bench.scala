@@ -51,7 +51,11 @@ object Bench {
 
     // optional args restrict to named queries (local iteration); an
     // unknown name is itself an error entry, not a crash
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq
+    // sorted: Map iteration order shifts whenever queries are added,
+    // which reshuffles JIT/GC warm-up state across the suite and makes
+    // per-query medians incomparable across rounds (pre-r10 ledgers
+    // are order-confounded — see PLANS.md r10)
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     // warm pass (untimed)
     names.foreach { n =>
       try run(SparkEntry.queries(n)) catch { case _: Throwable => }

@@ -24,7 +24,8 @@ object Verify {
     // schemas of the dumped (canonicalized) results, used to wrap each
     // oracle in the mirrored canonicalizing projection below
     val schemas = scala.collection.mutable.Map[String, org.apache.spark.sql.types.StructType]()
-    SparkEntry.queries
+    // sorted: deterministic dump order, mirroring Bench (see PLANS.md r10)
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try {

@@ -1385,9 +1385,10 @@ FROM scalars s JOIN named n USING (cluster_id) JOIN mode m USING (cluster_id)"""
   // degrees would give. Q ≈ 0 ⇒ the "communities" are noise; the audit
   // belongs beside the operator it scores (the C75-audits-C32
   // pattern). EXACT arithmetic: per community the integer numerator
-  // 4m·e_c − d_c² (DECIMAL(38,0)-safe at any scale) is released
-  // alongside the round-6 float term, so Σ q_num / 4m² replays Q with
-  // zero float accumulation. Plan: the edge list joins the label frame
+  // 4m·e_c − d_c² (DECIMAL(38,0)-safe at any scale) is the released
+  // surface — Σ q_num / 4m² replays Q with zero float accumulation,
+  // and no float ever reaches the hash (see the r10 note in
+  // modularityEdges). Plan: the edge list joins the label frame
   // on EACH ENDPOINT (two keyed joins), degrees are one symmetrized
   // count, everything aggregates per community; m is the declared
   // single-row broadcast.
@@ -1417,16 +1418,20 @@ FROM scalars s JOIN named n USING (cluster_id) JOIN mode m USING (cluster_id)"""
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_members"),
         sum(coalesce(col("d"), lit(0L))).as("d_sum"))
+    // r10: the hashed surface is ALL-INTEGER. The float per-community
+    // term q_term = q_num/(4m²) was value- and bit-identical to a local
+    // DuckDB oracle yet hash-red on the driver two rounds running (its
+    // DuckDB build rounds the tie differently) — so the float is
+    // dropped from the hashed projection entirely; it is fully
+    // recoverable from (q_num, m) and is pinned in
+    // OperatorSpec "modularityAudit" instead.
     dsum.join(intra, Seq("community"), "left")
       .na.fill(0L, Seq("e_intra"))
       .crossJoin(broadcast(m))
       .select(col("community"), col("n_members"), col("e_intra"),
         col("d_sum"), col("m"),
         (lit(4).cast("decimal(38,0)") * col("m") * col("e_intra") -
-          col("d_sum").cast("decimal(38,0)") * col("d_sum")).as("q_num"),
-        pz(round(col("e_intra").cast("double") / col("m") -
-          (col("d_sum").cast("double") / (col("m") * 2)) *
-          (col("d_sum").cast("double") / (col("m") * 2)), 6)).as("q_term"))
+          col("d_sum").cast("decimal(38,0)") * col("d_sum")).as("q_num"))
   }
 
   lazy val modularityAuditSql: String =
@@ -1450,9 +1455,7 @@ ds AS (
 SELECT ds.community, ds.n_members, coalesce(i.e_intra, 0)::BIGINT AS e_intra,
   ds.d_sum, m.m,
   (4::HUGEINT * m.m * coalesce(i.e_intra, 0)
-    - ds.d_sum::HUGEINT * ds.d_sum)::DECIMAL(38,0) AS q_num,
-  round(coalesce(i.e_intra, 0)::DOUBLE / m.m -
-    (ds.d_sum::DOUBLE / (2 * m.m)) * (ds.d_sum::DOUBLE / (2 * m.m)), 6) + 0.0 AS q_term
+    - ds.d_sum::HUGEINT * ds.d_sum)::DECIMAL(38,0) AS q_num
 FROM ds LEFT JOIN intra i USING (community) CROSS JOIN m"""
 
   lazy val labelPropagationSql: String = {

@@ -1484,6 +1484,17 @@ FROM arms CROSS JOIN theta"""
   // Scale: the per-class rank window totals-orders the corpus per
   // class — exact by design at report scale; the C48 two-phase
   // ranking is the declared 100× path (same integers, same AUC).
+  // r10 hardening (ADVICE r9): rank() is IntegerType — the doubled
+  // tie-midpoint is computed in LONG (an Int 2·rank overflows past
+  // ~2^30 rows/class while the SQL side is BIGINT); null scores (a
+  // label outside the embedding dimensionality) are filtered BEFORE
+  // ranking (Spark windows sort NULLS FIRST vs DuckDB's NULLS LAST —
+  // a silent cross-engine rank shift); and the hashed surface is
+  // ALL-INTEGER — AUC = auc_num/auc_den is released as the exact
+  // BIGINT pair (the q_modularity r10 discipline: no float, no
+  // round()-tie fragility, and a single-class partition yields
+  // auc_den = 0 instead of an engine-dependent NaN). StatsSpec pins
+  // the float.
   def rocAuc(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = embeddings.select(col("vec_id"),
@@ -1492,21 +1503,24 @@ FROM arms CROSS JOIN theta"""
     val classes = base.select(col("label").as("class")).distinct()
     val scored = base.crossJoin(broadcast(classes))
       .select(col("class"),
-        element_at(col("v"), (col("class") + 1).cast("int")).as("score"),
+        // try_: an out-of-range label must read NULL (then be filtered
+        // below), not throw under ANSI — mirroring DuckDB list indexing
+        try_element_at(col("v"), (col("class") + 1).cast("int")).as("score"),
         when(col("label") === col("class"), 1L).otherwise(0L).as("pos"))
+      .where(col("score").isNotNull)
     val w = Window.partitionBy(col("class")).orderBy(col("score"))
     val cw = Window.partitionBy(col("class"), col("score"))
     scored
       .withColumn("r2",
-        (lit(2) * rank().over(w) + count(lit(1)).over(cw) - 1).cast("long"))
+        lit(2L) * rank().over(w).cast("long") +
+          count(lit(1)).over(cw) - lit(1L))
       .groupBy(col("class"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
         sum(when(col("pos") === 1, col("r2")).otherwise(0L)).as("s2"))
       .select(col("class"), col("n_pos"),
         (col("n") - col("n_pos")).as("n_neg"),
-        round((col("s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
-          (lit(2.0) * (col("n_pos") * (col("n") - col("n_pos"))).cast("double")), 6)
-          .as("auc"))
+        (col("s2") - col("n_pos") * (col("n_pos") + 1)).as("auc_num"),
+        (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).as("auc_den"))
   }
 
   val rocAucSql: String =
@@ -1519,15 +1533,15 @@ scored AS (
   FROM base b CROSS JOIN classes c),
 ranked AS (
   SELECT class, pos,
-    (2 * rank() OVER (PARTITION BY class ORDER BY score)
+    (2::BIGINT * rank() OVER (PARTITION BY class ORDER BY score)
       + count(*) OVER (PARTITION BY class, score) - 1)::BIGINT AS r2
-  FROM scored),
+  FROM scored WHERE score IS NOT NULL),
 g AS (
   SELECT class, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
     sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END)::BIGINT AS s2
   FROM ranked GROUP BY class)
 SELECT class, n_pos, (n - n_pos) AS n_neg,
-  round((s2 - n_pos * (n_pos + 1))::DOUBLE /
-    (2.0 * (n_pos * (n - n_pos))::DOUBLE), 6) AS auc
+  (s2 - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+  (2::BIGINT * n_pos * (n - n_pos))::BIGINT AS auc_den
 FROM g"""
 }

@@ -654,7 +654,12 @@ GROUP BY token"""
       .join(st, Seq("source", "token"), "left")
       .select(col("source"), col("ns"), col("na"), col("ca"),
         coalesce(col("c"), lit(0).cast(d38)).as("c"))
-    val terms = grid.select(col("source"), col("ns"), col("na"),
+    // r10 (ADVICE r9): a single-source corpus makes na = ns and every
+    // denominator 0 → engine-dependent NaN/Inf; such a source has no
+    // rest-of-corpus to drift FROM, so it is excluded outright (the
+    // WHERE form — deterministic in both engines, no NaN ever built)
+    val terms = grid.where(col("na") =!= col("ns"))
+      .select(col("source"), col("ns"), col("na"),
       abs(col("c") * (col("na") - col("ns")) - (col("ca") - col("c")) * col("ns")).as("tvn"),
       sqrt((col("c") * (col("ca") - col("c"))).cast("double") /
         (col("ns") * (col("na") - col("ns"))).cast("double"))
@@ -686,7 +691,7 @@ terms AS (
   SELECT source, ns, na,
     abs(c * (na - ns) - (ca - c) * ns)::HUGEINT AS tvn,
     CAST(sqrt((c * (ca - c))::DOUBLE / ((ns * (na - ns))::DOUBLE)) AS DECIMAL(18,9)) AS bc
-  FROM grid),
+  FROM grid WHERE na <> ns),
 agg AS (SELECT source, ns, na, sum(tvn)::HUGEINT AS tvnum, sum(bc) AS bcs
   FROM terms GROUP BY 1, 2, 3)
 SELECT source, ns::BIGINT AS n_tokens,
@@ -1940,13 +1945,19 @@ FROM c JOIN t USING (actual_lang)"""
     val diag = conf.agg(
       sum(when(col("actual_lang") === col("pred_lang"), col("c")).otherwise(lit(0).cast(d38)))
         .as("agree"))
+    // r10 (ADVICE r9): degenerate inputs — an empty corpus (n = 0) or
+    // two constant annotators (pe = 1 ⇒ n² = rmcm) — must yield an
+    // explicit NULL, not an engine-dependent NaN/Inf from a 0-division
     cross.crossJoin(broadcast(diag))
       .select(col("n").cast("long").as("n"),
         col("agree").cast("long").as("n_agree"),
-        round(col("agree").cast("double") / col("n").cast("double"), 6).as("po"),
-        round(col("rmcm").cast("double") / (col("n") * col("n")).cast("double"), 6).as("pe"),
+        round(col("agree").cast("double") /
+          nullif(col("n"), lit(0).cast("decimal(38,0)")).cast("double"), 6).as("po"),
+        round(col("rmcm").cast("double") /
+          nullif(col("n") * col("n"), lit(0).cast("decimal(38,0)")).cast("double"), 6).as("pe"),
         round((col("n") * col("agree") - col("rmcm")).cast("double") /
-          (col("n") * col("n") - col("rmcm")).cast("double"), 6).as("kappa"))
+          nullif(col("n") * col("n") - col("rmcm"), lit(0).cast("decimal(38,0)"))
+            .cast("double"), 6).as("kappa"))
   }
 
   lazy val cohenKappaSql: String =
@@ -1962,9 +1973,9 @@ cross_ AS (
 diag AS (SELECT sum(CASE WHEN actual_lang = pred_lang THEN c ELSE 0::HUGEINT END)::HUGEINT
     AS agree FROM conf)
 SELECT n::BIGINT AS n, agree::BIGINT AS n_agree,
-  round(agree::DOUBLE / n::DOUBLE, 6) AS po,
-  round(rmcm::DOUBLE / (n * n)::DOUBLE, 6) AS pe,
-  round((n * agree - rmcm)::DOUBLE / (n * n - rmcm)::DOUBLE, 6) AS kappa
+  round(agree::DOUBLE / nullif(n, 0)::DOUBLE, 6) AS po,
+  round(rmcm::DOUBLE / nullif(n * n, 0)::DOUBLE, 6) AS pe,
+  round((n * agree - rmcm)::DOUBLE / nullif(n * n - rmcm, 0)::DOUBLE, 6) AS kappa
 FROM cross_ CROSS JOIN diag"""
 
   // ---- L103 (r8): blocklist phrase tagging ----

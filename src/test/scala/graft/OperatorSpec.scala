@@ -996,23 +996,32 @@ class OperatorSpec extends SparkSpec {
       .toDF("doc_id", "community")
     val got = Dedup.modularityEdges(edges, labels).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDecimal(5).longValueExact(), r.getDouble(6)))).toMap
-    assert(got(1L) == ((4L, 6L, 13L, 143L, 0.211538)), s"c1 ${got(1L)}")
-    assert(got(5L) == ((4L, 6L, 13L, 143L, 0.211538)), s"c5 ${got(5L)}")
+        r.getDecimal(5).longValueExact()))).toMap
+    assert(got(1L) == ((4L, 6L, 13L, 143L)), s"c1 ${got(1L)}")
+    assert(got(5L) == ((4L, 6L, 13L, 143L)), s"c5 ${got(5L)}")
+    // r10: the float term left the hashed projection (driver-DuckDB
+    // round() divergence); the spec PINS it here instead, derived from
+    // the exact integers — per-community q_term and the global Q
+    got.foreach { case (c, (_, e, d, qn)) =>
+      val qt = e.toDouble / 13 - (d.toDouble / 26) * (d.toDouble / 26)
+      assert(math.abs(qt - 0.211538) < 1e-6, s"c$c q_term $qt")
+      assert(math.abs(qt - qn.toDouble / (4.0 * 13 * 13)) < 1e-9)
+    }
     val q = got.values.map(_._4).sum.toDouble / (4.0 * 13 * 13)
     assert(math.abs(q - 0.423077) < 1e-6, s"Q $q")
     // corpus audit: degrees sum to 2m, intra edges never exceed m,
-    // and the integer numerators replay the float terms
+    // and the integer numerators replay the per-community float terms
     val corpus = Dedup.modularityAudit(documents).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getDecimal(5).longValueExact(), r.getDouble(6)))
+        r.getLong(4), r.getDecimal(5).longValueExact()))
     assert(corpus.nonEmpty)
     val m = corpus.head._5
     assert(corpus.map(_._4).sum == 2 * m, "degree sum != 2m")
     assert(corpus.map(_._3).sum <= m, "intra edges exceed m")
-    corpus.foreach { case (_, _, e, d, mm, qn, qt) =>
+    corpus.foreach { case (_, _, e, d, mm, qn) =>
       assert(qn == 4L * mm * e - d * d)
-      assert(math.abs(qt - qn.toDouble / (4.0 * mm * mm)) < 1e-6)
+      val qt = e.toDouble / mm - (d.toDouble / (2.0 * mm)) * (d.toDouble / (2.0 * mm))
+      assert(math.abs(qt - qn.toDouble / (4.0 * mm * mm)) < 1e-9)
     }
   }
 
@@ -3311,7 +3320,10 @@ class OperatorSpec extends SparkSpec {
       "q_rfm" -> "crossJoin(broadcast(single-row corpus max order date)) — the tfidf/lm_score pattern",
       "q_kneser_ney" -> "crossJoin(broadcast(single-row bigram-type count B)) — the tfidf/lm_score pattern",
       "q_dedup_sweep" -> "crossJoin(broadcast(10-row threshold grid)) over the ALREADY-REDUCED near-dup pair frame — bounded 10x fan-out of a post-candidate frame, never the corpus",
-      "q_ar_aging" -> "crossJoin(broadcast(single-row corpus anchor date)) — the tfidf/lm_score pattern")
+      "q_ar_aging" -> "crossJoin(broadcast(single-row corpus anchor date)) — the tfidf/lm_score pattern",
+      "q_roc_auc" -> "crossJoin(broadcast(distinct class list)) — label-alphabet-bounded fan-out, the q_embed_drift pattern",
+      "q_tv_drift" -> "crossJoin(broadcast(|sources|-row totals + single-row grand total)) over the POST-AGGREGATE term frame — the q_kmv_overlap pattern",
+      "q_cohen_kappa" -> "crossJoin(broadcast(single-row diagonal agreement)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -3390,6 +3402,69 @@ class OperatorSpec extends SparkSpec {
         assert(dirty.isEmpty, s"$name emits -0.0 in ${dirty.mkString(", ")} after canonicalization")
       }
     }
+  }
+
+  test("round-tie audit: every hashed float cell is 6-decimal-quantized and never at a rounding tie") {
+    import org.apache.spark.sql.types._
+    // The q_modularity lesson (red r8+r9, de-floated r10): a hashed
+    // double that is NOT a clean 6-decimal quantity can round
+    // differently on the driver's DuckDB build (FMA contraction /
+    // round() ties) even when locally bit-identical. This sweep holds
+    // the line: over every ORACLE-HASHED query (rows-only surfaces are
+    // never hashed), each emitted float cell must sit ON the 1e-6 grid
+    // (it came out of round(·,6) / a ≤6-dp decimal) — and in
+    // particular never NEAR a grid midpoint, where the two engines'
+    // tie behavior could split. Detector: d = x·1e6; dev = |d −
+    // rint(d)| must stay within float-representation slack of 0 —
+    // quantized values land at dev ≈ ulp, a raw unrounded value lands
+    // anywhere in (0, 0.5], a tie-fragile one at ≈ 0.5.
+    val slack = (d: org.apache.spark.sql.Column) =>
+      greatest(lit(1e-6), abs(d) * lit(1e-11))
+    def dev(x: org.apache.spark.sql.Column) = {
+      val d = x.cast("double") * lit(1e6)
+      when(x.isNull || x.cast("double").isNaN, lit(0.0))
+        .otherwise(abs(d - round(d)) - slack(d))
+    }
+    // Allowlist: columns that are legitimately OFF the grid because
+    // they are a SINGLE IEEE division of exact integers — one
+    // correctly-rounded operation, no FMA-contraction site, no
+    // round() tie to split on; bit-identical across engines by
+    // construction (each hash-green since its first round). Anything
+    // NEW that flags must either join this list with the same proof
+    // shape or be quantized/de-floated.
+    val rawAllowed: Set[(String, String)] = Set(
+      ("q1_agg", "avg_qty"), // sum/count of exact integer quantities
+      ("q_contamination_near", "best_jaccard"), // |∩|/|∪| of exact counts
+      ("q_dedup_minhash", "jaccard"),
+      ("q_dedup_ngram", "jaccard"),
+      ("q_prefix_join", "jaccard"))
+    val hashed = SparkEntry.oracleSql.keys.toSeq.sorted
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    hashed.foreach { name =>
+      val df = Canonical.canonicalize(SparkEntry.queries(name)(spark, sf))
+      val checks = df.schema.fields.flatMap { fld =>
+        fld.dataType match {
+          case DoubleType | FloatType =>
+            Some(max(dev(col(fld.name))).as(fld.name))
+          case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+            Some(max(array_max(transform(col(fld.name), x => dev(x)))).as(fld.name))
+          case _ => None
+        }
+      }
+      if (checks.nonEmpty) {
+        val row = df.agg(checks.head, checks.tail.toIndexedSeq: _*).collect()(0)
+        checks.indices.foreach { i =>
+          if (!row.isNullAt(i) && row.getDouble(i) > 0.0 &&
+              !rawAllowed((name, row.schema.fields(i).name)))
+            offenders += s"$name.${row.schema.fields(i).name} (dev ${row.getDouble(i)})"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"hashed float columns off the 1e-6 grid — quantize or de-float them: ${offenders.mkString("; ")}")
+    // the allowlist must not go stale
+    rawAllowed.foreach { case (q, _) =>
+      assert(SparkEntry.oracleSql.contains(q), s"stale round-tie allowlist entry $q") }
   }
 
   test("BPE encodes by merge rank, not left-to-right adjacency (L33)") {
@@ -4444,5 +4519,76 @@ class OperatorSpec extends SparkSpec {
       .agg(sum("debit_cents"), sum("credit_cents"), sum("net_cents")).head
     assert(corpus.getLong(0) == corpus.getLong(1))
     assert(corpus.getLong(2) == 0L)
+  }
+
+  test("tvDrift: identical sources = 0, disjoint = 1, single source excluded (L117)") {
+    import graft.operators.TextAnalysis
+    def docs(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text")
+    def drift(rows: Seq[(Long, String, String)]) =
+      TextAnalysis.tvDrift(docs(rows))
+        .select("source", "n_tokens", "tv", "hellinger")
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // identical term distributions (4 terms × 1 each, per source):
+    // per-term bc = 2/8 = 0.25 exactly in DECIMAL(18,9), Σ = 1 -> both
+    // distances exactly 0 (no quantization residue by construction)
+    val same = drift(Seq(
+      (1L, "a", "alpha beta gamma delta"), (2L, "b", "alpha beta gamma delta")))
+    assert(same("a") == ((4L, 0.0, 0.0)), s"a ${same("a")}")
+    assert(same("b") == ((4L, 0.0, 0.0)), s"b ${same("b")}")
+    // disjoint vocabularies: TV and Hellinger both saturate at 1
+    val disj = drift(Seq(
+      (1L, "a", "alpha alpha alpha"), (2L, "b", "omega omega omega")))
+    assert(disj("a") == ((3L, 1.0, 1.0)), s"a ${disj("a")}")
+    assert(disj("b") == ((3L, 1.0, 1.0)), s"b ${disj("b")}")
+    // degenerate single source: na = ns has no rest-of-corpus to
+    // drift from — excluded outright, never a NaN (ADVICE r9)
+    assert(drift(Seq((1L, "only", "alpha beta"))).isEmpty)
+    // corpus: every source present (multi-source testdata), distances
+    // bounded in [0, 1], token totals reconcile
+    val corpus = TextAnalysis.tvDrift(documents)
+      .select("source", "tv", "hellinger").as[(String, Double, Double)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (s, tv, h) =>
+      assert(tv >= 0.0 && tv <= 1.0, s"$s tv $tv")
+      assert(h >= 0.0 && h <= 1.0, s"$s hellinger $h")
+    }
+  }
+
+  test("cohenKappa: planted confusion replays exactly, constant annotators yield NULL (L116)") {
+    import graft.operators.TextAnalysis
+    def docs(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "lang", "text")
+    // planted: conf = {(en,en):2, (en,de):1, (de,de):1} -> po = 3/4,
+    // pe = (3·2 + 1·2)/16 = 1/2, kappa = (12 − 8)/(16 − 8) = 1/2
+    val got = TextAnalysis.cohenKappa(docs(Seq(
+      (1L, "en", "the of and to"), (2L, "en", "the of is in"),
+      (3L, "en", "der die das ist"), (4L, "de", "der die das ein"))))
+      .select("n", "n_agree", "po", "pe", "kappa")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((4L, 3L, 0.75, 0.5, 0.5)), s"got $got")
+    // two constant annotators: pe = 1 -> kappa is an explicit NULL,
+    // not an engine-dependent NaN (ADVICE r9)
+    val const = TextAnalysis.cohenKappa(docs(Seq(
+      (1L, "en", "the of and"), (2L, "en", "the of and"), (3L, "en", "the of and"))))
+      .select(col("n"), col("po"), col("kappa").isNull).head()
+    assert(const.getLong(0) == 3L && const.getDouble(1) == 1.0)
+    assert(const.getBoolean(2), "pe = 1 must NULL kappa")
+    // corpus: kappa replays from the independently-built confusion
+    // matrix of the L8 classifier
+    val conf = TextAnalysis.langId(documents)
+      .select("actual_lang", "pred_lang").as[(String, String)].collect()
+    val n = conf.length.toDouble
+    val agree = conf.count { case (a, p) => a == p }.toDouble
+    val rm = conf.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val cm = conf.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val pe = (rm.keySet ++ cm.keySet).toSeq
+      .map(l => rm.getOrElse(l, 0.0) * cm.getOrElse(l, 0.0)).sum / (n * n)
+    val expect = math.rint((agree / n - pe) / (1 - pe) * 1e6) / 1e6
+    val corpus = TextAnalysis.cohenKappa(documents)
+      .select("n", "n_agree", "kappa").as[(Long, Long, Double)].head()
+    assert(corpus._1 == n.toLong && corpus._2 == agree.toLong)
+    assert(math.abs(corpus._3 - expect) < 2e-6, s"kappa ${corpus._3} vs $expect")
   }
 }

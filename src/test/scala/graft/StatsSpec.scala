@@ -574,4 +574,43 @@ class StatsSpec extends SparkSpec {
     corpus.foreach { case (arm, vy, vyAdj) =>
       assert(vyAdj <= vy * 1.05 + 1e-9, s"arm $arm: CUPED increased variance $vy -> $vyAdj") }
   }
+
+  test("rocAuc: separable = perfect, ties midpointed, nulls filtered, degenerate den = 0 (C101)") {
+    def auc(rows: Seq[(Long, Int, Seq[Double])]) =
+      Stats.rocAuc(rows.toDF("vec_id", "label", "embedding"))
+        .select("class", "n_pos", "n_neg", "auc_num", "auc_den")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // dim c scores class c; class 0 separable, class 1 has a 3-way tie
+    val base = Seq(
+      (1L, 0, Seq(0.9, 0.5)), (2L, 0, Seq(0.8, 0.5)),
+      (3L, 1, Seq(0.1, 0.5)), (4L, 1, Seq(0.2, 0.7)))
+    val g = auc(base)
+    assert(g(0L) == ((2L, 2L, 8L, 8L)), s"class 0 ${g(0L)}") // AUC = 1
+    // pairwise replay: 2 wins + 2 half-ties of 4 pairs = 0.75 = 6/8
+    assert(g(1L) == ((2L, 2L, 6L, 8L)), s"class 1 ${g(1L)}")
+    // an out-of-range label (5 ≥ dim 2) null-scores EVERY row for its
+    // own class (row vanishes, Spark/DuckDB NULL-order divergence never
+    // reaches a rank) but stays a valid negative for in-range classes
+    val g5 = auc(base :+ (5L, 5, Seq(0.05, 0.3)))
+    assert(!g5.contains(5L), "null-scored class leaked into output")
+    assert(g5(0L) == ((2L, 3L, 12L, 12L)), s"class 0 ${g5(0L)}")
+    assert(g5(1L) == ((2L, 3L, 10L, 12L)), s"class 1 ${g5(1L)}")
+    // single-class degenerate: exact (0, 0) integers, never a NaN
+    val g1 = auc(Seq((1L, 0, Seq(0.4)), (2L, 0, Seq(0.6))))
+    assert(g1(0L) == ((2L, 0L, 0L, 0L)), s"degenerate ${g1(0L)}")
+    // corpus: the float AUC is pinned HERE (the hashed surface is
+    // all-integer by the r10 de-float discipline): 0 ≤ num ≤ den
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = Stats.rocAuc(emb)
+      .select("n_pos", "n_neg", "auc_num", "auc_den")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (np, nn, num, den) =>
+      assert(den == 2 * np * nn)
+      assert(num >= 0 && num <= den, s"AUC $num/$den out of [0,1]")
+      val a = num.toDouble / den
+      assert(!a.isNaN && a >= 0.0 && a <= 1.0)
+    }
+  }
 }
