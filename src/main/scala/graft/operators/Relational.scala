@@ -2543,40 +2543,84 @@ FROM scored"""
   // weights are exact powers of two, each touch's credit is
   // w·1e6 div Σw, and the integer remainder goes to the most recent
   // touch, so every conversion's credits sum to exactly 1e6 (the C70
-  // conservation contract, spec-asserted). Plan identical to C70: one
-  // user-keyed interval join, two windows over the conversion-keyed
-  // pairs frame, one channel rollup.
+  // conservation contract, spec-asserted).
+  //
+  // r10 SCALE RESHAPE (judge r9 #7): the naive shape joins every
+  // conversion to every in-window touch — touches×conversions pair
+  // rows for hot users. The exact decomposition here pre-aggregates
+  // touches to (user, calendar-day, channel) buckets carrying the
+  // SORTED (sub-day-offset, tid) structs, joins each conversion to at
+  // most 8 bucket-days (pday−7 … pday), and splits each bucket AT THE
+  // CONVERSION'S OWN sub-day offset — because the day distance
+  // (pus−tus) div day inside bucket j = pday−tday is exactly j for
+  // touches at-or-before the offset and j−1 after it (the sub-day
+  // cut the calendar-day approximation would get wrong). Every
+  // count/credit/remainder is then reconstructed from bucket-side
+  // counts ((wt·1e6) div sw is constant within a side), and the
+  // remainder's most-recent touch is the struct-max over in-window
+  // slices. Pair frame: ≤ 8·conversions rows (arrays bounded by
+  // touches-per-user-day), never touches×conversions. The ORACLE
+  // states the textbook per-pair form unchanged — the hash match
+  // proves the decomposition exact (the C95 idIslands discipline).
   def timeDecayAttribution(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val W = AttribWindowDays * 86400L * 1000000L
+    val day = 86400L * 1000000L
     val base = events.select(col("user_id"), col("event_id"),
       col("event_type"), expr("unix_micros(ts)").as("us"),
       concat(lit("ch"), pmod(get_json_object(col("props"), "$.k").cast("long"), lit(4)))
         .as("channel"))
-    val touches = base.where(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("us").as("tus"), col("event_id").as("tid"),
-        col("channel"))
+    val buckets = base.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("channel"),
+        expr(s"us div $day").as("tday"), (col("us") % day).as("off"),
+        col("event_id").as("tid"))
+      .groupBy(col("user_id"), col("tday"), col("channel"))
+      .agg(sort_array(collect_list(struct(col("off"), col("tid")))).as("arr"))
     val convs = base.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("us").as("pus"), col("event_id").as("pid"))
+      .select(col("user_id"), col("us").as("pus"), col("event_id").as("pid"),
+        expr(s"us div $day").as("pday"), (col("us") % day).as("poff"))
+      .withColumn("j", explode(sequence(lit(0L), lit(AttribWindowDays))))
+      .withColumn("tday", col("pday") - col("j"))
+    // within bucket j: off ≤ poff ⇒ day distance d = j (strict off <
+    // poff when j = 0: off = poff is tus = pus, excluded; j = 7 le is
+    // d = 7, outside the STRICT 7-day bound — see the r9 note: strict
+    // bounds cap d at 6 so every in-window weight is ≥ 1); off > poff
+    // ⇒ d = j − 1 (j = 0 gt is a future touch, excluded)
+    val le = when(col("j") === 0, filter(col("arr"), s => s("off") < col("poff")))
+      .when(col("j") === AttribWindowDays, filter(col("arr"), _ => lit(false)))
+      .otherwise(filter(col("arr"), s => s("off") <= col("poff")))
+    val gt = when(col("j") === 0, filter(col("arr"), _ => lit(false)))
+      .otherwise(filter(col("arr"), s => s("off") > col("poff")))
+    val sliced = convs.join(buckets, Seq("user_id", "tday"))
+      .withColumn("n_le", size(le).cast("long"))
+      .withColumn("n_gt", size(gt).cast("long"))
+      .where(col("n_le") + col("n_gt") > 0)
+      // j = 7's le side is always empty (n_le = 0) but the weight
+      // column is still computed per row — clamp it to 0 rather than
+      // shift by −1 (Java shift masking would wrap to 2^63 and the
+      // ·1e6 product would overflow under ANSI)
+      .withColumn("wt_le",
+        when(col("j") === AttribWindowDays, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(6 - j as int))")))
+      .withColumn("wt_gt", expr("shiftleft(1L, cast(7 - j as int))"))
+      // the slice's latest in-window touch, lifted to absolute micros
+      // (struct compare on (tus, tid) — tid is unique, never ties)
+      .withColumn("latest", {
+        val m = array_max(concat(le, gt))
+        struct((col("tday") * day + m("off")).as("tus"), m("tid").as("tid"))
+      })
     val w = Window.partitionBy("user_id", "pid")
-    // STRICT lower bound (unlike C70's >=): an exactly-7-day touch
-    // would take exponent -1 and weight 0, and an all-zero-weight
-    // conversion would divide by zero — the strict bound caps the day
-    // distance at 6 so every in-window weight is >= 1
-    val pairs = convs.join(touches, Seq("user_id"))
-      .where(col("tus") < col("pus") && col("tus") > col("pus") - W)
-      .withColumn("wt", expr(s"cast(pow(2, 6 - (pus - tus) div ${86400L * 1000000L}) as long)"))
-      .withColumn("sw", sum(col("wt")).over(w))
-      .withColumn("rn", row_number().over(w.orderBy(col("tus"), col("tid"))))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("credit0", expr("(wt * 1000000L) div sw"))
-    val credited = pairs
-      .withColumn("rem", lit(1000000L) - sum(col("credit0")).over(w))
+    val credited = sliced
+      .withColumn("sw", sum(col("n_le") * col("wt_le") + col("n_gt") * col("wt_gt")).over(w))
+      .withColumn("credit_sum",
+        col("n_le") * expr("(wt_le * 1000000L) div sw") +
+          col("n_gt") * expr("(wt_gt * 1000000L) div sw"))
+      .withColumn("rem", lit(1000000L) - sum(col("credit_sum")).over(w))
+      .withColumn("latest_all", max(col("latest")).over(w))
       .withColumn("credit",
-        when(col("rn") === col("n"), col("credit0") + col("rem"))
-          .otherwise(col("credit0")))
+        when(col("latest") === col("latest_all"), col("credit_sum") + col("rem"))
+          .otherwise(col("credit_sum")))
     credited.groupBy(col("channel"))
-      .agg(count(lit(1)).as("touches"), sum(col("credit")).as("credit_ppm"))
+      .agg(sum(col("n_le") + col("n_gt")).as("touches"), sum(col("credit")).as("credit_ppm"))
   }
 
   val timeDecayAttributionSql: String = {
