@@ -876,6 +876,38 @@ SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id,
   (coalesce(l.label, d.doc_id) = d.doc_id)::BIGINT AS keep
 FROM documents d LEFT JOIN labels l ON l.id = d.doc_id"""
 
+  // ---- L120 (r10): dup-cluster size distribution ----
+  // The release-report companion to L19: a dedup run's headline is not
+  // the pair list but the SHAPE of its clusters — a corpus whose dup
+  // mass sits in a few giant clusters (template spam, mirrored sites)
+  // needs different handling than one with many pairs (light
+  // paraphrase), and the size histogram is what that decision reads.
+  // Pure composition over L19's cluster labels: one (cluster)
+  // aggregate, one (size) aggregate — frames shrink monotonically
+  // (docs → clusters → distinct sizes), nothing corpus-wide sorts.
+  // All-integer output (counts + exact ppm of the doc population).
+  def clusterSizes(documents: DataFrame): DataFrame = {
+    val byCluster = dedupClusters(documents)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+    val total = documents.agg(count(lit(1)).as("n_docs_total"))
+    byCluster.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("sz"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        expr("(sz * n_clusters * 1000000L) div n_docs_total").as("doc_share_ppm"))
+  }
+
+  lazy val clusterSizesSql: String =
+    s"""WITH RECURSIVE cl AS ($dedupClustersSql),
+bc AS (SELECT cluster_id, count(*)::BIGINT AS sz FROM cl GROUP BY cluster_id),
+tot AS (SELECT count(*)::BIGINT AS n_docs_total FROM documents)
+SELECT sz, count(*)::BIGINT AS n_clusters,
+  (sz * count(*))::BIGINT AS n_docs,
+  ((sz * count(*) * 1000000) // n_docs_total)::BIGINT AS doc_share_ppm
+FROM bc CROSS JOIN tot
+GROUP BY sz, n_docs_total"""
+
   // ---- L25: chunk-level (paragraph) dedup ----
   // Sub-document dedup: the corpus has no newline-delimited paragraphs,
   // so the unit is a fixed 10-word chunk — the same shape as the

@@ -2819,6 +2819,57 @@ SELECT partkey, cents, cum_cents,
        ELSE 'C' END AS abc_class
 FROM c"""
 
+  // ---- C105 (r10): business-day latency — workday arithmetic ----
+  // The ops-SLA metric calendars can't fake: order-to-ship latency in
+  // WORKDAYS (Mon–Fri), per priority — a Friday order shipping Monday
+  // is 1 business day, not 3, and every fulfilment SLA is written in
+  // those units. Closed-form integer counting, no calendar explode:
+  // with epoch day 0 = Thursday, g(d) = ((d+3) div 7)·5 +
+  // least((d+3) mod 7, 5) − 3 counts the Mon–Fri days in [0, d), so
+  // the latency is g(ship) − g(order) — two integer expressions per
+  // row, fused into the scan (an explode(sequence(order, ship))
+  // formulation would fan 1–120 rows per line item just to count
+  // weekdays). Exact integers end-to-end; avg is the one division
+  // (round 6). Plan: one orderkey-keyed broadcast-or-shuffle join +
+  // one priority rollup.
+  private def workdaysBefore(days: Column): Column =
+    ((days + 3) / 7).cast("long") * 5 +
+      least(pmod(days + 3, lit(7)), lit(5)) - 3
+  def workdayLatency(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val o = orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"),
+      datediff(col("o_orderdate"), epoch).cast("long").as("od"))
+    val l = lineitem.select(col("l_orderkey"),
+      datediff(col("l_shipdate"), epoch).cast("long").as("sd"))
+    l.join(o, "l_orderkey")
+      .select(col("o_orderpriority"),
+        (workdaysBefore(col("sd")) - workdaysBefore(col("od"))).as("wd"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("wd")).as("total_workdays"),
+        max(col("wd")).as("max_workdays"))
+      .select(col("o_orderpriority"), col("n_lines"), col("total_workdays"),
+        col("max_workdays"),
+        round(col("total_workdays").cast("double") / col("n_lines").cast("double"), 6)
+          .as("avg_workdays"))
+  }
+
+  val workdayLatencySql: String = {
+    def g(d: String) =
+      s"(((($d) + 3) // 7) * 5 + least((($d) + 3) % 7, 5) - 3)"
+    s"""WITH j AS (
+  SELECT o.o_orderpriority,
+    (${g("date_diff('day', DATE '1970-01-01', l.l_shipdate::DATE)")}
+      - ${g("date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE)")})::BIGINT AS wd
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+a AS (
+  SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+    sum(wd)::BIGINT AS total_workdays, max(wd)::BIGINT AS max_workdays
+  FROM j GROUP BY 1)
+SELECT o_orderpriority, n_lines, total_workdays, max_workdays,
+  round(total_workdays::DOUBLE / n_lines::DOUBLE, 6) AS avg_workdays
+FROM a"""
+  }
+
   // ---- C100 (r9): accounts-receivable aging report ----
   // The finance-ops staple: open orders bucketed by how overdue they
   // are (0-30 / 31-60 / 61-90 / 90+ days at the corpus anchor date),

@@ -544,7 +544,9 @@ FROM cells JOIN rx USING (event_type) JOIN cy USING (dow) CROSS JOIN n"""
   private val PairMinSup = 2
   private val MaxBasket = 64
 
-  def frequentPairs(lineitem: DataFrame): DataFrame = {
+  /** Shared C63/C106 core: size-capped baskets → supported item pairs
+    * with both item supports and the basket totals attached. */
+  private def supportedPairs(lineitem: DataFrame): DataFrame = {
     val d = lineitem.select(col("l_orderkey").as("bid"), col("l_partkey").as("item"))
       .distinct()
     val bsz = d.groupBy(col("bid")).agg(count(lit(1)).as("bsz"))
@@ -565,11 +567,66 @@ FROM cells JOIN rx USING (event_type) JOIN cy USING (dow) CROSS JOIN n"""
       .join(supp.select(col("item").as("p1"), col("s").as("s1")), "p1")
       .join(supp.select(col("item").as("p2"), col("s").as("s2")), "p2")
       .crossJoin(broadcast(nb))
+  }
+
+  def frequentPairs(lineitem: DataFrame): DataFrame =
+    supportedPairs(lineitem)
       .select(col("p1"), col("p2"), col("support"),
         round((col("support") * col("n_baskets")).cast("double") /
           (col("s1") * col("s2")).cast("double"), 6).as("lift"),
         col("n_dropped_baskets"))
+
+  // ---- C106 (r10): association rules — directed confidence + lift ----
+  // The Apriori rule-generation step C63 stops short of: a frequent
+  // pair {a, b} becomes the two DIRECTED rules a→b and b→a, and it is
+  // the direction that retail action reads (conf(a→b) = P(b|a) can be
+  // high while conf(b→a) is noise when b is a staple). Over C63's
+  // ALREADY-REDUCED supported-pair frame (all pruning inherited):
+  // each pair fans to its two directions map-side; confidence is the
+  // exact ppm div support·1e6 div s_ante; lift is symmetric (one
+  // rounded division, the C63 expression). Nothing new shuffles — one
+  // explode over a post-aggregate frame.
+  def assocRules(lineitem: DataFrame): DataFrame = {
+    val both = supportedPairs(lineitem)
+      .select(col("support"), col("n_baskets"),
+        round((col("support") * col("n_baskets")).cast("double") /
+          (col("s1") * col("s2")).cast("double"), 6).as("lift"),
+        explode(array(
+          struct(col("p1").as("ante"), col("p2").as("cons"), col("s1").as("s_ante"),
+            col("s2").as("s_cons")),
+          struct(col("p2").as("ante"), col("p1").as("cons"), col("s2").as("s_ante"),
+            col("s1").as("s_cons")))).as("r"))
+    both.select(col("r.ante").as("antecedent"), col("r.cons").as("consequent"),
+      col("support"), col("r.s_ante").as("s_ante"), col("r.s_cons").as("s_cons"),
+      expr("(support * 1000000L) div r.s_ante").as("conf_ppm"), col("lift"))
   }
+
+  val assocRulesSql: String =
+    s"""WITH d AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem),
+bsz AS (SELECT bid, count(*) AS bsz FROM d GROUP BY bid),
+sized AS (SELECT d.bid, d.item FROM d
+  JOIN (SELECT bid FROM bsz WHERE bsz <= $MaxBasket) k USING (bid)),
+nb AS (SELECT sum((bsz <= $MaxBasket)::INT)::BIGINT AS n_baskets FROM bsz),
+supp AS (SELECT item, count(*)::BIGINT AS s FROM sized GROUP BY item),
+pairs AS (
+  SELECT a.item AS p1, b.item AS p2, count(*)::BIGINT AS support
+  FROM sized a JOIN sized b ON a.bid = b.bid AND a.item < b.item
+  GROUP BY a.item, b.item HAVING count(*) >= $PairMinSup),
+sp AS (
+  SELECT p1, p2, support, s1.s AS s1, s2.s AS s2, nb.n_baskets,
+    round((support * nb.n_baskets)::DOUBLE / (s1.s * s2.s)::DOUBLE, 6) AS lift
+  FROM pairs
+  JOIN supp s1 ON s1.item = pairs.p1
+  JOIN supp s2 ON s2.item = pairs.p2
+  CROSS JOIN nb),
+both_ AS (
+  SELECT p1 AS antecedent, p2 AS consequent, support, s1 AS s_ante, s2 AS s_cons, lift
+  FROM sp
+  UNION ALL
+  SELECT p2, p1, support, s2, s1, lift FROM sp)
+SELECT antecedent, consequent, support, s_ante, s_cons,
+  ((support * 1000000) // s_ante)::BIGINT AS conf_ppm, lift
+FROM both_"""
 
   val frequentPairsSql: String =
     s"""WITH d AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem),
@@ -982,6 +1039,160 @@ SELECT event_type, n0, n1,
     1.358 * sqrt((n0 + n1)::DOUBLE / (n0 * n1)::DOUBLE))::BIGINT AS reject
 FROM d"""
   }
+
+  // ---- C102 (r10): Mann-Whitney U — two-sample rank test ----
+  // The nonparametric sibling of C97's KS: where KS asks "are the two
+  // arm distributions the same SHAPE", Mann-Whitney asks the A/B
+  // question experiments actually ship on — "does one arm
+  // stochastically dominate" — with no normality assumption (C71's z
+  // needs proportions; this ranks raw values). EXACT integers
+  // throughout the hashed surface: doubled midpoint tie ranks (the
+  // C87/C101 2·rank + ties − 1 discipline) make 2·U an exact BIGINT,
+  // and the tie-corrected variance is released as an exact
+  // DECIMAL(38,0) numerator over a BIGINT denominator — the z score
+  // (spec-pinned float) replays as (u2 − n0·n1)/(2·√(var_num/var_den))
+  // with single correctly-rounded ops. Plan: the per-type rank window
+  // total-orders each type (C48 contract at report scale), tie groups
+  // aggregate from the (type, value) cell frame, everything after is
+  // type-alphabet-bounded.
+  def mannWhitney(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val tagged = events.select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"),
+      pmod(md5Long(lit("mw"), col("event_id")), lit(2)).as("arm"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val cw = Window.partitionBy(col("event_type"), col("v"))
+    val ranked = tagged.withColumn("r2",
+      lit(2L) * rank().over(w).cast("long") + count(lit(1)).over(cw) - lit(1L))
+    val ties = tagged.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("r2")).otherwise(0L)).as("r2sum"))
+      .join(ties, "event_type")
+      .select(col("event_type"), (col("n") - col("n1")).as("n0"), col("n1"),
+        (col("r2sum") - col("n1") * (col("n1") + 1)).as("u2"),
+        // DECIMAL before the cube: N³ leaves BIGINT past N ≈ 2e6 rows
+        // per type; the 38-digit product stays exact to N ≈ 1e7 per
+        // type (documented bound — the C25-style sketch is the path
+        // beyond, where an exact tie-corrected variance stops
+        // mattering anyway)
+        ((col("n") - col("n1")) * col("n1")).cast(d38)
+          .multiply(col("n").cast(d38) * (col("n").cast(d38) * col("n").cast(d38)
+            - 1) - col("tie3").cast(d38))
+          .as("var_num"),
+        (lit(12L) * col("n") * (col("n") - 1)).as("var_den"))
+  }
+
+  val mannWhitneySql: String = {
+    val h = graft.functions.Portable.md5LongSql("'mw'", "event_id")
+    s"""WITH tagged AS (
+  SELECT event_type, ((value::DECIMAL(18,2)) * 100)::BIGINT AS v,
+    $h % 2 AS arm
+  FROM events),
+ranked AS (
+  SELECT event_type, arm,
+    (2::BIGINT * rank() OVER (PARTITION BY event_type ORDER BY v)
+      + count(*) OVER (PARTITION BY event_type, v) - 1)::BIGINT AS r2
+  FROM tagged),
+ties AS (
+  SELECT event_type, sum(t * t * t - t)::BIGINT AS tie3
+  FROM (SELECT event_type, v, count(*)::BIGINT AS t FROM tagged GROUP BY 1, 2)
+  GROUP BY event_type),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN arm = 1 THEN r2 ELSE 0 END)::BIGINT AS r2sum
+  FROM ranked GROUP BY event_type)
+SELECT g.event_type, (n - n1) AS n0, n1,
+  (r2sum - n1 * (n1 + 1))::BIGINT AS u2,
+  (((n - n1) * n1)::HUGEINT
+    * (n::HUGEINT * (n::HUGEINT * n::HUGEINT - 1) - tie3::HUGEINT))::DECIMAL(38,0)
+    AS var_num,
+  (12 * n * (n - 1))::BIGINT AS var_den
+FROM g JOIN ties USING (event_type)"""
+  }
+
+  // ---- C103 (r10): one-way ANOVA — k-group mean separation ----
+  // The parametric k-group counterpart of C102's two arms: does mean
+  // spend differ ACROSS the four channels (the segmentation question
+  // C88's attribution feeds)? Between/within sums of squares from
+  // exact cent-integer moments. The representational hazard here is
+  // NEW (found building this, r10): quantizing a LARGE double to
+  // DECIMAL(38,6) is cross-engine fragile — DuckDB scales by 10^6 in
+  // double first, which leaves 2^53 above ~9e9 (measured: per-group
+  // S²/n terms ~1.3e10 cast to …315 vs …316) — so unlike L117's
+  // small-magnitude terms, the decimal-quantize discipline CANNOT
+  // carry these sums. Instead the channel alphabet is pivoted to
+  // FIXED columns (ch0..ch3 by construction) and Σ S_g²/n_g runs as a
+  // fixed-order scalar chain ((t0+t1)+t2)+t3 of correctly-rounded
+  // IEEE ops on exact-integer inputs — bit-identical in both engines
+  // with no quantization anywhere. Hashed floats are only the
+  // small-magnitude F (round-6-safe); SSB/SSW stay spec-pinned, and
+  // the exact moment surface (n, s, q per type) is released as
+  // BIGINTs. Degenerate guards: ssw = 0 and k = 1 NULL out F via
+  // nullif. Plan: one (type) pivot aggregate — alphabet-bounded
+  // everything, single exchange.
+  def anovaF(events: DataFrame): DataFrame = {
+    val k = pmod(get_json_object(col("props"), "$.k").cast("long"), lit(4))
+    val rows = events.select(col("event_type"), k.as("g"),
+      (dec(col("value")) * 100).cast("long").as("v"))
+    def cnt(i: Int) = sum(when(col("g") === i, 1L).otherwise(0L)).as(s"c$i")
+    def sg(i: Int) = sum(when(col("g") === i, col("v")).otherwise(0L)).as(s"s$i")
+    val byType = rows.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"),
+        cnt(0), sg(0), cnt(1), sg(1), cnt(2), sg(2), cnt(3), sg(3))
+    def term(i: Int) =
+      when(col(s"c$i") > 0,
+        col(s"s$i").cast("double") / col(s"c$i").cast("double") *
+          col(s"s$i").cast("double")).otherwise(lit(0.0))
+    val gterm = ((term(0) + term(1)) + term(2)) + term(3)
+    val kGroups = (0 to 3).map(i => (col(s"c$i") > 0).cast("long")).reduce(_ + _)
+    byType
+      .withColumn("k", kGroups)
+      .withColumn("ssb",
+        gterm - col("s").cast("double") / col("n").cast("double") * col("s").cast("double"))
+      .withColumn("ssw", col("q").cast("double") - gterm)
+      .select(col("event_type"), col("k"), col("n"), col("s"), col("q"),
+        round((col("ssb") * (col("n") - col("k")).cast("double")) /
+          nullif(col("ssw") * (col("k") - 1).cast("double"), lit(0.0)), 6)
+          .as("f_stat"))
+  }
+
+  val anovaFSql: String =
+    """WITH rows_ AS (
+  SELECT event_type,
+    (((json_extract_string(props, '$.k')::BIGINT) % 4 + 4) % 4) AS g,
+    ((value::DECIMAL(18,2)) * 100)::BIGINT AS v
+  FROM events),
+t AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+    sum(v * v)::BIGINT AS q,
+    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+    sum(CASE WHEN g = 0 THEN v ELSE 0 END)::BIGINT AS s0,
+    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+    sum(CASE WHEN g = 1 THEN v ELSE 0 END)::BIGINT AS s1,
+    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+    sum(CASE WHEN g = 2 THEN v ELSE 0 END)::BIGINT AS s2,
+    sum(CASE WHEN g = 3 THEN 1 ELSE 0 END)::BIGINT AS c3,
+    sum(CASE WHEN g = 3 THEN v ELSE 0 END)::BIGINT AS s3
+  FROM rows_ GROUP BY event_type),
+d AS (
+  SELECT event_type, n, s, q,
+    ((c0 > 0)::BIGINT + (c1 > 0)::BIGINT + (c2 > 0)::BIGINT + (c3 > 0)::BIGINT) AS k,
+    (((CASE WHEN c0 > 0 THEN s0::DOUBLE / c0::DOUBLE * s0::DOUBLE ELSE 0.0 END
+      + CASE WHEN c1 > 0 THEN s1::DOUBLE / c1::DOUBLE * s1::DOUBLE ELSE 0.0 END)
+      + CASE WHEN c2 > 0 THEN s2::DOUBLE / c2::DOUBLE * s2::DOUBLE ELSE 0.0 END)
+      + CASE WHEN c3 > 0 THEN s3::DOUBLE / c3::DOUBLE * s3::DOUBLE ELSE 0.0 END) AS gterm
+  FROM t)
+SELECT event_type, k, n, s, q,
+  round(((gterm - s::DOUBLE / n::DOUBLE * s::DOUBLE) * (n - k)::DOUBLE) /
+    nullif((q::DOUBLE - gterm) * (k - 1)::DOUBLE, 0.0), 6) AS f_stat
+FROM d"""
 
   // ---- C98 (r9): log-log price elasticity ----
   // The pricing-economics regression: elasticity = d ln(qty)/d ln(price),

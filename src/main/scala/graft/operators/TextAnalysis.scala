@@ -138,6 +138,85 @@ FROM base"""
   len(regexp_extract_all(text, '$bpeish'))::BIGINT AS bpe_tokens
 FROM documents"""
 
+  // ---- L121 (r10): context-length truncation loss ----
+  // The sequence-length budgeting readout every pretraining run does
+  // before fixing its context length: at L ∈ {128, 512, 2048}, what
+  // fraction of each source's tokens falls off the end of truncated
+  // documents, and how many documents truncate at all? (The complement
+  // of L27/L78's packing: packing decides how kept tokens tile into
+  // batches; this decides what "kept" costs.) ENTIRELY integer: per-doc
+  // whitespace token counts (the L10 counter), min(n, L) kept, loss as
+  // exact ppm div. One map-side count fused into the scan, a declared
+  // 3-row broadcast grid fan-out, one (source, ctx) aggregate.
+  def truncationLoss(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val grid = Seq(128L, 512L, 2048L).toDF("ctx")
+    documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .crossJoin(broadcast(grid))
+      .groupBy(col("source"), col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(least(col("n"), col("ctx"))).as("kept_tokens"),
+        sum((col("n") > col("ctx")).cast("long")).as("n_truncated"))
+      .select(col("source"), col("ctx"), col("n_docs"), col("total_tokens"),
+        col("kept_tokens"), col("n_truncated"),
+        expr("((total_tokens - kept_tokens) * 1000000L) div total_tokens")
+          .as("loss_ppm"))
+  }
+
+  val truncationLossSql: String =
+    """WITH n AS (
+  SELECT source, len(string_split_regex(lower(text), '\s+'))::BIGINT AS n
+  FROM documents),
+grid AS (SELECT unnest([128, 512, 2048])::BIGINT AS ctx),
+agg AS (
+  SELECT source, ctx, count(*)::BIGINT AS n_docs,
+    sum(n)::BIGINT AS total_tokens,
+    sum(least(n, ctx))::BIGINT AS kept_tokens,
+    sum((n > ctx)::INT)::BIGINT AS n_truncated
+  FROM n CROSS JOIN grid GROUP BY source, ctx)
+SELECT source, ctx, n_docs, total_tokens, kept_tokens, n_truncated,
+  (((total_tokens - kept_tokens) * 1000000) // total_tokens)::BIGINT AS loss_ppm
+FROM agg"""
+
+  // ---- L122 (r10): lexical diversity — type/token + hapax rates ----
+  // The corpus-health scalar pair beside L88's Zipf fit: type-token
+  // ratio (vocabulary breadth per token — synthetic/templated text
+  // reads low) and hapax share (fraction of the vocabulary seen
+  // exactly once — boilerplate-heavy corpora read low, OCR-noise
+  // corpora read high). Per source, ALL-INTEGER (counts + exact ppm
+  // divs). One token explode, one (source, token) aggregate, one
+  // (source) rollup — frames shrink monotonically.
+  def lexicalDiversity(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .where(length(col("t")) > 0)
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(n_types * 1000000L) div n_tokens").as("ttr_ppm"),
+        expr("(n_hapax * 1000000L) div n_types").as("hapax_ppm"))
+  }
+
+  val lexicalDiversitySql: String =
+    """WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+  FROM documents),
+tf AS (SELECT source, t, count(*)::BIGINT AS c FROM tok
+  WHERE length(t) > 0 GROUP BY source, t),
+agg AS (
+  SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+    sum((c = 1)::INT)::BIGINT AS n_hapax
+  FROM tf GROUP BY source)
+SELECT source, n_tokens, n_types, n_hapax,
+  ((n_types * 1000000) // n_tokens)::BIGINT AS ttr_ppm,
+  ((n_hapax * 1000000) // n_types)::BIGINT AS hapax_ppm
+FROM agg"""
+
   // ---- L33: real BPE encoding (greedy merge-rule tokenization) ----
   // The actual BPE inference loop over [[graft.functions.Bpe.Merges]]
   // — L10's regex count stays as the cheap proxy; this is the real

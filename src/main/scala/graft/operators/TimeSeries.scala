@@ -185,6 +185,79 @@ SELECT event_type, day, dow,
 FROM se"""
   }
 
+  // ---- C104 (r10): autocorrelation function — lag structure audit ----
+  // The diagnostic every forecasting choice upstream of C21/C66/C91
+  // rests on: WHICH lags carry signal (a day-7 spike says weekly
+  // seasonality — C66/C91's premise; slow decay says trend — C40/C72's
+  // premise). ACF at lags 1..7 of the daily event-count series per
+  // type, EXACT integer arithmetic: with n days and total S, the
+  // mean-centered products multiply out to Σ(n·c_d − S)(n·c_{d+ℓ} − S)
+  // over the n² common denominator — numerator and denominator are
+  // exact DECIMAL(38,0)s (cast BEFORE the product: n·c leaves BIGINT
+  // range squared at 1e9-event days) and r_ℓ is one final division,
+  // round 6. Pair terms use observed day pairs (d, d+ℓ both present);
+  // the denominator sums over all days — the standard ACF estimator.
+  // Plan: one corpus-touching daily aggregate, then a declared 7-row
+  // grid fan-out and a self-equi-join of the CALENDAR-BOUNDED daily
+  // frame on (type, day+ℓ) — post-aggregate volume, never raw events.
+  def acf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val D = 86400L * 1000000L
+    val d38 = "decimal(38,0)"
+    val daily = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${D}L)) div ${D}L").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"))
+    val dev = daily.join(tot, "event_type")
+      .select(col("event_type"), col("day"), col("n_days"),
+        (col("n_days").cast(d38) * col("c") - col("s")).as("e"))
+    val den = dev.groupBy(col("event_type"), col("n_days"))
+      .agg(sum(col("e") * col("e")).as("den"))
+    val grid = (1L to 7L).toDF("lag")
+    val num = dev.select(col("event_type"), col("day"), col("e"))
+      .crossJoin(broadcast(grid))
+      .withColumn("day2", col("day") + col("lag"))
+      .join(dev.select(col("event_type"), col("day").as("day2"), col("e").as("e2")),
+        Seq("event_type", "day2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("e") * col("e2")).as("acf_num"))
+    num.join(den, "event_type")
+      .select(col("event_type"), col("lag"), col("n_days"), col("n_pairs"),
+        col("acf_num"), col("den"),
+        round(col("acf_num").cast("double") /
+          nullif(col("den"), lit(0).cast(d38)).cast("double"), 6).as("acf"))
+  }
+
+  val acfSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH daily AS (
+  SELECT event_type,
+    (epoch_us(ts) - ((epoch_us(ts) % $D) + $D) % $D) // $D AS day,
+    count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS s
+  FROM daily GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day, t.n_days,
+    (t.n_days::HUGEINT * d.c - t.s) AS e
+  FROM daily d JOIN tot t USING (event_type)),
+den AS (SELECT event_type, n_days, sum(e * e)::DECIMAL(38,0) AS den
+  FROM dev GROUP BY 1, 2),
+grid AS (SELECT unnest(generate_series(1, 7))::BIGINT AS lag),
+num AS (
+  SELECT a.event_type, g.lag, count(*)::BIGINT AS n_pairs,
+    sum(a.e * b.e)::DECIMAL(38,0) AS acf_num
+  FROM dev a CROSS JOIN grid g
+  JOIN dev b ON b.event_type = a.event_type AND b.day = a.day + g.lag
+  GROUP BY 1, 2)
+SELECT n.event_type, n.lag, d.n_days, n.n_pairs, n.acf_num, d.den,
+  round(n.acf_num::DOUBLE / nullif(d.den, 0)::DOUBLE, 6) AS acf
+FROM num n JOIN den d USING (event_type)"""
+  }
+
   // ---- C69 (r8): CUSUM change-point detection — integer-exact ----
   // The sequential monitoring classic (Page 1954): an upward level
   // shift smaller than any single day's noise still accumulates —

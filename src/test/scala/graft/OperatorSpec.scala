@@ -3312,6 +3312,7 @@ class OperatorSpec extends SparkSpec {
       "q_join_size_est" -> "crossJoin(broadcast(single-row CMS estimate x single-row exact count)) — the tfidf/lm_score pattern",
       "q_mutual_info" -> "crossJoin(broadcast(single-row grand total)) — the tfidf/lm_score pattern",
       "q_freq_pairs" -> "crossJoin(broadcast(single-row basket total)) — the tfidf/lm_score pattern",
+      "q_assoc_rules" -> "inherits q_freq_pairs' single-row basket-total crossJoin via the shared supported-pairs core",
       "q_psi_drift" -> "crossJoin(broadcast(single-row temporal midpoint)) — the tfidf/lm_score pattern",
       "q_survival" -> "crossJoin(broadcast(single-row corpus-end timestamp)) — the tfidf/lm_score pattern",
       "q_water_fill" -> "crossJoin(broadcast(single-row total-token budget)) — the tfidf/lm_score pattern",
@@ -3323,7 +3324,10 @@ class OperatorSpec extends SparkSpec {
       "q_ar_aging" -> "crossJoin(broadcast(single-row corpus anchor date)) — the tfidf/lm_score pattern",
       "q_roc_auc" -> "crossJoin(broadcast(distinct class list)) — label-alphabet-bounded fan-out, the q_embed_drift pattern",
       "q_tv_drift" -> "crossJoin(broadcast(|sources|-row totals + single-row grand total)) over the POST-AGGREGATE term frame — the q_kmv_overlap pattern",
-      "q_cohen_kappa" -> "crossJoin(broadcast(single-row diagonal agreement)) — the tfidf/lm_score pattern")
+      "q_cohen_kappa" -> "crossJoin(broadcast(single-row diagonal agreement)) — the tfidf/lm_score pattern",
+      "q_acf" -> "crossJoin(broadcast(7-row lag grid)) over the POST-AGGREGATE calendar-bounded daily frame — the q_dedup_sweep pattern",
+      "q_trunc_loss" -> "crossJoin(broadcast(3-row context-length grid)) over the per-doc token-count frame — the q_dedup_sweep pattern",
+      "q_cluster_sizes" -> "crossJoin(broadcast(single-row doc total)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
