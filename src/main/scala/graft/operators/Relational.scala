@@ -2841,16 +2841,22 @@ FROM c"""
       datediff(col("o_orderdate"), epoch).cast("long").as("od"))
     val l = lineitem.select(col("l_orderkey"),
       datediff(col("l_shipdate"), epoch).cast("long").as("sd"))
+    // the synthetic feed (unlike real TPC-H) contains ship dates
+    // BEFORE their order date — those are a data-quality finding, not
+    // a latency: counted separately, excluded from the latency stats
     l.join(o, "l_orderkey")
       .select(col("o_orderpriority"),
-        (workdaysBefore(col("sd")) - workdaysBefore(col("od"))).as("wd"))
+        (workdaysBefore(col("sd")) - workdaysBefore(col("od"))).as("wd"),
+        (col("sd") < col("od")).cast("long").as("backdated"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_lines"), sum(col("wd")).as("total_workdays"),
-        max(col("wd")).as("max_workdays"))
-      .select(col("o_orderpriority"), col("n_lines"), col("total_workdays"),
-        col("max_workdays"),
-        round(col("total_workdays").cast("double") / col("n_lines").cast("double"), 6)
-          .as("avg_workdays"))
+      .agg(sum(lit(1L) - col("backdated")).as("n_lines"),
+        sum(col("backdated")).as("n_backdated"),
+        sum(when(col("backdated") === 0, col("wd")).otherwise(0L)).as("total_workdays"),
+        max(when(col("backdated") === 0, col("wd"))).as("max_workdays"))
+      .select(col("o_orderpriority"), col("n_lines"), col("n_backdated"),
+        col("total_workdays"), col("max_workdays"),
+        round(col("total_workdays").cast("double") /
+          nullif(col("n_lines"), lit(0L)).cast("double"), 6).as("avg_workdays"))
   }
 
   val workdayLatencySql: String = {
@@ -2859,14 +2865,18 @@ FROM c"""
     s"""WITH j AS (
   SELECT o.o_orderpriority,
     (${g("date_diff('day', DATE '1970-01-01', l.l_shipdate::DATE)")}
-      - ${g("date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE)")})::BIGINT AS wd
+      - ${g("date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE)")})::BIGINT AS wd,
+    (date_diff('day', DATE '1970-01-01', l.l_shipdate::DATE)
+      < date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE))::BIGINT AS backdated
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
 a AS (
-  SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
-    sum(wd)::BIGINT AS total_workdays, max(wd)::BIGINT AS max_workdays
+  SELECT o_orderpriority, sum(1 - backdated)::BIGINT AS n_lines,
+    sum(backdated)::BIGINT AS n_backdated,
+    sum(CASE WHEN backdated = 0 THEN wd ELSE 0 END)::BIGINT AS total_workdays,
+    max(CASE WHEN backdated = 0 THEN wd END)::BIGINT AS max_workdays
   FROM j GROUP BY 1)
-SELECT o_orderpriority, n_lines, total_workdays, max_workdays,
-  round(total_workdays::DOUBLE / n_lines::DOUBLE, 6) AS avg_workdays
+SELECT o_orderpriority, n_lines, n_backdated, total_workdays, max_workdays,
+  round(total_workdays::DOUBLE / nullif(n_lines, 0)::DOUBLE, 6) AS avg_workdays
 FROM a"""
   }
 

@@ -4525,6 +4525,129 @@ class OperatorSpec extends SparkSpec {
     assert(corpus.getLong(2) == 0L)
   }
 
+  test("workdayLatency: weekend-spanning cases count business days exactly (C105)") {
+    import graft.operators.Relational
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // 2020-01-03 = Friday. Fri->Mon is ONE business day (the weekend
+    // is free); Fri->Fri+7 is five; same-day is zero; Mon->Fri is 4.
+    val orders = Seq(
+      (1L, "P1", d("2020-01-03")), (2L, "P1", d("2020-01-03")),
+      (3L, "P2", d("2020-01-03")), (4L, "P2", d("2020-01-06")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq((1L, d("2020-01-06")), (2L, d("2020-01-10")),
+      (3L, d("2020-01-03")), (4L, d("2020-01-10")))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = Relational.workdayLatency(orders, li)
+      .select("o_orderpriority", "n_lines", "n_backdated", "total_workdays",
+        "max_workdays", "avg_workdays")
+      .as[(String, Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("P1") == (("P1", 2L, 0L, 6L, 5L, 3.0)), s"P1 ${got("P1")}")
+    assert(got("P2") == (("P2", 2L, 0L, 4L, 4L, 2.0)), s"P2 ${got("P2")}")
+    // backdated ship (a synthetic-feed reality): excluded + counted
+    val bd = Relational.workdayLatency(
+      Seq((9L, "P9", d("2020-01-10"))).toDF("o_orderkey", "o_orderpriority", "o_orderdate"),
+      Seq((9L, d("2020-01-06"))).toDF("l_orderkey", "l_shipdate"))
+      .select("n_lines", "n_backdated").as[(Long, Long)].head()
+    assert(bd == ((0L, 1L)), s"backdated $bd")
+    // corpus: replay a sample of latencies with java.time weekday walks
+    val sample = Tables.load(spark, sf, "orders").limit(50)
+    val liC = Tables.load(spark, sf, "lineitem")
+    val gotC = Relational.workdayLatency(sample, liC)
+      .select("o_orderpriority", "n_lines", "n_backdated", "total_workdays")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val joined = liC.join(sample.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+      .select(col("o_orderpriority"),
+        col("o_orderdate").cast("date").cast("string"),
+        col("l_shipdate").cast("date").cast("string"))
+      .as[(String, String, String)].collect()
+    def wd(a: String, b: String): Long = {
+      var c = 0L; var x = java.time.LocalDate.parse(a)
+      val end = java.time.LocalDate.parse(b)
+      while (x.isBefore(end)) {
+        if (x.getDayOfWeek.getValue <= 5) c += 1
+        x = x.plusDays(1)
+      }
+      c
+    }
+    val brute = joined.groupBy(_._1).view.mapValues { rs =>
+      val (ok, back) = rs.partition(r => r._3 >= r._2)
+      (ok.length.toLong, back.length.toLong, ok.map(r => wd(r._2, r._3)).sum)
+    }.toMap
+    assert(gotC == brute, s"corpus workday replay: $gotC vs $brute")
+  }
+
+  test("clusterSizes: histogram reconciles with the cluster labels and the corpus total (L120)") {
+    import graft.operators.Dedup
+    val got = Dedup.clusterSizes(documents)
+      .select("sz", "n_clusters", "n_docs", "doc_share_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    val total = documents.count()
+    assert(got.map(_._3).sum == total, "histogram must cover every doc")
+    // independent recount from the cluster labels
+    val brute = Dedup.dedupClusters(documents).groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz")).groupBy("sz").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.map(r => r._1 -> r._2).toMap == brute, "size cells drift from labels")
+    got.foreach { case (sz, nc, nd, ppm) =>
+      assert(nd == sz * nc)
+      assert(ppm == sz * nc * 1000000L / total)
+    }
+    // the corpus plants ~5% near-dups: singletons dominate, and at
+    // least one multi-doc cluster exists
+    assert(got.find(_._1 == 1L).exists(_._2 > total / 2))
+    assert(got.exists(_._1 >= 2L))
+  }
+
+  test("truncationLoss: planted counts hit exact ppm; loss is monotone in context (L121)") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "s", Seq.fill(100)("w").mkString(" ")),   // 100 tokens
+      (2L, "s", Seq.fill(300)("w").mkString(" ")))   // 300 tokens
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.truncationLoss(docs)
+      .select("ctx", "n_docs", "total_tokens", "kept_tokens", "n_truncated", "loss_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // ctx=128: doc2 loses 172 of 400 -> 430000 ppm, one truncated doc
+    assert(got(128L) == ((128L, 2L, 400L, 228L, 1L, 430000L)), s"${got(128L)}")
+    assert(got(512L) == ((512L, 2L, 400L, 400L, 0L, 0L)), s"${got(512L)}")
+    // corpus: per source, kept <= total and loss nonincreasing in ctx
+    val corpus = TextAnalysis.truncationLoss(documents)
+      .select("source", "ctx", "total_tokens", "kept_tokens", "loss_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    corpus.groupBy(_._1).foreach { case (src, rs) =>
+      val byCtx = rs.sortBy(_._2)
+      assert(byCtx.map(_._3).distinct.length == 1, s"$src total varies with ctx")
+      byCtx.foreach { r => assert(r._4 <= r._3) }
+      assert(byCtx.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+        s"$src loss not monotone: ${byCtx.map(_._5).toSeq}")
+    }
+  }
+
+  test("lexicalDiversity: planted ratios exact; corpus reconciles with term frequencies (L122)") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "s", "alpha beta alpha"), (2L, "s", "alpha gamma"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.lexicalDiversity(docs)
+      .select("n_tokens", "n_types", "n_hapax", "ttr_ppm", "hapax_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // tokens 5, types 3 (alpha x3, beta, gamma), hapax 2 (beta, gamma)
+    assert(got == ((5L, 3L, 2L, 600000L, 666666L)), s"got $got")
+    // corpus: bookkeeping from an independent token recount
+    val brute = documents
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("t"))
+      .where(length(col("t")) > 0)
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("nt"), count(lit(1)).as("ty"),
+        sum((col("c") === 1).cast("long")).as("h"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    TextAnalysis.lexicalDiversity(documents)
+      .select("source", "n_tokens", "n_types", "n_hapax")
+      .as[(String, Long, Long, Long)].collect().foreach { r =>
+        assert(brute(r._1) == ((r._2, r._3, r._4)), s"${r._1} drift")
+      }
+  }
+
   test("tvDrift: identical sources = 0, disjoint = 1, single source excluded (L117)") {
     import graft.operators.TextAnalysis
     def docs(rows: Seq[(Long, String, String)]) =

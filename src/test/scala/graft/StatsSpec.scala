@@ -575,6 +575,114 @@ class StatsSpec extends SparkSpec {
       assert(vyAdj <= vy * 1.05 + 1e-9, s"arm $arm: CUPED increased variance $vy -> $vyAdj") }
   }
 
+  test("mannWhitney: exact integer 2U replays per type; z pinned from the exact surface (C102)") {
+    def md5mw(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mw:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = events.select(col("event_type"), col("event_id"),
+      (graft.functions.Portable.dec(col("value")) * 100).cast("long").as("v"))
+      .as[(String, Long, Long)].collect()
+    val got = Stats.mannWhitney(events)
+      .select(col("event_type"), col("n0"), col("n1"), col("u2"),
+        col("var_num").cast("double"), col("var_den"))
+      .as[(String, Long, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    raw.groupBy(_._1).foreach { case (t, rs) =>
+      val armed = rs.map(r => (r._3, md5mw(r._2) % 2))
+      val all = armed.map(_._1).sorted
+      // doubled midrank of v = 2*(#strictly-below) + (#ties) + 1
+      def r2(v: Long) = 2L * all.count(_ < v) + all.count(_ == v) + 1
+      val arm1 = armed.filter(_._2 == 1).map(_._1)
+      val n1 = arm1.length.toLong; val n0 = all.length - n1
+      val u2 = arm1.map(r2).sum - n1 * (n1 + 1)
+      val r = got(t)
+      assert(r._2 == n0 && r._3 == n1, s"$t arm sizes ${r._2}/${r._3}")
+      assert(r._4 == u2, s"$t: u2 ${r._4} != $u2")
+      // exact variance surface replay (doubles exact at this scale)
+      val n = all.length.toLong
+      val tie3 = all.groupBy(identity).values.map { g =>
+        val c = g.length.toLong; c * c * c - c
+      }.sum
+      assert(r._5 == (n0 * n1).toDouble * (n * (n * n - 1) - tie3), s"$t var_num")
+      assert(r._6 == 12 * n * (n - 1), s"$t var_den")
+      // the float z is pinned HERE (all-integer hashed surface): finite,
+      // and |z| modest on a null A/B split
+      val z = (u2 - n0 * n1).toDouble / (2.0 * math.sqrt(r._5 / r._6))
+      assert(!z.isNaN && math.abs(z) < 10, s"$t z $z")
+    }
+    // both-arms-one-value degenerate: every rank ties -> u2 = n0*n1
+    // exactly (midranks), var carries only the tie-corrected term
+    val one = Seq(("t", 1L, 5.0), ("t", 2L, 5.0), ("t", 3L, 5.0), ("t", 4L, 5.0))
+      .toDF("event_type", "event_id", "value")
+    val d = Stats.mannWhitney(one)
+      .select(col("n0"), col("n1"), col("u2"), col("var_num").cast("double"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(d._3 == d._1 * d._2, s"all-tied u2 ${d._3}")
+    assert(d._4 == 0.0, "full-tie variance numerator must vanish")
+  }
+
+  test("anovaF: planted separation recovers the sequential F exactly; degenerates NULL (C103)") {
+    def ev(rows: Seq[(String, Long, Double)]) =
+      rows.zipWithIndex.map { case ((t, k, v), i) =>
+        (t, i.toLong, s"""{"k": $k}""", v)
+      }.toDF("event_type", "event_id", "props", "value")
+    // two channels, strongly separated means: 10.00 vs 30.00 cents-exact
+    val sep = ev((1 to 20).map(i => ("a", (i % 2).toLong, if (i % 2 == 0) 10.0 else 30.0)))
+    val g = Stats.anovaF(sep).select("k", "n").as[(Long, Long)].head()
+    assert(g._1 == 2 && g._2 == 20)
+    // zero within-group variance with nonzero between -> ssw = 0 -> NULL
+    assert(Stats.anovaF(sep).select(col("f_stat").isNull).head().getBoolean(0),
+      "perfect separation (ssw = 0) must NULL F, not overflow")
+    // noisy separation: replay the fixed-order double chain sequentially
+    val noisy = ev((1 to 40).map(i =>
+      ("a", (i % 4).toLong, 10.0 + (i % 4) * 5.0 + (i % 3))))
+    val rows = (1 to 40).map(i => ((i % 4).toLong, ((10.0 + (i % 4) * 5.0 + (i % 3)) * 100).toLong))
+    val n = rows.length.toLong; val s = rows.map(_._2).sum
+    val q = rows.map(r => r._2 * r._2).sum
+    val terms = (0 to 3).map { k =>
+      val g = rows.filter(_._1 == k); g.map(_._2).sum.toDouble / g.length * g.map(_._2).sum
+    }
+    val gterm = ((terms(0) + terms(1)) + terms(2)) + terms(3)
+    val ssb = gterm - s.toDouble / n * s
+    val ssw = q.toDouble - gterm
+    val expect = math.rint((ssb * (n - 4)) / (ssw * 3) * 1e6) / 1e6
+    val got = Stats.anovaF(noisy).select("k", "n", "s", "q", "f_stat")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((4L, n, s, q, expect)), s"got $got expect F=$expect")
+    // one-group degenerate: k = 1 -> NULL
+    val single = ev((1 to 5).map(i => ("a", 0L, i * 1.0)))
+    assert(Stats.anovaF(single).select(col("f_stat").isNull).head().getBoolean(0))
+    // corpus: F present, finite and nonnegative for every type
+    val corpus = Stats.anovaF(events).select("f_stat").na.drop()
+    assert(corpus.count() == Stats.anovaF(events).count(), "corpus F unexpectedly NULL")
+    corpus.as[Double].collect().foreach(f => assert(!f.isNaN && f >= 0.0))
+  }
+
+  test("assocRules: directed confidences replay from planted baskets; lift shared with C63 (C106)") {
+    // baskets: {a,b} x3, {a} x2, {b} x1 -> supp(a)=5, supp(b)=4, ab=3
+    val li = (Seq.fill(3)(Seq(101L, 102L)) ++ Seq.fill(2)(Seq(101L)) :+ Seq(102L))
+      .zipWithIndex.flatMap { case (items, b) => items.map(i => (b.toLong, i)) }
+      .toDF("l_orderkey", "l_partkey")
+    val got = Stats.assocRules(li)
+      .select("antecedent", "consequent", "support", "s_ante", "conf_ppm", "lift")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // conf(a->b) = 3/5, conf(b->a) = 3/4; lift = 3*6/(5*4) = 0.9
+    assert(got((101L, 102L)) == ((101L, 102L, 3L, 5L, 600000L, 0.9)), s"${got((101L, 102L))}")
+    assert(got((102L, 101L)) == ((102L, 101L, 3L, 4L, 750000L, 0.9)), s"${got((102L, 101L))}")
+    // corpus: every C63 pair appears in BOTH directions with its lift
+    val fp = Stats.frequentPairs(lineitem).select("p1", "p2", "support", "lift")
+      .as[(Long, Long, Long, Double)].collect()
+    val ar = Stats.assocRules(lineitem)
+      .select("antecedent", "consequent", "support", "lift")
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(ar.size == 2 * fp.length, "directed rule count must double the pair count")
+    fp.foreach { case (p1, p2, sup, lift) =>
+      assert(ar((p1, p2)) == ((sup, lift)) && ar((p2, p1)) == ((sup, lift)))
+    }
+  }
+
   test("rocAuc: separable = perfect, ties midpointed, nulls filtered, degenerate den = 0 (C101)") {
     def auc(rows: Seq[(Long, Int, Seq[Double])]) =
       Stats.rocAuc(rows.toDF("vec_id", "label", "embedding"))

@@ -109,4 +109,36 @@ class TimeSeriesSpec extends SparkSpec {
     val late = fit.takeRight(14).map(r => math.abs(r._2 - r._3)).max
     assert(late < early, s"seasonal fit did not improve: early $early late $late")
   }
+
+  test("acf: constant series NULLs out, planted alternation replays the exact ratio (C104)") {
+    import graft.operators.TimeSeries
+    def ev(counts: Seq[Long]) = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0L until c).map(j =>
+        (d.toLong * 1000 + j, new Timestamp((86400000L * d) + j * 1000), "t"))
+    }.toDF("event_id", "ts", "event_type")
+    // constant daily counts: every deviation is 0 -> den = 0 -> acf NULL
+    val const = TimeSeries.acf(ev(Seq.fill(10)(5L)))
+    assert(const.count() == 7L * 1)
+    assert(const.where(col("acf").isNotNull).count() == 0, "constant series must NULL acf")
+    // planted series: replay num/den exactly from first principles
+    val counts = Seq(10L, 2L, 9L, 3L, 8L, 4L, 7L, 5L, 6L, 1L)
+    val got = TimeSeries.acf(ev(counts))
+      .select(col("lag"), col("n_days"), col("n_pairs"),
+        col("acf_num").cast("double"), col("den").cast("double"), col("acf"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val n = counts.length.toLong; val sum0 = counts.sum
+    val e = counts.map(c => n * c - sum0)
+    val den = e.map(x => (x * x).toDouble).sum
+    (1 to 7).foreach { l =>
+      val pairs = (0 until counts.length - l).map(d => (e(d) * e(d + l)).toDouble)
+      val r = got(l.toLong)
+      assert(r._2 == n && r._3 == counts.length - l, s"lag $l bookkeeping")
+      assert(r._4 == pairs.sum, s"lag $l num ${r._4} != ${pairs.sum}")
+      assert(r._5 == den, s"lag $l den")
+      assert(r._6 == math.rint(pairs.sum / den * 1e6) / 1e6, s"lag $l acf")
+    }
+    // alternating sanity: lag-1 strongly negative, lag-2 positive
+    assert(got(1L)._6 < -0.5 && got(2L)._6 > 0.3, s"${got(1L)._6} / ${got(2L)._6}")
+  }
 }
