@@ -87,6 +87,42 @@ object Chat {
   def chatTurns(documents: DataFrame): DataFrame =
     parseChat(documents.select(col("doc_id"), transcriptCol.as("transcript")))
 
+  /** The L118 seam: user turns with their RAW content (chatTurns
+    * releases only the md5 — dedup needs the text itself). */
+  private[graft] def userTurns(documents: DataFrame): DataFrame = {
+    val pat = "<\\|([a-z]+)\\|>([^<]*)<\\|end\\|>"
+    documents.select(col("doc_id"), transcriptCol.as("transcript"))
+      .select(col("doc_id"),
+        regexp_extract_all(col("transcript"), lit(pat), lit(1)).as("roles"),
+        regexp_extract_all(col("transcript"), lit(pat), lit(2)).as("contents"))
+      .select(col("doc_id"), col("contents"), posexplode(col("roles")).as(Seq("i", "role")))
+      .where(col("role") === "user")
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("turn_idx"),
+        element_at(col("contents"), col("i") + 1).as("content"))
+  }
+
+  /** CTE body yielding (doc_id, turn_idx, content) for user turns —
+    * the SQL mirror of [[userTurns]], shared shape with chatTurnsSql's
+    * r/z/t prefix. */
+  private[graft] val userTurnsSql: String = {
+    val toksSql = "string_split_regex(lower(text), '\\s+')"
+    s"""WITH r AS (SELECT doc_id,
+    '<|system|>$SystemText<|end|>' ||
+    string_agg('<|' || (CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END) || '|>' ||
+      array_to_string(($toksSql)[((i - 1) * $ChunkToks + 1):(i * $ChunkToks)], ' ') ||
+      '<|end|>', '' ORDER BY i) AS transcript
+  FROM documents,
+    LATERAL unnest(generate_series(1, greatest(cast(ceil(len($toksSql)::DOUBLE / $ChunkToks) AS BIGINT), 1))) AS u(i)
+  GROUP BY doc_id, text),
+z AS (SELECT doc_id,
+    regexp_extract_all(transcript, '<\\|([a-z]+)\\|>([^<]*)<\\|end\\|>', 1) AS roles,
+    regexp_extract_all(transcript, '<\\|([a-z]+)\\|>([^<]*)<\\|end\\|>', 2) AS contents
+  FROM r),
+t AS (SELECT doc_id, i::BIGINT AS turn_idx, roles[i] AS role, contents[i] AS content
+  FROM z, LATERAL unnest(generate_series(1, len(roles))) AS u(i))
+SELECT doc_id, turn_idx, content FROM t WHERE role = 'user'"""
+  }
+
   val chatTurnsSql: String = {
     val toksSql = "string_split_regex(lower(text), '\\s+')"
     s"""WITH r AS (SELECT doc_id,

@@ -33,8 +33,9 @@ object Dedup {
       explode(expr("graft_shingles(split(lower(text), '\\\\s+'), 3)")).as("s"))
   }
 
-  private val shingleSqlCte =
-    s"sh AS (SELECT doc_id, unnest(${wordShinglesSql("string_split_regex(lower(text), '\\s+')", 3)}) AS s FROM documents)"
+  private def shingleSqlCteFor(rel: String) =
+    s"sh AS (SELECT doc_id, unnest(${wordShinglesSql("string_split_regex(lower(text), '\\s+')", 3)}) AS s FROM $rel)"
+  private val shingleSqlCte = shingleSqlCteFor("documents")
 
   /** Shingles as 60-bit md5 longs: the intersection joins shuffle 8-byte
     * keys instead of ~25-byte strings (≈2× less shuffle, long compares).
@@ -168,6 +169,54 @@ cands AS (
   FROM shh a JOIN rare r ON a.s = r.s JOIN shh b ON b.s = a.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $MinCooc),
 $exactJaccardSql"""
+
+  // ---- L118 (r10): SFT prompt near-dup — turn-level dedup ----
+  // Instruction-tuning dedup has a different UNIT than pretraining
+  // dedup: two SFT examples with distinct assistant answers but
+  // near-identical USER prompts still teach the same thing twice (and
+  // leak across train/eval splits at the prompt level) — so the dedup
+  // key is the user TURN, not the transcript. Pure composition: L92's
+  // parser yields the user turns, each (doc, turn) becomes a
+  // synthetic unit id (doc·1024 + idx — turn counts are ≤2·chunks,
+  // far under 1024 by the generator's own shape), and L2's df-capped
+  // n-gram Jaccard machinery runs unchanged over the turn corpus (all
+  // pruning inherited). Output pairs carry decoded doc ids and a
+  // cross-doc flag — the split-leakage signal. Scale = L2's; the turn
+  // corpus is a constant factor larger in rows, smaller in bytes/row.
+  def chatPromptDedup(documents: DataFrame): DataFrame = {
+    val turns = Chat.userTurns(documents)
+      .select((col("doc_id") * 1024 + col("turn_idx")).as("doc_id"),
+        col("content").as("text"))
+    ngramJaccard(turns)
+      .select(col("x"), col("y"),
+        expr("x div 1024").as("doc_x"), expr("y div 1024").as("doc_y"),
+        (expr("x div 1024") =!= expr("y div 1024")).cast("long").as("cross_doc"),
+        col("jaccard"))
+  }
+
+  lazy val chatPromptDedupSql: String =
+    s"""WITH ut AS (
+  SELECT doc_id * 1024 + turn_idx AS doc_id, content AS text
+  FROM (${graft.operators.Chat.userTurnsSql})),
+${shingleSqlCteFor("ut")},
+$shingleHashedSqlCte,
+rare AS (SELECT s FROM shh GROUP BY s HAVING count(*) <= $MaxDf),
+cands AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM shh a JOIN rare r ON a.s = r.s JOIN shh b ON b.s = a.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $MinCooc),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+common AS (
+  SELECT c.x, c.y, count(*) AS common
+  FROM cands c JOIN shh a ON a.doc_id = c.x JOIN shh b ON b.doc_id = c.y AND b.s = a.s
+  GROUP BY c.x, c.y),
+jp AS (
+  SELECT x, y, common / (sx.n + sy.n - common) AS jaccard
+  FROM common JOIN sizes sx ON sx.doc_id = x JOIN sizes sy ON sy.doc_id = y
+  WHERE common / (sx.n + sy.n - common) >= 0.5)
+SELECT x, y, x // 1024 AS doc_x, y // 1024 AS doc_y,
+  (x // 1024 <> y // 1024)::BIGINT AS cross_doc, jaccard
+FROM jp"""
 
   // ---- L115 (r9): dedup threshold sweep — the tuning readout ----
   // Before a 100 TB dedup run, the question is "what does τ cost":

@@ -141,6 +141,69 @@ SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events, min(ts) 
   max(ts) AS end_ts, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM numbered GROUP BY user_id, session_id"""
 
+  // ---- C108 (r10): session entry/exit paths + bounce rate ----
+  // The web-analytics staple C5 stops short of: where do sessions
+  // START, where do they END, and what share bounce (single-event
+  // sessions — the landing that converts nobody)? Per session the
+  // entry/exit events are one min/max struct pair (the C6 argmax
+  // idiom, (us, event_id) tiebreak — no ordered window beyond the C5
+  // pass already paid for); the report tallies (entry, exit) cells
+  // with bounce counts and each cell's exact ppm share of its entry's
+  // sessions. Alphabet²-bounded after the session aggregate; the one
+  // corpus pass is C5's (user) exchange.
+  def sessionPaths(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(unix_micros(col("ts")), 1).over(byUser)
+    val news = when(prev.isNull || unix_micros(col("ts")) - prev > 1800L * 1000000L, 1)
+      .otherwise(0)
+    val sess = events
+      .withColumn("new_s", news)
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("us"), col("event_id"), col("event_type"))).as("en"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("ex"))
+      .select(col("en.event_type").as("entry_type"),
+        col("ex.event_type").as("exit_type"),
+        (col("n_events") === 1).cast("long").as("bounce"))
+    val cells = sess.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("bounce")).as("n_bounces"))
+    val entryTot = cells.groupBy(col("entry_type"))
+      .agg(sum(col("n_sessions")).as("entry_sessions"))
+    cells.join(entryTot, "entry_type")
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+        col("n_bounces"),
+        expr("(n_sessions * 1000000L) div entry_sessions").as("entry_share_ppm"))
+  }
+
+  val sessionPathsSql: String =
+    """WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged),
+sess AS (
+  SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+    min(struct_pack(us := us, event_id := event_id, event_type := event_type)) AS en,
+    max(struct_pack(us := us, event_id := event_id, event_type := event_type)) AS ex
+  FROM numbered GROUP BY 1, 2),
+cells AS (
+  SELECT en.event_type AS entry_type, ex.event_type AS exit_type,
+    count(*)::BIGINT AS n_sessions,
+    sum((n_events = 1)::INT)::BIGINT AS n_bounces
+  FROM sess GROUP BY 1, 2),
+et AS (SELECT entry_type, sum(n_sessions)::BIGINT AS entry_sessions
+  FROM cells GROUP BY 1)
+SELECT c.entry_type, c.exit_type, c.n_sessions, c.n_bounces,
+  ((c.n_sessions * 1000000) // e.entry_sessions)::BIGINT AS entry_share_ppm
+FROM cells c JOIN et e USING (entry_type)"""
+
   // C5b: the same session semantics through Spark's native
   // session_window operator (merge-on-overlap): window end = last event
   // + gap, so end_ts = window.end - gap. Oracle shared with the
@@ -1977,6 +2040,80 @@ SELECT f.o_orderkey, f.key AS o_custkey, epoch_us(f.ts) AS order_us,
 FROM facts f LEFT JOIN dim d
   ON d.key = f.key AND d.valid_from <= f.ts
   AND (d.valid_to IS NULL OR f.ts < d.valid_to)"""
+
+  // ---- C107 (r10): bitemporal as-of — valid time × transaction time ----
+  // C82 answers "which version was TRUE at the fact's time"; the audit
+  // question regulators actually ask is two-dimensional: "what did we
+  // BELIEVE at reporting date T about what was true at time V?" — a
+  // late-arriving correction must change the y99 report without
+  // rewriting the y96 one (reproducibility of past reports, the
+  // bitemporal-warehouse contract). Dimension: C32's SCD2 versions
+  // with a transaction axis — every row records at its valid_from
+  // (tx = effect time), and keys ≡ 5 (mod 11) receive a LATE
+  // CORRECTION of their current segment 60 days after effect
+  // (tx = valid_from + 60 d; valid_to is modeled as an attribute of
+  // the version row — the segment FACT is what the tx axis tracks).
+  // Semantics per (fact, report date): among versions with
+  // tx_from ≤ tt and valid_from ≤ vt < valid_to, the LATEST KNOWLEDGE
+  // wins (argmax (tx_from, valid_from) — the C6 struct idiom on the
+  // INNER-matched frame only, so engine-specific NULL-struct ordering
+  // never arises; misses re-attach by left join). Plan: one key-keyed
+  // join with residual validity predicates (the C82 shape), a 2-row
+  // broadcast report-date grid, one argmax aggregate.
+  def bitemporalJoin(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val dim0 = scd2Merge(customer).withColumn("tx_from", col("valid_from"))
+    val corr = dim0.where(col("key") % 11 === 5 && col("is_current") === 1)
+      .select(col("key"), concat(col("segment"), lit("-corr")).as("segment"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        (col("valid_from") + expr("INTERVAL 60 DAYS")).as("tx_from"))
+    val dim = dim0.unionByName(corr)
+    val tts = Seq(("y96", "1996-01-01 00:00:00"), ("y99", "1999-01-01 00:00:00"))
+      .toDF("tt_label", "tt_s")
+      .select(col("tt_label"), to_timestamp(col("tt_s")).as("tt"))
+    val facts = orders.select(col("o_orderkey"), col("o_custkey").as("key"),
+      col("o_orderdate").cast("timestamp").as("vt"))
+      .crossJoin(broadcast(tts))
+    val matched = facts.join(dim,
+        facts("key") === dim("key") &&
+          dim("tx_from") <= facts("tt") &&
+          dim("valid_from") <= facts("vt") &&
+          (dim("valid_to").isNull || facts("vt") < dim("valid_to")))
+      .groupBy(col("o_orderkey"), col("tt_label"))
+      .agg(max(struct(col("tx_from"), col("valid_from"), col("segment"))).as("m"))
+      .select(col("o_orderkey"), col("tt_label"),
+        col("m.segment").as("segment"),
+        expr("unix_micros(m.tx_from)").as("knowledge_us"))
+    facts.select(col("o_orderkey"), col("tt_label"), expr("unix_micros(vt)").as("order_us"))
+      .join(matched, Seq("o_orderkey", "tt_label"), "left")
+  }
+
+  val bitemporalJoinSql: String =
+    s"""WITH base AS ($scd2MergeSql),
+dim0 AS (SELECT *, valid_from AS tx_from FROM base),
+corr AS (
+  SELECT key, segment || '-corr' AS segment, valid_from, valid_to, is_current,
+    valid_from + INTERVAL 60 DAY AS tx_from
+  FROM dim0 WHERE key % 11 = 5 AND is_current = 1),
+dim AS (SELECT * FROM dim0 UNION ALL SELECT * FROM corr),
+tts AS (SELECT 'y96' AS tt_label, TIMESTAMP '1996-01-01 00:00:00' AS tt
+  UNION ALL SELECT 'y99', TIMESTAMP '1999-01-01 00:00:00'),
+facts AS (
+  SELECT o_orderkey, o_custkey AS key, o_orderdate AS vt, tt_label, tt
+  FROM orders CROSS JOIN tts),
+matched AS (
+  SELECT f.o_orderkey, f.tt_label,
+    max(struct_pack(tx_from := d.tx_from, valid_from := d.valid_from,
+      segment := d.segment)) AS m
+  FROM facts f JOIN dim d ON d.key = f.key
+    AND d.tx_from <= f.tt AND d.valid_from <= f.vt
+    AND (d.valid_to IS NULL OR f.vt < d.valid_to)
+  GROUP BY 1, 2)
+SELECT f.o_orderkey, f.tt_label, epoch_us(f.vt) AS order_us,
+  m.m.segment AS segment, epoch_us(m.m.tx_from) AS knowledge_us
+FROM facts f LEFT JOIN matched m
+  ON m.o_orderkey = f.o_orderkey AND m.tt_label = f.tt_label"""
 
   // ---- C80 (r8): sequential pattern support — ordered type pairs ----
   // C42 counts ADJACENT trigrams; real sequence mining (the

@@ -1476,6 +1476,70 @@ FROM (
            list_transform(generate_series(1, 64), i -> a.mu[i] - b.mu[i])), 6) AS cdist2
   FROM d a JOIN d b ON a.label < b.label)"""
 
+  // ---- L119 (r10): embedding isotropy audit — per-dim variance ----
+  // The embedding-health readout beside L84 (cross-group drift) and
+  // L87 (the dominant axis itself): is variance spread across the
+  // space or collapsed into a few dimensions? Anisotropic embeddings
+  // degrade cosine retrieval (L6/L7) and make IVF cells (L16)
+  // elongated — this is the audit that says whether whitening is
+  // needed BEFORE an index is built. Diagonal readout: per-dimension
+  // variances λ_d (the L84 round-6 + DECIMAL(18,6) discipline,
+  // small-magnitude-safe per the C103 lesson), their trace/max/min,
+  // the argmax dimension, and the participation ratio (Σλ)²/Σλ² —
+  // d for perfectly isotropic, →1 for rank-collapse; products are
+  // rounded before subtraction (the L84 msq − ‖μ‖² idiom — no
+  // multiply-subtract float chain reaches the hash). Plan: ONE corpus
+  // scan into a (dim)-keyed moment aggregate (64 rows), everything
+  // after is dim-bounded.
+  def isotropyAudit(embeddings: DataFrame): DataFrame = {
+    val dims = embeddings.select(asD(col("embedding")).as("v"))
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"),
+        sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).as("s2"))
+      .select(col("pos"), col("n"),
+        round(col("s2").cast("double") / col("n"), 6).as("msq"),
+        round(col("s").cast("double") / col("n"), 6).as("m"))
+      .select(col("pos"), col("n"),
+        round(col("msq") - round(col("m") * col("m"), 6), 6).as("vr"))
+      .select(col("pos"), col("n"), col("vr").cast("decimal(18,6)").as("vd"),
+        round(col("vr") * col("vr"), 6).cast("decimal(18,6)").as("vd2"))
+    dims.agg(max(col("n")).as("n"), count(lit(1)).as("d"),
+        sum(col("vd")).as("trace"), max(col("vd")).as("max_var"),
+        min(col("vd")).as("min_var"),
+        max(struct(col("vd"), col("pos"))).as("top"),
+        sum(col("vd2")).as("sv2"))
+      .select(col("n"), col("d"), col("trace"), col("max_var"), col("min_var"),
+        (col("top.pos") + 1).cast("long").as("top_dim"),
+        round((col("trace").cast("double") * col("trace").cast("double")) /
+          nullif(col("sv2").cast("double"), lit(0.0)), 6).as("participation"))
+  }
+
+  val isotropyAuditSql: String =
+    """WITH ex AS (
+  SELECT i - 1 AS pos, v[i] AS x
+  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings), generate_series(1, 64) t(i)),
+mo AS (
+  SELECT pos, count(*)::BIGINT AS n,
+    sum(round(x, 6)::DECIMAL(18,6)) AS s,
+    sum(round(x * x, 6)::DECIMAL(18,6)) AS s2
+  FROM ex GROUP BY pos),
+vr AS (
+  SELECT pos, n,
+    round(round(s2::DOUBLE / n, 6)
+      - round(round(s::DOUBLE / n, 6) * round(s::DOUBLE / n, 6), 6), 6) AS vr
+  FROM mo),
+vq AS (SELECT pos, n, vr::DECIMAL(18,6) AS vd,
+  round(vr * vr, 6)::DECIMAL(18,6) AS vd2 FROM vr)
+SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS d,
+  sum(vd)::DECIMAL(18,6) AS trace,
+  max(vd)::DECIMAL(18,6) AS max_var, min(vd)::DECIMAL(18,6) AS min_var,
+  (max(struct_pack(vd := vd, pos := pos)).pos + 1)::BIGINT AS top_dim,
+  round((sum(vd)::DOUBLE * sum(vd)::DOUBLE) / nullif(sum(vd2)::DOUBLE, 0.0), 6)
+    AS participation
+FROM vq"""
+
   // ---- L87 (r7): top principal component — exact power iteration ----
   // The embedding-QA axis audit (which single direction carries the
   // most corpus variance, and how much): dominant-eigenvector scoring

@@ -3327,7 +3327,8 @@ class OperatorSpec extends SparkSpec {
       "q_cohen_kappa" -> "crossJoin(broadcast(single-row diagonal agreement)) — the tfidf/lm_score pattern",
       "q_acf" -> "crossJoin(broadcast(7-row lag grid)) over the POST-AGGREGATE calendar-bounded daily frame — the q_dedup_sweep pattern",
       "q_trunc_loss" -> "crossJoin(broadcast(3-row context-length grid)) over the per-doc token-count frame — the q_dedup_sweep pattern",
-      "q_cluster_sizes" -> "crossJoin(broadcast(single-row doc total)) — the tfidf/lm_score pattern")
+      "q_cluster_sizes" -> "crossJoin(broadcast(single-row doc total)) — the tfidf/lm_score pattern",
+      "q_bitemporal" -> "crossJoin(broadcast(2-row report-date grid)) — the q_trunc_loss bounded-grid pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -3441,6 +3442,7 @@ class OperatorSpec extends SparkSpec {
       ("q_contamination_near", "best_jaccard"), // |∩|/|∪| of exact counts
       ("q_dedup_minhash", "jaccard"),
       ("q_dedup_ngram", "jaccard"),
+      ("q_chat_dedup", "jaccard"),
       ("q_prefix_join", "jaccard"))
     val hashed = SparkEntry.oracleSql.keys.toSeq.sorted
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
@@ -4523,6 +4525,125 @@ class OperatorSpec extends SparkSpec {
       .agg(sum("debit_cents"), sum("credit_cents"), sum("net_cents")).head
     assert(corpus.getLong(0) == corpus.getLong(1))
     assert(corpus.getLong(2) == 0L)
+  }
+
+  test("bitemporalJoin: late corrections change later reports without rewriting earlier ones (C107)") {
+    import graft.operators.Relational
+    def d(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 5 ≡ 5 (mod 11): corrected at 1995-03-02; key 49 is BOTH a
+    // mover (x7) and corrected (49 mod 11 = 5); key 3 plain
+    val cust = Seq((3L, "S3"), (5L, "S5"), (49L, "S49"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (1L, 3L, d("1994-06-01 00:00:00")),   // before any validity
+      (2L, 5L, d("1995-06-01 00:00:00")),   // corrected era
+      (3L, 49L, d("1997-01-01 00:00:00")),  // base era of a mover
+      (4L, 49L, d("1998-07-15 00:00:00")))  // moved era
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = Relational.bitemporalJoin(orders, cust)
+      .select("o_orderkey", "tt_label", "segment")
+      .as[(Long, String, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // pre-validity facts are NULL under every report date
+    assert(got((1L, "y96")) == null && got((1L, "y99")) == null)
+    // the correction (tx 1995-03-02) is visible at BOTH report dates
+    assert(got((2L, "y96")) == "S5-corr" && got((2L, "y99")) == "S5-corr")
+    // the mover's base era: base segment wins at both dates (the
+    // correction targets the MOVED version, which isn't valid in 1997)
+    assert(got((3L, "y96")) == "S49" && got((3L, "y99")) == "S49")
+    // the moved era: invisible at y96 (move recorded 1998-06 > y96,
+    // base era closed), corrected at y99 — the bitemporal headline:
+    // y99 changed while y96 stayed exactly as it was reported
+    assert(got((4L, "y96")) == null, s"y96 ${got((4L, "y96"))}")
+    assert(got((4L, "y99")) == "moved-49-corr", s"y99 ${got((4L, "y99"))}")
+    // corpus: every (order, report date) appears exactly once
+    val ordersC = Tables.load(spark, sf, "orders")
+    val custC = Tables.load(spark, sf, "customer")
+    val gotC = Relational.bitemporalJoin(ordersC, custC)
+    assert(gotC.count() == 2 * ordersC.count())
+    assert(gotC.groupBy("o_orderkey", "tt_label").count()
+      .where(col("count") =!= 1).count() == 0)
+  }
+
+  test("sessionPaths: entry/exit/bounce cells replay; shares are exact ppm (C108)") {
+    import graft.operators.Relational
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (1L, 10L, ts(0), "view"), (2L, 10L, ts(10), "click"), // session 1
+      (3L, 10L, ts(100), "purchase"))                       // session 2: bounce
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Relational.sessionPaths(ev)
+      .select("entry_type", "exit_type", "n_sessions", "n_bounces", "entry_share_ppm")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("view", "click")) == ((1L, 0L, 1000000L)))
+    assert(got(("purchase", "purchase")) == ((1L, 1L, 1000000L)))
+    // corpus: totals reconcile with C5's session frame
+    val sess = Relational.sessionize(events).select("n_events").as[Long].collect()
+    val cells = Relational.sessionPaths(events)
+      .select("entry_type", "n_sessions", "n_bounces", "entry_share_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(cells.map(_._2).sum == sess.length, "session totals drift from C5")
+    assert(cells.map(_._3).sum == sess.count(_ == 1L), "bounce totals drift")
+    // per entry, truncated ppm shares sum to (1e6 − cells, 1e6]
+    cells.groupBy(_._1).foreach { case (e, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length, s"$e shares sum $s")
+    }
+  }
+
+  test("chatPromptDedup: shared prompts pair cross-doc with jaccard 1; ids decode (L118)") {
+    import graft.operators.Dedup
+    // docs 1 and 2 open with the same 12 tokens -> their user turn 1
+    // contents are byte-identical -> jaccard 1.0, cross-doc
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val tail1 = (1 to 12).map(i => s"aaa$i").mkString(" ")
+    val tail2 = (1 to 12).map(i => s"bbb$i").mkString(" ")
+    // 24 tokens = user chunk 1 + assistant chunk 2; doc 3 is unrelated
+    val docs = Seq(
+      (1L, shared + " " + tail1), (2L, shared + " " + tail2),
+      (3L, (1 to 24).map(i => s"zzz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.chatPromptDedup(docs)
+      .select("x", "y", "doc_x", "doc_y", "cross_doc", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1, s"expected exactly the planted pair, got ${got.toSeq}")
+    val p = got.head
+    assert(p._1 == 1 * 1024 + 2 && p._2 == 2 * 1024 + 2, s"unit ids $p")
+    assert(p._3 == 1L && p._4 == 2L && p._5 == 1L && p._6 == 1.0, s"pair $p")
+    // corpus: ids decode consistently and every pair clears the bar
+    val corpus = Dedup.chatPromptDedup(documents)
+      .select("x", "doc_x", "cross_doc", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(corpus.nonEmpty, "planted near-dup corpus must pair at the prompt level")
+    corpus.foreach { case (x, dx, _, j) =>
+      assert(x / 1024 == dx && j >= 0.5)
+    }
+    assert(corpus.exists(_._3 == 1L), "cross-doc prompt leakage must surface")
+  }
+
+  test("isotropyAudit: collapsed variance reads participation 1, uniform reads d (L119)") {
+    import graft.operators.Similarity
+    def emb(rows: Seq[Seq[Double]]) = rows.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    // all variance in dim 1: participation = 1, top_dim = 1
+    val collapsed = Similarity.isotropyAudit(emb(Seq(
+      Seq(1.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0))))
+      .select(col("d"), col("trace").cast("double"), col("top_dim"), col("participation"))
+      .as[(Long, Double, Long, Double)].head()
+    assert(collapsed == ((3L, 1.0, 1L, 1.0)), s"collapsed $collapsed")
+    // equal variance in all 4 dims: participation = d = 4; the argmax
+    // tie resolves to the highest dimension (struct max on (vd, pos))
+    val uniform = Similarity.isotropyAudit(emb(Seq(
+      Seq(1.0, 1.0, -1.0, -1.0), Seq(-1.0, -1.0, 1.0, 1.0))))
+      .select(col("d"), col("trace").cast("double"), col("top_dim"), col("participation"))
+      .as[(Long, Double, Long, Double)].head()
+    assert(uniform == ((4L, 4.0, 4L, 4.0)), s"uniform $uniform")
+    // corpus: participation within [1, d], trace positive
+    val c = Similarity.isotropyAudit(embeddings)
+      .select(col("d"), col("trace").cast("double"), col("participation"))
+      .as[(Long, Double, Double)].head()
+    assert(c._2 > 0 && c._3 >= 1.0 && c._3 <= c._1.toDouble, s"corpus $c")
   }
 
   test("workdayLatency: weekend-spanning cases count business days exactly (C105)") {
