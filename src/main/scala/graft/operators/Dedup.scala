@@ -170,6 +170,65 @@ cands AS (
   GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $MinCooc),
 $exactJaccardSql"""
 
+  // ---- L125 (r10): cross-source duplication matrix ----
+  // WHERE do the near-dups come from: a heavy diagonal cell means a
+  // source re-posts itself (template spam), a heavy off-diagonal cell
+  // means mirroring between sources — the triage readout that decides
+  // whether to drop a source, dedup within it, or dedup across a pair
+  // (the L115 sweep's spatial companion). Composition: L2's pair
+  // frame joins the doc→source map twice, cells canonicalize to
+  // (min, max) source order, and each cell carries its exact
+  // pairs-per-million-doc-pairs rate (n_pairs·1e6 div n_a·n_b — the
+  // normalization that makes a big source comparable to a small one).
+  // Source-alphabet²-bounded after two narrow id joins.
+  def sourceDupMatrix(documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    val cells = ngramJaccard(documents).select(col("x"), col("y"))
+      .join(src.select(col("doc_id").as("x"), col("source").as("sx")), "x")
+      .join(src.select(col("doc_id").as("y"), col("source").as("sy")), "y")
+      .select(least(col("sx"), col("sy")).as("source_a"),
+        greatest(col("sx"), col("sy")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("n_pairs"))
+    val nd = documents.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    cells
+      .join(nd.select(col("source").as("source_a"), col("nd").as("n_docs_a")), "source_a")
+      .join(nd.select(col("source").as("source_b"), col("nd").as("n_docs_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"),
+        (col("source_a") =!= col("source_b")).cast("long").as("cross_source"),
+        expr("(n_pairs * 1000000L) div (n_docs_a * n_docs_b)").as("rate_ppm"))
+  }
+
+  lazy val sourceDupMatrixSql: String =
+    s"""WITH $shingleSqlCte,
+$shingleHashedSqlCte,
+rare AS (SELECT s FROM shh GROUP BY s HAVING count(*) <= $MaxDf),
+cands AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM shh a JOIN rare r ON a.s = r.s JOIN shh b ON b.s = a.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $MinCooc),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+common AS (
+  SELECT c.x, c.y, count(*) AS common
+  FROM cands c JOIN shh a ON a.doc_id = c.x JOIN shh b ON b.doc_id = c.y AND b.s = a.s
+  GROUP BY c.x, c.y),
+jp AS (
+  SELECT x, y FROM common
+  JOIN sizes sx ON sx.doc_id = x JOIN sizes sy ON sy.doc_id = y
+  WHERE common / (sx.n + sy.n - common) >= 0.5),
+cells AS (
+  SELECT least(dx.source, dy.source) AS source_a,
+    greatest(dx.source, dy.source) AS source_b, count(*)::BIGINT AS n_pairs
+  FROM jp JOIN documents dx ON dx.doc_id = jp.x
+          JOIN documents dy ON dy.doc_id = jp.y
+  GROUP BY 1, 2),
+nd AS (SELECT source, count(*)::BIGINT AS nd FROM documents GROUP BY 1)
+SELECT c.source_a, c.source_b, c.n_pairs, na.nd AS n_docs_a, nb.nd AS n_docs_b,
+  (c.source_a <> c.source_b)::BIGINT AS cross_source,
+  ((c.n_pairs * 1000000) // (na.nd * nb.nd))::BIGINT AS rate_ppm
+FROM cells c JOIN nd na ON na.source = c.source_a
+JOIN nd nb ON nb.source = c.source_b"""
+
   // ---- L118 (r10): SFT prompt near-dup — turn-level dedup ----
   // Instruction-tuning dedup has a different UNIT than pretraining
   // dedup: two SFT examples with distinct assistant answers but

@@ -2041,6 +2041,46 @@ FROM facts f LEFT JOIN dim d
   ON d.key = f.key AND d.valid_from <= f.ts
   AND (d.valid_to IS NULL OR f.ts < d.valid_to)"""
 
+  // ---- C110 (r10): weekly activity profile — day-of-week × hour ----
+  // The capacity-planning / anomaly-baseline heatmap (when does the
+  // system actually get used): events per (dow, hour) cell with each
+  // cell's exact ppm share of the corpus and its distinct-user count.
+  // Integer calendar math off epoch micros (the C66 dow convention:
+  // (epoch_day + 4) mod 7, 0 = Sunday — both engines truncate
+  // identically on the positive domain); the corpus total is the one
+  // declared single-row broadcast. One (dow, hour) aggregate with
+  // map-side partials; 168 result rows at any scale.
+  def activityProfile(events: DataFrame): DataFrame = {
+    val D = 86400L * 1000000L
+    val H = 3600L * 1000000L
+    val us = expr("unix_micros(ts)")
+    val cells = events
+      .select(pmod(expr(s"unix_micros(ts) div ${D}L") + 4, lit(7)).as("dow"),
+        expr(s"pmod(unix_micros(ts), ${D}L) div ${H}L").as("hour"),
+        col("user_id"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"))
+    val tot = cells.agg(sum(col("n_events")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n_events"), col("n_users"),
+        expr("(n_events * 1000000L) div total").as("share_ppm"))
+  }
+
+  val activityProfileSql: String = {
+    val D = 86400L * 1000000L
+    val H = 3600L * 1000000L
+    s"""WITH cells AS (
+  SELECT ((epoch_us(ts) // $D + 4) % 7 + 7) % 7 AS dow,
+    (((epoch_us(ts) % $D) + $D) % $D) // $H AS hour,
+    count(*)::BIGINT AS n_events,
+    count(DISTINCT user_id)::BIGINT AS n_users
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(n_events)::BIGINT AS total FROM cells)
+SELECT dow, hour, n_events, n_users,
+  ((n_events * 1000000) // total)::BIGINT AS share_ppm
+FROM cells CROSS JOIN tot"""
+  }
+
   // ---- C107 (r10): bitemporal as-of — valid time × transaction time ----
   // C82 answers "which version was TRUE at the fact's time"; the audit
   // question regulators actually ask is two-dimensional: "what did we

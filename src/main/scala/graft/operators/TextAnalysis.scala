@@ -194,10 +194,17 @@ FROM agg"""
       .select(col("source"), explode(tokens(col("text"))).as("t"))
       .where(length(col("t")) > 0)
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    // n_doubletons funds the Chao1 richness estimate
+    // V + h1²/(2·h2) (how much vocabulary remains UNSEEN — the
+    // "is more data worth crawling" readout); the estimate itself is
+    // spec-pinned (its magnitude can exceed the round-6 safe band,
+    // the C103 lesson) — the exact h1/h2 surface is hashed.
     tf.groupBy(col("source"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
-        sum((col("c") === 1).cast("long")).as("n_hapax"))
+        sum((col("c") === 1).cast("long")).as("n_hapax"),
+        sum((col("c") === 2).cast("long")).as("n_doubletons"))
       .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        col("n_doubletons"),
         expr("(n_types * 1000000L) div n_tokens").as("ttr_ppm"),
         expr("(n_hapax * 1000000L) div n_types").as("hapax_ppm"))
   }
@@ -210,9 +217,10 @@ tf AS (SELECT source, t, count(*)::BIGINT AS c FROM tok
   WHERE length(t) > 0 GROUP BY source, t),
 agg AS (
   SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
-    sum((c = 1)::INT)::BIGINT AS n_hapax
+    sum((c = 1)::INT)::BIGINT AS n_hapax,
+    sum((c = 2)::INT)::BIGINT AS n_doubletons
   FROM tf GROUP BY source)
-SELECT source, n_tokens, n_types, n_hapax,
+SELECT source, n_tokens, n_types, n_hapax, n_doubletons,
   ((n_types * 1000000) // n_tokens)::BIGINT AS ttr_ppm,
   ((n_hapax * 1000000) // n_types)::BIGINT AS hapax_ppm
 FROM agg"""

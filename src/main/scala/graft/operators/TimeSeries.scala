@@ -200,9 +200,10 @@ FROM se"""
   // Plan: one corpus-touching daily aggregate, then a declared 7-row
   // grid fan-out and a self-equi-join of the CALENDAR-BOUNDED daily
   // frame on (type, day+ℓ) — post-aggregate volume, never raw events.
-  def acf(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
+  /** Shared C104/C109 core: per-type mean-centered daily deviations
+    * e_d = n·c_d − S (exact DECIMAL over the n² common denominator)
+    * plus the per-type denominator Σe². */
+  private def dailyDeviations(events: DataFrame): (DataFrame, DataFrame) = {
     val D = 86400L * 1000000L
     val d38 = "decimal(38,0)"
     val daily = events
@@ -216,6 +217,14 @@ FROM se"""
         (col("n_days").cast(d38) * col("c") - col("s")).as("e"))
     val den = dev.groupBy(col("event_type"), col("n_days"))
       .agg(sum(col("e") * col("e")).as("den"))
+    (dev, den)
+  }
+
+  def acf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val (dev, den) = dailyDeviations(events)
     val grid = (1L to 7L).toDF("lag")
     val num = dev.select(col("event_type"), col("day"), col("e"))
       .crossJoin(broadcast(grid))
@@ -256,6 +265,71 @@ num AS (
 SELECT n.event_type, n.lag, d.n_days, n.n_pairs, n.acf_num, d.den,
   round(n.acf_num::DOUBLE / nullif(d.den, 0)::DOUBLE, 6) AS acf
 FROM num n JOIN den d USING (event_type)"""
+  }
+
+  // ---- C109 (r10): cross-correlation — which series LEADS which ----
+  // C104 finds structure WITHIN a series; the operational question is
+  // BETWEEN them: do views at day d predict purchases at day d+ℓ (the
+  // positive-lag peak says a leads b by ℓ — the signal behind
+  // marketing-mix lag models and alerting precursors)? CCF over the
+  // SAME exact deviation frame as C104 (shared core): per ordered
+  // type pair (a ≠ b) and lag 0..7, num = Σ e_a(d)·e_b(d+ℓ) exact
+  // DECIMAL(38,0); normalization √(den_a·den_b) and the division are
+  // the only float ops, written in identical order on both engines.
+  // Plan: the pair×lag fan-out runs entirely on the calendar-bounded
+  // daily deviation frame (alphabet²·8 result rows); the corpus is
+  // touched once by the shared daily aggregate.
+  def ccf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (dev, den) = dailyDeviations(events)
+    val grid = (0L to 7L).toDF("lag")
+    val a = dev.select(col("event_type").as("type_a"), col("day"), col("e").as("ea"))
+    val b = dev.select(col("event_type").as("type_b"), col("day").as("day2"),
+      col("e").as("eb"))
+    val num = a.crossJoin(broadcast(grid))
+      .withColumn("day2", col("day") + col("lag"))
+      .join(b, "day2")
+      .where(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ea") * col("eb")).as("ccf_num"))
+    num
+      .join(den.select(col("event_type").as("type_a"), col("den").as("den_a")), "type_a")
+      .join(den.select(col("event_type").as("type_b"), col("den").as("den_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_pairs"),
+        col("ccf_num"),
+        round(col("ccf_num").cast("double") /
+          nullif(sqrt(col("den_a").cast("double") * col("den_b").cast("double")),
+            lit(0.0)), 6).as("ccf"))
+  }
+
+  val ccfSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH daily AS (
+  SELECT event_type,
+    (epoch_us(ts) - ((epoch_us(ts) % $D) + $D) % $D) // $D AS day,
+    count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS s
+  FROM daily GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day, t.n_days,
+    (t.n_days::HUGEINT * d.c - t.s) AS e
+  FROM daily d JOIN tot t USING (event_type)),
+den AS (SELECT event_type, sum(e * e)::DECIMAL(38,0) AS den
+  FROM dev GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, 7))::BIGINT AS lag),
+num AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, g.lag,
+    count(*)::BIGINT AS n_pairs, sum(a.e * b.e)::DECIMAL(38,0) AS ccf_num
+  FROM dev a CROSS JOIN grid g
+  JOIN dev b ON b.day = a.day + g.lag AND b.event_type <> a.event_type
+  GROUP BY 1, 2, 3)
+SELECT n.type_a, n.type_b, n.lag, n.n_pairs, n.ccf_num,
+  round(n.ccf_num::DOUBLE /
+    nullif(sqrt(da.den::DOUBLE * db.den::DOUBLE), 0.0), 6) AS ccf
+FROM num n JOIN den da ON da.event_type = n.type_a
+JOIN den db ON db.event_type = n.type_b"""
   }
 
   // ---- C69 (r8): CUSUM change-point detection — integer-exact ----

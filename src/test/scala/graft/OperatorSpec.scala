@@ -3328,7 +3328,9 @@ class OperatorSpec extends SparkSpec {
       "q_acf" -> "crossJoin(broadcast(7-row lag grid)) over the POST-AGGREGATE calendar-bounded daily frame — the q_dedup_sweep pattern",
       "q_trunc_loss" -> "crossJoin(broadcast(3-row context-length grid)) over the per-doc token-count frame — the q_dedup_sweep pattern",
       "q_cluster_sizes" -> "crossJoin(broadcast(single-row doc total)) — the tfidf/lm_score pattern",
-      "q_bitemporal" -> "crossJoin(broadcast(2-row report-date grid)) — the q_trunc_loss bounded-grid pattern")
+      "q_bitemporal" -> "crossJoin(broadcast(2-row report-date grid)) — the q_trunc_loss bounded-grid pattern",
+      "q_activity_profile" -> "crossJoin(broadcast(single-row corpus total)) over the 168-row cell frame — the tfidf/lm_score pattern",
+      "q_ccf" -> "crossJoin(broadcast(8-row lag grid)) over the POST-AGGREGATE daily deviation frame — the q_acf pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -4527,6 +4529,56 @@ class OperatorSpec extends SparkSpec {
     assert(corpus.getLong(2) == 0L)
   }
 
+  test("activityProfile: planted cells land on the C66 dow convention; shares exact (C110)") {
+    import graft.operators.Relational
+    // epoch day 0 = Thursday -> dow 4 (0 = Sunday); day 3 = Sunday
+    val ev = Seq(
+      (1L, 10L, new java.sql.Timestamp(30L * 60000)),            // Thu 00:30
+      (2L, 10L, new java.sql.Timestamp(30L * 60000 + 1000)),     // Thu 00:30
+      (3L, 20L, new java.sql.Timestamp(3L * 86400000 + 23L * 3600000))) // Sun 23:00
+      .toDF("event_id", "user_id", "ts")
+    val got = Relational.activityProfile(ev)
+      .select("dow", "hour", "n_events", "n_users", "share_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got((4L, 0L)) == ((4L, 0L, 2L, 1L, 666666L)), s"${got((4L, 0L))}")
+    assert(got((0L, 23L)) == ((0L, 23L, 1L, 1L, 333333L)), s"${got((0L, 23L))}")
+    // corpus: totals reconcile, cells in range, shares sum to ~1e6
+    val corpus = Relational.activityProfile(events)
+      .select("dow", "hour", "n_events", "share_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.map(_._3).sum == events.count())
+    corpus.foreach { case (d, h, _, _) =>
+      assert(d >= 0 && d <= 6 && h >= 0 && h <= 23) }
+    val s = corpus.map(_._4).sum
+    assert(s <= 1000000L && s > 1000000L - corpus.length, s"shares sum $s")
+  }
+
+  test("sourceDupMatrix: planted within/cross cells, rates exact; corpus reconciles (L125)") {
+    import graft.operators.Dedup
+    val t1 = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 10).map(i => s"beta$i").mkString(" ")
+    val docs = Seq((1L, "s1", t1), (2L, "s2", t1), (3L, "s1", t2), (4L, "s1", t2))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceDupMatrix(docs)
+      .select("source_a", "source_b", "n_pairs", "n_docs_a", "n_docs_b",
+        "cross_source", "rate_ppm")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("s1", "s2")) == (("s1", "s2", 1L, 3L, 1L, 1L, 333333L)), s"${got(("s1", "s2"))}")
+    assert(got(("s1", "s1")) == (("s1", "s1", 1L, 3L, 3L, 0L, 111111L)), s"${got(("s1", "s1"))}")
+    // corpus: cells reconcile with an independent pair-source recount
+    val srcMap = documents.select("doc_id", "source").as[(Long, String)].collect().toMap
+    val brute = Dedup.ngramJaccard(documents).select("x", "y").as[(Long, Long)].collect()
+      .map { case (x, y) =>
+        val (a, b) = (srcMap(x), srcMap(y))
+        (if (a <= b) a else b, if (a <= b) b else a)
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cells = Dedup.sourceDupMatrix(documents)
+      .select("source_a", "source_b", "n_pairs")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cells == brute, "matrix cells drift from the pair frame")
+  }
+
   test("bitemporalJoin: late corrections change later reports without rewriting earlier ones (C107)") {
     import graft.operators.Relational
     def d(s: String) = java.sql.Timestamp.valueOf(s)
@@ -4746,13 +4798,25 @@ class OperatorSpec extends SparkSpec {
 
   test("lexicalDiversity: planted ratios exact; corpus reconciles with term frequencies (L122)") {
     import graft.operators.TextAnalysis
-    val docs = Seq((1L, "s", "alpha beta alpha"), (2L, "s", "alpha gamma"))
+    val docs = Seq((1L, "s", "alpha beta alpha"), (2L, "s", "alpha gamma beta"))
       .toDF("doc_id", "source", "text")
     val got = TextAnalysis.lexicalDiversity(docs)
-      .select("n_tokens", "n_types", "n_hapax", "ttr_ppm", "hapax_ppm")
-      .as[(Long, Long, Long, Long, Long)].head()
-    // tokens 5, types 3 (alpha x3, beta, gamma), hapax 2 (beta, gamma)
-    assert(got == ((5L, 3L, 2L, 600000L, 666666L)), s"got $got")
+      .select("n_tokens", "n_types", "n_hapax", "n_doubletons", "ttr_ppm", "hapax_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // tokens 6, types 3 (alpha x3, beta x2, gamma), hapax 1, doubleton 1
+    assert(got == ((6L, 3L, 1L, 1L, 500000L, 333333L)), s"got $got")
+    // the Chao1 richness estimate is pinned HERE from the exact
+    // hashed surface (V + h1²/(2·h2)): 3 + 1/2 = 3.5
+    assert(got._2 + got._3.toDouble * got._3 / (2.0 * got._4) == 3.5)
+    // corpus: chao1 >= observed vocabulary wherever h2 > 0
+    TextAnalysis.lexicalDiversity(documents)
+      .select("n_types", "n_hapax", "n_doubletons")
+      .as[(Long, Long, Long)].collect().foreach { case (v, h1, h2) =>
+        if (h2 > 0) {
+          val chao1 = v + h1.toDouble * h1 / (2.0 * h2)
+          assert(chao1 >= v, s"chao1 $chao1 below observed $v")
+        }
+      }
     // corpus: bookkeeping from an independent token recount
     val brute = documents
       .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("t"))

@@ -141,4 +141,33 @@ class TimeSeriesSpec extends SparkSpec {
     // alternating sanity: lag-1 strongly negative, lag-2 positive
     assert(got(1L)._6 < -0.5 && got(2L)._6 > 0.3, s"${got(1L)._6} / ${got(2L)._6}")
   }
+
+  test("ccf: a series shifted by two days reads ccf = 1 at lag 2 (C109)") {
+    import graft.operators.TimeSeries
+    def ev(t: String, counts: Seq[Long], dayOff: Long) =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0L until c).map(j =>
+          (t.hashCode.toLong * 100000 + (d + dayOff) * 1000 + j,
+            new Timestamp(86400000L * (d + dayOff) + j * 1000), t))
+      }
+    val counts = Seq(5L, 1L, 4L, 2L, 3L)
+    val df = (ev("a", counts, 0) ++ ev("b", counts, 2))
+      .toDF("event_id", "ts", "event_type")
+    val got = TimeSeries.ccf(df)
+      .select("type_a", "type_b", "lag", "n_pairs", "ccf")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    // b IS a shifted +2: every a-day pairs, deviations identical ->
+    // exact correlation 1 at lag 2 (den_a = den_b = num)
+    assert(got(("a", "b", 2L)) == ((5L, 1.0)), s"${got(("a", "b", 2L))}")
+    // the reverse direction at lag 2 overlaps on one day only
+    // (b spans days 2..6, a spans 0..4 — b's day 2 meets a's day 4)
+    assert(got(("b", "a", 2L))._1 == 1L)
+    // corpus: |ccf| bounded by 1 + rounding slack, both directions present
+    val corpus = TimeSeries.ccf(events.withColumn("event_type",
+        concat(lit("t"), col("user_id") % 3)))
+      .select("ccf").as[Double].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(c => assert(math.abs(c) <= 1.000001, s"ccf $c out of range"))
+  }
 }
