@@ -719,6 +719,13 @@ WHERE score >= $RlThreshold""" // threshold 900: near-name + both agreements (13
     // (measured 1.93 s -> the checkpoint collapses it to one pass, and
     // the now-tiny edge frame lets AQE broadcast the downstream joins)
     val e = simhashDedup(documents).select(col("x"), col("y")).localCheckpoint() // canonical x < y
+    trianglesFrom(e)
+  }
+
+  /** C38's degree-oriented enumeration over an explicit canonical
+    * (x < y) edge frame — split out so L126 can score the SAME edges
+    * it counts wedges on. */
+  private def trianglesFrom(e: DataFrame): DataFrame = {
     val deg = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = e
@@ -745,6 +752,45 @@ WHERE score >= $RlThreshold""" // threshold 900: near-name + both agreements (13
 e AS (SELECT x, y FROM pairs)
 SELECT e1.x AS a, e1.y AS b, e2.y AS c
 FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y"""
+
+  // ---- L126 (r10): wedge closure — transitivity of the dup graph ----
+  // Dedup treats "near-dup" as if it were transitive (L19 clusters by
+  // connected components); this measures how true that is: the global
+  // clustering coefficient 3·triangles / wedges. High closure says
+  // components are near-cliques (CC clustering is safe — the L19
+  // premise); low closure says chains/stars dominate and CC is
+  // merging documents that never directly matched (threshold too low,
+  // or a hub doc bridging unrelated groups — exactly the failure the
+  // L115 sweep tunes against). Wedges = Σ d(d−1)/2 from the degree
+  // frame (integer, node-bounded); triangles from the SAME checkpointed
+  // edge frame via C38's oriented enumeration; closure as exact ppm.
+  def wedgeClosure(documents: DataFrame): DataFrame = {
+    val e = simhashDedup(documents).select(col("x"), col("y")).localCheckpoint()
+    val deg = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val base = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d * (d - 1)) div 2").as("wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val tri = trianglesFrom(e).agg(count(lit(1)).as("n_triangles"))
+    base.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("wedges"), col("n_triangles"),
+        expr("(3 * n_triangles * 1000000L) div nullif(wedges, 0)").as("closure_ppm"))
+  }
+
+  lazy val wedgeClosureSql: String =
+    s"""WITH pairs AS ($simhashDedupSql),
+e AS (SELECT x, y FROM pairs),
+deg AS (SELECT v, count(*)::BIGINT AS d FROM (
+  SELECT x AS v FROM e UNION ALL SELECT y FROM e) GROUP BY v),
+base AS (SELECT count(*)::BIGINT AS n_nodes,
+  (sum(d * (d - 1)) // 2)::BIGINT AS wedges FROM deg),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+tri AS (SELECT count(*)::BIGINT AS n_triangles FROM (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y))
+SELECT n_nodes, n_edges, wedges, n_triangles,
+  ((3 * n_triangles * 1000000) // nullif(wedges, 0))::BIGINT AS closure_ppm
+FROM base CROSS JOIN ne CROSS JOIN tri"""
 
   // ---- C39: PageRank over the dup-pair graph (integer fixed-point) ----
   // The third graph primitive beside CC and triangles: rank within a

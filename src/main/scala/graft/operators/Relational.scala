@@ -2041,6 +2041,152 @@ FROM facts f LEFT JOIN dim d
   ON d.key = f.key AND d.valid_from <= f.ts
   AND (d.valid_to IS NULL OR f.ts < d.valid_to)"""
 
+  // ---- C112 (r10): repeat-purchase intervals — inter-order gaps ----
+  // The retention metric RFM (C85) can't see: HOW OFTEN does a
+  // customer come back, per segment — the number replenishment
+  // campaigns and churn-risk windows are tuned to. Gap = days between
+  // a customer's consecutive orders ((o_orderdate, o_orderkey)-ordered
+  // lag, exact integer days); per segment the report is count, avg
+  // (one division), and exact interpolated p50/p90 (the C13
+  // percentile ↔ quantile_cont pairing; C25's GK sketch is the
+  // declared 100× path). One (customer) ordered pass over ORDERS (a
+  // per-customer frame, bounded), one segment rollup.
+  def repurchaseIntervals(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev")).cast("long").as("gap_days"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("segment")), "o_custkey")
+    gaps.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_days")).as("total_days"),
+        round(expr("percentile(gap_days, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(gap_days, 0.9)"), 4).as("p90_days"))
+      .select(col("segment"), col("n_gaps"), col("total_days"),
+        round(col("total_days").cast("double") / col("n_gaps").cast("double"), 6)
+          .as("avg_days"),
+        col("p50_days"), col("p90_days"))
+  }
+
+  val repurchaseIntervalsSql: String =
+    """WITH g AS (
+  SELECT o_custkey,
+    date_diff('day', lag(o_orderdate) OVER w, o_orderdate)::BIGINT AS gap_days
+  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+j AS (
+  SELECT c.c_mktsegment AS segment, g.gap_days
+  FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+  WHERE g.gap_days IS NOT NULL),
+a AS (
+  SELECT segment, count(*)::BIGINT AS n_gaps, sum(gap_days)::BIGINT AS total_days,
+    round(quantile_cont(gap_days, 0.5), 4) AS p50_days,
+    round(quantile_cont(gap_days, 0.9), 4) AS p90_days
+  FROM j GROUP BY segment)
+SELECT segment, n_gaps, total_days,
+  round(total_days::DOUBLE / n_gaps::DOUBLE, 6) AS avg_days, p50_days, p90_days
+FROM a"""
+
+  // ---- C113 (r10): new-vs-returning daily split ----
+  // The growth-accounting readout every product dashboard leads with:
+  // per day, how much activity comes from users seeing the product
+  // for the FIRST time vs returners — acquisition spikes with no
+  // returning base are churn in disguise. First-touch day is one
+  // per-user min aggregate (the fit-side frame, user-bounded); the
+  // daily split is a second aggregate after one user-keyed join.
+  // Exact integers + ppm; day math is the C66 epoch-day convention.
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val D = 86400L * 1000000L
+    val days = events.select(col("user_id"),
+      expr(s"unix_micros(ts) div ${D}L").as("day"))
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    days.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("day") === col("first_day")).cast("long")).as("n_events_new"),
+        count_distinct(when(col("day") === col("first_day"), col("user_id")))
+          .as("n_new_users"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(col("day"), col("n_events"), col("n_events_new"),
+        col("n_new_users"), col("n_users"),
+        (col("n_users") - col("n_new_users")).as("n_returning_users"),
+        expr("(n_events_new * 1000000L) div n_events").as("new_share_ppm"))
+  }
+
+  val newVsReturningSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH days AS (
+  SELECT user_id, epoch_us(ts) // $D AS day FROM events),
+f AS (SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id),
+a AS (
+  SELECT day, count(*)::BIGINT AS n_events,
+    sum((day = first_day)::INT)::BIGINT AS n_events_new,
+    count(DISTINCT CASE WHEN day = first_day THEN d.user_id END)::BIGINT AS n_new_users,
+    count(DISTINCT d.user_id)::BIGINT AS n_users
+  FROM days d JOIN f USING (user_id) GROUP BY day)
+SELECT day, n_events, n_events_new, n_new_users, n_users,
+  (n_users - n_new_users)::BIGINT AS n_returning_users,
+  ((n_events_new * 1000000) // n_events)::BIGINT AS new_share_ppm
+FROM a"""
+  }
+
+  // ---- C115 (r10): top-N per group with OTHERS rollup ----
+  // The reporting idiom plain top-k (C3) leaves half-finished: a
+  // stakeholder table shows the top 3 parts per brand AND one OTHER
+  // row carrying everything else — dropping the tail silently
+  // misstates the brand total (the C99 ABC lesson in miniature).
+  // Ranking runs over the POST-AGGREGATE (brand, part) frame
+  // (catalog-bounded, (cents DESC, partkey) total order per brand);
+  // the OTHER rollup is one conditional re-aggregate — rank 0, NULL
+  // part. Exact cents; per-row ppm share of the brand total.
+  private val TopOthersN = 3
+
+  def topWithOthers(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val per = lineitem
+      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand")), "l_partkey")
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("cents").desc, col("l_partkey"))
+    val ranked = per.withColumn("rk", row_number().over(w))
+    val shaped = ranked
+      .select(col("p_brand"),
+        when(col("rk") <= TopOthersN, col("rk").cast("long")).otherwise(0L).as("rank"),
+        when(col("rk") <= TopOthersN, col("l_partkey")).otherwise(lit(null).cast("long"))
+          .as("partkey"),
+        col("cents"))
+      .groupBy(col("p_brand"), col("rank"), col("partkey"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_parts"))
+    val tot = per.groupBy(col("p_brand")).agg(sum(col("cents")).as("brand_cents"))
+    shaped.join(tot, "p_brand")
+      .select(col("p_brand"), col("rank"), col("partkey"), col("n_parts"),
+        col("cents"), col("brand_cents"),
+        expr("(cents * 1000000L) div brand_cents").as("share_ppm"))
+  }
+
+  val topWithOthersSql: String =
+    s"""WITH per AS (
+  SELECT p.p_brand, l.l_partkey,
+    (sum(l_extendedprice::DECIMAL(18,2)) * 100)::BIGINT AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_brand ORDER BY cents DESC, l_partkey) AS rk
+  FROM per),
+shaped AS (
+  SELECT p_brand,
+    (CASE WHEN rk <= $TopOthersN THEN rk ELSE 0 END)::BIGINT AS rank,
+    CASE WHEN rk <= $TopOthersN THEN l_partkey END AS partkey,
+    sum(cents)::BIGINT AS cents, count(*)::BIGINT AS n_parts
+  FROM ranked GROUP BY 1, 2, 3),
+tot AS (SELECT p_brand, sum(cents)::BIGINT AS brand_cents FROM per GROUP BY 1)
+SELECT s.p_brand, s.rank, s.partkey, s.n_parts, s.cents, t.brand_cents,
+  ((s.cents * 1000000) // t.brand_cents)::BIGINT AS share_ppm
+FROM shaped s JOIN tot t USING (p_brand)"""
+
   // ---- C110 (r10): weekly activity profile — day-of-week × hour ----
   // The capacity-planning / anomaly-baseline heatmap (when does the
   // system actually get used): events per (dow, hour) cell with each

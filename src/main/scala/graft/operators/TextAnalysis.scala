@@ -225,6 +225,61 @@ SELECT source, n_tokens, n_types, n_hapax, n_doubletons,
   ((n_hapax * 1000000) // n_types)::BIGINT AS hapax_ppm
 FROM agg"""
 
+  // ---- L128 (r10): head coverage — vocabulary size for 90% of tokens ----
+  // The tokenizer-design readout L35 (top-V vocab) presumes an answer
+  // to: HOW MANY types does it take to cover 90% of a source's token
+  // mass? A heavy head (tiny V covers most tokens) says a small vocab
+  // suffices and the tail is OOV-able (L47's rate stays low); a flat
+  // curve says the source needs subword coverage. Exact integer
+  // decision: the cumulative window runs over the POST-AGGREGATE
+  // per-source term frame ((count DESC, token) total order —
+  // vocab-bounded per source, the C99 ABC machinery on text), the
+  // 90% boundary is the cross-multiplied predicate cum·10 ≥ total·9
+  // (no float in a predicate), and the released number is the FIRST
+  // rank crossing it.
+  def vocabCoverage(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .where(length(col("t")) > 0)
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("t"))
+    val tot = Window.partitionBy(col("source"))
+    tf.withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+      .withColumn("total", sum(col("c")).over(tot))
+      .withColumn("n_types", count(lit(1)).over(tot))
+      .where(col("cum") * 10 >= col("total") * 9)
+      .groupBy(col("source"), col("total"), col("n_types"))
+      .agg(min(col("rk")).as("types_for_90pct"))
+      .select(col("source"), col("n_types"), col("total").as("n_tokens"),
+        col("types_for_90pct"),
+        expr("(types_for_90pct * 1000000L) div n_types").as("head_share_ppm"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+  FROM documents),
+tf AS (SELECT source, t, count(*)::BIGINT AS c FROM tok
+  WHERE length(t) > 0 GROUP BY source, t),
+rk AS (
+  SELECT source, c,
+    row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS rk,
+    sum(c) OVER (PARTITION BY source ORDER BY c DESC, t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+    sum(c) OVER (PARTITION BY source)::BIGINT AS total,
+    count(*) OVER (PARTITION BY source)::BIGINT AS n_types
+  FROM tf),
+x AS (
+  SELECT source, total, n_types, min(rk)::BIGINT AS types_for_90pct
+  FROM rk WHERE cum * 10 >= total * 9
+  GROUP BY 1, 2, 3)
+SELECT source, n_types, total AS n_tokens, types_for_90pct,
+  ((types_for_90pct * 1000000) // n_types)::BIGINT AS head_share_ppm
+FROM x"""
+
   // ---- L33: real BPE encoding (greedy merge-rule tokenization) ----
   // The actual BPE inference loop over [[graft.functions.Bpe.Merges]]
   // — L10's regex count stays as the cheap proxy; this is the real

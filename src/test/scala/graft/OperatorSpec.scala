@@ -3330,7 +3330,8 @@ class OperatorSpec extends SparkSpec {
       "q_cluster_sizes" -> "crossJoin(broadcast(single-row doc total)) — the tfidf/lm_score pattern",
       "q_bitemporal" -> "crossJoin(broadcast(2-row report-date grid)) — the q_trunc_loss bounded-grid pattern",
       "q_activity_profile" -> "crossJoin(broadcast(single-row corpus total)) over the 168-row cell frame — the tfidf/lm_score pattern",
-      "q_ccf" -> "crossJoin(broadcast(8-row lag grid)) over the POST-AGGREGATE daily deviation frame — the q_acf pattern")
+      "q_ccf" -> "crossJoin(broadcast(8-row lag grid)) over the POST-AGGREGATE daily deviation frame — the q_acf pattern",
+      "q_wedge_closure" -> "crossJoin(broadcast(single-row edge count + single-row triangle count)) — the q_modularity pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -4527,6 +4528,128 @@ class OperatorSpec extends SparkSpec {
       .agg(sum("debit_cents"), sum("credit_cents"), sum("net_cents")).head
     assert(corpus.getLong(0) == corpus.getLong(1))
     assert(corpus.getLong(2) == 0L)
+  }
+
+  test("repurchaseIntervals: planted gaps hit exact percentiles per segment (C112)") {
+    import graft.operators.Relational
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, 1L, d("2020-01-01")), (2L, 1L, d("2020-01-11")), (3L, 1L, d("2020-02-10")),
+      (4L, 2L, d("2020-01-01")))  // single order: no gap
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((1L, "A"), (2L, "A")).toDF("c_custkey", "c_mktsegment")
+    val got = Relational.repurchaseIntervals(orders, cust)
+      .select("segment", "n_gaps", "total_days", "avg_days", "p50_days", "p90_days")
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    // gaps 10 and 30: p50 interpolates to 20, p90 to 10 + 0.9·20 = 28
+    assert(got == (("A", 2L, 40L, 20.0, 20.0, 28.0)), s"got $got")
+    // corpus: gaps nonnegative, totals replay from a lag recount
+    val ordersC = Tables.load(spark, sf, "orders")
+    val custC = Tables.load(spark, sf, "customer")
+    val gotC = Relational.repurchaseIntervals(ordersC, custC)
+      .select("segment", "n_gaps", "total_days").as[(String, Long, Long)].collect()
+    val perCust = ordersC.select("o_custkey", "o_orderdate", "o_orderkey")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .groupBy(_._1).view.mapValues { rs =>
+        val ds = rs.sortBy(r => (r._2.getTime, r._3)).map(_._2.getTime / 86400000L)
+        ds.zip(ds.drop(1)).map { case (a, b) => b - a }
+      }.toMap
+    val seg = custC.select("c_custkey", "c_mktsegment").as[(Long, String)].collect().toMap
+    val brute = perCust.toSeq.flatMap { case (c, gs) => gs.map(g => (seg(c), g)) }
+      .groupBy(_._1).view.mapValues(gs => (gs.length.toLong, gs.map(_._2).sum)).toMap
+    gotC.foreach { case (s, n, t) => assert(brute(s) == ((n, t)), s"$s drift") }
+  }
+
+  test("newVsReturning: first-touch day splits events and users exactly (C113)") {
+    import graft.operators.Relational
+    def ts(day: Long, j: Long) = new java.sql.Timestamp(day * 86400000L + j * 1000)
+    val ev = Seq(
+      (1L, 1L, ts(0, 0)), (2L, 1L, ts(0, 1)), (3L, 1L, ts(1, 0)), (4L, 2L, ts(1, 0)))
+      .toDF("event_id", "user_id", "ts")
+    val got = Relational.newVsReturning(ev)
+      .select("day", "n_events", "n_events_new", "n_new_users", "n_users",
+        "n_returning_users", "new_share_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 2L, 2L, 1L, 1L, 0L, 1000000L)), s"${got(0L)}")
+    assert(got(1L) == ((1L, 2L, 1L, 1L, 2L, 1L, 500000L)), s"${got(1L)}")
+    // corpus: every user is new exactly once; event totals reconcile
+    val corpus = Relational.newVsReturning(events)
+      .select("n_events", "n_new_users").as[(Long, Long)].collect()
+    assert(corpus.map(_._1).sum == events.count())
+    assert(corpus.map(_._2).sum == events.select("user_id").distinct().count())
+  }
+
+  test("topWithOthers: top-3 rows + OTHER tail conserve the brand total (C115)") {
+    import graft.operators.Relational
+    val li = Seq((101L, 50.0), (102L, 40.0), (103L, 30.0), (104L, 20.0), (105L, 10.0))
+      .toDF("l_partkey", "l_extendedprice")
+    val part = (101L to 105L).map(k => (k, "B1")).toDF("p_partkey", "p_brand")
+    val got = Relational.topWithOthers(li, part)
+      .select("rank", "partkey", "n_parts", "cents", "brand_cents", "share_ppm")
+      .as[(Long, Option[Long], Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, Some(101L), 1L, 5000L, 15000L, 333333L)))
+    assert(got(2L) == ((2L, Some(102L), 1L, 4000L, 15000L, 266666L)))
+    assert(got(3L) == ((3L, Some(103L), 1L, 3000L, 15000L, 200000L)))
+    assert(got(0L) == ((0L, None, 2L, 3000L, 15000L, 200000L)), s"${got(0L)}")
+    // corpus: per brand, rows sum to the brand total and ranks are 0..3
+    val gotC = Relational.topWithOthers(
+      Tables.load(spark, sf, "lineitem"), Tables.load(spark, sf, "part"))
+      .select("p_brand", "rank", "cents", "brand_cents")
+      .as[(String, Long, Long, Long)].collect()
+    gotC.groupBy(_._1).foreach { case (b, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, s"$b parts don't conserve the total")
+      assert(rs.forall(r => r._2 >= 0 && r._2 <= 3))
+    }
+  }
+
+  test("wedgeClosure: closure replays from the triangle and degree frames (L126)") {
+    import graft.operators.Dedup
+    val got = Dedup.wedgeClosure(documents)
+      .select("n_nodes", "n_edges", "wedges", "n_triangles", "closure_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val pairs = Dedup.simhashDedup(documents).select("x", "y")
+      .as[(Long, Long)].collect()
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val tri = Dedup.triangles(documents).count()
+    assert(got._1 == deg.size && got._2 == pairs.length, s"graph size ${got}")
+    assert(got._3 == wedges && got._4 == tri, s"wedge/triangle drift $got vs $wedges/$tri")
+    assert(got._5 == 3 * tri * 1000000L / wedges)
+    // a triangle closes 3 wedges: closure never exceeds 1e6
+    assert(got._5 >= 0 && got._5 <= 1000000L)
+  }
+
+  test("vocabCoverage: head-heavy sources need few types for 90% of tokens (L128)") {
+    import graft.operators.TextAnalysis
+    val head = (1 to 9).map(_ => "alpha").mkString(" ") + " beta"
+    val flat = "c1 c1 c2 c2 c3 c3 c4 c4 c5 c5"
+    val docs = Seq((1L, "heavy", head), (2L, "flat", flat))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.vocabCoverage(docs)
+      .select("source", "n_types", "n_tokens", "types_for_90pct", "head_share_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // heavy: alpha alone covers 9/10 ≥ 90%; flat needs all 5 types
+    assert(got("heavy") == (("heavy", 2L, 10L, 1L, 500000L)), s"${got("heavy")}")
+    assert(got("flat") == (("flat", 5L, 10L, 5L, 1000000L)), s"${got("flat")}")
+    // corpus: the boundary is genuine — the head really covers ≥ 90%,
+    // and one fewer type would not (replayed from a term recount)
+    val tf = documents
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("t"))
+      .where(length(col("t")) > 0)
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val gotC = TextAnalysis.vocabCoverage(documents)
+      .select("source", "types_for_90pct").as[(String, Long)].collect().toMap
+    tf.groupBy(_._1).foreach { case (src, rows) =>
+      val counts = rows.map(_._3).sorted(Ordering[Long].reverse)
+      val total = counts.sum
+      val k = gotC(src).toInt
+      assert(counts.take(k).sum * 10 >= total * 9, s"$src head too small")
+      assert(k == 1 || counts.take(k - 1).sum * 10 < total * 9, s"$src head not minimal")
+    }
   }
 
   test("activityProfile: planted cells land on the C66 dow convention; shares exact (C110)") {
