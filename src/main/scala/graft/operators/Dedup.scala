@@ -459,6 +459,85 @@ cands AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
 $exactJaccardSql"""
 
+  // ---- L129 (r10): minhash calibration — estimate vs exact Jaccard ----
+  // The sketch-tuning readout behind L3's (bands, rows) choice: per
+  // exact-Jaccard decile, how far does the signature estimate
+  // (matching components / NumHashes) sit from truth, over the REAL
+  // candidate population (banded pairs, no ≥τ cut — calibration needs
+  // the below-threshold side of the curve too). ALL-INTEGER hashed
+  // surface: the decile is the cross-multiplied (10·common) div union
+  // (no float in a bucket decision), matching components sum exactly,
+  // and the per-bucket means release as exact ppm over n·H and the
+  // DECIMAL(18,9)-quantized per-pair Jaccard sum (small-magnitude,
+  // L117 discipline). Scale = L3's banding; the signature compare adds
+  // one 24-column pair join on the ALREADY-REDUCED candidate frame.
+  def minhashCalibration(documents: DataFrame): DataFrame = {
+    val sh = shingleHashedDf(documents).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val based = sh.select(col("doc_id"), col("s").bitwiseAND(0xFFFFFFFFL).as("base"))
+    val sigs = based.groupBy(col("doc_id")).agg(
+      min(col("base").bitwiseXOR(mixC(0)) * mixA(0)).as("h0"),
+      (1 until NumHashes).map(j =>
+        min(col("base").bitwiseXOR(mixC(j)) * mixA(j)).as(s"h$j")): _*)
+    val withBands = minhashBandsFrom(sh)
+    val cands = withBands.select(col("band"), col("key"), col("doc_id").as("x"))
+      .join(withBands.select(col("band"), col("key"), col("doc_id").as("y")), Seq("band", "key"))
+      .where(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct()
+    val shx = sh.select(col("doc_id").as("x"), col("s"))
+    val shy = sh.select(col("doc_id").as("y"), col("s"))
+    val scored = cands
+      .join(shx, "x").join(shy, Seq("y", "s"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("x"), col("n").as("nx")), "x")
+      .join(sizes.select(col("doc_id").as("y"), col("n").as("ny")), "y")
+      .withColumn("union_n", col("nx") + col("ny") - col("common"))
+    val sx = sigs.toDF("x" +: (0 until NumHashes).map(j => s"x$j"): _*)
+    val sy = sigs.toDF("y" +: (0 until NumHashes).map(j => s"y$j"): _*)
+    val eq = (0 until NumHashes)
+      .map(j => (col(s"x$j") === col(s"y$j")).cast("long")).reduce(_ + _)
+    scored.join(sx, "x").join(sy, "y")
+      .withColumn("eq", eq)
+      .withColumn("bucket", least(expr("(10 * common) div union_n"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("eq")).as("sum_eq"),
+        sum((col("common").cast("double") / col("union_n").cast("double"))
+          .cast("decimal(18,9)")).as("jac_sum"))
+      .select(col("bucket"), col("n_pairs"), col("sum_eq"),
+        expr(s"(sum_eq * 1000000L) div (n_pairs * $NumHashes)").as("est_mean_ppm"),
+        round(col("jac_sum").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("exact_mean"))
+  }
+
+  lazy val minhashCalibrationSql: String = {
+    val eqSql = (0 until NumHashes)
+      .map(j => s"(a.h$j = b.h$j)::INT").mkString(" + ")
+    s"""WITH $minhashBandCtes,
+cands AS (
+  SELECT DISTINCT ba.doc_id AS x, bb.doc_id AS y
+  FROM bands ba JOIN bands bb
+    ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id < bb.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+common AS (
+  SELECT c.x, c.y, count(*)::BIGINT AS common
+  FROM cands c JOIN shh sa ON sa.doc_id = c.x
+               JOIN shh sb ON sb.doc_id = c.y AND sb.s = sa.s
+  GROUP BY c.x, c.y),
+scored AS (
+  SELECT cm.x, cm.y, cm.common,
+    (sx.n + sy.n - cm.common)::BIGINT AS union_n,
+    ($eqSql)::BIGINT AS eq
+  FROM common cm
+  JOIN sizes sx ON sx.doc_id = cm.x JOIN sizes sy ON sy.doc_id = cm.y
+  JOIN sigs a ON a.doc_id = cm.x JOIN sigs b ON b.doc_id = cm.y)
+SELECT least((10 * common) // union_n, 9)::BIGINT AS bucket,
+  count(*)::BIGINT AS n_pairs, sum(eq)::BIGINT AS sum_eq,
+  ((sum(eq) * 1000000) // (count(*) * $NumHashes))::BIGINT AS est_mean_ppm,
+  round(sum((common::DOUBLE / union_n::DOUBLE)::DECIMAL(18,9))::DOUBLE
+    / count(*)::DOUBLE, 6) AS exact_mean
+FROM scored GROUP BY 1"""
+  }
+
   // ---- L36: near-dup benchmark decontamination (minhash-based) ----
   // The complement of L21's binary any-8-gram-overlap flag: SAME-
   // CONTENT leakage detection. Corpus docs sharing any minhash band

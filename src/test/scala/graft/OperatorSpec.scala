@@ -4530,6 +4530,31 @@ class OperatorSpec extends SparkSpec {
     assert(corpus.getLong(2) == 0L)
   }
 
+  test("minhashCalibration: identical docs read a perfect top decile; buckets bound truth (L129)") {
+    import graft.operators.Dedup
+    // two identical docs: every signature component matches, jac = 1
+    val t1 = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, t1), (2L, t1), (3L, (1 to 20).map(i => s"zzz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCalibration(docs)
+      .select("bucket", "n_pairs", "sum_eq", "est_mean_ppm", "exact_mean")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head == ((9L, 1L, 24L, 1000000L, 1.0)), s"${got.toSeq}")
+    // corpus: each bucket's exact mean sits inside its own decile and
+    // the estimator stays in range; the top decile estimates high
+    val corpus = Dedup.minhashCalibration(documents)
+      .select("bucket", "n_pairs", "est_mean_ppm", "exact_mean")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (b, n, est, exact) =>
+      assert(n > 0 && est >= 0 && est <= 1000000L)
+      assert(exact >= b / 10.0 - 1e-6 && exact <= (b + 1) / 10.0 + 1e-6 ||
+        (b == 9 && exact <= 1.0 + 1e-9), s"bucket $b exact $exact out of decile")
+    }
+    corpus.find(_._1 == 9L).foreach { case (_, _, est, _) =>
+      assert(est >= 700000L, s"top-decile estimate $est implausibly low") }
+  }
+
   test("repurchaseIntervals: planted gaps hit exact percentiles per segment (C112)") {
     import graft.operators.Relational
     def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
