@@ -86,18 +86,10 @@ object Curation {
   // score, tokenize explode, the BPE walk, html extraction) serializes
   // into a single task — the measured tail of this, the suite's most
   // expensive query. The scoped fix: spread the corpus across cores
-  // ONCE at pipeline entry, but ONLY when the scan is narrower than
-  // the cluster (at real scale a 100 TB scan is thousands of splits
-  // and this is a no-op — the condition keeps the extra corpus
-  // shuffle out of the production plan).
-  private def spreadNarrowScan(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, col("doc_id"))
-    else df
-  }
-
+  // ONCE at pipeline entry via Scale.spreadNarrowScan (a no-op at
+  // real scale by its partition-count condition).
   def webPipeline(documents0: DataFrame): DataFrame = {
-    val documents = spreadNarrowScan(documents0)
+    val documents = Scale.spreadNarrowScan(documents0, col("doc_id"))
     val pageId = col("doc_id") -
       when(col("doc_id") % 10 === 7, 1).otherwise(0)
     val urlKeep = Urls.canonicalFetches(documents, pageId, pageId % 31 === 13)

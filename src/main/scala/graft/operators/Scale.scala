@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Spread a NARROW scan across the cluster before a CPU-dense
+    * map stage (r10): at local SF every table is a single parquet
+    * row-group → one scan split, so per-row-expensive expression
+    * chains (md5 walks, regex scrubs, BPE) serialize into one task.
+    * Conditional on the scan being narrower than the cluster — at
+    * real scale a 100 TB scan is thousands of splits and this is a
+    * no-op, keeping the extra exchange out of the production plan.
+    * Use ONLY where nothing needs to push INTO the scan (a filter
+    * written after this repartition no longer reaches PushedFilters —
+    * the reason this is a per-operator decision, not a Tables.load
+    * default). */
+  private[graft] def spreadNarrowScan(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
+
   /** Salted inner equi-join for skewed keys: the skewed (left) side
     * gets a random-ish salt in [0, buckets); the build (right) side is
     * replicated across all salts via explode. Same result set as

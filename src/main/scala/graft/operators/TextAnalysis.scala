@@ -2201,7 +2201,14 @@ GROUP BY doc_id, phrase"""
          THEN 2 * (ascii(substring(cand, length(cand) - i, 1)) - 48) - 9
        ELSE 2 * (ascii(substring(cand, length(cand) - i, 1)) - 48) END)"""
 
-  def luhnScrub(orders: DataFrame): DataFrame = {
+  def luhnScrub(orders0: DataFrame): DataFrame = {
+    // the per-row cost here is two md5 derivations + the Luhn digit
+    // walk — CPU-dense and map-only, the exact shape a single-split
+    // local scan serializes (the q_curation_web lesson); only
+    // o_orderkey is read and nothing pushes into the scan, so the
+    // conditional spread is free of pushdown cost
+    val orders = Scale.spreadNarrowScan(orders0.select(col("o_orderkey")),
+      col("o_orderkey"))
     val lines = orders.select(col("o_orderkey"),
       concat(lit("card "),
         lpad(pmod(md5Long(lit("cc"), col("o_orderkey")), lit(1000000000000000L))
