@@ -1204,9 +1204,17 @@ FROM d"""
   // once per brand on identical inputs. One keyed part-join + one
   // grouped aggregate; nothing corpus-wide sorts.
   def priceElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val rows = lineitem
+    // spread AFTER the filtered narrow select so the predicates still
+    // reach PushedFilters — the per-row ln + decimal-quantize chain is
+    // the CPU that a single-split local scan would serialize
+    // (Scale.spreadNarrowScan is a no-op at real scan widths)
+    val base = Scale.spreadNarrowScan(
+      lineitem
+        .where(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")),
+      col("l_partkey"))
+    val rows = base
       .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand")), "l_partkey")
-      .where(col("l_quantity") > 0 && col("l_extendedprice") > 0)
       .select(col("p_brand"),
         log(dec(col("l_extendedprice")).cast("double")).as("x"),
         log(dec(col("l_quantity")).cast("double")).as("y"))
