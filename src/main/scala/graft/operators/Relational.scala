@@ -3286,4 +3286,185 @@ SELECT account, month_key, debit_cents, credit_cents,
   (sum(debit_cents - credit_cents) OVER (PARTITION BY account ORDER BY month_key
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS running_net_cents
 FROM g"""
+
+  // ---- C114 (r10): duplicate-payment audit — same payer, amount, window ----
+  // The AP-audit staple C34's table diff can't see (it compares two
+  // snapshots of the SAME rows; this hunts distinct rows that should
+  // not coexist): two payments by one customer for the same exact cent
+  // amount within 30 days are a double-submission candidate. The
+  // corpus has no organic exact-cent collisions (measured zero at
+  // sf0.01/sf0.1 — real amounts are near-continuous), so the ledger is
+  // derived with the C107 planted-perturbation idiom: every order
+  // posts one payment, and orders with key ≡ 3 (mod 97) RE-POST seven
+  // days later (the resubmission). The audit must recover exactly the
+  // planted pairs — plus any organic ones the data ever grows. Exact
+  // integers end-to-end (cents, day gaps); pairs canonicalized
+  // pay_1 < pay_2. Plan: the self-join keys on (custkey, cents) — a
+  // shuffle-partitionable equi-join whose per-key groups are the
+  // handful of same-amount payments, never a cross product; the ≤30d
+  // residual filters inside each tiny group.
+  def duplicatePayments(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"), col("o_custkey"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+      to_date(col("o_orderdate")).as("d"))
+    val posted = base.select((col("o_orderkey") * 10).as("pay_id"),
+        col("o_custkey"), col("cents"), col("d").as("pay_date"))
+      .unionAll(base.where(pmod(col("o_orderkey"), lit(97)) === 3)
+        .select((col("o_orderkey") * 10 + 1).as("pay_id"), col("o_custkey"),
+          col("cents"), date_add(col("d"), 7).as("pay_date")))
+    val a = posted.select(col("o_custkey"), col("cents"),
+      col("pay_id").as("pay_1"), col("pay_date").as("d1"))
+    val b = posted.select(col("o_custkey"), col("cents"),
+      col("pay_id").as("pay_2"), col("pay_date").as("d2"))
+    a.join(b, Seq("o_custkey", "cents"))
+      .where(col("pay_1") < col("pay_2") &&
+        abs(datediff(col("d2"), col("d1"))) <= 30)
+      .select(col("o_custkey"), col("cents").as("dup_cents"),
+        col("pay_1"), col("pay_2"),
+        abs(datediff(col("d2"), col("d1"))).cast("long").as("day_gap"))
+  }
+
+  val duplicatePaymentsSql: String =
+    """WITH base AS (
+  SELECT o_orderkey, o_custkey,
+    ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS cents,
+    o_orderdate::DATE AS d
+  FROM orders),
+posted AS (
+  SELECT (o_orderkey * 10)::BIGINT AS pay_id, o_custkey, cents, d AS pay_date
+  FROM base
+  UNION ALL
+  SELECT (o_orderkey * 10 + 1)::BIGINT, o_custkey, cents, d + INTERVAL 7 DAY
+  FROM base WHERE ((o_orderkey % 97) + 97) % 97 = 3)
+SELECT a.o_custkey, a.cents AS dup_cents, a.pay_id AS pay_1, b.pay_id AS pay_2,
+  abs(date_diff('day', a.pay_date::DATE, b.pay_date::DATE))::BIGINT AS day_gap
+FROM posted a JOIN posted b
+  ON a.o_custkey = b.o_custkey AND a.cents = b.cents AND a.pay_id < b.pay_id
+WHERE abs(date_diff('day', a.pay_date::DATE, b.pay_date::DATE)) <= 30"""
+
+  // ---- C116 (r10): revenue bridge — new / expanded / contracted / churned ----
+  // The growth-accounting decomposition behind every "why did revenue
+  // move" review: the year-over-year delta split by customer class —
+  // NEW (no base-year revenue), CHURNED (no current-year), EXPANDED /
+  // CONTRACTED / STABLE (both years, by sign of the customer's own
+  // delta). C113 answers this daily for activity; the bridge is the
+  // REVENUE statement, and its invariant is exact: class deltas sum to
+  // the total year-over-year move, cent for cent (spec-asserted). The
+  // two report years derive from the corpus anchor (latest order year
+  // and its predecessor — the C65/C100 single-row broadcast idiom).
+  // One conditional-aggregate scan per customer, one 5-row class
+  // rollup; exact cents throughout.
+  def revenueBridge(orders: DataFrame): DataFrame = {
+    val anchor = orders.agg(year(max(col("o_orderdate"))).as("y1"))
+    val per = orders.crossJoin(broadcast(anchor))
+      .where(year(col("o_orderdate")) === col("y1") ||
+        year(col("o_orderdate")) === col("y1") - 1)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(year(col("o_orderdate")) === col("y1") - 1,
+          (dec(col("o_totalprice")) * 100).cast("long")).otherwise(0L)).as("r0"),
+        sum(when(year(col("o_orderdate")) === col("y1"),
+          (dec(col("o_totalprice")) * 100).cast("long")).otherwise(0L)).as("r1"))
+    per
+      .select(col("r0"), col("r1"),
+        when(col("r0") === 0, "new").when(col("r1") === 0, "churned")
+          .when(col("r1") > col("r0"), "expanded")
+          .when(col("r1") < col("r0"), "contracted")
+          .otherwise("stable").as("class"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("r0")).as("base_cents"), sum(col("r1")).as("current_cents"),
+        sum(col("r1") - col("r0")).as("delta_cents"))
+  }
+
+  val revenueBridgeSql: String =
+    """WITH anchor AS (SELECT year(max(o_orderdate))::BIGINT AS y1 FROM orders),
+per AS (
+  SELECT o_custkey,
+    sum(CASE WHEN year(o_orderdate) = y1 - 1
+      THEN ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT ELSE 0 END)::BIGINT AS r0,
+    sum(CASE WHEN year(o_orderdate) = y1
+      THEN ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT ELSE 0 END)::BIGINT AS r1
+  FROM orders CROSS JOIN anchor
+  WHERE year(o_orderdate) IN (y1, y1 - 1)
+  GROUP BY o_custkey),
+cls AS (
+  SELECT r0, r1,
+    CASE WHEN r0 = 0 THEN 'new' WHEN r1 = 0 THEN 'churned'
+         WHEN r1 > r0 THEN 'expanded' WHEN r1 < r0 THEN 'contracted'
+         ELSE 'stable' END AS class
+  FROM per)
+SELECT class, count(*)::BIGINT AS n_customers,
+  sum(r0)::BIGINT AS base_cents, sum(r1)::BIGINT AS current_cents,
+  sum(r1 - r0)::BIGINT AS delta_cents
+FROM cls GROUP BY class"""
+
+  // ---- C117 (r10): revenue-recognition proration — largest-remainder months ----
+  // The deferral schedule finance closes on: each order's cents are
+  // recognized ratably over a 90-day service window, split across the
+  // calendar months the window overlaps, pro-rata by overlap DAYS —
+  // and the split must be EXACT: floor allocations leave a cent
+  // remainder that the largest-remainder rule assigns (+1 cent to the
+  // months with the biggest fractional part, earliest-month tiebreak),
+  // so every order's schedule sums to its cents exactly and the
+  // monthly ledger reconciles to billed revenue cent-for-cent (the
+  // C74 water-filling discipline applied to calendar time; spec
+  // asserts the global reconciliation). All integer: overlap days,
+  // floor quotas cents·days/90 DIV, remainders MOD, a per-order rank
+  // over the ≤4-row month frame. Plan: one map-side month explode
+  // (≤4 rows/order), one per-order window over that tiny frame, one
+  // monthly rollup — no corpus-wide sort, no join.
+  def revenueRecognition(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = orders.select(col("o_orderkey"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+      to_date(col("o_orderdate")).as("d0"))
+      .withColumn("d1", date_add(col("d0"), 89))
+    val months = base.select(col("o_orderkey"), col("cents"), col("d0"), col("d1"),
+      explode(sequence(trunc(col("d0"), "MM"), trunc(col("d1"), "MM"),
+        expr("interval 1 month"))).as("m"))
+      .withColumn("days",
+        (datediff(least(col("d1"), last_day(col("m"))),
+          greatest(col("d0"), col("m"))) + 1).cast("long"))
+      .withColumn("quota", expr("(cents * days) div 90"))
+      .withColumn("rem", pmod(col("cents") * col("days"), lit(90)))
+    val w = Window.partitionBy(col("o_orderkey"))
+    val wr = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("rem").desc, col("m").asc)
+    months
+      .withColumn("short", col("cents") - sum(col("quota")).over(w))
+      .withColumn("pos", row_number().over(wr))
+      .select(
+        (year(col("m")) * 100 + month(col("m"))).cast("long").as("month_key"),
+        (col("quota") + when(col("pos") <= col("short"), 1L).otherwise(0L))
+          .as("alloc"))
+      .groupBy(col("month_key"))
+      .agg(count(lit(1)).as("n_slices"), sum(col("alloc")).as("recognized_cents"))
+  }
+
+  val revenueRecognitionSql: String =
+    """WITH base AS (
+  SELECT o_orderkey, ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS cents,
+    o_orderdate::DATE AS d0, o_orderdate::DATE + INTERVAL 89 DAY AS d1
+  FROM orders),
+months AS (
+  SELECT o_orderkey, cents, d0, d1::DATE AS d1,
+    unnest(generate_series(date_trunc('month', d0), date_trunc('month', d1::DATE),
+      INTERVAL 1 MONTH))::DATE AS m
+  FROM base),
+quotas AS (
+  SELECT o_orderkey, cents, m,
+    (date_diff('day', greatest(d0, m), least(d1, last_day(m))) + 1)::BIGINT AS days
+  FROM months),
+alloc AS (
+  SELECT o_orderkey, m,
+    (cents * days) // 90 AS quota,
+    ((((cents * days) % 90) + 90) % 90) AS rem,
+    cents - sum((cents * days) // 90) OVER (PARTITION BY o_orderkey) AS short,
+    row_number() OVER (PARTITION BY o_orderkey ORDER BY (((cents * days) % 90) + 90) % 90 DESC, m ASC) AS pos
+  FROM quotas)
+SELECT (year(m) * 100 + month(m))::BIGINT AS month_key,
+  count(*)::BIGINT AS n_slices,
+  sum(quota + CASE WHEN pos <= short THEN 1 ELSE 0 END)::BIGINT AS recognized_cents
+FROM alloc GROUP BY 1"""
 }

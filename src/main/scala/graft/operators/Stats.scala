@@ -1194,6 +1194,84 @@ SELECT event_type, k, n, s, q,
     nullif((q::DOUBLE - gterm) * (k - 1)::DOUBLE, 0.0), 6) AS f_stat
 FROM d"""
 
+  // ---- C111 (r10): Welch's t-test — unequal-variance two-sample mean test ----
+  // The parametric partner of C102: Mann-Whitney asks "does one arm
+  // stochastically dominate"; Welch asks the effect-size question the
+  // experiment readout actually reports — "how far apart are the arm
+  // MEANS, in standard errors" — without C103's pooled equal-variance
+  // assumption (arms routinely have different spread: treatment widens
+  // tails). Arms are the C102 md5-parity split (seed "welch" — an
+  // independent assignment from C102's "mw"). The hashed surface is
+  // the C102/C103 discipline: exact BIGINT moments (n, Σv, Σv² in
+  // cents), exact DECIMAL(38,0) variance numerators n·q − s² (cast
+  // BEFORE the products — n·q leaves BIGINT past ~4e18, i.e. ~1e9
+  // rows/type at 1e4-cent values), and the two floats (t, Welch-
+  // Satterthwaite df) run one FIXED-ORDER chain written once as SQL
+  // text and executed verbatim by both engines (the C103 lesson:
+  // shared expression text, chained left-assoc divisions, no
+  // FMA-contraction site), then round-6 onto the audit grid. Arms
+  // with n ≤ 1 have no variance: the whole row is excluded (WHERE,
+  // not NULL — same both engines); zero-variance-both-arms yields
+  // NULL via nullif. Plan: ONE map-side-partial aggregate per
+  // event_type — no window, no join; type-alphabet-bounded after.
+  def welchTTest(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tagged = events.select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"),
+      pmod(md5Long(lit("welch"), col("event_id")), lit(2)).as("arm"))
+    def cnt(i: Int) = sum(when(col("arm") === i, 1L).otherwise(0L)).as(s"n$i")
+    def sv(i: Int) = sum(when(col("arm") === i, col("v")).otherwise(0L)).as(s"s$i")
+    def qv(i: Int) =
+      sum(when(col("arm") === i, col("v") * col("v")).otherwise(0L)).as(s"q$i")
+    val g = tagged.groupBy(col("event_type"))
+      .agg(cnt(0), sv(0), qv(0), cnt(1), sv(1), qv(1))
+      .where(col("n0") > 1 && col("n1") > 1)
+      .select(col("event_type"), col("n0"), col("s0"), col("n1"), col("s1"),
+        (col("n0").cast(d38) * col("q0") - col("s0").cast(d38) * col("s0")).as("vn0"),
+        (col("n1").cast(d38) * col("q1") - col("s1").cast(d38) * col("s1")).as("vn1"))
+    g.selectExpr(Seq("event_type", "n0", "s0", "vn0", "n1", "s1", "vn1") ++
+      welchFloatExprs: _*)
+  }
+
+  // the one float chain, written ONCE and run verbatim by both engines
+  // over identical exact inputs: a_i = v_i/n_i via chained left-assoc
+  // double divisions of the exact DECIMAL numerator
+  private val welchFloatExprs: Seq[String] = {
+    def a(i: Int) =
+      s"cast(vn$i as double) / cast(n$i as double) / cast(n$i - 1 as double) / cast(n$i as double)"
+    val (a0, a1) = (a(0), a(1))
+    val num = "(cast(s1 as double) / cast(n1 as double) - cast(s0 as double) / cast(n0 as double))"
+    Seq(
+      s"round($num / nullif(sqrt(($a1) + ($a0)), 0.0), 6) AS t_stat",
+      s"round((($a1) + ($a0)) * (($a1) + ($a0)) / nullif(($a1) * ($a1) / cast(n1 - 1 as double) + ($a0) * ($a0) / cast(n0 - 1 as double), 0.0), 6) AS welch_df")
+  }
+
+  val welchTTestSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'welch'", "event_id")
+    val floats = welchFloatExprs.mkString(",\n  ")
+    s"""WITH tagged AS (
+  SELECT event_type, ((value::DECIMAL(18,2)) * 100)::BIGINT AS v,
+    $h % 2 AS arm
+  FROM events),
+m AS (
+  SELECT event_type,
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+    sum(CASE WHEN arm = 0 THEN v ELSE 0 END)::BIGINT AS s0,
+    sum(CASE WHEN arm = 0 THEN v * v ELSE 0 END)::BIGINT AS q0,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN arm = 1 THEN v ELSE 0 END)::BIGINT AS s1,
+    sum(CASE WHEN arm = 1 THEN v * v ELSE 0 END)::BIGINT AS q1
+  FROM tagged GROUP BY event_type),
+g AS (
+  SELECT event_type, n0, s0, n1, s1,
+    (n0::HUGEINT * q0 - s0::HUGEINT * s0)::DECIMAL(38,0) AS vn0,
+    (n1::HUGEINT * q1 - s1::HUGEINT * s1)::DECIMAL(38,0) AS vn1
+  FROM m WHERE n0 > 1 AND n1 > 1)
+SELECT event_type, n0, s0, vn0, n1, s1, vn1,
+  $floats
+FROM g"""
+  }
+
   // ---- C98 (r9): log-log price elasticity ----
   // The pricing-economics regression: elasticity = d ln(qty)/d ln(price),
   // the slope of an OLS fit in log-log space, per brand. The float-sum

@@ -721,4 +721,57 @@ class StatsSpec extends SparkSpec {
       assert(!a.isNaN && a >= 0.0 && a <= 1.0)
     }
   }
+
+  test("welchTTest: exact moments replay per type; t and df match the fixed-order chain (C111)") {
+    def md5w(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"welch:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = events.select(col("event_type"), col("event_id"),
+      (graft.functions.Portable.dec(col("value")) * 100).cast("long").as("v"))
+      .as[(String, Long, Long)].collect()
+    val got = Stats.welchTTest(events)
+      .select(col("event_type"), col("n0"), col("s0"), col("vn0").cast("double"),
+        col("n1"), col("s1"), col("vn1").cast("double"),
+        col("t_stat"), col("welch_df"))
+      .as[(String, Long, Long, Double, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    raw.groupBy(_._1).foreach { case (t, rs) =>
+      val armed = rs.map(r => (md5w(r._2) % 2, r._3))
+      def m(i: Long) = armed.filter(_._1 == i).map(_._2)
+      val (a0, a1) = (m(0), m(1))
+      if (a0.length > 1 && a1.length > 1) {
+        val r = got(t)
+        val (n0, n1) = (a0.length.toLong, a1.length.toLong)
+        assert(r._2 == n0 && r._5 == n1, s"$t arm sizes")
+        assert(r._3 == a0.sum && r._6 == a1.sum, s"$t arm sums")
+        // variance numerators exact: n·Σv² − (Σv)² (BigInt replay)
+        val vn0 = (BigInt(n0) * a0.map(v => BigInt(v) * v).sum - BigInt(a0.sum) * a0.sum)
+        val vn1 = (BigInt(n1) * a1.map(v => BigInt(v) * v).sum - BigInt(a1.sum) * a1.sum)
+        assert(r._4 == vn0.toDouble && r._7 == vn1.toDouble, s"$t var numerators")
+        // the one float chain, replayed in the exact written order
+        def se2(vn: BigInt, n: Long) = vn.toDouble / n.toDouble / (n - 1).toDouble / n.toDouble
+        val (w0, w1) = (se2(vn0, n0), se2(vn1, n1))
+        val num = a1.sum.toDouble / n1.toDouble - a0.sum.toDouble / n0.toDouble
+        val tExp = math.rint(num / math.sqrt(w1 + w0) * 1e6) / 1e6
+        val dfExp = math.rint((w1 + w0) * (w1 + w0) /
+          (w1 * w1 / (n1 - 1).toDouble + w0 * w0 / (n0 - 1).toDouble) * 1e6) / 1e6
+        assert(r._8 == tExp, s"$t t_stat ${r._8} vs $tExp")
+        assert(r._9 == dfExp, s"$t df ${r._9} vs $dfExp")
+        assert(r._9 >= math.min(n0, n1) - 1 - 1e-6 && r._9 <= (n0 + n1 - 2) + 1e-6,
+          s"$t df ${r._9} outside Welch-Satterthwaite bounds")
+      } else assert(!got.contains(t), s"$t with a degenerate arm must be excluded")
+    }
+    // degenerate surfaces: an arm with n <= 1 drops the row entirely;
+    // both-arms-constant (zero variance) yields NULL t, not NaN/∞
+    import spark.implicits._
+    val tiny = Seq(("t", 1L, 5.0)).toDF("event_type", "event_id", "value")
+    assert(Stats.welchTTest(tiny).count() == 0, "single-row type must be excluded")
+    val ids = 1L to 40L
+    val const = ids.map(i => ("t", i, 5.0)).toDF("event_type", "event_id", "value")
+    val cr = Stats.welchTTest(const).select("t_stat").collect()
+    assert(cr.length == 1 && cr.head.isNullAt(0), "zero-variance t must be NULL")
+  }
 }
