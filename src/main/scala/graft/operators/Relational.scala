@@ -3467,4 +3467,132 @@ SELECT (year(m) * 100 + month(m))::BIGINT AS month_key,
   count(*)::BIGINT AS n_slices,
   sum(quota + CASE WHEN pos <= short THEN 1 ELSE 0 END)::BIGINT AS recognized_cents
 FROM alloc GROUP BY 1"""
+
+  // ---- C118 (r10): cohort LTV curve — cumulative revenue by cohort age ----
+  // C31 counts retained USERS per cohort week; the monetization twin
+  // finance plans against is cumulative REVENUE per acquisition cohort
+  // by age: "a customer acquired in month M is worth X cents by month
+  // M+k". Cohort = the customer's first order month (linearized
+  // y·12+m so age is one subtraction — no date arithmetic ambiguity);
+  // cumulative cents via a per-cohort running window; per-customer LTV
+  // the exact integer quotient over the cohort's FIXED size (acquired
+  // count — not the age-k active count, which would inflate late ages).
+  // Plan: one per-customer min aggregate, one custkey-keyed join, one
+  // (cohort, age) rollup, then a window over the tiny post-aggregate
+  // frame; cohort sizes join post-aggregate (broadcast-sized).
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val mk = (d: Column) => (year(d) * 12 + month(d)).cast("long")
+    val base = orders.select(col("o_custkey"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+      mk(col("o_orderdate")).as("m"))
+    val first = base.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    val sizes = first.groupBy(col("m0")).agg(count(lit(1)).as("n_customers"))
+    val aged = base.join(first, Seq("o_custkey"))
+      .groupBy(col("m0"), (col("m") - col("m0")).as("age_months"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("m0")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged.join(sizes, Seq("m0"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(
+        (expr("(m0 - 1) div 12") * 100 + pmod(col("m0") - 1, lit(12)) + 1)
+          .cast("long").as("cohort_month"),
+        col("age_months"), col("n_customers"), col("n_orders"),
+        col("rev_cents"), col("cum_rev_cents"),
+        expr("cum_rev_cents div n_customers").as("ltv_cents_per_cust"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH base AS (
+  SELECT o_custkey, ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS cents,
+    (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS m
+  FROM orders),
+first AS (SELECT o_custkey, min(m) AS m0 FROM base GROUP BY 1),
+sizes AS (SELECT m0, count(*)::BIGINT AS n_customers FROM first GROUP BY 1),
+aged AS (
+  SELECT m0, (m - m0)::BIGINT AS age_months, count(*)::BIGINT AS n_orders,
+    sum(cents)::BIGINT AS rev_cents
+  FROM base JOIN first USING (o_custkey) GROUP BY 1, 2),
+cum AS (
+  SELECT m0, age_months, n_orders, rev_cents,
+    (sum(rev_cents) OVER (PARTITION BY m0 ORDER BY age_months
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_rev_cents
+  FROM aged)
+SELECT (((m0 - 1) // 12) * 100 + ((m0 - 1) % 12) + 1)::BIGINT AS cohort_month,
+  age_months, n_customers, n_orders, rev_cents, cum_rev_cents,
+  (cum_rev_cents // n_customers)::BIGINT AS ltv_cents_per_cust
+FROM cum JOIN sizes USING (m0)"""
+
+  // ---- C120 (r10): perfect-order rate — the composite fulfillment KPI ----
+  // The supply-chain scorecard line C105 (latency) and C83
+  // (reconciliation) feed: an order is PERFECT iff every line shipped
+  // within 30 days of order date AND no line came back flagged 'R'.
+  // The per-order test needs only two line-side aggregates — max ship
+  // date and any-return — so lineitem PRE-AGGREGATES to one row per
+  // order BEFORE the join (the shuffle carries 3 columns, not the
+  // line detail; at 100 TB this halves the big-join payload and the
+  // orderkey SMJ co-partitions with the pre-aggregate's exchange).
+  // Exact ppm via cross-multiplied integer division.
+  def perfectOrders(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val per = lineitem.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"),
+        max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned"))
+    orders.join(per, Seq("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        when(col("last_ship") <= date_add(to_date(col("o_orderdate")), 30) &&
+          col("returned") === 0L, 1L).otherwise(0L).as("perfect"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("perfect")).as("n_perfect"),
+        expr("(sum(perfect) * 1000000) div count(1)").as("perfect_ppm"))
+  }
+
+  val perfectOrdersSql: String =
+    """WITH per AS (
+  SELECT l_orderkey AS o_orderkey, max(l_shipdate::DATE) AS last_ship,
+    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS returned
+  FROM lineitem GROUP BY 1),
+flags AS (
+  SELECT o_orderpriority AS priority,
+    CASE WHEN last_ship <= o_orderdate::DATE + INTERVAL 30 DAY
+      AND returned = 0 THEN 1 ELSE 0 END AS perfect
+  FROM orders JOIN per USING (o_orderkey))
+SELECT priority, count(*)::BIGINT AS n_orders,
+  sum(perfect)::BIGINT AS n_perfect,
+  ((sum(perfect)::BIGINT * 1000000) // count(*))::BIGINT AS perfect_ppm
+FROM flags GROUP BY 1"""
+
+  // ---- C121 (r10): OHLC bars — open/high/low/close daily rollup ----
+  // The financial candlestick aggregation: per (type, day), the first
+  // and last value by event time plus the day's extremes and volume.
+  // Open/close are the C6/C108 ordered-struct idiom — min/max over
+  // (micros, event_id, cents) structs, lexicographic in both engines,
+  // event_id breaking timestamp ties deterministically — so the whole
+  // bar is ONE hash aggregate with map-side partials: no window, no
+  // sort, no self-join. Exact cents throughout.
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), to_date(col("ts")).as("day"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      (dec(col("value")) * 100).cast("long").as("cents"))
+    base.groupBy(col("event_type"), col("day"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("cents"))).as("o"),
+        max(struct(col("us"), col("event_id"), col("cents"))).as("c"),
+        max(col("cents")).as("high_cents"), min(col("cents")).as("low_cents"),
+        count(lit(1)).as("n_events"), sum(col("cents")).as("volume_cents"))
+      .select(col("event_type"), col("day"),
+        col("o.cents").as("open_cents"), col("high_cents"), col("low_cents"),
+        col("c.cents").as("close_cents"), col("n_events"), col("volume_cents"))
+  }
+
+  val ohlcBarsSql: String =
+    """WITH base AS (
+  SELECT event_type, ts::DATE AS day, epoch_us(ts) AS us, event_id,
+    ((value::DECIMAL(18,2)) * 100)::BIGINT AS cents
+  FROM events)
+SELECT event_type, day,
+  (min(struct_pack(us := us, event_id := event_id, cents := cents))).cents AS open_cents,
+  max(cents)::BIGINT AS high_cents, min(cents)::BIGINT AS low_cents,
+  (max(struct_pack(us := us, event_id := event_id, cents := cents))).cents AS close_cents,
+  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS volume_cents
+FROM base GROUP BY 1, 2"""
 }

@@ -566,4 +566,75 @@ SELECT event_type, day, x AS x_micros, l AS level_micros, b AS trend_micros,
   season AS season_micros, fitted AS fitted_micros
 FROM fold"""
   }
+
+  // ---- C119 (r10): forecast backtest — seasonal-naive vs persistence ----
+  // The model-selection readout C66/C91 presume: BEFORE fitting a
+  // seasonal model, measure what the two trivial forecasters cost on a
+  // rolling-origin backtest — persistence (tomorrow = today) and
+  // seasonal-naive (tomorrow = same weekday last week). Seasonal
+  // beating persistence IS the evidence of weekly structure (C104's
+  // day-7 spike, stated as forecast error). Dense calendar per type
+  // (zero-filled via a bounded sequence explode — absent days are real
+  // zeros, not missing pairs), both lags from ONE type-keyed window
+  // pass, evaluation restricted to days where both forecasts exist.
+  // All-integer error sums (counts in, |diffs| out); the two MAEs are
+  // single rounded divisions.
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val D = 86400L * 1000000L
+    val daily = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${D}L)) div ${D}L").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dense = span
+      .select(col("event_type"), col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    dense
+      .withColumn("f1", lag(col("c"), 1).over(w))
+      .withColumn("f7", lag(col("c"), 7).over(w))
+      .where(col("day") >= col("d0") + 7)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("c") - col("f1"))).as("mae1_num"),
+        sum(abs(col("c") - col("f7"))).as("mae7_num"),
+        sum(col("c") - col("f7")).as("bias7"))
+      .select(col("event_type"), col("n_days"), col("mae1_num"),
+        col("mae7_num"), col("bias7"),
+        round(col("mae1_num").cast("double") / col("n_days").cast("double"), 6)
+          .as("mae_persistence"),
+        round(col("mae7_num").cast("double") / col("n_days").cast("double"), 6)
+          .as("mae_seasonal"))
+  }
+
+  val forecastBacktestSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH daily AS (
+  SELECT event_type,
+    (epoch_us(ts) - ((epoch_us(ts) % $D) + $D) % $D) // $D AS day,
+    count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+dense AS (
+  SELECT g.event_type, g.d0, g.day, coalesce(d.c, 0)::BIGINT AS c
+  FROM (SELECT event_type, d0, unnest(generate_series(d0, d1))::BIGINT AS day
+        FROM span) g
+  LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day),
+lagged AS (
+  SELECT event_type, d0, day, c,
+    lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
+    lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
+  FROM dense)
+SELECT event_type, count(*)::BIGINT AS n_days,
+  sum(abs(c - f1))::BIGINT AS mae1_num,
+  sum(abs(c - f7))::BIGINT AS mae7_num,
+  sum(c - f7)::BIGINT AS bias7,
+  round(sum(abs(c - f1))::BIGINT::DOUBLE / count(*)::DOUBLE, 6) AS mae_persistence,
+  round(sum(abs(c - f7))::BIGINT::DOUBLE / count(*)::DOUBLE, 6) AS mae_seasonal
+FROM lagged WHERE day >= d0 + 7 GROUP BY event_type"""
+  }
 }

@@ -5143,4 +5143,97 @@ class OperatorSpec extends SparkSpec {
       .agg(sum("recognized_cents")).head.getLong(0)
     assert(recognized == billed, s"$recognized recognized vs $billed billed")
   }
+
+  test("cohortLtv: ages accumulate exactly; per-customer LTV uses the fixed cohort size (C118)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // cohort 2024-01: two customers, one returns in March (age 2)
+    val orders2 = Seq(
+      (1L, 100.0, d("2024-01-05")), (1L, 50.0, d("2024-03-20")),
+      (2L, 30.0, d("2024-01-28")),
+      (3L, 70.0, d("2024-02-10"))) // its own one-customer cohort
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val got = Relational.cohortLtv(orders2)
+      .select("cohort_month", "age_months", "n_customers", "n_orders",
+        "rev_cents", "cum_rev_cents", "ltv_cents_per_cust")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (202401L, 0L, 2L, 2L, 13000L, 13000L, 6500L),
+      (202401L, 2L, 2L, 1L, 5000L, 18000L, 9000L),
+      (202402L, 0L, 1L, 1L, 7000L, 7000L, 7000L)), s"got $got")
+    // corpus invariants: revenue fully attributed, cohort sizes tile the
+    // customer base at age 0, and cum is monotone within each cohort
+    val orders = Tables.load(spark, sf, "orders")
+    val r = Relational.cohortLtv(orders)
+    val billed = orders.agg(
+      sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+      .head.getLong(0)
+    assert(r.agg(sum("rev_cents")).head.getLong(0) == billed)
+    assert(r.where(col("age_months") === 0).agg(sum("n_customers"))
+      .head.getLong(0) == orders.select("o_custkey").distinct().count())
+    val perCohort = r.select("cohort_month", "age_months", "cum_rev_cents")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    perCohort.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => b >= a },
+        "cum_rev_cents must be monotone in age")
+    }
+  }
+
+  test("perfectOrders: late ship or a returned line breaks the order; ppm exact (C120)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders2 = Seq(
+      (1L, "P1", d("2024-01-01")),  // perfect: both lines on time, clean
+      (2L, "P1", d("2024-01-01")),  // late: one line ships day 31
+      (3L, "P2", d("2024-01-01")))  // returned line
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, d("2024-01-10"), "N"), (1L, d("2024-01-31"), "N"),
+      (2L, d("2024-01-05"), "N"), (2L, d("2024-02-05"), "N"),
+      (3L, d("2024-01-03"), "R"))
+      .toDF("l_orderkey", "l_shipdate", "l_returnflag")
+    val got = Relational.perfectOrders(orders2, li)
+      .select("priority", "n_orders", "n_perfect", "perfect_ppm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("P1", 2L, 1L, 500000L), ("P2", 1L, 0L, 0L)), s"got $got")
+    // corpus: totals tile the orders that have lines; rates in [0, 1e6]
+    val orders = Tables.load(spark, sf, "orders")
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    val r = Relational.perfectOrders(orders, lineitem)
+    val withLines = lineitem.select(col("l_orderkey")).distinct()
+      .join(orders, col("l_orderkey") === col("o_orderkey")).count()
+    assert(r.agg(sum("n_orders")).head.getLong(0) == withLines)
+    r.select("n_orders", "n_perfect", "perfect_ppm")
+      .as[(Long, Long, Long)].collect().foreach { case (n, p, ppm) =>
+        assert(p <= n && ppm == p * 1000000L / n)
+      }
+  }
+
+  test("ohlcBars: open/close follow (ts, event_id) order; extremes and volume reconcile (C121)") {
+    val base = 1700000000000000L / 1000L // millis, midnight-aligned enough
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // one day, one type: two events share the opening timestamp (id
+    // breaks the tie), the low arrives last and closes the bar
+    val ev = Seq(
+      (2L, ts(base + 1000), "t", 9.0),  // same ts as id 1 — loses the tie
+      (1L, ts(base + 1000), "t", 5.0),  // open
+      (3L, ts(base + 2000), "t", 1.0))  // close + low
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = Relational.ohlcBars(ev)
+      .select("open_cents", "high_cents", "low_cents", "close_cents",
+        "n_events", "volume_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((500L, 900L, 100L, 100L, 3L, 1500L)), s"got $got")
+    // corpus: bar invariants hold on every row; volume reconciles
+    val events = Tables.load(spark, sf, "events")
+    val bars = Relational.ohlcBars(events)
+    bars.select("open_cents", "high_cents", "low_cents", "close_cents")
+      .as[(Long, Long, Long, Long)].collect().foreach { case (o, h, l, c) =>
+        assert(l <= o && o <= h && l <= c && c <= h, s"bar ($o,$h,$l,$c)")
+      }
+    val vol = bars.agg(sum("volume_cents")).head.getLong(0)
+    val direct = events.agg(
+      sum((col("value").cast("decimal(18,2)") * 100).cast("long")))
+      .head.getLong(0)
+    assert(vol == direct)
+  }
 }

@@ -170,4 +170,46 @@ class TimeSeriesSpec extends SparkSpec {
     assert(corpus.nonEmpty)
     corpus.foreach(c => assert(math.abs(c) <= 1.000001, s"ccf $c out of range"))
   }
+
+  test("forecastBacktest: weekly-periodic series zeroes the seasonal MAE; holes are real zeros (C119)") {
+    val D = 86400L * 1000L // one day of millis
+    // counts per day, period 7, with day 9 a HOLE (zero events): the
+    // dense grid must treat it as c = 0, not skip the row
+    val pattern = Seq(1, 2, 3, 1, 1, 1, 1)
+    val counts: Map[Int, Int] =
+      (0 until 21).map(d => d -> (if (d == 9) 0 else pattern(d % 7))).toMap
+    val ev = counts.toSeq.flatMap { case (d, c) =>
+      (0 until c).map(j =>
+        ((d * 100 + j).toLong, new Timestamp(d * D), "t", 1.0))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val got = TimeSeries.forecastBacktest(ev)
+      .select("n_days", "mae1_num", "mae7_num", "bias7", "mae_seasonal")
+      .as[(Long, Long, Long, Long, Double)].head()
+    // replay: eval days 7..20; seasonal errors only where the hole breaks
+    // the period (day 9 actual 0 vs forecast 3; day 16 actual 3 vs 0)
+    val dense = (0 until 21).map(counts)
+    val eval = 7 until 21
+    assert(got._1 == eval.length.toLong)
+    assert(got._2 == eval.map(d => math.abs(dense(d) - dense(d - 1))).sum.toLong)
+    assert(got._3 == 6L, s"seasonal num ${got._3}: expected |0-3| + |3-0|")
+    assert(got._4 == 0L, "hole pushes bias both ways symmetrically")
+    assert(got._5 == math.rint(6.0 / eval.length * 1e6) / 1e6)
+    // pure periodic series (no hole): seasonal MAE is exactly 0 while
+    // persistence stays positive — the weekly-structure verdict
+    val pure = (0 until 21).flatMap(d => (0 until pattern(d % 7)).map(j =>
+      ((d * 100 + j).toLong, new Timestamp(d * D), "t", 1.0)))
+      .toDF("event_id", "ts", "event_type", "value")
+    val p = TimeSeries.forecastBacktest(pure)
+      .select("mae7_num", "mae1_num").as[(Long, Long)].head()
+    assert(p._1 == 0L && p._2 > 0L)
+    // corpus smoke: metrics finite, n_days = span - 7 per type
+    val corpus = TimeSeries.forecastBacktest(
+      Tables.load(spark, sf, "events"))
+      .select("n_days", "mae_seasonal", "mae_persistence")
+      .as[(Long, Double, Double)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (n, m7, m1) =>
+      assert(n > 0 && m7 >= 0 && m1 >= 0 && !m7.isNaN && !m1.isNaN)
+    }
+  }
 }
