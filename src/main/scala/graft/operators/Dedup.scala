@@ -1743,4 +1743,54 @@ sizes AS (SELECT community, count(*) AS n_members FROM alld GROUP BY community)
 SELECT a.doc_id, a.community, s.n_members
 FROM alld a JOIN sizes s USING (community)"""
   }
+
+  // ---- L130 (r10): dedup survivor selection — keep-longest policy ----
+  // L19 labels clusters and keeps the min-id doc; a real curation run
+  // keeps the BEST copy — here the canonical keep-longest policy
+  // (n_chars, lowest id tiebreak), the standard choice when near-dups
+  // are truncations/excerpts of one another. The readout is per-source
+  // impact: docs kept/dropped, exact retained ppm, and CROSS-SOURCE
+  // absorption (docs whose surviving copy lives in another source —
+  // the mirror-site signal L125 locates spatially). Composition: L19's
+  // cluster labels + one (cluster) struct-argmax + one source rollup;
+  // frames shrink monotonically, nothing corpus-wide sorts. The
+  // survivor struct carries its source as payload (the (n_chars,
+  // -doc_id) prefix is already unique, so the extra field never
+  // participates in ordering).
+  def survivorSelection(documents: DataFrame): DataFrame = {
+    val scored = dedupClusters(documents)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(documents.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+    val surv = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg"),
+        col("source").as("src"))).as("s"))
+      .select(col("cluster_id"), (-col("s.neg")).as("surv_doc"),
+        col("s.src").as("surv_src"))
+    scored.join(surv, "cluster_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("surv_doc"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_id") =!= col("surv_doc"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("doc_id") =!= col("surv_doc") &&
+          col("surv_src") =!= col("source"), 1L).otherwise(0L)).as("n_absorbed_cross"))
+      .withColumn("retained_ppm", expr("(n_kept * 1000000) div n_docs"))
+  }
+
+  lazy val survivorSelectionSql: String =
+    s"""WITH RECURSIVE cl AS ($dedupClustersSql),
+scored AS (
+  SELECT c.doc_id, c.cluster_id, d.source, d.n_chars
+  FROM cl c JOIN documents d USING (doc_id)),
+surv AS (
+  SELECT cluster_id,
+    max(struct_pack(n_chars := n_chars, neg := -doc_id, src := source)) AS s
+  FROM scored GROUP BY 1)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum((doc_id = -((s).neg))::INT)::BIGINT AS n_kept,
+  sum((doc_id <> -((s).neg))::INT)::BIGINT AS n_dropped,
+  sum((doc_id <> -((s).neg) AND source <> (s).src)::INT)::BIGINT AS n_absorbed_cross,
+  ((sum((doc_id = -((s).neg))::INT) * 1000000) // count(*))::BIGINT AS retained_ppm
+FROM scored JOIN surv USING (cluster_id)
+GROUP BY source"""
 }

@@ -3595,4 +3595,140 @@ SELECT event_type, day,
   (max(struct_pack(us := us, event_id := event_id, cents := cents))).cents AS close_cents,
   count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS volume_cents
 FROM base GROUP BY 1, 2"""
+
+  // ---- C122 (r10): market-share momentum — monthly brand rank deltas ----
+  // The category-management readout on top of C2's star join: each
+  // brand's share of monthly revenue (exact ppm over the month total)
+  // and its RANK MOVEMENT vs its previous reporting month — the "who
+  // is gaining" column every category review leads with. Ranks are
+  // deterministic (revenue desc, brand asc tiebreak); the lag steps to
+  // the brand's previous PRESENT month (a brand absent for a month
+  // compares to its last appearance — the honest read when months can
+  // be sparse). Plan: part is a broadcast dimension; one (month,
+  // brand) rollup off the lineitem scan, then two windows over the
+  // tiny post-aggregate frame (per-month total+rank, per-brand lag).
+  def marketShareMomentum(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val monthly = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("month_key"), col("p_brand").as("brand"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("rev_cents"))
+    val byMonth = Window.partitionBy(col("month_key"))
+    val rankW = byMonth.orderBy(col("rev_cents").desc, col("brand").asc)
+    val byBrand = Window.partitionBy(col("brand")).orderBy(col("month_key"))
+    monthly
+      .withColumn("share_ppm",
+        expr("(rev_cents * 1000000) div (sum(rev_cents) over (partition by month_key))"))
+      .withColumn("rnk", rank().over(rankW).cast("long"))
+      .withColumn("prev_rnk", lag(col("rnk"), 1).over(byBrand))
+      .withColumn("rank_delta", col("prev_rnk") - col("rnk"))
+  }
+
+  val marketShareMomentumSql: String =
+    """WITH monthly AS (
+  SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT AS month_key,
+    p_brand AS brand,
+    sum(((l_extendedprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT month_key, brand, rev_cents,
+    ((rev_cents * 1000000) // (sum(rev_cents) OVER (PARTITION BY month_key)))::BIGINT AS share_ppm,
+    rank() OVER (PARTITION BY month_key ORDER BY rev_cents DESC, brand ASC)::BIGINT AS rnk
+  FROM monthly)
+SELECT month_key, brand, rev_cents, share_ppm, rnk,
+  (lag(rnk, 1) OVER (PARTITION BY brand ORDER BY month_key))::BIGINT AS prev_rnk,
+  (lag(rnk, 1) OVER (PARTITION BY brand ORDER BY month_key) - rnk)::BIGINT AS rank_delta
+FROM ranked"""
+
+  // ---- C123 (r10): metric melt — wide-to-long unpivot (C10's inverse) ----
+  // C10 pivots long to wide; reporting pipelines need the inverse just
+  // as often (a metrics frame melted to (entity, metric, value) rows
+  // for generic downstream sinks — every metrics warehouse ingests the
+  // long shape). Spark-native stack() keeps the melt inside
+  // whole-stage codegen — one projection, no explode of a struct
+  // array, no join. All melted metrics are exact BIGINTs (counts +
+  // cents) so a single typed value column is honest.
+  def metricsMelt(orders: DataFrame): DataFrame = {
+    val wide = orders.groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((dec(col("o_totalprice")) * 100).cast("long")).as("rev_cents"),
+        max((dec(col("o_totalprice")) * 100).cast("long")).as("max_cents"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+    wide.select(col("priority"), expr(
+      """stack(4, 'n_orders', n_orders, 'rev_cents', rev_cents,
+        |'max_cents', max_cents, 'n_customers', n_customers)
+        |as (metric, value)""".stripMargin))
+  }
+
+  val metricsMeltSql: String =
+    """WITH wide AS (
+  SELECT o_orderpriority AS priority, count(*)::BIGINT AS n_orders,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS rev_cents,
+    max(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS max_cents,
+    count(DISTINCT o_custkey)::BIGINT AS n_customers
+  FROM orders GROUP BY 1)
+SELECT priority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL SELECT priority, 'rev_cents', rev_cents FROM wide
+UNION ALL SELECT priority, 'max_cents', max_cents FROM wide
+UNION ALL SELECT priority, 'n_customers', n_customers FROM wide"""
+
+  // ---- C124 (r10): capped inventory projection — non-negative fold ----
+  // The stock ledger C57/C68 sit beside: per part, shipments draw
+  // stock down and returns put it back, and on-hand CANNOT go negative
+  // — demand beyond stock is LOST (recorded per day), not borrowed.
+  // max(0, ...) each step makes the fold non-associative, so no
+  // window/prefix-sum expresses it: this is the EWMA/Holt-Winters
+  // partition-keyed ordered-scan family (repartition by part, sort
+  // within partitions, one linear typed pass — P parallel tasks each
+  // folding thousands of parts; state is two longs). All-integer
+  // (quantity centi-units); the DuckDB oracle replays the identical
+  // fold as a recursive CTE, the C91 pairing.
+  def inventoryProjection(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val daily = lineitem.select(col("l_partkey"),
+        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"),
+        when(col("l_returnflag") === "R", (dec(col("l_quantity")) * 100).cast("long"))
+          .otherwise(-(dec(col("l_quantity")) * 100).cast("long")).as("q"))
+      .groupBy(col("l_partkey"), col("day")).agg(sum(col("q")).as("delta"))
+    daily.repartition(col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"), col("day"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var key = Long.MinValue
+        var stock = 0L
+        it.map { case (part, day, delta) =>
+          if (part != key) { key = part; stock = 0L }
+          val s = stock + delta
+          stock = math.max(0L, s)
+          (part, day, delta, stock, math.max(0L, -s))
+        }
+      }.toDF("l_partkey", "day", "delta", "stock", "lost")
+  }
+
+  val inventoryProjectionSql: String = {
+    s"""WITH RECURSIVE daily AS (
+  SELECT l_partkey,
+    date_diff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT AS day,
+    sum(CASE WHEN l_returnflag = 'R' THEN ((l_quantity::DECIMAL(18,2)) * 100)::BIGINT
+         ELSE -(((l_quantity::DECIMAL(18,2)) * 100)::BIGINT) END)::BIGINT AS delta
+  FROM lineitem GROUP BY 1, 2),
+base AS (
+  SELECT l_partkey, day, delta,
+    row_number() OVER (PARTITION BY l_partkey ORDER BY day) AS rn
+  FROM daily),
+fold AS (
+  SELECT l_partkey, day, delta, rn,
+    greatest(0, delta)::BIGINT AS stock, greatest(0, -delta)::BIGINT AS lost
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.l_partkey, b.day, b.delta, b.rn,
+    greatest(0, f.stock + b.delta)::BIGINT,
+    greatest(0, -(f.stock + b.delta))::BIGINT
+  FROM fold f JOIN base b ON b.l_partkey = f.l_partkey AND b.rn = f.rn + 1)
+SELECT l_partkey, day, delta, stock, lost FROM fold"""
+  }
 }

@@ -2495,4 +2495,121 @@ FROM inter i
 JOIN sizes z1 ON z1.source = i.s1
 JOIN sizes z2 ON z2.source = i.s2"""
   }
+
+  // ---- L131 (r10): n-gram duplication-rate curve ----
+  // The corpus-redundancy fingerprint curation reports lead with
+  // (RefinedWeb-style): for each n, what share of n-gram OCCURRENCES
+  // is redundant (each distinct gram's occurrences beyond its first).
+  // High dup at large n = copied passages (dedup will bite); high dup
+  // only at small n = natural Zipf mass (it won't). One explode per n
+  // over the token array (the 5 scans run in parallel; each gram
+  // shuffles as a 16-byte md5, never the string — the L25 width rule),
+  // one (n, hash) count, one 5-row rollup; exact ppm.
+  def ngramDupCurve(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    val byN = (1 to 5).map { n =>
+      documents.select(lit(n.toLong).as("n"),
+        explode(expr(s"graft_grams(split(lower(text), '\\\\s+'), $n)")).as("g"))
+    }.reduce(_ unionAll _)
+    byN.select(col("n"), md5(col("g")).as("h"))
+      .groupBy(col("n"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("n"))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("n_redundant"))
+      .withColumn("dup_ppm", expr("(n_redundant * 1000000) div n_grams"))
+  }
+
+  val ngramDupCurveSql: String = {
+    val tok = "string_split_regex(lower(text), '\\s+')"
+    val arms = (1 to 5).map { n =>
+      s"SELECT $n::BIGINT AS n, md5(unnest(${graft.functions.Portable.wordGramsSql(tok, n)})) AS h FROM documents"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH g AS (
+  $arms),
+c AS (SELECT n, h, count(*)::BIGINT AS c FROM g GROUP BY 1, 2)
+SELECT n, sum(c)::BIGINT AS n_grams, count(*)::BIGINT AS n_distinct,
+  sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::BIGINT AS n_redundant,
+  ((sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) * 1000000) // sum(c))::BIGINT AS dup_ppm
+FROM c GROUP BY n"""
+  }
+
+  // ---- L132 (r10): Heaps-law fit — vocabulary growth per source ----
+  // L88 fits the static rank-frequency law; the GROWTH law is the
+  // other corpus-health axis: V(N) = k·N^beta (natural text: beta
+  // 0.4-0.6; templated/looped text collapses toward 0 because new
+  // tokens stop appearing). Sample points are id-prefix deciles —
+  // bucket = (doc_id·10) div (max_id + 1), a value-based split off a
+  // single-row broadcast max, NO corpus sort. V_d = types whose FIRST
+  // bucket <= d (one min-aggregate over the term frame), N_d =
+  // cumulative tokens; both cumulate over the <=10-row per-source
+  // frame. beta/ln k via the C98 log-log OLS discipline: per-point ln
+  // quantized DECIMAL(18,9) before the order-free sum, one fixed-order
+  // float chain, round 6.
+  def heapsFit(documents: DataFrame): DataFrame = {
+    val mx = documents.agg(max(col("doc_id")).as("mx"))
+    val toks = documents.crossJoin(broadcast(mx))
+      .select(col("source"), expr("(doc_id * 10) div (mx + 1)").as("b"),
+        explode(tokens(col("text"))).as("w"))
+    val perBucket = toks.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("tk"))
+    val firstSeen = toks.groupBy(col("source"), col("w"))
+      .agg(min(col("b")).as("fb"))
+      .groupBy(col("source"), col("fb").as("b")).agg(count(lit(1)).as("nv"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val pts = perBucket.join(firstSeen, Seq("source", "b"), "left")
+      .withColumn("cum_tk", sum(col("tk")).over(w))
+      .withColumn("cum_v", sum(coalesce(col("nv"), lit(0L))).over(w))
+      .select(col("source"), col("cum_tk"), col("cum_v"),
+        log(col("cum_tk").cast("double")).as("x"),
+        log(col("cum_v").cast("double")).as("y"))
+    val d = "decimal(18,9)"
+    val s = pts.groupBy(col("source")).agg(
+      count(lit(1)).as("n_points"),
+      max(col("cum_tk")).as("total_tokens"), max(col("cum_v")).as("vocab_size"),
+      sum(col("x").cast(d)).as("sx"), sum(col("y").cast(d)).as("sy"),
+      sum((col("x") * col("y")).cast(d)).as("sxy"),
+      sum((col("x") * col("x")).cast(d)).as("sxx"))
+    val slopeQ = "(cast(n_points as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / nullif(cast(n_points as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double), 0.0)"
+    s.selectExpr("source", "n_points", "total_tokens", "vocab_size",
+      s"round($slopeQ, 6) AS heaps_beta",
+      s"round((cast(sy as double) - ($slopeQ) * cast(sx as double)) / cast(n_points as double), 6) AS ln_k")
+  }
+
+  val heapsFitSql: String = {
+    val slopeQ = "(cast(n_points as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / nullif(cast(n_points as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double), 0.0)"
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+toks AS (
+  SELECT source, (doc_id * 10) // (mx + 1) AS b,
+    unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents CROSS JOIN mx),
+perbucket AS (SELECT source, b, count(*)::BIGINT AS tk FROM toks GROUP BY 1, 2),
+firstseen AS (
+  SELECT source, fb AS b, count(*)::BIGINT AS nv
+  FROM (SELECT source, w, min(b) AS fb FROM toks GROUP BY 1, 2)
+  GROUP BY 1, 2),
+pts AS (
+  SELECT p.source,
+    (sum(p.tk) OVER cw)::BIGINT AS cum_tk,
+    (sum(coalesce(f.nv, 0)) OVER cw)::BIGINT AS cum_v
+  FROM perbucket p LEFT JOIN firstseen f USING (source, b)
+  WINDOW cw AS (PARTITION BY p.source ORDER BY p.b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+lns AS (
+  SELECT source, cum_tk, cum_v,
+    ln(cum_tk::DOUBLE) AS x, ln(cum_v::DOUBLE) AS y
+  FROM pts),
+s AS (
+  SELECT source, count(*)::BIGINT AS n_points,
+    max(cum_tk)::BIGINT AS total_tokens, max(cum_v)::BIGINT AS vocab_size,
+    sum(CAST(x AS DECIMAL(18,9))) AS sx, sum(CAST(y AS DECIMAL(18,9))) AS sy,
+    sum(CAST(x * y AS DECIMAL(18,9))) AS sxy,
+    sum(CAST(x * x AS DECIMAL(18,9))) AS sxx
+  FROM lns GROUP BY 1)
+SELECT source, n_points, total_tokens, vocab_size,
+  round($slopeQ, 6) AS heaps_beta,
+  round((cast(sy as double) - ($slopeQ) * cast(sx as double)) / cast(n_points as double), 6) AS ln_k
+FROM s"""
+  }
 }

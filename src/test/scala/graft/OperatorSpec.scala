@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Multimodal, Relational, Similarity}
+import graft.operators.{Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Non-oracle surfaces: LSH recall, HLL sketches, multimodal plumbing. */
 class OperatorSpec extends SparkSpec {
@@ -3331,7 +3331,9 @@ class OperatorSpec extends SparkSpec {
       "q_bitemporal" -> "crossJoin(broadcast(2-row report-date grid)) — the q_trunc_loss bounded-grid pattern",
       "q_activity_profile" -> "crossJoin(broadcast(single-row corpus total)) over the 168-row cell frame — the tfidf/lm_score pattern",
       "q_ccf" -> "crossJoin(broadcast(8-row lag grid)) over the POST-AGGREGATE daily deviation frame — the q_acf pattern",
-      "q_wedge_closure" -> "crossJoin(broadcast(single-row edge count + single-row triangle count)) — the q_modularity pattern")
+      "q_wedge_closure" -> "crossJoin(broadcast(single-row edge count + single-row triangle count)) — the q_modularity pattern",
+      "q_rev_bridge" -> "crossJoin(broadcast(single-row anchor-year max)) — the q_rfm/q_ar_aging corpus-anchor pattern",
+      "q_heaps" -> "crossJoin(broadcast(single-row max doc_id)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -5235,5 +5237,183 @@ class OperatorSpec extends SparkSpec {
       sum((col("value").cast("decimal(18,2)") * 100).cast("long")))
       .head.getLong(0)
     assert(vol == direct)
+  }
+
+  test("survivorSelection: longest copy wins, cross-source absorption flagged; one kept per cluster (L130)") {
+    import graft.operators.Dedup
+    // docs 1 and 2 are identical (one cluster); the longer copy lives in
+    // source b, so source a loses doc 1 to b. doc 3 is its own cluster.
+    val t1 = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 20).map(i => s"zzz$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, t1, "en", "a", 100L), (2L, t1, "en", "b", 200L),
+      (3L, t2, "en", "a", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.survivorSelection(docs2)
+      .select("source", "n_docs", "n_kept", "n_dropped", "n_absorbed_cross",
+        "retained_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 2L, 1L, 1L, 1L, 500000L),
+      ("b", 1L, 1L, 0L, 0L, 1000000L)), s"got $got")
+    // corpus: every cluster keeps exactly one doc; per-source tiling
+    val r = Dedup.survivorSelection(documents)
+    val kept = r.agg(sum("n_kept")).head.getLong(0)
+    val nClusters = Dedup.dedupClusters(documents)
+      .select("cluster_id").distinct().count()
+    assert(kept == nClusters, s"$kept kept vs $nClusters clusters")
+    assert(r.agg(sum("n_docs")).head.getLong(0) == documents.count())
+    r.select("n_docs", "n_kept", "n_dropped", "retained_ppm")
+      .as[(Long, Long, Long, Long)].collect().foreach { case (n, k, d, ppm) =>
+        assert(k + d == n && ppm == k * 1000000L / n)
+      }
+  }
+
+  test("marketShareMomentum: a rank swap reads as opposite deltas; shares exact (C122)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val part2 = Seq((1L, "BrandA"), (2L, "BrandB")).toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 3.0, d("2024-01-10")), (2L, 2.0, d("2024-01-15")),
+      (1L, 1.0, d("2024-02-10")), (2L, 4.0, d("2024-02-15")))
+      .toDF("l_partkey", "l_extendedprice", "l_shipdate")
+    val got = Relational.marketShareMomentum(li, part2)
+      .select("month_key", "brand", "rev_cents", "share_ppm", "rnk",
+        "prev_rnk", "rank_delta")
+      .as[(Long, String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got((202401L, "BrandA")) ==
+      ((202401L, "BrandA", 300L, 600000L, 1L, None, None)))
+    assert(got((202401L, "BrandB")) ==
+      ((202401L, "BrandB", 200L, 400000L, 2L, None, None)))
+    assert(got((202402L, "BrandA")) ==
+      ((202402L, "BrandA", 100L, 200000L, 2L, Some(1L), Some(-1L))))
+    assert(got((202402L, "BrandB")) ==
+      ((202402L, "BrandB", 400L, 800000L, 1L, Some(2L), Some(1L))))
+    // corpus: shares under-tile each month (integer div), ranks tile
+    val corpus = Relational.marketShareMomentum(
+      Tables.load(spark, sf, "lineitem"), Tables.load(spark, sf, "part"))
+    val perMonth = corpus.groupBy("month_key")
+      .agg(sum("share_ppm").as("s"), count(lit(1)).as("n"), max("rnk").as("mx"))
+      .as[(Long, Long, Long, Long)].collect()
+    perMonth.foreach { case (m, s, n, mx) =>
+      assert(s <= 1000000L && s > 1000000L - n, s"month $m ppm sum $s")
+      assert(mx <= n, s"month $m max rank $mx > $n brands")
+    }
+  }
+
+  test("metricsMelt: long rows reconcile with the wide aggregate, one row per metric (C123)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders2 = Seq(
+      (1L, 7L, "P1", 100.0, d("2024-01-01")),
+      (2L, 7L, "P1", 40.0, d("2024-01-02")),
+      (3L, 8L, "P2", 5.0, d("2024-01-03")))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+        "o_orderdate")
+    val got = Relational.metricsMelt(orders2)
+      .select("priority", "metric", "value")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("P1", "n_orders", 2L), ("P1", "rev_cents", 14000L),
+      ("P1", "max_cents", 10000L), ("P1", "n_customers", 1L),
+      ("P2", "n_orders", 1L), ("P2", "rev_cents", 500L),
+      ("P2", "max_cents", 500L), ("P2", "n_customers", 1L)), s"got $got")
+    // corpus: exactly 4 metrics per priority; n_orders rows tile the count
+    val orders = Tables.load(spark, sf, "orders")
+    val r = Relational.metricsMelt(orders)
+    val counts = r.groupBy("priority").count().as[(String, Long)].collect()
+    assert(counts.nonEmpty && counts.forall(_._2 == 4L))
+    val nOrders = r.where(col("metric") === "n_orders")
+      .agg(sum("value")).head.getLong(0)
+    assert(nOrders == orders.count())
+  }
+
+  test("ngramDupCurve: hand-counted redundancy per n; too-short docs contribute nothing (L131)") {
+    val docs2 = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramDupCurve(docs2)
+      .select("n", "n_grams", "n_distinct", "n_redundant", "dup_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 6L, 4L, 2L, 333333L),   // a b a b c d: a,b repeat once each
+      (2L, 4L, 3L, 1L, 250000L),   // "a b" twice, "b a", "c d"
+      (3L, 2L, 2L, 0L, 0L),        // doc2 too short for trigrams
+      (4L, 1L, 1L, 0L, 0L)),       // only doc1's full 4-gram; no 5-grams
+      s"got ${got.toSeq}")
+    // corpus: totals shrink with n, rates bounded, unigram dup >= 5-gram
+    val corpus = TextAnalysis.ngramDupCurve(documents)
+      .select("n", "n_grams", "dup_ppm")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(corpus.length == 5)
+    corpus.foreach { case (_, g, ppm) =>
+      assert(g > 0 && ppm >= 0 && ppm <= 1000000L) }
+    assert(corpus.zip(corpus.tail).forall { case (a, b) => b._2 <= a._2 },
+      "gram totals must shrink as n grows")
+    assert(corpus.head._3 >= corpus.last._3,
+      "unigram redundancy below 5-gram redundancy is implausible")
+  }
+
+  test("heapsFit: constant vocab reads beta 0, all-new vocab reads beta 1 exactly (L132)") {
+    // ids 0..9 land in buckets 0..9 exactly ((id*10) div 10)
+    val const = (0L to 9L).map(i => (i, Seq.fill(10)("x").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val g0 = TextAnalysis.heapsFit(const)
+      .select("n_points", "total_tokens", "vocab_size", "heaps_beta", "ln_k")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(g0 == ((10L, 100L, 1L, 0.0, 0.0)), s"got $g0")
+    // every doc introduces 5 brand-new tokens: V = N at every sample
+    val fresh = (0L to 9L).map(i =>
+      (i, (1 to 5).map(j => s"w${i}_$j").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val g1 = TextAnalysis.heapsFit(fresh)
+      .select("total_tokens", "vocab_size", "heaps_beta", "ln_k")
+      .as[(Long, Long, Double, Double)].head()
+    assert(g1 == ((50L, 50L, 1.0, 0.0)), s"got $g1")
+    // corpus: per source, totals reconcile with direct counts; beta sane
+    val corpus = TextAnalysis.heapsFit(documents)
+      .select("source", "total_tokens", "vocab_size", "heaps_beta")
+      .as[(String, Long, Long, Double)].collect()
+    assert(corpus.nonEmpty)
+    val direct = documents
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("tk"), countDistinct(col("w")).as("v"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    corpus.foreach { case (s, tk, v, beta) =>
+      assert((tk, v) == direct(s), s"$s totals")
+      assert(beta >= -1e-6 && beta <= 1.000001, s"$s beta $beta")
+    }
+  }
+
+  test("inventoryProjection: stock floors at zero, lost demand recorded; fold replays (C124)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, 5.0, "N", d("2024-01-01")),  // ship 5 from empty: all lost
+      (1L, 3.0, "R", d("2024-01-02")),  // return restocks 3
+      (1L, 1.0, "N", d("2024-01-03")),  // ship 1 covered
+      (2L, 2.0, "R", d("2024-01-01")), (2L, 2.0, "N", d("2024-01-01")))
+      .toDF("l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+    val got = Relational.inventoryProjection(li)
+      .select("l_partkey", "day", "delta", "stock", "lost")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val days = got.map(_._2)
+    assert(got.map(r => (r._1, r._3, r._4, r._5)).toSeq == Seq(
+      (1L, -500L, 0L, 500L), (1L, 300L, 300L, 0L), (1L, -100L, 200L, 0L),
+      (2L, 0L, 0L, 0L)), s"got ${got.toSeq}")
+    assert(days.take(3).toSeq == days.take(3).sorted.toSeq)
+    // corpus: replay the fold sequentially per part and compare
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    val rows = Relational.inventoryProjection(lineitem)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { part =>
+      var stock = 0L
+      part.sortBy(_._2).foreach { case (p, day, delta, s2, lost) =>
+        val next = stock + delta
+        assert(s2 == math.max(0L, next), s"part $p day $day stock")
+        assert(lost == math.max(0L, -next), s"part $p day $day lost")
+        stock = math.max(0L, next)
+      }
+    }
   }
 }
