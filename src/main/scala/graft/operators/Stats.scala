@@ -1841,4 +1841,68 @@ SELECT class, n_pos, (n - n_pos) AS n_neg,
   (s2 - n_pos * (n_pos + 1))::BIGINT AS auc_num,
   (2::BIGINT * n_pos * (n - n_pos))::BIGINT AS auc_den
 FROM g"""
+
+  // ---- C125 (r10): difference-in-differences — pre/post x arm lift ----
+  // The observational-lift estimator the experimentation suite (C71
+  // sequential z, C89 CUPED, C102/C111 tests) still lacked: when
+  // treatment switches ON at a point in time, the causal read is the
+  // TREATED arm's pre-to-post move MINUS the control arm's (parallel-
+  // trends assumption). Cells: arm = md5-parity on USER (assignment
+  // unit — not event, or within-user correlation leaks across arms),
+  // period = event time vs the single-row corpus temporal midpoint
+  // (the C65 idiom). Hashed surface: 8 exact cell moments (n, Σ cents)
+  // + ONE float (the DiD estimate) from a fixed-order chain of four
+  // exact divisions; types with any empty cell are excluded by WHERE.
+  // Plan: one map-side-partial aggregate per type over the broadcast
+  // midpoint — no window, no join.
+  def didLift(events: DataFrame): DataFrame = {
+    val mid = events.agg(expr(
+      "min(unix_micros(ts)) + (max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+      .as("mid"))
+    val tagged = events.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        (dec(col("value")) * 100).cast("long").as("v"),
+        pmod(md5Long(lit("did"), col("user_id")), lit(2)).as("arm"),
+        when(expr("unix_micros(ts)") < col("mid"), 0L).otherwise(1L).as("post"))
+    def cell(a: Int, p: Int) = (
+      sum(when(col("arm") === a && col("post") === p, 1L).otherwise(0L)).as(s"n$a$p"),
+      sum(when(col("arm") === a && col("post") === p, col("v")).otherwise(0L)).as(s"s$a$p"))
+    val cells = Seq(cell(0, 0), cell(0, 1), cell(1, 0), cell(1, 1))
+      .flatMap { case (a, b) => Seq(a, b) }
+    tagged.groupBy(col("event_type"))
+      .agg(cells.head, cells.tail: _*)
+      .where(col("n00") > 0 && col("n01") > 0 && col("n10") > 0 && col("n11") > 0)
+      .selectExpr(Seq("event_type", "n00", "s00", "n01", "s01",
+        "n10", "s10", "n11", "s11", didFloatExpr): _*)
+  }
+
+  // the one float chain, shared verbatim with the oracle
+  private val didFloatExpr: String =
+    "round((cast(s11 as double) / cast(n11 as double) - cast(s10 as double) / cast(n10 as double)) - (cast(s01 as double) / cast(n01 as double) - cast(s00 as double) / cast(n00 as double)), 6) AS did_cents"
+
+  val didLiftSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'did'", "user_id")
+    s"""WITH mid AS (
+  SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS mid
+  FROM events),
+tagged AS (
+  SELECT event_type, ((value::DECIMAL(18,2)) * 100)::BIGINT AS v,
+    $h % 2 AS arm,
+    CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS post
+  FROM events CROSS JOIN mid),
+cells AS (
+  SELECT event_type,
+    sum(CASE WHEN arm = 0 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS n00,
+    sum(CASE WHEN arm = 0 AND post = 0 THEN v ELSE 0 END)::BIGINT AS s00,
+    sum(CASE WHEN arm = 0 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+    sum(CASE WHEN arm = 0 AND post = 1 THEN v ELSE 0 END)::BIGINT AS s01,
+    sum(CASE WHEN arm = 1 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+    sum(CASE WHEN arm = 1 AND post = 0 THEN v ELSE 0 END)::BIGINT AS s10,
+    sum(CASE WHEN arm = 1 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS n11,
+    sum(CASE WHEN arm = 1 AND post = 1 THEN v ELSE 0 END)::BIGINT AS s11
+  FROM tagged GROUP BY event_type)
+SELECT event_type, n00, s00, n01, s01, n10, s10, n11, s11,
+  $didFloatExpr
+FROM cells WHERE n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0"""
+  }
 }

@@ -2612,4 +2612,77 @@ SELECT source, n_points, total_tokens, vocab_size,
   round((cast(sy as double) - ($slopeQ) * cast(sx as double)) / cast(n_points as double), 6) AS ln_k
 FROM s"""
   }
+
+  // ---- L133 (r10): language-fit cosine — labeled-language verification ----
+  // L108 audits the HARD prediction confusion; this scores how well
+  // each doc's stopword profile matches its LABELED language's corpus
+  // centroid — the continuous mislabel signal (fasttext-verification
+  // shape) a relabeling pass thresholds on. Integer-exact core: doc
+  // vector c_w and centroid h_w are raw counts, cosine numerator
+  // Σ c_w·h_w and both norm-squares are exact DECIMAL(38,0) (cast
+  // before products); the only floats are two correctly-rounded sqrts
+  // and one division per doc, quantized DECIMAL(18,9) before the
+  // order-free mean. Docs with zero stopword hits carry no signal and
+  // are counted out separately, not scored. Plan: one token explode
+  // filtered to the 30-word list, (doc, w) and (lang, w) aggregates,
+  // a lang-alphabet-bounded broadcast join — no corpus pair work.
+  def languageFit(documents: DataFrame): DataFrame = {
+    val allWords = stopwords.flatMap(_._2).distinct
+    val d38 = "decimal(38,0)"
+    val hits = documents
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+      .where(col("w").isInCollection(allWords))
+    val perDocW = hits.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val centroid = perDocW.groupBy(col("lang"), col("w")).agg(sum(col("c")).as("h"))
+    val langNorm = centroid.groupBy(col("lang"))
+      .agg(sum(col("h").cast(d38) * col("h")).as("hn2"))
+    val fits = perDocW.join(broadcast(centroid), Seq("lang", "w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c").cast(d38) * col("h")).as("num"),
+        sum(col("c").cast(d38) * col("c")).as("cn2"))
+      .join(broadcast(langNorm), "lang")
+      .select(col("lang"), (col("num").cast("double") /
+        (sqrt(col("cn2").cast("double")) * sqrt(col("hn2").cast("double"))))
+        .as("fit"))
+    val scored = fits.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_scored"),
+      round(sum(col("fit").cast("decimal(18,9)")).cast("double") /
+        count(lit(1)), 6).as("mean_fit"),
+      sum(when(col("fit") < 0.5, 1L).otherwise(0L)).as("n_low_fit"))
+    documents.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(scored, "lang")
+      .select(col("lang"), col("n_docs"), col("n_scored"),
+        (col("n_docs") - col("n_scored")).as("n_no_signal"),
+        col("mean_fit"), col("n_low_fit"))
+  }
+
+  val languageFitSql: String = {
+    val words = stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents),
+f AS (
+  SELECT doc_id, lang, w, count(*)::BIGINT AS c
+  FROM toks WHERE w IN ($words) GROUP BY 1, 2, 3),
+cen AS (SELECT lang, w, sum(c)::BIGINT AS h FROM f GROUP BY 1, 2),
+hn AS (SELECT lang, sum(h::HUGEINT * h)::DECIMAL(38,0) AS hn2 FROM cen GROUP BY 1),
+pd AS (
+  SELECT f.doc_id, f.lang,
+    sum(f.c::HUGEINT * cen.h)::DECIMAL(38,0) AS num,
+    sum(f.c::HUGEINT * f.c)::DECIMAL(38,0) AS cn2
+  FROM f JOIN cen USING (lang, w) GROUP BY 1, 2),
+fit AS (
+  SELECT lang, num::DOUBLE / (sqrt(cn2::DOUBLE) * sqrt(hn2::DOUBLE)) AS fit
+  FROM pd JOIN hn USING (lang)),
+sc AS (
+  SELECT lang, count(*)::BIGINT AS n_scored,
+    round(sum(CAST(fit AS DECIMAL(18,9)))::DOUBLE / count(*), 6) AS mean_fit,
+    sum((fit < 0.5)::INT)::BIGINT AS n_low_fit
+  FROM fit GROUP BY 1),
+tot AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1)
+SELECT lang, n_docs, n_scored, (n_docs - n_scored)::BIGINT AS n_no_signal,
+  mean_fit, n_low_fit
+FROM tot JOIN sc USING (lang)"""
+  }
 }

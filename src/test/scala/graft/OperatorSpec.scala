@@ -3333,7 +3333,8 @@ class OperatorSpec extends SparkSpec {
       "q_ccf" -> "crossJoin(broadcast(8-row lag grid)) over the POST-AGGREGATE daily deviation frame — the q_acf pattern",
       "q_wedge_closure" -> "crossJoin(broadcast(single-row edge count + single-row triangle count)) — the q_modularity pattern",
       "q_rev_bridge" -> "crossJoin(broadcast(single-row anchor-year max)) — the q_rfm/q_ar_aging corpus-anchor pattern",
-      "q_heaps" -> "crossJoin(broadcast(single-row max doc_id)) — the tfidf/lm_score pattern")
+      "q_heaps" -> "crossJoin(broadcast(single-row max doc_id)) — the tfidf/lm_score pattern",
+      "q_did" -> "crossJoin(broadcast(single-row temporal midpoint)) — the q_psi_drift pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -5414,6 +5415,37 @@ class OperatorSpec extends SparkSpec {
         assert(lost == math.max(0L, -next), s"part $p day $day lost")
         stock = math.max(0L, next)
       }
+    }
+  }
+
+  test("languageFit: hand-built centroids give exact cosines; no-signal docs counted out (L133)") {
+    def rnd9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs2 = Seq(
+      (1L, "the the of", "en", "s", 10L),  // c=(2,1) vs h=(2,1): fit 1.0
+      (2L, "zzz zzz", "en", "s", 6L),      // zero hits: no signal
+      (3L, "der", "de", "s", 3L),          // c=(1,0) vs h=(1,2): 1/sqrt(5)
+      (4L, "und und", "de", "s", 7L))      // c=(0,2) vs h=(1,2): 4/(2*sqrt(5))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.languageFit(docs2)
+      .select("lang", "n_docs", "n_scored", "n_no_signal", "mean_fit", "n_low_fit")
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 2L, 1L, 1L, 1.0, 0L)), s"en ${got("en")}")
+    val f3 = rnd9(1.0 / math.sqrt(5.0))
+    val f4 = rnd9(4.0 / (2.0 * math.sqrt(5.0)))
+    val deMean = math.rint((f3 + f4) / 2 * 1e6) / 1e6
+    assert(got("de") == (("de", 2L, 2L, 0L, deMean, 1L)), s"de ${got("de")}")
+    // corpus: per-lang partitions tile; fits in (0, 1]; mean bounded
+    val corpus = TextAnalysis.languageFit(documents)
+      .select("lang", "n_docs", "n_scored", "n_no_signal", "mean_fit", "n_low_fit")
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+    assert(corpus.nonEmpty)
+    val langTotals = documents.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    corpus.foreach { case (l, n, sc2, ns, mf, low) =>
+      assert(n == langTotals(l) && sc2 + ns == n, s"$l tiling")
+      assert(mf > 0.0 && mf <= 1.0 + 1e-9 && low <= sc2, s"$l mean_fit $mf")
     }
   }
 }

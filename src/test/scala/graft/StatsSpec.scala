@@ -774,4 +774,50 @@ class StatsSpec extends SparkSpec {
     val cr = Stats.welchTTest(const).select("t_stat").collect()
     assert(cr.length == 1 && cr.head.isNullAt(0), "zero-variance t must be NULL")
   }
+
+  test("didLift: cells replay exactly from the md5 assignment; empty-cell types excluded (C125)") {
+    def md5did(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"did:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val raw = events.select(col("event_type"), col("user_id"),
+      (graft.functions.Portable.dec(col("value")) * 100).cast("long").as("v"),
+      expr("unix_micros(ts)").as("us"))
+      .as[(String, Long, Long, Long)].collect()
+    val us = raw.map(_._4)
+    val mid = us.min + (us.max - us.min) / 2
+    val got = Stats.didLift(events)
+      .select("event_type", "n00", "s00", "n01", "s01", "n10", "s10",
+        "n11", "s11", "did_cents")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    raw.groupBy(_._1).foreach { case (t, rs) =>
+      def cell(a: Long, p: Long) = rs.filter(r =>
+        md5did(r._2) == a && (if (r._4 < mid) 0L else 1L) == p)
+      val cs = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)).map { case (a, p) =>
+        val c = cell(a, p); (c.length.toLong, c.map(_._3).sum)
+      }
+      if (cs.forall(_._1 > 0)) {
+        val r = got(t)
+        assert(Seq(r._2, r._4, r._6, r._8) == cs.map(_._1), s"$t cell counts")
+        assert(Seq(r._3, r._5, r._7, r._9) == cs.map(_._2), s"$t cell sums")
+        val did = (cs(3)._2.toDouble / cs(3)._1 - cs(2)._2.toDouble / cs(2)._1) -
+          (cs(1)._2.toDouble / cs(1)._1 - cs(0)._2.toDouble / cs(0)._1)
+        assert(r._10 == math.rint(did * 1e6) / 1e6, s"$t did ${r._10} vs $did")
+      } else assert(!got.contains(t), s"$t with an empty cell must be excluded")
+    }
+    // a type living only pre-midpoint has empty post cells -> excluded
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val t1 = new java.sql.Timestamp(1700000000000L + 86400000L)
+    val crafted = Seq(
+      ("a", 1L, 1.0, t0), ("a", 2L, 2.0, t0), ("a", 3L, 3.0, t1),
+      ("a", 4L, 4.0, t1), ("a", 5L, 4.0, t1), ("a", 6L, 4.0, t1),
+      ("b", 1L, 9.0, t0))
+      .toDF("event_type", "user_id", "value", "ts")
+    val names = Stats.didLift(crafted).select("event_type")
+      .as[String].collect().toSet
+    assert(!names.contains("b"), "pre-only type must drop via the cell guard")
+  }
 }
