@@ -1793,4 +1793,91 @@ SELECT source, count(*)::BIGINT AS n_docs,
   ((sum((doc_id = -((s).neg))::INT) * 1000000) // count(*))::BIGINT AS retained_ppm
 FROM scored JOIN surv USING (cluster_id)
 GROUP BY source"""
+
+  // ---- L134 (r10): b-bit minhash calibration — signature compression ----
+  // Li & Konig's b-bit minwise hashing: store only each component's
+  // LOWEST 2 BITS (30x smaller signatures than 60-bit values) and
+  // correct the estimate for chance collisions — Jhat = (E - C)/(1 - C)
+  // with C = 1/4. This is the readout that justifies (or kills) the
+  // compression before a 100 TB signature store is built: per exact-
+  // Jaccard decile over the SAME banded candidate population as L129,
+  // the raw 2-bit agreement and the collision-corrected estimate
+  // beside exact truth. All-integer hashed surface: both ppms are
+  // cross-multiplied integer divisions of exact component sums (the
+  // corrected numerator 4·Σeq2 − n·H may go negative below chance —
+  // Spark div and DuckDB // both truncate toward zero, the documented
+  // pairing); exact means via the L129 DECIMAL(18,9) quantization.
+  // Scale = L3's banding; the pair join compares 24 two-bit residues.
+  def bbitMinhashCalibration(documents: DataFrame): DataFrame = {
+    val sh = shingleHashedDf(documents).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val based = sh.select(col("doc_id"), col("s").bitwiseAND(0xFFFFFFFFL).as("base"))
+    val sigs = based.groupBy(col("doc_id")).agg(
+      min(col("base").bitwiseXOR(mixC(0)) * mixA(0)).as("h0"),
+      (1 until NumHashes).map(j =>
+        min(col("base").bitwiseXOR(mixC(j)) * mixA(j)).as(s"h$j")): _*)
+    val withBands = minhashBandsFrom(sh)
+    val cands = withBands.select(col("band"), col("key"), col("doc_id").as("x"))
+      .join(withBands.select(col("band"), col("key"), col("doc_id").as("y")),
+        Seq("band", "key"))
+      .where(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct()
+    val shx = sh.select(col("doc_id").as("x"), col("s"))
+    val shy = sh.select(col("doc_id").as("y"), col("s"))
+    val scored = cands
+      .join(shx, "x").join(shy, Seq("y", "s"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("x"), col("n").as("nx")), "x")
+      .join(sizes.select(col("doc_id").as("y"), col("n").as("ny")), "y")
+      .withColumn("union_n", col("nx") + col("ny") - col("common"))
+    val sx = sigs.toDF("x" +: (0 until NumHashes).map(j => s"x$j"): _*)
+    val sy = sigs.toDF("y" +: (0 until NumHashes).map(j => s"y$j"): _*)
+    val eq2 = (0 until NumHashes)
+      .map(j => (pmod(col(s"x$j"), lit(4L)) === pmod(col(s"y$j"), lit(4L)))
+        .cast("long")).reduce(_ + _)
+    scored.join(sx, "x").join(sy, "y")
+      .withColumn("eq2", eq2)
+      .withColumn("bucket", least(expr("(10 * common) div union_n"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("eq2")).as("sum_eq2"),
+        sum((col("common").cast("double") / col("union_n").cast("double"))
+          .cast("decimal(18,9)")).as("jac_sum"))
+      .select(col("bucket"), col("n_pairs"), col("sum_eq2"),
+        expr(s"(sum_eq2 * 1000000L) div (n_pairs * $NumHashes)").as("raw2_ppm"),
+        expr(s"((4 * sum_eq2 - n_pairs * $NumHashes) * 1000000L) div (3 * n_pairs * $NumHashes)")
+          .as("est2_ppm"),
+        round(col("jac_sum").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("exact_mean"))
+  }
+
+  lazy val bbitMinhashCalibrationSql: String = {
+    val eq2Sql = (0 until NumHashes)
+      .map(j => s"(((a.h$j % 4) + 4) % 4 = ((b.h$j % 4) + 4) % 4)::INT")
+      .mkString(" + ")
+    s"""WITH $minhashBandCtes,
+cands AS (
+  SELECT DISTINCT ba.doc_id AS x, bb.doc_id AS y
+  FROM bands ba JOIN bands bb
+    ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id < bb.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+common AS (
+  SELECT c.x, c.y, count(*)::BIGINT AS common
+  FROM cands c JOIN shh sa ON sa.doc_id = c.x
+               JOIN shh sb ON sb.doc_id = c.y AND sb.s = sa.s
+  GROUP BY c.x, c.y),
+scored AS (
+  SELECT cm.x, cm.y, cm.common,
+    (sx.n + sy.n - cm.common)::BIGINT AS union_n,
+    ($eq2Sql)::BIGINT AS eq2
+  FROM common cm
+  JOIN sizes sx ON sx.doc_id = cm.x JOIN sizes sy ON sy.doc_id = cm.y
+  JOIN sigs a ON a.doc_id = cm.x JOIN sigs b ON b.doc_id = cm.y)
+SELECT least((10 * common) // union_n, 9)::BIGINT AS bucket,
+  count(*)::BIGINT AS n_pairs, sum(eq2)::BIGINT AS sum_eq2,
+  ((sum(eq2) * 1000000) // (count(*) * $NumHashes))::BIGINT AS raw2_ppm,
+  (((4 * sum(eq2) - count(*) * $NumHashes) * 1000000) // (3 * count(*) * $NumHashes))::BIGINT AS est2_ppm,
+  round(sum((common::DOUBLE / union_n::DOUBLE)::DECIMAL(18,9))::DOUBLE
+    / count(*)::DOUBLE, 6) AS exact_mean
+FROM scored GROUP BY 1"""
+  }
 }

@@ -2685,4 +2685,63 @@ SELECT lang, n_docs, n_scored, (n_docs - n_scored)::BIGINT AS n_no_signal,
   mean_fit, n_low_fit
 FROM tot JOIN sc USING (lang)"""
   }
+
+  // ---- C126 (r10): decile gains table — classifier triage readout ----
+  // C101 scores a model's RANKING globally (AUC); the gains table is
+  // what the filtering decision actually reads: rank the corpus by the
+  // L31 classifier logit, cut into rank deciles, and report how much
+  // of the positive mass (L9 weak label, the L56 convention) each
+  // decile captures — cumulative recall and per-decile lift. Exact
+  // integers everywhere except lift (one fixed-order float chain over
+  // exact counts, round 6). The rank is a corpus total order — the
+  // declared C48 concession: one global row_number at report scale,
+  // two-phase range ranking the documented 100x path. Deciles are
+  // cross-multiplied ((rn-1)*10) div n — no float in a bucket edge.
+  def gainsTable(documents: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = hashedClassifier(documents)
+      .join(documents.select(col("doc_id"),
+        (qualityScoreCol > NbCut).cast("long").as("y")), "doc_id")
+    val tot = scored.agg(count(lit(1)).as("n_total"),
+      sum(col("y")).as("n_pos_total"))
+    val ranked = scored.crossJoin(broadcast(tot))
+      .withColumn("rn",
+        row_number().over(W.orderBy(col("logit_sum_milli").desc, col("doc_id").asc)))
+      .withColumn("decile", expr("((rn - 1) * 10) div n_total"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        max(col("n_total")).as("n_total"), max(col("n_pos_total")).as("n_pos_total"))
+    val cw = W.orderBy(col("decile"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked
+      .withColumn("cum_pos", sum(col("n_pos")).over(cw))
+      .selectExpr("decile", "n_docs", "n_pos", "cum_pos",
+        "(cum_pos * 1000000) div n_pos_total AS recall_ppm",
+        "round((cast(n_pos as double) / cast(n_docs as double)) / (cast(n_pos_total as double) / cast(n_total as double)), 6) AS lift")
+  }
+
+  val gainsTableSql: String =
+    s"""WITH scored AS (
+  SELECT doc_id, sum(w)::BIGINT AS logit
+  FROM (
+    SELECT doc_id, (${md5LongSql("'w'", "t")} % 2001) - 1000 AS w
+    FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents)
+    WHERE length(t) > 0)
+  GROUP BY doc_id),
+lab AS (
+  SELECT s.doc_id, s.logit, ($qualityScoreSqlExpr > 0.2)::BIGINT AS y
+  FROM scored s JOIN documents USING (doc_id)),
+tot AS (SELECT count(*)::BIGINT AS n_total, sum(y)::BIGINT AS n_pos_total FROM lab),
+ranked AS (
+  SELECT ((row_number() OVER (ORDER BY logit DESC, doc_id ASC) - 1) * 10) // n_total AS decile, y, n_total, n_pos_total
+  FROM lab CROSS JOIN tot),
+dec AS (
+  SELECT decile, count(*)::BIGINT AS n_docs, sum(y)::BIGINT AS n_pos,
+    max(n_total)::BIGINT AS n_total, max(n_pos_total)::BIGINT AS n_pos_total
+  FROM ranked GROUP BY 1)
+SELECT decile, n_docs, n_pos,
+  (sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_pos,
+  (((sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000) // n_pos_total)::BIGINT AS recall_ppm,
+  round((cast(n_pos as double) / cast(n_docs as double)) / (cast(n_pos_total as double) / cast(n_total as double)), 6) AS lift
+FROM dec"""
 }

@@ -3334,7 +3334,8 @@ class OperatorSpec extends SparkSpec {
       "q_wedge_closure" -> "crossJoin(broadcast(single-row edge count + single-row triangle count)) — the q_modularity pattern",
       "q_rev_bridge" -> "crossJoin(broadcast(single-row anchor-year max)) — the q_rfm/q_ar_aging corpus-anchor pattern",
       "q_heaps" -> "crossJoin(broadcast(single-row max doc_id)) — the tfidf/lm_score pattern",
-      "q_did" -> "crossJoin(broadcast(single-row temporal midpoint)) — the q_psi_drift pattern")
+      "q_did" -> "crossJoin(broadcast(single-row temporal midpoint)) — the q_psi_drift pattern",
+      "q_gains" -> "crossJoin(broadcast(single-row corpus totals)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -5447,5 +5448,62 @@ class OperatorSpec extends SparkSpec {
       assert(n == langTotals(l) && sc2 + ns == n, s"$l tiling")
       assert(mf > 0.0 && mf <= 1.0 + 1e-9 && low <= sc2, s"$l mean_fit $mf")
     }
+  }
+
+  test("gainsTable: deciles replay from the ranked corpus; recall monotone to 1e6 (C126)") {
+    val scored = TextAnalysis.hashedClassifier(documents)
+      .join(documents.select(col("doc_id"),
+        (TextAnalysis.qualityScoreCol > 0.2).cast("long").as("y")), "doc_id")
+      .select("doc_id", "logit_sum_milli", "y")
+      .as[(Long, Long, Long)].collect()
+    val ranked = scored.sortBy(r => (-r._2, r._1))
+    val n = ranked.length.toLong
+    val nPos = ranked.map(_._3).sum
+    val expected = ranked.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n }
+      .view.mapValues(rs => (rs.length.toLong, rs.map(_._1._3).sum)).toMap
+    val got = TextAnalysis.gainsTable(documents)
+      .select("decile", "n_docs", "n_pos", "cum_pos", "recall_ppm", "lift")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 10)
+    var cum = 0L
+    got.foreach { case (d, nd, np, cp, rec, lift) =>
+      val (en, ep) = expected(d)
+      assert(nd == en && np == ep, s"decile $d cells ($nd,$np) vs ($en,$ep)")
+      cum += np
+      assert(cp == cum && rec == cum * 1000000L / nPos, s"decile $d cum")
+      val liftExp = math.rint((np.toDouble / nd) / (nPos.toDouble / n) * 1e6) / 1e6
+      assert(lift == liftExp, s"decile $d lift $lift vs $liftExp")
+    }
+    assert(got.last._5 == 1000000L, "full-corpus recall must be exactly 1e6")
+    assert(got.map(_._5).toSeq == got.map(_._5).sorted.toSeq, "recall monotone")
+  }
+
+  test("bbitMinhash: identical docs read exact 1e6 both ways; correction never exceeds raw (L134)") {
+    import graft.operators.Dedup
+    val t1 = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs2 = Seq((1L, t1), (2L, t1), (3L, (1 to 20).map(i => s"yyy$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.bbitMinhashCalibration(docs2)
+      .select("bucket", "n_pairs", "sum_eq2", "raw2_ppm", "est2_ppm", "exact_mean")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1 &&
+      got.head == ((9L, 1L, 24L, 1000000L, 1000000L, 1.0)), s"${got.toSeq}")
+    // corpus: the correction shrinks the chance-inflated raw agreement
+    // toward truth and never exceeds it; the chance floor shows in raw
+    val corpus = Dedup.bbitMinhashCalibration(documents)
+      .select("bucket", "n_pairs", "raw2_ppm", "est2_ppm", "exact_mean")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (b, np, raw, est, exact) =>
+      assert(np > 0 && raw >= 0 && raw <= 1000000L, s"bucket $b raw $raw")
+      assert(est <= raw, s"bucket $b corrected $est above raw $raw")
+      assert(exact >= 0.0 && exact <= 1.0 + 1e-9)
+    }
+    corpus.minBy(_._1) match { case (b, _, raw, _, _) =>
+      assert(raw >= 180000L,
+        s"bottom bucket $b raw $raw below the ~250k 2-bit chance floor") }
+    corpus.find(_._1 == 9L).foreach { case (_, _, _, est, _) =>
+      assert(est >= 650000L, s"top-decile corrected estimate $est implausibly low") }
   }
 }
