@@ -1136,4 +1136,46 @@ SELECT event_type, split, count(*)::BIGINT AS n,
        round(min(z), 6) + 0.0 AS z_min, round(max(z), 6) + 0.0 AS z_max
 FROM z GROUP BY event_type, split"""
   }
+
+  // ---- L135 (r10): stride-scheduled source interleave ----
+  // The deterministic BATCH ORDER of a training run: L30/L70 decide
+  // how much of each source; this decides WHEN — stride scheduling
+  // (the Bresenham/error-diffusion interleave) gives every prefix of
+  // the emitted stream floor/ceil-proportional source representation,
+  // so mixture ratios hold at every checkpoint, not just in
+  // expectation. Virtual time of source s's k-th doc is (k+1)/w_s,
+  // computed as an EXACT integer — (k+1)·10^18 div w via DECIMAL(38,0)
+  // cross-multiplication, no float in an ordering decision — with
+  // (source, k) breaking exact ties identically in both engines.
+  // Within each source the doc order is FIFO by doc_id. The global
+  // position is the declared C48/C126 total-order export concession.
+  def strideInterleave(documents: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val weights = documents.groupBy(col("source")).agg(count(lit(1)).as("w"))
+    val numbered = documents.select(col("doc_id"), col("source"))
+      .withColumn("k",
+        (row_number().over(W.partitionBy(col("source")).orderBy(col("doc_id"))) - 1)
+          .cast("long"))
+    numbered.join(broadcast(weights), "source")
+      .withColumn("vtime",
+        expr("cast((cast(k + 1 as decimal(38,0)) * 1000000000000000000) div w as bigint)"))
+      .withColumn("position",
+        (row_number().over(W.orderBy(col("vtime"), col("source"), col("k"))) - 1)
+          .cast("long"))
+      .select(col("position"), col("vtime"), col("source"), col("k"), col("doc_id"))
+  }
+
+  val strideInterleaveSql: String =
+    """WITH w AS (SELECT source, count(*)::BIGINT AS w FROM documents GROUP BY 1),
+numbered AS (
+  SELECT doc_id, source,
+    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::BIGINT AS k
+  FROM documents),
+v AS (
+  SELECT n.doc_id, n.source, n.k,
+    (((n.k + 1)::HUGEINT * 1000000000000000000) // w.w)::BIGINT AS vtime
+  FROM numbered n JOIN w USING (source))
+SELECT (row_number() OVER (ORDER BY vtime, source, k) - 1)::BIGINT AS position,
+  vtime, source, k, doc_id
+FROM v"""
 }

@@ -5506,4 +5506,38 @@ class OperatorSpec extends SparkSpec {
     corpus.find(_._1 == 9L).foreach { case (_, _, _, est, _) =>
       assert(est >= 650000L, s"top-decile corrected estimate $est implausibly low") }
   }
+
+  test("strideInterleave: every prefix is proportionally mixed; FIFO within source (L135)") {
+    import graft.operators.Curation
+    // 9 a-docs vs 3 b-docs (3:1): every 4-slot block is a,a,a,b
+    val docs2 = ((1L to 9L).map(i => (i, s"d$i", "a")) ++
+      (101L to 103L).map(i => (i, s"d$i", "b")))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.strideInterleave(docs2)
+      .select("position", "source", "doc_id")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).mkString == "aaab" * 3, s"${got.map(_._2).mkString}")
+    // FIFO within each source
+    got.groupBy(_._2).values.foreach { rs =>
+      val ids = rs.sortBy(_._1).map(_._3)
+      assert(ids.toSeq == ids.sorted.toSeq, "within-source order must be FIFO")
+    }
+    // corpus: dense positions, FIFO per source, half-prefix balance
+    val corpus = Curation.strideInterleave(documents)
+      .select("position", "source", "doc_id")
+      .as[(Long, String, Long)].collect()
+    val n = corpus.length.toLong
+    assert(corpus.map(_._1).toSet == (0L until n).toSet, "positions must be dense")
+    corpus.groupBy(_._2).values.foreach { rs =>
+      val ids = rs.sortBy(_._1).map(_._3)
+      assert(ids.toSeq == ids.sorted.toSeq)
+    }
+    val half = corpus.filter(_._1 < n / 2)
+    val total = corpus.groupBy(_._2).view.mapValues(_.length.toDouble / n).toMap
+    half.groupBy(_._2).foreach { case (s, rs) =>
+      val share = rs.length.toDouble / half.length
+      assert(math.abs(share - total(s)) < 0.02,
+        s"$s half-prefix share $share vs ${total(s)}")
+    }
+  }
 }

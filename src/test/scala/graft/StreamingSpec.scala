@@ -947,4 +947,59 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("m", 2L, "alert"), ("m", 6L, "recover"),
       ("m", 8L, "alert"), ("n", 9L, "alert")), s"got $got")
   }
+
+  test("observe() counters reconcile in batch with no extra scan (R19)") {
+    import graft.streaming.Observability
+    val df = Seq(
+      (1L, t("2024-01-01 00:00:00"), Some(5.0)),
+      (2L, t("2024-01-01 00:01:00"), None),
+      (3L, t("2024-01-01 00:02:00"), Some(-2.0)))
+      .toDF("event_id", "ts", "value")
+    val obs = org.apache.spark.sql.Observation(Observability.MetricsName)
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col("value").isNull.cast("long")).as("n_null_value"),
+      sum((col("value") < 0).cast("long")).as("n_negative"),
+      max(col("event_id")).as("max_event_id"))
+    assert(observed.count() == 3)
+    val m = obs.get
+    assert(m("n_rows") == 3L && m("n_null_value") == 1L &&
+      m("n_negative") == 1L && m("max_event_id") == 3L, s"metrics $m")
+  }
+
+  test("streaming observe() metrics surface per micro-batch; watermark drops are counted, not silently lost (R19)") {
+    import graft.streaming.Observability
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val src = Observability.withIngestMetrics(
+      stream.toDF().toDF("event_id", "ts", "value"))
+    val agg = src.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("obs_counts")
+      .outputMode("append").start()
+    // batch 1: two on-time rows establish the watermark
+    stream.addData((1L, t("2024-01-01 00:05:00"), 1.0),
+      (2L, t("2024-01-01 01:00:00"), 2.0))
+    q.processAllAvailable()
+    // batch 2: one LATE row (beyond watermark) + one on-time flusher
+    stream.addData((3L, t("2024-01-01 00:01:00"), 3.0),
+      (4L, t("2024-01-01 02:00:00"), 4.0))
+    q.processAllAvailable()
+    val progresses = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    // observe(): every ingested row is counted per micro-batch, late or not
+    val observedRows = progresses.flatMap(p =>
+      Option(p.observedMetrics.get(Observability.MetricsName))
+        .map(_.getAs[Long]("n_rows"))).sum
+    assert(observedRows == 4L, s"observed $observedRows of 4 ingested rows")
+    // the late row is DROPPED by the watermark and the drop is COUNTED
+    val dropped = progresses.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped == 1L, s"expected exactly 1 watermark-dropped row, got $dropped")
+    // and the finalized windows never saw it: the 00:00 window closed at n = 1
+    val ws = spark.table("obs_counts").select("ws", "n")
+      .as[(Timestamp, Long)].collect().toMap
+    assert(ws.get(t("2024-01-01 00:00:00")).contains(1L),
+      s"00:00 window must close with only the on-time row, got $ws")
+  }
 }
