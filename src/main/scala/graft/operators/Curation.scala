@@ -1178,4 +1178,55 @@ v AS (
 SELECT (row_number() OVER (ORDER BY vtime, source, k) - 1)::BIGINT AS position,
   vtime, source, k, doc_id
 FROM v"""
+
+  // ---- L136 (r10): per-source curation funnel ----
+  // L20 emits the surviving corpus; the RELEASE REVIEW reads the
+  // funnel — per source, how many docs survive each stage in sequence
+  // (quality floor -> exact dedup -> near-dup dedup) and the final
+  // retention ppm. A source bleeding at the quality gate needs a
+  // different fix than one collapsing under near-dup (re-crawl vs
+  // drop), and the per-source breakdown is what makes the L58-style
+  // aggregate actionable. Pure composition: the SAME stage keeps L20
+  // consumes, re-rolled per source via presence flags (left joins on
+  // narrow id frames — the text column never re-shuffles); sequential
+  // semantics as flag products, all-integer.
+  def curationFunnel(documents: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(documents)
+      .where(col("quality_score") >= QualityFloor)
+      .select(col("doc_id"), lit(1L).as("fq"))
+    val ek = Dedup.exact(documents)
+      .select(col("keep_id").as("doc_id"), lit(1L).as("fe"))
+    val nk = Dedup.dedupClusters(documents).where(col("keep") === 1)
+      .select(col("doc_id"), lit(1L).as("fn"))
+    documents.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id"), "left")
+      .join(ek, Seq("doc_id"), "left")
+      .join(nk, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("fq", "fe", "fn"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("fq")).as("n_quality"),
+        sum(col("fq") * col("fe")).as("n_exact"),
+        sum(col("fq") * col("fe") * col("fn")).as("n_final"))
+      .withColumn("retained_ppm", expr("(n_final * 1000000) div n_raw"))
+  }
+
+  lazy val curationFunnelSql: String =
+    s"""WITH RECURSIVE q AS (
+  SELECT doc_id FROM (${TextAnalysis.qualitySql})
+  WHERE quality_score >= $QualityFloor),
+ek AS (SELECT keep_id AS doc_id FROM (${Dedup.exactSql})),
+cl AS (${Dedup.dedupClustersSql}),
+flags AS (
+  SELECT d.doc_id, d.source,
+    (q.doc_id IS NOT NULL)::BIGINT AS fq,
+    (e.doc_id IS NOT NULL)::BIGINT AS fe,
+    coalesce(c.keep, 0)::BIGINT AS fn
+  FROM documents d
+  LEFT JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN ek e ON e.doc_id = d.doc_id
+  LEFT JOIN cl c ON c.doc_id = d.doc_id)
+SELECT source, count(*)::BIGINT AS n_raw, sum(fq)::BIGINT AS n_quality,
+  sum(fq * fe)::BIGINT AS n_exact, sum(fq * fe * fn)::BIGINT AS n_final,
+  ((sum(fq * fe * fn) * 1000000) // count(*))::BIGINT AS retained_ppm
+FROM flags GROUP BY 1"""
 }

@@ -3731,4 +3731,49 @@ fold AS (
   FROM fold f JOIN base b ON b.l_partkey = f.l_partkey AND b.rn = f.rn + 1)
 SELECT l_partkey, day, delta, stock, lost FROM fold"""
   }
+
+  // ---- C127 (r10): hierarchical contribution shares ----
+  // The drill-down table every regional review reads: revenue rolled
+  // up the region -> nation hierarchy with each level's EXACT share of
+  // its parent (nation-of-region, region-of-global) — C12's subtotals
+  // restated as the contribution ppm a reader actually wants, without
+  // re-scanning per level. One star join (customer/nation/region
+  // broadcast as dimensions), one (region, nation) rollup, then two
+  // window sums over the ~25-row post-aggregate frame; cross-
+  // multiplied integer ppm, no float in any share.
+  def hierarchyShares(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val W = Window
+    val rev = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((dec(col("o_totalprice")) * 100).cast("long")).as("rev_cents"))
+    rev
+      .withColumn("region_cents",
+        sum(col("rev_cents")).over(W.partitionBy(col("region"))))
+      .withColumn("global_cents", sum(col("rev_cents")).over(W.partitionBy()))
+      .select(col("region"), col("nation"), col("n_orders"), col("rev_cents"),
+        expr("(rev_cents * 1000000) div region_cents").as("share_of_region_ppm"),
+        expr("(region_cents * 1000000) div global_cents").as("region_share_ppm"))
+  }
+
+  val hierarchySharesSql: String =
+    """WITH rev AS (
+  SELECT r_name AS region, n_name AS nation, count(*)::BIGINT AS n_orders,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT region, nation, n_orders, rev_cents,
+  ((rev_cents * 1000000) // (sum(rev_cents) OVER (PARTITION BY region)))::BIGINT AS share_of_region_ppm,
+  (((sum(rev_cents) OVER (PARTITION BY region)) * 1000000) // (sum(rev_cents) OVER ()))::BIGINT AS region_share_ppm
+FROM rev"""
 }

@@ -1905,4 +1905,51 @@ SELECT event_type, n00, s00, n01, s01, n10, s10, n11, s11,
   $didFloatExpr
 FROM cells WHERE n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0"""
   }
+
+  // ---- C128 (r10): sample-ratio-mismatch check — the experiment gate ----
+  // Run BEFORE any A/B readout (C71/C89/C102/C111/C125): if the
+  // realized arm split deviates from the designed 50/50 beyond chance,
+  // the assignment is broken and every downstream stat is invalid.
+  // One-df chi-square against 50/50 is (n0 − n1)²/(n0 + n1) — the
+  // numerator an exact DECIMAL(38,0) square (cast before the product;
+  // counts can exceed 3e9 per type at corpus scale), one division +
+  // round the only float. The md5 arm reuses C102's "mw" seed so this
+  // gates the ACTUAL assignment the tests consume. One map-side
+  // aggregate per type; SRM flagged at the conventional chi2 > 3.841
+  // (p < 0.05) — the flag computed on the exact rational, not the
+  // rounded float (cross-multiplied: 1000·(n0−n1)² > 3841·n).
+  def srmCheck(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    events.select(col("event_type"),
+        pmod(md5Long(lit("mw"), col("event_id")), lit(2)).as("arm"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        ((col("n0") - col("n1")).cast(d38) * (col("n0") - col("n1"))).as("d2"),
+        (col("n0") + col("n1")).as("n"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        round(col("d2").cast("double") / col("n").cast("double"), 6).as("chi2"),
+        (col("d2") * 1000 > col("n").cast(d38) * 3841).cast("long").as("srm_flag"))
+  }
+
+  val srmCheckSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'mw'", "event_id")
+    s"""WITH armed AS (
+  SELECT event_type, $h % 2 AS arm FROM events),
+m AS (
+  SELECT event_type,
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+  FROM armed GROUP BY event_type),
+d AS (
+  SELECT event_type, n0, n1,
+    ((n0 - n1)::HUGEINT * (n0 - n1))::DECIMAL(38,0) AS d2,
+    (n0 + n1)::BIGINT AS n
+  FROM m)
+SELECT event_type, n0, n1,
+  round(d2::DOUBLE / n::DOUBLE, 6) AS chi2,
+  (d2 * 1000 > n::DECIMAL(38,0) * 3841)::BIGINT AS srm_flag
+FROM d"""
+  }
 }

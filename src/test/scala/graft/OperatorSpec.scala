@@ -5540,4 +5540,93 @@ class OperatorSpec extends SparkSpec {
         s"$s half-prefix share $share vs ${total(s)}")
     }
   }
+
+  test("hierarchyShares: hand-built star gives exact two-level shares (C127)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val region2 = Seq((1L, "R1"), (2L, "R2")).toDF("r_regionkey", "r_name")
+    val nation2 = Seq((10L, "N1", 1L), (11L, "N2", 1L), (12L, "N3", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val cust2 = Seq((100L, 10L), (101L, 11L), (102L, 12L))
+      .toDF("c_custkey", "c_nationkey")
+    val orders2 = Seq(
+      (100L, 30.0, d("2024-01-01")), (101L, 10.0, d("2024-01-02")),
+      (102L, 60.0, d("2024-01-03")))
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val got = Relational.hierarchyShares(orders2, cust2, nation2, region2)
+      .select("region", "nation", "n_orders", "rev_cents",
+        "share_of_region_ppm", "region_share_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("R1", "N1", 1L, 3000L, 750000L, 400000L),
+      ("R1", "N2", 1L, 1000L, 250000L, 400000L),
+      ("R2", "N3", 1L, 6000L, 1000000L, 600000L)), s"got $got")
+    // corpus: revenue fully attributed; shares under-tile each region
+    val r = Relational.hierarchyShares(Tables.load(spark, sf, "orders"),
+      Tables.load(spark, sf, "customer"), Tables.load(spark, sf, "nation"),
+      Tables.load(spark, sf, "region"))
+    val billed = Tables.load(spark, sf, "orders").agg(
+      sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+      .head.getLong(0)
+    assert(r.agg(sum("rev_cents")).head.getLong(0) == billed)
+    r.groupBy("region").agg(sum("share_of_region_ppm").as("s"),
+      count(lit(1)).as("k")).as[(String, Long, Long)].collect()
+      .foreach { case (reg, s, k) =>
+        assert(s <= 1000000L && s > 1000000L - k, s"$reg ppm sum $s") }
+  }
+
+  test("srmCheck: planted imbalance flags, balanced split does not; chi2 exact (C128)") {
+    import graft.operators.Stats
+    def parity(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mw:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val byParity = (1L to 400L).groupBy(parity)
+    // skewed: 40 arm-0 ids vs 2 arm-1 ids -> chi2 = 38^2/42 >> 3.841
+    val skew = (byParity(0L).take(40) ++ byParity(1L).take(2))
+      .map(id => ("skew", id, 1.0))
+    val bal = (byParity(0L).take(20) ++ byParity(1L).take(20))
+      .map(id => ("bal", id, 1.0))
+    val got = Stats.srmCheck((skew ++ bal)
+      .toDF("event_type", "event_id", "value"))
+      .select("event_type", "n0", "n1", "chi2", "srm_flag")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("skew") == (("skew", 40L, 2L,
+      math.rint(38.0 * 38.0 / 42.0 * 1e6) / 1e6, 1L)), s"${got("skew")}")
+    assert(got("bal") == (("bal", 20L, 20L, 0.0, 0L)), s"${got("bal")}")
+    // corpus: the actual assignment passes its own gate (no SRM)
+    val corpus = Stats.srmCheck(events)
+      .select("n0", "n1", "srm_flag").as[(Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (n0, n1, f) =>
+      assert(f == 0L, s"corpus md5 split flagged SRM ($n0 vs $n1)") }
+  }
+
+  test("curationFunnel: stages shrink monotonically and reconcile with the L20 survivors (L136)") {
+    import graft.operators.{Curation, Dedup => _}
+    val good = (1 to 30).map(_ => "the a of and to in is").mkString(" ")
+    val docs2 = Seq(
+      (1L, good, "a"), (2L, good, "a"),              // identical pair
+      (3L, (1 to 30).map(_ => "is in to and of a the").mkString(" "), "b"), // distinct shingles, passes
+      (4L, "zzzz " * 3, "b"))                        // fails the floor
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Curation.curationFunnel(docs2)
+      .select("source", "n_raw", "n_quality", "n_exact", "n_final", "retained_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 2L, 1L, 1L, 500000L)), s"a ${got("a")}")
+    assert(got("b") == (("b", 2L, 1L, 1L, 1L, 500000L)), s"b ${got("b")}")
+    // corpus: funnel monotone per source; final count == L20 survivors
+    val r = Curation.curationFunnel(documents)
+      .select("source", "n_raw", "n_quality", "n_exact", "n_final")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (s, raw, q, e, f) =>
+      assert(raw >= q && q >= e && e >= f, s"$s funnel not monotone") }
+    assert(r.map(_._2).sum == documents.count())
+    assert(r.map(_._5).sum == Curation.curationPipeline(documents).count(),
+      "funnel finals must reconcile with the composed pipeline's survivors")
+  }
 }
