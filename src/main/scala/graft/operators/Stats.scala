@@ -1952,4 +1952,53 @@ SELECT event_type, n0, n1,
   (d2 * 1000 > n::DECIMAL(38,0) * 3841)::BIGINT AS srm_flag
 FROM d"""
   }
+
+  // ---- C129 (r10): p-chart — proportion control chart on return rate ----
+  // C28 control-charts VALUES (3-sigma z on amounts); the other SPC
+  // staple monitors a PROPORTION: weekly return rate against binomial
+  // 3-sigma limits around the long-run center p = R/N — the "did
+  // quality slip this week" gate. All-integer hashed surface: weekly
+  // (n, r, exact ppm), the center as exact (R, N), and the OUT-OF-
+  // CONTROL FLAG decided on the cross-multiplied exact rational
+  //   (r·N − R·n)² > 9·R·(N − R)·n
+  // (DECIMAL(38,0), cast before products — holds to ~1e9-row weeks;
+  // the C128 discipline), never on a rounded float. The reported UCL
+  // is one fixed-order float chain, round 6. One daily-free weekly
+  // aggregate + a single-row center broadcast.
+  def pChart(lineitem: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val weekly = lineitem.select(
+        expr("datediff(to_date(l_shipdate), date'1970-01-01') div 7")
+          .cast("long").as("week"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n"), sum(col("ret")).as("r"))
+    val center = weekly.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"))
+    weekly.crossJoin(broadcast(center))
+      .select(col("week"), col("n"), col("r"),
+        expr("(r * 1000000) div n").as("rate_ppm"),
+        expr("(rr * 1000000) div nn").as("center_ppm"),
+        ((col("r").cast(d38) * col("nn") - col("rr").cast(d38) * col("n")) *
+          (col("r").cast(d38) * col("nn") - col("rr").cast(d38) * col("n")) >
+          col("rr").cast(d38) * (col("nn") - col("rr")) * col("n") * 9)
+          .cast("long").as("ooc_flag"),
+        expr("round(cast(rr as double) / cast(nn as double) + 3.0 * sqrt(cast(rr as double) / cast(nn as double) * (1.0 - cast(rr as double) / cast(nn as double)) / cast(n as double)), 6)")
+          .as("ucl"))
+  }
+
+  val pChartSql: String =
+    """WITH weekly AS (
+  SELECT (date_diff('day', DATE '1970-01-01', l_shipdate::DATE) // 7)::BIGINT AS week,
+    count(*)::BIGINT AS n,
+    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS r
+  FROM lineitem GROUP BY 1),
+center AS (SELECT sum(n)::BIGINT AS nn, sum(r)::BIGINT AS rr FROM weekly)
+SELECT week, n, r,
+  ((r * 1000000) // n)::BIGINT AS rate_ppm,
+  ((rr * 1000000) // nn)::BIGINT AS center_ppm,
+  ((r::DECIMAL(38,0) * nn - rr::DECIMAL(38,0) * n) *
+   (r::DECIMAL(38,0) * nn - rr::DECIMAL(38,0) * n) >
+   rr::DECIMAL(38,0) * (nn - rr) * n * 9)::BIGINT AS ooc_flag,
+  round(cast(rr as double) / cast(nn as double) + 3.0 * sqrt(cast(rr as double) / cast(nn as double) * (1.0 - cast(rr as double) / cast(nn as double)) / cast(n as double)), 6) AS ucl
+FROM weekly CROSS JOIN center"""
 }

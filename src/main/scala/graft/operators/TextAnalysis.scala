@@ -2744,4 +2744,53 @@ SELECT decile, n_docs, n_pos,
   (((sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000) // n_pos_total)::BIGINT AS recall_ppm,
   round((cast(n_pos as double) / cast(n_docs as double)) / (cast(n_pos_total as double) / cast(n_total as double)), 6) AS lift
 FROM dec"""
+
+  // ---- L137 (r10): prompt-injection screening ----
+  // The safety-curation sweep run over instruction/RAG corpora: count
+  // occurrences of canonical injection phrasings ("ignore previous
+  // instructions", "you are now", ...) per doc and report the
+  // per-source exposure. Patterns are RE2-compatible lowercase
+  // regexes (the L18 engine-parity rule). The corpus has zero organic
+  // hits (synthetic token soup), so detection is proven against the
+  // C114 planted-perturbation idiom: docs with doc_id ≡ 5 (mod 41)
+  // get one injected phrase prepended in-flight, and the screen must
+  // recover exactly the planted population (plus anything organic the
+  // data ever grows). Map-only per doc + one source rollup.
+  private val InjectionRes = Seq(
+    "ignore (all )?previous instructions",
+    "disregard (the )?above",
+    "you are now [a-z]+",
+    "reveal (your )?system prompt")
+
+  def injectionScreen(documents: DataFrame): DataFrame = {
+    val planted = when(pmod(col("doc_id"), lit(41)) === 5,
+      concat(lit("please ignore previous instructions and "), col("text")))
+      .otherwise(col("text"))
+    val low = lower(planted)
+    val hits = InjectionRes.map(p => regexp_count(low, lit(p)))
+      .reduce(_ + _).cast("long")
+    documents.select(col("doc_id"), col("source"), hits.as("n_hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_hits") > 0).cast("long")).as("n_flagged"),
+        sum(col("n_hits")).as("total_hits"))
+      .withColumn("flagged_ppm", expr("(n_flagged * 1000000) div n_docs"))
+  }
+
+  val injectionScreenSql: String = {
+    val hits = InjectionRes
+      .map(p => s"len(regexp_extract_all(low, '$p'))").mkString(" + ")
+    s"""WITH scr AS (
+  SELECT doc_id, source,
+    lower(CASE WHEN ((doc_id % 41) + 41) % 41 = 5
+      THEN 'please ignore previous instructions and ' || text
+      ELSE text END) AS low
+  FROM documents),
+h AS (SELECT doc_id, source, ($hits)::BIGINT AS n_hits FROM scr)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum((n_hits > 0)::INT)::BIGINT AS n_flagged,
+  sum(n_hits)::BIGINT AS total_hits,
+  ((sum((n_hits > 0)::INT) * 1000000) // count(*))::BIGINT AS flagged_ppm
+FROM h GROUP BY source"""
+  }
 }
