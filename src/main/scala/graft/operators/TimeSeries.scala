@@ -637,4 +637,69 @@ SELECT event_type, count(*)::BIGINT AS n_days,
   round(sum(abs(c - f7))::BIGINT::DOUBLE / count(*)::DOUBLE, 6) AS mae_seasonal
 FROM lagged WHERE day >= d0 + 7 GROUP BY event_type"""
   }
+
+  // ---- C130 (r10): seasonal index — ratio-to-moving-average ----
+  // The classical decomposition C66's STL-lite sits beside: each day's
+  // count as a ratio to its CENTERED 7-day moving average, averaged by
+  // day-of-week (C66's pmod(day+4, 7) convention) — the multiplicative
+  // seasonal index table ops teams still publish. ENTIRELY integer:
+  // the ratio is the cross-multiplied exact ppm c·7·10^6 div s7 (the
+  // MA division never happens in float), the per-dow index an integer
+  // mean of ppms; edge days without a full 7-day window are excluded
+  // by the count guard, zero-MA days by s7 > 0 — same WHERE both
+  // engines. Dense calendar via the C119 bounded grid.
+  def seasonalIndex(events: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val D = 86400L * 1000000L
+    val daily = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${D}L)) div ${D}L").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dense = span
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w7 = W.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    dense
+      .withColumn("s7", sum(col("c")).over(w7))
+      .withColumn("k7", count(lit(1)).over(w7))
+      .where(col("k7") === 7 && col("s7") > 0)
+      .select(col("event_type"), pmod(col("day") + 4, lit(7)).as("dow"),
+        expr("(c * 7000000) div s7").as("ratio_ppm"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("ratio_ppm")).as("ratio_sum_ppm"))
+      .withColumn("index_ppm", expr("ratio_sum_ppm div n_days"))
+  }
+
+  val seasonalIndexSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH daily AS (
+  SELECT event_type,
+    (epoch_us(ts) - ((epoch_us(ts) % $D) + $D) % $D) // $D AS day,
+    count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+dense AS (
+  SELECT g.event_type, g.day, coalesce(d.c, 0)::BIGINT AS c
+  FROM (SELECT event_type, unnest(generate_series(d0, d1))::BIGINT AS day
+        FROM span) g
+  LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day),
+ma AS (
+  SELECT event_type, day, c,
+    (sum(c) OVER w)::BIGINT AS s7, (count(*) OVER w)::BIGINT AS k7
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+ratios AS (
+  SELECT event_type, (((day + 4) % 7) + 7) % 7 AS dow,
+    (c * 7000000) // s7 AS ratio_ppm
+  FROM ma WHERE k7 = 7 AND s7 > 0)
+SELECT event_type, dow::BIGINT AS dow, count(*)::BIGINT AS n_days,
+  sum(ratio_ppm)::BIGINT AS ratio_sum_ppm,
+  (sum(ratio_ppm) // count(*))::BIGINT AS index_ppm
+FROM ratios GROUP BY 1, 2"""
+  }
 }

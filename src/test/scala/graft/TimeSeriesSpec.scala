@@ -212,4 +212,35 @@ class TimeSeriesSpec extends SparkSpec {
       assert(n > 0 && m7 >= 0 && m1 >= 0 && !m7.isNaN && !m1.isNaN)
     }
   }
+
+  test("seasonalIndex: a planted weekly spike reads exact cross-multiplied indices (C130)") {
+    val D = 86400L * 1000L
+    // 21 days, one event/day except every day ≡ 5 (mod 7) gets 3:
+    // every full 7-day window sums to 9, so ratios are exact ninths
+    val ev = (0 until 21).flatMap { d =>
+      val c = if (d % 7 == 5) 3 else 1
+      (0 until c).map(j => ((d * 10 + j).toLong, new Timestamp(d * D), "t", 1.0))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val got = TimeSeries.seasonalIndex(ev)
+      .select("dow", "n_days", "ratio_sum_ppm", "index_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 7)
+    // day d has dow (d+4) % 7; the spike lives on days ≡ 5 -> dow 2
+    got.foreach { case (dow, nDays, _, idx) =>
+      val expected = if (dow == 2L) 3L * 7000000L / 9L else 7000000L / 9L
+      assert(idx == expected, s"dow $dow index $idx vs $expected")
+      assert(nDays >= 2, s"dow $dow has $nDays full-window days")
+    }
+    // corpus: indices bracket 1e6 and each type's day counts tile the
+    // full-window span
+    val corpus = TimeSeries.seasonalIndex(Tables.load(spark, sf, "events"))
+      .select("event_type", "dow", "index_ppm")
+      .as[(String, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).toSet.size == rows.length, "one row per dow")
+      assert(rows.exists(_._3 >= 1000000L) && rows.exists(_._3 <= 1000000L),
+        "indices must bracket the center")
+    }
+  }
 }
