@@ -2001,4 +2001,72 @@ SELECT week, n, r,
    rr::DECIMAL(38,0) * (nn - rr) * n * 9)::BIGINT AS ooc_flag,
   round(cast(rr as double) / cast(nn as double) + 3.0 * sqrt(cast(rr as double) / cast(nn as double) * (1.0 - cast(rr as double) / cast(nn as double)) / cast(n as double)), 6) AS ucl
 FROM weekly CROSS JOIN center"""
+
+  // ---- C131 (r10): heterogeneous treatment effect by pre-spend decile ----
+  // The "who does the treatment work FOR" readout on top of C125's
+  // assignment: per-user pre-period spend (C89's covariate) cuts the
+  // user base into rank deciles, and each decile reports its own arms
+  // and treatment effect — flat effects justify one global readout,
+  // concentrated ones change the rollout. Assignment stays the C125
+  // per-USER md5 parity; period split is the single-row corpus
+  // midpoint. Hashed surface: per decile the four exact moments
+  // (users + post-cents per arm) and ONE fixed-order float (the
+  // decile ATE); deciles with an empty arm excluded by WHERE. The
+  // per-user rank is the C48/C126 declared total-order concession.
+  def hteDeciles(events: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val mid = events.agg(expr(
+      "min(unix_micros(ts)) + (max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+      .as("mid"))
+    val per = events.crossJoin(broadcast(mid))
+      .select(col("user_id"),
+        pmod(md5Long(lit("did"), col("user_id")), lit(2)).as("arm"),
+        (dec(col("value")) * 100).cast("long").as("v"),
+        (expr("unix_micros(ts)") < col("mid")).cast("long").as("pre"))
+      .groupBy(col("user_id"), col("arm"))
+      .agg(sum(when(col("pre") === 1, col("v")).otherwise(0L)).as("pre_cents"),
+        sum(when(col("pre") === 0, col("v")).otherwise(0L)).as("post_cents"))
+    val n = per.agg(count(lit(1)).as("n_users"))
+    per.crossJoin(broadcast(n))
+      .withColumn("rn", row_number()
+        .over(W.orderBy(col("pre_cents").desc, col("user_id").asc)))
+      .withColumn("decile", expr("((rn - 1) * 10) div n_users"))
+      .groupBy(col("decile"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("post_cents")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("post_cents")).otherwise(0L)).as("s1"))
+      .where(col("n0") > 0 && col("n1") > 0)
+      .selectExpr("decile", "n0", "s0", "n1", "s1",
+        "round(cast(s1 as double) / cast(n1 as double) - cast(s0 as double) / cast(n0 as double), 6) AS ate_cents")
+  }
+
+  val hteDecilesSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'did'", "user_id")
+    s"""WITH mid AS (
+  SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS mid
+  FROM events),
+per AS (
+  SELECT user_id, $h % 2 AS arm,
+    sum(CASE WHEN epoch_us(ts) < mid
+      THEN ((value::DECIMAL(18,2)) * 100)::BIGINT ELSE 0 END)::BIGINT AS pre_cents,
+    sum(CASE WHEN epoch_us(ts) >= mid
+      THEN ((value::DECIMAL(18,2)) * 100)::BIGINT ELSE 0 END)::BIGINT AS post_cents
+  FROM events CROSS JOIN mid GROUP BY 1, 2),
+n AS (SELECT count(*)::BIGINT AS n_users FROM per),
+ranked AS (
+  SELECT arm, post_cents,
+    ((row_number() OVER (ORDER BY pre_cents DESC, user_id ASC) - 1) * 10) // n_users AS decile
+  FROM per CROSS JOIN n),
+cells AS (
+  SELECT decile,
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+    sum(CASE WHEN arm = 0 THEN post_cents ELSE 0 END)::BIGINT AS s0,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN arm = 1 THEN post_cents ELSE 0 END)::BIGINT AS s1
+  FROM ranked GROUP BY 1)
+SELECT decile, n0, s0, n1, s1,
+  round(cast(s1 as double) / cast(n1 as double) - cast(s0 as double) / cast(n0 as double), 6) AS ate_cents
+FROM cells WHERE n0 > 0 AND n1 > 0"""
+  }
 }

@@ -2793,4 +2793,53 @@ SELECT source, count(*)::BIGINT AS n_docs,
   ((sum((n_hits > 0)::INT) * 1000000) // count(*))::BIGINT AS flagged_ppm
 FROM h GROUP BY source"""
   }
+
+  // ---- L138 (r10): winnowing density audit ----
+  // The algorithm-contract check on L11 before its fingerprints back a
+  // 100 TB provenance index: winnowing (k=5, w=4) guarantees at least
+  // one selection per window and an expected selected-position density
+  // of 2/(w+1); repetitive text collapses DISTINCT fingerprints far
+  // below that (the same 5-gram re-selected), and a source whose
+  // density craters is one where L52's overlap detector loses
+  // resolution — that is what this audit reads, per source. All
+  // integer: per-doc density as exact ppm over n − 7 windows, per-
+  // source overall density cross-multiplied from the sums; min/max
+  // per-doc densities carried as the outlier surface. One fingerprint
+  // pass (map-only Winnow expression) + one doc count + one rollup.
+  def winnowDensity(documents: DataFrame): DataFrame = {
+    val fps = fingerprint(documents)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    documents.where(length(col("text")) >= 8)
+      .select(col("doc_id"), col("source"),
+        (length(col("text")) - 7).cast("long").as("n_windows"))
+      .join(fps, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_fps"))
+      .withColumn("density_ppm", expr("(n_fps * 1000000) div n_windows"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_fps")).as("total_fps"),
+        sum(col("n_windows")).as("total_windows"),
+        min(col("density_ppm")).as("min_density_ppm"),
+        max(col("density_ppm")).as("max_density_ppm"))
+      .withColumn("density_ppm",
+        expr("(total_fps * 1000000) div total_windows"))
+  }
+
+  val winnowDensitySql: String =
+    s"""WITH fp AS ($fingerprintSql),
+counts AS (SELECT doc_id, count(*)::BIGINT AS n_fps FROM fp GROUP BY 1),
+docs AS (
+  SELECT d.doc_id, d.source, (length(d.text) - 7)::BIGINT AS n_windows,
+    coalesce(c.n_fps, 0)::BIGINT AS n_fps
+  FROM documents d LEFT JOIN counts c USING (doc_id)
+  WHERE length(d.text) >= 8),
+dens AS (
+  SELECT source, n_fps, n_windows,
+    (n_fps * 1000000) // n_windows AS density_ppm
+  FROM docs)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_fps)::BIGINT AS total_fps,
+  sum(n_windows)::BIGINT AS total_windows,
+  min(density_ppm)::BIGINT AS min_density_ppm,
+  max(density_ppm)::BIGINT AS max_density_ppm,
+  ((sum(n_fps) * 1000000) // sum(n_windows))::BIGINT AS density_ppm
+FROM dens GROUP BY source"""
 }

@@ -3336,7 +3336,8 @@ class OperatorSpec extends SparkSpec {
       "q_heaps" -> "crossJoin(broadcast(single-row max doc_id)) — the tfidf/lm_score pattern",
       "q_did" -> "crossJoin(broadcast(single-row temporal midpoint)) — the q_psi_drift pattern",
       "q_gains" -> "crossJoin(broadcast(single-row corpus totals)) — the tfidf/lm_score pattern",
-      "q_pchart" -> "crossJoin(broadcast(single-row center (R, N))) — the tfidf/lm_score pattern")
+      "q_pchart" -> "crossJoin(broadcast(single-row center (R, N))) — the tfidf/lm_score pattern",
+      "q_hte" -> "crossJoin(broadcast(single-row midpoint + single-row user count)) — the q_cuped pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -5682,5 +5683,37 @@ class OperatorSpec extends SparkSpec {
     r.foreach { case (s, _, f) =>
       assert(f == planted.getOrElse(s, 0L), s"$s flagged $f vs planted") }
     assert(r.map(_._2).sum == documents.count())
+  }
+
+  test("winnowDensity: densities replay a reference winnow; repetitive text collapses (L138)") {
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"f:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def refFps(text: String): Long = {
+      val low = text.toLowerCase
+      val grams = (0 to low.length - 5).map(i => h(low.substring(i, i + 5)))
+      (0 to grams.length - 4).map(j => grams.slice(j, j + 4).min).distinct.length.toLong
+    }
+    val uniq = "abcdefghijklmnop"   // 16 chars, 9 windows
+    val rep = "aaaaaaaaaaaaaaaa"    // one distinct 5-gram everywhere
+    val docs2 = Seq((1L, uniq, "u"), (2L, rep, "r"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.winnowDensity(docs2)
+      .select("source", "n_docs", "total_fps", "total_windows", "density_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("u") == (("u", 1L, refFps(uniq), 9L, refFps(uniq) * 1000000L / 9L)))
+    assert(got("r") == (("r", 1L, 1L, 9L, 111111L)), s"r ${got("r")}")
+    assert(refFps(uniq) > 1L, "unique text must select several fingerprints")
+    // corpus: winnowing's density contract holds per source
+    val corpus = TextAnalysis.winnowDensity(documents)
+      .select("source", "density_ppm", "min_density_ppm", "max_density_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (s, d, mn, mx) =>
+      assert(d > 0 && d <= 600000L, s"$s density $d outside the 2/(w+1) regime")
+      assert(mn <= d && d <= mx, s"$s min/max bracket")
+    }
   }
 }

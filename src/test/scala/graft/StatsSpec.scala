@@ -820,4 +820,49 @@ class StatsSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(!names.contains("b"), "pre-only type must drop via the cell guard")
   }
+
+  test("hteDeciles: cells replay from the ranked per-user frame; single-arm deciles drop (C131)") {
+    def md5did(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"did:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val raw = events.select(col("user_id"),
+      (graft.functions.Portable.dec(col("value")) * 100).cast("long").as("v"),
+      expr("unix_micros(ts)").as("us"))
+      .as[(Long, Long, Long)].collect()
+    val us = raw.map(_._3)
+    val mid = us.min + (us.max - us.min) / 2
+    val per = raw.groupBy(_._1).map { case (u, rs) =>
+      (u, md5did(u), rs.filter(_._3 < mid).map(_._2).sum,
+        rs.filter(_._3 >= mid).map(_._2).sum)
+    }.toSeq
+    val n = per.length.toLong
+    val ranked = per.sortBy(r => (-r._3, r._1)).zipWithIndex
+    val cells = ranked.groupBy { case (_, i) => i.toLong * 10 / n }
+      .view.mapValues { rs =>
+        def arm(a: Long) = rs.map(_._1).filter(_._2 == a)
+        (arm(0).length.toLong, arm(0).map(_._4).sum,
+          arm(1).length.toLong, arm(1).map(_._4).sum)
+      }.toMap
+    val got = Stats.hteDeciles(events)
+      .select("decile", "n0", "s0", "n1", "s1", "ate_cents")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    cells.foreach { case (d, (n0, s0, n1, s1)) =>
+      if (n0 > 0 && n1 > 0) {
+        val r = got(d)
+        assert((r._2, r._3, r._4, r._5) == ((n0, s0, n1, s1)), s"decile $d cells")
+        val ate = math.rint((s1.toDouble / n1 - s0.toDouble / n0) * 1e6) / 1e6
+        assert(r._6 == ate, s"decile $d ate ${r._6} vs $ate")
+      } else assert(!got.contains(d), s"single-arm decile $d must drop")
+    }
+    // fully separated arms -> every decile is single-arm -> empty output
+    val byParity = (1L to 100L).groupBy(md5did)
+    val t0b = new java.sql.Timestamp(1700000000000L)
+    val sep = (byParity(0L).take(2).map(u => (u, 100.0, t0b)) ++
+      byParity(1L).take(2).map(u => (u, 1.0, t0b))).toSeq
+      .toDF("user_id", "value", "ts")
+    assert(Stats.hteDeciles(sep).count() == 0)
+  }
 }
