@@ -3776,4 +3776,76 @@ SELECT region, nation, n_orders, rev_cents,
   ((rev_cents * 1000000) // (sum(rev_cents) OVER (PARTITION BY region)))::BIGINT AS share_of_region_ppm,
   (((sum(rev_cents) OVER (PARTITION BY region)) * 1000000) // (sum(rev_cents) OVER ()))::BIGINT AS region_share_ppm
 FROM rev"""
+
+  // ---- C132 (r10): attribution-window sensitivity sweep ----
+  // C46 picks ONE lookback window; the meeting that sets it wants the
+  // CURVE — how much credited volume each candidate window buys. The
+  // honest scale shape computes the gap ONCE (unbounded backward as-of
+  // per purchase: the same single co-partitioned merge walk as C46,
+  // tolerance off) and sweeps the WINDOW GRID over the post-join
+  // frame — 5 bounded rows per purchase, never a re-join per
+  // candidate (the L115 sweep discipline applied to attribution).
+  // All-integer: gaps in micros, credited cents, exact ppm.
+  private val AttribSweepHours = Seq(1L, 6L, 24L, 72L, 168L)
+
+  def attributionWindowSweep(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    org.apache.spark.sql.graftshim.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id"), col("value"))
+    val cl = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val lp = p.queryExecution.analyzed
+    val rp = cl.queryExecution.analyzed
+    def a(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      pl.output.find(_.name == n).get
+    val node = graft.plans.AsOfJoin(lp, rp,
+      leftKey = a(lp, "user_id"), rightKey = a(rp, "c_user"),
+      leftTime = a(lp, "p_ts"), rightTime = a(rp, "c_ts"),
+      direction = "backward", toleranceUs = -1L)
+    val gaps = org.apache.spark.sql.graftshim.ofRows(spark, node)
+      .select(col("p_id"), (dec(col("value")) * 100).cast("long").as("cents"),
+        when(col("click_id").isNotNull,
+          expr("unix_micros(p_ts) - unix_micros(c_ts)")).as("gap_us"))
+    val grid = AttribSweepHours.toDF("window_h")
+    gaps.crossJoin(broadcast(grid))
+      .groupBy(col("window_h"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("gap_us").isNotNull &&
+          col("gap_us") <= col("window_h") * 3600L * 1000000L, 1L)
+          .otherwise(0L)).as("n_attributed"),
+        sum(when(col("gap_us").isNotNull &&
+          col("gap_us") <= col("window_h") * 3600L * 1000000L, col("cents"))
+          .otherwise(0L)).as("attributed_cents"))
+      .withColumn("attributed_ppm",
+        expr("(n_attributed * 1000000) div n_purchases"))
+  }
+
+  val attributionWindowSweepSql: String = {
+    val hours = AttribSweepHours.mkString(", ")
+    s"""WITH gaps AS (
+  SELECT p_id, cents, gap_us FROM (
+    SELECT p.event_id AS p_id,
+      ((p.value::DECIMAL(18,2)) * 100)::BIGINT AS cents,
+      epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+      row_number() OVER (PARTITION BY p.event_id
+        ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts)
+  WHERE rn = 1),
+grid AS (SELECT unnest([$hours])::BIGINT AS window_h)
+SELECT window_h, count(*)::BIGINT AS n_purchases,
+  sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= window_h * 3600000000
+    THEN 1 ELSE 0 END)::BIGINT AS n_attributed,
+  sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= window_h * 3600000000
+    THEN cents ELSE 0 END)::BIGINT AS attributed_cents,
+  ((sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= window_h * 3600000000
+    THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT AS attributed_ppm
+FROM gaps CROSS JOIN grid
+GROUP BY window_h"""
+  }
 }

@@ -2842,4 +2842,49 @@ SELECT source, count(*)::BIGINT AS n_docs, sum(n_fps)::BIGINT AS total_fps,
   max(density_ppm)::BIGINT AS max_density_ppm,
   ((sum(n_fps) * 1000000) // sum(n_windows))::BIGINT AS density_ppm
 FROM dens GROUP BY source"""
+
+  // ---- L139 (r10): vocabulary drift — old-half vocab vs new-half text ----
+  // The vocab-refresh decision L35/L47 feed: fit the vocabulary on the
+  // FIRST id-half of the corpus (the L132 value-based split off a
+  // single-row broadcast max — no sort) and measure the SECOND half
+  // against it — occurrence-weighted OOV ppm and brand-new types per
+  // source. A source whose new half craters the coverage is the one
+  // whose ingestion changed (new domain, new language, new template)
+  // and the one that forces retokenization. One token explode, one
+  // vocab-keyed presence join (shuffle bounded by vocabulary, not
+  // corpus), one source rollup; all-integer.
+  def vocabDrift(documents: DataFrame): DataFrame = {
+    val mx = documents.agg(max(col("doc_id")).as("mx"))
+    val toks = documents.crossJoin(broadcast(mx))
+      .select(col("source"), expr("(doc_id * 2) div (mx + 1)").as("half"),
+        explode(tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+    val oldVocab = toks.where(col("half") === 0)
+      .select(col("w")).distinct().withColumn("known", lit(1L))
+    toks.where(col("half") === 1)
+      .join(oldVocab, Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov_tokens"),
+        countDistinct(when(col("known").isNull, col("w"))).as("n_new_types"))
+      .withColumn("oov_ppm", expr("(n_oov_tokens * 1000000) div n_tokens"))
+  }
+
+  val vocabDriftSql: String =
+    """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+toks AS (
+  SELECT source, (doc_id * 2) // (mx + 1) AS half,
+    unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents CROSS JOIN mx),
+tok AS (SELECT * FROM toks WHERE length(w) > 0),
+oldv AS (SELECT DISTINCT w FROM tok WHERE half = 0),
+newh AS (
+  SELECT t.source, t.w, (o.w IS NOT NULL) AS known
+  FROM tok t LEFT JOIN oldv o USING (w)
+  WHERE t.half = 1)
+SELECT source, count(*)::BIGINT AS n_tokens,
+  sum((NOT known)::INT)::BIGINT AS n_oov_tokens,
+  count(DISTINCT CASE WHEN NOT known THEN w END)::BIGINT AS n_new_types,
+  ((sum((NOT known)::INT) * 1000000) // count(*))::BIGINT AS oov_ppm
+FROM newh GROUP BY source"""
 }

@@ -3337,7 +3337,9 @@ class OperatorSpec extends SparkSpec {
       "q_did" -> "crossJoin(broadcast(single-row temporal midpoint)) — the q_psi_drift pattern",
       "q_gains" -> "crossJoin(broadcast(single-row corpus totals)) — the tfidf/lm_score pattern",
       "q_pchart" -> "crossJoin(broadcast(single-row center (R, N))) — the tfidf/lm_score pattern",
-      "q_hte" -> "crossJoin(broadcast(single-row midpoint + single-row user count)) — the q_cuped pattern")
+      "q_hte" -> "crossJoin(broadcast(single-row midpoint + single-row user count)) — the q_cuped pattern",
+      "q_attrib_sweep" -> "crossJoin(broadcast(5-row window grid)) over the post-as-of gap frame — the q_dedup_sweep pattern",
+      "q_vocab_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -5715,5 +5717,61 @@ class OperatorSpec extends SparkSpec {
       assert(d > 0 && d <= 600000L, s"$s density $d outside the 2/(w+1) regime")
       assert(mn <= d && d <= mx, s"$s min/max bracket")
     }
+  }
+
+  test("attributionWindowSweep: the credit curve is monotone and agrees with C46 at 24h (C132)") {
+    def ts(h: Long) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    val ev = Seq(
+      (1L, 10L, "click", 0.0, ts(0)), (2L, 10L, "purchase", 5.0, ts(2)),
+      (3L, 11L, "purchase", 7.0, ts(50)),
+      (4L, 12L, "click", 0.0, ts(0)), (5L, 12L, "purchase", 9.0, ts(100)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val got = Relational.attributionWindowSweep(ev)
+      .select("window_h", "n_purchases", "n_attributed", "attributed_cents",
+        "attributed_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L),
+      (6L, 3L, 1L, 500L, 333333L),
+      (24L, 3L, 1L, 500L, 333333L),
+      (72L, 3L, 1L, 500L, 333333L),
+      (168L, 3L, 2L, 1400L, 666666L)), s"got ${got.toSeq}")
+    // corpus: constant purchase base, monotone credit curve, and the
+    // 24h row reconciles with C46's last-touch channel counts
+    val events2 = Tables.load(spark, sf, "events")
+    val corpus = Relational.attributionWindowSweep(events2)
+      .select("window_h", "n_purchases", "n_attributed")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(corpus.map(_._2).toSet.size == 1, "purchase base must be constant")
+    assert(corpus.map(_._3).toSeq == corpus.map(_._3).sorted.toSeq,
+      "credited count must be monotone in the window")
+    val c46 = Relational.lastTouchAttribution(events2)
+      .where(col("channel") === "click").count()
+    assert(corpus.find(_._1 == 24L).get._3 == c46,
+      "24h sweep row must equal the C46 last-touch credit count")
+  }
+
+  test("vocabDrift: hand-split vocab reads exact OOV; totals reconcile (L139)") {
+    val docs2 = Seq(
+      (0L, "alpha beta", "a"), (1L, "beta gamma", "b"),
+      (2L, "alpha delta delta", "a"), (3L, "beta epsilon", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabDrift(docs2)
+      .select("source", "n_tokens", "n_oov_tokens", "n_new_types", "oov_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 3L, 2L, 1L, 666666L)), s"a ${got("a")}")
+    assert(got("b") == (("b", 2L, 1L, 1L, 500000L)), s"b ${got("b")}")
+    // corpus: rates bounded; token totals reconcile with the raw half
+    val r = TextAnalysis.vocabDrift(documents)
+      .select("source", "n_tokens", "n_oov_tokens", "oov_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (s, n, o, ppm) =>
+      assert(o <= n && ppm == o * 1000000L / n, s"$s oov accounting") }
+    val mx = documents.agg(max("doc_id")).head.getLong(0)
+    val newTokens = documents.where(expr(s"(doc_id * 2) div ${mx + 1} = 1"))
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(length(col("w")) > 0).count()
+    assert(r.map(_._2).sum == newTokens)
   }
 }
