@@ -1229,4 +1229,39 @@ SELECT source, count(*)::BIGINT AS n_raw, sum(fq)::BIGINT AS n_quality,
   sum(fq * fe)::BIGINT AS n_exact, sum(fq * fe * fn)::BIGINT AS n_final,
   ((sum(fq * fe * fn) * 1000000) // count(*))::BIGINT AS retained_ppm
 FROM flags GROUP BY 1"""
+
+  // ---- L140 (r10): contamination-by-shard interaction ----
+  // L21 flags contaminated docs; L34 scatters docs into training
+  // shards — the interaction is what a training run actually needs to
+  // know: is contamination SMEARED uniformly (every shard pays a
+  // little) or CONCENTRATED (drop/reprocess one shard)? Per shard:
+  // docs, contaminated docs, exact ppm, plus the overlap-gram mass
+  // the shard carries. Pure composition — L21's flag frame (narrow
+  // ids) joins L34's shard keys; nothing corpus-sized re-shuffles.
+  def contaminationByShard(documents: DataFrame): DataFrame = {
+    val shards = documents.select(col("doc_id"),
+      pmod(md5Long(lit("shard"), col("doc_id")), lit(8L)).as("shard"))
+      .where(col("doc_id") % 50 =!= 0)
+    val flags = contamination(documents)
+      .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+    shards.join(flags, Seq("doc_id"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("contaminated")).as("n_contaminated"),
+        sum(col("n_overlap")).as("overlap_grams"))
+      .withColumn("contaminated_ppm",
+        expr("(n_contaminated * 1000000) div n_docs"))
+  }
+
+  lazy val contaminationByShardSql: String =
+    s"""WITH cont AS (${contaminationSql}),
+shards AS (
+  SELECT doc_id, ${md5LongSql("'shard'", "doc_id")} % 8 AS shard
+  FROM documents WHERE doc_id % 50 <> 0)
+SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+  sum(c.contaminated)::BIGINT AS n_contaminated,
+  sum(c.n_overlap)::BIGINT AS overlap_grams,
+  ((sum(c.contaminated) * 1000000) // count(*))::BIGINT AS contaminated_ppm
+FROM shards s JOIN cont c USING (doc_id)
+GROUP BY 1"""
 }

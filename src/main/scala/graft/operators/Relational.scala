@@ -3848,4 +3848,47 @@ SELECT window_h, count(*)::BIGINT AS n_purchases,
 FROM gaps CROSS JOIN grid
 GROUP BY window_h"""
   }
+
+  // ---- C133 (r10): fiscal 4-4-5 calendar rollup ----
+  // Retail/finance closes on the 4-4-5 week calendar, not calendar
+  // months: 52-week fiscal years of four 13-week quarters, each split
+  // into periods of 4, 4 and 5 weeks — so every period compares
+  // like-for-like weekday mixes YoY (the reason the standard exists).
+  // The mapping here is the deterministic epoch-anchored form: week =
+  // days-since-1970-01-01 div 7, fy = week div 52, and the period
+  // derives from week-in-year by pure integer math — no calendar UDF,
+  // identical both engines. One rollup; exact cents.
+  def fiscal445(orders: DataFrame): DataFrame = {
+    val base = orders.select(
+      expr("datediff(to_date(o_orderdate), date'1970-01-01') div 7")
+        .cast("long").as("week"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    base
+      .withColumn("fy", expr("week div 52"))
+      .withColumn("wiy", pmod(col("week"), lit(52)))
+      .withColumn("fq", expr("wiy div 13") + 1)
+      .withColumn("wiq", pmod(col("wiy"), lit(13)))
+      .withColumn("period", expr("fq * 3 - 2") +
+        when(col("wiq") < 4, 0L).when(col("wiq") < 8, 1L).otherwise(2L))
+      .groupBy(col("fy"), col("fq"), col("period"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"),
+        min(col("week")).as("first_week"), max(col("week")).as("last_week"))
+  }
+
+  val fiscal445Sql: String =
+    """WITH base AS (
+  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE) // 7 AS week,
+    ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS cents
+  FROM orders),
+m AS (
+  SELECT week, cents, week // 52 AS fy, week % 52 AS wiy FROM base),
+p AS (
+  SELECT week, cents, fy, (wiy // 13) + 1 AS fq,
+    ((wiy // 13) + 1) * 3 - 2 +
+    (CASE WHEN wiy % 13 < 4 THEN 0 WHEN wiy % 13 < 8 THEN 1 ELSE 2 END) AS period
+  FROM m)
+SELECT fy::BIGINT AS fy, fq::BIGINT AS fq, period::BIGINT AS period,
+  count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS rev_cents,
+  min(week)::BIGINT AS first_week, max(week)::BIGINT AS last_week
+FROM p GROUP BY 1, 2, 3"""
 }

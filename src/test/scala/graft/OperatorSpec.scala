@@ -5774,4 +5774,61 @@ class OperatorSpec extends SparkSpec {
       .where(length(col("w")) > 0).count()
     assert(r.map(_._2).sum == newTokens)
   }
+
+  test("fiscal445: weeks land in 4-4-5 periods exactly; revenue reconciles (C133)") {
+    def d(week: Long) = new java.sql.Timestamp(week * 7L * 86400000L)
+    // weeks 0, 4, 8, 12, 13, 52 probe every period boundary class
+    val orders2 = Seq((0L, 1.0), (4L, 1.0), (8L, 1.0), (12L, 1.0),
+      (13L, 1.0), (52L, 1.0))
+      .map { case (w, v) => (v, d(w)) }.toDF("o_totalprice", "o_orderdate")
+    val got = Relational.fiscal445(orders2)
+      .select("fy", "fq", "period", "n_orders", "first_week")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 1L, 1L, 1L, 0L),   // week 0: P1 (weeks 0-3)
+      (0L, 1L, 2L, 1L, 4L),   // week 4: P2 (weeks 4-7)
+      (0L, 1L, 3L, 2L, 8L),   // weeks 8 and 12: P3 (weeks 8-12, the 5)
+      (0L, 2L, 4L, 1L, 13L),  // week 13 opens Q2
+      (1L, 1L, 1L, 1L, 52L)), s"got $got") // week 52 opens FY1
+    // corpus: periods never exceed their 4/4/5 width; revenue reconciles
+    val orders = Tables.load(spark, sf, "orders")
+    val r = Relational.fiscal445(orders)
+      .select("fq", "period", "first_week", "last_week", "rev_cents")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (fq, p, fw, lw, _) =>
+      val width = if ((p - (fq * 3 - 2)) == 2) 5 else 4
+      assert(lw - fw + 1 <= width, s"period $p spans ${lw - fw + 1} > $width weeks")
+    }
+    val billed = orders.agg(
+      sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+      .head.getLong(0)
+    assert(r.map(_._5).sum == billed)
+  }
+
+  test("contaminationByShard: shard cells replay from flags x md5 shards; totals tile (L140)") {
+    import graft.operators.Curation
+    def shardOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"shard:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    val flags = Curation.contamination(documents)
+      .select("doc_id", "n_overlap", "contaminated")
+      .as[(Long, Long, Long)].collect()
+    val expected = flags.groupBy(f => shardOf(f._1))
+      .view.mapValues(fs => (fs.length.toLong, fs.map(_._3).sum, fs.map(_._2).sum))
+      .toMap
+    val got = Curation.contaminationByShard(documents)
+      .select("shard", "n_docs", "n_contaminated", "overlap_grams",
+        "contaminated_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (s, n, c, g, ppm) =>
+      assert(expected(s) == ((n, c, g)), s"shard $s cells")
+      assert(ppm == c * 1000000L / n)
+    }
+    assert(got.map(_._2).sum == flags.length.toLong,
+      "shard docs must tile the non-benchmark corpus")
+  }
 }
