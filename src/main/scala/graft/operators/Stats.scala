@@ -2069,4 +2069,64 @@ SELECT decile, n0, s0, n1, s1,
   round(cast(s1 as double) / cast(n1 as double) - cast(s0 as double) / cast(n0 as double), 6) AS ate_cents
 FROM cells WHERE n0 > 0 AND n1 > 0"""
   }
+
+  // ---- C134 (r10): Markov next-event predictive accuracy ----
+  // C93 fits the transition matrix; this asks whether it PREDICTS:
+  // users split by md5 parity (seed "mk"), the train half fits
+  // per-from-type argmax next events (count desc, event-type desc
+  // tiebreak — one lexicographic struct max, deterministic both
+  // engines), the held-out half scores top-1 accuracy per from-type —
+  // the L106/C90 audit-beside-operator pattern applied to the
+  // sequence model. All-integer: counts + exact ppm accuracy; test
+  // from-types unseen in training are excluded by the join (they have
+  // no prediction to score). One user-keyed lag window + two bounded
+  // aggregates over the type-alphabet frame.
+  def markovAccuracy(events: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val seq0 = events.select(col("user_id"), col("event_type"),
+      pmod(md5Long(lit("mk"), col("user_id")), lit(2)).as("split"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val trans = seq0
+      .withColumn("from_t", lag(col("event_type"), 1)
+        .over(W.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+      .where(col("from_t").isNotNull)
+      .select(col("split"), col("from_t"), col("event_type").as("to_t"))
+    val pred = trans.where(col("split") === 0)
+      .groupBy(col("from_t"), col("to_t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("from_t"))
+      .agg(max(struct(col("c"), col("to_t"))).as("m"))
+      .select(col("from_t"), col("m.to_t").as("pred_t"), col("m.c").as("train_c"))
+    trans.where(col("split") === 1)
+      .join(broadcast(pred), "from_t")
+      .groupBy(col("from_t"), col("pred_t"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_t") === col("pred_t"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy_ppm", expr("(n_correct * 1000000) div n_test"))
+  }
+
+  val markovAccuracySql: String = {
+    val h = graft.functions.Portable.md5LongSql("'mk'", "user_id")
+    s"""WITH seq0 AS (
+  SELECT user_id, event_type, $h % 2 AS split, epoch_us(ts) AS us, event_id
+  FROM events),
+trans AS (
+  SELECT split,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_t,
+    event_type AS to_t
+  FROM seq0),
+t2 AS (SELECT * FROM trans WHERE from_t IS NOT NULL),
+cnt AS (
+  SELECT from_t, to_t, count(*)::BIGINT AS c
+  FROM t2 WHERE split = 0 GROUP BY 1, 2),
+pred AS (
+  SELECT from_t, (max(struct_pack(c := c, to_t := to_t))).to_t AS pred_t,
+    (max(struct_pack(c := c, to_t := to_t))).c AS train_c
+  FROM cnt GROUP BY 1)
+SELECT t.from_t, p.pred_t, count(*)::BIGINT AS n_test,
+  sum((t.to_t = p.pred_t)::INT)::BIGINT AS n_correct,
+  ((sum((t.to_t = p.pred_t)::INT) * 1000000) // count(*))::BIGINT AS accuracy_ppm
+FROM t2 t JOIN pred p USING (from_t)
+WHERE t.split = 1
+GROUP BY 1, 2"""
+  }
 }

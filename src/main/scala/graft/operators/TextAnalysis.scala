@@ -2887,4 +2887,45 @@ SELECT source, count(*)::BIGINT AS n_tokens,
   count(DISTINCT CASE WHEN NOT known THEN w END)::BIGINT AS n_new_types,
   ((sum((NOT known)::INT) * 1000000) // count(*))::BIGINT AS oov_ppm
 FROM newh GROUP BY source"""
+
+  // ---- L141 (r10): template-prefix detection ----
+  // Boilerplate headers repeat the OPENING of a document (mirrored
+  // nav/banner text, scraped templates) — the signal L59 (block df)
+  // reads globally, localized to document starts: per source, how
+  // concentrated is the 10-token prefix distribution, and what is the
+  // dominant prefix? A source whose top prefix covers a large doc
+  // share is template-bound (strip before training). Hashed surface:
+  // the winning prefix as its md5 (byte-stable; raw text stays out of
+  // the hash compare), counts + exact ppm; argmax via the
+  // deterministic (count, prefix) struct max. One narrow prefix
+  // projection + source-keyed aggregates.
+  def templatePrefixes(documents: DataFrame): DataFrame = {
+    val pref = documents.select(col("source"),
+      array_join(slice(tokens(col("text")), 1, 10), " ").as("prefix"))
+    val counts = pref.groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_distinct_prefixes"),
+        max(struct(col("c"), col("prefix"))).as("m"))
+      .select(col("source"), col("n_docs"), col("n_distinct_prefixes"),
+        md5(col("m.prefix")).as("top_prefix_md5"),
+        col("m.c").as("top_count"),
+        expr("(m.c * 1000000) div n_docs").as("top_share_ppm"))
+  }
+
+  val templatePrefixesSql: String =
+    """WITH pref AS (
+  SELECT source,
+    array_to_string(string_split_regex(lower(text), '\s+')[1:10], ' ') AS prefix
+  FROM documents),
+counts AS (SELECT source, prefix, count(*)::BIGINT AS c FROM pref GROUP BY 1, 2),
+agg AS (
+  SELECT source, sum(c)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct_prefixes,
+    max(struct_pack(c := c, prefix := prefix)) AS m
+  FROM counts GROUP BY 1)
+SELECT source, n_docs, n_distinct_prefixes,
+  md5((m).prefix) AS top_prefix_md5, (m).c AS top_count,
+  (((m).c * 1000000) // n_docs)::BIGINT AS top_share_ppm
+FROM agg"""
 }

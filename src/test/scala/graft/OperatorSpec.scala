@@ -5831,4 +5831,34 @@ class OperatorSpec extends SparkSpec {
     assert(got.map(_._2).sum == flags.length.toLong,
       "shard docs must tile the non-benchmark corpus")
   }
+
+  test("templatePrefixes: dominant opening wins with a byte-stable digest (L141)") {
+    def md5hex(s: String): String = {
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val tmpl = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, tmpl + " body one two", "a"),
+      (2L, tmpl + " other body text", "a"),
+      (3L, "fresh unique opening words here now for this one doc x", "a"),
+      (4L, "single doc source text", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.templatePrefixes(docs2)
+      .select("source", "n_docs", "n_distinct_prefixes", "top_prefix_md5",
+        "top_count", "top_share_ppm")
+      .as[(String, Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 3L, 2L, md5hex(tmpl), 2L, 666666L)), s"a ${got("a")}")
+    assert(got("b")._5 == 1L && got("b")._6 == 1000000L)
+    // corpus: per-source doc counts tile; the top prefix never exceeds
+    // its source and the share is the exact quotient
+    val corpus = TextAnalysis.templatePrefixes(documents)
+      .select("source", "n_docs", "top_count", "top_share_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.map(_._2).sum == documents.count())
+    corpus.foreach { case (s, n, tc, ppm) =>
+      assert(tc <= n && ppm == tc * 1000000L / n, s"$s share accounting") }
+  }
 }

@@ -865,4 +865,38 @@ class StatsSpec extends SparkSpec {
       .toDF("user_id", "value", "ts")
     assert(Stats.hteDeciles(sep).count() == 0)
   }
+
+  test("markovAccuracy: held-out top-1 accuracy replays from the train argmax (C134)") {
+    def md5mk(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mk:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val raw = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val trans = raw.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._4)).map(_._2)
+      ordered.zip(ordered.tail).map { case (f, t2) => (md5mk(u), f, t2) }
+    }
+    val pred = trans.filter(_._1 == 0L).groupBy(r => (r._2, r._3))
+      .view.mapValues(_.size.toLong).toSeq
+      .groupBy(_._1._1).view.mapValues { cs =>
+        cs.map { case ((_, to), c) => (c, to) }.max._2
+      }.toMap
+    val expected = trans.filter(_._1 == 1L)
+      .flatMap { case (_, f, t2) => pred.get(f).map(p => (f, p, t2)) }
+      .groupBy(r => (r._1, r._2))
+      .view.mapValues { rs =>
+        (rs.size.toLong, rs.count { case (_, p, t2) => p == t2 }.toLong)
+      }.toMap
+    val got = Stats.markovAccuracy(events)
+      .select("from_t", "pred_t", "n_test", "n_correct", "accuracy_ppm")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length == expected.size)
+    got.foreach { case (f, p, n, cOk, ppm) =>
+      assert(expected((f, p)) == ((n, cOk)), s"$f -> $p cells")
+      assert(ppm == cOk * 1000000L / n)
+    }
+  }
 }
