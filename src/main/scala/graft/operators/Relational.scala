@@ -3891,4 +3891,77 @@ SELECT fy::BIGINT AS fy, fq::BIGINT AS fq, period::BIGINT AS period,
   count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS rev_cents,
   min(week)::BIGINT AS first_week, max(week)::BIGINT AS last_week
 FROM p GROUP BY 1, 2, 3"""
+
+  // ---- C135 (r10): small-cell suppression rollup — disclosure control ----
+  // Statistical-disclosure-control publishing: (nation, segment)
+  // revenue cells below the K-order threshold are SUPPRESSED — merged
+  // into one masked row per nation — with the classic SDC nuance done
+  // right: if exactly ONE cell of a nation is suppressed, its value is
+  // recoverable from the nation total, so the smallest surviving cell
+  // is COMPLEMENTARILY suppressed too (deterministic argmin by
+  // (n_orders, segment)). Nation totals are preserved cent-for-cent
+  // (spec invariant). All decisions on exact integers; two bounded
+  // aggregates over the alphabet-sized cell frame after one star
+  // rollup.
+  private val SuppressK = 100L
+
+  def suppressedRollup(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val W = Window
+    val cells2 = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((dec(col("o_totalprice")) * 100).cast("long")).as("rev_cents"))
+      .withColumn("small", (col("n_orders") < SuppressK).cast("long"))
+    val byNation = W.partitionBy(col("nation"))
+    val flagged = cells2
+      .withColumn("n_small", sum(col("small")).over(byNation))
+      .withColumn("min_big", min(when(col("small") === 0,
+        struct(col("n_orders"), col("segment")))).over(byNation))
+      .withColumn("suppress",
+        (col("small") === 1 ||
+          (col("n_small") === 1 && col("min_big").isNotNull &&
+            col("n_orders") === col("min_big.n_orders") &&
+            col("segment") === col("min_big.segment"))).cast("long"))
+    flagged
+      .select(col("nation"),
+        when(col("suppress") === 1, lit("SUPPRESSED")).otherwise(col("segment"))
+          .as("segment"),
+        col("n_orders"), col("rev_cents"))
+      .groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_orders")).as("n_orders"),
+        sum(col("rev_cents")).as("rev_cents"))
+  }
+
+  val suppressedRollupSql: String =
+    s"""WITH cells AS (
+  SELECT n_name AS nation, c_mktsegment AS segment, count(*)::BIGINT AS n_orders,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+flagged AS (
+  SELECT *, (n_orders < $SuppressK)::BIGINT AS small FROM cells),
+marked AS (
+  SELECT *,
+    (sum(small) OVER (PARTITION BY nation))::BIGINT AS n_small,
+    min(CASE WHEN small = 0
+      THEN struct_pack(n_orders := n_orders, segment := segment) END)
+      OVER (PARTITION BY nation) AS min_big
+  FROM flagged),
+decided AS (
+  SELECT nation,
+    CASE WHEN small = 1 OR (n_small = 1 AND min_big IS NOT NULL
+        AND n_orders = (min_big).n_orders AND segment = (min_big).segment)
+      THEN 'SUPPRESSED' ELSE segment END AS segment,
+    n_orders, rev_cents
+  FROM marked)
+SELECT nation, segment, count(*)::BIGINT AS n_cells,
+  sum(n_orders)::BIGINT AS n_orders, sum(rev_cents)::BIGINT AS rev_cents
+FROM decided GROUP BY 1, 2"""
 }

@@ -2928,4 +2928,77 @@ SELECT source, n_docs, n_distinct_prefixes,
   md5((m).prefix) AS top_prefix_md5, (m).c AS top_count,
   (((m).c * 1000000) // n_docs)::BIGINT AS top_share_ppm
 FROM agg"""
+
+  // ---- L142 (r10): code-mix detection — top-2 language margin ----
+  // L8 emits the argmax language; the routing decision for MIXED
+  // documents needs the RUNNER-UP and the margin: a doc whose second
+  // language scores close to its first (cross-multiplied s1 < 2·s2 —
+  // no float in the decision) is code-mixed and goes to a different
+  // processing path than a clean doc. Primary/secondary resolve by
+  // (score, fixed lang order) — the L8 first-match-wins convention
+  // extended to second place; rollup per (primary, secondary) ordered
+  // pair with exact mixed-share ppm. Map-only scoring + one
+  // alphabet²-bounded aggregate.
+  def codeMixMargin(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents.select(
+      Seq(col("doc_id")) ++
+        stopwords.map { case (l, ws) => hitCount(toks, ws).cast("long").as(s"score_$l") }: _*)
+    val best = greatest(stopwords.map { case (l, _) => col(s"score_$l") }: _*)
+    val pred = stopwords.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    val withTop = scored.withColumn("lang1", pred).withColumn("s1", best)
+    // runner-up: best over languages other than lang1, same conventions
+    val second = stopwords.map { case (l, _) =>
+      when(col("lang1") === l, lit(-1L)).otherwise(col(s"score_$l"))
+    }
+    val best2 = greatest(second: _*)
+    val pred2 = stopwords.zip(second).foldRight(lit("und")) {
+      case (((l, _), s), acc) =>
+        when(s === best2 && best2 > 0, lit(l)).otherwise(acc)
+    }
+    withTop.withColumn("lang2", pred2).withColumn("s2", greatest(best2, lit(0L)))
+      .withColumn("mixed",
+        (col("lang2") =!= "und" && col("s1") < col("s2") * 2).cast("long"))
+      .groupBy(col("lang1"), col("lang2"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("mixed")).as("n_mixed"),
+        sum(col("s1")).as("s1_total"), sum(col("s2")).as("s2_total"))
+      .withColumn("mixed_ppm", expr("(n_mixed * 1000000) div n_docs"))
+  }
+
+  val codeMixMarginSql: String = {
+    def toksSql = "string_split_regex(lower(text), '\\s+')"
+    val scores = stopwords.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($toksSql, t -> list_contains($lst, t)))::BIGINT AS score_$l"
+    }.mkString(",\n  ")
+    val best = "greatest(" + stopwords.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
+    val pred = stopwords.map { case (l, _) =>
+      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    val second = stopwords.map { case (l, _) =>
+      s"CASE WHEN lang1 = '$l' THEN -1 ELSE score_$l END"
+    }
+    val best2 = "greatest(" + second.mkString(", ") + ")"
+    val pred2 = stopwords.zip(second).map { case ((l, _), s) =>
+      s"WHEN ($s) = b2 AND b2 > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (SELECT doc_id,
+  $scores
+FROM documents),
+top1 AS (
+  SELECT *, CASE $pred ELSE 'und' END AS lang1, $best AS s1 FROM scored),
+top2 AS (
+  SELECT *, $best2 AS b2 FROM top1),
+res AS (
+  SELECT lang1, s1, CASE $pred2 ELSE 'und' END AS lang2,
+    greatest(b2, 0) AS s2
+  FROM top2)
+SELECT lang1, lang2, count(*)::BIGINT AS n_docs,
+  sum((lang2 <> 'und' AND s1 < s2 * 2)::INT)::BIGINT AS n_mixed,
+  sum(s1)::BIGINT AS s1_total, sum(s2)::BIGINT AS s2_total,
+  ((sum((lang2 <> 'und' AND s1 < s2 * 2)::INT) * 1000000) // count(*))::BIGINT AS mixed_ppm
+FROM res GROUP BY 1, 2"""
+  }
 }

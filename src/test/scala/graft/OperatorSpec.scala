@@ -5861,4 +5861,72 @@ class OperatorSpec extends SparkSpec {
     corpus.foreach { case (s, n, tc, ppm) =>
       assert(tc <= n && ppm == tc * 1000000L / n, s"$s share accounting") }
   }
+
+  test("suppressedRollup: lone small cells trigger complementary suppression; totals hold (C135)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // nation A: one small cell (S5) -> S4 (smallest big) joins it;
+    // nation B: all big -> untouched; nation C: two smalls merge alone
+    val spec = Seq(
+      ("A", "S1", 120), ("A", "S2", 110), ("A", "S3", 105),
+      ("A", "S4", 101), ("A", "S5", 30),
+      ("B", "S1", 150), ("B", "S2", 100),
+      ("C", "S1", 150), ("C", "S2", 40), ("C", "S3", 20))
+    val nations = spec.map(_._1).distinct.zipWithIndex.map { case (n, i) =>
+      (i.toLong, n)
+    }
+    val nation2 = nations.toDF("n_nationkey", "n_name")
+    val nk = nations.map(_.swap).toMap
+    val custs = spec.zipWithIndex.map { case ((n, s, _), i) =>
+      (i.toLong + 1, nk(n), s)
+    }
+    val cust2 = custs.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val orders2 = spec.zipWithIndex.flatMap { case ((_, _, cnt), i) =>
+      (1 to cnt).map(_ => (i.toLong + 1, 1.0, d("2024-01-01")))
+    }.toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val got = Relational.suppressedRollup(orders2, cust2, nation2)
+      .select("nation", "segment", "n_cells", "n_orders")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", "S1", 1L, 120L), ("A", "S2", 1L, 110L), ("A", "S3", 1L, 105L),
+      ("A", "SUPPRESSED", 2L, 131L),
+      ("B", "S1", 1L, 150L), ("B", "S2", 1L, 100L),
+      ("C", "S1", 1L, 150L), ("C", "SUPPRESSED", 2L, 60L)), s"got $got")
+    // corpus: nation totals preserved cent-for-cent vs the raw rollup
+    val (orders, customer, nation) = (Tables.load(spark, sf, "orders"),
+      Tables.load(spark, sf, "customer"), Tables.load(spark, sf, "nation"))
+    val sup = Relational.suppressedRollup(orders, customer, nation)
+      .groupBy("nation").agg(sum("n_orders").as("n"), sum("rev_cents").as("c"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val raw = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .as[(String, Long, Long)].collect()
+    raw.foreach { case (n, cnt, cents) =>
+      assert(sup(n) == ((cnt, cents)), s"nation $n totals drifted") }
+    // and no nation publishes a LONE suppressed cell
+    val lone = Relational.suppressedRollup(orders, customer, nation)
+      .where(col("segment") === "SUPPRESSED" && col("n_cells") === 1).count()
+    assert(lone == 0, "a lone suppressed cell is recoverable from the total")
+  }
+
+  test("codeMixMargin: balanced bilingual docs flag, dominant ones do not (L142)") {
+    val docs2 = Seq(
+      (1L, "the the the", "s"),          // pure en: runner-up und
+      (2L, "the der the der", "s"),      // balanced en/de: mixed
+      (3L, "the the the der", "s"))      // dominant en: not mixed
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.codeMixMargin(docs2)
+      .select("lang1", "lang2", "n_docs", "n_mixed", "mixed_ppm")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("en", "und", 1L, 0L, 0L),
+      ("en", "de", 2L, 1L, 500000L)), s"got $got")
+    // corpus: pairs tile the corpus; mixing bounded
+    val corpus = TextAnalysis.codeMixMargin(documents)
+      .select("n_docs", "n_mixed").as[(Long, Long)].collect()
+    assert(corpus.map(_._1).sum == documents.count())
+    corpus.foreach { case (n, m) => assert(m <= n) }
+  }
 }
