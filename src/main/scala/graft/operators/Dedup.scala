@@ -1880,4 +1880,54 @@ SELECT least((10 * common) // union_n, 9)::BIGINT AS bucket,
     / count(*)::DOUBLE, 6) AS exact_mean
 FROM scored GROUP BY 1"""
   }
+
+  // ---- L143 (r10): dedup token-savings estimate ----
+  // The number the dedup run is budgeted by: how many TOKENS does
+  // dropping non-survivors save, per source — the L130 keep-longest
+  // policy priced in the unit training actually pays (whitespace
+  // tokens here; the L33 BPE metering swaps in unchanged). Pure
+  // composition: L130's survivor frame joins per-doc token counts on
+  // narrow ids; per source exact kept/dropped token sums and savings
+  // ppm. Nothing corpus-sized re-shuffles beyond the one token count.
+  def dedupTokenSavings(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      size(graft.functions.Portable.tokens(col("text"))).cast("long").as("n_toks"))
+    val surv = dedupClusters(documents)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("s"))
+      .select((-col("s.neg")).as("doc_id"), lit(1L).as("kept"))
+    toks.join(surv, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(when(col("kept").isNotNull, col("n_toks")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(col("kept").isNull, col("n_toks")).otherwise(0L))
+          .as("dropped_tokens"))
+      .withColumn("savings_ppm",
+        expr("(dropped_tokens * 1000000) div total_tokens"))
+  }
+
+  lazy val dedupTokenSavingsSql: String =
+    s"""WITH RECURSIVE cl AS ($dedupClustersSql),
+scored AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM cl c JOIN documents d USING (doc_id)),
+surv AS (
+  SELECT -((max(struct_pack(n_chars := n_chars, neg := -doc_id))).neg) AS doc_id
+  FROM scored GROUP BY cluster_id),
+toks AS (
+  SELECT doc_id, source,
+    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_toks
+  FROM documents)
+SELECT t.source, count(*)::BIGINT AS n_docs,
+  sum(t.n_toks)::BIGINT AS total_tokens,
+  sum(CASE WHEN s.doc_id IS NOT NULL THEN t.n_toks ELSE 0 END)::BIGINT AS kept_tokens,
+  sum(CASE WHEN s.doc_id IS NULL THEN t.n_toks ELSE 0 END)::BIGINT AS dropped_tokens,
+  ((sum(CASE WHEN s.doc_id IS NULL THEN t.n_toks ELSE 0 END) * 1000000)
+    // sum(t.n_toks))::BIGINT AS savings_ppm
+FROM toks t LEFT JOIN surv s USING (doc_id)
+GROUP BY t.source"""
 }

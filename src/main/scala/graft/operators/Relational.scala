@@ -3964,4 +3964,78 @@ decided AS (
 SELECT nation, segment, count(*)::BIGINT AS n_cells,
   sum(n_orders)::BIGINT AS n_orders, sum(rev_cents)::BIGINT AS rev_cents
 FROM decided GROUP BY 1, 2"""
+
+  // ---- C136 (r10): customer segment-migration matrix ----
+  // The CRM review between two periods: customers bucketed into spend
+  // terciles (high/mid/low) in each calendar half of the corpus, plus
+  // the NEW / LAPSED edge states — the 4x4 transition matrix that says
+  // whether high-value customers are churning or upgrading. Halves cut
+  // at the single-row temporal midpoint (C65); terciles are rank-based
+  // within each half ((rank-1)*3 div n, the C126 cross-multiplied cut;
+  // the per-half user rank is the declared total-order concession).
+  // All-integer cells with exact share ppm of the origin state.
+  def segmentMigration(orders: DataFrame): DataFrame = {
+    val W = Window
+    val day = "datediff(to_date(o_orderdate), date'1970-01-01')"
+    val mid = orders.agg(expr(
+      s"min($day) + (max($day) - min($day)) div 2").as("mid"))
+    val halves = orders.crossJoin(broadcast(mid))
+      .select(col("o_custkey"),
+        (expr(day) >= col("mid")).cast("long").as("h"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"), col("h")).agg(sum(col("cents")).as("spend"))
+    def terciles(h: Int) = {
+      val side = halves.where(col("h") === h)
+      val n = side.agg(count(lit(1)).as(s"n$h"))
+      side.crossJoin(broadcast(n))
+        .withColumn("rk", row_number()
+          .over(W.orderBy(col("spend").desc, col("o_custkey").asc)))
+        .select(col("o_custkey"),
+          expr(s"((rk - 1) * 3) div n$h").as(s"t$h"))
+    }
+    val labels = Seq("high", "mid", "low")
+    def label(c0: Column) = when(c0.isNull, "none")
+      .otherwise(element_at(array(labels.map(lit): _*), (c0 + 1).cast("int")))
+    val m = terciles(0).join(terciles(1), Seq("o_custkey"), "full_outer")
+      .select(label(col("t0")).as("from_seg"), label(col("t1")).as("to_seg"))
+      .groupBy(col("from_seg"), col("to_seg"))
+      .agg(count(lit(1)).as("n_customers"))
+    val fromTot = m.groupBy(col("from_seg"))
+      .agg(sum(col("n_customers")).as("from_total"))
+    m.join(fromTot, "from_seg")
+      .select(col("from_seg"), col("to_seg"), col("n_customers"),
+        expr("(n_customers * 1000000) div from_total").as("from_share_ppm"))
+  }
+
+  val segmentMigrationSql: String =
+    """WITH mid AS (
+  SELECT min(date_diff('day', DATE '1970-01-01', o_orderdate::DATE))
+    + (max(date_diff('day', DATE '1970-01-01', o_orderdate::DATE))
+       - min(date_diff('day', DATE '1970-01-01', o_orderdate::DATE))) // 2 AS mid
+  FROM orders),
+halves AS (
+  SELECT o_custkey,
+    (date_diff('day', DATE '1970-01-01', o_orderdate::DATE) >= mid)::BIGINT AS h,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS spend
+  FROM orders CROSS JOIN mid GROUP BY 1, 2),
+n0 AS (SELECT count(*)::BIGINT AS n FROM halves WHERE h = 0),
+n1 AS (SELECT count(*)::BIGINT AS n FROM halves WHERE h = 1),
+t0 AS (
+  SELECT o_custkey,
+    ((row_number() OVER (ORDER BY spend DESC, o_custkey ASC) - 1) * 3) // n AS t
+  FROM halves CROSS JOIN n0 WHERE h = 0),
+t1 AS (
+  SELECT o_custkey,
+    ((row_number() OVER (ORDER BY spend DESC, o_custkey ASC) - 1) * 3) // n AS t
+  FROM halves CROSS JOIN n1 WHERE h = 1),
+lab AS (
+  SELECT
+    CASE WHEN t0.t IS NULL THEN 'none' ELSE (['high', 'mid', 'low'])[t0.t + 1] END AS from_seg,
+    CASE WHEN t1.t IS NULL THEN 'none' ELSE (['high', 'mid', 'low'])[t1.t + 1] END AS to_seg
+  FROM t0 FULL OUTER JOIN t1 USING (o_custkey)),
+m AS (SELECT from_seg, to_seg, count(*)::BIGINT AS n_customers FROM lab GROUP BY 1, 2),
+ft AS (SELECT from_seg, sum(n_customers)::BIGINT AS from_total FROM m GROUP BY 1)
+SELECT from_seg, to_seg, n_customers,
+  ((n_customers * 1000000) // from_total)::BIGINT AS from_share_ppm
+FROM m JOIN ft USING (from_seg)"""
 }

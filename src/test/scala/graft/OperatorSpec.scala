@@ -3339,7 +3339,8 @@ class OperatorSpec extends SparkSpec {
       "q_pchart" -> "crossJoin(broadcast(single-row center (R, N))) — the tfidf/lm_score pattern",
       "q_hte" -> "crossJoin(broadcast(single-row midpoint + single-row user count)) — the q_cuped pattern",
       "q_attrib_sweep" -> "crossJoin(broadcast(5-row window grid)) over the post-as-of gap frame — the q_dedup_sweep pattern",
-      "q_vocab_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern")
+      "q_vocab_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern",
+      "q_seg_migration" -> "crossJoin(broadcast(single-row midpoint + per-half single-row counts)) — the q_cuped pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -5928,5 +5929,60 @@ class OperatorSpec extends SparkSpec {
       .select("n_docs", "n_mixed").as[(Long, Long)].collect()
     assert(corpus.map(_._1).sum == documents.count())
     corpus.foreach { case (n, m) => assert(m <= n) }
+  }
+
+  test("segmentMigration: hand-built halves give the exact 4-state matrix (C136)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // span 1970-01-01 .. day 100 -> midpoint day 50; A/B/C early, B/C/D late
+    val orders2 = Seq(
+      (1L, 3.0, d("1970-01-01")), (2L, 2.0, d("1970-01-02")),
+      (3L, 1.0, d("1970-01-03")),
+      (2L, 5.0, d("1970-04-11")), (3L, 4.0, d("1970-04-10")),
+      (4L, 0.5, d("1970-04-09")))
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val got = Relational.segmentMigration(orders2)
+      .select("from_seg", "to_seg", "n_customers", "from_share_ppm")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("high", "none", 1L, 1000000L), ("mid", "high", 1L, 1000000L),
+      ("low", "mid", 1L, 1000000L), ("none", "low", 1L, 1000000L)), s"got $got")
+    // corpus: matrix tiles the union of half-customer sets; shares tile
+    val orders = Tables.load(spark, sf, "orders")
+    val m = Relational.segmentMigration(orders)
+      .select("from_seg", "to_seg", "n_customers", "from_share_ppm")
+      .as[(String, String, Long, Long)].collect()
+    assert(m.map(_._3).sum == orders.select("o_custkey").distinct().count(),
+      "every customer appears in exactly one matrix cell")
+    m.groupBy(_._1).foreach { case (f, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$f shares $s")
+    }
+  }
+
+  test("dedupTokenSavings: dropped copies are priced in tokens; accounting tiles (L143)") {
+    import graft.operators.Dedup
+    val t1 = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 20).map(i => s"zzz$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, t1, "en", "a", 100L), (2L, t1, "en", "b", 200L),
+      (3L, t2, "en", "a", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.dedupTokenSavings(docs2)
+      .select("source", "n_docs", "total_tokens", "kept_tokens",
+        "dropped_tokens", "savings_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 40L, 20L, 20L, 500000L)), s"a ${got("a")}")
+    assert(got("b") == (("b", 1L, 20L, 20L, 0L, 0L)), s"b ${got("b")}")
+    // corpus: kept + dropped tile; kept tokens match the survivor docs
+    val r = Dedup.dedupTokenSavings(documents)
+      .select("total_tokens", "kept_tokens", "dropped_tokens")
+      .as[(Long, Long, Long)].collect()
+    r.foreach { case (t, k, dr) => assert(k + dr == t) }
+    val survKept = Dedup.survivorSelection(documents)
+      .agg(sum("n_kept")).head.getLong(0)
+    val clusters = Dedup.dedupClusters(documents)
+      .select("cluster_id").distinct().count()
+    assert(survKept == clusters, "survivor count sanity for the shared frame")
   }
 }
