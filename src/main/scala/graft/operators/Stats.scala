@@ -2129,4 +2129,57 @@ FROM t2 t JOIN pred p USING (from_t)
 WHERE t.split = 1
 GROUP BY 1, 2"""
   }
+
+  // ---- C137 (r10): Fano-factor overdispersion audit ----
+  // The count-process health check beside C104/C78: a Poisson arrival
+  // stream has variance = mean per day (F = 1); F >> 1 means bursty /
+  // clumped traffic (C78's bursts as a one-number dispersion), F << 1
+  // means regularized (rate-limited) flow. Per type over daily counts:
+  // exact BIGINT moments, exact DECIMAL(38,0) variance numerator
+  // n·Σc² − S² (cast before products), Fano = vn/((n−1)·S) as ONE
+  // float division, and the OVERDISPERSED FLAG decided on the exact
+  // cross-multiplied rational vn > (n−1)·S — the C129 discipline.
+  // Degenerates excluded by WHERE (n > 1, S > 0).
+  def fanoFactor(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val D = 86400L * 1000000L
+    val daily = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${D}L)) div ${D}L").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .where(col("n_days") > 1 && col("s") > 0)
+      .select(col("event_type"), col("n_days"), col("s"),
+        (col("n_days").cast(d38) * col("q") - col("s").cast(d38) * col("s"))
+          .as("vn"))
+      .select(col("event_type"), col("n_days"), col("s"), col("vn"),
+        round(col("vn").cast("double") /
+          ((col("n_days") - 1).cast("double") * col("s").cast("double")), 6)
+          .as("fano"),
+        (col("vn") > (col("n_days") - 1).cast(d38) * col("s")).cast("long")
+          .as("overdispersed"))
+  }
+
+  val fanoFactorSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH daily AS (
+  SELECT event_type,
+    (epoch_us(ts) - ((epoch_us(ts) % $D) + $D) % $D) // $D AS day,
+    count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS s,
+    sum(c * c)::BIGINT AS q
+  FROM daily GROUP BY 1),
+g AS (
+  SELECT event_type, n_days, s,
+    (n_days::HUGEINT * q - s::HUGEINT * s)::DECIMAL(38,0) AS vn
+  FROM m WHERE n_days > 1 AND s > 0)
+SELECT event_type, n_days, s, vn,
+  round(vn::DOUBLE / ((n_days - 1)::DOUBLE * s::DOUBLE), 6) AS fano,
+  (vn > (n_days - 1)::DECIMAL(38,0) * s)::BIGINT AS overdispersed
+FROM g"""
+  }
 }

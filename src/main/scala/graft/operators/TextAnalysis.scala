@@ -3001,4 +3001,68 @@ SELECT lang1, lang2, count(*)::BIGINT AS n_docs,
   ((sum((lang2 <> 'und' AND s1 < s2 * 2)::INT) * 1000000) // count(*))::BIGINT AS mixed_ppm
 FROM res GROUP BY 1, 2"""
   }
+
+  // ---- L144 (r10): length-distribution drift per source — exact KS ----
+  // The ingestion monitor L9's scalar means miss: did a source's
+  // LENGTH DISTRIBUTION change between the first and second id-half
+  // (new template, new truncation, new extractor)? C97's exact
+  // two-sample KS machinery per source: cell counts per (source,
+  // n_chars, half), cumulative cross-multiplied sup |F0 − F1| as an
+  // exact integer numerator over n0·n1, one float division + the
+  // shared 1.358·sqrt((n0+n1)/(n0·n1)) threshold chain (identical
+  // both engines, the C97 pairing). Half-empty sources excluded by
+  // WHERE. Post-aggregate frames are (source × distinct lengths).
+  def lengthDrift(documents: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val mx = documents.agg(max(col("doc_id")).as("mx"))
+    val cells = documents.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_chars"),
+        expr("(doc_id * 2) div (mx + 1)").as("half"))
+      .groupBy(col("source"), col("n_chars"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+    val w = W.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wt = W.partitionBy(col("source"))
+    cells
+      .withColumn("cum0", sum(col("c0")).over(w))
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("n0", sum(col("c0")).over(wt))
+      .withColumn("n1", sum(col("c1")).over(wt))
+      .groupBy(col("source"), col("n0"), col("n1"))
+      .agg(max(abs(col("cum0") * col("n1") - col("cum1") * col("n0"))).as("dnum"))
+      .where(col("n0") > 0 && col("n1") > 0)
+      .select(col("source"), col("n0"), col("n1"), col("dnum"),
+        round(col("dnum").cast("double") / (col("n0") * col("n1")).cast("double"), 6)
+          .as("d_stat"),
+        (col("dnum").cast("double") / (col("n0") * col("n1")).cast("double") >
+          lit(1.358) * sqrt((col("n0") + col("n1")).cast("double") /
+            (col("n0") * col("n1")).cast("double"))).cast("long").as("drifted"))
+  }
+
+  val lengthDriftSql: String =
+    """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+cells AS (
+  SELECT source, n_chars,
+    sum(CASE WHEN (doc_id * 2) // (mx + 1) = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+    sum(CASE WHEN (doc_id * 2) // (mx + 1) = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+  FROM documents CROSS JOIN mx GROUP BY 1, 2),
+cum AS (
+  SELECT source, n_chars, c0, c1,
+    sum(c0) OVER (PARTITION BY source ORDER BY n_chars
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum0,
+    sum(c1) OVER (PARTITION BY source ORDER BY n_chars
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum1,
+    sum(c0) OVER (PARTITION BY source)::BIGINT AS n0,
+    sum(c1) OVER (PARTITION BY source)::BIGINT AS n1
+  FROM cells),
+d AS (
+  SELECT source, n0, n1,
+    max(abs(cum0 * n1 - cum1 * n0))::BIGINT AS dnum
+  FROM cum GROUP BY 1, 2, 3)
+SELECT source, n0, n1, dnum,
+  round(dnum::DOUBLE / (n0 * n1)::DOUBLE, 6) AS d_stat,
+  (dnum::DOUBLE / (n0 * n1)::DOUBLE >
+    1.358 * sqrt((n0 + n1)::DOUBLE / (n0 * n1)::DOUBLE))::BIGINT AS drifted
+FROM d WHERE n0 > 0 AND n1 > 0"""
 }

@@ -3340,7 +3340,8 @@ class OperatorSpec extends SparkSpec {
       "q_hte" -> "crossJoin(broadcast(single-row midpoint + single-row user count)) — the q_cuped pattern",
       "q_attrib_sweep" -> "crossJoin(broadcast(5-row window grid)) over the post-as-of gap frame — the q_dedup_sweep pattern",
       "q_vocab_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern",
-      "q_seg_migration" -> "crossJoin(broadcast(single-row midpoint + per-half single-row counts)) — the q_cuped pattern")
+      "q_seg_migration" -> "crossJoin(broadcast(single-row midpoint + per-half single-row counts)) — the q_cuped pattern",
+      "q_length_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -5984,5 +5985,31 @@ class OperatorSpec extends SparkSpec {
     val clusters = Dedup.dedupClusters(documents)
       .select("cluster_id").distinct().count()
     assert(survKept == clusters, "survivor count sanity for the shared frame")
+  }
+
+  test("lengthDrift: identical halves read zero, disjoint lengths read D = 1 (L144)") {
+    // ids 0..39 split at 20; A stable at 100 chars, B jumps 50 -> 500
+    val docs2 = (0L to 39L).map { i =>
+      val src = if (i % 2 == 0) "A" else "B"
+      val nc = if (src == "A") 100L else if (i < 20) 50L else 500L
+      (i, "text", src, nc)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    val got = TextAnalysis.lengthDrift(docs2)
+      .select("source", "n0", "n1", "dnum", "d_stat", "drifted")
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 10L, 10L, 0L, 0.0, 0L)), s"A ${got("A")}")
+    assert(got("B") == (("B", 10L, 10L, 100L, 1.0, 1L)), s"B ${got("B")}")
+    // corpus: D in [0, 1]; halves tile each source's docs
+    val corpus = TextAnalysis.lengthDrift(documents)
+      .select("source", "n0", "n1", "d_stat")
+      .as[(String, Long, Long, Double)].collect()
+    assert(corpus.nonEmpty)
+    val perSource = documents.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    corpus.foreach { case (s, n0, n1, d) =>
+      assert(n0 + n1 == perSource(s), s"$s halves must tile")
+      assert(d >= 0.0 && d <= 1.0 + 1e-9, s"$s d_stat $d")
+    }
   }
 }

@@ -899,4 +899,34 @@ class StatsSpec extends SparkSpec {
       assert(ppm == cOk * 1000000L / n)
     }
   }
+
+  test("fanoFactor: constant days read F = 0, bursty days flag overdispersion exactly (C137)") {
+    val D = 86400L * 1000L
+    def ev(rows: Seq[(String, Long, Int)]) = rows.zipWithIndex.flatMap {
+      case ((t, day, c), i) => (0 until c).map(j =>
+        (t, (i * 1000 + j).toLong, new java.sql.Timestamp(day * D), 1.0))
+    }.toDF("event_type", "event_id", "ts", "value")
+    val df = ev(Seq(("flat", 0L, 5), ("flat", 1L, 5), ("flat", 2L, 5),
+      ("burst", 0L, 1), ("burst", 1L, 9)))
+    val got = Stats.fanoFactor(df)
+      .select("event_type", "n_days", "s", "vn", "fano", "overdispersed")
+      .as[(String, Long, Long, java.math.BigDecimal, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val flat = got("flat")
+    assert((flat._2, flat._3, flat._4.longValueExact, flat._5, flat._6) ==
+      ((3L, 15L, 0L, 0.0, 0L)), s"flat $flat")
+    val burst = got("burst")
+    // vn = 2*(1+81) - 100 = 64; fano = 64 / (1*10) = 6.4
+    assert((burst._2, burst._3, burst._4.longValueExact, burst._5, burst._6) ==
+      ((2L, 10L, 64L, 6.4, 1L)), s"burst $burst")
+    // corpus: moments replay from the daily counts; flag matches vn > (n-1)s
+    val corpus = Stats.fanoFactor(events)
+      .select("n_days", "s", "vn", "overdispersed")
+      .as[(Long, Long, java.math.BigDecimal, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (n, s2, vn, f) =>
+      val v = BigInt(vn.toBigInteger)
+      assert(f == (if (v > BigInt(n - 1) * s2) 1L else 0L))
+    }
+  }
 }
