@@ -1930,4 +1930,36 @@ SELECT t.source, count(*)::BIGINT AS n_docs,
     // sum(t.n_toks))::BIGINT AS savings_ppm
 FROM toks t LEFT JOIN surv s USING (doc_id)
 GROUP BY t.source"""
+
+  // ---- L145 (r10): cross-shard duplicate leakage ----
+  // The measurement that justifies (or waives) the GLOBAL dedup pass:
+  // after L34's shard scatter, what share of near-dup pairs CROSSES a
+  // shard boundary? Within-shard pairs can be removed by per-shard
+  // local dedup at 100 TB; cross-shard pairs are exactly the work only
+  // the global banded pass catches. L3's candidate pair frame (already
+  // reduced) joins the md5 shard keys twice on narrow ids; cells per
+  // (within/cross) with exact ppm — plus the per-shard-pair heat
+  // surface capped to the 8×8 shard alphabet.
+  def crossShardDupLeakage(documents: DataFrame): DataFrame = {
+    val pairs = minhashLsh(documents).select(col("x"), col("y"))
+    def sh(cl: Column) = pmod(md5Long(lit("shard"), cl), lit(8L))
+    pairs
+      .select(sh(col("x")).as("sx"), sh(col("y")).as("sy"))
+      .select(least(col("sx"), col("sy")).as("sa"),
+        greatest(col("sx"), col("sy")).as("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_shard", (col("sa") =!= col("sb")).cast("long"))
+  }
+
+  lazy val crossShardDupLeakageSql: String =
+    s"""WITH mh AS ($minhashLshSql),
+sh AS (
+  SELECT ${md5LongSql("'shard'", "x")} % 8 AS sx,
+    ${md5LongSql("'shard'", "y")} % 8 AS sy
+  FROM mh),
+canon AS (SELECT least(sx, sy) AS sa, greatest(sx, sy) AS sb FROM sh)
+SELECT sa::BIGINT AS sa, sb::BIGINT AS sb, count(*)::BIGINT AS n_pairs,
+  (sa <> sb)::BIGINT AS cross_shard
+FROM canon GROUP BY sa, sb"""
 }

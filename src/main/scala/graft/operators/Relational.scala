@@ -4038,4 +4038,65 @@ ft AS (SELECT from_seg, sum(n_customers)::BIGINT AS from_total FROM m GROUP BY 1
 SELECT from_seg, to_seg, n_customers,
   ((n_customers * 1000000) // from_total)::BIGINT AS from_share_ppm
 FROM m JOIN ft USING (from_seg)"""
+
+  // ---- C138 (r10): entity-profile similarity — nations by segment mix ----
+  // "Which markets behave alike": each nation as its segment-revenue
+  // vector, all nation pairs scored by cosine — the L133 integer-exact
+  // cosine applied to entity profiles. Numerator Σ a_s·b_s and both
+  // norm-squares are exact DECIMAL(38,0) (cents products, cast before
+  // multiply); the only floats are two correctly-rounded sqrts + one
+  // division, round 6. The pair join runs over the POST-AGGREGATE
+  // (nation × segment) frame — geography-alphabet-bounded (~25·5
+  // rows), never corpus pairs; pairs canonicalized a < b.
+  def nationSimilarity(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val prof = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("v"))
+    val norms = prof.groupBy(col("nation"))
+      .agg(sum(col("v").cast(d38) * col("v")).as("norm2"))
+    val a = prof.toDF("na", "segment", "va")
+    val b = prof.toDF("nb", "segment", "vb")
+    val num = a.join(b, Seq("segment")).where(col("na") < col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(col("va").cast(d38) * col("vb")).as("num"))
+    // complete pair grid off the alphabet-sized norms frame: pairs
+    // sharing no segment are REAL zeros, not missing rows
+    norms.toDF("na", "norm2a")
+      .join(broadcast(norms.toDF("nb", "norm2b")), col("na") < col("nb"))
+      .join(num, Seq("na", "nb"), "left")
+      .select(col("na"), col("nb"),
+        coalesce(col("num"), lit(0).cast(d38)).as("num"),
+        round(coalesce(col("num"), lit(0).cast(d38)).cast("double") /
+          (sqrt(col("norm2a").cast("double")) * sqrt(col("norm2b").cast("double"))), 6)
+          .as("cosine"))
+  }
+
+  val nationSimilaritySql: String =
+    """WITH prof AS (
+  SELECT n_name AS nation, c_mktsegment AS segment,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+norms AS (
+  SELECT nation, sum(v::HUGEINT * v)::DECIMAL(38,0) AS norm2
+  FROM prof GROUP BY 1),
+num AS (
+  SELECT a.nation AS na, b.nation AS nb,
+    sum(a.v::HUGEINT * b.v)::DECIMAL(38,0) AS num
+  FROM prof a JOIN prof b ON a.segment = b.segment AND a.nation < b.nation
+  GROUP BY 1, 2)
+SELECT x.nation AS na, y.nation AS nb,
+  coalesce(p.num, 0)::DECIMAL(38,0) AS num,
+  round(coalesce(p.num, 0)::DOUBLE
+    / (sqrt(x.norm2::DOUBLE) * sqrt(y.norm2::DOUBLE)), 6) AS cosine
+FROM norms x JOIN norms y ON x.nation < y.nation
+LEFT JOIN num p ON p.na = x.nation AND p.nb = y.nation"""
 }

@@ -3341,7 +3341,8 @@ class OperatorSpec extends SparkSpec {
       "q_attrib_sweep" -> "crossJoin(broadcast(5-row window grid)) over the post-as-of gap frame — the q_dedup_sweep pattern",
       "q_vocab_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern",
       "q_seg_migration" -> "crossJoin(broadcast(single-row midpoint + per-half single-row counts)) — the q_cuped pattern",
-      "q_length_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern")
+      "q_length_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern",
+      "q_nation_sim" -> "pair grid over the geography-alphabet norms frame (~25 rows) — the q_kmv_overlap pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -6011,5 +6012,50 @@ class OperatorSpec extends SparkSpec {
       assert(n0 + n1 == perSource(s), s"$s halves must tile")
       assert(d >= 0.0 && d <= 1.0 + 1e-9, s"$s d_stat $d")
     }
+  }
+
+  test("nationSimilarity: parallel profiles read 1, orthogonal read 0 (C138)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val nation2 = Seq((1L, "N1"), (2L, "N2"), (3L, "N3"))
+      .toDF("n_nationkey", "n_name")
+    val cust2 = Seq((10L, 1L, "S1"), (20L, 2L, "S2"), (30L, 3L, "S1"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val orders2 = Seq((10L, 1.0), (20L, 0.5), (30L, 2.0))
+      .map { case (ck, v) => (ck, v, d("2024-01-01")) }
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val got = Relational.nationSimilarity(orders2, cust2, nation2)
+      .select("na", "nb", "cosine").as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("N1", "N3")) == 1.0 && got(("N1", "N2")) == 0.0 &&
+      got(("N2", "N3")) == 0.0, s"got $got")
+    // corpus: all 25-choose-2 pairs present, cosines in [0, 1]
+    val corpus = Relational.nationSimilarity(Tables.load(spark, sf, "orders"),
+      Tables.load(spark, sf, "customer"), Tables.load(spark, sf, "nation"))
+      .select("cosine").as[Double].collect()
+    assert(corpus.length == 300, s"${corpus.length} pairs")
+    corpus.foreach(cs => assert(cs >= 0.0 && cs <= 1.0 + 1e-9))
+  }
+
+  test("crossShardDupLeakage: cells replay from the pair frame x md5 shards (L145)") {
+    import graft.operators.Dedup
+    def shardOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"shard:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    val pairs = Dedup.minhashLsh(documents).select("x", "y")
+      .as[(Long, Long)].collect()
+    val expected = pairs.map { case (x, y) =>
+      val (a, b) = (shardOf(x), shardOf(y)); (math.min(a, b), math.max(a, b))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.crossShardDupLeakage(documents)
+      .select("sa", "sb", "n_pairs", "cross_shard")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length == expected.size)
+    got.foreach { case (sa, sb, n, x) =>
+      assert(expected((sa, sb)) == n, s"cell ($sa,$sb)")
+      assert(x == (if (sa != sb) 1L else 0L))
+    }
+    assert(got.map(_._3).sum == pairs.length.toLong)
   }
 }
