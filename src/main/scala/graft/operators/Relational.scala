@@ -4099,4 +4099,51 @@ SELECT x.nation AS na, y.nation AS nb,
     / (sqrt(x.norm2::DOUBLE) * sqrt(y.norm2::DOUBLE)), 6) AS cosine
 FROM norms x JOIN norms y ON x.nation < y.nation
 LEFT JOIN num p ON p.na = x.nation AND p.nb = y.nation"""
+
+  // ---- C139 (r10): correlated subquery — Catalyst decorrelation ----
+  // The engine-surface demo every SQL frontend is judged on: the
+  // "customers above their nation's average" query written the way an
+  // analyst writes it — CORRELATED scalar subqueries — and left to
+  // Catalyst to decorrelate into aggregate + join (verified in the
+  // plan: no per-row subquery execution survives). This operator
+  // deliberately enters through spark.sql(), exercising the SQL-string
+  // API the rest of the suite reaches via the DataFrame DSL — the
+  // parity a reference user switching dialects relies on. The
+  // comparison stays EXACT: spend·n(nation) > total(nation) cross-
+  // multiplied integers, no float average anywhere.
+  def aboveNationAverage(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("c139_orders")
+    customer.createOrReplaceTempView("c139_customer")
+    nation.createOrReplaceTempView("c139_nation")
+    spark.sql(
+      """WITH per AS (
+        |  SELECT c_custkey, n_name,
+        |    cast(sum(cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)) AS bigint) AS spend_cents
+        |  FROM c139_orders
+        |  JOIN c139_customer ON o_custkey = c_custkey
+        |  JOIN c139_nation ON c_nationkey = n_nationkey
+        |  GROUP BY c_custkey, n_name)
+        |SELECT p.c_custkey, p.n_name, p.spend_cents
+        |FROM per p
+        |WHERE p.spend_cents *
+        |    (SELECT count(*) FROM per p2 WHERE p2.n_name = p.n_name) >
+        |    (SELECT sum(p3.spend_cents) FROM per p3 WHERE p3.n_name = p.n_name)
+        |""".stripMargin)
+  }
+
+  val aboveNationAverageSql: String =
+    """WITH per AS (
+  SELECT c_custkey, n_name,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS spend_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY c_custkey, n_name)
+SELECT p.c_custkey, p.n_name, p.spend_cents
+FROM per p
+WHERE p.spend_cents *
+    (SELECT count(*) FROM per p2 WHERE p2.n_name = p.n_name) >
+    (SELECT sum(p3.spend_cents) FROM per p3 WHERE p3.n_name = p.n_name)"""
 }

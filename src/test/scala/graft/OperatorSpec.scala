@@ -6058,4 +6058,37 @@ class OperatorSpec extends SparkSpec {
     }
     assert(got.map(_._3).sum == pairs.length.toLong)
   }
+
+  test("aboveNationAverage: strict exact comparison; Catalyst decorrelates the subqueries (C139)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val nation2 = Seq((1L, "N1")).toDF("n_nationkey", "n_name")
+    val cust2 = Seq((10L, 1L), (20L, 1L), (30L, 1L))
+      .toDF("c_custkey", "c_nationkey")
+    val orders2 = Seq((10L, 1.0), (20L, 2.0), (30L, 3.0))
+      .map { case (ck, v) => (ck, v, d("2024-01-01")) }
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val got = Relational.aboveNationAverage(orders2, cust2, nation2)
+      .select("c_custkey", "spend_cents").as[(Long, Long)].collect().toSet
+    // avg = 200 exactly: the 200-spend customer is NOT above (strict)
+    assert(got == Set((30L, 300L)), s"got $got")
+    // corpus: every returned customer beats the exact nation mean, and
+    // the winners-per-nation count matches a direct computation
+    val (orders, customer, nation) = (Tables.load(spark, sf, "orders"),
+      Tables.load(spark, sf, "customer"), Tables.load(spark, sf, "nation"))
+    val r = Relational.aboveNationAverage(orders, customer, nation)
+    val per = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("n_name"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("s")).as[(Long, String, Long)].collect()
+    val expected = per.groupBy(_._2).values.flatMap { rows =>
+      val n = rows.length.toLong; val tot = rows.map(_._3).sum
+      rows.filter(row => row._3 * n > tot).map(_._1)
+    }.toSet
+    assert(r.select("c_custkey").as[Long].collect().toSet == expected)
+    // the executed plan must be DECORRELATED: joins, not per-row subqueries
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalarSubquery"),
+      "correlated subqueries must decorrelate into joins")
+  }
 }
