@@ -1264,4 +1264,41 @@ SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
   ((sum(c.contaminated) * 1000000) // count(*))::BIGINT AS contaminated_ppm
 FROM shards s JOIN cont c USING (doc_id)
 GROUP BY 1"""
+
+  // ---- L146 (r10): shard-balance audit — the straggler detector ----
+  // L34 scatters the corpus into K hash shards; this audits what that
+  // sharding DELIVERS: per shard, its document count, whitespace-token
+  // load, and load share in exact ppm of a balanced shard (1e6 =
+  // perfectly even). The 100 TB question it answers is the training
+  // reader's: does any shard run long (a straggler epoch tail) or
+  // short (wasted reader slots)? ENTIRELY integer — token counts are
+  // the L10 counter, the share is a `div` ppm off the single-row total
+  // broadcast. One map-side token count fused into the scan, one
+  // K-row aggregate; bound: tokens·K·1e6 needs < 2^63 (≈9e11 tokens
+  // per shard — beyond it, pre-scale the counts by 2^10 before the
+  // div, same plan).
+  def shardBalance(documents: DataFrame): DataFrame = {
+    val loads = documents
+      .select(pmod(md5Long(lit("shard"), col("doc_id")), lit(NumShards))
+          .as("shard"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+    val total = loads.agg(sum(col("tokens")).as("total_tokens"))
+    loads.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        expr(s"(tokens * $NumShards * 1000000L) div total_tokens")
+          .as("load_ppm"))
+  }
+
+  lazy val shardBalanceSql: String =
+    s"""WITH loads AS (
+  SELECT ${md5LongSql("'shard'", "doc_id")} % $NumShards AS shard,
+    count(*)::BIGINT AS n_docs,
+    sum(len(string_split_regex(lower(text), '\\s+')))::BIGINT AS tokens
+  FROM documents GROUP BY 1),
+total AS (SELECT sum(tokens)::BIGINT AS total_tokens FROM loads)
+SELECT shard::BIGINT AS shard, n_docs, tokens,
+  ((tokens * $NumShards * 1000000) // total_tokens)::BIGINT AS load_ppm
+FROM loads CROSS JOIN total"""
 }

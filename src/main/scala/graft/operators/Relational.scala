@@ -4146,4 +4146,145 @@ FROM per p
 WHERE p.spend_cents *
     (SELECT count(*) FROM per p2 WHERE p2.n_name = p.n_name) >
     (SELECT sum(p3.spend_cents) FROM per p3 WHERE p3.n_name = p.n_name)"""
+
+  // ---- C140 (r10): Mann–Kendall trend test — distribution-free
+  // monotone-trend detection ----
+  // The nonparametric sibling of C40's OLS slope and C72's Theil–Sen:
+  // is each priority lane's monthly order volume trending, without
+  // assuming linearity or normal errors? S = Σ_{i<j} sign(x_j − x_i)
+  // over the monthly series; Var(S) with the exact tie correction
+  // [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18. ENTIRELY integer: the
+  // series is integer counts so every sign comparison is exact, and
+  // the z>1.96 significance gate cross-multiplies to
+  // 11250·S² > 2401·var18 (1.96 = 49/25 ⇒ z² = 2401/625; ·18 both
+  // sides) — no float anywhere in the hashed surface. The pair
+  // self-join runs on the POST-AGGREGATE monthly frame, bounded by
+  // groups × calendar-months² (never data volume): at 100 TB the
+  // monthly rollup is the only corpus-sized pass.
+  def mannKendall(orders: DataFrame): DataFrame = {
+    // the monthly rollup feeds three branches (both pair sides + the
+    // tie counter); materialize the tiny frame once so the corpus-sized
+    // fact scan runs exactly once at any scale
+    val monthly = orders
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val a = monthly.toDF("priority", "m1", "x1")
+    val b = monthly.toDF("priority", "m2", "x2")
+    val s = a.join(b, Seq("priority")).where(col("m1") < col("m2"))
+      .groupBy(col("priority"))
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"))
+    val ties = monthly
+      .groupBy(col("priority"), col("x")).agg(count(lit(1)).as("t"))
+      .groupBy(col("priority"))
+      .agg(sum(col("t")).as("n_months"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie18"))
+    ties.join(s, Seq("priority"))
+      .select(col("priority"), col("n_months"), col("s_stat"),
+        (col("n_months") * (col("n_months") - 1) * (lit(2) * col("n_months") + 5)
+          - col("tie18")).as("var18"),
+        signum(col("s_stat")).cast("long").as("trend"),
+        (lit(11250L) * col("s_stat") * col("s_stat") >
+          lit(2401L) * (col("n_months") * (col("n_months") - 1) *
+            (lit(2) * col("n_months") + 5) - col("tie18")))
+          .cast("long").as("significant"))
+  }
+
+  val mannKendallSql: String =
+    """WITH monthly AS (
+  SELECT o_orderpriority AS priority, date_trunc('month', o_orderdate) AS month,
+    count(*)::BIGINT AS x
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT a.priority, sum(sign(b.x - a.x))::BIGINT AS s_stat
+  FROM monthly a JOIN monthly b ON a.priority = b.priority AND a.month < b.month
+  GROUP BY 1),
+ties AS (
+  SELECT priority, sum(t)::BIGINT AS n_months,
+    sum(t*(t-1)*(2*t+5))::BIGINT AS tie18
+  FROM (SELECT priority, x, count(*)::BIGINT AS t FROM monthly GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT t.priority, t.n_months, s.s_stat,
+  (t.n_months*(t.n_months-1)*(2*t.n_months+5) - t.tie18)::BIGINT AS var18,
+  sign(s.s_stat)::BIGINT AS trend,
+  (11250*s.s_stat*s.s_stat >
+    2401*(t.n_months*(t.n_months-1)*(2*t.n_months+5) - t.tie18))::BIGINT
+    AS significant
+FROM ties t JOIN s USING (priority)"""
+
+  // ---- C141 (r10): trimmed + winsorized means — outlier-robust
+  // central tendency per group ----
+  // The robust-mean pair every KPI review wants next to C41's MAD
+  // flags: per priority lane, the 10%-two-sided trimmed mean (drop the
+  // k = n div 10 cheapest and dearest orders) and the winsorized mean
+  // (clamp them to the surviving boundary values instead). EXACT
+  // arithmetic end-to-end: order totals become integer cents
+  // (decimal-cast before scaling — the C103 lesson), the kept-range
+  // sum is an exact BIGINT, and both means are released as integer
+  // MICRO-dollar `div` quotients — no float, no round() tie. Rank
+  // boundaries come from one per-group window (total order by (cents,
+  // orderkey) — deterministic under ties); the declared 100× path for
+  // the global-per-group sort is C48's two-phase ranking. The micro
+  // quotients use the overflow-free two-stage floor identity
+  // floor(10⁴S/n) = 10⁴·(S div n) + (10⁴·(S mod n)) div n — every
+  // intermediate stays under 10⁴·n, so a 100 TB cents sum cannot
+  // overflow, and floor division is bit-identical across engines
+  // (decimal division would round at result scale first).
+  def trimmedMean(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wp = Window.partitionBy(col("priority"))
+    val kept = col("r") > col("k") && col("r") <= col("n") - col("k")
+    orders
+      .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("k", expr("n div 10"))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(when(kept, col("cents")).otherwise(0L)).as("sum_kept_cents"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        min(when(kept, col("cents"))).as("lo_cents"),
+        max(when(kept, col("cents"))).as("hi_cents"))
+      .withColumn("sum_win_cents",
+        col("sum_kept_cents") + col("k") * (col("lo_cents") + col("hi_cents")))
+      .select(col("priority"), col("n"), col("n_kept"),
+        col("sum_kept_cents"), col("lo_cents"), col("hi_cents"),
+        expr("sum_kept_cents div n_kept * 10000L + " +
+          "((sum_kept_cents % n_kept) * 10000L) div n_kept")
+          .as("trimmed_mean_micro"),
+        expr("sum_win_cents div n * 10000L + " +
+          "((sum_win_cents % n) * 10000L) div n").as("winsor_mean_micro"))
+  }
+
+  val trimmedMeanSql: String =
+    """WITH ranked AS (
+  SELECT o_orderpriority AS priority, o_orderkey,
+    ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS cents,
+    row_number() OVER (PARTITION BY o_orderpriority
+      ORDER BY ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT, o_orderkey)
+      ::BIGINT AS r,
+    count(*) OVER (PARTITION BY o_orderpriority)::BIGINT AS n
+  FROM orders),
+agg AS (
+  SELECT priority, max(n) AS n, max(n // 10) AS k,
+    sum(CASE WHEN r > n // 10 AND r <= n - n // 10 THEN cents ELSE 0 END)
+      ::BIGINT AS sum_kept_cents,
+    sum(CASE WHEN r > n // 10 AND r <= n - n // 10 THEN 1 ELSE 0 END)
+      ::BIGINT AS n_kept,
+    min(CASE WHEN r > n // 10 AND r <= n - n // 10 THEN cents END)
+      ::BIGINT AS lo_cents,
+    max(CASE WHEN r > n // 10 AND r <= n - n // 10 THEN cents END)
+      ::BIGINT AS hi_cents
+  FROM ranked GROUP BY 1)
+SELECT priority, n, n_kept, sum_kept_cents, lo_cents, hi_cents,
+  ((sum_kept_cents // n_kept) * 10000
+    + ((sum_kept_cents % n_kept) * 10000) // n_kept)::BIGINT
+    AS trimmed_mean_micro,
+  (((sum_kept_cents + k * (lo_cents + hi_cents)) // n) * 10000
+    + (((sum_kept_cents + k * (lo_cents + hi_cents)) % n) * 10000) // n)
+    ::BIGINT AS winsor_mean_micro
+FROM agg"""
 }

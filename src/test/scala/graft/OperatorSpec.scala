@@ -6091,4 +6091,101 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("ScalarSubquery"),
       "correlated subqueries must decorrelate into joins")
   }
+
+  test("mannKendall: monotone series maxes S, constant series zeroes Var (C140)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // UP: month i carries i orders (strictly increasing counts);
+    // FLAT: 2 orders every month (all-tied, variance fully corrected away)
+    val rows = (1 to 12).flatMap { i =>
+      val m = d(f"2024-$i%02d-01")
+      Seq.fill(i)(("UP", m)) ++ Seq.fill(2)(("FLAT", m))
+    }
+    val got = Relational.mannKendall(
+      rows.toDF("o_orderpriority", "o_orderdate"))
+      .select("priority", "n_months", "s_stat", "var18", "trend", "significant")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // S = 12·11/2 = 66, var18 = 12·11·29 = 3828 (tie-free), significant
+    assert(got("UP") == (("UP", 12L, 66L, 3828L, 1L, 1L)), s"UP ${got("UP")}")
+    // all tied: S = 0 and the tie correction wipes var18 to exactly 0
+    assert(got("FLAT") == (("FLAT", 12L, 0L, 0L, 0L, 0L)), s"FLAT ${got("FLAT")}")
+    // corpus: |S| bounded by n(n−1)/2 and var18 non-negative
+    val corpus = Relational.mannKendall(Tables.load(spark, sf, "orders"))
+      .select("n_months", "s_stat", "var18")
+      .as[(Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (n, s, v) =>
+      assert(math.abs(s) <= n * (n - 1) / 2 && v >= 0L, s"($n, $s, $v)") }
+  }
+
+  test("trimmedMean: the outlier leaves the trim, winsorizing clamps it (C141)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // prices 1..9 plus a 1000 outlier: k = 1 trims {1, 1000}, keeps 2..9
+    val orders2 = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (p, i) => (i.toLong, "P", p, d("2024-01-01")) }
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    val got = Relational.trimmedMean(orders2)
+      .select("priority", "n", "n_kept", "sum_kept_cents", "lo_cents",
+        "hi_cents", "trimmed_mean_micro", "winsor_mean_micro")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    // kept sum 2+..+9 = 44 → mean 5.50; winsorized adds 2.00 + 9.00 back
+    assert(got.toSeq == Seq(("P", 10L, 8L, 4400L, 200L, 900L,
+      5500000L, 5500000L)), s"got ${got.toSeq}")
+    // corpus: trimmed ≤ winsorized ≤ untrimmed is NOT an identity, but
+    // the kept range must tile and the means must sit inside [lo, hi]
+    val corpus = Relational.trimmedMean(Tables.load(spark, sf, "orders"))
+      .select("n", "n_kept", "lo_cents", "hi_cents", "trimmed_mean_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (n, nk, lo, hi, tm) =>
+      assert(nk == n - 2 * (n / 10), s"kept count $nk of $n")
+      assert(tm >= lo * 10000 && tm <= hi * 10000, s"mean $tm outside bounds") }
+  }
+
+  test("shardBalance: loads replay from md5 shards; shares tile 8e6 (L146)") {
+    def shardOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"shard:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    val byDoc = documents.select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, tx) =>
+        // limit -1 mirrors Spark's split (trailing empties kept)
+        (shardOf(id), tx.toLowerCase.split("\\s+", -1).length.toLong) }
+    val expDocs = byDoc.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expToks = byDoc.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = graft.operators.Curation.shardBalance(documents)
+      .select("shard", "n_docs", "tokens", "load_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == expDocs.size)
+    val total = expToks.values.sum
+    got.foreach { case (sh, nd, tk, ppm) =>
+      assert(expDocs(sh) == nd && expToks(sh) == tk, s"shard $sh")
+      assert(ppm == tk * 8L * 1000000L / total, s"ppm $sh") }
+    // floor quotients: the shares sum into (8e6 − K, 8e6]
+    val s = got.map(_._4).sum
+    assert(s > 8000000L - 8 && s <= 8000000L, s"share sum $s")
+  }
+
+  test("termPositionBias: header terms read 0, footers 1e6, middles center (L147)") {
+    // 60 identical 3-token docs clear the occurrence floor
+    val docs2 = (0L until 60L).map(i => (i, "hdr mid ftr"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.termPositionBias(docs2)
+      .select("term", "occurrences", "mean_pos_ppm", "skew_ppm")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("hdr") == (("hdr", 60L, 0L, -500000L)), s"${got("hdr")}")
+    assert(got("mid") == (("mid", 60L, 500000L, 0L)), s"${got("mid")}")
+    assert(got("ftr") == (("ftr", 60L, 1000000L, 500000L)), s"${got("ftr")}")
+    // corpus: positions live on [0, 1e6]; only head terms survive
+    val corpus = TextAnalysis.termPositionBias(documents)
+      .select("occurrences", "mean_pos_ppm")
+      .as[(Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (occ, m) =>
+      assert(occ >= 50L && m >= 0L && m <= 1000000L, s"($occ, $m)") }
+  }
 }
