@@ -2182,4 +2182,88 @@ SELECT event_type, n_days, s, vn,
   (vn > (n_days - 1)::DECIMAL(38,0) * s)::BIGINT AS overdispersed
 FROM g"""
   }
+
+  // ---- C142 (r10): Wald–Wolfowitz runs test — serial-randomness
+  // audit ----
+  // C140 asks "is there a trend?"; this asks the orthogonal question:
+  // is the SEQUENCE random at all, or does it clump (autocorrelated
+  // demand, batched postings)? Per priority lane, daily revenue is
+  // split at its exact lower-median cents value into above/at-or-below
+  // flags; R = number of runs of equal flags. ENTIRELY integer
+  // arithmetic: under H₀, E[R] = 1 + 2ab/n and Var scales as
+  // 2ab(2ab−n)/(n²(n−1)); the |z| > 1.96 gate cross-multiplies to
+  // 625·(nR − n − 2ab)²·(n−1) > 2401·2ab·(2ab−n) — products ride
+  // DECIMAL(38,0) (a 2400-day lane already exceeds 2^63 on the left),
+  // den ≤ 0 (a one-sided lane) reads nonrandom = 0 rather than an
+  // engine-dependent NaN. The daily rollup is the only corpus-sized
+  // pass (localCheckpointed once for the median + runs branches); the
+  // per-lane window walks calendar-bounded frames.
+  def runsTest(orders: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val daily = orders
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    val med = daily
+      .withColumn("r", row_number().over(
+        W.partitionBy(col("priority")).orderBy(col("cents"), col("day"))))
+      .withColumn("n", count(lit(1)).over(W.partitionBy(col("priority"))))
+      .where(col("r") === expr("(n + 1) div 2"))
+      .select(col("priority"), col("cents").as("m"))
+    val wD = W.partitionBy(col("priority")).orderBy(col("day"))
+    val flagged = daily.join(broadcast(med), Seq("priority"))
+      .withColumn("above", (col("cents") > col("m")).cast("long"))
+      .withColumn("brk",
+        when(lag(col("above"), 1).over(wD).isNull ||
+          lag(col("above"), 1).over(wD) =!= col("above"), 1L).otherwise(0L))
+    flagged.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_days"), sum(col("above")).as("n_above"),
+        (count(lit(1)) - sum(col("above"))).as("n_below"),
+        sum(col("brk")).as("n_runs"))
+      .withColumn("ab2", lit(2).cast(d38) * col("n_above") * col("n_below"))
+      .select(col("priority"), col("n_days"), col("n_above"),
+        col("n_below"), col("n_runs"),
+        (col("ab2") > col("n_days") &&
+          lit(625).cast(d38) *
+            (col("n_days").cast(d38) * col("n_runs") - col("n_days") - col("ab2")) *
+            (col("n_days").cast(d38) * col("n_runs") - col("n_days") - col("ab2")) *
+            (col("n_days") - 1) >
+          lit(2401).cast(d38) * col("ab2") * (col("ab2") - col("n_days")))
+          .cast("long").as("nonrandom"))
+  }
+
+  val runsTestSql: String =
+    """WITH daily AS (
+  SELECT o_orderpriority AS priority, date_trunc('day', o_orderdate) AS day,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1, 2),
+med AS (
+  SELECT priority, cents AS m FROM (
+    SELECT priority, cents,
+      row_number() OVER (PARTITION BY priority ORDER BY cents, day) AS r,
+      count(*) OVER (PARTITION BY priority) AS n
+    FROM daily) WHERE r = (n + 1) // 2),
+flagged AS (
+  SELECT d.priority, d.day, (d.cents > med.m)::BIGINT AS above
+  FROM daily d JOIN med USING (priority)),
+runs AS (
+  SELECT priority, above,
+    CASE WHEN lag(above) OVER w IS NULL OR lag(above) OVER w <> above
+      THEN 1 ELSE 0 END AS brk
+  FROM flagged WINDOW w AS (PARTITION BY priority ORDER BY day)),
+agg AS (
+  SELECT priority, count(*)::BIGINT AS n_days, sum(above)::BIGINT AS n_above,
+    (count(*) - sum(above))::BIGINT AS n_below, sum(brk)::BIGINT AS n_runs
+  FROM runs GROUP BY 1)
+SELECT priority, n_days, n_above, n_below, n_runs,
+  (2::HUGEINT * n_above * n_below > n_days AND
+   625::HUGEINT *
+     (n_days::HUGEINT * n_runs - n_days - 2::HUGEINT * n_above * n_below) *
+     (n_days::HUGEINT * n_runs - n_days - 2::HUGEINT * n_above * n_below) *
+     (n_days - 1) >
+   2401::HUGEINT * (2::HUGEINT * n_above * n_below) *
+     (2::HUGEINT * n_above * n_below - n_days))::BIGINT AS nonrandom
+FROM agg"""
 }

@@ -3113,4 +3113,51 @@ agg AS (
 SELECT term, occurrences, (sp // occurrences)::BIGINT AS mean_pos_ppm,
   ((sp // occurrences) - 500000)::BIGINT AS skew_ppm
 FROM agg WHERE occurrences >= $PosBiasMinOcc"""
+
+  // ---- L148 (r10): per-source unigram entropy — the repetitiveness
+  // scalar ----
+  // L122's type/token ratio counts distinct terms; entropy weighs them:
+  // a source whose probability mass concentrates on few terms (template
+  // farms, boilerplate mirrors) reads LOW H = −Σ p·ln p even with a
+  // large vocabulary. The corpus-health scalar mixture tuning (L30/L70)
+  // wants next to token counts. Exactness: per-term contributions
+  // −p·ln p are quantized DECIMAL(18,9) BEFORE the sum (order-free —
+  // the L117/L24 discipline; p is one IEEE division of exact counts),
+  // so the aggregate never depends on float summation order at any
+  // vocabulary size. One token explode (map-fused), one (source, term)
+  // aggregate, then vocabulary-sized frames only.
+  def sourceEntropy(documents: DataFrame): DataFrame = {
+    val st = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val totals = st.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    val p = col("c").cast("double") / col("n_tokens").cast("double")
+    st.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (-p * log(p)).cast("decimal(18,9)").as("e"))
+      .groupBy(col("source"), col("n_tokens"), col("vocab"))
+      .agg(sum(col("e")).as("se"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("se").cast("double"), 6).as("entropy_nats"))
+  }
+
+  val sourceEntropySql: String =
+    """WITH st AS (
+  SELECT source, token, count(*)::BIGINT AS c FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE length(token) > 0 GROUP BY 1, 2),
+totals AS (
+  SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab
+  FROM st GROUP BY 1),
+terms AS (
+  SELECT st.source, t.n_tokens, t.vocab,
+    CAST(-(st.c::DOUBLE / t.n_tokens::DOUBLE)
+      * ln(st.c::DOUBLE / t.n_tokens::DOUBLE) AS DECIMAL(18,9)) AS e
+  FROM st JOIN totals t USING (source))
+SELECT source, n_tokens, vocab,
+  round(sum(e)::DOUBLE, 6) AS entropy_nats
+FROM terms GROUP BY 1, 2, 3"""
 }

@@ -929,4 +929,60 @@ class StatsSpec extends SparkSpec {
       assert(f == (if (v > BigInt(n - 1) * s2) 1L else 0L))
     }
   }
+
+  test("runsTest: alternation and clumping both flag, one-sided lanes guard (C142)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // ALT: 20 days strictly alternating 1.00 / 3.00 → R = 20 (too many)
+    // CLUMP: 10 low days then 10 high → R = 2 (too few)
+    // FLAT: every day identical → a = 0, den ≤ 0 guard, never flags
+    val rows = (0 until 20).flatMap { i =>
+      val day = d(f"2024-01-${i + 1}%02d")
+      Seq(("ALT", if (i % 2 == 0) 1.0 else 3.0, day),
+        ("CLUMP", if (i < 10) 1.0 else 3.0, day),
+        ("FLAT", 2.0, day))
+    }
+    val got = Stats.runsTest(
+      rows.toDF("o_orderpriority", "o_totalprice", "o_orderdate"))
+      .select("priority", "n_days", "n_above", "n_below", "n_runs", "nonrandom")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("ALT") == (("ALT", 20L, 10L, 10L, 20L, 1L)), s"${got("ALT")}")
+    assert(got("CLUMP") == (("CLUMP", 20L, 10L, 10L, 2L, 1L)), s"${got("CLUMP")}")
+    assert(got("FLAT") == (("FLAT", 20L, 0L, 20L, 1L, 0L)), s"${got("FLAT")}")
+    // corpus: runs tile [1, n]; halves tile n; flag replays the
+    // integer cross-multiplied gate
+    val corpus = Stats.runsTest(orders)
+      .select("n_days", "n_above", "n_below", "n_runs", "nonrandom")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (n, a, b, r, f) =>
+      assert(a + b == n && r >= 1 && r <= n, s"($n, $a, $b, $r)")
+      val ab2 = BigInt(2) * a * b
+      val num = BigInt(625) * (BigInt(n) * r - n - ab2).pow(2) * (n - 1)
+      val den = BigInt(2401) * ab2 * (ab2 - n)
+      assert(f == (if (ab2 > n && num > den) 1L else 0L), s"flag $f") }
+  }
+
+  test("sourceEntropy: uniform terms read ln k, constant terms read 0 (L148)") {
+    import graft.operators.TextAnalysis
+    // U: 4 equi-frequent terms → H = ln 4; K: a single term → H = 0
+    val docs2 = (0L until 8L).map { i =>
+      if (i < 4) (i, "alpha beta gamma delta", "U") else (i, "kkk kkk kkk kkk", "K")
+    }.toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceEntropy(docs2)
+      .select("source", "n_tokens", "vocab", "entropy_nats")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("U")._2 == 16L && got("U")._3 == 4L &&
+      math.abs(got("U")._4 - math.log(4.0)) < 2e-6, s"U ${got("U")}")
+    assert(got("K")._2 == 16L && got("K")._3 == 1L && got("K")._4 == 0.0,
+      s"K ${got("K")}")
+    // corpus: 0 ≤ H ≤ ln(vocab) for every source
+    val corpus = TextAnalysis.sourceEntropy(
+      Tables.load(spark, sf, "documents"))
+      .select("vocab", "entropy_nats").as[(Long, Double)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (v, h) =>
+      assert(h >= 0.0 && h <= math.log(v.toDouble) + 1e-6, s"($v, $h)") }
+  }
 }
