@@ -288,6 +288,25 @@ object TrafficStream {
       }
   }
 
+  /** R20 (r10): the ENGINE-NATIVE streaming sessionization —
+    * `session_window` aggregation under a watermark, the built-in
+    * operator Spark merges-on-overlap and times out for us. This is
+    * the same physical operator family as tumbling/sliding window
+    * aggs (state = one running (start, end, count, sum) struct per
+    * open session — never an event buffer), where [[sessionizeStream]]
+    * below is the CUSTOM-state formulation of identical semantics via
+    * flatMapGroupsWithState. Both exist deliberately: the native path
+    * is what a user should reach for first (it inherits partial
+    * aggregation, state-store compaction and AQE-free streaming plans
+    * wholesale), the custom path is the template for semantics the
+    * native operator can't express. Batch/stream parity is the spec's
+    * contract: this IS `Relational.sessionWindow` applied to a
+    * watermarked stream — one definition, two execution modes. */
+  def sessionWindowStream(events: DataFrame,
+      delay: String = "10 minutes"): DataFrame =
+    graft.operators.Relational.sessionWindow(
+      events.withWatermark("ts", delay))
+
   /** Custom stateful operator: gap-based sessionization with
     * flatMapGroupsWithState + event-time timeout. State per user is a
     * single (start, end, n) struct; sessions close either when a

@@ -197,6 +197,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set("a", "b"))
   }
 
+  test("native session_window stream matches the batch operator exactly (R20)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SensorEvent]
+    val q = TrafficStream.sessionWindowStream(stream.toDS().toDF(), "1 minute")
+      .writeStream.format("memory").queryName("nsess").outputMode("append").start()
+    // user 7: two events 5 min apart (one session), then a 2-hour gap
+    // opens a second; user 8's far-future event drives the watermark
+    // past both so append mode emits them
+    val evs = Seq(
+      SensorEvent(1, t("2024-01-01 00:00:00"), 7, "e", 1.5),
+      SensorEvent(2, t("2024-01-01 00:05:00"), 7, "e", 2.25),
+      SensorEvent(3, t("2024-01-01 02:00:00"), 7, "e", 4.0))
+    stream.addData(evs: _*)
+    q.processAllAvailable()
+    stream.addData(SensorEvent(9, t("2024-01-02 00:00:00"), 8, "e", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("nsess")
+      .where(col("user_id") === 7)
+      .select("user_id", "start_ts", "end_ts", "n_events", "sum_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().sortBy(_._2.getTime)
+    // parity: the BATCH operator over the same rows is the contract
+    val batch = graft.operators.Relational.sessionWindow(
+        evs.toDF().where(col("user_id") === 7))
+      .select("user_id", "start_ts", "end_ts", "n_events", "sum_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().sortBy(_._2.getTime)
+    assert(got.toSeq == batch.toSeq, s"stream $got vs batch $batch")
+    assert(got.length == 2 && got(0)._4 == 2 && got(0)._5 == 3.75 &&
+      got(0)._3 == t("2024-01-01 00:05:00"))
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout (R12)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[SensorEvent]
