@@ -2266,4 +2266,69 @@ SELECT priority, n_days, n_above, n_below, n_runs,
    2401::HUGEINT * (2::HUGEINT * n_above * n_below) *
      (2::HUGEINT * n_above * n_below - n_days))::BIGINT AS nonrandom
 FROM agg"""
+
+  // ---- C143 (r10): Kendall tau-b — rank agreement between two
+  // entity metrics ----
+  // C87's Spearman asks how two CONTINUOUS columns co-rank per row;
+  // tau-b asks the coarser, tie-aware question at entity grain: do
+  // nations that rank high on revenue also rank high on order count?
+  // Defined directly on pairwise comparisons (no rank window needed):
+  // over all entity pairs, concordant/discordant/tied counts from
+  // sign((x_a−x_b)(y_a−y_b)) — every comparison exact (integer cents
+  // and counts). The released floats are tau-b's single
+  // division-over-sqrt off exact integers (the C138 cosine proof
+  // shape). Pair loop runs on the POST-AGGREGATE geography frame
+  // (~25 rows → 300 pairs, broadcast); the star rollup is the only
+  // corpus-sized pass.
+  def kendallTau(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val prof = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("x"),
+        count(lit(1)).as("y"))
+    val a = prof.toDF("na", "xa", "ya")
+    val b = prof.toDF("nb", "xb", "yb")
+    a.join(broadcast(b), col("na") < col("nb"))
+      .agg(count(lit(1)).as("n0"),
+        sum(((col("xa") > col("xb") && col("ya") > col("yb")) ||
+          (col("xa") < col("xb") && col("ya") < col("yb"))).cast("long"))
+          .as("nc"),
+        sum(((col("xa") > col("xb") && col("ya") < col("yb")) ||
+          (col("xa") < col("xb") && col("ya") > col("yb"))).cast("long"))
+          .as("nd"),
+        sum((col("xa") === col("xb")).cast("long")).as("tx"),
+        sum((col("ya") === col("yb")).cast("long")).as("ty"))
+      .select(col("n0"), col("nc"), col("nd"), col("tx"), col("ty"),
+        round((col("nc") - col("nd")).cast("double") /
+          (sqrt((col("n0") - col("tx")).cast("double")) *
+            sqrt((col("n0") - col("ty")).cast("double"))), 6).as("tau_b"))
+  }
+
+  val kendallTauSql: String =
+    """WITH prof AS (
+  SELECT n_name,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS x,
+    count(*)::BIGINT AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1),
+pairs AS (
+  SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+  FROM prof a JOIN prof b ON a.n_name < b.n_name),
+agg AS (
+  SELECT count(*)::BIGINT AS n0,
+    sum(((xa > xb AND ya > yb) OR (xa < xb AND ya < yb))::INT)::BIGINT AS nc,
+    sum(((xa > xb AND ya < yb) OR (xa < xb AND ya > yb))::INT)::BIGINT AS nd,
+    sum((xa = xb)::INT)::BIGINT AS tx,
+    sum((ya = yb)::INT)::BIGINT AS ty
+  FROM pairs)
+SELECT n0, nc, nd, tx, ty,
+  round((nc - nd)::DOUBLE /
+    (sqrt((n0 - tx)::DOUBLE) * sqrt((n0 - ty)::DOUBLE)), 6) AS tau_b
+FROM agg"""
 }

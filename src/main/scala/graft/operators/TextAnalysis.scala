@@ -3160,4 +3160,43 @@ terms AS (
 SELECT source, n_tokens, vocab,
   round(sum(e)::DOUBLE, 6) AS entropy_nats
 FROM terms GROUP BY 1, 2, 3"""
+
+  // ---- L149 (r10): term burstiness — TF/DF concentration (the
+  // Church–Gale signal) ----
+  // Two terms with equal corpus frequency can be opposites: one spread
+  // thinly everywhere (function-word behavior), one clumped into few
+  // documents (topical/template behavior — the kind n-gram LMs and
+  // dedup both care about). Per head term: total occurrences tf,
+  // document frequency df, burstiness tf·1e6 div df (mean occurrences
+  // per CONTAINING doc, exact ppm), and the max single-doc count (the
+  // concentration witness). ENTIRELY integer. One (doc, term)
+  // aggregate off the fused explode, one term rollup, POST-aggregate
+  // head filter — vocabulary-bounded output at any corpus size.
+  private val BurstMinDf = 20L
+
+  def termBurstiness(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("term"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"),
+        max(col("c")).as("max_in_doc"))
+      .where(col("df") >= BurstMinDf)
+      .select(col("term"), col("tf"), col("df"), col("max_in_doc"),
+        expr("(tf * 1000000L) div df").as("burst_ppm"))
+
+  val termBurstinessSql: String =
+    s"""WITH dt AS (
+  SELECT doc_id, term, count(*)::BIGINT AS c FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+    FROM documents)
+  WHERE length(term) > 0 GROUP BY 1, 2),
+agg AS (
+  SELECT term, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df,
+    max(c)::BIGINT AS max_in_doc
+  FROM dt GROUP BY 1)
+SELECT term, tf, df, max_in_doc,
+  ((tf * 1000000) // df)::BIGINT AS burst_ppm
+FROM agg WHERE df >= $BurstMinDf"""
 }

@@ -963,6 +963,62 @@ class StatsSpec extends SparkSpec {
       assert(f == (if (ab2 > n && num > den) 1L else 0L), s"flag $f") }
   }
 
+  test("kendallTau: perfect agreement reads +1, perfect reversal −1 (C143)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    def mk(spec: Seq[(String, Double, Int)]) = {
+      // one nation per row: `cnt` orders of `price` each
+      val nation = spec.zipWithIndex.map { case ((n, _, _), i) => (i.toLong, n) }
+        .toDF("n_nationkey", "n_name")
+      val cust = spec.zipWithIndex.map { case (_, i) => (i.toLong * 10, i.toLong) }
+        .toDF("c_custkey", "c_nationkey")
+      val orders = spec.zipWithIndex.flatMap { case ((_, p, c), i) =>
+        Seq.fill(c)((i.toLong * 10, p, d("2024-01-01"))) }
+        .toDF("o_custkey", "o_totalprice", "o_orderdate")
+      Stats.kendallTau(orders, cust, nation)
+        .select("n0", "nc", "nd", "tx", "ty", "tau_b")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    }
+    // concordant: more orders AND more revenue together
+    val up = mk(Seq(("A", 1.0, 1), ("B", 2.0, 2), ("C", 3.0, 3)))
+    assert(up == ((3L, 3L, 0L, 0L, 0L, 1.0)), s"up $up")
+    // reversed: revenue up while order count down
+    val down = mk(Seq(("A", 9.0, 1), ("B", 3.0, 2), ("C", 1.0, 3)))
+    assert(down == ((3L, 0L, 3L, 0L, 0L, -1.0)), s"down $down")
+    // corpus: counts tile n0 and tau lives in [−1, 1]
+    val c = Stats.kendallTau(orders, customer,
+      Tables.load(spark, sf, "nation"))
+      .select("n0", "nc", "nd", "tx", "ty", "tau_b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(c._1 == 300L && c._2 + c._3 <= c._1, s"corpus $c")
+    assert(c._6 >= -1.0 && c._6 <= 1.0)
+  }
+
+  test("termBurstiness: clumped and spread terms separate at equal tf (L149)") {
+    import graft.operators.TextAnalysis
+    // 'spread' once in each of 40 docs; 'clump' 40 times in one doc
+    // plus 19 single hits to clear the df floor (tf 59 over df 20)
+    val docs2 = (0L until 40L).map { i =>
+      val extra = if (i == 0) " " + Seq.fill(40)("clump").mkString(" ")
+        else if (i < 20) " clump" else ""
+      (i, "spread filler" + extra)
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.termBurstiness(docs2)
+      .select("term", "tf", "df", "max_in_doc", "burst_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("spread") == (("spread", 40L, 40L, 1L, 1000000L)))
+    assert(got("clump") == (("clump", 59L, 20L, 40L, 2950000L)), s"${got("clump")}")
+    // corpus: df ≤ tf, max_in_doc ≤ tf, burst ≥ 1e6 (every containing
+    // doc holds ≥ 1 occurrence)
+    val corpus = TextAnalysis.termBurstiness(
+      Tables.load(spark, sf, "documents"))
+      .select("tf", "df", "max_in_doc", "burst_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (tf, df, mx, b) =>
+      assert(df <= tf && mx <= tf && b >= 1000000L, s"($tf, $df, $mx, $b)") }
+  }
+
   test("sourceEntropy: uniform terms read ln k, constant terms read 0 (L148)") {
     import graft.operators.TextAnalysis
     // U: 4 equi-frequent terms → H = ln 4; K: a single term → H = 0
