@@ -4287,4 +4287,74 @@ SELECT priority, n, n_kept, sum_kept_cents, lo_cents, hi_cents,
     + (((sum_kept_cents + k * (lo_cents + hi_cents)) % n) * 10000) // n)
     ::BIGINT AS winsor_mean_micro
 FROM agg"""
+
+  // ---- C144 (r10): maximum drawdown + longest underwater run ----
+  // The risk-curve reading of C4's running aggregates: per priority
+  // lane, track the running PEAK of daily revenue, the deepest drop
+  // below it (max drawdown), and the longest consecutive stretch of
+  // observed days spent below a prior peak (time underwater). Defined
+  // on the OBSERVED day sequence (calendar gaps don't break a run —
+  // the gap-fill twin is C22's job). ENTIRELY integer cents: running
+  // max, drawdown differences, and the underwater run lengths via the
+  // C95 gaps-and-islands change-flag. One corpus-sized daily rollup,
+  // then calendar-bounded per-lane windows sharing one (priority, day)
+  // sort — a single exchange.
+  def maxDrawdown(orders: DataFrame): DataFrame = {
+    val W = Window.partitionBy(col("priority")).orderBy(col("day"))
+    val cum = W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = orders
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    val marked = daily
+      .withColumn("runmax", max(col("cents")).over(cum))
+      .withColumn("under", (col("cents") < col("runmax")).cast("long"))
+      .withColumn("brk", when(col("under") === 1L &&
+        coalesce(lag(col("under"), 1).over(W), lit(0L)) === 0L, 1L)
+        .otherwise(0L))
+      .withColumn("run_id", sum(col("brk")).over(cum))
+    val runs = marked.where(col("under") === 1L)
+      .groupBy(col("priority"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("priority"))
+      .agg(max(col("run_len")).as("longest_underwater_days"))
+    marked.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_days"), max(col("cents")).as("peak_cents"),
+        max(col("runmax") - col("cents")).as("max_drawdown_cents"))
+      .join(runs, Seq("priority"), "left")
+      .na.fill(0L, Seq("longest_underwater_days"))
+  }
+
+  val maxDrawdownSql: String =
+    """WITH daily AS (
+  SELECT o_orderpriority AS priority, date_trunc('day', o_orderdate) AS day,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1, 2),
+marked AS (
+  SELECT priority, day, cents,
+    max(cents) OVER cum::BIGINT AS runmax
+  FROM daily WINDOW cum AS (PARTITION BY priority ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+flagged AS (
+  SELECT *, (cents < runmax)::BIGINT AS under,
+    CASE WHEN cents < runmax AND
+      coalesce(lag((cents < runmax)::BIGINT) OVER w, 0) = 0
+      THEN 1 ELSE 0 END AS brk
+  FROM marked WINDOW w AS (PARTITION BY priority ORDER BY day)),
+numbered AS (
+  SELECT *, sum(brk) OVER (PARTITION BY priority ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged),
+runs AS (
+  SELECT priority, max(run_len)::BIGINT AS longest_underwater_days FROM (
+    SELECT priority, run_id, count(*)::BIGINT AS run_len
+    FROM numbered WHERE under = 1 GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT n.priority, n.n_days, n.peak_cents, n.max_drawdown_cents,
+  coalesce(r.longest_underwater_days, 0)::BIGINT AS longest_underwater_days
+FROM (
+  SELECT priority, count(*)::BIGINT AS n_days, max(cents)::BIGINT AS peak_cents,
+    max(runmax - cents)::BIGINT AS max_drawdown_cents
+  FROM numbered GROUP BY 1) n
+LEFT JOIN runs r USING (priority)"""
 }

@@ -3199,4 +3199,49 @@ agg AS (
 SELECT term, tf, df, max_in_doc,
   ((tf * 1000000) // df)::BIGINT AS burst_ppm
 FROM agg WHERE df >= $BurstMinDf"""
+
+  // ---- L150 (r10): intra-doc self-similarity — half-against-half
+  // Jaccard ----
+  // L90 removes REPEATED SPANS inside a document; this scores the
+  // softer within-doc redundancy that spans miss: the vocabulary
+  // Jaccard between a document's first and second token halves. A
+  // mirrored/padded/template-doubled page reads near 1e6 even when no
+  // verbatim k-gram repeats; organic prose reads the corpus baseline.
+  // ENTIRELY integer per doc: distinct-set intersection/union counts
+  // off native array expressions (array_distinct/array_intersect —
+  // codegen'd, no HOF inlining), one exact ppm div. Map-only — fused
+  // into the scan, no shuffle at any scale.
+  def selfSimilarity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        col("t"))
+      .where(col("n_tokens") >= 2)
+      .select(col("doc_id"), col("n_tokens"),
+        expr("array_distinct(slice(t, 1, cast(n_tokens div 2 AS INT)))").as("h1"),
+        expr("array_distinct(slice(t, cast(n_tokens div 2 AS INT) + 1, " +
+          "cast(n_tokens - n_tokens div 2 AS INT)))").as("h2"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(array_intersect(col("h1"), col("h2"))).cast("long").as("inter"),
+        (size(col("h1")) + size(col("h2")) -
+          size(array_intersect(col("h1"), col("h2")))).cast("long").as("uni"))
+      .select(col("doc_id"), col("n_tokens"), col("inter"), col("uni"),
+        expr("(inter * 1000000L) div uni").as("self_jac_ppm"))
+
+  val selfSimilaritySql: String =
+    """WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+halves AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+    list_distinct(t[1 : len(t) // 2]) AS h1,
+    list_distinct(t[len(t) // 2 + 1 : len(t)]) AS h2
+  FROM toks WHERE len(t) >= 2),
+cnt AS (
+  SELECT doc_id, n_tokens,
+    len(list_intersect(h1, h2))::BIGINT AS inter,
+    (len(h1) + len(h2) - len(list_intersect(h1, h2)))::BIGINT AS uni
+  FROM halves)
+SELECT doc_id, n_tokens, inter, uni,
+  ((inter * 1000000) // uni)::BIGINT AS self_jac_ppm
+FROM cnt"""
 }

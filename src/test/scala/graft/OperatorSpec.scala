@@ -6169,6 +6169,57 @@ class OperatorSpec extends SparkSpec {
     assert(s > 8000000L - 8 && s <= 8000000L, s"share sum $s")
   }
 
+  test("maxDrawdown: peak tracking, deepest drop, longest underwater run (C144)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // daily cents 100 300 200 150 400 250: runmax 100 300 300 300 400
+    // 400 → drawdowns 0 0 100 150 0 150; underwater runs [2] and [1]
+    val prices = Seq(1.0, 3.0, 2.0, 1.5, 4.0, 2.5)
+    val rows = prices.zipWithIndex.map { case (p, i) =>
+      ("X", p, d(f"2024-01-${i + 1}%02d")) }
+    val got = Relational.maxDrawdown(
+      rows.toDF("o_orderpriority", "o_totalprice", "o_orderdate"))
+      .select("priority", "n_days", "peak_cents", "max_drawdown_cents",
+        "longest_underwater_days")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got == (("X", 6L, 400L, 150L, 2L)), s"got $got")
+    // monotone lane: never underwater, zero drawdown
+    val up = Relational.maxDrawdown(
+      Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (p, i) =>
+        ("U", p, d(f"2024-01-${i + 1}%02d")) }
+        .toDF("o_orderpriority", "o_totalprice", "o_orderdate"))
+      .select("max_drawdown_cents", "longest_underwater_days")
+      .as[(Long, Long)].collect().head
+    assert(up == ((0L, 0L)), s"up $up")
+    // corpus: drawdown ≤ peak, underwater ≤ n_days
+    val corpus = Relational.maxDrawdown(Tables.load(spark, sf, "orders"))
+      .select("n_days", "peak_cents", "max_drawdown_cents",
+        "longest_underwater_days")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (n, p, dd, u) =>
+      assert(dd >= 0 && dd <= p && u >= 0 && u < n, s"($n, $p, $dd, $u)") }
+  }
+
+  test("selfSimilarity: mirrored halves read 1e6, disjoint halves 0 (L150)") {
+    val docs2 = Seq((1L, "a b a b"), (2L, "a b c d"), (3L, "a b b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.selfSimilarity(docs2)
+      .select("doc_id", "n_tokens", "inter", "uni", "self_jac_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 2L, 2L, 1000000L)), s"${got(1L)}")
+    assert(got(2L) == ((2L, 4L, 0L, 4L, 0L)), s"${got(2L)}")
+    // odd length: first half gets n div 2 = 1 token
+    assert(got(3L) == ((3L, 3L, 0L, 2L, 0L)), s"${got(3L)}")
+    // corpus: ppm bounded, union ≥ max half vocab
+    val corpus = TextAnalysis.selfSimilarity(documents)
+      .select("inter", "uni", "self_jac_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (i, u, ppm) =>
+      assert(i <= u && u >= 1 && ppm >= 0 && ppm <= 1000000L, s"($i, $u)") }
+  }
+
   test("termPositionBias: header terms read 0, footers 1e6, middles center (L147)") {
     // 60 identical 3-token docs clear the occurrence floor
     val docs2 = (0L until 60L).map(i => (i, "hdr mid ftr"))
