@@ -4357,4 +4357,57 @@ FROM (
     max(runmax - cents)::BIGINT AS max_drawdown_cents
   FROM numbered GROUP BY 1) n
 LEFT JOIN runs r USING (priority)"""
+
+  // ---- C145 (r10): inter-arrival gap order statistics ----
+  // C78 finds the burst peaks; this characterizes the whole arrival
+  // process per event type: the exact lower-median, ceil-P90 and max
+  // of consecutive inter-arrival gaps in MICROSECONDS — the numbers a
+  // capacity planner reads (median = typical cadence, P90/max = the
+  // stall tail). EXACT order-statistic selection on integer micros
+  // (rank (n+1) div 2 and ceil(0.9n) = (9n+9) div 10 under the (gap,
+  // ts, id) total order — no interpolation, no float); ties in ts
+  // yield honest 0-gaps. Two window passes per type — the time-order
+  // lag and the gap-rank selection — each partitioned on event_type;
+  // C25/C48 are the declared approximate/two-phase 100× paths for the
+  // per-type total orders.
+  def interArrival(events: DataFrame): DataFrame = {
+    val wT = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(wT)).as("gap_us"))
+      .where(col("gap_us").isNotNull)
+    val wG = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_us"), col("ts"), col("event_id"))
+    gaps
+      .withColumn("r", row_number().over(wG).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        max(when(col("r") === expr("(n + 1) div 2"), col("gap_us")))
+          .as("med_gap_us"),
+        max(when(col("r") === expr("(9 * n + 9) div 10"), col("gap_us")))
+          .as("p90_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
+  val interArrivalSql: String =
+    """WITH gaps AS (
+  SELECT event_type, event_id, ts,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+      ORDER BY ts, event_id) AS gap_us
+  FROM events),
+g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+ranked AS (
+  SELECT event_type, gap_us,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY gap_us, ts, event_id)::BIGINT AS r,
+    count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM g)
+SELECT event_type, max(n)::BIGINT AS n_gaps,
+  max(CASE WHEN r = (n + 1) // 2 THEN gap_us END)::BIGINT AS med_gap_us,
+  max(CASE WHEN r = (9 * n + 9) // 10 THEN gap_us END)::BIGINT AS p90_gap_us,
+  max(gap_us)::BIGINT AS max_gap_us
+FROM ranked GROUP BY 1"""
 }

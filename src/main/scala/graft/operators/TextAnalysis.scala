@@ -3244,4 +3244,54 @@ cnt AS (
 SELECT doc_id, n_tokens, inter, uni,
   ((inter * 1000000) // uni)::BIGINT AS self_jac_ppm
 FROM cnt"""
+
+  // ---- L151 (r10): shingle hash-collision audit — trust-the-hash
+  // verification ----
+  // The whole dedup/contamination family (L2/L3/L21/L67) compares
+  // 60-bit md5 slices INSTEAD of gram strings; this measures what that
+  // substitution costs: per gram order k, the corpus-distinct gram
+  // count vs the distinct hash count — every deficit is a real
+  // collision that would silently alias two different grams. Expected
+  // ~n²/2^61 (birthday); the audit turns that argument into a
+  // MEASURED number per corpus, the same honesty move as L41's
+  // verified CMS and L129's minhash calibration. ENTIRELY integer; at
+  // 100 TB the distinct aggregates are the same shuffle the dedup ops
+  // themselves run — the audit rides an existing pass shape, and the
+  // ppb quotient is a `div` off exact counts.
+  private val CollisionKs = Seq(2, 3, 5)
+
+  def hashCollisions(documents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(documents.sparkSession)
+    CollisionKs.map { k =>
+      documents
+        .select(explode(expr(
+          s"graft_shingles(split(lower(text), '\\\\s+'), $k)")).as("s"))
+        .select(lit(k.toLong).as("k"), col("s"),
+          md5Long(lit("col"), col("s")).as("h"))
+        .agg(lit(k.toLong).as("k"),
+          countDistinct(col("s")).as("n_grams"),
+          countDistinct(col("h")).as("n_hashes"))
+        .select(col("k"), col("n_grams"), col("n_hashes"),
+          (col("n_grams") - col("n_hashes")).as("collisions"),
+          // an empty gram order (docs shorter than k) is 0, not a
+          // division error
+          expr("CASE WHEN n_grams > 0 THEN " +
+            "((n_grams - n_hashes) * 1000000000L) div n_grams " +
+            "ELSE 0L END").as("collision_ppb"))
+    }.reduce(_ unionByName _)
+  }
+
+  val hashCollisionsSql: String = {
+    val toks = "string_split_regex(lower(text), '\\s+')"
+    CollisionKs.map { k =>
+      s"""SELECT $k::BIGINT AS k, count(DISTINCT s)::BIGINT AS n_grams,
+  count(DISTINCT ${md5LongSql("'col'", "s")})::BIGINT AS n_hashes,
+  (count(DISTINCT s) - count(DISTINCT ${md5LongSql("'col'", "s")}))::BIGINT
+    AS collisions,
+  (CASE WHEN count(DISTINCT s) > 0 THEN
+    (count(DISTINCT s) - count(DISTINCT ${md5LongSql("'col'", "s")}))
+      * 1000000000 // count(DISTINCT s) ELSE 0 END)::BIGINT AS collision_ppb
+FROM (SELECT unnest(${wordShinglesSql(toks, k)}) AS s FROM documents)"""
+    }.mkString("\nUNION ALL\n")
+  }
 }

@@ -6220,6 +6220,56 @@ class OperatorSpec extends SparkSpec {
       assert(i <= u && u >= 1 && ppm >= 0 && ppm <= 1000000L, s"($i, $u)") }
   }
 
+  test("interArrival: exact median/P90/max gap selection per type (C145)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // type A at 0s, 10s, 30s, 100s → gaps 10s, 20s, 70s
+    val evs = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "A", 0.0),
+      (2L, t("2024-01-01 00:00:10"), 1L, "A", 0.0),
+      (3L, t("2024-01-01 00:00:30"), 1L, "A", 0.0),
+      (4L, t("2024-01-01 00:01:40"), 1L, "A", 0.0),
+      // type B: a simultaneous pair yields an honest 0 gap
+      (5L, t("2024-01-01 00:00:00"), 1L, "B", 0.0),
+      (6L, t("2024-01-01 00:00:00"), 1L, "B", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Relational.interArrival(evs)
+      .select("event_type", "n_gaps", "med_gap_us", "p90_gap_us", "max_gap_us")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // ranks over 3 gaps: med = rank 2 (20 s), p90 = ceil(2.7) = 3 (70 s)
+    assert(got("A") == (("A", 3L, 20000000L, 70000000L, 70000000L)),
+      s"A ${got("A")}")
+    assert(got("B") == (("B", 1L, 0L, 0L, 0L)), s"B ${got("B")}")
+    // corpus: med ≤ p90 ≤ max and ranks always selected
+    val corpus = Relational.interArrival(events)
+      .select("n_gaps", "med_gap_us", "p90_gap_us", "max_gap_us")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (n, m, p, mx) =>
+      assert(n > 0 && m <= p && p <= mx, s"($n, $m, $p, $mx)") }
+  }
+
+  test("hashCollisions: distinct grams tally and the 60-bit deficit is zero here (L151)") {
+    val docs2 = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashCollisions(docs2)
+      .select("k", "n_grams", "n_hashes", "collisions", "collision_ppb")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // k=2: {a b, b c, c d} = 3; k=3: {a b c, b c d} = 2; k=5: none
+    assert(got(2L) == ((2L, 3L, 3L, 0L, 0L)), s"${got(2L)}")
+    assert(got(3L) == ((3L, 2L, 2L, 0L, 0L)), s"${got(3L)}")
+    // empty gram order: the 0-guard keeps the quotient defined
+    assert(got(5L) == ((5L, 0L, 0L, 0L, 0L)), s"${got(5L)}")
+    // corpus: deficit is exactly grams − hashes, and (at this corpus
+    // size vs 2^60) zero
+    val corpus = TextAnalysis.hashCollisions(documents)
+      .select("k", "n_grams", "n_hashes", "collisions")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.length == 3)
+    corpus.foreach { case (_, g, h, c) =>
+      assert(c == g - h && c == 0L, s"($g, $h, $c)") }
+  }
+
   test("termPositionBias: header terms read 0, footers 1e6, middles center (L147)") {
     // 60 identical 3-token docs clear the occurrence floor
     val docs2 = (0L until 60L).map(i => (i, "hdr mid ftr"))
