@@ -4410,4 +4410,56 @@ SELECT event_type, max(n)::BIGINT AS n_gaps,
   max(CASE WHEN r = (9 * n + 9) // 10 THEN gap_us END)::BIGINT AS p90_gap_us,
   max(gap_us)::BIGINT AS max_gap_us
 FROM ranked GROUP BY 1"""
+
+  // ---- C146 (r10): calendar-coverage audit — missing-day detection ----
+  // C22 FILLS calendar gaps; this one REPORTS them — the data-quality
+  // gate a warehouse runs before trusting any daily series: per lane,
+  // the observed day span, how many expected calendar days actually
+  // carry orders, how many are missing, and the longest consecutive
+  // missing stretch (the outage signature, via lag day-diffs). ENTIRELY
+  // integer + timestamps: datediff arithmetic on date-truncated event
+  // time, one distinct-day rollup (the only corpus-sized pass), then
+  // calendar-bounded per-lane windows.
+  def calendarCoverage(orders: DataFrame): DataFrame = {
+    val W = Window.partitionBy(col("priority")).orderBy(col("day"))
+    val days = orders
+      .select(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .distinct()
+    days
+      .withColumn("gap_before",
+        (datediff(col("day"), lag(col("day"), 1).over(W)) - 1).cast("long"))
+      .groupBy(col("priority"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        count(lit(1)).as("n_present"),
+        coalesce(max(col("gap_before")), lit(0L)).as("longest_gap_days"))
+      .select(col("priority"), col("first_day"), col("last_day"),
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long")
+          .as("n_expected"),
+        col("n_present"),
+        ((datediff(col("last_day"), col("first_day")) + 1).cast("long") -
+          col("n_present")).as("n_missing"),
+        col("longest_gap_days"))
+  }
+
+  val calendarCoverageSql: String =
+    """WITH days AS (
+  SELECT DISTINCT o_orderpriority AS priority, o_orderdate::DATE AS day
+  FROM orders),
+gaps AS (
+  SELECT priority, day,
+    date_diff('day', lag(day) OVER (PARTITION BY priority ORDER BY day), day)
+      - 1 AS gap_before
+  FROM days),
+agg AS (
+  SELECT priority, min(day) AS first_day, max(day) AS last_day,
+    count(*)::BIGINT AS n_present,
+    coalesce(max(gap_before), 0)::BIGINT AS longest_gap_days
+  FROM gaps GROUP BY 1)
+SELECT priority, first_day, last_day,
+  (date_diff('day', first_day, last_day) + 1)::BIGINT AS n_expected,
+  n_present,
+  (date_diff('day', first_day, last_day) + 1 - n_present)::BIGINT AS n_missing,
+  longest_gap_days
+FROM agg"""
 }

@@ -1643,4 +1643,57 @@ SELECT vec_id, j,
          i -> $sign * xi[i]))::BIGINT AS y
 FROM v, generate_series(1, $RpOutDims) t(j)"""
   }
+
+  // ---- L152 (r10): label-centroid margin matrix — class-separation
+  // audit ----
+  // L107 scores retrieval at the kNN grain; this audits the embedding
+  // space at CLASS grain: the cosine between every pair of label
+  // centroids — near-1 pairs are the classes a probe/classifier will
+  // confuse, the geometry behind L108's confusion counts. Exactness:
+  // cosine is scale-invariant, so centroids are never divided — the
+  // per-(label, dim) component SUMS (floats rounded to 6 then summed
+  // as exact decimals, the L84 discipline) feed DECIMAL dot products
+  // and norm-squares directly; the released float is one
+  // division-over-sqrts, round 6 (C138 shape). Frames after the one
+  // component rollup are (labels × dims) and (label-pair) sized —
+  // alphabet-bounded at any corpus size.
+  def labelCentroidMargins(embeddings: DataFrame): DataFrame = {
+    val d18 = "decimal(18,6)"
+    val sums = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(round(col("v").cast("double"), 6).cast(d18)).as("s"))
+      .select(col("label"), col("d"), col("s").cast(d18).as("s"))
+    val norms = sums.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("norm2"))
+    val a = sums.toDF("la", "d", "sa")
+    val b = sums.toDF("lb", "d", "sb")
+    val num = a.join(b, Seq("d")).where(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(col("sa") * col("sb")).as("num"))
+    num
+      .join(broadcast(norms.toDF("la", "norm2a")), Seq("la"))
+      .join(broadcast(norms.toDF("lb", "norm2b")), Seq("lb"))
+      .select(col("la").cast("long").as("la"), col("lb").cast("long").as("lb"),
+        round(col("num").cast("double") /
+          (sqrt(col("norm2a").cast("double")) *
+            sqrt(col("norm2b").cast("double"))), 6).as("centroid_cos"))
+  }
+
+  val labelCentroidMarginsSql: String =
+    """WITH ex AS (
+  SELECT label, i AS d, round(embedding[i]::DOUBLE, 6)::DECIMAL(18,6) AS v
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)),
+sums AS (
+  SELECT label, d, sum(v)::DECIMAL(18,6) AS s FROM ex GROUP BY 1, 2),
+norms AS (
+  SELECT label, sum(s * s)::DECIMAL(38,12) AS norm2 FROM sums GROUP BY 1),
+num AS (
+  SELECT a.label AS la, b.label AS lb, sum(a.s * b.s)::DECIMAL(38,12) AS num
+  FROM sums a JOIN sums b ON a.d = b.d AND a.label < b.label
+  GROUP BY 1, 2)
+SELECT num.la::BIGINT AS la, num.lb::BIGINT AS lb,
+  round(num.num::DOUBLE /
+    (sqrt(x.norm2::DOUBLE) * sqrt(y.norm2::DOUBLE)), 6) AS centroid_cos
+FROM num JOIN norms x ON x.label = num.la JOIN norms y ON y.label = num.lb"""
 }

@@ -3342,7 +3342,9 @@ class OperatorSpec extends SparkSpec {
       "q_vocab_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern",
       "q_seg_migration" -> "crossJoin(broadcast(single-row midpoint + per-half single-row counts)) — the q_cuped pattern",
       "q_length_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern",
-      "q_nation_sim" -> "pair grid over the geography-alphabet norms frame (~25 rows) — the q_kmv_overlap pattern")
+      "q_nation_sim" -> "pair grid over the geography-alphabet norms frame (~25 rows) — the q_kmv_overlap pattern",
+      "q_kendall_tau" -> "pair comparison over the geography-alphabet profile frame (~25 rows) — the q_nation_sim pattern",
+      "q_shard_balance" -> "crossJoin(broadcast(single-row token total)) — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -6218,6 +6220,47 @@ class OperatorSpec extends SparkSpec {
     assert(corpus.nonEmpty)
     corpus.foreach { case (i, u, ppm) =>
       assert(i <= u && u >= 1 && ppm >= 0 && ppm <= 1000000L, s"($i, $u)") }
+  }
+
+  test("calendarCoverage: missing days and longest outage replay (C146)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // X present on Jan 1, 2, 5, 10 → span 10, missing 6, longest gap 4
+    val rows = Seq("01", "02", "05", "10").map(dd => ("X", 1.0, d(s"2024-01-$dd"))) :+
+      (("Y", 1.0, d("2024-03-15")))
+    val got = Relational.calendarCoverage(
+      rows.toDF("o_orderpriority", "o_totalprice", "o_orderdate"))
+      .select("priority", "n_expected", "n_present", "n_missing",
+        "longest_gap_days")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("X") == (("X", 10L, 4L, 6L, 4L)), s"X ${got("X")}")
+    assert(got("Y") == (("Y", 1L, 1L, 0L, 0L)), s"Y ${got("Y")}")
+    // corpus: present + missing = expected; gap < expected
+    val corpus = Relational.calendarCoverage(Tables.load(spark, sf, "orders"))
+      .select("n_expected", "n_present", "n_missing", "longest_gap_days")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (e, p, m, g) =>
+      assert(p + m == e && g <= m && g < e, s"($e, $p, $m, $g)") }
+  }
+
+  test("labelCentroidMargins: parallel classes read 1, orthogonal 0 (L152)") {
+    import graft.operators.Similarity
+    val embs = Seq(
+      (1L, Array(2.0f, 0.0f), 0), (2L, Array(4.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(3.0f, 0.0f), 1),
+      (5L, Array(0.0f, 5.0f), 2), (6L, Array(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidMargins(embs)
+      .select("la", "lb", "centroid_cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((0L, 1L)) == 1.0 && got((0L, 2L)) == 0.0 &&
+      got((1L, 2L)) == 0.0, s"got $got")
+    // corpus: all 10-choose-2 label pairs, cosine within [-1, 1]
+    val corpus = Similarity.labelCentroidMargins(embeddings)
+      .select("centroid_cos").as[Double].collect()
+    assert(corpus.length == 45, s"${corpus.length} pairs")
+    corpus.foreach(cs => assert(cs >= -1.0 - 1e-9 && cs <= 1.0 + 1e-9))
   }
 
   test("interArrival: exact median/P90/max gap selection per type (C145)") {
