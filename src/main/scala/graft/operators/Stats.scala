@@ -2331,4 +2331,150 @@ SELECT n0, nc, nd, tx, ty,
   round((nc - nd)::DOUBLE /
     (sqrt((n0 - tx)::DOUBLE) * sqrt((n0 - ty)::DOUBLE)), 6) AS tau_b
 FROM agg"""
+
+  // ---- C147 (r10): Kruskal-Wallis H — k-group rank test ----
+  // Completes the test triptych: C103's ANOVA asks "do the k channel
+  // MEANS differ" under normality; C102's Mann-Whitney drops the
+  // assumption for TWO arms; Kruskal-Wallis is the k-group
+  // nonparametric member — does ANY event type's value distribution
+  // stochastically dominate, on ranks alone. Exactness: global
+  // doubled midpoint tie ranks (the C102 2·rank + ties − 1
+  // discipline) make every per-type rank sum an exact BIGINT; the
+  // per-type S²/n term is a DECLARED fixed-point quotient
+  // (t2²·1000 div 4n — floor at 1e-3 rank-units, identical truncating
+  // division both engines); H is released as the ONE fixed-order
+  // float chain (A/B)·(C/D) of four exact-integer casts — the C103
+  // fixed-order discipline, no quantization of large doubles
+  // anywhere. Ties fold in via the standard 1 − Σ(t³−t)/(N³−N)
+  // correction, all integer. Degenerate guard: all-tied corpus
+  // (N³−N = tie3) NULLs H via nullif. 38-digit bound: exact to
+  // N ≈ 1e8 rows (A ~ N²·n_g·10³); the declared 100×-scale path is
+  // C25's sketched ranks, where an exact tie correction stops
+  // mattering. Plan: ONE scan and ONE global rank window (C48
+  // total-order contract at report scale) feed rank sums, sizes, and
+  // tie bookkeeping together (Σ_v t³−t telescopes to Σ_rows t²−1);
+  // everything downstream is type-alphabet-bounded.
+  def kruskalWallis(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val vals = events.select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"))
+    val w = Window.orderBy(col("v"))
+    val cw = Window.partitionBy(col("v"))
+    // tie bookkeeping rides the SAME ranked frame: Σ_v (t³ − t) =
+    // Σ_rows (t² − 1), so one scan + one global sort feeds rank sums,
+    // group sizes, AND the tie correction — no second corpus pass
+    val ranked = vals
+      .withColumn("t", count(lit(1)).over(cw))
+      .withColumn("r2", lit(2L) * rank().over(w).cast("long") + col("t") - lit(1L))
+    val groups = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_g"), sum(col("r2")).as("r2sum"),
+        sum(col("t").cast(d38) * col("t") - 1).as("tie3p"))
+      .withColumn("c_g", expr(
+        "(cast(r2sum as decimal(38,0)) * cast(r2sum as decimal(38,0)) * 1000)" +
+          " div (4 * cast(n_g as decimal(38,0)))").cast(d38))
+    val summary = groups.agg(sum(col("n_g")).cast(d38).as("n"),
+      sum(col("tie3p")).as("tie3"), sum(col("c_g")).as("q"))
+      .select(col("n").cast("long").as("n"), col("tie3").cast("long").as("tie3"),
+        round(
+          ((lit(12).cast(d38) * col("q") -
+            lit(3).cast(d38) * (col("n") + 1) * col("n") * (col("n") + 1) * 1000)
+            .cast("double") /
+            (lit(1000).cast(d38) * col("n") * (col("n") + 1)).cast("double")) *
+            ((col("n") * col("n") * col("n") - col("n")).cast("double") /
+              nullif(col("n") * col("n") * col("n") - col("n") - col("tie3"),
+                lit(0).cast(d38)).cast("double")), 6).as("h"))
+    groups.select(col("event_type"), col("n_g"), col("r2sum"))
+      .crossJoin(broadcast(summary))
+  }
+
+  val kruskalWallisSql: String =
+    """WITH vals AS (
+  SELECT event_type, ((value::DECIMAL(18,2)) * 100)::BIGINT AS v FROM events),
+ranked AS (
+  SELECT event_type, count(*) OVER (PARTITION BY v) AS t,
+    (2::BIGINT * rank() OVER (ORDER BY v)
+      + count(*) OVER (PARTITION BY v) - 1)::BIGINT AS r2
+  FROM vals),
+groups AS (
+  SELECT event_type, count(*)::BIGINT AS n_g, sum(r2)::BIGINT AS r2sum,
+    sum(t::HUGEINT * t - 1)::HUGEINT AS tie3p,
+    ((r2sum::HUGEINT * r2sum::HUGEINT * 1000) // (4 * count(*)::HUGEINT))
+      AS c_g
+  FROM ranked GROUP BY event_type),
+summary AS (
+  SELECT sum(n_g)::BIGINT AS n, sum(tie3p)::BIGINT AS tie3,
+    round(
+      ((12::HUGEINT * sum(c_g)
+          - 3::HUGEINT * (n + 1) * n * (n + 1) * 1000)::DOUBLE
+        / (1000::HUGEINT * n * (n + 1))::DOUBLE)
+      * ((n::HUGEINT * n * n - n)::DOUBLE
+        / nullif(n::HUGEINT * n * n - n - tie3, 0)::DOUBLE), 6) AS h
+  FROM groups)
+SELECT event_type, n_g, r2sum, n, tie3, h
+FROM (SELECT event_type, n_g, r2sum FROM groups) g CROSS JOIN summary"""
+
+  // ---- C148 (r10): McNemar paired-change test — churn asymmetry ----
+  // C110's segment-migration matrix COUNTS who moved; McNemar asks
+  // whether the movement is ASYMMETRIC beyond chance — the paired
+  // sibling of C71's two-proportion z, on the SAME users across two
+  // periods (pairing removes between-user variance, which the z test
+  // wrongly counts). Cells: did each user purchase in the first vs
+  // second half of the corpus window (halves from the single-row
+  // min/max midpoint anchor, the C110/C65 broadcast idiom); only the
+  // discordant cells b = yes→no, c = no→yes carry information.
+  // chi2 = (b−c)²/(b+c) and its continuity-corrected form
+  // (max(|b−c|−1, 0))²/(b+c) are each ONE division of exact BIGINTs,
+  // round 6, NULL (not NaN) when b + c = 0. Plan: one per-(user,
+  // half) conditional aggregate over the scan, then a 4-cell rollup —
+  // the corpus shuffles once on user_id.
+  def mcnemar(events: DataFrame): DataFrame = {
+    val mid = events.agg(expr(
+      "min(unix_micros(ts)) + (max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+      .as("mid"))
+    val cells = events.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) < col("mid"), 1L).otherwise(0L)).as("p1"),
+        max(when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) >= col("mid"), 1L).otherwise(0L)).as("p2"))
+      .groupBy()
+      .agg(sum(when(col("p1") === 0 && col("p2") === 0, 1L).otherwise(0L)).as("n00"),
+        sum(when(col("p1") === 0 && col("p2") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("p1") === 1 && col("p2") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("p1") === 1 && col("p2") === 1, 1L).otherwise(0L)).as("n11"))
+    cells.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      round((col("n01") - col("n10")).cast("double") *
+        (col("n01") - col("n10")).cast("double") /
+        nullif(col("n01") + col("n10"), lit(0L)).cast("double"), 6).as("chi2"),
+      round(greatest(abs(col("n01") - col("n10")) - 1, lit(0L)).cast("double") *
+        greatest(abs(col("n01") - col("n10")) - 1, lit(0L)).cast("double") /
+        nullif(col("n01") + col("n10"), lit(0L)).cast("double"), 6).as("chi2_cc"))
+  }
+
+  val mcnemarSql: String =
+    """WITH mid AS (
+  SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS mid
+  FROM events),
+halves AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) < mid
+      THEN 1 ELSE 0 END)::BIGINT AS p1,
+    max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) >= mid
+      THEN 1 ELSE 0 END)::BIGINT AS p2
+  FROM events CROSS JOIN mid GROUP BY user_id),
+cells AS (
+  SELECT sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n00,
+    sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+    sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+    sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n11
+  FROM halves)
+SELECT n00, n01, n10, n11,
+  round((n01 - n10)::DOUBLE * (n01 - n10)::DOUBLE
+    / nullif(n01 + n10, 0)::DOUBLE, 6) AS chi2,
+  round(greatest(abs(n01 - n10) - 1, 0)::DOUBLE
+    * greatest(abs(n01 - n10) - 1, 0)::DOUBLE
+    / nullif(n01 + n10, 0)::DOUBLE, 6) AS chi2_cc
+FROM cells"""
 }

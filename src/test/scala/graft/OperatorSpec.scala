@@ -3344,7 +3344,9 @@ class OperatorSpec extends SparkSpec {
       "q_length_drift" -> "crossJoin(broadcast(single-row max doc_id)) — the q_heaps pattern",
       "q_nation_sim" -> "pair grid over the geography-alphabet norms frame (~25 rows) — the q_kmv_overlap pattern",
       "q_kendall_tau" -> "pair comparison over the geography-alphabet profile frame (~25 rows) — the q_nation_sim pattern",
-      "q_shard_balance" -> "crossJoin(broadcast(single-row token total)) — the tfidf/lm_score pattern")
+      "q_shard_balance" -> "crossJoin(broadcast(single-row token total)) — the tfidf/lm_score pattern",
+      "q_kruskal" -> "crossJoin(broadcast(single-row tie totals + single-row H)) over the type-alphabet group frame — the q_cuped pattern",
+      "q_mcnemar" -> "crossJoin(broadcast(single-row temporal midpoint)) — the q_psi_drift pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }

@@ -1041,4 +1041,70 @@ class StatsSpec extends SparkSpec {
     corpus.foreach { case (v, h) =>
       assert(h >= 0.0 && h <= math.log(v.toDouble) + 1e-6, s"($v, $h)") }
   }
+
+  test("kruskalWallis: hand-computed H on planted groups; all-tied NULLs (C147)") {
+    // A = {1.00, 2.00}, B = {3.00, 4.00}: no ties, doubled rank sums
+    // 6 / 14, H = 12/(4·5)·(3²/2 + 7²/2) − 3·5 = 2.4 exactly (the
+    // 1e-3 fixed-point quotients are exact here: 4500 and 24500)
+    val two = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("event_type", "value")
+    val r = Stats.kruskalWallis(two)
+      .select("event_type", "n_g", "r2sum", "n", "tie3", "h")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("A") == (("A", 2L, 6L, 4L, 0L, 2.4)), s"A ${r("A")}")
+    assert(r("B") == (("B", 2L, 14L, 4L, 0L, 2.4)), s"B ${r("B")}")
+    // all-tied corpus: tie3 = N³ − N, the correction denominator
+    // vanishes, H must be NULL (not NaN)
+    val tied = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0))
+      .toDF("event_type", "value")
+    val d = Stats.kruskalWallis(tied).select("tie3", "h")
+      .as[(Long, Option[Double])].head()
+    assert(d._1 == 24L && d._2.isEmpty, s"all-tied $d")
+    // corpus invariants: doubled midrank sums telescope to N(N+1),
+    // group sizes partition N, H finite and (up to the declared 1e-3
+    // floor) non-negative
+    val corpus = Stats.kruskalWallis(events)
+      .select("n_g", "r2sum", "n", "h")
+      .as[(Long, Long, Long, Double)].collect()
+    val n = corpus.head._3
+    assert(corpus.map(_._1).sum == n)
+    assert(corpus.map(_._2).sum == n * (n + 1), "midrank sums must telescope")
+    corpus.foreach { case (_, _, _, h) =>
+      assert(!h.isNaN && h >= -1e-6, s"H $h") }
+  }
+
+  test("mcnemar: planted discordant cells replay; purchase-free corpus NULLs (C148)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val rows = Seq(
+      (4L, "view", ts("00:00:00")), (4L, "view", ts("01:00:00")), // anchors + n00
+      (1L, "purchase", ts("00:10:00")),                           // 1 -> 0
+      (5L, "purchase", ts("00:05:00")),                           // 1 -> 0
+      (6L, "purchase", ts("00:01:00")), (6L, "view", ts("00:50:00")), // 1 -> 0
+      (2L, "purchase", ts("00:45:00")),                           // 0 -> 1
+      (7L, "purchase", ts("00:30:00")),          // exactly at mid -> 2nd half
+      (3L, "purchase", ts("00:10:30")), (3L, "purchase", ts("00:59:00"))) // 1 -> 1
+      .toDF("user_id", "event_type", "ts")
+    val got = Stats.mcnemar(rows)
+      .select("n00", "n01", "n10", "n11", "chi2", "chi2_cc")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    // b = n01 = {u2, u7} = 2 (mid-boundary event lands in the second
+    // half), c = n10 = {u1, u5, u6} = 3: chi2 = 1/5, corrected 0
+    assert(got == ((1L, 2L, 3L, 1L, 0.2, 0.0)), s"cells $got")
+    // purchase-free corpus: both discordant cells empty -> NULL, not NaN
+    val none = Seq((1L, "view", ts("00:00:00")), (2L, "view", ts("01:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val d = Stats.mcnemar(none)
+      .select(col("n00"), col("chi2").isNull, col("chi2_cc").isNull)
+      .as[(Long, Boolean, Boolean)].head()
+    assert(d == ((2L, true, true)), s"degenerate $d")
+    // corpus: cells partition the distinct-user base; chi2 sane
+    val c = Stats.mcnemar(events)
+      .select("n00", "n01", "n10", "n11", "chi2")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    val users = events.select("user_id").distinct().count()
+    assert(c._1 + c._2 + c._3 + c._4 == users, s"cells $c vs $users users")
+    assert(c._5.isEmpty == (c._2 + c._3 == 0) && c._5.forall(_ >= 0.0),
+      s"chi2 ${c._5}")
+  }
 }
