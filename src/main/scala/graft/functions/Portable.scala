@@ -28,6 +28,16 @@ object Portable {
     * order-independent, so Spark and DuckDB sums agree exactly. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Exact floor division of NON-NEGATIVE decimals, staying in decimal
+    * end to end. Spark's `div` operator returns BIGINT and silently
+    * wraps past 2^63 (found via q_changepoint: a 9.4e18 quotient came
+    * back negative while DuckDB's HUGEINT `//` stayed exact) — this
+    * mirror subtracts the exact decimal remainder first, so the final
+    * division is exact at any quotient up to 10^32 (scale-6 headroom
+    * of decimal(38,6)). DuckDB mirror: plain `//` on HUGEINT. */
+  def decDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+
   /** sum as exact decimal, surfaced as double (both engines compute the
     * identical decimal then perform the identical nearest-double cast). */
   def sumd(c: Column): Column = sum(dec(c)).cast("double")

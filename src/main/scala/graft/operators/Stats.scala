@@ -2370,9 +2370,9 @@ FROM agg"""
     val groups = ranked.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_g"), sum(col("r2")).as("r2sum"),
         sum(col("t").cast(d38) * col("t") - 1).as("tie3p"))
-      .withColumn("c_g", expr(
-        "(cast(r2sum as decimal(38,0)) * cast(r2sum as decimal(38,0)) * 1000)" +
-          " div (4 * cast(n_g as decimal(38,0)))").cast(d38))
+      .withColumn("c_g", decDiv(
+        col("r2sum").cast(d38) * col("r2sum") * 1000,
+        lit(4).cast(d38) * col("n_g")))
     val summary = groups.agg(sum(col("n_g")).cast(d38).as("n"),
       sum(col("tie3p")).as("tie3"), sum(col("c_g")).as("q"))
       .select(col("n").cast("long").as("n"), col("tie3").cast("long").as("tie3"),
@@ -2477,4 +2477,71 @@ SELECT n00, n01, n10, n11,
     * greatest(abs(n01 - n10) - 1, 0)::DOUBLE
     / nullif(n01 + n10, 0)::DOUBLE, 6) AS chi2_cc
 FROM cells"""
+
+  // ---- C149 (r10): chi-squared independence + Cramér's V ----
+  // The categorical-association member of the test family: is order
+  // priority INDEPENDENT of order status (C90's mutual information
+  // measures the same association in nats; chi-squared is the
+  // significance-calibrated classic, and Cramér's V its [0,1] effect
+  // size). Exactness: expected counts are never materialized as
+  // floats — each cell's (o·n − r·c)²/(r·c) term is a DECLARED 1e-3
+  // fixed-point quotient of exact DECIMAL(38,0) count products
+  // (identical truncating division both engines, the C147
+  // discipline), summed exactly; chi2 = Σq/(10³·n) and
+  // V = sqrt(Σq/(10³·n²·min(R−1, C−1))) are each ONE
+  // correctly-rounded release, round 6. The grid is the FULL R×C
+  // outer product of the marginals (zero-observed cells contribute
+  // r·c/n), built as the cohenKappa rm×cm pattern —
+  // alphabet-bounded, ~15 rows. Degenerate guard: a single-row or
+  // single-column table (min(R−1, C−1) = 0) NULLs V via nullif.
+  // Plan: ONE corpus aggregate to the (pr, st) cell frame; every
+  // join after is on alphabet-bounded frames.
+  def chiSquared(orders: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val obs = orders
+      .groupBy(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("o"))
+    val rm = obs.groupBy(col("pr")).agg(sum(col("o")).as("r"))
+    val cm = obs.groupBy(col("st")).agg(sum(col("o")).as("c"))
+    val tot = rm.agg(sum(col("r")).as("n"), count(lit(1)).as("nr"))
+    val ctot = cm.agg(count(lit(1)).as("nc"))
+    val grid = rm.crossJoin(cm)
+      .join(obs, Seq("pr", "st"), "left")
+      .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"))
+    val dev = col("o").cast(d38) * col("n") - col("r").cast(d38) * col("c")
+    val cells = grid.crossJoin(broadcast(tot)).crossJoin(broadcast(ctot))
+      .withColumn("q", decDiv(dev * dev * 1000, col("r").cast(d38) * col("c")))
+    cells.groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("q")).as("qsum"))
+      .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        round(col("qsum").cast("double") /
+          (lit(1000).cast(d38) * col("n")).cast("double"), 6).as("chi2"),
+        round(sqrt(col("qsum").cast("double") /
+          nullif(lit(1000).cast(d38) * col("n") * col("n") *
+            least(col("nr") - 1, col("nc") - 1), lit(0).cast(d38))
+            .cast("double")), 6).as("cramers_v"))
+  }
+
+  val chiSquaredSql: String =
+    """WITH obs AS (
+  SELECT o_orderpriority AS pr, o_orderstatus AS st, count(*)::BIGINT AS o
+  FROM orders GROUP BY 1, 2),
+rm AS (SELECT pr, sum(o)::BIGINT AS r FROM obs GROUP BY 1),
+cm AS (SELECT st, sum(o)::BIGINT AS c FROM obs GROUP BY 1),
+tot AS (SELECT sum(r)::BIGINT AS n, count(*)::BIGINT AS nr FROM rm),
+ctot AS (SELECT count(*)::BIGINT AS nc FROM cm),
+grid AS (
+  SELECT rm.r, cm.c, coalesce(obs.o, 0)::BIGINT AS o
+  FROM rm CROSS JOIN cm LEFT JOIN obs ON obs.pr = rm.pr AND obs.st = cm.st),
+cells AS (
+  SELECT n, nr, nc,
+    (((o::HUGEINT * n - r::HUGEINT * c) * (o::HUGEINT * n - r::HUGEINT * c)
+      * 1000) // (r::HUGEINT * c)) AS q
+  FROM grid CROSS JOIN tot CROSS JOIN ctot)
+SELECT n, ((nr - 1) * (nc - 1))::BIGINT AS dof,
+  round(sum(q)::DOUBLE / (1000::HUGEINT * n)::DOUBLE, 6) AS chi2,
+  round(sqrt(sum(q)::DOUBLE
+    / nullif(1000::HUGEINT * n * n * least(nr - 1, nc - 1), 0)::DOUBLE), 6)
+    AS cramers_v
+FROM cells GROUP BY n, nr, nc"""
 }

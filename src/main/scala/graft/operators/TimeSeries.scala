@@ -702,4 +702,84 @@ SELECT event_type, dow::BIGINT AS dow, count(*)::BIGINT AS n_days,
   (sum(ratio_ppm) // count(*))::BIGINT AS index_ppm
 FROM ratios GROUP BY 1, 2"""
   }
+
+  // ---- C150 (r10): single-changepoint localization (AMOC) ----
+  // C29's CUSUM FLAGS that a level shift happened (online, with a
+  // fitted threshold); this LOCATES the single most likely break —
+  // the at-most-one-changepoint reading every incident review starts
+  // from: for each lane, the day boundary whose left/right split
+  // maximizes the between-segment separation
+  // gain(k) = (S_L·n_R − S_R·n_L)² / (n_L·n_R·n) over daily revenue
+  // cents (the standard AMOC objective — equivalent to the maximal
+  // SSE reduction for a mean shift). ENTIRELY integer: prefix
+  // sums/counts from one ordered window, the gain a DECLARED 1e-3
+  // fixed-point quotient of exact DECIMAL(38,0) products (C147/C149
+  // truncating-division discipline), argmax under a (gain DESC, day
+  // ASC) total order per lane — no float ever compared. The released
+  // surface is all exact: split day, both segment sums/counts, and
+  // the scaled gain. Lanes with a single observed day have no
+  // interior boundary and are (by contract) absent. Plan: one daily
+  // rollup, then two windows sharing one (priority, day) exchange;
+  // per-lane frames are calendar-bounded.
+  def changepoint(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders.select(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"),
+        (graft.functions.Portable.dec(col("o_totalprice")) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("priority"), col("day"))
+      .agg(sum(col("cents")).as("rev"))
+    val W = Window.partitionBy(col("priority")).orderBy(col("day"))
+    val Wall = Window.partitionBy(col("priority"))
+    val pre = daily
+      .withColumn("cum_n", count(lit(1)).over(W))
+      .withColumn("cum_s", sum(col("rev")).over(W))
+      .withColumn("n", count(lit(1)).over(Wall))
+      .withColumn("s", sum(col("rev")).over(Wall))
+      .where(col("cum_n") < col("n"))
+      .withColumn("g", expr(
+        "cast(cum_s as decimal(38,0)) * (n - cum_n)" +
+          " - cast(s - cum_s as decimal(38,0)) * cum_n"))
+      .withColumn("gain", graft.functions.Portable.decDiv(
+        col("g") * col("g") * 1000,
+        col("cum_n").cast("decimal(38,0)") * (col("n") - col("cum_n")) * col("n")))
+    pre.withColumn("rk", row_number().over(
+        Window.partitionBy(col("priority"))
+          .orderBy(col("gain").desc, col("day").asc)))
+      .where(col("rk") === 1)
+      .select(col("priority"), col("day").as("change_day"),
+        col("cum_n").as("n_left"), col("cum_s").as("s_left_cents"),
+        (col("n") - col("cum_n")).as("n_right"),
+        (col("s") - col("cum_s")).as("s_right_cents"),
+        col("gain").as("gain_q3"))
+  }
+
+  val changepointSql: String =
+    """WITH daily AS (
+  SELECT o_orderpriority AS priority, o_orderdate::DATE AS day,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1, 2),
+pre AS (
+  SELECT priority, day,
+    count(*) OVER (PARTITION BY priority ORDER BY day
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
+    sum(rev) OVER (PARTITION BY priority ORDER BY day
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_s,
+    count(*) OVER (PARTITION BY priority)::BIGINT AS n,
+    sum(rev) OVER (PARTITION BY priority)::BIGINT AS s
+  FROM daily),
+gains AS (
+  SELECT priority, day, cum_n, cum_s, n, s,
+    (((cum_s::HUGEINT * (n - cum_n) - (s - cum_s)::HUGEINT * cum_n)
+      * (cum_s::HUGEINT * (n - cum_n) - (s - cum_s)::HUGEINT * cum_n)
+      * 1000) // (cum_n::HUGEINT * (n - cum_n) * n)) AS gain
+  FROM pre WHERE cum_n < n),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY priority
+    ORDER BY gain DESC, day ASC) AS rk
+  FROM gains)
+SELECT priority, day AS change_day, cum_n AS n_left, cum_s AS s_left_cents,
+  (n - cum_n)::BIGINT AS n_right, (s - cum_s)::BIGINT AS s_right_cents,
+  gain::DECIMAL(38,0) AS gain_q3
+FROM best WHERE rk = 1"""
 }

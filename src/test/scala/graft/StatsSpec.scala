@@ -1107,4 +1107,50 @@ class StatsSpec extends SparkSpec {
     assert(c._5.isEmpty == (c._2 + c._3 == 0) && c._5.forall(_ >= 0.0),
       s"chi2 ${c._5}")
   }
+
+  test("chiSquared: perfect association reads V = 1, independence 0; 1-column NULLs V (C149)") {
+    def ord(rows: Seq[(String, String)]) =
+      rows.toDF("o_orderpriority", "o_orderstatus")
+    // diagonal 2x2: chi2 = n = 20, V = 1 exactly
+    val assoc = ord(Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("B", "Y")))
+    val a = Stats.chiSquared(assoc)
+      .select("n", "dof", "chi2", "cramers_v")
+      .as[(Long, Long, Double, Double)].head()
+    assert(a == ((20L, 1L, 20.0, 1.0)), s"assoc $a")
+    // uniform 2x2: every cell matches expectation, chi2 = 0
+    val indep = ord(Seq.fill(5)(("A", "X")) ++ Seq.fill(5)(("A", "Y")) ++
+      Seq.fill(5)(("B", "X")) ++ Seq.fill(5)(("B", "Y")))
+    val i = Stats.chiSquared(indep).select("chi2", "cramers_v")
+      .as[(Double, Double)].head()
+    assert(i == ((0.0, 0.0)), s"indep $i")
+    // single-column table: dof = 0, V NULL (never NaN), chi2 still 0
+    val one = ord(Seq.fill(7)(("A", "X")) ++ Seq.fill(3)(("B", "X")))
+    val d = Stats.chiSquared(one)
+      .select(col("dof"), col("chi2"), col("cramers_v").isNull)
+      .as[(Long, Double, Boolean)].head()
+    assert(d == ((0L, 0.0, true)), s"degenerate $d")
+    // corpus: chi2 >= 0, V in [0, 1], dof = (R-1)(C-1)
+    val c = Stats.chiSquared(orders)
+      .select("n", "dof", "chi2", "cramers_v")
+      .as[(Long, Long, Double, Double)].head()
+    assert(c._1 == orders.count() && c._3 >= 0.0 &&
+      c._4 >= 0.0 && c._4 <= 1.0, s"corpus $c")
+  }
+
+  test("decDiv: exact floor division stays exact beyond 2^63 (the Spark `div` wraparound)") {
+    // 10^25 // 3: quotient has 25 digits — Spark's BIGINT `div` would
+    // wrap; decDiv must match BigInt exactly
+    val big = BigInt(10).pow(25)
+    val want = (big / 3).toString
+    val got = spark.range(1).select(graft.functions.Portable.decDiv(
+      expr("cast('10000000000000000000000000' as decimal(38,0))"),
+      expr("cast(3 as decimal(38,0))")).cast("string")).as[String].head()
+    assert(got == want, s"$got != $want")
+    // and the wraparound case that broke q_changepoint: a quotient
+    // just past Long.MaxValue
+    val g2 = spark.range(1).select(graft.functions.Portable.decDiv(
+      expr("cast('9363917156877834518000' as decimal(38,0))"),
+      expr("cast(1000 as decimal(38,0))")).cast("string")).as[String].head()
+    assert(g2 == "9363917156877834518", s"past-2^63 quotient $g2")
+  }
 }
