@@ -1962,4 +1962,58 @@ canon AS (SELECT least(sx, sy) AS sa, greatest(sx, sy) AS sb FROM sh)
 SELECT sa::BIGINT AS sa, sb::BIGINT AS sb, count(*)::BIGINT AS n_pairs,
   (sa <> sb)::BIGINT AS cross_shard
 FROM canon GROUP BY sa, sb"""
+
+  // ---- L154 (r10): common-neighbor link prediction — missed-pair
+  // candidates ----
+  // The dedup graph's edges are what banding FIRED on; link
+  // prediction surfaces what it probably MISSED: two docs that never
+  // matched directly but share ≥ 2 near-dup neighbors are prime
+  // candidates for a threshold the L115 sweep set too high (and, in
+  // the graph-cleaning reading, the next edges a reviewer should
+  // check). Score = neighborhood Jaccard |Γu∩Γw| / |Γu∪Γw| =
+  // cn/(du + dw − cn) as exact ppm — every input an exact integer
+  // count, the division a bounded (≤ 10⁶) integer quotient. Shape:
+  // the two-hop self-join is C38's proven wedge enumeration (each
+  // candidate pair counted once per shared neighbor), existing edges
+  // removed by anti-join, degrees from the same edge frame; cn ≥ 2 is
+  // the declared candidate floor (cn = 1 is every wedge — noise).
+  def linkPrediction(documents: DataFrame): DataFrame = {
+    val e = simhashDedup(documents).select(col("x"), col("y")).localCheckpoint()
+    linkPredictionFrom(e)
+  }
+
+  /** L154 over an explicit canonical (x < y) edge frame — split out for
+    * spec-level graphs, the trianglesFrom precedent. */
+  private[graft] def linkPredictionFrom(e: DataFrame): DataFrame = {
+    val und = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
+    val deg = und.groupBy(col("x").as("v")).agg(count(lit(1)).as("d"))
+    val cand = und.as("a")
+      .join(und.as("b"), col("a.y") === col("b.x") && col("a.x") < col("b.y"))
+      .select(col("a.x").as("u"), col("b.y").as("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+      .where(col("cn") >= 2)
+      .join(e.select(col("x").as("u"), col("y").as("w")), Seq("u", "w"),
+        "left_anti")
+    cand
+      .join(deg.select(col("v").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("v").as("w"), col("d").as("dw")), "w")
+      .select(col("u"), col("w"), col("cn"), col("du"), col("dw"),
+        expr("(cn * 1000000L) div (du + dw - cn)").as("jaccard_ppm"))
+  }
+
+  lazy val linkPredictionSql: String =
+    s"""WITH pairs AS ($simhashDedupSql),
+e AS (SELECT x, y FROM pairs),
+und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+deg AS (SELECT x AS v, count(*)::BIGINT AS d FROM und GROUP BY 1),
+cand AS (
+  SELECT a.x AS u, b.y AS w, count(*)::BIGINT AS cn
+  FROM und a JOIN und b ON a.y = b.x AND a.x < b.y
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+miss AS (
+  SELECT cand.* FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.x = cand.u AND e.y = cand.w))
+SELECT u, w, cn, du.d AS du, dw.d AS dw,
+  ((cn * 1000000) // (du.d + dw.d - cn))::BIGINT AS jaccard_ppm
+FROM miss JOIN deg du ON du.v = miss.u JOIN deg dw ON dw.v = miss.w"""
 }

@@ -1696,4 +1696,113 @@ SELECT num.la::BIGINT AS la, num.lb::BIGINT AS lb,
   round(num.num::DOUBLE /
     (sqrt(x.norm2::DOUBLE) * sqrt(y.norm2::DOUBLE)), 6) AS centroid_cos
 FROM num JOIN norms x ON x.label = num.la JOIN norms y ON y.label = num.lb"""
+
+  // ---- L153 (r10): simplified silhouette — per-class cohesion audit ----
+  // L152 measures how close class CENTROIDS are; silhouette measures
+  // how well each POINT sits in its class: s = (b − a)/max(a, b) with
+  // a = distance to own centroid, b = distance to the nearest OTHER
+  // centroid (the standard k-means "simplified silhouette", centroids
+  // include the point). The label-grain readout — mean s and the
+  // count of misassigned points (a > b, an EXACT integer comparison)
+  // — is the geometry behind L108/L152: classes with low mean s or a
+  // high misassigned share are the ones probes will confuse.
+  // Exactness: centroids are never divided — squared distance scales
+  // to n_c²·dist² = n_c²·|x|² − 2·n_c·(x·S_c) + |S_c|², every term an
+  // exact INTEGER in 1e-12 units off round-6 micro-unit components
+  // (the L84 discipline, integerized); the per-(point, class)
+  // comparison key q = floor(num/n_c²) is an exact decDiv integer —
+  // argmin and the misassignment flag never compare floats (the C150
+  // selection discipline). The released
+  // float is the per-point s (sqrt/sub/div/max of exact-integer
+  // casts, round 6) averaged as exact decimals. Plan: one posexplode
+  // pass; the (point × class) fan-out rides a BROADCAST of the
+  // (labels × dims) sum matrix and partial-aggregates map-side to
+  // n·|labels| rows — one corpus-keyed exchange; everything else is
+  // alphabet-bounded.
+  def silhouette(embeddings: DataFrame): DataFrame = {
+    val d6 = "decimal(18,6)"
+    val d38 = "decimal(38,0)"
+    // integer micro-units end to end: v6 = round(x, 6)·10⁶ is exact
+    // (decimal-mediated — a double·1e6 cast could truncate one off),
+    // so every moment below is an exact integer in 1e-12 units
+    val x = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("label"), col("d"),
+        (round(col("v").cast("double"), 6).cast(d6) * 1000000)
+          .cast("long").as("v6"))
+    val sums = x.groupBy(col("label").as("c"), col("d"))
+      .agg(sum(col("v6")).as("s6"))
+    val nc = embeddings.groupBy(col("label").cast("long").as("c"))
+      .agg(count(lit(1)).as("n_c"))
+    val ss2 = sums.groupBy(col("c"))
+      .agg(sum(col("s6").cast(d38) * col("s6")).as("ss2"))
+    val xx = x.groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v6") * col("v6")).as("xx"))
+    val dots = x.join(broadcast(sums), Seq("d"))
+      .groupBy(col("vec_id"), col("label"), col("c"))
+      .agg(sum(col("v6").cast(d38) * col("s6")).as("dot"))
+    val q = dots
+      .join(xx, Seq("vec_id", "label"))
+      .join(broadcast(nc), Seq("c"))
+      .join(broadcast(ss2), Seq("c"))
+      .select(col("vec_id"), col("label"), col("c"), col("n_c"),
+        decDiv(
+          col("n_c").cast(d38) * col("n_c") * col("xx")
+            - lit(2).cast(d38) * col("n_c") * col("dot") + col("ss2"),
+          col("n_c").cast(d38) * col("n_c")).as("q"))
+    val ab = q.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("c") === col("label"), col("q"))).as("aq"),
+        min(when(col("c") =!= col("label"), col("q"))).as("bq"))
+    val sa = sqrt(col("aq").cast("double") / 1e12)
+    val sb = sqrt(col("bq").cast("double") / 1e12)
+    ab.select(col("label"), col("aq"), col("bq"),
+        when(greatest(sa, sb) === 0.0, lit(0.0))
+          .otherwise(round((sb - sa) / greatest(sa, sb), 6)).as("s"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("bq") < col("aq")).cast("long")).as("n_misassigned"),
+        round(sum(col("s").cast(d6)).cast("double") / count(lit(1)), 6)
+          .as("mean_sil"))
+  }
+
+  val silhouetteSql: String =
+    """WITH ex AS (
+  SELECT vec_id, label::BIGINT AS label, i AS d,
+    (round(embedding[i]::DOUBLE, 6)::DECIMAL(18,6) * 1000000)::BIGINT AS v6
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)),
+sums AS (
+  SELECT label AS c, d, sum(v6)::BIGINT AS s6 FROM ex GROUP BY 1, 2),
+nc AS (SELECT label::BIGINT AS c, count(*)::BIGINT AS n_c
+  FROM embeddings GROUP BY 1),
+ss2 AS (SELECT c, sum(s6::HUGEINT * s6)::HUGEINT AS ss2 FROM sums GROUP BY 1),
+xx AS (SELECT vec_id, label, sum(v6 * v6)::BIGINT AS xx
+  FROM ex GROUP BY 1, 2),
+dots AS (
+  SELECT ex.vec_id, ex.label, sums.c,
+    sum(ex.v6::HUGEINT * sums.s6)::HUGEINT AS dot
+  FROM ex JOIN sums USING (d) GROUP BY 1, 2, 3),
+q AS (
+  SELECT dots.vec_id, dots.label, dots.c, nc.n_c,
+    ((nc.n_c::HUGEINT * nc.n_c * xx.xx - 2 * nc.n_c * dots.dot + ss2.ss2)
+      // (nc.n_c::HUGEINT * nc.n_c)) AS q
+  FROM dots JOIN xx USING (vec_id, label)
+    JOIN nc ON nc.c = dots.c JOIN ss2 ON ss2.c = dots.c),
+ab AS (
+  SELECT vec_id, label,
+    max(CASE WHEN c = label THEN q END) AS aq,
+    min(CASE WHEN c <> label THEN q END) AS bq
+  FROM q GROUP BY 1, 2),
+pt AS (
+  SELECT label, aq, bq,
+    CASE WHEN greatest(sqrt(aq::DOUBLE / 1e12), sqrt(bq::DOUBLE / 1e12)) = 0
+      THEN 0.0
+      ELSE round((sqrt(bq::DOUBLE / 1e12) - sqrt(aq::DOUBLE / 1e12))
+        / greatest(sqrt(aq::DOUBLE / 1e12), sqrt(bq::DOUBLE / 1e12)), 6)
+    END AS s
+  FROM ab)
+SELECT label, count(*)::BIGINT AS n,
+  sum(CASE WHEN bq < aq THEN 1 ELSE 0 END)::BIGINT AS n_misassigned,
+  round(sum(s::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_sil
+FROM pt GROUP BY label"""
 }

@@ -6266,6 +6266,68 @@ class OperatorSpec extends SparkSpec {
     corpus.foreach(cs => assert(cs >= -1.0 - 1e-9 && cs <= 1.0 + 1e-9))
   }
 
+  test("silhouette: separated clusters score high; a planted stray is counted misassigned (L153)") {
+    import graft.operators.Similarity
+    // label 0 = lone point at origin (a = 0, s = 1 exactly);
+    // label 1 = a stray hugging label 0's centroid + a far point
+    val embs = Seq(
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.2f), 1), (3L, Array(8.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouette(embs)
+      .select("label", "n", "n_misassigned", "mean_sil")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 1L, 0L, 1.0)), s"label0 ${got(0L)}")
+    // the stray (0, 0.2): own centroid (4, 0.1) is 4.0012 away, label
+    // 0's centroid only 0.2 -> misassigned; the far point stays put
+    assert(got(1L)._2 == 2L && got(1L)._3 == 1L, s"label1 ${got(1L)}")
+    // two tight, well-separated clusters: strongly positive s, none
+    // misassigned
+    val sep = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.0f, 2.0f), 0),
+      (3L, Array(10.0f, 0.0f), 1), (4L, Array(10.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.silhouette(sep)
+      .select("n_misassigned", "mean_sil").as[(Long, Double)].collect()
+      .foreach { case (m, s) => assert(m == 0L && s > 0.85, s"($m, $s)") }
+    // corpus: label partition sums to the corpus, s in [-1, 1],
+    // misassigned bounded by n
+    val corpus = Similarity.silhouette(embeddings)
+      .select("n", "n_misassigned", "mean_sil")
+      .as[(Long, Long, Double)].collect()
+    assert(corpus.length == 10)
+    assert(corpus.map(_._1).sum == embeddings.count())
+    corpus.foreach { case (n, m, s) =>
+      assert(m <= n && s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9, s"($n, $m, $s)") }
+  }
+
+  test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {
+    import graft.operators.Dedup
+    // edges: (1,2),(1,3),(2,3),(2,4),(3,4) — the only non-adjacent
+    // pair sharing >= 2 neighbors is (1,4): cn = 2, deg 2/2, J = 1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("x", "y")
+    val got = Dedup.linkPredictionFrom(e)
+      .select("u", "w", "cn", "du", "dw", "jaccard_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 4L, 2L, 2L, 2L, 1000000L)), s"${got.toSeq}")
+    // corpus replay: every emitted pair is non-adjacent with the exact
+    // brute-force common-neighbor count and Jaccard
+    val edges = Dedup.simhashDedup(Tables.load(spark, sf, "documents"))
+      .select("x", "y").as[(Long, Long)].collect().toSet
+    val adj = edges.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    val want = (for {
+      u <- adj.keys; w <- adj.keys
+      if u < w && !edges((u, w)) && !edges((w, u))
+      cn = (adj(u) & adj(w)).size if cn >= 2
+    } yield (u, w, cn.toLong, adj(u).size.toLong, adj(w).size.toLong,
+      cn * 1000000L / (adj(u).size + adj(w).size - cn))).toSet
+    val corpus = Dedup.linkPrediction(Tables.load(spark, sf, "documents"))
+      .select("u", "w", "cn", "du", "dw", "jaccard_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(corpus == want, s"corpus ${corpus.size} vs replay ${want.size}")
+  }
+
   test("interArrival: exact median/P90/max gap selection per type (C145)") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     // type A at 0s, 10s, 30s, 100s → gaps 10s, 20s, 70s
