@@ -2544,4 +2544,86 @@ SELECT n, ((nr - 1) * (nc - 1))::BIGINT AS dof,
     / nullif(1000::HUGEINT * n * n * least(nr - 1, nc - 1), 0)::DOUBLE), 6)
     AS cramers_v
 FROM cells GROUP BY n, nr, nc"""
+
+  // ---- C151 (r10): Cramér–von Mises two-sample test ----
+  // Completes the two-sample family: C97's KS reacts to the single
+  // WORST ECDF gap (tail-insensitive), C102's Mann-Whitney to a
+  // location shift; CvM integrates the SQUARED ECDF gap over the whole
+  // range — the all-purpose "same distribution?" statistic that
+  // catches variance/shape changes KS's sup-norm dilutes. Anderson's
+  // rank form: T = U/(N·n·m) − (4nm − 1)/(6N) with
+  // U = n·Σ(r_i − i)² + m·Σ(s_j − j)² over combined vs own-sample
+  // ranks. Exactness: doubled midpoint tie ranks (C102 discipline)
+  // make every (2r − 2i)² an exact integer — within a tie block the
+  // midrank is constant and the own-index SET is fixed, so the sum is
+  // permutation-invariant and engine-independent; U₄ = 4U aggregates
+  // as DECIMAL(38,0) (~4N⁴ leaves BIGINT past N ≈ 70k); T is released
+  // as the ONE fixed-order chain A/B − C/D of exact-integer casts
+  // (C147 discipline). Plan: the C102 shape — one global-per-type
+  // rank window + one per-(type, arm) index window sharing the type
+  // exchange, then type-alphabet-bounded aggregates.
+  def cramerVonMises(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val tagged = events.select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"),
+      pmod(md5Long(lit("cvm"), col("event_id")), lit(2)).as("arm"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val cw = Window.partitionBy(col("event_type"), col("v"))
+    val ow = Window.partitionBy(col("event_type"), col("arm")).orderBy(col("v"))
+    val ranked = tagged
+      .withColumn("r2",
+        lit(2L) * rank().over(w).cast("long") + count(lit(1)).over(cw) - lit(1L))
+      .withColumn("i2", lit(2L) * row_number().over(ow).cast("long"))
+      .withColumn("d2", (col("r2") - col("i2")).cast(d38))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("d2") * col("d2"))
+          .otherwise(lit(0).cast(d38))).as("sq0"),
+        sum(when(col("arm") === 1, col("d2") * col("d2"))
+          .otherwise(lit(0).cast(d38))).as("sq1"))
+      .select(col("event_type"), (col("n") - col("n1")).as("n0"), col("n1"),
+        ((col("n") - col("n1")).cast(d38) * col("sq0")
+          + col("n1").cast(d38) * col("sq1")).as("u4"),
+        round(
+          ((col("n") - col("n1")).cast(d38) * col("sq0")
+            + col("n1").cast(d38) * col("sq1")).cast("double") /
+            nullif(lit(4).cast(d38) * col("n") * (col("n") - col("n1")) * col("n1"),
+              lit(0).cast(d38)).cast("double")
+            - (lit(4).cast(d38) * (col("n") - col("n1")) * col("n1") - 1)
+              .cast("double") /
+              (lit(6).cast(d38) * col("n")).cast("double"), 6).as("t"))
+  }
+
+  val cramerVonMisesSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'cvm'", "event_id")
+    s"""WITH tagged AS (
+  SELECT event_type, ((value::DECIMAL(18,2)) * 100)::BIGINT AS v,
+    $h % 2 AS arm
+  FROM events),
+ranked AS (
+  SELECT event_type, arm,
+    (2::BIGINT * rank() OVER (PARTITION BY event_type ORDER BY v)
+      + count(*) OVER (PARTITION BY event_type, v) - 1)::BIGINT AS r2,
+    (2::BIGINT * row_number()
+      OVER (PARTITION BY event_type, arm ORDER BY v))::BIGINT AS i2
+  FROM tagged),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN arm = 0 THEN (r2 - i2)::HUGEINT * (r2 - i2)
+      ELSE 0::HUGEINT END)::HUGEINT AS sq0,
+    sum(CASE WHEN arm = 1 THEN (r2 - i2)::HUGEINT * (r2 - i2)
+      ELSE 0::HUGEINT END)::HUGEINT AS sq1
+  FROM ranked GROUP BY event_type)
+SELECT event_type, (n - n1) AS n0, n1,
+  ((n - n1)::HUGEINT * sq0 + n1::HUGEINT * sq1)::DECIMAL(38,0) AS u4,
+  round(
+    ((n - n1)::HUGEINT * sq0 + n1::HUGEINT * sq1)::DOUBLE
+      / nullif(4::HUGEINT * n * (n - n1) * n1, 0)::DOUBLE
+    - (4::HUGEINT * (n - n1) * n1 - 1)::DOUBLE
+      / (6::HUGEINT * n)::DOUBLE, 6) AS t
+FROM g"""
+  }
 }

@@ -3294,4 +3294,91 @@ FROM cnt"""
 FROM (SELECT unnest(${wordShinglesSql(toks, k)}) AS s FROM documents)"""
     }.mkString("\nUNION ALL\n")
   }
+
+  // ---- L155 (r10): RAKE keyword extraction ----
+  // The classic unsupervised keyphrase extractor (Rose et al. 2010),
+  // the corpus-labeling pass curation pipelines run before topic
+  // routing: candidate phrases are maximal stopword-free token runs
+  // (gaps-and-islands on token positions — the C95 flag-and-sum
+  // shape); each word scores degree/frequency where degree is the
+  // summed length of every phrase containing it (co-occurrence
+  // weight) and frequency its raw count; a phrase scores the sum of
+  // its words' ratios. ENTIRELY integer: ratios are exact ppm
+  // quotients, phrase scores exact BIGINT sums of them, the top-20
+  // selected under a (score DESC, phrase ASC) total order — no float
+  // anywhere. The stopword list is declared model state (the
+  // L13/L103 rule). Plan: one fused posexplode pass; the island
+  // window runs per doc; word stats and phrase scores ride (tok) and
+  // (doc, isl) exchanges; the final top-20 window runs on the
+  // POST-AGGREGATE distinct-phrase frame.
+  private[graft] val RakeStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+  private val RakeTopK = 20
+
+  def rakeKeywords(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+      .withColumn("stop", col("tok").isInCollection(RakeStopwords).cast("long"))
+    val W = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = toks.withColumn("isl", sum(col("stop")).over(W))
+      .where(col("stop") === 0)
+      .select(col("doc_id"), col("isl"), col("pos"), col("tok"))
+    val phrases = isl.groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("phrase"))
+    val wstats = isl.join(phrases.select(col("doc_id"), col("isl"), col("plen")),
+        Seq("doc_id", "isl"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("ratio_ppm", expr("(deg * 1000000L) div freq"))
+    val scored = isl.join(wstats.select(col("tok"), col("ratio_ppm")), "tok")
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(sum(col("ratio_ppm")).as("score_ppm"))
+      .join(phrases, Seq("doc_id", "isl"))
+      .groupBy(col("phrase"))
+      .agg(max(col("plen")).as("n_words"), count(lit(1)).as("n_occurrences"),
+        max(col("score_ppm")).as("score_ppm"))
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("phrase").asc)))
+      .where(col("rk") <= RakeTopK)
+      .select(col("rk").cast("long").as("rk"), col("phrase"), col("n_words"),
+        col("n_occurrences"), col("score_ppm"))
+  }
+
+  val rakeKeywordsSql: String = {
+    val stop = RakeStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+  SELECT doc_id, i AS pos, t.toks[i] AS tok,
+    list_contains($stop, t.toks[i])::BIGINT AS stop
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents) t,
+    LATERAL unnest(generate_series(1, len(t.toks))) AS u(i)
+  WHERE length(t.toks[i]) > 0),
+isl AS (
+  SELECT doc_id, pos, tok,
+    sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS UNBOUNDED PRECEDING) AS isl
+  FROM toks QUALIFY stop = 0),
+phrases AS (
+  SELECT doc_id, isl, count(*)::BIGINT AS plen,
+    string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM isl GROUP BY 1, 2),
+wstats AS (
+  SELECT tok, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS deg,
+    ((sum(plen) * 1000000) // count(*))::BIGINT AS ratio_ppm
+  FROM isl JOIN phrases USING (doc_id, isl) GROUP BY tok),
+scored AS (
+  SELECT phrase, max(plen)::BIGINT AS n_words,
+    count(*)::BIGINT AS n_occurrences, max(score_ppm)::BIGINT AS score_ppm
+  FROM (
+    SELECT i.doc_id, i.isl, sum(w.ratio_ppm)::BIGINT AS score_ppm
+    FROM isl i JOIN wstats w USING (tok) GROUP BY 1, 2) s
+  JOIN phrases USING (doc_id, isl) GROUP BY phrase)
+SELECT row_number() OVER (ORDER BY score_ppm DESC, phrase ASC)::BIGINT AS rk,
+  phrase, n_words, n_occurrences, score_ppm
+FROM scored ORDER BY score_ppm DESC, phrase ASC LIMIT $RakeTopK"""
+  }
 }

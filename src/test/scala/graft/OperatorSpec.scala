@@ -6301,6 +6301,42 @@ class OperatorSpec extends SparkSpec {
       assert(m <= n && s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9, s"($n, $m, $s)") }
   }
 
+  test("rakeKeywords: hand-scored phrases, floor ratios, stopword-free output (L155)") {
+    import graft.operators.TextAnalysis
+    // single doc: phrases "quick brown fox" (9e6), "lazy dog" (4e6),
+    // "doom" (1e6) — every word unique, ratio = plen exactly
+    val one = Seq((1L, "the quick brown fox and lazy dog of doom"))
+      .toDF("doc_id", "text")
+    val got1 = TextAnalysis.rakeKeywords(one)
+      .select("rk", "phrase", "n_words", "n_occurrences", "score_ppm")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got1 == Seq(
+      (1L, "quick brown fox", 3L, 1L, 9000000L),
+      (2L, "lazy dog", 2L, 1L, 4000000L),
+      (3L, "doom", 1L, 1L, 1000000L)), s"$got1")
+    // second doc reuses words: quick freq 3 deg 7 -> floor 2333333;
+    // the shared phrase aggregates occurrences
+    val two = Seq((1L, "the quick brown fox and lazy dog of doom"),
+      (2L, "quick brown fox is quick"))
+      .toDF("doc_id", "text")
+    val got2 = TextAnalysis.rakeKeywords(two)
+      .select("phrase", "n_occurrences", "score_ppm")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got2("quick brown fox") == (("quick brown fox", 2L, 8333333L)),
+      s"${got2("quick brown fox")}")
+    assert(got2("quick") == (("quick", 1L, 2333333L)), s"${got2("quick")}")
+    // corpus: 20 ranked rows, scores non-increasing, stopword-free
+    val corpus = TextAnalysis.rakeKeywords(documents)
+      .select("rk", "phrase", "score_ppm")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(corpus.length == 20 && corpus.map(_._1).toSeq == (1L to 20L))
+    assert(corpus.sliding(2).forall(w => w(0)._3 >= w(1)._3), "scores sorted")
+    corpus.foreach { case (_, p, _) =>
+      assert(p.nonEmpty &&
+        p.split(" ").forall(w => !TextAnalysis.RakeStopwords.contains(w)), p) }
+  }
+
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {
     import graft.operators.Dedup
     // edges: (1,2),(1,3),(2,3),(2,4),(3,4) — the only non-adjacent

@@ -1153,4 +1153,42 @@ class StatsSpec extends SparkSpec {
       expr("cast(1000 as decimal(38,0))")).cast("string")).as[String].head()
     assert(g2 == "9363917156877834518", s"past-2^63 quotient $g2")
   }
+
+  test("cramerVonMises: exact BigInt U4 replays per type; T pinned from the exact surface (C151)") {
+    def md5cvm(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"cvm:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = events.select(col("event_type"), col("event_id"),
+      (graft.functions.Portable.dec(col("value")) * 100).cast("long").as("v"))
+      .as[(String, Long, Long)].collect()
+    val got = Stats.cramerVonMises(events)
+      .select(col("event_type"), col("n0"), col("n1"),
+        col("u4").cast("string"), col("t"))
+      .as[(String, Long, Long, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    raw.groupBy(_._1).foreach { case (ty, rs) =>
+      val armed = rs.map(r => (r._3, md5cvm(r._2) % 2))
+      val all = armed.map(_._1).sorted
+      def r2(v: Long) = 2L * all.count(_ < v) + all.count(_ == v) + 1
+      def sq(arm: Long): BigInt = armed.filter(_._2 == arm).map(_._1).sorted
+        .zipWithIndex.map { case (v, ix) =>
+          val d = BigInt(r2(v) - 2L * (ix + 1)); d * d
+        }.sum
+      val n1 = armed.count(_._2 == 1).toLong
+      val n0 = all.length - n1
+      val u4 = BigInt(n0) * sq(0) + BigInt(n1) * sq(1)
+      val g = got(ty)
+      assert(g._2 == n0 && g._3 == n1, s"$ty arms ${g._2}/${g._3}")
+      assert(BigInt(g._4) == u4, s"$ty: u4 ${g._4} != $u4")
+      // T replayed with the operator's fixed-order float chain
+      val n = all.length.toLong
+      val t = u4.toDouble / (BigInt(4) * n * n0 * n1).toDouble -
+        (BigInt(4) * n0 * n1 - 1).toDouble / (6.0 * n)
+      assert(math.abs(g._5 - t) < 1e-6 && !g._5.isNaN, s"$ty t ${g._5} vs $t")
+      // a null hash split of one distribution: T stays small
+      assert(g._5 < 2.0, s"$ty null-split T ${g._5}")
+    }
+  }
 }
