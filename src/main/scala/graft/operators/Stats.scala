@@ -2626,4 +2626,89 @@ SELECT event_type, (n - n1) AS n0, n1,
       / (6::HUGEINT * n)::DOUBLE, 6) AS t
 FROM g"""
   }
+
+  // ---- C152 (r10): Markov conditional entropy — sequence memory ----
+  // C92's transition matrix shows WHERE the process goes; this
+  // measures HOW MUCH the current state matters: H(next) is the
+  // marginal surprise, H(next|cur) the surprise once you know where
+  // you are, and their difference — the information gain, the mutual
+  // information of consecutive events — is the sequence-memory
+  // number that says whether sequence features are worth modeling at
+  // all (IG ≈ 0 ⇒ C113's Markov accuracy can't beat the marginal
+  // baseline, by identity). Exactness: every probability is a ratio
+  // of exact BIGINT counts; each −p·ln(p) term is one fixed-order
+  // float chain off those counts, quantized DECIMAL(18,9) BEFORE the
+  // order-free decimal summation (the L13/L117 entropy discipline);
+  // released entropies are the decimal sums cast once, round 6.
+  // Plan: ONE corpus pass (the C92 lag window on the user_id
+  // exchange) to the (from, to) cell frame; everything after is
+  // type-alphabet-bounded (≤ 25 cells).
+  def condEntropy(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d9 = "decimal(18,9)"
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cnt = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("nf"))
+    val toTot = cnt.groupBy(col("to_type")).agg(sum(col("n")).as("nt"))
+    val tot = fromTot.agg(sum(col("nf")).as("nn"))
+    val cells = cnt.join(fromTot, "from_type").crossJoin(broadcast(tot))
+    val hGiven = cells
+      .select(col("from_type"), col("nf"),
+        (-(col("n").cast("double") / col("nf")) *
+          log(col("n").cast("double") / col("nf"))).cast(d9).as("tg"),
+        (-(col("n").cast("double") / col("nn")) *
+          log(col("n").cast("double") / col("nf"))).cast(d9).as("tc"))
+      .groupBy(col("from_type"), col("nf"))
+      .agg(sum(col("tg")).as("hg"), sum(col("tc")).as("hcp"))
+    val hCond = hGiven.agg(sum(col("hcp")).as("hc"))
+    val hNext = toTot.crossJoin(broadcast(tot))
+      .select((-(col("nt").cast("double") / col("nn")) *
+        log(col("nt").cast("double") / col("nn"))).cast(d9).as("tn"))
+      .agg(sum(col("tn")).as("hn"))
+    hGiven
+      .select(col("from_type"), col("nf").as("n_from"),
+        round(col("hg").cast("double"), 6).as("h_given"))
+      .crossJoin(broadcast(hCond.crossJoin(hNext).select(
+        round(col("hn").cast("double"), 6).as("h_next"),
+        round(col("hc").cast("double"), 6).as("h_cond"),
+        round((col("hn") - col("hc")).cast("double"), 6).as("info_gain"))))
+  }
+
+  val condEntropySql: String =
+    """WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS from_type,
+    event_type AS to_type
+  FROM events),
+cnt AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+ft AS (SELECT from_type, sum(n)::BIGINT AS nf FROM cnt GROUP BY 1),
+tt AS (SELECT to_type, sum(n)::BIGINT AS nt FROM cnt GROUP BY 1),
+tot AS (SELECT sum(nf)::BIGINT AS nn FROM ft),
+cells AS (
+  SELECT cnt.from_type, ft.nf,
+    CAST(-(cnt.n::DOUBLE / ft.nf) * ln(cnt.n::DOUBLE / ft.nf)
+      AS DECIMAL(18,9)) AS tg,
+    CAST(-(cnt.n::DOUBLE / tot.nn) * ln(cnt.n::DOUBLE / ft.nf)
+      AS DECIMAL(18,9)) AS tc
+  FROM cnt JOIN ft USING (from_type) CROSS JOIN tot),
+hg AS (
+  SELECT from_type, nf, sum(tg)::DECIMAL(18,9) AS hg,
+    sum(tc)::DECIMAL(18,9) AS hcp
+  FROM cells GROUP BY 1, 2),
+hc AS (SELECT sum(hcp)::DECIMAL(18,9) AS hc FROM hg),
+hn AS (
+  SELECT sum(CAST(-(nt::DOUBLE / nn) * ln(nt::DOUBLE / nn)
+    AS DECIMAL(18,9)))::DECIMAL(18,9) AS hn
+  FROM tt CROSS JOIN tot)
+SELECT from_type, nf AS n_from, round(hg::DOUBLE, 6) AS h_given,
+  round(hn::DOUBLE, 6) AS h_next, round(hc::DOUBLE, 6) AS h_cond,
+  round((hn - hc)::DOUBLE, 6) AS info_gain
+FROM hg CROSS JOIN hc CROSS JOIN hn"""
 }

@@ -782,4 +782,86 @@ SELECT priority, day AS change_day, cum_n AS n_left, cum_s AS s_left_cents,
   (n - cum_n)::BIGINT AS n_right, (s - cum_s)::BIGINT AS s_right_cents,
   gain::DECIMAL(38,0) AS gain_q3
 FROM best WHERE rk = 1"""
+
+  // ---- C153 (r10): Gumbel block maxima — return-level estimation ----
+  // The extreme-value readout C144's drawdown is the empirical half
+  // of: take each lane's MONTHLY maximum of daily revenue (block
+  // maxima, the classical EVT frame), fit a Gumbel by method of
+  // moments (β = s·√6/π, μ = m̄ − γ·β), and report the 12-block
+  // return level μ + β·ln... — "the daily peak you should expect
+  // once a year", the capacity/risk number ops teams plan against.
+  // Exactness: block maxima and both moments ride exact cent
+  // integers (Σm, Σm² as DECIMAL(38,0)); the sample variance is an
+  // exact integer quotient pair (nb·Σm² − (Σm)², nb·(nb−1)); the fit
+  // is ONE fixed-order float chain off those exact casts — mean,
+  // s = sqrt(num/den), β, μ, rl — with √6/π, Euler's γ, and
+  // −ln(−ln(11/12)) baked as shared full-precision literals (no
+  // transcendental ever runs on data, the C84 discipline). Lanes
+  // with one block NULL the fit via nullif. Plan: daily rollup →
+  // monthly-max rollup → per-lane aggregate, each a strict
+  // reduction; everything after the first exchange is
+  // calendar-bounded.
+  private val GumbelSqrt6OverPi = "0.779696801233676"
+  private val GumbelGamma = "0.577215664901533"
+  private val GumbelRl12 = "2.441716467239515" // -ln(-ln(11/12))
+
+  def gumbelReturnLevels(orders: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = orders.select(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"),
+        date_trunc("month", col("o_orderdate")).as("month"),
+        (graft.functions.Portable.dec(col("o_totalprice")) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("priority"), col("month"), col("day"))
+      .agg(sum(col("cents")).as("rev"))
+    val blocks = daily.groupBy(col("priority"), col("month"))
+      .agg(max(col("rev")).as("m"))
+    val fit = blocks.groupBy(col("priority"))
+      .agg(count(lit(1)).as("nb"), max(col("m")).as("max_cents"),
+        sum(col("m")).as("sm"),
+        sum(col("m").cast(d38) * col("m")).as("sm2"))
+    val mean = col("sm").cast("double") / col("nb").cast("double")
+    val s = sqrt(
+      (col("nb").cast(d38) * col("sm2") - col("sm").cast(d38) * col("sm"))
+        .cast("double") /
+        nullif(col("nb").cast(d38) * (col("nb") - 1), lit(0).cast(d38))
+          .cast("double"))
+    val beta = s * lit(GumbelSqrt6OverPi).cast("double")
+    val mu = mean - lit(GumbelGamma).cast("double") * beta
+    fit.select(col("priority"), col("nb").as("n_blocks"), col("max_cents"),
+      round(mean, 6).as("mean_max_cents"),
+      round(beta, 6).as("beta_cents"),
+      round(mu, 6).as("mu_cents"),
+      round(mu + beta * lit(GumbelRl12).cast("double"), 6).as("rl12_cents"))
+  }
+
+  val gumbelReturnLevelsSql: String =
+    s"""WITH daily AS (
+  SELECT o_orderpriority AS priority, o_orderdate::DATE AS day,
+    date_trunc('month', o_orderdate) AS month,
+    sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1, 2, 3),
+blocks AS (
+  SELECT priority, month, max(rev)::BIGINT AS m FROM daily GROUP BY 1, 2),
+fit AS (
+  SELECT priority, count(*)::BIGINT AS nb, max(m)::BIGINT AS max_cents,
+    sum(m)::BIGINT AS sm, sum(m::HUGEINT * m)::HUGEINT AS sm2
+  FROM blocks GROUP BY 1)
+SELECT priority, nb AS n_blocks, max_cents,
+  round(sm::DOUBLE / nb::DOUBLE, 6) AS mean_max_cents,
+  round(sqrt((nb::HUGEINT * sm2 - sm::HUGEINT * sm)::DOUBLE
+      / nullif(nb::HUGEINT * (nb - 1), 0)::DOUBLE)
+    * $GumbelSqrt6OverPi, 6) AS beta_cents,
+  round(sm::DOUBLE / nb::DOUBLE - $GumbelGamma
+    * (sqrt((nb::HUGEINT * sm2 - sm::HUGEINT * sm)::DOUBLE
+        / nullif(nb::HUGEINT * (nb - 1), 0)::DOUBLE)
+      * $GumbelSqrt6OverPi), 6) AS mu_cents,
+  round((sm::DOUBLE / nb::DOUBLE - $GumbelGamma
+    * (sqrt((nb::HUGEINT * sm2 - sm::HUGEINT * sm)::DOUBLE
+        / nullif(nb::HUGEINT * (nb - 1), 0)::DOUBLE)
+      * $GumbelSqrt6OverPi))
+    + (sqrt((nb::HUGEINT * sm2 - sm::HUGEINT * sm)::DOUBLE
+        / nullif(nb::HUGEINT * (nb - 1), 0)::DOUBLE)
+      * $GumbelSqrt6OverPi) * $GumbelRl12, 6) AS rl12_cents
+FROM fit"""
 }

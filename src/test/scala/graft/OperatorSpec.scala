@@ -3347,7 +3347,8 @@ class OperatorSpec extends SparkSpec {
       "q_shard_balance" -> "crossJoin(broadcast(single-row token total)) — the tfidf/lm_score pattern",
       "q_kruskal" -> "crossJoin(broadcast(single-row tie totals + single-row H)) over the type-alphabet group frame — the q_cuped pattern",
       "q_mcnemar" -> "crossJoin(broadcast(single-row temporal midpoint)) — the q_psi_drift pattern",
-      "q_chisq" -> "row-marginal x col-marginal grid (~15 rows, alphabet-bounded) + single-row totals — the q_embed_drift pattern")
+      "q_chisq" -> "row-marginal x col-marginal grid (~15 rows, alphabet-bounded) + single-row totals — the q_embed_drift pattern",
+      "q_cond_entropy" -> "crossJoin(broadcast(single-row transition total + single-row entropies)) over the type-alphabet cell frame — the q_kruskal pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }

@@ -1191,4 +1191,41 @@ class StatsSpec extends SparkSpec {
       assert(g._5 < 2.0, s"$ty null-split T ${g._5}")
     }
   }
+
+  test("condEntropy: deterministic chain reads IG = ln 2, uniform chain IG = 0 (C152)") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00")
+    def ev(rows: Seq[(Long, Int, String)]) =
+      rows.zipWithIndex.map { case ((u, m, t), i) => (u, ts(m), i.toLong, t) }
+        .toDF("user_id", "ts", "event_id", "event_type")
+    // strict alternation: knowing the current state pins the next one
+    // -> h_cond = 0, info_gain = H(next) = ln 2 = 0.693147
+    val alt = ev(Seq((1L, 1, "A"), (1L, 2, "B"), (1L, 3, "A"), (1L, 4, "B"),
+      (1L, 5, "A")))
+    val g1 = Stats.condEntropy(alt)
+      .select("from_type", "h_given", "h_next", "h_cond", "info_gain")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(g1.length == 2)
+    g1.foreach { case (f, hg, hn, hc, ig) =>
+      assert(hg == 0.0 && hn == 0.693147 && hc == 0.0 && ig == 0.693147,
+        s"$f ($hg, $hn, $hc, $ig)") }
+    // one of each transition: the current state tells you nothing
+    val unif = ev(Seq((1L, 1, "A"), (1L, 2, "A"), (1L, 3, "B"), (1L, 4, "B"),
+      (2L, 1, "B"), (2L, 2, "A")))
+    val g2 = Stats.condEntropy(unif)
+      .select("h_next", "h_cond", "info_gain")
+      .as[(Double, Double, Double)].head()
+    assert(g2 == ((0.693147, 0.693147, 0.0)), s"uniform $g2")
+    // corpus: empirical mutual information is non-negative (up to the
+    // declared 1e-9 term quantization), conditioning never adds
+    // surprise, and the from-marginals partition the transition count
+    val c = Stats.condEntropy(events)
+      .select("n_from", "h_given", "h_next", "h_cond", "info_gain")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(c.nonEmpty)
+    val nTrans = events.count() - events.select("user_id").distinct().count()
+    assert(c.map(_._1).sum == nTrans, s"${c.map(_._1).sum} vs $nTrans")
+    c.foreach { case (_, hg, hn, hc, ig) =>
+      assert(hg >= 0.0 && hc <= hn + 1e-6 && ig >= -1e-6 &&
+        math.abs((hn - hc) - ig) < 2e-6, s"($hg, $hn, $hc, $ig)") }
+  }
 }

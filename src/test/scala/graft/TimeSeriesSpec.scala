@@ -290,4 +290,47 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("gumbelReturnLevels: moments replay from exact integers; one block NULLs the fit (C153)") {
+    def d(s: String) = Timestamp.valueOf(s"2024-$s 00:00:00")
+    // lane X: Jan maxima 300, Feb 500 -> mean 400, s = sqrt(20000)
+    val rows = Seq(("X", 1.00, d("01-01")), ("X", 3.00, d("01-02")),
+      ("X", 2.00, d("02-01")), ("X", 5.00, d("02-02")),
+      ("Y", 7.00, d("03-15")))
+      .toDF("o_orderpriority", "o_totalprice", "o_orderdate")
+    val got = TimeSeries.gumbelReturnLevels(rows)
+      .select("priority", "n_blocks", "max_cents", "mean_max_cents",
+        "beta_cents", "mu_cents", "rl12_cents")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().map(r => r._1 -> r).toMap
+    val x = got("X")
+    assert(x._2 == 2L && x._3 == 500L && x._4 == 400.0, s"X $x")
+    // replay the operator's exact float chain
+    val s = math.sqrt((2.0 * 340000L - 800L.toDouble * 800L) / 2.0)
+    val beta = s * 0.779696801233676
+    val mu = 400.0 - 0.577215664901533 * beta
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(x._5.contains(r6(beta)) && x._6.contains(r6(mu)) &&
+      x._7.contains(r6(mu + beta * 2.441716467239515)), s"X fit $x")
+    // a single-block lane cannot estimate spread: NULL, never NaN
+    val y = got("Y")
+    assert(y._2 == 1L && y._5.isEmpty && y._6.isEmpty && y._7.isEmpty, s"Y $y")
+    // corpus: mean <= max, beta >= 0, rl12 >= mu
+    val corpus = TimeSeries.gumbelReturnLevels(
+      Tables.load(spark, sf, "orders"))
+      .select("n_blocks", "max_cents", "mean_max_cents", "beta_cents",
+        "mu_cents", "rl12_cents")
+      .as[(Long, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (nb, mx, mean, b, mu0, rl) =>
+      assert(mean <= mx + 1e-6, s"mean $mean > max $mx")
+      assert((nb == 1) == b.isEmpty, s"nb $nb beta $b")
+      b.foreach(bv => assert(bv >= 0.0))
+      (mu0, rl) match {
+        case (Some(m0), Some(r0)) => assert(r0 >= m0 - 1e-6, s"rl $r0 < mu $m0")
+        case _ => ()
+      }
+    }
+  }
 }
