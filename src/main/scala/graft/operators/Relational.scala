@@ -4462,4 +4462,81 @@ SELECT priority, first_day, last_day,
   (date_diff('day', first_day, last_day) + 1 - n_present)::BIGINT AS n_missing,
   longest_gap_days
 FROM agg"""
+
+  // ---- C154 (r10): HITS hubs & authorities — bipartite influence ----
+  // C39's PageRank ranks within the undirected dup graph; HITS is the
+  // DIRECTED/bipartite member of the family, natural on the
+  // buyer→supplier graph (distinct (customer, supplier) order edges):
+  // an authoritative supplier is one bought from by strong hub
+  // customers, a hub customer one buying from authoritative suppliers
+  // — the mutually-recursive definition marketplaces rank both sides
+  // with. Cross-engine float determinism over iterations is
+  // impossible (the C39 lesson), so the WHOLE recurrence is integer:
+  // scores in 1e-12 units, each half-step renormalized by its max via
+  // exact decDiv (sums reach deg·10¹² ≈ 10¹⁸⁺ — past BIGINT at scale,
+  // so the quotient runs in decimal). Three full rounds, a fixed
+  // unroll budget mirrored by the oracle's CTE chain (the C49 rule).
+  // Plan: edges built once (join + distinct) and checkpointed; each
+  // half-step is one equi-join + one aggregate + one single-row max
+  // broadcast; lineage cut per round.
+  private val HitsIters = 3
+  private val HitsUnit = 1000000000000L
+
+  def hits(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val edges = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().localCheckpoint()
+    var hub = edges.select(col("c")).distinct()
+      .select(col("c"), lit(HitsUnit).as("h"))
+    var auth = edges.select(col("s")).distinct()
+      .select(col("s"), lit(HitsUnit).as("a"))
+    for (_ <- 1 to HitsIters) {
+      val araw = edges.join(hub, "c").groupBy(col("s"))
+        .agg(sum(col("h").cast(d38)).as("ar"))
+      val amax = araw.agg(max(col("ar")).as("am"))
+      auth = araw.crossJoin(broadcast(amax))
+        .select(col("s"),
+          decDiv(col("ar") * HitsUnit, col("am")).cast("long").as("a"))
+        .localCheckpoint()
+      val hraw = edges.join(auth, "s").groupBy(col("c"))
+        .agg(sum(col("a").cast(d38)).as("hr"))
+      val hmax = hraw.agg(max(col("hr")).as("hm"))
+      hub = hraw.crossJoin(broadcast(hmax))
+        .select(col("c"),
+          decDiv(col("hr") * HitsUnit, col("hm")).cast("long").as("h"))
+        .localCheckpoint()
+    }
+    hub.select(lit("hub").as("node_type"), col("c").cast("long").as("node_id"),
+        col("h").as("score"))
+      .unionAll(auth.select(lit("authority").as("node_type"),
+        col("s").cast("long").as("node_id"), col("a").as("score")))
+  }
+
+  val hitsSql: String = {
+    val rounds = (1 to HitsIters).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}r AS (
+  SELECT s, sum(h)::HUGEINT AS ar FROM e JOIN $prevH USING (c) GROUP BY s),
+a$i AS (
+  SELECT s, ((ar * $HitsUnit) // (SELECT max(ar) FROM a${i}r))::BIGINT AS a
+  FROM a${i}r),
+h${i}r AS (
+  SELECT c, sum(a)::HUGEINT AS hr FROM e JOIN a$i USING (s) GROUP BY c),
+h$i AS (
+  SELECT c, ((hr * $HitsUnit) // (SELECT max(hr) FROM h${i}r))::BIGINT AS h
+  FROM h${i}r)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+h0 AS (SELECT DISTINCT c, ${HitsUnit}::BIGINT AS h FROM e),
+$rounds
+SELECT 'hub' AS node_type, c::BIGINT AS node_id, h AS score FROM h$HitsIters
+UNION ALL
+SELECT 'authority' AS node_type, s::BIGINT AS node_id, a AS score
+FROM a$HitsIters"""
+  }
 }

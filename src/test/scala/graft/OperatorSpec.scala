@@ -6338,6 +6338,39 @@ class OperatorSpec extends SparkSpec {
         p.split(" ").forall(w => !TextAnalysis.RakeStopwords.contains(w)), p) }
   }
 
+  test("hits: integer fixed-point replays the hand-computed bipartite ranks (C154)") {
+    // c1 buys from {10, 20, 30}, c2 from {10} (via a duplicate line —
+    // edges are DISTINCT); after 3 renormalized rounds:
+    //   auth(10) = 1e12, auth(20) = auth(30) = 7e11,
+    //   hub(c1) = 1e12, hub(c2) = floor(1e24 / 2.4e12)
+    val ords = Seq((1L, 101L), (2L, 101L), (3L, 101L), (4L, 102L))
+      .toDF("o_orderkey", "o_custkey")
+    val lines = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 10L), (4L, 10L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = Relational.hits(ords, lines)
+      .select("node_type", "node_id", "score")
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("hub", 101L)) == 1000000000000L, s"${got(("hub", 101L))}")
+    assert(got(("hub", 102L)) == 416666666666L, s"${got(("hub", 102L))}")
+    assert(got(("authority", 10L)) == 1000000000000L)
+    assert(got(("authority", 20L)) == 700000000000L &&
+      got(("authority", 30L)) == 700000000000L, s"$got")
+    // corpus: both sides renormalize to a 1e12 max, scores in range,
+    // one row per distinct customer/supplier in the edge frame
+    val corpus = Relational.hits(Tables.load(spark, sf, "orders"),
+        Tables.load(spark, sf, "lineitem"))
+      .select("node_type", "node_id", "score")
+      .as[(String, Long, Long)].collect().toSeq
+    val (hubs, auths) = corpus.partition(_._1 == "hub")
+    assert(hubs.map(_._3).max == 1000000000000L &&
+      auths.map(_._3).max == 1000000000000L, "max must renormalize to 1e12")
+    corpus.foreach { case (_, _, sc) =>
+      assert(sc >= 0L && sc <= 1000000000000L, s"score $sc") }
+    assert(hubs.map(_._2).distinct.length == hubs.length &&
+      auths.map(_._2).distinct.length == auths.length)
+  }
+
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {
     import graft.operators.Dedup
     // edges: (1,2),(1,3),(2,3),(2,4),(3,4) — the only non-adjacent

@@ -7,6 +7,7 @@ import graft.operators.Scale
 /** §6 scale mechanics: salting preserves join semantics; bucketing
   * removes the join exchange. */
 class ScaleSpec extends SparkSpec {
+  import spark.implicits._
 
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.load(spark, sf, "orders")
@@ -139,6 +140,30 @@ class ScaleSpec extends SparkSpec {
       "pruned scan must read strictly fewer files than the table holds")
     assert(oneDay.count() ==
       events.where(col("dt") === "2024-01-05").count())
+  }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime (C155)") {
+    // the 100 TB star-join staple: the fact side is partitioned on the
+    // join key, the dim filter is only known at runtime — DPP turns
+    // the broadcast dim's key set into a PARTITION filter on the fact
+    // scan, so unrelated partitions are never listed, let alone read
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val orders = Tables.load(spark, sf, "orders")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite")
+      .parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // the dim must be a real scan with a live filter — a pre-filtered
+    // LocalRelation has no selective predicate for DPP to harvest
+    Seq(("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop"),
+      ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop"))
+      .toDF("pr", "tag").write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").where(col("tag") === "keep")
+    val joined = fact.join(dim, fact("o_orderpriority") === dim("pr"))
+    val n = joined.count()
+    assert(n == orders.where(col("o_orderpriority") === "1-URGENT").count())
+    val scans = joined.queryExecution.executedPlan.toString
+    assert(scans.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n$scans")
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
