@@ -4539,4 +4539,56 @@ UNION ALL
 SELECT 'authority' AS node_type, s::BIGINT AS node_id, a AS score
 FROM a$HitsIters"""
   }
+
+  // ---- C156 (r10): sole-blame supplier — the TPC-H Q21 shape ----
+  // The classic double-EXISTS interrogation ("which supplier ALONE
+  // held up multi-supplier orders"), adapted to this schema's
+  // lateness convention (C121: shipped past o_orderdate + 30 days).
+  // The textbook form is EXISTS(another supplier in the order) AND
+  // NOT EXISTS(another LATE supplier) — two correlated subqueries
+  // that naive engines run per-row; here both decorrelate into ONE
+  // per-order window frame (supplier count, late-supplier count) over
+  // the (order, supplier) lateness rollup, the aggregate-instead-of-
+  // rescan discipline. Blame = late ∧ n_supp ≥ 2 ∧ n_late = 1; exact
+  // integer counts end to end; supplier names from a broadcast dim.
+  // Plan: one orderkey-keyed join + rollup, two windows on the SAME
+  // (order) exchange, one supplier-keyed aggregate.
+  def blameSupplier(orders: DataFrame, lineitem: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val late = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate")), "l_orderkey")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((to_date(col("l_shipdate")) >
+        date_add(to_date(col("o_orderdate")), 30)).cast("long")).as("late"))
+    val W = Window.partitionBy(col("l_orderkey"))
+    val blamed = late
+      .withColumn("n_supp", count(lit(1)).over(W))
+      .withColumn("n_late", sum(col("late")).over(W))
+      .where(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_blamed"))
+    blamed.join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_name"))), "l_suppkey")
+      .select(col("l_suppkey").as("suppkey"), col("s_name"), col("n_blamed"))
+  }
+
+  val blameSupplierSql: String =
+    """WITH late AS (
+  SELECT l_orderkey, l_suppkey,
+    max((l_shipdate::DATE > o_orderdate::DATE + INTERVAL 30 DAY)::BIGINT)
+      ::BIGINT AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2),
+flagged AS (
+  SELECT l_suppkey, late,
+    count(*) OVER (PARTITION BY l_orderkey)::BIGINT AS n_supp,
+    sum(late) OVER (PARTITION BY l_orderkey)::BIGINT AS n_late
+  FROM late),
+blamed AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n_blamed
+  FROM flagged WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+  GROUP BY 1)
+SELECT l_suppkey AS suppkey, s_name, n_blamed
+FROM blamed JOIN supplier ON s_suppkey = l_suppkey"""
 }

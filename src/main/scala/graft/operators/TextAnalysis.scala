@@ -3381,4 +3381,105 @@ SELECT row_number() OVER (ORDER BY score_ppm DESC, phrase ASC)::BIGINT AS rk,
   phrase, n_words, n_occurrences, score_ppm
 FROM scored ORDER BY score_ppm DESC, phrase ASC LIMIT $RakeTopK"""
   }
+
+  // ---- L156 (r10): decision stump — exact 1-split Gini learner ----
+  // The weakest useful learner, and the one whose TRAINING is exactly
+  // expressible as relational algebra: pick the n_chars threshold
+  // minimizing the children's weighted Gini impurity against the L9
+  // quality label, then score the L31 holdout fifth. The whole fit is
+  // the C150 selection discipline end to end: candidate thresholds
+  // are the train split's distinct feature values, each candidate's
+  // impurity is a SUM OF TWO decDiv fixed-point quotients
+  // (p(n−p)·10⁶ div n per child) of exact counts off one running-sum
+  // window, and the argmin runs under (gini ASC, threshold ASC) — no
+  // float is ever fitted, compared, or released. Leaf predictions are
+  // exact majority votes (2p > n, ties to 0); the holdout confusion
+  // and accuracy ppm are exact integers. Plan: one train aggregate to
+  // the distinct-feature frame (value-bounded), windows and argmin on
+  // that frame, one broadcast of the single-row model to the holdout
+  // pass — two corpus scans total (train moments, holdout score).
+  def decisionStump(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val labeled = documents.select(col("doc_id"),
+      col("n_chars").cast("long").as("x"),
+      (qualityScoreCol > NbCut).cast("long").as("y"))
+    val train = labeled.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val byX = train.groupBy(col("x"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val tot = byX.agg(sum(col("c")).as("nn"), sum(col("p")).as("pp"))
+    val W = Window.orderBy(col("x"))
+    val cand = byX
+      .withColumn("n_l", sum(col("c")).over(W))
+      .withColumn("p_l", sum(col("p")).over(W))
+      .crossJoin(broadcast(tot))
+      .where(col("n_l") < col("nn"))
+      .withColumn("g",
+        decDiv(col("p_l").cast(d38) * (col("n_l") - col("p_l")) * 1000000L,
+          col("n_l").cast(d38)) +
+          decDiv((col("pp") - col("p_l")).cast(d38) *
+            ((col("nn") - col("n_l")) - (col("pp") - col("p_l"))) * 1000000L,
+            (col("nn") - col("n_l")).cast(d38)))
+    val best = cand
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("g").asc, col("x").asc)))
+      .where(col("rk") === 1)
+      .select(col("x").as("threshold"), col("n_l"), col("p_l"),
+        (col("nn") - col("n_l")).as("n_r"), (col("pp") - col("p_l")).as("p_r"),
+        col("g").cast(d38).as("gini_q6"),
+        (col("p_l") * 2 > col("n_l")).cast("long").as("pred_left"),
+        ((col("pp") - col("p_l")) * 2 >
+          (col("nn") - col("n_l"))).cast("long").as("pred_right"))
+    labeled.where(pmod(col("doc_id"), lit(5)) === 0)
+      .crossJoin(broadcast(best))
+      .withColumn("pred", when(col("x") <= col("threshold"), col("pred_left"))
+        .otherwise(col("pred_right")))
+      .groupBy(col("threshold"), col("n_l"), col("p_l"), col("n_r"),
+        col("p_r"), col("gini_q6"), col("pred_left"), col("pred_right"))
+      .agg(sum((col("pred") === 1 && col("y") === 1).cast("long")).as("tp"),
+        sum((col("pred") === 1 && col("y") === 0).cast("long")).as("fp"),
+        sum((col("pred") === 0 && col("y") === 0).cast("long")).as("tn"),
+        sum((col("pred") === 0 && col("y") === 1).cast("long")).as("fn"))
+      .withColumn("acc_ppm", expr(
+        "((tp + tn) * 1000000L) div (tp + fp + tn + fn)"))
+  }
+
+  lazy val decisionStumpSql: String =
+    s"""WITH labeled AS (
+  SELECT doc_id, n_chars::BIGINT AS x, ($qualityScoreSqlExpr > $NbCut)::BIGINT AS y
+  FROM documents),
+byx AS (
+  SELECT x, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+  FROM labeled WHERE doc_id % 5 <> 0 GROUP BY x),
+tot AS (SELECT sum(c)::BIGINT AS nn, sum(p)::BIGINT AS pp FROM byx),
+cand AS (
+  SELECT x,
+    sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)::BIGINT AS n_l,
+    sum(p) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)::BIGINT AS p_l,
+    nn, pp
+  FROM byx CROSS JOIN tot QUALIFY n_l < nn),
+scored AS (
+  SELECT x, n_l, p_l, (nn - n_l)::BIGINT AS n_r, (pp - p_l)::BIGINT AS p_r,
+    ((p_l::HUGEINT * (n_l - p_l) * 1000000) // n_l::HUGEINT
+      + ((pp - p_l)::HUGEINT * ((nn - n_l) - (pp - p_l)) * 1000000)
+        // (nn - n_l)::HUGEINT)::DECIMAL(38,0) AS g
+  FROM cand),
+best AS (
+  SELECT x AS threshold, n_l, p_l, n_r, p_r, g AS gini_q6,
+    (p_l * 2 > n_l)::BIGINT AS pred_left,
+    (p_r * 2 > n_r)::BIGINT AS pred_right
+  FROM scored ORDER BY g ASC, x ASC LIMIT 1),
+hold AS (
+  SELECT l.y,
+    CASE WHEN l.x <= b.threshold THEN b.pred_left ELSE b.pred_right END AS pred,
+    b.*
+  FROM labeled l CROSS JOIN best b WHERE l.doc_id % 5 = 0)
+SELECT threshold, n_l, p_l, n_r, p_r, gini_q6, pred_left, pred_right,
+  sum((pred = 1 AND y = 1)::BIGINT)::BIGINT AS tp,
+  sum((pred = 1 AND y = 0)::BIGINT)::BIGINT AS fp,
+  sum((pred = 0 AND y = 0)::BIGINT)::BIGINT AS tn,
+  sum((pred = 0 AND y = 1)::BIGINT)::BIGINT AS fn,
+  ((sum((pred = y)::BIGINT) * 1000000) // count(*))::BIGINT AS acc_ppm
+FROM hold
+GROUP BY threshold, n_l, p_l, n_r, p_r, gini_q6, pred_left, pred_right"""
 }

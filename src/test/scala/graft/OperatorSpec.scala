@@ -3348,7 +3348,9 @@ class OperatorSpec extends SparkSpec {
       "q_kruskal" -> "crossJoin(broadcast(single-row tie totals + single-row H)) over the type-alphabet group frame — the q_cuped pattern",
       "q_mcnemar" -> "crossJoin(broadcast(single-row temporal midpoint)) — the q_psi_drift pattern",
       "q_chisq" -> "row-marginal x col-marginal grid (~15 rows, alphabet-bounded) + single-row totals — the q_embed_drift pattern",
-      "q_cond_entropy" -> "crossJoin(broadcast(single-row transition total + single-row entropies)) over the type-alphabet cell frame — the q_kruskal pattern")
+      "q_cond_entropy" -> "crossJoin(broadcast(single-row transition total + single-row entropies)) over the type-alphabet cell frame — the q_kruskal pattern",
+      "q_hits" -> "crossJoin(broadcast(single-row per-round max)) — the renormalization anchor, the tfidf/lm_score pattern",
+      "q_stump" -> "crossJoin(broadcast(single-row totals + single-row fitted model)) — the q_nb_score model-broadcast pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -6369,6 +6371,58 @@ class OperatorSpec extends SparkSpec {
       assert(sc >= 0L && sc <= 1000000000000L, s"score $sc") }
     assert(hubs.map(_._2).distinct.length == hubs.length &&
       auths.map(_._2).distinct.length == auths.length)
+  }
+
+  test("blameSupplier: only the sole late supplier of a multi-supplier order is blamed (C156)") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-$s 00:00:00")
+    val ords = Seq((1L, d("01-01")), (2L, d("01-01")), (3L, d("01-01")),
+      (4L, d("01-01"))).toDF("o_orderkey", "o_orderdate")
+    val lines = Seq(
+      (1L, 101L, d("02-15")), (1L, 102L, d("01-10")), // A: only 101 late
+      (2L, 101L, d("02-15")), (2L, 103L, d("02-20")), // B: two late -> none
+      (3L, 104L, d("02-15")),                         // C: single supplier
+      (4L, 102L, d("02-15")), (4L, 102L, d("01-05")), // D: 102 late on max
+      (4L, 105L, d("01-08")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supp = Seq((101L, "S1"), (102L, "S2"), (103L, "S3"), (104L, "S4"),
+      (105L, "S5")).toDF("s_suppkey", "s_name")
+    val got = Relational.blameSupplier(ords, lines, supp)
+      .select("suppkey", "s_name", "n_blamed")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((101L, "S1", 1L), (102L, "S2", 1L)), s"$got")
+    // corpus: blamed suppliers exist and every count is positive
+    val corpus = Relational.blameSupplier(Tables.load(spark, sf, "orders"),
+      Tables.load(spark, sf, "lineitem"), Tables.load(spark, sf, "supplier"))
+      .select("n_blamed").as[Long].collect()
+    assert(corpus.nonEmpty && corpus.forall(_ >= 1L))
+  }
+
+  test("decisionStump: a perfectly separable corpus fits the boundary threshold exactly (L156)") {
+    import graft.operators.TextAnalysis
+    // negatives: 8-char digit/punct soup (quality < 0.2); positives:
+    // 119-char stopword runs (quality > 0.2) — ids 5/10 are holdout
+    val neg = "9! 9! 9!"
+    val pos = ("the " * 29) + "the"
+    val docs = Seq(1L -> neg, 2L -> neg, 3L -> neg, 5L -> neg,
+      6L -> pos, 7L -> pos, 8L -> pos, 10L -> pos)
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.decisionStump(docs)
+      .select(col("threshold"), col("n_l"), col("p_l"), col("n_r"), col("p_r"),
+        col("gini_q6").cast("long"), col("pred_left"), col("pred_right"),
+        col("tp"), col("fp"), col("tn"), col("fn"), col("acc_ppm"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long)].head()
+    assert(got == ((8L, 3L, 0L, 3L, 3L, 0L, 0L, 1L, 1L, 0L, 1L, 0L,
+      1000000L)), s"$got")
+    // corpus: confusion partitions the holdout fifth; accuracy sane
+    val c = TextAnalysis.decisionStump(documents)
+      .select(col("tp") + col("fp") + col("tn") + col("fn"), col("acc_ppm"),
+        col("gini_q6").cast("long"))
+      .as[(Long, Long, Long)].head()
+    val holdN = documents.where(pmod(col("doc_id"), lit(5)) === 0).count()
+    assert(c._1 == holdN && c._2 >= 0L && c._2 <= 1000000L && c._3 >= 0L,
+      s"$c vs $holdN")
   }
 
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {
