@@ -801,6 +801,91 @@ FROM best WHERE rk = 1"""
   // monthly-max rollup → per-lane aggregate, each a strict
   // reduction; everything after the first exchange is
   // calendar-bounded.
+  // ---- C157 (r10): Ljung–Box portmanteau test — residual whiteness ----
+  // C66/C105 fit and diagnose one lag at a time; Ljung–Box asks the
+  // forecaster's gate question about ALL of them at once: are the
+  // first m autocorrelations JOINTLY zero (is the daily series white
+  // noise / is anything left to model)? Q = n(n+2)·Σ r_k²/(n−k),
+  // rejected against the χ²(m) 5% critical value. Exactness: built on
+  // C105's exact integer deviation frame — each r_k is a DECLARED
+  // 1e-6 fixed-point decDiv quotient (|num| ≤ den by Cauchy–Schwarz,
+  // so rq ≤ 10⁶ exactly), each r²/(n−k) term another decDiv, the
+  // weighted sum an exact DECIMAL; Q is ONE float division by the
+  // fixed 10¹⁸ scale, round 6; the reject flag compares against a
+  // shared χ² literal — no transcendental, no float comparison on
+  // data. A constant series (den = 0) NULLs Q via nullif. Plan: the
+  // C105 shape — one daily rollup, the 7-lag self-join on the
+  // POST-AGGREGATE calendar-bounded daily frame, alphabet-bounded
+  // aggregates after.
+  private val LbLags = 7
+  private val LbChi2Crit5 = "14.067140" // χ²(7) at 5%
+
+  def ljungBox(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val (dev, den) = dailyDeviations(events)
+    val grid = (1L to LbLags.toLong).toDF("lag")
+    val num = dev.select(col("event_type"), col("day"), col("e"))
+      .crossJoin(broadcast(grid))
+      .withColumn("day2", col("day") + col("lag"))
+      .join(dev.select(col("event_type"), col("day").as("day2"),
+        col("e").as("e2")), Seq("event_type", "day2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("e") * col("e2")).as("acf_num"))
+    val terms = num.join(den, "event_type")
+      .withColumn("rq", graft.functions.Portable.decDiv(
+        abs(col("acf_num")).cast(d38) * 1000000L,
+        nullif(col("den"), lit(0).cast(d38))))
+      .withColumn("term", graft.functions.Portable.decDiv(
+        col("rq") * col("rq") * 1000000L,
+        (col("n_days") - col("lag")).cast(d38)))
+    terms.groupBy(col("event_type"), col("n_days"))
+      .agg(count(lit(1)).as("m_used"), sum(col("term")).as("lb_sum"))
+      .select(col("event_type"), col("n_days"), col("m_used"),
+        col("lb_sum").cast(d38).as("lb_sum"),
+        round((col("n_days").cast(d38) * (col("n_days") + 2) * col("lb_sum"))
+          .cast("double") / 1e18, 6).as("q"),
+        ((col("n_days").cast(d38) * (col("n_days") + 2) * col("lb_sum"))
+          .cast("double") / 1e18 > lit(LbChi2Crit5).cast("double"))
+          .cast("long").as("reject_5pct"))
+  }
+
+  val ljungBoxSql: String = {
+    val D = 86400L * 1000000L
+    s"""WITH daily AS (
+  SELECT event_type,
+    (epoch_us(ts) - ((epoch_us(ts) % $D) + $D) % $D) // $D AS day,
+    count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS s
+  FROM daily GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day, t.n_days,
+    (t.n_days::HUGEINT * d.c - t.s) AS e
+  FROM daily d JOIN tot t USING (event_type)),
+den AS (SELECT event_type, n_days, sum(e * e)::HUGEINT AS den
+  FROM dev GROUP BY 1, 2),
+grid AS (SELECT unnest(generate_series(1, $LbLags))::BIGINT AS lag),
+num AS (
+  SELECT a.event_type, g.lag, sum(a.e * b.e)::HUGEINT AS acf_num
+  FROM dev a CROSS JOIN grid g
+  JOIN dev b ON b.event_type = a.event_type AND b.day = a.day + g.lag
+  GROUP BY 1, 2),
+terms AS (
+  SELECT n.event_type, d.n_days,
+    (((abs(n.acf_num) * 1000000) // nullif(d.den, 0))
+      * ((abs(n.acf_num) * 1000000) // nullif(d.den, 0)) * 1000000)
+      // (d.n_days - n.lag)::HUGEINT AS term
+  FROM num n JOIN den d USING (event_type))
+SELECT event_type, n_days, count(*)::BIGINT AS m_used,
+  sum(term)::DECIMAL(38,0) AS lb_sum,
+  round((n_days::HUGEINT * (n_days + 2) * sum(term))::DOUBLE / 1e18, 6) AS q,
+  ((n_days::HUGEINT * (n_days + 2) * sum(term))::DOUBLE / 1e18
+    > $LbChi2Crit5)::BIGINT AS reject_5pct
+FROM terms GROUP BY event_type, n_days"""
+  }
+
   private val GumbelSqrt6OverPi = "0.779696801233676"
   private val GumbelGamma = "0.577215664901533"
   private val GumbelRl12 = "2.441716467239515" // -ln(-ln(11/12))

@@ -15,6 +15,47 @@ class StreamingSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("transformWithState running max matches the batch argmax across micro-batches (R21)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val b1 = Seq(
+        SensorEvent(1, t("2024-01-01 00:10:00"), 7, "a", 5.0),
+        SensorEvent(2, t("2024-01-01 00:20:00"), 7, "a", 9.0),
+        SensorEvent(3, t("2024-01-01 00:30:00"), 8, "a", 4.0))
+      val b2 = Seq(
+        SensorEvent(4, t("2024-01-01 01:00:00"), 7, "a", 3.0), // below max
+        SensorEvent(5, t("2024-01-01 01:10:00"), 8, "a", 8.0), // new max
+        SensorEvent(6, t("2024-01-01 01:20:00"), 8, "a", 8.0)) // tie -> min id
+      val stream = MemoryStream[SensorEvent]
+      val q = graft.streaming.TwsStream.runningMaxStream(stream.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode("update")
+        .start()
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      // final state per user = last (largest n_seen) update row
+      val fin = spark.table("tws")
+        .as[(Long, Double, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._4) }
+      assert(fin(7L) == ((7L, 9.0, 2L, 3L)), s"user7 ${fin(7L)}")
+      assert(fin(8L) == ((8L, 8.0, 5L, 3L)), s"user8 ${fin(8L)}")
+      // and the first micro-batch's update was already the running max
+      val mid = spark.table("tws").as[(Long, Double, Long, Long)].collect()
+        .filter(r => r._1 == 7L && r._4 == 2L)
+      assert(mid.headOption.exists(_._2 == 9.0), s"mid-state $mid")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming maxLaneFlow matches the batch plan on the same data (R8)") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(

@@ -333,4 +333,55 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("ljungBox: alternating series rejects, constant series NULLs, corpus replays exactly (C157)") {
+    def mk(ty: String, dayCounts: Seq[Int]): Seq[(Long, Timestamp, String)] =
+      dayCounts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map { i =>
+          (d.toLong * 100 + i,
+            new Timestamp(1700000000000L + d * 86400000L + i * 1000L), ty)
+        }
+      }
+    // P: strong alternation -> large |r1| -> Q past chi2(7) 5%
+    // K: constant daily counts -> zero variance -> Q NULL, not NaN
+    val rows = mk("P", Seq.fill(10)(Seq(10, 1)).flatten) ++
+      mk("K", Seq.fill(20)(3))
+    val df = rows.toDF("event_id", "ts", "event_type")
+    val got = TimeSeries.ljungBox(df)
+      .select(col("event_type"), col("n_days"), col("m_used"),
+        col("lb_sum").cast("string"), col("q"), col("reject_5pct"))
+      .as[(String, Long, Long, String, Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("P")._2 == 20L && got("P")._5.exists(_ > 14.06714) &&
+      got("P")._6.contains(1L), s"P ${got("P")}")
+    assert(got("K")._5.isEmpty, s"constant lane must NULL Q: ${got("K")}")
+    // corpus replay: lb_sum and Q from a BigInt recomputation of the
+    // exact deviation/lag frames
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+          .as("day"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+    val corpus = TimeSeries.ljungBox(Tables.load(spark, sf, "events"))
+      .select(col("event_type"), col("lb_sum").cast("string"), col("q"))
+      .as[(String, String, Double)].collect().map(r => r._1 -> r).toMap
+    daily.groupBy(_._1).foreach { case (ty, rs) =>
+      val n = BigInt(rs.length); val s = rs.map(r => BigInt(r._3)).sum
+      val e = rs.map(r => r._2 -> (n * r._3 - s)).toMap
+      val den = e.values.map(v => v * v).sum
+      if (den > 0) {
+        val lbSum = (1 to 7).map { k =>
+          val num = e.collect { case (d, v) if e.contains(d + k) =>
+            v * e(d + k) }.sum
+          val rq = (num.abs * 1000000) / den
+          (rq * rq * 1000000) / (n - k)
+        }.sum
+        val q = ((n * (n + 2) * lbSum).toDouble / 1e18 * 1e6).round / 1e6.toDouble
+        val g = corpus(ty)
+        assert(BigInt(g._2) == lbSum, s"$ty lb_sum ${g._2} != $lbSum")
+        assert(math.abs(g._3 - q) < 2e-6, s"$ty q ${g._3} vs $q")
+      }
+    }
+  }
 }
