@@ -2711,4 +2711,157 @@ SELECT from_type, nf AS n_from, round(hg::DOUBLE, 6) AS h_given,
   round(hn::DOUBLE, 6) AS h_next, round(hc::DOUBLE, 6) AS h_cond,
   round((hn - hc)::DOUBLE, 6) AS info_gain
 FROM hg CROSS JOIN hc CROSS JOIN hn"""
+
+  // ---- C158 (r10): 1-D Wasserstein distance — earth mover's between
+  // arms ----
+  // The metric member of the two-sample family: KS (C97) is the worst
+  // ECDF gap, CvM (C151) its integrated square — both unitless;
+  // W₁ = ∫\|F_a − F_b\| dx is HOW MUCH value must move, in cents — the
+  // number a finance or drift review can act on. Exact end to end:
+  // over the pooled sorted support, each segment contributes
+  // \|cum_a·n_b − cum_b·n_a\|·(next_v − v) — cross-multiplied ECDF
+  // gaps in exact integers weighted by exact cent gaps — summed as
+  // DECIMAL(38,0); W₁ = num/(n_a·n_b) is the ONE float division,
+  // round 6 (NULL when either arm is empty). Plan: one (type, v) cell
+  // aggregate, two running windows + a lead on the SAME per-type
+  // value-ordered exchange, one alphabet-bounded rollup.
+  def wasserstein1(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val tagged = events.select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"),
+      pmod(md5Long(lit("emd"), col("event_id")), lit(2)).as("arm"))
+    val cells = tagged.groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val wa = Window.partitionBy(col("event_type"))
+    val seg = cells
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
+      .withColumn("na", sum(col("ca")).over(wa))
+      .withColumn("nb", sum(col("cb")).over(wa))
+      .where(col("gap").isNotNull)
+    seg.groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(sum(abs(col("cum_a").cast(d38) * col("nb")
+        - col("cum_b").cast(d38) * col("na")) * col("gap")).as("num"))
+      .select(col("event_type"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("num").cast(d38).as("w1_num"),
+        round(col("num").cast("double") /
+          nullif(col("na").cast(d38) * col("nb"), lit(0).cast(d38))
+            .cast("double"), 6).as("w1_cents"))
+  }
+
+  val wasserstein1Sql: String = {
+    val h = graft.functions.Portable.md5LongSql("'emd'", "event_id")
+    s"""WITH tagged AS (
+  SELECT event_type, ((value::DECIMAL(18,2)) * 100)::BIGINT AS v,
+    $h % 2 AS arm
+  FROM events),
+cells AS (
+  SELECT event_type, v,
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM tagged GROUP BY 1, 2),
+seg AS (
+  SELECT event_type,
+    sum(ca) OVER (PARTITION BY event_type ORDER BY v
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_a,
+    sum(cb) OVER (PARTITION BY event_type ORDER BY v
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_b,
+    lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS gap,
+    sum(ca) OVER (PARTITION BY event_type)::BIGINT AS na,
+    sum(cb) OVER (PARTITION BY event_type)::BIGINT AS nb
+  FROM cells QUALIFY gap IS NOT NULL)
+SELECT event_type, na AS n_a, nb AS n_b,
+  sum(abs(cum_a::HUGEINT * nb - cum_b::HUGEINT * na) * gap)::DECIMAL(38,0)
+    AS w1_num,
+  round(sum(abs(cum_a::HUGEINT * nb - cum_b::HUGEINT * na) * gap)::DOUBLE
+    / nullif(na::HUGEINT * nb, 0)::DOUBLE, 6) AS w1_cents
+FROM seg GROUP BY event_type, na, nb"""
+  }
+
+  // ---- C159 (r10): iterative proportional fitting — survey raking ----
+  // The post-stratification weighting every survey/panel pipeline
+  // runs, and the classic algorithm that is PURE relational algebra:
+  // rescale the observed (priority, status) joint so BOTH margins hit
+  // uniform targets, alternating row and column fits (Deming–Stephan
+  // IPF). The C39/C154 iteration discipline whole: weights in 1e-6
+  // units, every rescale an exact decDiv (w·target div marginsum —
+  // identical floor both engines), 3 fixed rounds mirrored by the
+  // oracle's unrolled CTE chain, convergence REPORTED as exact
+  // max-margin-deviation ppm columns rather than asserted by a float
+  // tolerance. Fitting runs over the OBSERVED support (absent cells
+  // stay absent — the standard IPF zero-cell convention). Plan: ONE
+  // corpus aggregate to the ≤15-cell frame; all six rescales are
+  // windows on that alphabet-bounded frame.
+  private val IpfRounds = 3
+
+  def rakeIpf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cells = orders
+      .groupBy(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      countDistinct(col("pr")).as("r"), countDistinct(col("st")).as("cc"))
+    var w = cells.crossJoin(broadcast(tot))
+      .select(col("pr"), col("st"), col("c"),
+        (col("c").cast(d38) * 1000000L).as("w"),
+        decDiv(col("n").cast(d38) * 1000000L, col("r").cast(d38)).as("tr"),
+        decDiv(col("n").cast(d38) * 1000000L, col("cc").cast(d38)).as("tc"))
+    val Wr = Window.partitionBy(col("pr"))
+    val Wc = Window.partitionBy(col("st"))
+    for (_ <- 1 to IpfRounds) {
+      w = w.withColumn("rs", sum(col("w")).over(Wr))
+        .withColumn("w", decDiv(col("w") * col("tr"), col("rs"))).drop("rs")
+      w = w.withColumn("cs", sum(col("w")).over(Wc))
+        .withColumn("w", decDiv(col("w") * col("tc"), col("cs"))).drop("cs")
+    }
+    val fin = w.withColumn("rs", sum(col("w")).over(Wr))
+      .withColumn("cs", sum(col("w")).over(Wc))
+    val dev = fin.agg(
+      max(decDiv(abs(col("rs") - col("tr")) * 1000000L, col("tr")))
+        .cast("long").as("max_row_dev_ppm"),
+      max(decDiv(abs(col("cs") - col("tc")) * 1000000L, col("tc")))
+        .cast("long").as("max_col_dev_ppm"))
+    fin.select(col("pr"), col("st"), col("c").as("n_obs"),
+        col("w").cast("long").as("w_q6"))
+      .crossJoin(broadcast(dev))
+  }
+
+  val rakeIpfSql: String = {
+    val rounds = (1 to IpfRounds).map { i =>
+      val prev = if (i == 1) "w0" else s"b${i - 1}"
+      s"""a$i AS (
+  SELECT pr, st, c, tr, tc,
+    (w * tr) // (sum(w) OVER (PARTITION BY pr)) AS w FROM $prev),
+b$i AS (
+  SELECT pr, st, c, tr, tc,
+    (w * tc) // (sum(w) OVER (PARTITION BY st)) AS w FROM a$i)"""
+    }.mkString(",\n")
+    s"""WITH cells AS (
+  SELECT o_orderpriority AS pr, o_orderstatus AS st, count(*)::BIGINT AS c
+  FROM orders GROUP BY 1, 2),
+tot AS (SELECT sum(c)::BIGINT AS n, count(DISTINCT pr)::BIGINT AS r,
+  count(DISTINCT st)::BIGINT AS cc FROM cells),
+w0 AS (
+  SELECT pr, st, c, (c::HUGEINT * 1000000) AS w,
+    ((n::HUGEINT * 1000000) // r) AS tr,
+    ((n::HUGEINT * 1000000) // cc) AS tc
+  FROM cells CROSS JOIN tot),
+$rounds,
+fin AS (
+  SELECT pr, st, c, tr, tc, w,
+    sum(w) OVER (PARTITION BY pr) AS rs,
+    sum(w) OVER (PARTITION BY st) AS cs
+  FROM b$IpfRounds),
+dev AS (
+  SELECT max((abs(rs - tr) * 1000000) // tr)::BIGINT AS max_row_dev_ppm,
+    max((abs(cs - tc) * 1000000) // tc)::BIGINT AS max_col_dev_ppm
+  FROM fin)
+SELECT pr, st, c AS n_obs, w::BIGINT AS w_q6, max_row_dev_ppm, max_col_dev_ppm
+FROM fin CROSS JOIN dev"""
+  }
 }

@@ -3351,7 +3351,8 @@ class OperatorSpec extends SparkSpec {
       "q_cond_entropy" -> "crossJoin(broadcast(single-row transition total + single-row entropies)) over the type-alphabet cell frame — the q_kruskal pattern",
       "q_hits" -> "crossJoin(broadcast(single-row per-round max)) — the renormalization anchor, the tfidf/lm_score pattern",
       "q_stump" -> "crossJoin(broadcast(single-row totals + single-row fitted model)) — the q_nb_score model-broadcast pattern",
-      "q_ljung_box" -> "crossJoin(broadcast(7-row lag grid)) over the POST-AGGREGATE daily deviation frame — the q_acf pattern")
+      "q_ljung_box" -> "crossJoin(broadcast(7-row lag grid)) over the POST-AGGREGATE daily deviation frame — the q_acf pattern",
+      "q_ipf" -> "crossJoin(broadcast(single-row totals + single-row deviation summary)) over the 15-cell frame — the q_kruskal pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }

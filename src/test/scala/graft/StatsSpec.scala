@@ -1228,4 +1228,85 @@ class StatsSpec extends SparkSpec {
       assert(hg >= 0.0 && hc <= hn + 1e-6 && ig >= -1e-6 &&
         math.abs((hn - hc) - ig) < 2e-6, s"($hg, $hn, $hc, $ig)") }
   }
+
+  test("wasserstein1: exact BigInt W1 replays per type; single-point support is absent (C158)") {
+    def md5emd(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"emd:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = events.select(col("event_type"), col("event_id"),
+      (graft.functions.Portable.dec(col("value")) * 100).cast("long").as("v"))
+      .as[(String, Long, Long)].collect()
+    val got = Stats.wasserstein1(events)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("w1_num").cast("string"), col("w1_cents"))
+      .as[(String, Long, Long, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    raw.groupBy(_._1).foreach { case (ty, rs) =>
+      val armed = rs.map(r => (r._3, md5emd(r._2) % 2))
+      val support = armed.map(_._1).distinct.sorted
+      val na = armed.count(_._2 == 0).toLong
+      val nb = armed.length - na
+      var (ca, cb) = (BigInt(0), BigInt(0))
+      var num = BigInt(0)
+      support.zip(support.tail).foreach { case (v, nx) =>
+        ca += armed.count(r => r._1 == v && r._2 == 0)
+        cb += armed.count(r => r._1 == v && r._2 == 1)
+        num += (ca * nb - cb * na).abs * (nx - v)
+      }
+      val g = got(ty)
+      assert(g._2 == na && g._3 == nb, s"$ty arms")
+      assert(BigInt(g._4) == num, s"$ty num ${g._4} != $num")
+      assert(math.abs(g._5 - num.toDouble / (BigInt(na) * nb).toDouble) < 1e-5,
+        s"$ty w1 ${g._5}")
+    }
+    // degenerate: one support point -> no segments -> type absent
+    val one = Seq(("t", 1L, 5.0), ("t", 2L, 5.0), ("t", 3L, 5.0))
+      .toDF("event_type", "event_id", "value")
+    assert(Stats.wasserstein1(one).count() == 0L)
+  }
+
+  test("rakeIpf: a BigInt replay of the full 3-round fit matches every cell (C159)") {
+    def replay(cells: Seq[(String, String, Long)]):
+        (Map[(String, String), BigInt], BigInt, BigInt) = {
+      val n = BigInt(cells.map(_._3).sum)
+      val r = BigInt(cells.map(_._1).distinct.length)
+      val cc = BigInt(cells.map(_._2).distinct.length)
+      val tr = n * 1000000 / r; val tc = n * 1000000 / cc
+      var w = cells.map { case (p, s, c) => (p, s) -> BigInt(c) * 1000000 }.toMap
+      for (_ <- 1 to 3) {
+        val rsum = w.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+        w = w.map { case (k, v) => k -> v * tr / rsum(k._1) }
+        val csum = w.groupBy(_._1._2).map { case (s, m) => s -> m.values.sum }
+        w = w.map { case (k, v) => k -> v * tc / csum(k._2) }
+      }
+      (w, tr, tc)
+    }
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val cells = df.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("c"))
+        .as[(String, String, Long)].collect().toSeq
+      val (want, tr, tc) = replay(cells)
+      val got = Stats.rakeIpf(df)
+        .select("pr", "st", "n_obs", "w_q6", "max_row_dev_ppm",
+          "max_col_dev_ppm")
+        .as[(String, String, Long, Long, Long, Long)].collect()
+      assert(got.length == cells.length)
+      got.foreach { g =>
+        assert(BigInt(g._4) == want((g._1, g._2)), s"cell $g != ${want((g._1, g._2))}") }
+      // the reported deviations replay too
+      val rs = want.groupBy(_._1._1).map(_._2.values.sum)
+      val cs = want.groupBy(_._1._2).map(_._2.values.sum)
+      val mr = rs.map(v => (v - tr).abs * 1000000 / tr).max
+      val mc = cs.map(v => (v - tc).abs * 1000000 / tc).max
+      assert(BigInt(got.head._5) == mr && BigInt(got.head._6) == mc,
+        s"devs (${got.head._5}, ${got.head._6}) vs ($mr, $mc)")
+    }
+    // planted unbalanced 2x2 with an absent cell (zero-cell convention)
+    val planted = (Seq.fill(2)(("A", "X")) ++ Seq(("B", "X"), ("B", "Y")))
+      .toDF("o_orderpriority", "o_orderstatus")
+    check(planted)
+    check(orders)
+  }
 }
