@@ -2864,4 +2864,60 @@ dev AS (
 SELECT pr, st, c AS n_obs, w::BIGINT AS w_q6, max_row_dev_ppm, max_col_dev_ppm
 FROM fin CROSS JOIN dev"""
   }
+
+  // ---- C160 (r10): minimum detectable effect — experiment sizing ----
+  // The question asked BEFORE every A/B test the C71/C102/C158 family
+  // evaluates after: at the current per-type volume, what effect
+  // size could a 50/50 split even detect? MDE = (z_{α/2} + z_β)·
+  // √(2σ²/n_arm) at α = 5%, power = 80% — the standard two-sample
+  // sizing formula. Exactness: σ² comes from exact cent moments
+  // (n·Σx² − (Σx)² over n(n−1), both DECIMAL(38,0)); the release is
+  // ONE fixed-order float chain off those exact casts with the two
+  // z quantiles baked as shared full-precision literals (C153
+  // discipline — no inverse-normal ever runs); relative MDE divides
+  // by the exact mean. Single-row lanes NULL via nullif. Plan: one
+  // per-type moment aggregate — a single exchange, alphabet-bounded
+  // output.
+  private val MdeZSum = "2.801585218" // z_{0.975} + z_{0.80}
+
+  def mde(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val m = events.select(col("event_type"),
+        (dec(col("value")) * 100).cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(col("v").cast(d38) * col("v")).as("sx2"))
+    val mean = col("sx").cast("double") / col("n").cast("double")
+    val var0 = (col("n").cast(d38) * col("sx2") - col("sx").cast(d38) * col("sx"))
+      .cast("double") /
+      nullif(col("n").cast(d38) * (col("n") - 1), lit(0).cast(d38))
+        .cast("double")
+    val nArm = col("n").cast("double") / 2.0
+    val mdeAbs = lit(MdeZSum).cast("double") * sqrt(var0 * 2.0 / nArm)
+    m.select(col("event_type"), col("n"), col("sx").as("sum_cents"),
+      round(mean, 6).as("mean_cents"),
+      round(sqrt(var0), 6).as("sd_cents"),
+      round(mdeAbs, 6).as("mde_abs_cents"),
+      round(mdeAbs / mean * 100.0, 6).as("mde_rel_pct"))
+  }
+
+  val mdeSql: String =
+    s"""WITH m AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+    sum(((value::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS sx,
+    sum((((value::DECIMAL(18,2)) * 100)::BIGINT)::HUGEINT
+      * (((value::DECIMAL(18,2)) * 100)::BIGINT))::HUGEINT AS sx2
+  FROM events GROUP BY 1)
+SELECT event_type, n, sx AS sum_cents,
+  round(sx::DOUBLE / n::DOUBLE, 6) AS mean_cents,
+  round(sqrt((n::HUGEINT * sx2 - sx::HUGEINT * sx)::DOUBLE
+    / nullif(n::HUGEINT * (n - 1), 0)::DOUBLE), 6) AS sd_cents,
+  round($MdeZSum * sqrt(((n::HUGEINT * sx2 - sx::HUGEINT * sx)::DOUBLE
+      / nullif(n::HUGEINT * (n - 1), 0)::DOUBLE) * 2.0
+    / (n::DOUBLE / 2.0)), 6) AS mde_abs_cents,
+  round(($MdeZSum * sqrt(((n::HUGEINT * sx2 - sx::HUGEINT * sx)::DOUBLE
+      / nullif(n::HUGEINT * (n - 1), 0)::DOUBLE) * 2.0
+    / (n::DOUBLE / 2.0))) / (sx::DOUBLE / n::DOUBLE) * 100.0, 6)
+    AS mde_rel_pct
+FROM m"""
 }

@@ -3382,6 +3382,103 @@ SELECT row_number() OVER (ORDER BY score_ppm DESC, phrase ASC)::BIGINT AS rk,
 FROM scored ORDER BY score_ppm DESC, phrase ASC LIMIT $RakeTopK"""
   }
 
+  // ---- L157 (r10): TextRank keyword ranking ----
+  // The graph-based rival of L155's RAKE (Mihalcea & Tarau 2004):
+  // rank words by weighted PageRank over the co-occurrence graph —
+  // consecutive non-stopword tokens form an undirected edge weighted
+  // by corpus co-occurrence count. Centrality catches connective
+  // vocabulary that RAKE's degree/frequency ratio misses. The C39
+  // integer fixed-point discipline whole: ranks in 1e-12 units,
+  // per-edge contribution rank·w div strength as an exact decDiv
+  // (rank·w passes BIGINT at corpus scale; the quotient is rank-
+  // bounded), damping 85/100 in integer division, 10 iterations
+  // bit-identical in both engines, oracle = the same recurrence as a
+  // recursive CTE. Top-20 released under a (rank DESC, word ASC)
+  // total order. Plan: one fused posexplode pass → edge aggregate
+  // (checkpointed); each round is one join + one aggregate on the
+  // vocabulary-bounded graph.
+  private val TrIters = 10
+  private val TrUnit = 1000000000000L
+  private val TrTopK = 20
+
+  def textRank(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val toks = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0 &&
+        !col("tok").isInCollection(RakeStopwords))
+    val W = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val adj = toks.withColumn("nxt", lead(col("tok"), 1).over(W))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("tok"))
+      .select(least(col("tok"), col("nxt")).as("x"),
+        greatest(col("tok"), col("nxt")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("wt"))
+    val edges = adj.select(col("x").as("src"), col("y").as("dst"), col("wt"))
+      .unionAll(adj.select(col("y").as("src"), col("x").as("dst"), col("wt")))
+      .localCheckpoint()
+    val strength = edges.groupBy(col("src")).agg(sum(col("wt")).as("s"))
+      .localCheckpoint()
+    val n = strength.count()
+    val teleport = (15L * (TrUnit / n)) / 100L
+    var ranks = strength.select(col("src").as("v"), lit(TrUnit / n).as("rank"))
+    for (_ <- 1 to TrIters) {
+      val contrib = ranks
+        .join(strength.withColumnRenamed("src", "v"), "v")
+        .join(edges.withColumnRenamed("src", "v"), "v")
+        .select(col("dst"), graft.functions.Portable.decDiv(
+          col("rank").cast(d38) * col("wt"), col("s").cast(d38))
+          .cast("long").as("c"))
+      val inflow = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = strength.select(col("src").as("v"))
+        .join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
+        .select(col("v"),
+          (lit(teleport) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.withColumn("rk", row_number().over(
+        Window.orderBy(col("rank").desc, col("v").asc)))
+      .where(col("rk") <= TrTopK)
+      .select(col("rk").cast("long").as("rk"), col("v").as("word"),
+        col("rank"))
+  }
+
+  lazy val textRankSql: String = {
+    val stop = RakeStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE tk AS (
+  SELECT doc_id, i AS pos, t.toks[i] AS tok
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents) t,
+    LATERAL unnest(generate_series(1, len(t.toks))) AS u(i)
+  WHERE length(t.toks[i]) > 0 AND NOT list_contains($stop, t.toks[i])),
+adj0 AS (
+  SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tk),
+adj AS (
+  SELECT least(tok, nxt) AS x, greatest(tok, nxt) AS y, count(*)::BIGINT AS wt
+  FROM adj0 WHERE nxt IS NOT NULL AND nxt <> tok GROUP BY 1, 2),
+e AS (SELECT x AS src, y AS dst, wt FROM adj
+  UNION ALL SELECT y, x, wt FROM adj),
+s AS (SELECT src, sum(wt)::BIGINT AS s FROM e GROUP BY src),
+n AS (SELECT count(*) AS n FROM s),
+tr(iter, v, rank) AS (
+  SELECT 0, src, $TrUnit // (SELECT n FROM n) FROM s
+  UNION ALL
+  SELECT iter + 1, dst,
+    (15 * ($TrUnit // (SELECT n FROM n))) // 100 + (85 * sumc) // 100
+  FROM (
+    SELECT p.iter AS iter, e.dst AS dst,
+      sum((p.rank::HUGEINT * e.wt) // st.s)::BIGINT AS sumc
+    FROM tr p JOIN s st ON st.src = p.v JOIN e ON e.src = p.v
+    GROUP BY p.iter, e.dst)
+  WHERE iter < $TrIters)
+SELECT row_number() OVER (ORDER BY rank DESC, v ASC)::BIGINT AS rk,
+  v AS word, rank::BIGINT AS rank
+FROM tr WHERE iter = $TrIters
+ORDER BY rank DESC, v ASC LIMIT $TrTopK"""
+  }
+
   // ---- L156 (r10): decision stump — exact 1-split Gini learner ----
   // The weakest useful learner, and the one whose TRAINING is exactly
   // expressible as relational algebra: pick the n_chars threshold

@@ -6375,6 +6375,32 @@ class OperatorSpec extends SparkSpec {
       auths.map(_._2).distinct.length == auths.length)
   }
 
+  test("textRank: the hub of a star graph ranks first; spokes tie and break by word (L157)") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "hub spoke1 hub spoke2 hub spoke3 hub"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textRank(docs)
+      .select("rk", "word", "rank").as[(Long, String, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(got.head._2 == "hub", s"hub must rank first: $got")
+    val spokes = got.tail
+    assert(spokes.map(_._2) == Seq("spoke1", "spoke2", "spoke3"),
+      s"tie break by word: $spokes")
+    assert(spokes.map(_._3).distinct.length == 1, s"spokes must tie: $spokes")
+    assert(got.head._3 > spokes.head._3)
+    // integer mass conservation: floors only ever LOSE rank units
+    assert(got.map(_._3).sum <= 1000000000000L &&
+      got.map(_._3).sum > 900000000000L, s"mass ${got.map(_._3).sum}")
+    // corpus: 20 ranked words, non-increasing, stopword-free
+    val corpus = TextAnalysis.textRank(documents)
+      .select("rk", "word", "rank").as[(Long, String, Long)].collect()
+      .sortBy(_._1)
+    assert(corpus.length == 20 && corpus.map(_._1).toSeq == (1L to 20L))
+    assert(corpus.sliding(2).forall(w => w(0)._3 >= w(1)._3))
+    corpus.foreach { case (_, w, _) =>
+      assert(!TextAnalysis.RakeStopwords.contains(w), w) }
+  }
+
   test("blameSupplier: only the sole late supplier of a multi-supplier order is blamed (C156)") {
     def d(s: String) = java.sql.Timestamp.valueOf(s"2024-$s 00:00:00")
     val ords = Seq((1L, d("01-01")), (2L, d("01-01")), (3L, d("01-01")),

@@ -1309,4 +1309,34 @@ class StatsSpec extends SparkSpec {
     check(planted)
     check(orders)
   }
+
+  test("mde: sizing chain replays from exact cent moments; single-row lane NULLs (C160)") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // values {1.00, 1.00, 3.00, 3.00}: var = 160000/12 cents²
+    val rows = Seq(("t", 1L, 1.0), ("t", 2L, 1.0), ("t", 3L, 3.0),
+      ("t", 4L, 3.0), ("solo", 5L, 7.0))
+      .toDF("event_type", "event_id", "value")
+    val got = Stats.mde(rows)
+      .select(col("event_type"), col("n"), col("sum_cents"),
+        col("mean_cents"), col("sd_cents"), col("mde_abs_cents"),
+        col("mde_rel_pct"))
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().map(r => r._1 -> r).toMap
+    val t = got("t")
+    assert(t._2 == 4L && t._3 == 800L && t._4 == 200.0, s"t $t")
+    val v = (4.0 * 200000L - 800L.toDouble * 800L) / 12.0
+    val mdeAbs = 2.801585218 * math.sqrt(v * 2.0 / (4L.toDouble / 2.0))
+    assert(t._5.contains(r6(math.sqrt(v))) && t._6.contains(r6(mdeAbs)) &&
+      t._7.contains(r6(mdeAbs / 200.0 * 100.0)), s"t chain $t")
+    val solo = got("solo")
+    assert(solo._2 == 1L && solo._5.isEmpty && solo._6.isEmpty, s"solo $solo")
+    // corpus: MDE shrinks as n grows — spot the monotone-in-1/sqrt(n)
+    // structure by checking every lane is finite and positive
+    val c = Stats.mde(events)
+      .select("n", "sd_cents", "mde_abs_cents")
+      .as[(Long, Double, Double)].collect()
+    assert(c.nonEmpty)
+    c.foreach { case (n, sd, m) =>
+      assert(n > 1 && sd >= 0.0 && m >= 0.0 && !m.isNaN, s"($n, $sd, $m)") }
+  }
 }
