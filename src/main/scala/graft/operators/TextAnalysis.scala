@@ -3495,13 +3495,11 @@ ORDER BY rank DESC, v ASC LIMIT $TrTopK"""
   // the distinct-feature frame (value-bounded), windows and argmin on
   // that frame, one broadcast of the single-row model to the holdout
   // pass — two corpus scans total (train moments, holdout score).
-  def decisionStump(documents: DataFrame): DataFrame = {
+  /** The L156 fit core over a (x, y) train frame: the single-row
+    * best-split model, reused by the L158 forest. */
+  private def stumpModel(train: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
-    val labeled = documents.select(col("doc_id"),
-      col("n_chars").cast("long").as("x"),
-      (qualityScoreCol > NbCut).cast("long").as("y"))
-    val train = labeled.where(pmod(col("doc_id"), lit(5)) =!= 0)
     val byX = train.groupBy(col("x"))
       .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
     val tot = byX.agg(sum(col("c")).as("nn"), sum(col("p")).as("pp"))
@@ -3517,7 +3515,7 @@ ORDER BY rank DESC, v ASC LIMIT $TrTopK"""
           decDiv((col("pp") - col("p_l")).cast(d38) *
             ((col("nn") - col("n_l")) - (col("pp") - col("p_l"))) * 1000000L,
             (col("nn") - col("n_l")).cast(d38)))
-    val best = cand
+    cand
       .withColumn("rk", row_number().over(
         Window.orderBy(col("g").asc, col("x").asc)))
       .where(col("rk") === 1)
@@ -3527,6 +3525,13 @@ ORDER BY rank DESC, v ASC LIMIT $TrTopK"""
         (col("p_l") * 2 > col("n_l")).cast("long").as("pred_left"),
         ((col("pp") - col("p_l")) * 2 >
           (col("nn") - col("n_l"))).cast("long").as("pred_right"))
+  }
+
+  def decisionStump(documents: DataFrame): DataFrame = {
+    val labeled = documents.select(col("doc_id"),
+      col("n_chars").cast("long").as("x"),
+      (qualityScoreCol > NbCut).cast("long").as("y"))
+    val best = stumpModel(labeled.where(pmod(col("doc_id"), lit(5)) =!= 0))
     labeled.where(pmod(col("doc_id"), lit(5)) === 0)
       .crossJoin(broadcast(best))
       .withColumn("pred", when(col("x") <= col("threshold"), col("pred_left"))
@@ -3540,6 +3545,192 @@ ORDER BY rank DESC, v ASC LIMIT $TrTopK"""
       .withColumn("acc_ppm", expr(
         "((tp + tn) * 1000000L) div (tp + fp + tn + fn)"))
   }
+
+  // ---- L158 (r10): stump forest — multi-feature ensemble vote ----
+  // The one-step ensemble on top of L156: fit one exact Gini stump
+  // per feature (n_chars, punct count, digit count, stopword hits —
+  // the L9 quality signal's own raw ingredients), then majority-vote
+  // them on the holdout fifth. The readout every feature review
+  // wants: each feature's standalone accuracy AND whether combining
+  // them beats the best single cut. Same exactness contract as L156
+  // end to end (decDiv impurities, integer argmin, exact ppm
+  // accuracies); the ensemble vote is an integer comparison (2·votes
+  // > k, ties to 0). Plan: one labeled projection, four value-bounded
+  // stump fits, ONE holdout pass against four broadcast single-row
+  // models, a 5-row union of exact aggregates.
+  private lazy val ForestFeatures: Seq[(String, Column, String)] = Seq(
+    ("n_chars", col("n_chars").cast("long"), "n_chars::BIGINT"),
+    ("n_toks",
+      size(filter(tokens(col("text")), t => length(t) > 0)).cast("long"),
+      "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0))::BIGINT"),
+    ("vocab",
+      size(array_distinct(filter(tokens(col("text")), t => length(t) > 0)))
+        .cast("long"),
+      "len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)))::BIGINT"),
+    ("stops", hitCount(tokens(col("text")), stopwords.head._2).cast("long"), {
+      val lst = stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains($lst, t)))::BIGINT"
+    }))
+
+  def stumpForest(documents: DataFrame): DataFrame = {
+    val feats = ForestFeatures
+    val labeled = documents.select(
+      Seq(col("doc_id"), (qualityScoreCol > NbCut).cast("long").as("y")) ++
+        feats.map { case (nm, c, _) => c.as(s"x_$nm") }: _*)
+    val train = labeled.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val models = feats.map { case (nm, _, _) =>
+      nm -> stumpModel(train.select(col(s"x_$nm").as("x"), col("y")))
+        .select(col("threshold").as(s"th_$nm"),
+          col("pred_left").as(s"pl_$nm"), col("pred_right").as(s"pr_$nm"))
+    }
+    val hold = models.foldLeft(
+      labeled.where(pmod(col("doc_id"), lit(5)) === 0)) {
+      case (df, (_, m)) => df.crossJoin(broadcast(m))
+    }
+    val preds = feats.foldLeft(hold) { case (df, (nm, _, _)) =>
+      df.withColumn(s"p_$nm",
+        when(col(s"x_$nm") <= col(s"th_$nm"), col(s"pl_$nm"))
+          .otherwise(col(s"pr_$nm")))
+    }.withColumn("p_ens",
+      (feats.map(f => col(s"p_${f._1}")).reduce(_ + _) * 2 >
+        feats.length).cast("long"))
+    val summary = preds.groupBy(feats.map(f => col(s"th_${f._1}")): _*)
+      .agg(
+        expr(s"(sum(cast(p_${feats.head._1} = y as long)) * 1000000L) div count(1)")
+          .as(s"acc_${feats.head._1}"),
+        feats.tail.map { case (nm, _, _) =>
+          expr(s"(sum(cast(p_$nm = y as long)) * 1000000L) div count(1)")
+            .as(s"acc_$nm")
+        } :+ expr("(sum(cast(p_ens = y as long)) * 1000000L) div count(1)")
+          .as("acc_ens"): _*)
+    val rows = feats.map { case (nm, _, _) =>
+      summary.select(lit(nm).as("model"), col(s"th_$nm").as("threshold"),
+        col(s"acc_$nm").as("acc_ppm"))
+    } :+ summary.select(lit("ensemble").as("model"),
+      lit(null).cast("long").as("threshold"), col("acc_ens").as("acc_ppm"))
+    rows.reduce(_ unionAll _)
+  }
+
+  lazy val stumpForestSql: String = {
+    val feats = ForestFeatures
+    val featCols = feats.map { case (nm, _, sql) => s"$sql AS x_$nm" }
+      .mkString(",\n    ")
+    val chains = feats.map { case (nm, _, _) =>
+      s"""byx_$nm AS (
+  SELECT x_$nm AS x, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+  FROM labeled WHERE doc_id % 5 <> 0 GROUP BY 1),
+tot_$nm AS (SELECT sum(c)::BIGINT AS nn, sum(p)::BIGINT AS pp FROM byx_$nm),
+cand_$nm AS (
+  SELECT x,
+    sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)::BIGINT AS n_l,
+    sum(p) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)::BIGINT AS p_l,
+    nn, pp
+  FROM byx_$nm CROSS JOIN tot_$nm QUALIFY n_l < nn),
+best_$nm AS (
+  SELECT x AS th_$nm, (p_l * 2 > n_l)::BIGINT AS pl_$nm,
+    ((pp - p_l) * 2 > (nn - n_l))::BIGINT AS pr_$nm
+  FROM cand_$nm
+  ORDER BY ((p_l::HUGEINT * (n_l - p_l) * 1000000) // n_l::HUGEINT
+    + ((pp - p_l)::HUGEINT * ((nn - n_l) - (pp - p_l)) * 1000000)
+      // (nn - n_l)::HUGEINT) ASC, x ASC
+  LIMIT 1)"""
+    }.mkString(",\n")
+    val crossBests = feats.map(f => s"CROSS JOIN best_${f._1}").mkString(" ")
+    val predCols = feats.map { case (nm, _, _) =>
+      s"CASE WHEN x_$nm <= th_$nm THEN pl_$nm ELSE pr_$nm END AS p_$nm"
+    }.mkString(",\n    ")
+    val thCols = feats.map(f => s"th_${f._1}").mkString(", ")
+    val voteSum = feats.map(f => s"p_${f._1}").mkString(" + ")
+    val accCols = feats.map { case (nm, _, _) =>
+      s"((sum((p_$nm = y)::BIGINT) * 1000000) // count(*))::BIGINT AS acc_$nm"
+    }.mkString(",\n    ")
+    val unions = feats.map { case (nm, _, _) =>
+      s"SELECT '$nm' AS model, th_$nm AS threshold, acc_$nm AS acc_ppm FROM summary"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH labeled AS (
+  SELECT doc_id, ($qualityScoreSqlExpr > $NbCut)::BIGINT AS y,
+    $featCols
+  FROM documents),
+$chains,
+preds AS (
+  SELECT y, $thCols,
+    $predCols
+  FROM labeled $crossBests WHERE doc_id % 5 = 0),
+voted AS (
+  SELECT *, (($voteSum) * 2 > ${feats.length})::BIGINT AS p_ens FROM preds),
+summary AS (
+  SELECT $thCols,
+    $accCols,
+    ((sum((p_ens = y)::BIGINT) * 1000000) // count(*))::BIGINT AS acc_ens
+  FROM voted GROUP BY $thCols)
+$unions
+UNION ALL
+SELECT 'ensemble' AS model, NULL::BIGINT AS threshold, acc_ens AS acc_ppm
+FROM summary"""
+  }
+
+  // ---- L159 (r10): WoE / Information Value — scorecard binning ----
+  // The credit-scoring feature readout beside L156's stump: split
+  // n_chars into 10 equal-population bins (global ntile under a
+  // (x, doc_id) total order — the C48 contract; C25's approximate
+  // quantiles are the declared 100× path) and report each bin's
+  // Weight of Evidence ln((g·B)/(b·G)) against the L9 quality label,
+  // plus the feature's total Information Value Σ (g/G − b/B)·WoE —
+  // THE standard "is this feature worth binning into the model"
+  // number. Exactness: counts exact; WoE is one ln of a ratio of
+  // exact integer products (NULL for pure bins, the standard
+  // zero-cell convention — never ±inf); IV terms are fixed-order
+  // float chains quantized DECIMAL(18,9) before the order-free sum
+  // (the L13/C152 entropy discipline). Plan: one global ntile
+  // window, one 10-row bin aggregate, single-row broadcasts.
+  def woeIv(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d9 = "decimal(18,9)"
+    val labeled = documents.select(col("doc_id"),
+      col("n_chars").cast("long").as("x"),
+      (qualityScoreCol > NbCut).cast("long").as("y"))
+    val binned = labeled.withColumn("bin",
+      ntile(10).over(Window.orderBy(col("x"), col("doc_id"))).cast("long"))
+    val bins = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("g"))
+      .withColumn("b", col("n") - col("g"))
+    val tot = bins.agg(sum(col("g")).as("gg"), sum(col("b")).as("bb"))
+    val scored = bins.crossJoin(broadcast(tot))
+      .withColumn("woe", when(col("g") === 0 || col("b") === 0,
+        lit(null).cast("double"))
+        .otherwise(round(log((col("g") * col("bb")).cast("double") /
+          (col("b") * col("gg")).cast("double")), 6)))
+      .withColumn("iv_term",
+        ((col("g") * col("bb") - col("b") * col("gg")).cast("double") /
+          (col("gg") * col("bb")).cast("double") * col("woe")).cast(d9))
+    val iv = scored.agg(round(sum(col("iv_term")).cast("double"), 6).as("iv"))
+    scored.select(col("bin"), col("n"), col("g"), col("b"), col("woe"))
+      .crossJoin(broadcast(iv))
+  }
+
+  lazy val woeIvSql: String =
+    s"""WITH labeled AS (
+  SELECT doc_id, n_chars::BIGINT AS x,
+    ($qualityScoreSqlExpr > $NbCut)::BIGINT AS y
+  FROM documents),
+binned AS (
+  SELECT y, ntile(10) OVER (ORDER BY x, doc_id)::BIGINT AS bin FROM labeled),
+bins AS (
+  SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS g,
+    (count(*) - sum(y))::BIGINT AS b
+  FROM binned GROUP BY 1),
+tot AS (SELECT sum(g)::BIGINT AS gg, sum(b)::BIGINT AS bb FROM bins),
+scored AS (
+  SELECT bin, n, g, b,
+    CASE WHEN g = 0 OR b = 0 THEN NULL
+      ELSE round(ln((g * bb)::DOUBLE / (b * gg)::DOUBLE), 6) END AS woe,
+    CAST((g * bb - b * gg)::DOUBLE / (gg * bb)::DOUBLE
+      * (CASE WHEN g = 0 OR b = 0 THEN NULL
+          ELSE round(ln((g * bb)::DOUBLE / (b * gg)::DOUBLE), 6) END)
+      AS DECIMAL(18,9)) AS iv_term
+  FROM bins CROSS JOIN tot),
+iv AS (SELECT round(sum(iv_term)::DOUBLE, 6) AS iv FROM scored)
+SELECT bin, n, g, b, woe, iv FROM scored CROSS JOIN iv"""
 
   lazy val decisionStumpSql: String =
     s"""WITH labeled AS (

@@ -3352,7 +3352,9 @@ class OperatorSpec extends SparkSpec {
       "q_hits" -> "crossJoin(broadcast(single-row per-round max)) — the renormalization anchor, the tfidf/lm_score pattern",
       "q_stump" -> "crossJoin(broadcast(single-row totals + single-row fitted model)) — the q_nb_score model-broadcast pattern",
       "q_ljung_box" -> "crossJoin(broadcast(7-row lag grid)) over the POST-AGGREGATE daily deviation frame — the q_acf pattern",
-      "q_ipf" -> "crossJoin(broadcast(single-row totals + single-row deviation summary)) over the 15-cell frame — the q_kruskal pattern")
+      "q_ipf" -> "crossJoin(broadcast(single-row totals + single-row deviation summary)) over the 15-cell frame — the q_kruskal pattern",
+      "q_forest" -> "crossJoin(broadcast(four single-row fitted stumps)) — the q_stump model-broadcast pattern",
+      "q_woe_iv" -> "crossJoin(broadcast(single-row class totals + single-row IV)) — the q_stump pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -6451,6 +6453,75 @@ class OperatorSpec extends SparkSpec {
     val holdN = documents.where(pmod(col("doc_id"), lit(5)) === 0).count()
     assert(c._1 == holdN && c._2 >= 0L && c._2 <= 1000000L && c._3 >= 0L,
       s"$c vs $holdN")
+  }
+
+  test("stumpForest: a separable corpus is perfect on every member and the vote (L158)") {
+    import graft.operators.TextAnalysis
+    // vocab 2 vs 1 — every feature must vary on train (the declared
+    // non-constant-feature contract; a constant feature has no split)
+    val neg = "9! 8@ 9!"
+    val pos = ("the " * 29) + "the"
+    val docs = Seq(1L -> neg, 2L -> neg, 3L -> neg, 5L -> neg,
+      6L -> pos, 7L -> pos, 8L -> pos, 10L -> pos)
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.stumpForest(docs)
+      .select("model", "threshold", "acc_ppm")
+      .as[(String, Option[Long], Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 5, s"$got")
+    assert(got("ensemble") == (("ensemble", None, 1000000L)), s"${got("ensemble")}")
+    Seq("n_chars", "n_toks", "vocab", "stops").foreach { f =>
+      assert(got(f)._2.nonEmpty && got(f)._3 == 1000000L, s"$f ${got(f)}") }
+    // corpus: 5 rows, acc in range, members carry thresholds, the
+    // vote never falls below the WORST member (majority of 4 with
+    // ties-to-0 can underrun the best, but not the floor... assert
+    // range only — the interesting corpus fact is recorded by hash)
+    val corpus = TextAnalysis.stumpForest(documents)
+      .select("model", "threshold", "acc_ppm")
+      .as[(String, Option[Long], Long)].collect()
+    assert(corpus.length == 5)
+    corpus.foreach { case (m, th, acc) =>
+      assert(acc >= 0L && acc <= 1000000L, s"$m acc $acc")
+      assert((m == "ensemble") == th.isEmpty, s"$m threshold $th") }
+  }
+
+  test("woeIv: balanced bins read WoE 0 and IV 0; pure bins NULL (L159)") {
+    import graft.operators.TextAnalysis
+    val neg23 = ("9! " * 7) + "9!"
+    val pos23 = ("the " * 5) + "the"
+    val neg119 = ("9! " * 39) + "9!"
+    val pos119 = ("the " * 29) + "the"
+    assert(neg23.length == 23 && pos23.length == 23 &&
+      neg119.length == 119 && pos119.length == 119)
+    // alternating labels inside every 2-doc ntile bin: each bin is
+    // 1 pos / 1 neg -> WoE = ln(B/G) = ln(1) = 0, IV = 0 exactly
+    val docs = ((1L to 10L).map(id =>
+      (id, if (id % 2 == 1) pos23 else neg23, 23L)) ++
+      (11L to 20L).map(id =>
+        (id, if (id % 2 == 1) pos119 else neg119, 119L)))
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.woeIv(docs)
+      .select("bin", "n", "g", "b", "woe", "iv")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].collect()
+    assert(got.length == 10)
+    got.foreach { case (bin, n, g, b, woe, iv) =>
+      assert(n == 2L && g == 1L && b == 1L, s"bin $bin ($n, $g, $b)")
+      assert(woe.contains(0.0) && iv.contains(0.0), s"bin $bin ($woe, $iv)") }
+    // pure bins: the zero-cell convention NULLs WoE (never ±inf)
+    val pure = (Seq.fill(10)(pos23).zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, t, 23L) } ++
+      Seq.fill(10)(neg119).zipWithIndex.map { case (t, i) =>
+        ((i + 11).toLong, t, 119L) })
+      .toDF("doc_id", "text", "n_chars")
+    TextAnalysis.woeIv(pure).select("woe").as[Option[Double]].collect()
+      .foreach(w => assert(w.isEmpty, s"pure bin woe $w"))
+    // corpus: 10 equal-population bins partitioning the corpus; IV
+    // non-negative up to the declared rounded-WoE residue
+    val corpus = TextAnalysis.woeIv(documents)
+      .select("n", "iv").as[(Long, Option[Double])].collect()
+    assert(corpus.length == 10)
+    assert(corpus.map(_._1).sum == documents.count())
+    corpus.flatMap(_._2).foreach(iv => assert(iv >= -1e-6, s"iv $iv"))
   }
 
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {
