@@ -4591,4 +4591,165 @@ blamed AS (
   GROUP BY 1)
 SELECT l_suppkey AS suppkey, s_name, n_blamed
 FROM blamed JOIN supplier ON s_suppkey = l_suppkey"""
+
+  // ---- C161 (r10): Simpson's-paradox audit — aggregation honesty ----
+  // The dashboard trap every aggregate view risks: an association that
+  // holds overall can REVERSE inside every stratum (confounding by
+  // the stratifier). This audits the (URGENT priority ↔ status F)
+  // association overall vs within each order-year: the association
+  // sign is sign(n·n11 − n1·m1) — the 2×2 lift numerator — computed
+  // on EXACT integer counts with a pure sign comparison, no float
+  // anywhere (the C150 discipline applied to a direction decision).
+  // Output: per-stratum signs plus the overall sign, agree/disagree
+  // tallies, and the classic full-reversal flag (overall non-zero,
+  // zero agreeing strata, at least one disagreeing). Plan: one
+  // conditional aggregate per stratum off a single scan + a
+  // stratum-bounded rollup; overall from the same frame.
+  def simpsonAudit(orders: DataFrame): DataFrame = {
+    val base = orders.select(year(col("o_orderdate")).cast("long").as("yr"),
+      (col("o_orderpriority") === "1-URGENT").cast("long").as("a"),
+      (col("o_orderstatus") === "F").cast("long").as("b"))
+    val strata = base.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n"), sum(col("a") * col("b")).as("n11"),
+        sum(col("a")).as("n1"), sum(col("b")).as("m1"))
+      .withColumn("sgn", signum(
+        (col("n") * col("n11") - col("n1") * col("m1")).cast("double"))
+        .cast("long"))
+    val overall = strata.agg(sum(col("n")).as("n"), sum(col("n11")).as("n11"),
+        sum(col("n1")).as("n1"), sum(col("m1")).as("m1"))
+      .select(signum((col("n") * col("n11") - col("n1") * col("m1"))
+        .cast("double")).cast("long").as("overall_sgn"))
+    val tallies = strata.crossJoin(broadcast(overall))
+      .agg(max(col("overall_sgn")).as("overall_sgn"),
+        sum((col("sgn") === col("overall_sgn")).cast("long")).as("n_agree"),
+        sum((col("sgn") === -col("overall_sgn")).cast("long")).as("n_disagree"))
+      .select(col("overall_sgn"), col("n_agree"), col("n_disagree"),
+        (col("overall_sgn") =!= 0 && col("n_agree") === 0 &&
+          col("n_disagree") > 0).cast("long").as("full_reversal"))
+    strata.select(col("yr"), col("n"), col("n11"), col("n1"), col("m1"),
+        col("sgn"))
+      .crossJoin(broadcast(tallies))
+  }
+
+  val simpsonAuditSql: String =
+    """WITH base AS (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+    (o_orderpriority = '1-URGENT')::BIGINT AS a,
+    (o_orderstatus = 'F')::BIGINT AS b
+  FROM orders),
+strata AS (
+  SELECT yr, count(*)::BIGINT AS n, sum(a * b)::BIGINT AS n11,
+    sum(a)::BIGINT AS n1, sum(b)::BIGINT AS m1,
+    sign(n * n11 - n1 * m1)::BIGINT AS sgn
+  FROM base GROUP BY yr),
+overall AS (
+  SELECT sign(sum(n) * sum(n11) - sum(n1) * sum(m1))::BIGINT AS overall_sgn
+  FROM strata),
+tallies AS (
+  SELECT max(overall_sgn)::BIGINT AS overall_sgn,
+    sum((sgn = overall_sgn)::BIGINT)::BIGINT AS n_agree,
+    sum((sgn = -overall_sgn)::BIGINT)::BIGINT AS n_disagree
+  FROM strata CROSS JOIN overall)
+SELECT yr, n, n11, n1, m1, sgn, overall_sgn, n_agree, n_disagree,
+  (overall_sgn <> 0 AND n_agree = 0 AND n_disagree > 0)::BIGINT
+    AS full_reversal
+FROM strata CROSS JOIN tallies"""
+
+  // ---- C162 (r10): declarative data-quality rule report ----
+  // The "expectations" audit a warehouse runs before trusting a load:
+  // one unified (rule, checked, violations, pass) report covering the
+  // three rule classes — range/null checks (map-side conditional
+  // counts), key uniqueness (distinct-vs-count), and referential
+  // integrity across the full FK chain (anti-join orphan counts on
+  // lineitem→orders, orders→customer, customer→nation,
+  // nation→region). Exact integers end to end; `pass` is an integer
+  // comparison. Plan: one aggregate per fact table + one broadcast
+  // anti-join per FK edge (dims broadcast; the lineitem→orders edge
+  // is the one fact-fact anti-join and stays a shuffle join at
+  // scale); the report is a fixed 8-row union.
+  def dqRules(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    def row(rule: String, checked: Column, viol: Column, df: DataFrame) =
+      df.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).cast("long").as("pass"))
+    val r1 = row("orders.totalprice_positive", count(lit(1)),
+      sum((col("o_totalprice").isNull || col("o_totalprice") <= 0)
+        .cast("long")), orders)
+    val r2 = row("orders.orderdate_in_range", count(lit(1)),
+      sum((col("o_orderdate").isNull ||
+        year(col("o_orderdate")) < 1990 || year(col("o_orderdate")) >= 2030)
+        .cast("long")), orders)
+    val r3 = row("lineitem.quantity_in_range", count(lit(1)),
+      sum((col("l_quantity").isNull || col("l_quantity") <= 0 ||
+        col("l_quantity") > 100).cast("long")), lineitem)
+    val r4 = row("orders.orderkey_unique", count(lit(1)),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))), orders)
+    def orphans(rule: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String) = {
+      val o = child.join(parent.select(col(pkey).as(key)), Seq(key),
+        "left_anti")
+      child.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n_violations"))))
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).cast("long").as("pass"))
+    }
+    Seq(r1, r2, r3, r4,
+      orphans("lineitem.orderkey_ri", lineitem.select(col("l_orderkey")),
+        "l_orderkey", orders.select(col("o_orderkey")), "o_orderkey"),
+      orphans("orders.custkey_ri", orders.select(col("o_custkey")),
+        "o_custkey", customer.select(col("c_custkey")), "c_custkey"),
+      orphans("customer.nationkey_ri", customer.select(col("c_nationkey")),
+        "c_nationkey", nation.select(col("n_nationkey")), "n_nationkey"),
+      orphans("nation.regionkey_ri", nation.select(col("n_regionkey")),
+        "n_regionkey", region.select(col("r_regionkey")), "r_regionkey"))
+      .reduce(_ unionAll _)
+  }
+
+  val dqRulesSql: String =
+    """SELECT 'orders.totalprice_positive' AS rule, count(*)::BIGINT AS n_checked,
+  sum((o_totalprice IS NULL OR o_totalprice <= 0)::BIGINT)::BIGINT
+    AS n_violations,
+  (sum((o_totalprice IS NULL OR o_totalprice <= 0)::BIGINT) = 0)::BIGINT
+    AS pass
+FROM orders
+UNION ALL
+SELECT 'orders.orderdate_in_range', count(*)::BIGINT,
+  sum((o_orderdate IS NULL OR EXTRACT(year FROM o_orderdate) < 1990
+    OR EXTRACT(year FROM o_orderdate) >= 2030)::BIGINT)::BIGINT,
+  (sum((o_orderdate IS NULL OR EXTRACT(year FROM o_orderdate) < 1990
+    OR EXTRACT(year FROM o_orderdate) >= 2030)::BIGINT) = 0)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'lineitem.quantity_in_range', count(*)::BIGINT,
+  sum((l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 100)::BIGINT)
+    ::BIGINT,
+  (sum((l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 100)::BIGINT)
+    = 0)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'orders.orderkey_unique', count(*)::BIGINT,
+  (count(*) - count(DISTINCT o_orderkey))::BIGINT,
+  (count(*) = count(DISTINCT o_orderkey))::BIGINT
+FROM orders
+UNION ALL
+SELECT 'lineitem.orderkey_ri', (SELECT count(*) FROM lineitem)::BIGINT,
+  count(*)::BIGINT, (count(*) = 0)::BIGINT
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders.custkey_ri', (SELECT count(*) FROM orders)::BIGINT,
+  count(*)::BIGINT, (count(*) = 0)::BIGINT
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer.nationkey_ri', (SELECT count(*) FROM customer)::BIGINT,
+  count(*)::BIGINT, (count(*) = 0)::BIGINT
+FROM customer c WHERE NOT EXISTS (
+  SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'nation.regionkey_ri', (SELECT count(*) FROM nation)::BIGINT,
+  count(*)::BIGINT, (count(*) = 0)::BIGINT
+FROM nation na WHERE NOT EXISTS (
+  SELECT 1 FROM region r WHERE r.r_regionkey = na.n_regionkey)"""
 }

@@ -3354,7 +3354,9 @@ class OperatorSpec extends SparkSpec {
       "q_ljung_box" -> "crossJoin(broadcast(7-row lag grid)) over the POST-AGGREGATE daily deviation frame — the q_acf pattern",
       "q_ipf" -> "crossJoin(broadcast(single-row totals + single-row deviation summary)) over the 15-cell frame — the q_kruskal pattern",
       "q_forest" -> "crossJoin(broadcast(four single-row fitted stumps)) — the q_stump model-broadcast pattern",
-      "q_woe_iv" -> "crossJoin(broadcast(single-row class totals + single-row IV)) — the q_stump pattern")
+      "q_woe_iv" -> "crossJoin(broadcast(single-row class totals + single-row IV)) — the q_stump pattern",
+      "q_simpson" -> "crossJoin(broadcast(single-row overall sign + single-row tallies)) over the year-bounded strata frame — the q_kruskal pattern",
+      "q_dq_rules" -> "crossJoin(broadcast(single-row orphan counts)) per FK edge — the tfidf/lm_score pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -6522,6 +6524,74 @@ class OperatorSpec extends SparkSpec {
     assert(corpus.length == 10)
     assert(corpus.map(_._1).sum == documents.count())
     corpus.flatMap(_._2).foreach(iv => assert(iv >= -1e-6, s"iv $iv"))
+  }
+
+  test("simpsonAudit: a planted full reversal is flagged; signs are exact (C161)") {
+    def o(yr: Int, urgent: Boolean, f: Boolean, n: Int) = Seq.fill(n)(
+      (if (urgent) "1-URGENT" else "3-MEDIUM", if (f) "F" else "O",
+        java.sql.Timestamp.valueOf(s"$yr-06-01 00:00:00")))
+    // 1994: urgent 0/1 F vs other 1/9 -> negative; 1995: urgent 7/9 F
+    // vs other 1/1 -> negative; pooled: urgent 7/10 vs other 2/10 ->
+    // POSITIVE. The textbook reversal.
+    val rows = o(1994, true, false, 1) ++ o(1994, false, true, 1) ++
+      o(1994, false, false, 8) ++
+      o(1995, true, true, 7) ++ o(1995, true, false, 2) ++
+      o(1995, false, true, 1)
+    val got = Relational.simpsonAudit(rows
+      .toDF("o_orderpriority", "o_orderstatus", "o_orderdate"))
+      .select("yr", "n", "sgn", "overall_sgn", "n_agree", "n_disagree",
+        "full_reversal")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1994L)._3 == -1L && got(1995L)._3 == -1L, s"$got")
+    got.values.foreach { r =>
+      assert(r._4 == 1L && r._5 == 0L && r._6 == 2L && r._7 == 1L, s"$r") }
+    // corpus: tallies bound the stratum count; flag consistent
+    val corpus = Relational.simpsonAudit(Tables.load(spark, sf, "orders"))
+      .select("sgn", "overall_sgn", "n_agree", "n_disagree", "full_reversal")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val n = corpus.length
+    corpus.foreach { case (sgn, ov, ag, dis, fl) =>
+      assert(math.abs(sgn) <= 1 && math.abs(ov) <= 1 && ag + dis <= n)
+      assert((fl == 1L) == (ov != 0L && ag == 0L && dis > 0L)) }
+  }
+
+  test("dqRules: planted violations are counted per rule; the corpus is clean (C162)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
+    val ords = Seq(
+      (1L, 10L, "O", 100.0, ts("1995-01-01")),
+      (1L, 10L, "O", 50.0, ts("1995-01-02")),   // dup orderkey
+      (2L, 99L, "F", -5.0, ts("1985-01-01")),   // bad price+date+orphan cust
+      (3L, 11L, "F", 20.0, ts("1996-01-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+    val lines = Seq((1L, 5.0), (7L, 0.0))        // orphan orderkey + qty 0
+      .toDF("l_orderkey", "l_quantity")
+    val cust = Seq((10L, 1L), (11L, 99L)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((1L, 0L), (2L, 77L)).toDF("n_nationkey", "n_regionkey")
+    val reg = Seq((0L, "R0")).toDF("r_regionkey", "r_name")
+    val got = Relational.dqRules(ords, lines, cust, nat, reg)
+      .select("rule", "n_checked", "n_violations", "pass")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("orders.totalprice_positive") ==
+      (("orders.totalprice_positive", 4L, 1L, 0L)))
+    assert(got("orders.orderdate_in_range")._3 == 1L)
+    assert(got("lineitem.quantity_in_range") ==
+      (("lineitem.quantity_in_range", 2L, 1L, 0L)))
+    assert(got("orders.orderkey_unique")._3 == 1L)
+    assert(got("lineitem.orderkey_ri")._3 == 1L, s"${got("lineitem.orderkey_ri")}")
+    assert(got("orders.custkey_ri")._3 == 1L)      // custkey 99 has no row
+    assert(got("customer.nationkey_ri")._3 == 1L)  // nationkey 99
+    assert(got("nation.regionkey_ri")._3 == 1L)    // regionkey 77
+    // corpus: all 8 rules green over the synthetic warehouse
+    val corpus = Relational.dqRules(Tables.load(spark, sf, "orders"),
+      Tables.load(spark, sf, "lineitem"), Tables.load(spark, sf, "customer"),
+      Tables.load(spark, sf, "nation"), Tables.load(spark, sf, "region"))
+      .select("rule", "n_checked", "n_violations", "pass")
+      .as[(String, Long, Long, Long)].collect()
+    assert(corpus.length == 8)
+    corpus.foreach { case (rule, n, v, p) =>
+      assert(n > 0 && v == 0L && p == 1L, s"$rule ($n, $v, $p)") }
   }
 
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {
