@@ -4518,18 +4518,18 @@ FROM agg"""
   val hitsSql: String = {
     val rounds = (1 to HitsIters).map { i =>
       val prevH = if (i == 1) "h0" else s"h${i - 1}"
-      s"""a${i}r AS (
+      s"""a${i}r AS MATERIALIZED (
   SELECT s, sum(h)::HUGEINT AS ar FROM e JOIN $prevH USING (c) GROUP BY s),
-a$i AS (
+a$i AS MATERIALIZED (
   SELECT s, ((ar * $HitsUnit) // (SELECT max(ar) FROM a${i}r))::BIGINT AS a
   FROM a${i}r),
-h${i}r AS (
+h${i}r AS MATERIALIZED (
   SELECT c, sum(a)::HUGEINT AS hr FROM e JOIN a$i USING (s) GROUP BY c),
-h$i AS (
+h$i AS MATERIALIZED (
   SELECT c, ((hr * $HitsUnit) // (SELECT max(hr) FROM h${i}r))::BIGINT AS h
   FROM h${i}r)"""
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
 h0 AS (SELECT DISTINCT c, ${HitsUnit}::BIGINT AS h FROM e),

@@ -1805,4 +1805,127 @@ SELECT label, count(*)::BIGINT AS n,
   sum(CASE WHEN bq < aq THEN 1 ELSE 0 END)::BIGINT AS n_misassigned,
   round(sum(s::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_sil
 FROM pt GROUP BY label"""
+
+  // ---- L161 (r10): first principal component — integer power
+  // iteration ----
+  // The dimensionality question under every embedding audit (L85's
+  // isotropy, L84's drift): what direction carries the most variance,
+  // and how much? PCA's first component by power iteration on the
+  // EXACT integer covariance numerator M = n·G − S·Sᵀ (Gram and mean
+  // sums in 1e-12 units off round-6 micro components — the L153
+  // moment discipline; no mean is ever divided out). The C39/C154
+  // iteration rule whole: the weight vector lives in 1e-6 units, each
+  // round renormalizes by max|·| via exact decDiv with
+  // truncation-toward-zero sign handling identical in both engines,
+  // 5 fixed rounds mirrored by the oracle's unrolled CTE chain. The
+  // released floats are the Rayleigh quotient λ = wᵀMw/wᵀw and its
+  // share of trace(M) — two fixed-order divisions off exact decimals,
+  // round 6. Exact to ~5·10⁵ vectors at 64 dims (num ≲ 10³⁸); beyond,
+  // rescale units (the declared path). Plan: ONE posexplode pass; the
+  // Gram self-join keys on vec_id and partial-aggregates map-side to
+  // the 64×64 cell frame; every iteration is a join + aggregate on
+  // that dims-bounded frame.
+  private val PcaIters = 5
+
+  def pcaPower(embeddings: DataFrame): DataFrame = {
+    val d6 = "decimal(18,6)"
+    val d38 = "decimal(38,0)"
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d"),
+        (round(col("v").cast("double"), 6).cast(d6) * 1000000)
+          .cast("long").as("v6"))
+    val nRow = embeddings.agg(count(lit(1)).as("n"))
+    val s = x.groupBy(col("d")).agg(sum(col("v6")).as("s6"))
+    val g = x.as("a").join(x.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.d").as("i"), col("b.d").as("j"))
+      .agg(sum(col("a.v6").cast(d38) * col("b.v6")).as("g"))
+    val m = g
+      .join(broadcast(s.select(col("d").as("i"), col("s6").as("si"))), "i")
+      .join(broadcast(s.select(col("d").as("j"), col("s6").as("sj"))), "j")
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        (col("n").cast(d38) * col("g") - col("si").cast(d38) * col("sj"))
+          .as("m"))
+      .localCheckpoint()
+    var w = m.select(col("i").as("d")).distinct()
+      .select(col("d"), lit(1000000L).as("w"))
+    var lastMw: DataFrame = null
+    var lastW: DataFrame = null
+    for (_ <- 1 to PcaIters) {
+      lastW = w
+      val mw = m.join(w.withColumnRenamed("d", "j"), "j")
+        .groupBy(col("i").as("d")).agg(sum(col("m") * col("w")).as("mw"))
+      lastMw = mw.localCheckpoint()
+      val mx = lastMw.agg(max(abs(col("mw"))).as("mx"))
+      w = lastMw.crossJoin(broadcast(mx))
+        .select(col("d"),
+          (when(col("mw") < 0, -1L).otherwise(1L) *
+            decDiv(abs(col("mw")) * 1000000L,
+              nullif(col("mx"), lit(0).cast(d38))).cast("long")).as("w"))
+        .localCheckpoint()
+    }
+    val ray = lastMw.join(lastW, "d")
+      .agg(sum(col("mw") * col("w")).as("num"),
+        sum(col("w").cast(d38) * col("w")).as("den"))
+    val tr = m.where(col("i") === col("j")).agg(sum(col("m")).as("tr"))
+    val summary = ray.crossJoin(broadcast(tr))
+      .select(
+        round(col("num").cast("double") /
+          nullif(col("den"), lit(0).cast(d38)).cast("double"), 6)
+          .as("lambda_q"),
+        round((col("num").cast("double") /
+          nullif(col("den"), lit(0).cast(d38)).cast("double")) /
+          nullif(col("tr"), lit(0).cast(d38)).cast("double"), 6)
+          .as("explained_share"))
+    // 1-based dim ids on the released surface (the oracle's
+    // generate_series convention; internal joins stay 0-based)
+    w.select((col("d") + 1).cast("long").as("d"), col("w").as("pc1_q6"))
+      .crossJoin(broadcast(summary))
+  }
+
+  val pcaPowerSql: String = {
+    // MATERIALIZED throughout: DuckDB inlines plain CTEs PER
+    // REFERENCE, and each unrolled round references its predecessor
+    // twice (the max subquery + the rescale) — without
+    // materialization the base Gram join re-evaluates 2^rounds times
+    // (measured: a minutes-long hang at sf0.01)
+    val rounds = (1 to PcaIters).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""mw$i AS MATERIALIZED (
+  SELECT m.i AS d, sum(m.m * $prev.w)::HUGEINT AS mw
+  FROM m JOIN $prev ON $prev.d = m.j GROUP BY 1),
+w$i AS MATERIALIZED (
+  SELECT d, ((CASE WHEN mw < 0 THEN -1 ELSE 1 END)
+    * ((abs(mw) * 1000000) // nullif((SELECT max(abs(mw)) FROM mw$i), 0)))
+    ::BIGINT AS w
+  FROM mw$i)"""
+    }.mkString(",\n")
+    s"""WITH ex AS MATERIALIZED (
+  SELECT vec_id, i AS d,
+    (round(embedding[i]::DOUBLE, 6)::DECIMAL(18,6) * 1000000)::BIGINT AS v6
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)),
+nr AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+s AS MATERIALIZED (SELECT d, sum(v6)::BIGINT AS s6 FROM ex GROUP BY 1),
+g AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j, sum(a.v6::HUGEINT * b.v6)::HUGEINT AS g
+  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+m AS MATERIALIZED (
+  SELECT g.i, g.j, (nr.n::HUGEINT * g.g - si.s6::HUGEINT * sj.s6) AS m
+  FROM g JOIN s si ON si.d = g.i JOIN s sj ON sj.d = g.j CROSS JOIN nr),
+w0 AS (SELECT DISTINCT i AS d, 1000000::BIGINT AS w FROM m),
+$rounds,
+ray AS (
+  SELECT sum(mw$PcaIters.mw * w${PcaIters - 1}.w)::HUGEINT AS num,
+    (SELECT sum(w::HUGEINT * w) FROM w${PcaIters - 1})::HUGEINT AS den
+  FROM mw$PcaIters JOIN w${PcaIters - 1} USING (d)),
+tr AS (SELECT sum(m)::HUGEINT AS tr FROM m WHERE i = j),
+summary AS (
+  SELECT round(num::DOUBLE / nullif(den, 0)::DOUBLE, 6) AS lambda_q,
+    round((num::DOUBLE / nullif(den, 0)::DOUBLE)
+      / nullif(tr, 0)::DOUBLE, 6) AS explained_share
+  FROM ray CROSS JOIN tr)
+SELECT d, w AS pc1_q6, lambda_q, explained_share
+FROM w$PcaIters CROSS JOIN summary"""
+  }
 }

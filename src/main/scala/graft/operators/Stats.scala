@@ -2834,10 +2834,10 @@ FROM seg GROUP BY event_type, na, nb"""
   val rakeIpfSql: String = {
     val rounds = (1 to IpfRounds).map { i =>
       val prev = if (i == 1) "w0" else s"b${i - 1}"
-      s"""a$i AS (
+      s"""a$i AS MATERIALIZED (
   SELECT pr, st, c, tr, tc,
     (w * tr) // (sum(w) OVER (PARTITION BY pr)) AS w FROM $prev),
-b$i AS (
+b$i AS MATERIALIZED (
   SELECT pr, st, c, tr, tc,
     (w * tc) // (sum(w) OVER (PARTITION BY st)) AS w FROM a$i)"""
     }.mkString(",\n")

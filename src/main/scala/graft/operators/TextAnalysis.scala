@@ -3546,6 +3546,64 @@ ORDER BY rank DESC, v ASC LIMIT $TrTopK"""
         "((tp + tn) * 1000000L) div (tp + fp + tn + fn)"))
   }
 
+  // ---- L160 (r10): knee detection — where to cut the long tail ----
+  // L44's budget and C113's ABC classes need a cut point; the kneedle
+  // heuristic finds it GEOMETRICALLY: on the cumulative doc-count
+  // curve over sources sorted largest-first, the knee is the point
+  // farthest from the chord between the curve's endpoints — where
+  // adding more sources stops paying. EXACT: the point-to-chord
+  // distance NUMERATOR |(y1−y0)·x − (x1−x0)·y + x1·y0 − y1·x0| is a
+  // pure integer cross product (the shared √ denominator is constant
+  // along the curve and cancels from the argmax), the argmax runs
+  // under (d DESC, rank ASC) — the C150 selection discipline on
+  // geometry. Plan: one source aggregate, rank + running-sum windows
+  // on the source-bounded frame, endpoint anchors via single-row
+  // broadcast.
+  def kneeDetect(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val sizes = documents.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val W = Window.orderBy(col("n_docs").desc, col("source").asc)
+    val curve = sizes
+      .withColumn("rank", row_number().over(W).cast("long"))
+      .withColumn("cum", sum(col("n_docs")).over(W))
+    val ends = curve.agg(min(when(col("rank") === 1, col("cum"))).as("y0"),
+      max(col("rank")).as("x1"), max(col("cum")).as("y1"))
+    val scored = curve.crossJoin(broadcast(ends))
+      .withColumn("d_num", abs(
+        (col("y1") - col("y0")).cast(d38) * col("rank")
+          - (col("x1") - 1).cast(d38) * col("cum")
+          + col("x1").cast(d38) * col("y0") - col("y1").cast(d38)))
+    scored
+      .withColumn("is_knee", (row_number().over(
+        Window.orderBy(col("d_num").desc, col("rank").asc)) === 1)
+        .cast("long"))
+      .select(col("rank"), col("source"), col("n_docs"), col("cum"),
+        col("d_num").cast(d38).as("d_num"), col("is_knee"))
+  }
+
+  val kneeDetectSql: String =
+    """WITH sizes AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+curve AS (
+  SELECT source, n_docs,
+    row_number() OVER (ORDER BY n_docs DESC, source ASC)::BIGINT AS rank,
+    sum(n_docs) OVER (ORDER BY n_docs DESC, source ASC
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM sizes),
+ends AS (
+  SELECT min(CASE WHEN rank = 1 THEN cum END)::BIGINT AS y0,
+    max(rank)::BIGINT AS x1, max(cum)::BIGINT AS y1
+  FROM curve),
+scored AS (
+  SELECT rank, source, n_docs, cum,
+    abs((y1 - y0)::HUGEINT * rank - (x1 - 1)::HUGEINT * cum
+      + x1::HUGEINT * y0 - y1) AS d_num
+  FROM curve CROSS JOIN ends)
+SELECT rank, source, n_docs, cum, d_num::DECIMAL(38,0) AS d_num,
+  (row_number() OVER (ORDER BY d_num DESC, rank ASC) = 1)::BIGINT AS is_knee
+FROM scored"""
+
   // ---- L158 (r10): stump forest — multi-feature ensemble vote ----
   // The one-step ensemble on top of L156: fit one exact Gini stump
   // per feature (n_chars, punct count, digit count, stopword hits —

@@ -3356,7 +3356,9 @@ class OperatorSpec extends SparkSpec {
       "q_forest" -> "crossJoin(broadcast(four single-row fitted stumps)) — the q_stump model-broadcast pattern",
       "q_woe_iv" -> "crossJoin(broadcast(single-row class totals + single-row IV)) — the q_stump pattern",
       "q_simpson" -> "crossJoin(broadcast(single-row overall sign + single-row tallies)) over the year-bounded strata frame — the q_kruskal pattern",
-      "q_dq_rules" -> "crossJoin(broadcast(single-row orphan counts)) per FK edge — the tfidf/lm_score pattern")
+      "q_dq_rules" -> "crossJoin(broadcast(single-row orphan counts)) per FK edge — the tfidf/lm_score pattern",
+      "q_knee" -> "crossJoin(broadcast(single-row curve endpoints)) over the source-bounded frame — the q_kruskal pattern",
+      "q_pca" -> "crossJoin(broadcast(single-row n / per-round max / summary)) on dims-bounded frames — the q_hits renormalization pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -6592,6 +6594,60 @@ class OperatorSpec extends SparkSpec {
     assert(corpus.length == 8)
     corpus.foreach { case (rule, n, v, p) =>
       assert(n > 0 && v == 0L && p == 1L, s"$rule ($n, $v, $p)") }
+  }
+
+  test("kneeDetect: hand-computed chord distances; endpoints read zero (L160)") {
+    import graft.operators.TextAnalysis
+    // sizes 100, 90, 10, 9, 8 -> cum (100, 190, 200, 209, 217);
+    // d_num = |117x - 4y + 283|: ranks 2..4 read 243, 166, 85
+    val docs = (Seq.fill(100)("s1") ++ Seq.fill(90)("s2") ++
+      Seq.fill(10)("s3") ++ Seq.fill(9)("s4") ++ Seq.fill(8)("s5"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    val got = TextAnalysis.kneeDetect(docs)
+      .select(col("rank"), col("source"), col("cum"),
+        col("d_num").cast("long"), col("is_knee"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._4) == Seq(0L, 243L, 166L, 85L, 0L), s"$got")
+    assert(got.map(_._5) == Seq(0L, 1L, 0L, 0L, 0L), s"$got")
+    assert(got.map(_._2) == Seq("s1", "s2", "s3", "s4", "s5"))
+    // corpus: exactly one knee, cum monotone, both endpoints on the
+    // chord (distance exactly zero)
+    val corpus = TextAnalysis.kneeDetect(documents)
+      .select(col("rank"), col("cum"), col("d_num").cast("long"),
+        col("is_knee"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(corpus.map(_._4).sum == 1L)
+    assert(corpus.sliding(2).forall(w => w(0)._2 <= w(1)._2))
+    assert(corpus.head._3 == 0L && corpus.last._3 == 0L)
+  }
+
+  test("pcaPower: a 1-D cloud yields its axis exactly with explained share 1 (L161)") {
+    import graft.operators.Similarity
+    val axis = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(2.0f, 0.0f), 0),
+      (3L, Array(3.0f, 0.0f), 1), (4L, Array(4.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.pcaPower(axis)
+      .select("d", "pc1_q6", "explained_share")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 1000000L), (2L, 0L)),
+      s"$got")
+    assert(got.head._3 == 1.0, s"explained ${got.head._3}")
+    // the same cloud on the OTHER axis flips the component
+    val axis2 = axis.select(col("vec_id"),
+      expr("reverse(embedding)").as("embedding"), col("label"))
+    val got2 = Similarity.pcaPower(axis2)
+      .select("d", "pc1_q6").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, 0L), (2L, 1000000L)), s"$got2")
+    // corpus: 64 dims, the component renormalizes to max |w| = 1e6,
+    // explained share in (0, 1], Rayleigh quotient positive
+    val corpus = Similarity.pcaPower(embeddings)
+      .select("d", "pc1_q6", "lambda_q", "explained_share")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(corpus.length == 64)
+    assert(corpus.map(r => math.abs(r._2)).max == 1000000L)
+    assert(corpus.head._3 > 0.0 &&
+      corpus.head._4 > 0.0 && corpus.head._4 <= 1.0 + 1e-9, s"${corpus.head}")
   }
 
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {
