@@ -4655,6 +4655,70 @@ SELECT yr, n, n11, n1, m1, sgn, overall_sgn, n_agree, n_disagree,
     AS full_reversal
 FROM strata CROSS JOIN tallies"""
 
+  // ---- C163 (r10): item-item collaborative filtering — co-purchase
+  // similarity ----
+  // The classic "customers who bought X also bought Y" recommender
+  // primitive, the directed sibling of L154's doc-graph link
+  // prediction: over distinct (customer, part) purchase edges, score
+  // part pairs by co-purchase cosine cn/√(d_i·d_j). The ordering
+  // DECISION never touches a float (C150): the top-K selects on the
+  // exact fixed-point cosine² key cn²·10¹² div (d_i·d_j) (a decDiv
+  // integer, ties by (i, j)); the released cosine itself is the one
+  // division-over-sqrt float, round 6 (C138 shape). cn ≥ 3 is the
+  // declared support floor (the L154 convention). Plan: C38's wedge
+  // shape — the pair self-join keys on the customer, degree joins on
+  // the part-bounded frame, the top-K window on the POST-AGGREGATE
+  // supported-pair frame.
+  private val ItemCfMinSupport = 3L
+  private val ItemCfTopK = 20
+
+  def itemItemCf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey")), "o_orderkey")
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint()
+    val deg = e.groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(count(lit(1)).as("cn"))
+      .where(col("cn") >= ItemCfMinSupport)
+    val scored = pairs
+      .join(deg.select(col("p").as("i"), col("d").as("di")), "i")
+      .join(deg.select(col("p").as("j"), col("d").as("dj")), "j")
+      .withColumn("cos2_q12", decDiv(
+        col("cn").cast("decimal(38,0)") * col("cn") * 1000000000000L,
+        col("di").cast("decimal(38,0)") * col("dj")).cast("long"))
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy(col("cos2_q12").desc, col("i").asc, col("j").asc)))
+      .where(col("rk") <= ItemCfTopK)
+      .select(col("rk").cast("long").as("rk"), col("i"), col("j"),
+        col("cn"), col("di"), col("dj"), col("cos2_q12"),
+        round(col("cn").cast("double") /
+          (sqrt(col("di").cast("double")) * sqrt(col("dj").cast("double"))),
+          6).as("cosine"))
+  }
+
+  val itemItemCfSql: String =
+    s"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+deg AS (SELECT p, count(*)::BIGINT AS d FROM e GROUP BY 1),
+pairs AS (
+  SELECT a.p AS i, b.p AS j, count(*)::BIGINT AS cn
+  FROM e a JOIN e b ON a.c = b.c AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= $ItemCfMinSupport),
+scored AS (
+  SELECT i, j, cn, di.d AS di, dj.d AS dj,
+    ((cn::HUGEINT * cn * 1000000000000) // (di.d::HUGEINT * dj.d))::BIGINT
+      AS cos2_q12
+  FROM pairs JOIN deg di ON di.p = pairs.i JOIN deg dj ON dj.p = pairs.j)
+SELECT row_number() OVER (ORDER BY cos2_q12 DESC, i ASC, j ASC)::BIGINT AS rk,
+  i, j, cn, di, dj, cos2_q12,
+  round(cn::DOUBLE / (sqrt(di::DOUBLE) * sqrt(dj::DOUBLE)), 6) AS cosine
+FROM scored ORDER BY cos2_q12 DESC, i ASC, j ASC LIMIT $ItemCfTopK"""
+
   // ---- C162 (r10): declarative data-quality rule report ----
   // The "expectations" audit a warehouse runs before trusting a load:
   // one unified (rule, checked, violations, pass) report covering the

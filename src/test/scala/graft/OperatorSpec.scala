@@ -6650,6 +6650,32 @@ class OperatorSpec extends SparkSpec {
       corpus.head._4 > 0.0 && corpus.head._4 <= 1.0 + 1e-9, s"${corpus.head}")
   }
 
+  test("itemItemCf: the universally co-bought pair reads cosine 1; support floors the rest (C163)") {
+    val ords = Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    // every customer buys A and B; only c3 adds C -> (A, B) cn = 3
+    // survives the floor, cosine = 3/sqrt(3·3) = 1
+    val lines = Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 200L),
+      (3L, 100L), (3L, 200L), (3L, 300L), (3L, 300L)) // dup line collapses
+      .toDF("l_orderkey", "l_partkey")
+    val got = Relational.itemItemCf(ords, lines)
+      .select("rk", "i", "j", "cn", "di", "dj", "cos2_q12", "cosine")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 100L, 200L, 3L, 3L, 3L, 1000000000000L, 1.0)),
+      s"$got")
+    // corpus: exact-key ordering matches the float cosine up to the
+    // declared 1e-12 fixed-point floor; support respected
+    val corpus = Relational.itemItemCf(Tables.load(spark, sf, "orders"),
+      Tables.load(spark, sf, "lineitem"))
+      .select("rk", "cn", "cos2_q12", "cosine")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(corpus.nonEmpty && corpus.length <= 20)
+    assert(corpus.sliding(2).forall(w => w(0)._3 >= w(1)._3))
+    corpus.foreach { case (_, cn, c2, cos) =>
+      assert(cn >= 3L && cos > 0.0 && cos <= 1.0 + 1e-9)
+      assert(math.abs(cos * cos - c2.toDouble / 1e12) < 2e-6, s"($c2, $cos)") }
+  }
+
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {
     import graft.operators.Dedup
     // edges: (1,2),(1,3),(2,3),(2,4),(3,4) — the only non-adjacent

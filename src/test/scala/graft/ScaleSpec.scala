@@ -324,6 +324,46 @@ class ScaleSpec extends SparkSpec {
       s"type conflict surfaced wrong error: ${conflicted.getMessage}")
   }
 
+  test("ANALYZE TABLE statistics feed the CBO: row counts recorded, dim side broadcast (C164)") {
+    // the cost-based half of the catalog story: at 100 TB the
+    // optimizer cannot SIZE a join side from file listings alone —
+    // ANALYZE writes rowCount/sizeInBytes into the metastore and the
+    // planner picks the broadcast side from THOSE stats
+    val fact = "graft_cbo_fact"; val dim = "graft_cbo_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $fact")
+    spark.sql(s"DROP TABLE IF EXISTS $dim")
+    Tables.load(spark, sf, "orders").write.format("parquet").saveAsTable(fact)
+    Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.format("parquet").saveAsTable(dim)
+    try {
+      spark.sql(s"ANALYZE TABLE $fact COMPUTE STATISTICS")
+      spark.sql(s"ANALYZE TABLE $dim COMPUTE STATISTICS")
+      // rowCount only surfaces through plan stats under the CBO flag
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val factStats = spark.table(fact).queryExecution.optimizedPlan.stats
+      val dimStats = spark.table(dim).queryExecution.optimizedPlan.stats
+      assert(dimStats.rowCount.isDefined &&
+        dimStats.rowCount.get.toLong ==
+          Tables.load(spark, sf, "customer").count(),
+        s"dim rowCount ${dimStats.rowCount}")
+      assert(factStats.sizeInBytes > dimStats.sizeInBytes,
+        "stats must rank the fact above the dim")
+      // no hint anywhere: the planner must choose broadcast for the
+      // small ANALYZEd dim on stats alone
+      val joined = spark.table(fact)
+        .join(spark.table(dim), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"stats-driven broadcast expected:\n${plan.take(800)}")
+      assert(joined.count() == Tables.load(spark, sf, "orders").count())
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql(s"DROP TABLE IF EXISTS $fact")
+      spark.sql(s"DROP TABLE IF EXISTS $dim")
+    }
+  }
+
   test("catalog-managed partitioned table: saveAsTable registers, metastore prunes, partition DML is surgical") {
     // the metastore path (vs the path-based layouts above): a table
     // users address by NAME, partition listing owned by the catalog,
