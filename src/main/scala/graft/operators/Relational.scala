@@ -4493,21 +4493,22 @@ FROM agg"""
       .select(col("c"), lit(HitsUnit).as("h"))
     var auth = edges.select(col("s")).distinct()
       .select(col("s"), lit(HitsUnit).as("a"))
+    // per-round renormalization as a WINDOW over the node-bounded
+    // frame — neither a broadcast of a separate aggregate (which
+    // re-materializes the whole chain per round) nor a per-round
+    // localCheckpoint (a full job each); the q_pca A/B in PLANS.md
+    val Wall = Window.partitionBy(lit(1))
     for (_ <- 1 to HitsIters) {
       val araw = edges.join(hub, "c").groupBy(col("s"))
         .agg(sum(col("h").cast(d38)).as("ar"))
-      val amax = araw.agg(max(col("ar")).as("am"))
-      auth = araw.crossJoin(broadcast(amax))
+      auth = araw.withColumn("am", max(col("ar")).over(Wall))
         .select(col("s"),
           decDiv(col("ar") * HitsUnit, col("am")).cast("long").as("a"))
-        .localCheckpoint()
       val hraw = edges.join(auth, "s").groupBy(col("c"))
         .agg(sum(col("a").cast(d38)).as("hr"))
-      val hmax = hraw.agg(max(col("hr")).as("hm"))
-      hub = hraw.crossJoin(broadcast(hmax))
+      hub = hraw.withColumn("hm", max(col("hr")).over(Wall))
         .select(col("c"),
           decDiv(col("hr") * HitsUnit, col("hm")).cast("long").as("h"))
-        .localCheckpoint()
     }
     hub.select(lit("hub").as("node_type"), col("c").cast("long").as("node_id"),
         col("h").as("score"))

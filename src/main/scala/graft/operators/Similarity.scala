@@ -1830,16 +1830,22 @@ FROM pt GROUP BY label"""
   def pcaPower(embeddings: DataFrame): DataFrame = {
     val d6 = "decimal(18,6)"
     val d38 = "decimal(38,0)"
-    val x = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .select(col("vec_id"), col("d"),
-        (round(col("v").cast("double"), 6).cast(d6) * 1000000)
-          .cast("long").as("v6"))
+    // the Gram matrix WITHOUT a self-join: each vector emits its own
+    // 64×64 outer product map-side (two chained generators off one
+    // scan) and partial aggregation collapses it before any exchange
+    // — the vec_id self-join shape shuffled the exploded corpus and
+    // cost the whole tail (PLANS.md A/B)
+    val v6arr = embeddings.select(col("vec_id"),
+      transform(col("embedding"), v =>
+        (round(v.cast("double"), 6).cast(d6) * 1000000).cast("long"))
+        .as("v6"))
     val nRow = embeddings.agg(count(lit(1)).as("n"))
-    val s = x.groupBy(col("d")).agg(sum(col("v6")).as("s6"))
-    val g = x.as("a").join(x.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.d").as("i"), col("b.d").as("j"))
-      .agg(sum(col("a.v6").cast(d38) * col("b.v6")).as("g"))
+    val s = v6arr.select(posexplode(col("v6")).as(Seq("d", "v6e")))
+      .groupBy(col("d")).agg(sum(col("v6e")).as("s6"))
+    val g = v6arr.select(posexplode(col("v6")).as(Seq("i", "vi")), col("v6"))
+      .select(col("i"), col("vi"), posexplode(col("v6")).as(Seq("j", "vj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("vi").cast(d38) * col("vj")).as("g"))
     val m = g
       .join(broadcast(s.select(col("d").as("i"), col("s6").as("si"))), "i")
       .join(broadcast(s.select(col("d").as("j"), col("s6").as("sj"))), "j")
@@ -1848,24 +1854,30 @@ FROM pt GROUP BY label"""
         (col("n").cast(d38) * col("g") - col("si").cast(d38) * col("sj"))
           .as("m"))
       .localCheckpoint()
+    // per-round renormalization as a WINDOW over the 64-row frame —
+    // not a broadcast of a separate aggregate (which re-materializes
+    // the whole preceding chain per round: 10.8 s) and not a
+    // per-round localCheckpoint (a full job each: 8.2 s); the single
+    // lazy 5-round plan runs in one job (see PLANS.md A/B)
+    val Wall = Window.partitionBy(lit(1))
     var w = m.select(col("i").as("d")).distinct()
       .select(col("d"), lit(1000000L).as("w"))
-    var lastMw: DataFrame = null
-    var lastW: DataFrame = null
     for (_ <- 1 to PcaIters) {
-      lastW = w
       val mw = m.join(w.withColumnRenamed("d", "j"), "j")
         .groupBy(col("i").as("d")).agg(sum(col("m") * col("w")).as("mw"))
-      lastMw = mw.localCheckpoint()
-      val mx = lastMw.agg(max(abs(col("mw"))).as("mx"))
-      w = lastMw.crossJoin(broadcast(mx))
+      w = mw.withColumn("mx", max(abs(col("mw"))).over(Wall))
         .select(col("d"),
           (when(col("mw") < 0, -1L).otherwise(1L) *
             decDiv(abs(col("mw")) * 1000000L,
               nullif(col("mx"), lit(0).cast(d38))).cast("long")).as("w"))
-        .localCheckpoint()
     }
-    val ray = lastMw.join(lastW, "d")
+    // ONE materialization of the converged vector; the Rayleigh
+    // quotient then runs on a FRESH M·w against it (no re-evaluation
+    // of the round chain — each lazy reference would replay it)
+    w = w.localCheckpoint()
+    val mwf = m.join(w.withColumnRenamed("d", "j"), "j")
+      .groupBy(col("i").as("d")).agg(sum(col("m") * col("w")).as("mw"))
+    val ray = mwf.join(w, "d")
       .agg(sum(col("mw") * col("w")).as("num"),
         sum(col("w").cast(d38) * col("w")).as("den"))
     val tr = m.where(col("i") === col("j")).agg(sum(col("m")).as("tr"))
@@ -1897,7 +1909,7 @@ FROM pt GROUP BY label"""
   FROM m JOIN $prev ON $prev.d = m.j GROUP BY 1),
 w$i AS MATERIALIZED (
   SELECT d, ((CASE WHEN mw < 0 THEN -1 ELSE 1 END)
-    * ((abs(mw) * 1000000) // nullif((SELECT max(abs(mw)) FROM mw$i), 0)))
+    * ((abs(mw) * 1000000) // nullif(max(abs(mw)) OVER (), 0)))
     ::BIGINT AS w
   FROM mw$i)"""
     }.mkString(",\n")
@@ -1915,10 +1927,13 @@ m AS MATERIALIZED (
   FROM g JOIN s si ON si.d = g.i JOIN s sj ON sj.d = g.j CROSS JOIN nr),
 w0 AS (SELECT DISTINCT i AS d, 1000000::BIGINT AS w FROM m),
 $rounds,
+mwf AS MATERIALIZED (
+  SELECT m.i AS d, sum(m.m * w$PcaIters.w)::HUGEINT AS mw
+  FROM m JOIN w$PcaIters ON w$PcaIters.d = m.j GROUP BY 1),
 ray AS (
-  SELECT sum(mw$PcaIters.mw * w${PcaIters - 1}.w)::HUGEINT AS num,
-    (SELECT sum(w::HUGEINT * w) FROM w${PcaIters - 1})::HUGEINT AS den
-  FROM mw$PcaIters JOIN w${PcaIters - 1} USING (d)),
+  SELECT sum(mwf.mw * w$PcaIters.w)::HUGEINT AS num,
+    (SELECT sum(w::HUGEINT * w) FROM w$PcaIters)::HUGEINT AS den
+  FROM mwf JOIN w$PcaIters USING (d)),
 tr AS (SELECT sum(m)::HUGEINT AS tr FROM m WHERE i = j),
 summary AS (
   SELECT round(num::DOUBLE / nullif(den, 0)::DOUBLE, 6) AS lambda_q,
