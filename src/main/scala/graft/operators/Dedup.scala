@@ -1963,6 +1963,65 @@ SELECT sa::BIGINT AS sa, sb::BIGINT AS sb, count(*)::BIGINT AS n_pairs,
   (sa <> sb)::BIGINT AS cross_shard
 FROM canon GROUP BY sa, sb"""
 
+  // ---- L162 (r10): degree assortativity — hub-mixing audit ----
+  // The structural question behind the L154/C38 graph family: do
+  // high-degree docs link to other hubs (assortative — template
+  // farms interlinking) or to leaves (disassortative — one canonical
+  // page with many near-copies)? Newman's degree assortativity =
+  // the Pearson correlation of endpoint degrees over the directed
+  // edge view. EXACT: all five moments (Σx, Σy, Σxy, Σx², Σy²) are
+  // integer sums over the edge list; r is the ONE
+  // division-over-sqrts of exact DECIMAL(38,0) casts (C138 shape),
+  // NULL when a degree side is constant (nullif, never NaN). Plan:
+  // degrees from one aggregate on the checkpointed edge frame, two
+  // broadcast degree joins, one global moment aggregate.
+  def assortativity(documents: DataFrame): DataFrame = {
+    val e = simhashDedup(documents).select(col("x"), col("y")).localCheckpoint()
+    assortativityFrom(e)
+  }
+
+  /** L162 over an explicit canonical (x < y) edge frame — the
+    * trianglesFrom/linkPredictionFrom precedent. */
+  private[graft] def assortativityFrom(e: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val und = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
+    val deg = und.groupBy(col("x").as("v")).agg(count(lit(1)).as("d"))
+    val m = und
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+      .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"),
+        sum(col("dx").cast(d38) * col("dy")).as("sxy"),
+        sum(col("dx").cast(d38) * col("dx")).as("sxx"),
+        sum(col("dy").cast(d38) * col("dy")).as("syy"))
+    m.select(col("m").as("n_edges_directed"), col("sx"), col("sxy"),
+      round((col("m").cast(d38) * col("sxy")
+        - col("sx").cast(d38) * col("sy")).cast("double") /
+        nullif(sqrt((col("m").cast(d38) * col("sxx")
+          - col("sx").cast(d38) * col("sx")).cast("double")) *
+          sqrt((col("m").cast(d38) * col("syy")
+            - col("sy").cast(d38) * col("sy")).cast("double")), lit(0.0)),
+        6).as("assortativity"))
+  }
+
+  lazy val assortativitySql: String =
+    s"""WITH pairs AS ($simhashDedupSql),
+e AS MATERIALIZED (SELECT x, y FROM pairs),
+und AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+deg AS (SELECT x AS v, count(*)::BIGINT AS d FROM und GROUP BY 1),
+mm AS (
+  SELECT count(*)::BIGINT AS m, sum(dx.d)::BIGINT AS sx,
+    sum(dy.d)::BIGINT AS sy, sum(dx.d::HUGEINT * dy.d)::HUGEINT AS sxy,
+    sum(dx.d::HUGEINT * dx.d)::HUGEINT AS sxx,
+    sum(dy.d::HUGEINT * dy.d)::HUGEINT AS syy
+  FROM und JOIN deg dx ON dx.v = und.x JOIN deg dy ON dy.v = und.y)
+SELECT m AS n_edges_directed, sx, sxy::DECIMAL(38,0) AS sxy,
+  round((m::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+    / nullif(sqrt((m::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE)
+      * sqrt((m::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE), 0.0), 6)
+    AS assortativity
+FROM mm"""
+
   // ---- L154 (r10): common-neighbor link prediction — missed-pair
   // candidates ----
   // The dedup graph's edges are what banding FIRED on; link

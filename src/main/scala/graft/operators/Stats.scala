@@ -2865,6 +2865,92 @@ SELECT pr, st, c AS n_obs, w::BIGINT AS w_q6, max_row_dev_ppm, max_col_dev_ppm
 FROM fin CROSS JOIN dev"""
   }
 
+  // ---- C165 (r10): effect sizes — Cliff's delta + Cohen's d ----
+  // The practical-significance half the test family (C102/C151/C158)
+  // leaves open: a tiny p at scale means nothing about HOW BIG the
+  // difference is. Cliff's delta falls out of C102's own exact
+  // surface — δ = (wins − losses)/(n0·n1) = (2U − n0·n1)/(n0·n1),
+  // and with doubled midpoint tie ranks 2U is the exact BIGINT u2,
+  // so the numerator is EXACT and the release one division. Cohen's
+  // d is the parametric twin: pooled-SD-standardized mean gap as one
+  // fixed-order float chain off exact per-arm cent moments (n, Σx,
+  // Σx² — the C103/C153 discipline), NULL when an arm is empty or
+  // the pooled variance vanishes. Plan: the C102 rank shape plus one
+  // per-(type, arm) moment aggregate sharing the same scan.
+  def effectSizes(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val tagged = events.select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("v"),
+      pmod(md5Long(lit("mw"), col("event_id")), lit(2)).as("arm"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val cw = Window.partitionBy(col("event_type"), col("v"))
+    val ranked = tagged.withColumn("r2",
+      lit(2L) * rank().over(w).cast("long") + count(lit(1)).over(cw) - lit(1L))
+    val g = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("r2")).otherwise(0L)).as("r2sum"),
+        sum(when(col("arm") === 1, col("v")).otherwise(0L)).as("sx1"),
+        sum(when(col("arm") === 0, col("v")).otherwise(0L)).as("sx0"),
+        sum(when(col("arm") === 1, col("v").cast(d38) * col("v"))
+          .otherwise(lit(0).cast(d38))).as("sq1"),
+        sum(when(col("arm") === 0, col("v").cast(d38) * col("v"))
+          .otherwise(lit(0).cast(d38))).as("sq0"))
+    val n0 = col("n") - col("n1")
+    val u2 = col("r2sum") - col("n1") * (col("n1") + 1)
+    val v1 = (col("n1").cast(d38) * col("sq1")
+      - col("sx1").cast(d38) * col("sx1")).cast("double") /
+      nullif(col("n1"), lit(0L)).cast("double")
+    val v0 = (n0.cast(d38) * col("sq0")
+      - col("sx0").cast(d38) * col("sx0")).cast("double") /
+      nullif(n0, lit(0L)).cast("double")
+    val sp = sqrt((v1 + v0) /
+      nullif(col("n") - 2, lit(0L)).cast("double"))
+    g.select(col("event_type"), n0.as("n0"), col("n1"),
+      (u2 - n0 * col("n1")).as("delta_num"),
+      round((u2 - n0 * col("n1")).cast("double") /
+        nullif(n0 * col("n1"), lit(0L)).cast("double"), 6).as("cliffs_delta"),
+      round((col("sx1").cast("double") / nullif(col("n1"), lit(0L))
+        - col("sx0").cast("double") / nullif(n0, lit(0L))) /
+        nullif(sp, lit(0.0)), 6).as("cohens_d"))
+  }
+
+  val effectSizesSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'mw'", "event_id")
+    s"""WITH tagged AS (
+  SELECT event_type, ((value::DECIMAL(18,2)) * 100)::BIGINT AS v,
+    $h % 2 AS arm
+  FROM events),
+ranked AS (
+  SELECT event_type, arm, v,
+    (2::BIGINT * rank() OVER (PARTITION BY event_type ORDER BY v)
+      + count(*) OVER (PARTITION BY event_type, v) - 1)::BIGINT AS r2
+  FROM tagged),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN arm = 1 THEN r2 ELSE 0 END)::BIGINT AS r2sum,
+    sum(CASE WHEN arm = 1 THEN v ELSE 0 END)::BIGINT AS sx1,
+    sum(CASE WHEN arm = 0 THEN v ELSE 0 END)::BIGINT AS sx0,
+    sum(CASE WHEN arm = 1 THEN v::HUGEINT * v ELSE 0::HUGEINT END)::HUGEINT
+      AS sq1,
+    sum(CASE WHEN arm = 0 THEN v::HUGEINT * v ELSE 0::HUGEINT END)::HUGEINT
+      AS sq0
+  FROM ranked GROUP BY event_type)
+SELECT event_type, (n - n1) AS n0, n1,
+  (r2sum - n1 * (n1 + 1) - (n - n1) * n1)::BIGINT AS delta_num,
+  round((r2sum - n1 * (n1 + 1) - (n - n1) * n1)::DOUBLE
+    / nullif((n - n1) * n1, 0)::DOUBLE, 6) AS cliffs_delta,
+  round((sx1::DOUBLE / nullif(n1, 0) - sx0::DOUBLE / nullif(n - n1, 0))
+    / nullif(sqrt(((n1::HUGEINT * sq1 - sx1::HUGEINT * sx1)::DOUBLE
+        / nullif(n1, 0)::DOUBLE
+      + ((n - n1)::HUGEINT * sq0 - sx0::HUGEINT * sx0)::DOUBLE
+        / nullif(n - n1, 0)::DOUBLE) / nullif(n - 2, 0)::DOUBLE), 0.0), 6)
+    AS cohens_d
+FROM g"""
+  }
+
   // ---- C160 (r10): minimum detectable effect — experiment sizing ----
   // The question asked BEFORE every A/B test the C71/C102/C158 family
   // evaluates after: at the current per-type volume, what effect

@@ -6676,6 +6676,26 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(cos * cos - c2.toDouble / 1e12) < 2e-6, s"($c2, $cos)") }
   }
 
+  test("assortativity: a star reads exactly -1; a regular graph NULLs; corpus bounded (L162)") {
+    import graft.operators.Dedup
+    // star: hub 1 to leaves 2..5 — every edge joins degree 4 to
+    // degree 1, the perfectly disassortative case, r = -1 exactly
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("x", "y")
+    val s = Dedup.assortativityFrom(star)
+      .select("n_edges_directed", "assortativity")
+      .as[(Long, Option[Double])].collect().head
+    assert(s == ((8L, Some(-1.0))), s"star $s")
+    // triangle: all degrees 2 — zero variance on both sides -> NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("x", "y")
+    val t = Dedup.assortativityFrom(tri)
+      .select(col("assortativity")).as[Option[Double]].head()
+    assert(t.isEmpty, s"regular graph must NULL: $t")
+    // corpus: r bounded in [-1, 1] when defined
+    val c = Dedup.assortativity(documents)
+      .select("assortativity").as[Option[Double]].head()
+    c.foreach(r => assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"r $r"))
+  }
+
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {
     import graft.operators.Dedup
     // edges: (1,2),(1,3),(2,3),(2,4),(3,4) — the only non-adjacent

@@ -1339,4 +1339,44 @@ class StatsSpec extends SparkSpec {
     c.foreach { case (n, sd, m) =>
       assert(n > 1 && sd >= 0.0 && m >= 0.0 && !m.isNaN, s"($n, $sd, $m)") }
   }
+
+  test("effectSizes: Cliff's delta replays from the exact U surface; d from exact moments (C165)") {
+    def md5mw(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mw:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = events.select(col("event_type"), col("event_id"),
+      (graft.functions.Portable.dec(col("value")) * 100).cast("long").as("v"))
+      .as[(String, Long, Long)].collect()
+    val got = Stats.effectSizes(events)
+      .select("event_type", "n0", "n1", "delta_num", "cliffs_delta",
+        "cohens_d")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    raw.groupBy(_._1).foreach { case (ty, rs) =>
+      val armed = rs.map(r => (r._3, md5mw(r._2) % 2))
+      val all = armed.map(_._1).sorted
+      def rr2(v: Long) = 2L * all.count(_ < v) + all.count(_ == v) + 1
+      val a1 = armed.filter(_._2 == 1).map(_._1)
+      val a0 = armed.filter(_._2 == 0).map(_._1)
+      val (n1, n0) = (a1.length.toLong, a0.length.toLong)
+      val u2 = a1.map(rr2).sum - n1 * (n1 + 1)
+      val dn = u2 - n0 * n1
+      val g = got(ty)
+      assert(g._2 == n0 && g._3 == n1 && g._4 == dn, s"$ty $g vs ($n0,$n1,$dn)")
+      assert(g._5 == r6(dn.toDouble / (n0 * n1)), s"$ty delta ${g._5}")
+      // Cohen's d via the operator's exact-moment chain
+      val v1 = (n1.toDouble * a1.map(v => BigInt(v) * v).sum.toDouble -
+        a1.sum.toDouble * a1.sum) / n1
+      val v0 = (n0.toDouble * a0.map(v => BigInt(v) * v).sum.toDouble -
+        a0.sum.toDouble * a0.sum) / n0
+      val sp = math.sqrt((v1 + v0) / (n0 + n1 - 2).toDouble)
+      val d = (a1.sum.toDouble / n1 - a0.sum.toDouble / n0) / sp
+      assert(math.abs(g._6 - d) < 1e-5, s"$ty d ${g._6} vs $d")
+      // a null hash split: both effect sizes stay small
+      assert(math.abs(g._5) < 0.5 && math.abs(g._6) < 1.0, s"$ty null split $g")
+    }
+  }
 }
