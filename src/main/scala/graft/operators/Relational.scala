@@ -4720,6 +4720,77 @@ SELECT row_number() OVER (ORDER BY cos2_q12 DESC, i ASC, j ASC)::BIGINT AS rk,
   round(cn::DOUBLE / (sqrt(di::DOUBLE) * sqrt(dj::DOUBLE)), 6) AS cosine
 FROM scored ORDER BY cos2_q12 DESC, i ASC, j ASC LIMIT $ItemCfTopK"""
 
+  // ---- C166 (r10): price indices — Laspeyres / Paasche / Fisher ----
+  // C116's revenue bridge splits the MOVE by customer class; price
+  // indices split it into PRICE vs VOLUME — the econ-standard
+  // question "did we charge more or sell more": Laspeyres prices the
+  // BASE year's basket at both years' unit prices, Paasche the
+  // CURRENT year's, Fisher their geometric mean. Per consecutive
+  // year pair over the common-part basket (the standard matched
+  // sample). Exactness: per-part unit prices are never materialized
+  // — each cross term p₁·q₀ = rev₁·q₀/qty₁ is a DECLARED 1e-6
+  // fixed-point decDiv of exact cent/quantity integers, summed
+  // exactly; the same-year terms (p₀·q₀ = rev₀, p₁·q₁ = rev₁) are
+  // EXACT by identity; each index is one float division (Fisher one
+  // more sqrt), round 6. Plan: one (part, year) rollup, a
+  // year-offset self-join on the part-bounded frame, one year-pair
+  // aggregate.
+  def priceIndex(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val py = lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+      .join(orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr")), "o_orderkey")
+      .groupBy(col("l_partkey").as("part"), col("yr"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val paired = py.as("a").join(py.as("b"),
+        col("a.part") === col("b.part") && col("b.yr") === col("a.yr") + 1)
+      .select(col("a.yr").as("y0"), col("b.yr").as("y1"),
+        col("a.rev").as("rev0"), col("a.qty").as("qty0"),
+        col("b.rev").as("rev1"), col("b.qty").as("qty1"))
+    paired.groupBy(col("y0"), col("y1"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(decDiv(col("rev1").cast(d38) * col("qty0") * 1000000L,
+          col("qty1").cast(d38))).as("p1q0"),
+        sum(col("rev0").cast(d38) * 1000000L).as("p0q0"),
+        sum(col("rev1").cast(d38) * 1000000L).as("p1q1"),
+        sum(decDiv(col("rev0").cast(d38) * col("qty1") * 1000000L,
+          col("qty0").cast(d38))).as("p0q1"))
+      .select(col("y0"), col("y1"), col("n_parts"),
+        round(col("p1q0").cast("double") / col("p0q0").cast("double"), 6)
+          .as("laspeyres"),
+        round(col("p1q1").cast("double") / col("p0q1").cast("double"), 6)
+          .as("paasche"),
+        round(sqrt((col("p1q0").cast("double") / col("p0q0").cast("double"))
+          * (col("p1q1").cast("double") / col("p0q1").cast("double"))), 6)
+          .as("fisher"))
+  }
+
+  val priceIndexSql: String =
+    """WITH py AS (
+  SELECT l_partkey AS part, EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+    sum(((l_extendedprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS rev,
+    sum(l_quantity::BIGINT)::BIGINT AS qty
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2),
+paired AS (
+  SELECT a.yr AS y0, b.yr AS y1, a.rev AS rev0, a.qty AS qty0,
+    b.rev AS rev1, b.qty AS qty1
+  FROM py a JOIN py b ON a.part = b.part AND b.yr = a.yr + 1)
+SELECT y0, y1, count(*)::BIGINT AS n_parts,
+  round(sum((rev1::HUGEINT * qty0 * 1000000) // qty1::HUGEINT)::DOUBLE
+    / sum(rev0::HUGEINT * 1000000)::DOUBLE, 6) AS laspeyres,
+  round(sum(rev1::HUGEINT * 1000000)::DOUBLE
+    / sum((rev0::HUGEINT * qty1 * 1000000) // qty0::HUGEINT)::DOUBLE, 6)
+    AS paasche,
+  round(sqrt((sum((rev1::HUGEINT * qty0 * 1000000) // qty1::HUGEINT)::DOUBLE
+      / sum(rev0::HUGEINT * 1000000)::DOUBLE)
+    * (sum(rev1::HUGEINT * 1000000)::DOUBLE
+      / sum((rev0::HUGEINT * qty1 * 1000000) // qty0::HUGEINT)::DOUBLE)), 6)
+    AS fisher
+FROM paired GROUP BY y0, y1"""
+
   // ---- C162 (r10): declarative data-quality rule report ----
   // The "expectations" audit a warehouse runs before trusting a load:
   // one unified (rule, checked, violations, pass) report covering the

@@ -6696,6 +6696,33 @@ class OperatorSpec extends SparkSpec {
     c.foreach(r => assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"r $r"))
   }
 
+  test("priceIndex: hand-computed Laspeyres/Paasche on a 2-part basket (C166)") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    val ords = Seq((1L, ts(1994)), (2L, ts(1995)))
+      .toDF("o_orderkey", "o_orderdate")
+    // part A: 100¢@1 -> 110¢@2 (per unit); part B: 200¢@2 -> 210¢@1
+    val lines = Seq((1L, 10L, 1.00, 1.0), (1L, 20L, 4.00, 2.0),
+      (2L, 10L, 2.20, 2.0), (2L, 20L, 2.10, 1.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_quantity")
+    val got = Relational.priceIndex(ords, lines)
+      .select("y0", "y1", "n_parts", "laspeyres", "paasche", "fisher")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((1994L, 1995L, 2L, 1.06, 1.075,
+      r6(math.sqrt(1.06 * 1.075)))), s"$got")
+    // corpus: consecutive pairs only, all indices positive, Fisher
+    // between its factors
+    val corpus = Relational.priceIndex(Tables.load(spark, sf, "orders"),
+      Tables.load(spark, sf, "lineitem"))
+      .select("y0", "y1", "laspeyres", "paasche", "fisher")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (y0, y1, l, p, f) =>
+      assert(y1 == y0 + 1 && l > 0 && p > 0)
+      assert(f >= math.min(l, p) - 1e-6 && f <= math.max(l, p) + 1e-6,
+        s"($l, $p, $f)") }
+  }
+
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {
     import graft.operators.Dedup
     // edges: (1,2),(1,3),(2,3),(2,4),(3,4) — the only non-adjacent
