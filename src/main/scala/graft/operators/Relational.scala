@@ -4791,6 +4791,113 @@ SELECT y0, y1, count(*)::BIGINT AS n_parts,
     AS fisher
 FROM paired GROUP BY y0, y1"""
 
+  // ---- C167 (r10): exact Shapley channel attribution ----
+  // The game-theoretic completion of the attribution family (C46
+  // last-touch, C88 decay, C98 U-shape, C112 window sweep): credit
+  // each channel its SHAPLEY VALUE over the 4-channel coalition
+  // lattice — the only attribution satisfying efficiency/symmetry/
+  // dummy, and with 4 channels the 2⁴ lattice is computed EXACTLY,
+  // no sampling. Coalition value v(S) = conversion rate (ppm, exact
+  // decDiv) of users whose pre-conversion touch set is EXACTLY S
+  // (absent cells read 0 — the declared empirical convention).
+  // φ_i·4! = Σ_{S∌i} |S|!·(3−|S|)!·(v(S∪i) − v(S)) is an EXACT
+  // integer in ppm·24 units (weights 6,2,2,6 — fixed literals); the
+  // released φ is one division by 24, round 6. Plan: ONE per-user
+  // aggregate to the 16-cell mask frame; the lattice walk is a
+  // 32-row literal grid with two broadcast cell lookups; everything
+  // after the user rollup is lattice-bounded.
+  private val ShapleyChannels: Seq[(String, Int)] =
+    Seq("view" -> 1, "click" -> 2, "signup" -> 4, "error" -> 8)
+
+  def shapleyAttribution(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bit = ShapleyChannels.foldLeft(lit(0)) { case (acc, (nm, b)) =>
+      acc + when(col("event_type") === nm, b).otherwise(0)
+    }
+    val conv = events.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase", col("ts"))).as("cts"))
+    // the touch SET as a bitmask: distinct per-user channel bits
+    // summed (each bit appears at most once post-distinct = bit OR)
+    val userMask = events.join(conv, "user_id")
+      .where(col("event_type") =!= "purchase" &&
+        (col("cts").isNull || col("ts") < col("cts")))
+      .select(col("user_id"), col("cts"), bit.as("b"))
+      .where(col("b") > 0)
+      .distinct()
+      .groupBy(col("user_id"), col("cts"))
+      .agg(sum(col("b")).cast("long").as("mask"))
+    val cells = userMask
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cts").isNotNull.cast("long")).as("conv"))
+      .select(col("mask"),
+        decDiv(col("conv").cast("decimal(38,0)") * 1000000L,
+          col("n").cast("decimal(38,0)")).cast("long").as("v_ppm"))
+    val grid = spark.range(16).toDF("s")
+      .crossJoin(ShapleyChannels.map { case (nm, b) => (nm, b.toLong) }
+        .toDF("channel", "bit"))
+      .where(expr("(s & bit) = 0"))
+      .select(col("channel"), col("bit"), col("s"),
+        (col("s") + col("bit")).as("si"),
+        when(expr("bit_count(s)") === 0, 6L)
+          .when(expr("bit_count(s)") === 1, 2L)
+          .when(expr("bit_count(s)") === 2, 2L)
+          .otherwise(6L).as("wgt"))
+    grid
+      .join(cells.select(col("mask").as("s"), col("v_ppm").as("vs")),
+        Seq("s"), "left")
+      .join(cells.select(col("mask").as("si"), col("v_ppm").as("vsi")),
+        Seq("si"), "left")
+      .groupBy(col("channel"))
+      .agg(sum(col("wgt") *
+        (coalesce(col("vsi"), lit(0L)) - coalesce(col("vs"), lit(0L))))
+        .as("phi24_ppm"))
+      .select(col("channel"), col("phi24_ppm"),
+        round(col("phi24_ppm").cast("double") / 24.0, 6).as("shapley_ppm"))
+  }
+
+  val shapleyAttributionSql: String = {
+    val bitCase = ShapleyChannels.map { case (nm, b) =>
+      s"WHEN event_type = '$nm' THEN $b"
+    }.mkString(" ")
+    val chanRows = ShapleyChannels.map { case (nm, b) =>
+      s"('$nm', ${b}::BIGINT)"
+    }.mkString(", ")
+    s"""WITH conv AS (
+  SELECT user_id, min(CASE WHEN event_type = 'purchase' THEN ts END) AS cts
+  FROM events GROUP BY 1),
+um AS (
+  SELECT e.user_id, c.cts, sum(b)::BIGINT AS mask FROM (
+    SELECT DISTINCT e.user_id,
+      CASE $bitCase ELSE 0 END AS b
+    FROM events e JOIN conv ON conv.user_id = e.user_id
+    WHERE e.event_type <> 'purchase'
+      AND (conv.cts IS NULL OR e.ts < conv.cts)) e
+  JOIN conv c ON c.user_id = e.user_id
+  WHERE b > 0 GROUP BY 1, 2),
+cells AS (
+  SELECT mask,
+    ((sum((cts IS NOT NULL)::BIGINT) * 1000000) // count(*))::BIGINT AS v_ppm
+  FROM um GROUP BY 1),
+grid AS (
+  SELECT ch.channel, ch.bit, s.s, (s.s + ch.bit)::BIGINT AS si,
+    (CASE bit_count(s.s) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+      ELSE 6 END)::BIGINT AS wgt
+  FROM (SELECT unnest(generate_series(0, 15))::BIGINT AS s) s
+  CROSS JOIN (VALUES $chanRows) AS ch(channel, bit)
+  WHERE (s.s & ch.bit) = 0)
+SELECT g.channel,
+  sum(g.wgt * (coalesce(ci.v_ppm, 0) - coalesce(cs.v_ppm, 0)))::BIGINT
+    AS phi24_ppm,
+  round(sum(g.wgt * (coalesce(ci.v_ppm, 0) - coalesce(cs.v_ppm, 0)))::DOUBLE
+    / 24.0, 6) AS shapley_ppm
+FROM grid g
+LEFT JOIN cells cs ON cs.mask = g.s
+LEFT JOIN cells ci ON ci.mask = g.si
+GROUP BY g.channel"""
+  }
+
   // ---- C162 (r10): declarative data-quality rule report ----
   // The "expectations" audit a warehouse runs before trusting a load:
   // one unified (rule, checked, violations, pass) report covering the

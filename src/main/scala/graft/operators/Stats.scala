@@ -2951,6 +2951,62 @@ SELECT event_type, (n - n1) AS n0, n1,
 FROM g"""
   }
 
+  // ---- C166b (r10): Hill tail-index estimator ----
+  // C153's Gumbel fits block maxima under a light tail; the Hill
+  // estimator asks whether the tail is POWER-LAW and how heavy:
+  // α = k / Σ ln(x_(i)/x_(k+1)) over the top-k order statistics —
+  // the risk number deciding whether means/variances are even
+  // finite. Exactness: the top-(k+1) selection is a value-level
+  // order statistic (ties may permute ROWS across the boundary but
+  // only values equal to the threshold can straddle, and their
+  // ln-ratio is exactly 0 — the estimator is tie-invariant by
+  // construction); each ln term is quantized DECIMAL(18,9) before
+  // the order-free sum (entropy discipline); α is one float
+  // division, round 6, NULL when the top k are all equal. The
+  // global top-k window is the C48 total-order contract at report
+  // scale. k = 100 declared.
+  private val HillK = 100
+
+  def hillTail(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d9 = "decimal(18,9)"
+    val v = orders
+      .select((dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .where(col("cents") > 0)
+    val ranked = v.withColumn("rk",
+        row_number().over(Window.orderBy(col("cents").desc)))
+      .where(col("rk") <= HillK + 1)
+    val thr = ranked.where(col("rk") === HillK + 1)
+      .select(col("cents").as("xk1"))
+    ranked.where(col("rk") <= HillK).crossJoin(broadcast(thr))
+      .select(col("xk1"),
+        log(col("cents").cast("double") / col("xk1").cast("double"))
+          .cast(d9).as("t"))
+      .groupBy(col("xk1"))
+      .agg(count(lit(1)).as("k"), sum(col("t")).as("s"))
+      .select(col("k"), col("xk1").as("threshold_cents"),
+        round(col("s").cast("double"), 6).as("sum_log_ratio"),
+        round(col("k").cast("double") /
+          nullif(col("s"), lit(0).cast(d9)).cast("double"), 6)
+          .as("hill_alpha"))
+  }
+
+  val hillTailSql: String =
+    s"""WITH v AS (
+  SELECT ((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS cents
+  FROM orders WHERE o_totalprice > 0),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents DESC) AS rk FROM v
+  QUALIFY rk <= ${HillK + 1}),
+thr AS (SELECT cents AS xk1 FROM ranked WHERE rk = ${HillK + 1}),
+terms AS (
+  SELECT xk1, CAST(ln(cents::DOUBLE / xk1::DOUBLE) AS DECIMAL(18,9)) AS t
+  FROM ranked CROSS JOIN thr WHERE rk <= $HillK)
+SELECT count(*)::BIGINT AS k, xk1 AS threshold_cents,
+  round(sum(t)::DOUBLE, 6) AS sum_log_ratio,
+  round(count(*)::DOUBLE / nullif(sum(t), 0)::DOUBLE, 6) AS hill_alpha
+FROM terms GROUP BY xk1"""
+
   // ---- C160 (r10): minimum detectable effect — experiment sizing ----
   // The question asked BEFORE every A/B test the C71/C102/C158 family
   // evaluates after: at the current per-type volume, what effect

@@ -3358,7 +3358,9 @@ class OperatorSpec extends SparkSpec {
       "q_simpson" -> "crossJoin(broadcast(single-row overall sign + single-row tallies)) over the year-bounded strata frame — the q_kruskal pattern",
       "q_dq_rules" -> "crossJoin(broadcast(single-row orphan counts)) per FK edge — the tfidf/lm_score pattern",
       "q_knee" -> "crossJoin(broadcast(single-row curve endpoints)) over the source-bounded frame — the q_kruskal pattern",
-      "q_pca" -> "crossJoin(broadcast(single-row n / per-round max / summary)) on dims-bounded frames — the q_hits renormalization pattern")
+      "q_pca" -> "crossJoin(broadcast(single-row n / per-round max / summary)) on dims-bounded frames — the q_hits renormalization pattern",
+      "q_shapley" -> "16-cell lattice x 32-row literal grid lookups — alphabet-bounded, the q_embed_drift pattern",
+      "q_hill" -> "crossJoin(broadcast(single-row order-statistic threshold)) — the q_psi_drift pattern")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -6721,6 +6723,38 @@ class OperatorSpec extends SparkSpec {
       assert(y1 == y0 + 1 && l > 0 && p > 0)
       assert(f >= math.min(l, p) - 1e-6 && f <= math.max(l, p) + 1e-6,
         s"($l, $p, $f)") }
+  }
+
+  test("shapleyAttribution: hand-computed lattice; efficiency telescopes to zero (C167)") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1 view->purchase; u2 view only; u3 click+view->purchase;
+    // u4 signup only. Cells: v(view)=5e5, v(view|click)=1e6,
+    // v(signup)=0 -> phi24: view 5e6, click 1e6, signup/error -3e6
+    val rows = Seq(
+      (1L, "view", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "view", ts(1)),
+      (3L, "click", ts(1)), (3L, "view", ts(2)), (3L, "purchase", ts(3)),
+      (4L, "signup", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Relational.shapleyAttribution(rows)
+      .select("channel", "phi24_ppm", "shapley_ppm")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("view") == (("view", 5000000L, r6(5000000.0 / 24))), s"${got("view")}")
+    assert(got("click") == (("click", 1000000L, r6(1000000.0 / 24))), s"${got("click")}")
+    assert(got("signup")._2 == -3000000L && got("error")._2 == -3000000L,
+      s"$got")
+    // efficiency: Sum phi = v(N) - v(empty) = 0 on this lattice
+    assert(got.values.map(_._2).sum == 0L)
+    // corpus: all four channels, |phi| bounded by the ppm scale
+    val corpus = Relational.shapleyAttribution(events)
+      .select("channel", "phi24_ppm", "shapley_ppm")
+      .as[(String, Long, Double)].collect()
+    assert(corpus.map(_._1).sorted.toSeq ==
+      Seq("click", "error", "signup", "view"))
+    corpus.foreach { case (c, p24, s) =>
+      assert(math.abs(s) <= 1000000.0 && math.abs(p24 - s * 24) < 24,
+        s"$c ($p24, $s)") }
   }
 
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {

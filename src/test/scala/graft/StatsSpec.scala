@@ -1379,4 +1379,24 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(g._5) < 0.5 && math.abs(g._6) < 1.0, s"$ty null split $g")
     }
   }
+
+  test("hillTail: a planted 2x jump reads alpha = 1/ln 2 exactly; ties are invariant (C166b)") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // top-100 all 2.00, the (k+1)-th 1.00 -> every term ln 2
+    val rows = (Seq.fill(100)(2.00) ++ Seq(1.00, 0.50, 0.25))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("o_orderkey", "o_totalprice")
+    val got = Stats.hillTail(rows)
+      .select("k", "threshold_cents", "sum_log_ratio", "hill_alpha")
+      .as[(Long, Long, Double, Double)].head()
+    val t9 = BigDecimal(math.log(2.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val s = (t9 * 100).toDouble
+    assert(got == ((100L, 100L, r6(s), r6(100.0 / s))), s"$got")
+    // corpus: k = 100, threshold positive, alpha positive (heavy or
+    // light, the ratio sum over a strictly-dominating top-k is > 0)
+    val c = Stats.hillTail(orders)
+      .select("k", "threshold_cents", "hill_alpha")
+      .as[(Long, Long, Option[Double])].head()
+    assert(c._1 == 100L && c._2 > 0L && c._3.forall(_ > 0.0), s"$c")
+  }
 }
