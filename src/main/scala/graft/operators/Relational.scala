@@ -4898,6 +4898,55 @@ LEFT JOIN cells ci ON ci.mask = g.si
 GROUP BY g.channel"""
   }
 
+  // ---- C168b (r10): FK fan-out profile — join-explosion audit ----
+  // C162 checks the FK edges EXIST; this profiles what they COST:
+  // the child-per-parent distribution (max, exact lower-median and
+  // ceil-P99 by rank selection — the C145 order-statistic
+  // discipline — and max/median skew ppm) for the two fact edges.
+  // The number a join planner and a skew-salting decision (C16) both
+  // start from. Exact integers end to end. Plan: per edge one
+  // parent-keyed rollup, rank selection under a (count, parent)
+  // total order on the PARENT-bounded frame, 2-row union.
+  def fkFanout(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def profile(edge: String, child: DataFrame, key: String): DataFrame = {
+      val per = child.groupBy(col(key).as("parent")).agg(count(lit(1)).as("c"))
+      val ranked = per
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("c").asc, col("parent").asc)))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy(lit(1))))
+      ranked.groupBy(col("np"))
+        .agg(sum(col("c")).as("n_children"), max(col("c")).as("max_fanout"),
+          max(when(col("r") === expr("(np + 1) div 2"), col("c"))).as("p50"),
+          max(when(col("r") === expr("(99 * np + 99) div 100"), col("c")))
+            .as("p99"))
+        .select(lit(edge).as("edge"), col("np").as("n_parents"),
+          col("n_children"), col("max_fanout"), col("p50"), col("p99"),
+          expr("(max_fanout * 1000000L) div p50").as("skew_ppm"))
+    }
+    profile("lineitem->orders", lineitem.select(col("l_orderkey")),
+        "l_orderkey")
+      .unionAll(profile("orders->customer", orders.select(col("o_custkey")),
+        "o_custkey"))
+  }
+
+  val fkFanoutSql: String = {
+    def block(edge: String, table: String, key: String) =
+      s"""SELECT '$edge' AS edge, np AS n_parents, n_children, max_fanout,
+  p50, p99, ((max_fanout * 1000000) // p50)::BIGINT AS skew_ppm
+FROM (
+  SELECT max(np)::BIGINT AS np, sum(c)::BIGINT AS n_children,
+    max(c)::BIGINT AS max_fanout,
+    max(CASE WHEN r = (np + 1) // 2 THEN c END)::BIGINT AS p50,
+    max(CASE WHEN r = (99 * np + 99) // 100 THEN c END)::BIGINT AS p99
+  FROM (
+    SELECT c, row_number() OVER (ORDER BY c ASC, parent ASC) AS r,
+      count(*) OVER () AS np
+    FROM (SELECT $key AS parent, count(*)::BIGINT AS c
+          FROM $table GROUP BY 1)))"""
+    block("lineitem->orders", "lineitem", "l_orderkey") + "\nUNION ALL\n" +
+      block("orders->customer", "orders", "o_custkey")
+  }
+
   // ---- C162 (r10): declarative data-quality rule report ----
   // The "expectations" audit a warehouse runs before trusting a load:
   // one unified (rule, checked, violations, pass) report covering the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
@@ -3006,6 +3006,107 @@ SELECT count(*)::BIGINT AS k, xk1 AS threshold_cents,
   round(sum(t)::DOUBLE, 6) AS sum_log_ratio,
   round(count(*)::DOUBLE / nullif(sum(t), 0)::DOUBLE, 6) AS hill_alpha
 FROM terms GROUP BY xk1"""
+
+  // ---- C169 (r10): group-sequential monitoring — the peeking audit ----
+  // Every dashboard-watched experiment is a sequential test whether
+  // the analyst admits it or not; this runs the honest version: 5
+  // equal-information looks over the time-ordered stream, a Welch z
+  // at each look from EXACT cumulative per-arm cent moments, compared
+  // against the O'Brien–Fleming spending boundary c·√(K/k) (c = 2.04,
+  // K = 5 — the declared approximation table, baked as shared
+  // literals; no quantile function ever runs). The z chain is
+  // fixed-order floats off exact integers (C103 discipline); the
+  // crossing flag compares bit-identical doubles against a shared
+  // literal. Looks are count-equal ntiles under a (ts, event_id)
+  // total order — the C48 contract at report scale. Plan: one global
+  // ntile window, one (look, arm) moment aggregate, running sums over
+  // the 5-row look frame.
+  private val SeqLooks = 5
+  private val SeqObfC = "2.04"
+
+  def seqTest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val tagged = events.select(
+      (dec(col("value")) * 100).cast("long").as("v"),
+      pmod(md5Long(lit("mw"), col("event_id")), lit(2)).as("arm"),
+      ntile(SeqLooks).over(Window.orderBy(col("ts"), col("event_id")))
+        .cast("long").as("look"))
+    val byLook = tagged.groupBy(col("look"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(col("v").cast(d38) * col("v")).as("sx2"))
+    val W = Window.partitionBy(col("arm")).orderBy(col("look"))
+    val cum = byLook
+      .withColumn("cn", sum(col("n")).over(W))
+      .withColumn("cs", sum(col("sx")).over(W))
+      .withColumn("cq", sum(col("sx2")).over(W))
+    val wide = cum.groupBy(col("look"))
+      .agg(max(when(col("arm") === 0, col("cn"))).as("n0"),
+        max(when(col("arm") === 0, col("cs"))).as("s0"),
+        max(when(col("arm") === 0, col("cq"))).as("q0"),
+        max(when(col("arm") === 1, col("cn"))).as("n1"),
+        max(when(col("arm") === 1, col("cs"))).as("s1"),
+        max(when(col("arm") === 1, col("cq"))).as("q1"))
+    def varOf(n: Column, s: Column, q: Column) =
+      (n.cast(d38) * q - s.cast(d38) * s).cast("double") /
+        nullif(n.cast(d38) * n * (n - 1), lit(0).cast(d38)).cast("double")
+    val z = (col("s1").cast("double") / col("n1")
+      - col("s0").cast("double") / col("n0")) /
+      sqrt(varOf(col("n1"), col("s1"), col("q1"))
+        + varOf(col("n0"), col("s0"), col("q0")))
+    val bound = lit(SeqObfC).cast("double") *
+      sqrt(lit(SeqLooks).cast("double") / col("look").cast("double"))
+    wide.select(col("look"), (col("n0") + col("n1")).as("n_seen"),
+      round(z, 6).as("z"),
+      round(bound, 6).as("obf_bound"),
+      (abs(z) > bound).cast("long").as("crossed"))
+  }
+
+  val seqTestSql: String = {
+    val h = graft.functions.Portable.md5LongSql("'mw'", "event_id")
+    s"""WITH tagged AS (
+  SELECT ((value::DECIMAL(18,2)) * 100)::BIGINT AS v,
+    $h % 2 AS arm,
+    ntile($SeqLooks) OVER (ORDER BY ts, event_id)::BIGINT AS look
+  FROM events),
+bylook AS (
+  SELECT look, arm, count(*)::BIGINT AS n, sum(v)::BIGINT AS sx,
+    sum(v::HUGEINT * v)::HUGEINT AS sx2
+  FROM tagged GROUP BY 1, 2),
+cum AS (
+  SELECT look, arm,
+    sum(n) OVER (PARTITION BY arm ORDER BY look
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS cn,
+    sum(sx) OVER (PARTITION BY arm ORDER BY look
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS cs,
+    sum(sx2) OVER (PARTITION BY arm ORDER BY look
+      ROWS UNBOUNDED PRECEDING)::HUGEINT AS cq
+  FROM bylook),
+wide AS (
+  SELECT look,
+    max(CASE WHEN arm = 0 THEN cn END)::BIGINT AS n0,
+    max(CASE WHEN arm = 0 THEN cs END)::BIGINT AS s0,
+    max(CASE WHEN arm = 0 THEN cq END)::HUGEINT AS q0,
+    max(CASE WHEN arm = 1 THEN cn END)::BIGINT AS n1,
+    max(CASE WHEN arm = 1 THEN cs END)::BIGINT AS s1,
+    max(CASE WHEN arm = 1 THEN cq END)::HUGEINT AS q1
+  FROM cum GROUP BY 1)
+SELECT look, (n0 + n1)::BIGINT AS n_seen,
+  round((s1::DOUBLE / n1 - s0::DOUBLE / n0)
+    / sqrt((n1::HUGEINT * q1 - s1::HUGEINT * s1)::DOUBLE
+        / nullif(n1::HUGEINT * n1 * (n1 - 1), 0)::DOUBLE
+      + (n0::HUGEINT * q0 - s0::HUGEINT * s0)::DOUBLE
+        / nullif(n0::HUGEINT * n0 * (n0 - 1), 0)::DOUBLE), 6) AS z,
+  round($SeqObfC * sqrt(${SeqLooks}::DOUBLE / look::DOUBLE), 6) AS obf_bound,
+  (abs((s1::DOUBLE / n1 - s0::DOUBLE / n0)
+    / sqrt((n1::HUGEINT * q1 - s1::HUGEINT * s1)::DOUBLE
+        / nullif(n1::HUGEINT * n1 * (n1 - 1), 0)::DOUBLE
+      + (n0::HUGEINT * q0 - s0::HUGEINT * s0)::DOUBLE
+        / nullif(n0::HUGEINT * n0 * (n0 - 1), 0)::DOUBLE))
+    > $SeqObfC * sqrt(${SeqLooks}::DOUBLE / look::DOUBLE))::BIGINT
+    AS crossed
+FROM wide"""
+  }
 
   // ---- C160 (r10): minimum detectable effect — experiment sizing ----
   // The question asked BEFORE every A/B test the C71/C102/C158 family

@@ -3360,7 +3360,8 @@ class OperatorSpec extends SparkSpec {
       "q_knee" -> "crossJoin(broadcast(single-row curve endpoints)) over the source-bounded frame — the q_kruskal pattern",
       "q_pca" -> "crossJoin(broadcast(single-row n / per-round max / summary)) on dims-bounded frames — the q_hits renormalization pattern",
       "q_shapley" -> "16-cell lattice x 32-row literal grid lookups — alphabet-bounded, the q_embed_drift pattern",
-      "q_hill" -> "crossJoin(broadcast(single-row order-statistic threshold)) — the q_psi_drift pattern")
+      "q_hill" -> "crossJoin(broadcast(single-row order-statistic threshold)) — the q_psi_drift pattern",
+      "q_fk_fanout" -> "count(*) OVER () on the parent-bounded count frame — window, not a join; listed for the single-partition window note")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
@@ -6755,6 +6756,37 @@ class OperatorSpec extends SparkSpec {
     corpus.foreach { case (c, p24, s) =>
       assert(math.abs(s) <= 1000000.0 && math.abs(p24 - s * 24) < 24,
         s"$c ($p24, $s)") }
+  }
+
+  test("fkFanout: planted fan-outs read exact order statistics (C168b)") {
+    val ords = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("o_orderkey", "o_custkey")
+    // orderkey fan-outs: {5, 2, 1} -> p50 = 2, p99 = 5, skew 2.5e6
+    val lines = (Seq.fill(5)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L))
+      .toDF("l_orderkey")
+    val got = Relational.fkFanout(ords, lines)
+      .select("edge", "n_parents", "n_children", "max_fanout", "p50", "p99",
+        "skew_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("lineitem->orders") ==
+      (("lineitem->orders", 3L, 8L, 5L, 2L, 5L, 2500000L)),
+      s"${got("lineitem->orders")}")
+    // customer fan-outs {2, 1}: p50 = rank (2+1) div 2 = 1 -> 1
+    assert(got("orders->customer") ==
+      (("orders->customer", 2L, 3L, 2L, 1L, 2L, 2000000L)),
+      s"${got("orders->customer")}")
+    // corpus: children reconcile to table sizes, order stats ordered
+    val corpus = Relational.fkFanout(Tables.load(spark, sf, "orders"),
+      Tables.load(spark, sf, "lineitem"))
+      .select("edge", "n_children", "max_fanout", "p50", "p99", "skew_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(corpus("lineitem->orders")._2 ==
+      Tables.load(spark, sf, "lineitem").count())
+    assert(corpus("orders->customer")._2 ==
+      Tables.load(spark, sf, "orders").count())
+    corpus.values.foreach { case (e, _, mx, p50, p99, skew) =>
+      assert(p50 <= p99 && p99 <= mx && skew >= 1000000L, s"$e") }
   }
 
   test("linkPrediction: the K4-minus-an-edge pair fires at Jaccard 1; adjacent pairs never (L154)") {

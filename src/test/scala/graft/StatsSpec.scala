@@ -1399,4 +1399,46 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].head()
     assert(c._1 == 100L && c._2 > 0L && c._3.forall(_ > 0.0), s"$c")
   }
+
+  test("seqTest: cumulative z replays per look; boundary shrinks to 2.04 (C169)") {
+    def md5mw(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mw:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = events.select(col("event_id"), col("ts"),
+      (graft.functions.Portable.dec(col("value")) * 100).cast("long").as("v"))
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .sortBy(r => (r._2.getTime, r._1))
+    val got = Stats.seqTest(events)
+      .select("look", "n_seen", "z", "obf_bound", "crossed")
+      .as[(Long, Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    assert(got.last._2 == raw.length, s"final look must see all rows")
+    assert(got.sliding(2).forall(w => w(0)._2 < w(1)._2), "n_seen monotone")
+    assert(got.sliding(2).forall(w => w(0)._4 > w(1)._4), "boundary shrinks")
+    assert(math.abs(got.last._4 - 2.04) < 1e-9, s"final bound ${got.last._4}")
+    // z replay at each look from exact cumulative moments (ntile
+    // sizes: the first n % 5 looks carry the extra row)
+    val n = raw.length; val base = n / 5; val extra = n % 5
+    var idx = 0
+    (1 to 5).foreach { k =>
+      val size = base + (if (k <= extra) 1 else 0)
+      idx += size
+      val seen = raw.take(idx)
+      val a1 = seen.filter(r => md5mw(r._1) % 2 == 1).map(_._3)
+      val a0 = seen.filter(r => md5mw(r._1) % 2 == 0).map(_._3)
+      def vr(xs: Seq[Long]) = {
+        val nn = xs.length.toLong
+        (BigInt(nn) * xs.map(x => BigInt(x) * x).sum -
+          BigInt(xs.sum) * xs.sum).toDouble / (BigInt(nn) * nn * (nn - 1)).toDouble
+      }
+      val z = (a1.sum.toDouble / a1.length - a0.sum.toDouble / a0.length) /
+        math.sqrt(vr(a1) + vr(a0))
+      val g = got(k - 1)
+      assert(g._2 == idx, s"look $k n ${g._2} vs $idx")
+      assert(math.abs(g._3 - z) < 1e-5, s"look $k z ${g._3} vs $z")
+      assert((g._5 == 1L) == (math.abs(g._3) > g._4), s"look $k flag $g")
+    }
+  }
 }
