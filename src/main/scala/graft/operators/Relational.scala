@@ -4947,6 +4947,156 @@ FROM (
       block("orders->customer", "orders", "o_custkey")
   }
 
+  // ---- C171 (r10): semi-structured schema profile — key/type drift ----
+  // The data-lake question C9's extraction assumes away: what keys
+  // does the JSON payload ACTUALLY carry, how often, and with what
+  // types — the drift audit run before trusting any json_extract
+  // path. Keys come from a full map parse (no hardcoded paths); type
+  // classification is REGEX ON THE RAW TOKEN (int/float/bool, else
+  // string) — deliberately not the engines' own JSON type systems,
+  // which disagree (and DuckDB's json_each keeps quotes on string
+  // tokens — stripped before classifying, the one normalization).
+  // Dominant type by count with a fixed precedence tiebreak. Exact
+  // integer counts + decDiv ppm shares. Plan: one parse+explode pass
+  // to the (key) frame; single-row total broadcast.
+  def jsonProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val total = events.agg(count(lit(1)).as("n_rows"))
+    val kv = events.select(from_json(col("props"),
+        MapType(StringType, StringType)).as("m"))
+      .where(col("m").isNotNull)
+      .select(explode(col("m")).as(Seq("k", "v")))
+    val isInt = col("v").rlike("^-?[0-9]+$")
+    val isFloat = col("v").rlike("^-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$")
+    val isBool = col("v").isin("true", "false")
+    val perKey = kv.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(col("v").isNull.cast("long")).as("n_null"),
+        sum((col("v").isNotNull && isInt).cast("long")).as("n_int"),
+        sum((col("v").isNotNull && !isInt && isFloat).cast("long")).as("n_float"),
+        sum((col("v").isNotNull && isBool).cast("long")).as("n_bool"))
+      .withColumn("n_str", col("n_present") - col("n_null") - col("n_int")
+        - col("n_float") - col("n_bool"))
+    perKey.crossJoin(broadcast(total))
+      .select(col("k").as("key"), col("n_present"),
+        expr("(n_present * 1000000L) div n_rows").as("present_ppm"),
+        col("n_null"), col("n_int"), col("n_float"), col("n_bool"),
+        col("n_str"),
+        when(col("n_int") >= greatest(col("n_float"), col("n_bool"),
+          col("n_str")), "int")
+          .when(col("n_float") >= greatest(col("n_bool"), col("n_str")),
+            "float")
+          .when(col("n_bool") >= col("n_str"), "bool")
+          .otherwise("string").as("dominant_type"))
+  }
+
+  val jsonProfileSql: String =
+    """WITH total AS (SELECT count(*)::BIGINT AS n_rows FROM events),
+kv AS (
+  SELECT je.key AS k,
+    CASE WHEN json_type(je.value) = 'VARCHAR'
+      THEN trim(je.value::VARCHAR, '"')
+      ELSE je.value::VARCHAR END AS v
+  FROM events, json_each(props::JSON) je
+  WHERE json_valid(props)),
+perkey AS (
+  SELECT k, count(*)::BIGINT AS n_present,
+    sum((v IS NULL OR v = 'null')::BIGINT)::BIGINT AS n_null,
+    sum((v IS NOT NULL AND v <> 'null'
+      AND regexp_full_match(v, '-?[0-9]+'))::BIGINT)::BIGINT AS n_int,
+    sum((v IS NOT NULL AND v <> 'null'
+      AND NOT regexp_full_match(v, '-?[0-9]+')
+      AND regexp_full_match(v, '-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?'))::BIGINT)
+      ::BIGINT AS n_float,
+    sum((v IN ('true', 'false'))::BIGINT)::BIGINT AS n_bool
+  FROM kv GROUP BY 1)
+SELECT k AS key, n_present,
+  ((n_present * 1000000) // n_rows)::BIGINT AS present_ppm,
+  n_null, n_int, n_float, n_bool,
+  (n_present - n_null - n_int - n_float - n_bool)::BIGINT AS n_str,
+  CASE
+    WHEN n_int >= greatest(n_float, n_bool,
+      n_present - n_null - n_int - n_float - n_bool) THEN 'int'
+    WHEN n_float >= greatest(n_bool,
+      n_present - n_null - n_int - n_float - n_bool) THEN 'float'
+    WHEN n_bool >= n_present - n_null - n_int - n_float - n_bool THEN 'bool'
+    ELSE 'string' END AS dominant_type
+FROM perkey CROSS JOIN total"""
+
+  // ---- C172 (r10): funnel stage latency — where conversion time goes ----
+  // C30's funnel counts WHO reaches each stage; this measures HOW
+  // LONG the transitions take: for converting users, the
+  // view→click and click→purchase gaps (the SAME stage timestamps
+  // C30 defines), with exact lower-median and ceil-P90 selection per
+  // transition (the C145 order-statistic discipline — no
+  // interpolation, micros end to end). Plan: the C30 per-user window
+  // frame, then rank selection on the per-transition gap frames —
+  // user-bounded after the one corpus pass.
+  def funnelLatency(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    val staged = events
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(wU))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr(FunnelStageWindow), col("ts"))).over(wU))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr(FunnelStageWindow), col("ts"))).over(wU))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
+    val gaps = staged.where(col("t2").isNotNull)
+      .select(lit("view->click").as("stage"),
+        (unix_micros(col("t2")) - unix_micros(col("t1"))).as("gap_us"))
+      .unionAll(staged.where(col("t3").isNotNull)
+        .select(lit("click->purchase").as("stage"),
+          (unix_micros(col("t3")) - unix_micros(col("t2"))).as("gap_us")))
+    val ranked = gaps
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("stage")).orderBy(col("gap_us").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stage"))))
+    ranked.groupBy(col("stage"), col("n"))
+      .agg(max(when(col("r") === expr("(n + 1) div 2"), col("gap_us")))
+        .as("p50_us"),
+        max(when(col("r") === expr("(9 * n + 9) div 10"), col("gap_us")))
+          .as("p90_us"),
+        max(col("gap_us")).as("max_us"))
+      .select(col("stage"), col("n").as("n_transitions"), col("p50_us"),
+        col("p90_us"), col("max_us"))
+  }
+
+  val funnelLatencySql: String =
+    """WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+  GROUP BY 1),
+gaps AS (
+  SELECT 'view->click' AS stage,
+    (epoch_us(t2) - epoch_us(t1))::BIGINT AS gap_us
+  FROM s2 JOIN s1 USING (user_id)
+  UNION ALL
+  SELECT 'click->purchase',
+    (epoch_us(t3) - epoch_us(t2))::BIGINT
+  FROM s3 JOIN s2 USING (user_id)),
+ranked AS (
+  SELECT stage, gap_us,
+    row_number() OVER (PARTITION BY stage ORDER BY gap_us ASC) AS r,
+    count(*) OVER (PARTITION BY stage)::BIGINT AS n
+  FROM gaps)
+SELECT stage, max(n)::BIGINT AS n_transitions,
+  max(CASE WHEN r = (n + 1) // 2 THEN gap_us END)::BIGINT AS p50_us,
+  max(CASE WHEN r = (9 * n + 9) // 10 THEN gap_us END)::BIGINT AS p90_us,
+  max(gap_us)::BIGINT AS max_us
+FROM ranked GROUP BY stage"""
+
   // ---- C162 (r10): declarative data-quality rule report ----
   // The "expectations" audit a warehouse runs before trusting a load:
   // one unified (rule, checked, violations, pass) report covering the
