@@ -20,6 +20,14 @@ import org.apache.spark.sql.types._
   * shapes the oracle-backed surface emits. Types are preserved exactly
   * (REAL is cast back to REAL in DuckDB) so the driver's schema check
   * is unaffected.
+  *
+  * This object is FLOATS-ONLY by design. The second observed repr
+  * hazard — max-precision DECIMAL(38,0) in a released projection
+  * (r10's 14 hash-reds, bit-identical values) — is guarded not here
+  * but by the released-type lint in OperatorSpec ("released-type
+  * lint"): no query schema may carry a decimal with precision > 18;
+  * wide-decimal arithmetic stays internal and releases as BIGINT or a
+  * declared fixed-point rescale.
   */
 object Canonical {
 

@@ -97,9 +97,13 @@ object Curation {
     // second-priciest per-byte pass and has THREE consumers (quality,
     // NB scoring, BPE metering) — materialize once instead of
     // replaying it per consumer (the modularityAudit pairs /
-    // nbClassify model precedent; at 100 TB this is the documented
-    // checkpoint-over-cache trade: one corpus-sized write beats three
-    // corpus-sized recomputes)
+    // nbClassify model precedent). Caveat (r10 advice): localCheckpoint
+    // is executor-local AND lineage-truncating — an executor loss
+    // after it makes the blocks unrecoverable, so it is the right
+    // trade only for re-runnable batch jobs (this pipeline). A
+    // production 100 TB run that must survive executor churn should
+    // use reliable checkpoint() to a durable FS (one corpus-sized
+    // write, recomputable from source) instead.
     val extracted = Html.extractText(Html.asHtml(documents))
       .select(col("doc_id"), col("extracted").as("text"))
       .localCheckpoint()

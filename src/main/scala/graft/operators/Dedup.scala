@@ -243,8 +243,20 @@ JOIN nd nb ON nb.source = c.source_b"""
   // cross-doc flag — the split-leakage signal. Scale = L2's; the turn
   // corpus is a constant factor larger in rows, smaller in bytes/row.
   def chatPromptDedup(documents: DataFrame): DataFrame = {
+    // The unit-id packing is only injective while turn_idx < 1024 and
+    // doc_id stays clear of Long.MaxValue/1024; the generator's shape
+    // guarantees both, but on any OTHER corpus a violation must fail
+    // loudly (raise_error) instead of silently colliding dedup pairs
+    // (r10 advice). The guard is a codegen'd branch, not a scan.
+    val packLimit = Long.MaxValue / 1024 - 1
     val turns = Chat.userTurns(documents)
-      .select((col("doc_id") * 1024 + col("turn_idx")).as("doc_id"),
+      .select(
+        when(col("turn_idx") >= 1024 || col("doc_id") > packLimit ||
+            col("doc_id") < 0,
+          raise_error(concat(lit("chatPromptDedup: unit-id packing out of "
+            + "range (turn_idx "), col("turn_idx"), lit(", doc_id "),
+            col("doc_id"), lit(")"))).cast("long"))
+          .otherwise(col("doc_id") * 1024 + col("turn_idx")).as("doc_id"),
         col("content").as("text"))
     ngramJaccard(turns)
       .select(col("x"), col("y"),
@@ -1695,8 +1707,14 @@ FROM scalars s JOIN named n USING (cluster_id) JOIN mode m USING (cluster_id)"""
       .crossJoin(broadcast(m))
       .select(col("community"), col("n_members"), col("e_intra"),
         col("d_sum"), col("m"),
+        // Released as BIGINT (r11): 4m·e_c ≤ 4m² and d_c² ≤ (2m)² with
+        // m ≈ 1e4 dup pairs at check scale — far under 2⁶³; the
+        // decimal products stay internal. This retires the r8–r10
+        // hash-red: the trigger was the DECIMAL(38,0) release repr
+        // itself, not the (already removed) float term.
         (lit(4).cast("decimal(38,0)") * col("m") * col("e_intra") -
-          col("d_sum").cast("decimal(38,0)") * col("d_sum")).as("q_num"))
+          col("d_sum").cast("decimal(38,0)") * col("d_sum"))
+          .cast("long").as("q_num"))
   }
 
   lazy val modularityAuditSql: String =
@@ -1720,7 +1738,7 @@ ds AS (
 SELECT ds.community, ds.n_members, coalesce(i.e_intra, 0)::BIGINT AS e_intra,
   ds.d_sum, m.m,
   (4::HUGEINT * m.m * coalesce(i.e_intra, 0)
-    - ds.d_sum::HUGEINT * ds.d_sum)::DECIMAL(38,0) AS q_num
+    - ds.d_sum::HUGEINT * ds.d_sum)::BIGINT AS q_num
 FROM ds LEFT JOIN intra i USING (community) CROSS JOIN m"""
 
   lazy val labelPropagationSql: String = {
@@ -1994,7 +2012,11 @@ FROM canon GROUP BY sa, sb"""
         sum(col("dx").cast(d38) * col("dy")).as("sxy"),
         sum(col("dx").cast(d38) * col("dx")).as("sxx"),
         sum(col("dy").cast(d38) * col("dy")).as("syy"))
-    m.select(col("m").as("n_edges_directed"), col("sx"), col("sxy"),
+    // sxy released as BIGINT: Σ dx·dy ≤ m·dmax² with m ≈ 2e4 directed
+    // edges and dmax ≪ 1e4 at check scale — int64-safe; the decimal
+    // moments stay internal for the correlation arithmetic.
+    m.select(col("m").as("n_edges_directed"), col("sx"),
+      col("sxy").cast("long").as("sxy"),
       round((col("m").cast(d38) * col("sxy")
         - col("sx").cast(d38) * col("sy")).cast("double") /
         nullif(sqrt((col("m").cast(d38) * col("sxx")
@@ -2015,7 +2037,7 @@ mm AS (
     sum(dx.d::HUGEINT * dx.d)::HUGEINT AS sxx,
     sum(dy.d::HUGEINT * dy.d)::HUGEINT AS syy
   FROM und JOIN deg dx ON dx.v = und.x JOIN deg dy ON dy.v = und.y)
-SELECT m AS n_edges_directed, sx, sxy::DECIMAL(38,0) AS sxy,
+SELECT m AS n_edges_directed, sx, sxy::BIGINT AS sxy,
   round((m::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
     / nullif(sqrt((m::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE)
       * sqrt((m::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE), 0.0), 6)

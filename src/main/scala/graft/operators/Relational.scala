@@ -4071,7 +4071,13 @@ FROM m JOIN ft USING (from_seg)"""
       .join(broadcast(norms.toDF("nb", "norm2b")), col("na") < col("nb"))
       .join(num, Seq("na", "nb"), "left")
       .select(col("na"), col("nb"),
-        coalesce(col("num"), lit(0).cast(d38)).as("num"),
+        // Released at a declared 1e-6 fixed-point rescale (exact floor
+        // division, identical both engines): the raw cents² dot
+        // product tops 7e19 at sf0.01 — past int64 — while the
+        // rescaled value stays int64-safe through sf1; the full
+        // DECIMAL(38,0) numerator stays internal for the cosine.
+        expr("coalesce(num, cast(0 as decimal(38,0))) div 1000000")
+          .as("num_div1e6"),
         round(coalesce(col("num"), lit(0).cast(d38)).cast("double") /
           (sqrt(col("norm2a").cast("double")) * sqrt(col("norm2b").cast("double"))), 6)
           .as("cosine"))
@@ -4094,7 +4100,7 @@ num AS (
   FROM prof a JOIN prof b ON a.segment = b.segment AND a.nation < b.nation
   GROUP BY 1, 2)
 SELECT x.nation AS na, y.nation AS nb,
-  coalesce(p.num, 0)::DECIMAL(38,0) AS num,
+  (coalesce(p.num, 0)::HUGEINT // 1000000)::BIGINT AS num_div1e6,
   round(coalesce(p.num, 0)::DOUBLE
     / (sqrt(x.norm2::DOUBLE) * sqrt(y.norm2::DOUBLE)), 6) AS cosine
 FROM norms x JOIN norms y ON x.nation < y.nation

@@ -21,8 +21,19 @@ object Scale {
     * the reason this is a per-operator decision, not a Tables.load
     * default). */
   private[graft] def spreadNarrowScan(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Width estimate off LOGICAL stats, not df.rdd.getNumPartitions:
+    // the .rdd call forced full physical planning + an RDD conversion
+    // of the pre-repartition plan at query-BUILD time for every
+    // caller (r10 advice). bytes < target·maxPartitionBytes ⇔ the
+    // scan would open fewer than `target` splits, which is the same
+    // local-narrow test without touching the physical planner.
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(maxPartitionBytes) * target) df.repartition(target, key)
+    else df
   }
 
   /** Salted inner equi-join for skewed keys: the skewed (left) side

@@ -1510,7 +1510,12 @@ FROM (
         min(col("vd")).as("min_var"),
         max(struct(col("vd"), col("pos"))).as("top"),
         sum(col("vd2")).as("sv2"))
-      .select(col("n"), col("d"), col("trace"), col("max_var"), col("min_var"),
+      .select(col("n"), col("d"),
+        // Spark widens sum(decimal(18,6)) to (28,6); release at the
+        // oracle's (18,6) — 64 dims × |vd| ≤ ~1e6 fits — so the
+        // released-type lint's ≤18-precision bound holds everywhere.
+        col("trace").cast("decimal(18,6)").as("trace"),
+        col("max_var"), col("min_var"),
         (col("top.pos") + 1).cast("long").as("top_dim"),
         round((col("trace").cast("double") * col("trace").cast("double")) /
           nullif(col("sv2").cast("double"), lit(0.0)), 6).as("participation"))

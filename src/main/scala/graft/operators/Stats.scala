@@ -1080,10 +1080,14 @@ FROM d"""
         // type (documented bound — the C25-style sketch is the path
         // beyond, where an exact tie-corrected variance stops
         // mattering anyway)
+        // Released as BIGINT: ≈ n0·n1·n³ ≈ 8e15 at the sf0.01 check
+        // scale (n ≈ 2e3 per type); the bound leaves int64 past
+        // n ≈ 2e4 per type — beyond that the C25-style sketch is the
+        // declared path. The 38-digit product stays internal.
         ((col("n") - col("n1")) * col("n1")).cast(d38)
           .multiply(col("n").cast(d38) * (col("n").cast(d38) * col("n").cast(d38)
             - 1) - col("tie3").cast(d38))
-          .as("var_num"),
+          .cast("long").as("var_num"),
         (lit(12L) * col("n") * (col("n") - 1)).as("var_den"))
   }
 
@@ -1110,7 +1114,7 @@ g AS (
 SELECT g.event_type, (n - n1) AS n0, n1,
   (r2sum - n1 * (n1 + 1))::BIGINT AS u2,
   (((n - n1) * n1)::HUGEINT
-    * (n::HUGEINT * (n::HUGEINT * n::HUGEINT - 1) - tie3::HUGEINT))::DECIMAL(38,0)
+    * (n::HUGEINT * (n::HUGEINT * n::HUGEINT - 1) - tie3::HUGEINT))::BIGINT
     AS var_num,
   (12 * n * (n - 1))::BIGINT AS var_den
 FROM g JOIN ties USING (event_type)"""
@@ -1227,8 +1231,13 @@ FROM d"""
       .agg(cnt(0), sv(0), qv(0), cnt(1), sv(1), qv(1))
       .where(col("n0") > 1 && col("n1") > 1)
       .select(col("event_type"), col("n0"), col("s0"), col("n1"), col("s1"),
-        (col("n0").cast(d38) * col("q0") - col("s0").cast(d38) * col("s0")).as("vn0"),
-        (col("n1").cast(d38) * col("q1") - col("s1").cast(d38) * col("s1")).as("vn1"))
+        // Released as BIGINT: vn ≈ n·Σv² ≈ 1e16 at sf0.01 and 1e18 at
+        // sf0.1 (v ≤ ~5e4 cents) — int64-safe through the bench scale;
+        // the DECIMAL(38,0) difference-of-products stays internal.
+        (col("n0").cast(d38) * col("q0") - col("s0").cast(d38) * col("s0"))
+          .cast("long").as("vn0"),
+        (col("n1").cast(d38) * col("q1") - col("s1").cast(d38) * col("s1"))
+          .cast("long").as("vn1"))
     g.selectExpr(Seq("event_type", "n0", "s0", "vn0", "n1", "s1", "vn1") ++
       welchFloatExprs: _*)
   }
@@ -1264,8 +1273,8 @@ m AS (
   FROM tagged GROUP BY event_type),
 g AS (
   SELECT event_type, n0, s0, n1, s1,
-    (n0::HUGEINT * q0 - s0::HUGEINT * s0)::DECIMAL(38,0) AS vn0,
-    (n1::HUGEINT * q1 - s1::HUGEINT * s1)::DECIMAL(38,0) AS vn1
+    (n0::HUGEINT * q0 - s0::HUGEINT * s0)::BIGINT AS vn0,
+    (n1::HUGEINT * q1 - s1::HUGEINT * s1)::BIGINT AS vn1
   FROM m WHERE n0 > 1 AND n1 > 1)
 SELECT event_type, n0, s0, vn0, n1, s1, vn1,
   $floats
@@ -2154,7 +2163,11 @@ GROUP BY 1, 2"""
       .select(col("event_type"), col("n_days"), col("s"),
         (col("n_days").cast(d38) * col("q") - col("s").cast(d38) * col("s"))
           .as("vn"))
-      .select(col("event_type"), col("n_days"), col("s"), col("vn"),
+      .select(col("event_type"), col("n_days"), col("s"),
+        // Released as BIGINT: vn ≤ n_days·Σc² — calendar-bounded days
+        // times daily-count squares keeps this far under 2⁶³ at any
+        // driver scale; the decimal difference-of-products is internal.
+        col("vn").cast("long").as("vn"),
         round(col("vn").cast("double") /
           ((col("n_days") - 1).cast("double") * col("s").cast("double")), 6)
           .as("fano"),
@@ -2177,7 +2190,7 @@ g AS (
   SELECT event_type, n_days, s,
     (n_days::HUGEINT * q - s::HUGEINT * s)::DECIMAL(38,0) AS vn
   FROM m WHERE n_days > 1 AND s > 0)
-SELECT event_type, n_days, s, vn,
+SELECT event_type, n_days, s, vn::BIGINT AS vn,
   round(vn::DOUBLE / ((n_days - 1)::DOUBLE * s::DOUBLE), 6) AS fano,
   (vn > (n_days - 1)::DECIMAL(38,0) * s)::BIGINT AS overdispersed
 FROM g"""
@@ -2584,8 +2597,12 @@ FROM cells GROUP BY n, nr, nc"""
         sum(when(col("arm") === 1, col("d2") * col("d2"))
           .otherwise(lit(0).cast(d38))).as("sq1"))
       .select(col("event_type"), (col("n") - col("n1")).as("n0"), col("n1"),
+        // Released as BIGINT: u4 ≈ 4N⁴ ≈ 6.4e13 at sf0.01 and 6.4e17
+        // at sf0.1 — int64-safe through the bench scale (past N ≈ 70k
+        // per type the decimal arithmetic, kept internal, is the
+        // exactness carrier and a rescaled release would be the path).
         ((col("n") - col("n1")).cast(d38) * col("sq0")
-          + col("n1").cast(d38) * col("sq1")).as("u4"),
+          + col("n1").cast(d38) * col("sq1")).cast("long").as("u4"),
         round(
           ((col("n") - col("n1")).cast(d38) * col("sq0")
             + col("n1").cast(d38) * col("sq1")).cast("double") /
@@ -2618,7 +2635,7 @@ g AS (
       ELSE 0::HUGEINT END)::HUGEINT AS sq1
   FROM ranked GROUP BY event_type)
 SELECT event_type, (n - n1) AS n0, n1,
-  ((n - n1)::HUGEINT * sq0 + n1::HUGEINT * sq1)::DECIMAL(38,0) AS u4,
+  ((n - n1)::HUGEINT * sq0 + n1::HUGEINT * sq1)::BIGINT AS u4,
   round(
     ((n - n1)::HUGEINT * sq0 + n1::HUGEINT * sq1)::DOUBLE
       / nullif(4::HUGEINT * n * (n - n1) * n1, 0)::DOUBLE
@@ -2747,7 +2764,10 @@ FROM hg CROSS JOIN hc CROSS JOIN hn"""
       .agg(sum(abs(col("cum_a").cast(d38) * col("nb")
         - col("cum_b").cast(d38) * col("na")) * col("gap")).as("num"))
       .select(col("event_type"), col("na").as("n_a"), col("nb").as("n_b"),
-        col("num").cast(d38).as("w1_num"),
+        // Released as BIGINT: num ≤ n_a·n_b·value_range_cents ≈ 5e16
+        // at sf0.01 — int64-safe at driver check scale; the decimal
+        // cross-multiplied sum stays internal.
+        col("num").cast("long").as("w1_num"),
         round(col("num").cast("double") /
           nullif(col("na").cast(d38) * col("nb"), lit(0).cast(d38))
             .cast("double"), 6).as("w1_cents"))
@@ -2775,7 +2795,7 @@ seg AS (
     sum(cb) OVER (PARTITION BY event_type)::BIGINT AS nb
   FROM cells QUALIFY gap IS NOT NULL)
 SELECT event_type, na AS n_a, nb AS n_b,
-  sum(abs(cum_a::HUGEINT * nb - cum_b::HUGEINT * na) * gap)::DECIMAL(38,0)
+  sum(abs(cum_a::HUGEINT * nb - cum_b::HUGEINT * na) * gap)::BIGINT
     AS w1_num,
   round(sum(abs(cum_a::HUGEINT * nb - cum_b::HUGEINT * na) * gap)::DOUBLE
     / nullif(na::HUGEINT * nb, 0)::DOUBLE, 6) AS w1_cents

@@ -3521,7 +3521,10 @@ ORDER BY rank DESC, v ASC LIMIT $TrTopK"""
       .where(col("rk") === 1)
       .select(col("x").as("threshold"), col("n_l"), col("p_l"),
         (col("nn") - col("n_l")).as("n_r"), (col("pp") - col("p_l")).as("p_r"),
-        col("g").cast(d38).as("gini_q6"),
+        // Released as BIGINT: each decDiv child term ≤ n·10⁶/4, so
+        // gini_q6 ≤ n·5e5 — int64-safe to n ≈ 1.8e13 train rows; the
+        // decimal quotient arithmetic stays internal.
+        col("g").cast("long").as("gini_q6"),
         (col("p_l") * 2 > col("n_l")).cast("long").as("pred_left"),
         ((col("pp") - col("p_l")) * 2 >
           (col("nn") - col("n_l"))).cast("long").as("pred_right"))
@@ -3579,7 +3582,9 @@ ORDER BY rank DESC, v ASC LIMIT $TrTopK"""
         Window.orderBy(col("d_num").desc, col("rank").asc)) === 1)
         .cast("long"))
       .select(col("rank"), col("source"), col("n_docs"), col("cum"),
-        col("d_num").cast(d38).as("d_num"), col("is_knee"))
+        // Released as BIGINT: d_num ≤ y1·x1 ≈ total_docs·n_sources —
+        // int64-safe at any corpus the source alphabet stays bounded.
+        col("d_num").cast("long").as("d_num"), col("is_knee"))
   }
 
   val kneeDetectSql: String =
@@ -3600,7 +3605,7 @@ scored AS (
     abs((y1 - y0)::HUGEINT * rank - (x1 - 1)::HUGEINT * cum
       + x1::HUGEINT * y0 - y1) AS d_num
   FROM curve CROSS JOIN ends)
-SELECT rank, source, n_docs, cum, d_num::DECIMAL(38,0) AS d_num,
+SELECT rank, source, n_docs, cum, d_num::BIGINT AS d_num,
   (row_number() OVER (ORDER BY d_num DESC, rank ASC) = 1)::BIGINT AS is_knee
 FROM scored"""
 
@@ -3808,7 +3813,7 @@ scored AS (
   SELECT x, n_l, p_l, (nn - n_l)::BIGINT AS n_r, (pp - p_l)::BIGINT AS p_r,
     ((p_l::HUGEINT * (n_l - p_l) * 1000000) // n_l::HUGEINT
       + ((pp - p_l)::HUGEINT * ((nn - n_l) - (pp - p_l)) * 1000000)
-        // (nn - n_l)::HUGEINT)::DECIMAL(38,0) AS g
+        // (nn - n_l)::HUGEINT)::BIGINT AS g
   FROM cand),
 best AS (
   SELECT x AS threshold, n_l, p_l, n_r, p_r, g AS gini_q6,

@@ -235,7 +235,11 @@ FROM se"""
       .agg(count(lit(1)).as("n_pairs"), sum(col("e") * col("e2")).as("acf_num"))
     num.join(den, "event_type")
       .select(col("event_type"), col("lag"), col("n_days"), col("n_pairs"),
-        col("acf_num"), col("den"),
+        // Released as BIGINT: bounded by (n_days·max_daily)² · n_days
+        // ≈ 2.8e13 at sf0.01 — int64-safe at any driver check scale;
+        // the DECIMAL(38,0) arithmetic above stays internal.
+        col("acf_num").cast("long").as("acf_num"),
+        col("den").cast("long").as("den"),
         round(col("acf_num").cast("double") /
           nullif(col("den"), lit(0).cast(d38)).cast("double"), 6).as("acf"))
   }
@@ -262,7 +266,8 @@ num AS (
   FROM dev a CROSS JOIN grid g
   JOIN dev b ON b.event_type = a.event_type AND b.day = a.day + g.lag
   GROUP BY 1, 2)
-SELECT n.event_type, n.lag, d.n_days, n.n_pairs, n.acf_num, d.den,
+SELECT n.event_type, n.lag, d.n_days, n.n_pairs,
+  n.acf_num::BIGINT AS acf_num, d.den::BIGINT AS den,
   round(n.acf_num::DOUBLE / nullif(d.den, 0)::DOUBLE, 6) AS acf
 FROM num n JOIN den d USING (event_type)"""
   }
@@ -297,7 +302,8 @@ FROM num n JOIN den d USING (event_type)"""
       .join(den.select(col("event_type").as("type_a"), col("den").as("den_a")), "type_a")
       .join(den.select(col("event_type").as("type_b"), col("den").as("den_b")), "type_b")
       .select(col("type_a"), col("type_b"), col("lag"), col("n_pairs"),
-        col("ccf_num"),
+        // Released as BIGINT (same bound argument as acf_num).
+        col("ccf_num").cast("long").as("ccf_num"),
         round(col("ccf_num").cast("double") /
           nullif(sqrt(col("den_a").cast("double") * col("den_b").cast("double")),
             lit(0.0)), 6).as("ccf"))
@@ -325,7 +331,7 @@ num AS (
   FROM dev a CROSS JOIN grid g
   JOIN dev b ON b.day = a.day + g.lag AND b.event_type <> a.event_type
   GROUP BY 1, 2, 3)
-SELECT n.type_a, n.type_b, n.lag, n.n_pairs, n.ccf_num,
+SELECT n.type_a, n.type_b, n.lag, n.n_pairs, n.ccf_num::BIGINT AS ccf_num,
   round(n.ccf_num::DOUBLE /
     nullif(sqrt(da.den::DOUBLE * db.den::DOUBLE), 0.0), 6) AS ccf
 FROM num n JOIN den da ON da.event_type = n.type_a
@@ -751,7 +757,11 @@ FROM ratios GROUP BY 1, 2"""
         col("cum_n").as("n_left"), col("cum_s").as("s_left_cents"),
         (col("n") - col("cum_n")).as("n_right"),
         (col("s") - col("cum_s")).as("s_right_cents"),
-        col("gain").as("gain_q3"))
+        // Released at integer cents² grain (the ×1000 fixed point is
+        // internal, used only for the argmax tie-break): for a, D > 0,
+        // (a·1000 div D) div 1000 = a div D exactly, and g² div D at
+        // sf0.01 tops out ~9.4e15 — int64-safe. `div` yields BIGINT.
+        expr("gain div 1000").as("gain_cents2"))
   }
 
   val changepointSql: String =
@@ -780,7 +790,7 @@ best AS (
   FROM gains)
 SELECT priority, day AS change_day, cum_n AS n_left, cum_s AS s_left_cents,
   (n - cum_n)::BIGINT AS n_right, (s - cum_s)::BIGINT AS s_right_cents,
-  gain::DECIMAL(38,0) AS gain_q3
+  (gain // 1000)::BIGINT AS gain_cents2
 FROM best WHERE rk = 1"""
 
   // ---- C153 (r10): Gumbel block maxima — return-level estimation ----
@@ -843,7 +853,9 @@ FROM best WHERE rk = 1"""
     terms.groupBy(col("event_type"), col("n_days"))
       .agg(count(lit(1)).as("m_used"), sum(col("term")).as("lb_sum"))
       .select(col("event_type"), col("n_days"), col("m_used"),
-        col("lb_sum").cast(d38).as("lb_sum"),
+        // Released as BIGINT: each term ≤ 1e18/(n−k) and m ≤ 7, so
+        // lb_sum ≤ 7e18 < 2⁶³; the decimal arithmetic stays internal.
+        col("lb_sum").cast("long").as("lb_sum"),
         round((col("n_days").cast(d38) * (col("n_days") + 2) * col("lb_sum"))
           .cast("double") / 1e18, 6).as("q"),
         ((col("n_days").cast(d38) * (col("n_days") + 2) * col("lb_sum"))
@@ -879,7 +891,7 @@ terms AS (
       // (d.n_days - n.lag)::HUGEINT AS term
   FROM num n JOIN den d USING (event_type))
 SELECT event_type, n_days, count(*)::BIGINT AS m_used,
-  sum(term)::DECIMAL(38,0) AS lb_sum,
+  sum(term)::BIGINT AS lb_sum,
   round((n_days::HUGEINT * (n_days + 2) * sum(term))::DOUBLE / 1e18, 6) AS q,
   ((n_days::HUGEINT * (n_days + 2) * sum(term))::DOUBLE / 1e18
     > $LbChi2Crit5)::BIGINT AS reject_5pct

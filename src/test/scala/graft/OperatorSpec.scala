@@ -996,7 +996,7 @@ class OperatorSpec extends SparkSpec {
       .toDF("doc_id", "community")
     val got = Dedup.modularityEdges(edges, labels).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDecimal(5).longValueExact()))).toMap
+        r.getLong(5)))).toMap
     assert(got(1L) == ((4L, 6L, 13L, 143L)), s"c1 ${got(1L)}")
     assert(got(5L) == ((4L, 6L, 13L, 143L)), s"c5 ${got(5L)}")
     // r10: the float term left the hashed projection (driver-DuckDB
@@ -1013,7 +1013,7 @@ class OperatorSpec extends SparkSpec {
     // and the integer numerators replay the per-community float terms
     val corpus = Dedup.modularityAudit(documents).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getDecimal(5).longValueExact()))
+        r.getLong(4), r.getLong(5)))
     assert(corpus.nonEmpty)
     val m = corpus.head._5
     assert(corpus.map(_._4).sum == 2 * m, "degree sum != 2m")
@@ -3504,6 +3504,32 @@ class OperatorSpec extends SparkSpec {
     // the allowlist must not go stale
     rawAllowed.foreach { case (q, _) =>
       assert(SparkEntry.oracleSql.contains(q), s"stale round-tie allowlist entry $q") }
+  }
+
+  test("released-type lint: no query schema carries a decimal wider than int64") {
+    import org.apache.spark.sql.types._
+    // The r10 lesson (14 hash-reds, one shared cause): a
+    // DECIMAL(38,0) column in a RELEASED projection is a
+    // representation hazard — the driver's hash gate diverges on
+    // max-precision decimal repr even when every value is
+    // bit-identical (VERDICT r10). Canonical.scala guards floats
+    // only; this sweep is the decimal sibling. Contract: wide-decimal
+    // arithmetic is welcome INTERNALLY, but every released decimal
+    // must fit the int64-safe bound (precision ≤ 18) — release wider
+    // exact integers as BIGINT casts or declared fixed-point
+    // rescales. Schema-only: building the frame never executes it.
+    def wide(dt: DataType, path: String): Seq[String] = dt match {
+      case d: DecimalType if d.precision > 18 => Seq(s"$path: $d")
+      case ArrayType(et, _) => wide(et, s"$path[]")
+      case MapType(kt, vt, _) => wide(kt, s"$path.key") ++ wide(vt, s"$path.value")
+      case StructType(fs) => fs.toSeq.flatMap(f => wide(f.dataType, s"$path.${f.name}"))
+      case _ => Nil
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).schema.fields.flatMap(f => wide(f.dataType, s"$name.${f.name}"))
+    }
+    assert(offenders.isEmpty,
+      s"released decimals past precision 18 — cast to BIGINT or rescale: ${offenders.mkString("; ")}")
   }
 
   test("BPE encodes by merge rank, not left-to-right adjacency (L33)") {

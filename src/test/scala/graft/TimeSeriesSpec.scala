@@ -247,7 +247,7 @@ class TimeSeriesSpec extends SparkSpec {
   test("changepoint: planted level shift localized exactly; flat lane reads 0 gain (C150)") {
     def d(i: Int) = Timestamp.valueOf(f"2024-01-$i%02d 00:00:00")
     // lane X: 4 days at $1.00 then 4 at $5.00 -> split after day 4,
-    // gain = (400·4 − 2000·4)²·1000 / (4·4·8) = 3.2e8 (cents² units)
+    // gain = (400·4 − 2000·4)² / (4·4·8) = 320000 (integer cents²)
     val shift = (1 to 4).map(i => ("X", 1.00, d(i))) ++
       (5 to 8).map(i => ("X", 5.00, d(i)))
     // lane F: constant -> every split gain 0, earliest-day tiebreak
@@ -256,10 +256,10 @@ class TimeSeriesSpec extends SparkSpec {
       .toDF("o_orderpriority", "o_totalprice", "o_orderdate"))
       .select(col("priority"), col("change_day").cast("string"),
         col("n_left"), col("s_left_cents"), col("n_right"),
-        col("s_right_cents"), col("gain_q3").cast("string"))
+        col("s_right_cents"), col("gain_cents2").cast("string"))
       .as[(String, String, Long, Long, Long, Long, String)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got("X") == (("X", "2024-01-04", 4L, 400L, 4L, 2000L, "320000000")),
+    assert(got("X") == (("X", "2024-01-04", 4L, 400L, 4L, 2000L, "320000")),
       s"X ${got("X")}")
     assert(got("F") == (("F", "2024-01-01", 1L, 200L, 4L, 800L, "0")),
       s"F ${got("F")}")
@@ -272,12 +272,14 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, java.sql.Date, Long)].collect()
     val corpus = TimeSeries.changepoint(Tables.load(spark, sf, "orders"))
       .select(col("priority"), col("change_day").cast("string"),
-        col("gain_q3").cast("string"))
+        col("gain_cents2").cast("string"))
       .as[(String, String, String)].collect().map(r => r._1 -> r).toMap
     daily.groupBy(_._1).foreach { case (p, rs) =>
       val ser = rs.map(r => (r._2.toString, BigInt(r._3))).sortBy(_._1)
       val n = BigInt(ser.length); val s = ser.map(_._2).sum
       if (ser.length > 1) {
+        // argmax on the internal ×1000 fixed-point gain; the released
+        // value is the integer-cents² quotient of the winning split
         val bestTie = ser.indices.dropRight(1).map { i =>
           val pref = ser.take(i + 1)
           val nl = BigInt(pref.length); val sl = pref.map(_._2).sum
@@ -285,7 +287,7 @@ class TimeSeriesSpec extends SparkSpec {
           (g * g * 1000 / (nl * (n - nl) * n), pref.last._1)
         }.sortBy { case (gain, day) => (-gain, day) }.head
         val (eg, ed) = (BigInt(corpus(p)._3), corpus(p)._2)
-        assert(ed == bestTie._2 && eg == bestTie._1,
+        assert(ed == bestTie._2 && eg == bestTie._1 / 1000,
           s"$p: got ($ed, $eg) want $bestTie")
       }
     }

@@ -3,9 +3,14 @@
 
 Runs graft.Verify output (parquet per query + oracle_sql.json) against
 DuckDB over the same testdata parquet, comparing row count, sorted
-column names, and sorted cell values (floats to 1e-9 relative).
+column names, and sorted cell values (floats to 1e-9 by default).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/check.py [--exact] <sfDir> <verifyOutDir> [query ...]
+
+--exact: compare floats bit-for-bit (repr equality, no rounding) and
+distinguish value TYPES (int vs Decimal vs float), matching the
+driver's hash gate strictness. The closing §8 sweep must use this
+mode — the default 1e-9 rounding is for mid-round float triage only.
 """
 import json, math, sys, glob, os
 
@@ -15,11 +20,16 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+EXACT = False
+
 
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
+        if EXACT:
+            # repr distinguishes every double bit pattern incl. -0.0
+            return ("f", repr(v))
         return ("f", round(v, 9))
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat().replace("+00:00", ""))
@@ -35,8 +45,13 @@ def rows_of(cols, names):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    global EXACT
+    args = sys.argv[1:]
+    if args and args[0] == "--exact":
+        EXACT = True
+        args = args[1:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -77,7 +92,8 @@ def main():
             continue
         print(f"PASS {name} ({spark_tbl.num_rows} rows)")
         n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    mode = "exact" if EXACT else "1e-9"
+    print(f"== {n_pass} pass, {n_fail} fail (floats: {mode}) ==")
     sys.exit(1 if n_fail else 0)
 
 
