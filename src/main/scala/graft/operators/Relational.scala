@@ -1550,21 +1550,38 @@ FROM events e JOIN s USING (event_type)"""
   // frames; the window-based plan moves the corpus onto one reducer.
   private val RankParts = 32
 
-  def globalRank(orders: DataFrame): DataFrame = {
-    val parted = orders.select(col("o_orderkey"), col("o_totalprice"))
-      .repartitionByRange(RankParts, col("o_totalprice").desc, col("o_orderkey").asc)
-      .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey").asc)
-      .select(col("o_orderkey"), col("o_totalprice"),
-        spark_partition_id().as("pid"),
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)).as("local"))
-    val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.select(col("pid"),
-      coalesce(sum(col("cnt")).over(w), lit(0L)).as("off"))
-    parted.join(broadcast(offsets), "pid")
-      .select(col("o_orderkey"), col("o_totalprice"),
-        (col("off") + col("local") + lit(1L)).as("rk"))
+  /** The C48 two-phase core, REUSABLE (r11): append a total-order row
+    * number `rn` under `sort` without `Exchange SinglePartition` —
+    * range partition + physical in-partition position
+    * (monotonically_increasing_id's documented low-33-bit counter,
+    * evaluated after the partition sort) + broadcast prefix-sum
+    * offsets over the P-row count frame. The rank is a pure function
+    * of the data for any seam placement PROVIDED `sort` is a total
+    * order (callers with tie-invariant downstreams may relax this —
+    * document it at the call site). This is what q_global_rank,
+    * q_gains and q_woe_iv ride — the declared global-window
+    * concessions wired to the 100× path, not just named. */
+  private[operators] def totalOrderRank(df: DataFrame, sort: Seq[Column],
+      parts: Int = RankParts): DataFrame = {
+    val cols = df.columns.map(col).toSeq
+    val parted = df
+      .repartitionByRange(parts, sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .select(cols ++ Seq(spark_partition_id().as("_rk_pid"),
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+          .as("_rk_local")): _*)
+    val counts = parted.groupBy(col("_rk_pid")).agg(count(lit(1)).as("_rk_cnt"))
+    val w = Window.orderBy(col("_rk_pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_rk_pid"),
+      coalesce(sum(col("_rk_cnt")).over(w), lit(0L)).as("_rk_off"))
+    parted.join(broadcast(offsets), "_rk_pid")
+      .select(cols :+ (col("_rk_off") + col("_rk_local") + lit(1L)).as("rn"): _*)
   }
+
+  def globalRank(orders: DataFrame): DataFrame =
+    totalOrderRank(orders.select(col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .select(col("o_orderkey"), col("o_totalprice"), col("rn").as("rk"))
 
   val globalRankSql: String =
     """SELECT o_orderkey, o_totalprice,

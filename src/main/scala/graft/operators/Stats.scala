@@ -2982,9 +2982,12 @@ FROM g"""
   // ln-ratio is exactly 0 — the estimator is tie-invariant by
   // construction); each ln term is quantized DECIMAL(18,9) before
   // the order-free sum (entropy discipline); α is one float
-  // division, round 6, NULL when the top k are all equal. The
-  // global top-k window is the C48 total-order contract at report
-  // scale. k = 100 declared.
+  // division, round 6, NULL when the top k are all equal. k = 100
+  // declared. The top-(k+1) selection rides TakeOrderedAndProject
+  // (r11 — per-partition top-k, merge of P·(k+1) rows: the
+  // distributed top-k plan, replacing the global row_number window;
+  // the only remaining window orders the ≤ k+1 selected rows — a
+  // frame bounded by the declared k, never by data).
   private val HillK = 100
 
   def hillTail(orders: DataFrame): DataFrame = {
@@ -2993,7 +2996,8 @@ FROM g"""
     val v = orders
       .select((dec(col("o_totalprice")) * 100).cast("long").as("cents"))
       .where(col("cents") > 0)
-    val ranked = v.withColumn("rk",
+    val ranked = v.orderBy(col("cents").desc).limit(HillK + 1)
+      .withColumn("rk",
         row_number().over(Window.orderBy(col("cents").desc)))
       .where(col("rk") <= HillK + 1)
     val thr = ranked.where(col("rk") === HillK + 1)

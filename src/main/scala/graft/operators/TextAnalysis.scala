@@ -2693,10 +2693,12 @@ FROM tot JOIN sc USING (lang)"""
   // of the positive mass (L9 weak label, the L56 convention) each
   // decile captures — cumulative recall and per-decile lift. Exact
   // integers everywhere except lift (one fixed-order float chain over
-  // exact counts, round 6). The rank is a corpus total order — the
-  // declared C48 concession: one global row_number at report scale,
-  // two-phase range ranking the documented 100x path. Deciles are
-  // cross-multiplied ((rn-1)*10) div n — no float in a bucket edge.
+  // exact counts, round 6). The rank is a corpus total order, ridden
+  // on the C48 TWO-PHASE range ranking (r11 — the concession is
+  // wired, not just named: no single-reducer window touches the
+  // corpus; (logit, doc_id) is a total order so the rank is seam-
+  // invariant). Deciles are cross-multiplied ((rn-1)*10) div n — no
+  // float in a bucket edge.
   def gainsTable(documents: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val scored = hashedClassifier(documents)
@@ -2704,9 +2706,8 @@ FROM tot JOIN sc USING (lang)"""
         (qualityScoreCol > NbCut).cast("long").as("y")), "doc_id")
     val tot = scored.agg(count(lit(1)).as("n_total"),
       sum(col("y")).as("n_pos_total"))
-    val ranked = scored.crossJoin(broadcast(tot))
-      .withColumn("rn",
-        row_number().over(W.orderBy(col("logit_sum_milli").desc, col("doc_id").asc)))
+    val ranked = Relational.totalOrderRank(scored.crossJoin(broadcast(tot)),
+        Seq(col("logit_sum_milli").desc, col("doc_id").asc))
       .withColumn("decile", expr("((rn - 1) * 10) div n_total"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
@@ -3744,16 +3745,31 @@ FROM summary"""
   // exact integer products (NULL for pure bins, the standard
   // zero-cell convention — never ±inf); IV terms are fixed-order
   // float chains quantized DECIMAL(18,9) before the order-free sum
-  // (the L13/C152 entropy discipline). Plan: one global ntile
-  // window, one 10-row bin aggregate, single-row broadcasts.
+  // (the L13/C152 entropy discipline). Plan (r11): the global ntile
+  // is GONE — binning rides the C48 two-phase range rank plus the
+  // closed-form ntile identity (n rows, k buckets: the first n%k
+  // buckets hold n/k+1 rows — exactly Spark's and DuckDB's NTILE
+  // contract), so no single-reducer window touches the corpus; then
+  // one 10-row bin aggregate and single-row broadcasts.
   def woeIv(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d9 = "decimal(18,9)"
     val labeled = documents.select(col("doc_id"),
       col("n_chars").cast("long").as("x"),
       (qualityScoreCol > NbCut).cast("long").as("y"))
-    val binned = labeled.withColumn("bin",
-      ntile(10).over(Window.orderBy(col("x"), col("doc_id"))).cast("long"))
+    val nAll = labeled.agg(count(lit(1)).as("n_all"))
+    val binned = Relational.totalOrderRank(labeled,
+        Seq(col("x").asc, col("doc_id").asc))
+      .crossJoin(broadcast(nAll))
+      // ntile(10) from the total-order rn: q = n div 10, r = n mod 10;
+      // ranks 1..r·(q+1) land in the r big buckets, the rest in size-q
+      // buckets. The else-branch divisor q is only 0 when n < 10, in
+      // which case every rank takes the then-branch.
+      .withColumn("bin", expr(
+        """case when rn <= (n_all % 10) * (n_all div 10 + 1)
+          |  then (rn - 1) div (n_all div 10 + 1) + 1
+          |  else (n_all % 10) +
+          |    ((rn - 1 - (n_all % 10) * (n_all div 10 + 1)) div (n_all div 10)) + 1
+          |end""".stripMargin).cast("long"))
     val bins = binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("g"))
       .withColumn("b", col("n") - col("g"))

@@ -5529,6 +5529,13 @@ class OperatorSpec extends SparkSpec {
     }
     assert(got.last._5 == 1000000L, "full-corpus recall must be exactly 1e6")
     assert(got.map(_._5).toSeq == got.map(_._5).sorted.toSeq, "recall monotone")
+    // r11: the corpus rank rides the C48 two-phase range exchange —
+    // no single-reducer row_number window remains anywhere in the plan
+    val plan = TextAnalysis.gainsTable(documents)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(1500))
+    assert(!plan.contains("row_number"),
+      s"global row_number window survived:\n${plan.take(1500)}")
   }
 
   test("bbitMinhash: identical docs read exact 1e6 both ways; correction never exceeds raw (L134)") {
@@ -6555,6 +6562,13 @@ class OperatorSpec extends SparkSpec {
     assert(corpus.length == 10)
     assert(corpus.map(_._1).sum == documents.count())
     corpus.flatMap(_._2).foreach(iv => assert(iv >= -1e-6, s"iv $iv"))
+    // r11: binning rides the two-phase rank + closed-form ntile
+    // identity — the global NTile window is gone from the plan
+    val plan = TextAnalysis.woeIv(documents)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(1500))
+    assert(!plan.contains("ntile"),
+      s"global ntile window survived:\n${plan.take(1500)}")
   }
 
   test("simpsonAudit: a planted full reversal is flagged; signs are exact (C161)") {

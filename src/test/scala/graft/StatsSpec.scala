@@ -1398,6 +1398,11 @@ class StatsSpec extends SparkSpec {
       .select("k", "threshold_cents", "hill_alpha")
       .as[(Long, Long, Option[Double])].head()
     assert(c._1 == 100L && c._2 > 0L && c._3.forall(_ > 0.0), s"$c")
+    // r11: top-(k+1) selection is the distributed TakeOrderedAndProject
+    // plan (per-partition top-k, P·(k+1)-row merge) — the only window
+    // left orders the ≤101 selected rows, bounded by the declared k
+    val plan = Stats.hillTail(orders).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
   test("seqTest: cumulative z replays per look; boundary shrinks to 2.04 (C169)") {
