@@ -1551,37 +1551,78 @@ FROM events e JOIN s USING (event_type)"""
   private val RankParts = 32
 
   /** The C48 two-phase core, REUSABLE (r11): append a total-order row
-    * number `rn` under `sort` without `Exchange SinglePartition` —
-    * range partition + physical in-partition position
-    * (monotonically_increasing_id's documented low-33-bit counter,
-    * evaluated after the partition sort) + broadcast prefix-sum
-    * offsets over the P-row count frame. The rank is a pure function
-    * of the data for any seam placement PROVIDED `sort` is a total
-    * order (callers with tie-invariant downstreams may relax this —
-    * document it at the call site). This is what q_global_rank,
-    * q_gains and q_woe_iv ride — the declared global-window
-    * concessions wired to the 100× path, not just named. */
+    * number `rn` under `sort` without `Exchange SinglePartition`.
+    *
+    * Every step is a PURE FUNCTION OF THE DATA — the r11 lesson that
+    * forced this shape: the first build derived (pid, local) from
+    * `spark_partition_id` + `monotonically_increasing_id` over a
+    * range exchange referenced by TWO subtrees (counts and the rank
+    * join), and whenever AQE re-planned instead of reusing the
+    * exchange the two evaluations disagreed on partition seams —
+    * nondeterministic ranks (caught by q_seq_test's driver mismatch;
+    * a rep-to-rep count drift reproduced it). Physical identifiers
+    * can never cross an evaluation boundary. Instead:
+    *
+    *  1. bucket boundaries = parts−1 approx quantiles of `bucketKey`
+    *     (driver-side, bounded: a double per boundary) — ANY fixed
+    *     boundary set yields the correct rank, quantiles only balance
+    *     the buckets;
+    *  2. `_rk_b` = number of boundaries below the row's key — a
+    *     deterministic per-row expression;
+    *  3. local rank = row_number over a window PARTITIONED by bucket
+    *     (parts-way parallel, no single reducer);
+    *  4. offsets = broadcast prefix-sum over the parts-row count
+    *     frame; rn = offset + local.
+    *
+    * `bucketKey` must be numeric, non-null, and ascending-monotone in
+    * the `sort` order (pass the negated column for a descending first
+    * key); `sort` must be a total order for rn to be well-defined.
+    * This is what q_global_rank, q_gains, q_woe_iv and q_seq_test
+    * ride — the declared global-window concessions wired to the 100×
+    * path, not just named. */
   private[operators] def totalOrderRank(df: DataFrame, sort: Seq[Column],
-      parts: Int = RankParts): DataFrame = {
+      bucketKey: Column, parts: Int = RankParts): DataFrame = {
     val cols = df.columns.map(col).toSeq
-    val parted = df
-      .repartitionByRange(parts, sort: _*)
-      .sortWithinPartitions(sort: _*)
-      .select(cols ++ Seq(spark_partition_id().as("_rk_pid"),
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
-          .as("_rk_local")): _*)
-    val counts = parted.groupBy(col("_rk_pid")).agg(count(lit(1)).as("_rk_cnt"))
-    val w = Window.orderBy(col("_rk_pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.select(col("_rk_pid"),
+    val keyed = df.withColumn("_rk_key", bucketKey.cast("double"))
+    // long→double is order-preserving up to collapsing near ties, and
+    // collapsed ties land in the SAME bucket, so bucket order always
+    // agrees with sort order; the in-bucket window restores the exact
+    // total order
+    val bounds = keyed.stat.approxQuantile("_rk_key",
+      (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    val bucketed = keyed.withColumn("_rk_b",
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("_rk_key") > lit(b), 1).otherwise(0) })
+    val wloc = Window.partitionBy(col("_rk_b")).orderBy(sort: _*)
+    val counts = bucketed.groupBy(col("_rk_b")).agg(count(lit(1)).as("_rk_cnt"))
+    val w = Window.orderBy(col("_rk_b")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_rk_b"),
       coalesce(sum(col("_rk_cnt")).over(w), lit(0L)).as("_rk_off"))
-    parted.join(broadcast(offsets), "_rk_pid")
-      .select(cols :+ (col("_rk_off") + col("_rk_local") + lit(1L)).as("rn"): _*)
+    bucketed
+      .withColumn("_rk_local", row_number().over(wloc).cast("long"))
+      .join(broadcast(offsets), "_rk_b")
+      .select(cols :+ (col("_rk_off") + col("_rk_local")).as("rn"): _*)
   }
 
   def globalRank(orders: DataFrame): DataFrame =
     totalOrderRank(orders.select(col("o_orderkey"), col("o_totalprice")),
-      Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      negate(col("o_totalprice")))
       .select(col("o_orderkey"), col("o_totalprice"), col("rn").as("rk"))
+
+  /** NTILE(k) from a [[totalOrderRank]] row number — the closed-form
+    * bucket identity both engines' NTILE implements (n rows, k
+    * buckets: the first n%k buckets hold n/k+1 rows, the rest n/k).
+    * `rn`/`n` are column NAMES (BIGINT) in scope. The else-branch
+    * divisor n/k is 0 only when n < k, where every rank takes the
+    * then-branch — the division never evaluates. */
+  private[operators] def ntileExpr(rn: String, n: String, k: Int): Column = expr(
+    s"""case when $rn <= ($n % $k) * ($n div $k + 1)
+       |  then ($rn - 1) div ($n div $k + 1) + 1
+       |  else ($n % $k) +
+       |    (($rn - 1 - ($n % $k) * ($n div $k + 1)) div ($n div $k)) + 1
+       |end""".stripMargin)
 
   val globalRankSql: String =
     """SELECT o_orderkey, o_totalprice,

@@ -3051,11 +3051,19 @@ FROM terms GROUP BY xk1"""
   def seqTest(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
-    val tagged = events.select(
+    // r11: the equal-information looks ride the C48 two-phase rank +
+    // closed-form ntile identity instead of a global NTile window —
+    // (ts, event_id) is a total order, so look assignment is
+    // seam-invariant and no single-reducer window touches the stream
+    val base = events.select(col("ts"), col("event_id"),
       (dec(col("value")) * 100).cast("long").as("v"),
-      pmod(md5Long(lit("mw"), col("event_id")), lit(2)).as("arm"),
-      ntile(SeqLooks).over(Window.orderBy(col("ts"), col("event_id")))
-        .cast("long").as("look"))
+      pmod(md5Long(lit("mw"), col("event_id")), lit(2)).as("arm"))
+    val nAll = base.agg(count(lit(1)).as("n_all"))
+    val tagged = Relational.totalOrderRank(base,
+        Seq(col("ts").asc, col("event_id").asc), unix_micros(col("ts")))
+      .crossJoin(broadcast(nAll))
+      .select(col("v"), col("arm"),
+        Relational.ntileExpr("rn", "n_all", SeqLooks).cast("long").as("look"))
     val byLook = tagged.groupBy(col("look"), col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
         sum(col("v").cast(d38) * col("v")).as("sx2"))

@@ -2707,7 +2707,8 @@ FROM tot JOIN sc USING (lang)"""
     val tot = scored.agg(count(lit(1)).as("n_total"),
       sum(col("y")).as("n_pos_total"))
     val ranked = Relational.totalOrderRank(scored.crossJoin(broadcast(tot)),
-        Seq(col("logit_sum_milli").desc, col("doc_id").asc))
+        Seq(col("logit_sum_milli").desc, col("doc_id").asc),
+        negate(col("logit_sum_milli")))
       .withColumn("decile", expr("((rn - 1) * 10) div n_total"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
@@ -3758,18 +3759,10 @@ FROM summary"""
       (qualityScoreCol > NbCut).cast("long").as("y"))
     val nAll = labeled.agg(count(lit(1)).as("n_all"))
     val binned = Relational.totalOrderRank(labeled,
-        Seq(col("x").asc, col("doc_id").asc))
+        Seq(col("x").asc, col("doc_id").asc), col("x"))
       .crossJoin(broadcast(nAll))
-      // ntile(10) from the total-order rn: q = n div 10, r = n mod 10;
-      // ranks 1..r·(q+1) land in the r big buckets, the rest in size-q
-      // buckets. The else-branch divisor q is only 0 when n < 10, in
-      // which case every rank takes the then-branch.
-      .withColumn("bin", expr(
-        """case when rn <= (n_all % 10) * (n_all div 10 + 1)
-          |  then (rn - 1) div (n_all div 10 + 1) + 1
-          |  else (n_all % 10) +
-          |    ((rn - 1 - (n_all % 10) * (n_all div 10 + 1)) div (n_all div 10)) + 1
-          |end""".stripMargin).cast("long"))
+      .withColumn("bin",
+        Relational.ntileExpr("rn", "n_all", 10).cast("long"))
     val bins = binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("g"))
       .withColumn("b", col("n") - col("g"))

@@ -5529,12 +5529,14 @@ class OperatorSpec extends SparkSpec {
     }
     assert(got.last._5 == 1000000L, "full-corpus recall must be exactly 1e6")
     assert(got.map(_._5).toSeq == got.map(_._5).sorted.toSeq, "recall monotone")
-    // r11: the corpus rank rides the C48 two-phase range exchange —
-    // no single-reducer row_number window remains anywhere in the plan
+    // r11: the corpus rank rides the C48 two-phase bucket rank — the
+    // only row_number window is PARTITIONED by the bucket column; the
+    // old global shape (windowspecdefinition leading with the sort
+    // key, empty partition spec) must not reappear
     val plan = TextAnalysis.gainsTable(documents)
       .queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(1500))
-    assert(!plan.contains("row_number"),
+    assert(plan.contains("hashpartitioning(_rk_b"), plan.take(1500))
+    assert(!plan.contains("windowspecdefinition(logit_sum_milli"),
       s"global row_number window survived:\n${plan.take(1500)}")
   }
 
@@ -6562,11 +6564,11 @@ class OperatorSpec extends SparkSpec {
     assert(corpus.length == 10)
     assert(corpus.map(_._1).sum == documents.count())
     corpus.flatMap(_._2).foreach(iv => assert(iv >= -1e-6, s"iv $iv"))
-    // r11: binning rides the two-phase rank + closed-form ntile
-    // identity — the global NTile window is gone from the plan
+    // r11: binning rides the two-phase bucket rank + closed-form
+    // ntile identity — the global NTile window is gone from the plan
     val plan = TextAnalysis.woeIv(documents)
       .queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(1500))
+    assert(plan.contains("hashpartitioning(_rk_b"), plan.take(1500))
     assert(!plan.contains("ntile"),
       s"global ntile window survived:\n${plan.take(1500)}")
   }

@@ -241,16 +241,24 @@ class ScaleSpec extends SparkSpec {
     // → different seam placement) must yield identical ranks
     val relaid = graft.operators.Relational.globalRank(orders.repartition(7))
     assert(relaid.exceptAll(want).isEmpty && want.exceptAll(relaid).isEmpty)
-    // plan shape: the corpus rides one range exchange + a broadcast
-    // hash join; the only Window sits above the P-row counts aggregate
-    // (bounded by cluster geometry), never above the scan
+    // plan shape (r11 two-phase bucket rank): the corpus rides one
+    // hash exchange on the deterministic bucket column + a broadcast
+    // offsets join; the corpus-scale row_number window is PARTITIONED
+    // by the bucket (the old global shape — windowspecdefinition
+    // leading with the sort key — must not reappear; the only
+    // single-partition window is the parts-row offsets prefix-sum)
     val plan = got.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(_rk_b"), s"no bucket exchange:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
-    val windowAt = plan.indexOf("Window")
-    val aggAt = plan.indexOf("HashAggregate")
-    assert(windowAt >= 0 && aggAt > windowAt,
-      s"the Window must be the offsets prefix-sum over per-partition counts:\n$plan")
+    assert(!plan.contains("windowspecdefinition(o_totalprice"),
+      s"global window over the corpus survived:\n$plan")
+    // determinism across repeated evaluations (the r11 lesson: the
+    // mid()-based build drifted when AQE re-planned instead of
+    // reusing the exchange) — three evaluations, identical ranks
+    val sums = (1 to 3).map(_ =>
+      graft.operators.Relational.globalRank(orders)
+        .agg(sum(col("rk"))).collect()(0).getLong(0))
+    assert(sums.distinct.size == 1, s"rank drift across evaluations: $sums")
   }
 
   test("hive-partitioned layout: scan prunes partitions; dynamic overwrite replaces only its own") {
