@@ -1611,6 +1611,36 @@ FROM events e JOIN s USING (event_type)"""
       negate(col("o_totalprice")))
       .select(col("o_orderkey"), col("o_totalprice"), col("rn").as("rk"))
 
+  /** [[totalOrderRank]]'s sibling for running SUMS (r11): append
+    * `cum` = the inclusive prefix sum of `value` under the `sort`
+    * total order, with the same deterministic bucket construction —
+    * in-bucket running sums ride a window PARTITIONED by bucket, and
+    * the cross-bucket carry is a broadcast prefix-sum of per-bucket
+    * totals. Same contracts as totalOrderRank (numeric non-null
+    * ascending-monotone bucketKey; total-order sort). */
+  private[operators] def totalOrderCumSum(df: DataFrame, sort: Seq[Column],
+      bucketKey: Column, value: Column, parts: Int = RankParts): DataFrame = {
+    val cols = df.columns.map(col).toSeq
+    val keyed = df.withColumn("_rk_key", bucketKey.cast("double"))
+      .withColumn("_rk_v", value)
+    val bounds = keyed.stat.approxQuantile("_rk_key",
+      (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    val bucketed = keyed.withColumn("_rk_b",
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("_rk_key") > lit(b), 1).otherwise(0) })
+    val wloc = Window.partitionBy(col("_rk_b")).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = bucketed.groupBy(col("_rk_b")).agg(sum(col("_rk_v")).as("_rk_s"))
+    val w = Window.orderBy(col("_rk_b")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("_rk_b"),
+      coalesce(sum(col("_rk_s")).over(w), lit(0L)).as("_rk_off"))
+    bucketed
+      .withColumn("_rk_run", sum(col("_rk_v")).over(wloc))
+      .join(broadcast(offsets), "_rk_b")
+      .select(cols :+ (col("_rk_off") + col("_rk_run")).as("cum"): _*)
+  }
+
   /** NTILE(k) from a [[totalOrderRank]] row number — the closed-form
     * bucket identity both engines' NTILE implements (n rows, k
     * buckets: the first n%k buckets hold n/k+1 rows, the rest n/k).
@@ -3165,15 +3195,18 @@ JOIN supplier s ON s.s_suppkey = t.top_suppkey"""
   // the part-catalog-bounded post-aggregate frame (the C48 rule); the
   // corpus is touched once by the per-part aggregate.
   def abcClassification(lineitem: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = lineitem.groupBy(col("l_partkey"))
       .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wt = Window.partitionBy(lit(1))
-    rev
-      .withColumn("cum_cents", sum(col("cents")).over(w))
-      .withColumn("total_cents", sum(col("cents")).over(wt))
+    // r11: the ordered cumulative sum rides the two-phase bucket path
+    // (the part catalog scales with the corpus — a single-partition
+    // running-sum window over it was the C48 concession in cum-sum
+    // form), and the grand total a broadcast single-row aggregate
+    // instead of an unpartitioned window
+    val tot = rev.agg(sum(col("cents")).as("total_cents"))
+    totalOrderCumSum(rev, Seq(col("cents").desc, col("l_partkey")),
+        negate(col("cents")), col("cents"))
+      .withColumnRenamed("cum", "cum_cents")
+      .crossJoin(broadcast(tot))
       .select(col("l_partkey").as("partkey"), col("cents"), col("cum_cents"),
         round(col("cum_cents").cast("double") / col("total_cents"), 6)
           .as("cum_share"),

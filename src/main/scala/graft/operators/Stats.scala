@@ -948,8 +948,11 @@ FROM z"""
         - 1.96 * sqrt(pos / cast(n as double) * (1.0 - pos / cast(n as double)) / n
           + $z2 / (4.0 * cast(n as double) * n))) / (1.0 + $z2 / n), 6)
         AS wilson_lb""")
-    scored.withColumn("rnk",
-      row_number().over(Window.orderBy(col("wilson_lb").desc, col("partkey"))).cast("long"))
+    // r11: the part catalog scales with the corpus — the full-ranking
+    // export rides the C48 two-phase bucket rank, not a global window
+    Relational.totalOrderRank(scored,
+        Seq(col("wilson_lb").desc, col("partkey")), negate(col("wilson_lb")))
+      .withColumn("rnk", col("rn").cast("long")).drop("rn")
   }
 
   val wilsonRankingSql: String = {
@@ -2363,26 +2366,31 @@ FROM agg"""
   // (N³−N = tie3) NULLs H via nullif. 38-digit bound: exact to
   // N ≈ 1e8 rows (A ~ N²·n_g·10³); the declared 100×-scale path is
   // C25's sketched ranks, where an exact tie correction stops
-  // mattering. Plan: ONE scan and ONE global rank window (C48
-  // total-order contract at report scale) feed rank sums, sizes, and
-  // tie bookkeeping together (Σ_v t³−t telescopes to Σ_rows t²−1);
-  // everything downstream is type-alphabet-bounded.
+  // mattering. Plan (r11): NO corpus window at all — the doubled
+  // midrank is constant within a value cell (r2 = 2·cum − t + 1, cum
+  // the inclusive running count over distinct values), so rank sums,
+  // sizes, and tie bookkeeping (Σ_v t³−t = Σ_cells c·(t²−1)) all
+  // derive from the (type, value) CELL frame; the one ordered window
+  // runs over the post-aggregate distinct-value frame, never the
+  // corpus — the former C48 report-scale concession here is retired.
   def kruskalWallis(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
     val vals = events.select(col("event_type"),
       (dec(col("value")) * 100).cast("long").as("v"))
-    val w = Window.orderBy(col("v"))
-    val cw = Window.partitionBy(col("v"))
-    // tie bookkeeping rides the SAME ranked frame: Σ_v (t³ − t) =
-    // Σ_rows (t² − 1), so one scan + one global sort feeds rank sums,
-    // group sizes, AND the tie correction — no second corpus pass
-    val ranked = vals
-      .withColumn("t", count(lit(1)).over(cw))
-      .withColumn("r2", lit(2L) * rank().over(w).cast("long") + col("t") - lit(1L))
-    val groups = ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_g"), sum(col("r2")).as("r2sum"),
-        sum(col("t").cast(d38) * col("t") - 1).as("tie3p"))
+    val cells = vals.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cellsV = cells.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .withColumn("cum", sum(col("t")).over(wv))
+      .select(col("v"), col("t"),
+        (lit(2L) * col("cum") - col("t") + 1).as("r2"))
+    val groups = cells.join(cellsV, "v")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("r2")).as("r2sum"),
+        sum(col("c").cast(d38) * (col("t").cast(d38) * col("t") - 1))
+          .as("tie3p"))
       .withColumn("c_g", decDiv(
         col("r2sum").cast(d38) * col("r2sum") * 1000,
         lit(4).cast(d38) * col("n_g")))

@@ -3343,9 +3343,13 @@ FROM (SELECT unnest(${wordShinglesSql(toks, k)}) AS s FROM documents)"""
       .groupBy(col("phrase"))
       .agg(max(col("plen")).as("n_words"), count(lit(1)).as("n_occurrences"),
         max(col("score_ppm")).as("score_ppm"))
-    scored.withColumn("rk", row_number().over(
+    // r11: top-k selection via TakeOrderedAndProject (per-partition
+    // top-k + P·k merge) instead of a global row_number window over
+    // the full phrase frame; the re-rank window orders only the ≤ k
+    // selected rows — bounded by the declared k, never by data
+    scored.orderBy(col("score_ppm").desc, col("phrase").asc).limit(RakeTopK)
+      .withColumn("rk", row_number().over(
         Window.orderBy(col("score_ppm").desc, col("phrase").asc)))
-      .where(col("rk") <= RakeTopK)
       .select(col("rk").cast("long").as("rk"), col("phrase"), col("n_words"),
         col("n_occurrences"), col("score_ppm"))
   }
@@ -3439,9 +3443,11 @@ FROM scored ORDER BY score_ppm DESC, phrase ASC LIMIT $RakeTopK"""
             .as("rank"))
         .localCheckpoint()
     }
-    ranks.withColumn("rk", row_number().over(
+    // r11: top-k via TakeOrderedAndProject (the RAKE/hill shape) —
+    // the re-rank window orders only the ≤ k selected rows
+    ranks.orderBy(col("rank").desc, col("v").asc).limit(TrTopK)
+      .withColumn("rk", row_number().over(
         Window.orderBy(col("rank").desc, col("v").asc)))
-      .where(col("rk") <= TrTopK)
       .select(col("rk").cast("long").as("rk"), col("v").as("word"),
         col("rank"))
   }
