@@ -1152,7 +1152,10 @@ FROM z GROUP BY event_type, split"""
   // cross-multiplication, no float in an ordering decision — with
   // (source, k) breaking exact ties identically in both engines.
   // Within each source the doc order is FIFO by doc_id. The global
-  // position is the declared C48/C126 total-order export concession.
+  // position rides the C48 two-phase bucket rank (r11 — the export
+  // concession wired: no single-reducer window orders the corpus;
+  // (vtime, source, k) is a total order, vtime the ascending bucket
+  // key).
   def strideInterleave(documents: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val weights = documents.groupBy(col("source")).agg(count(lit(1)).as("w"))
@@ -1160,12 +1163,12 @@ FROM z GROUP BY event_type, split"""
       .withColumn("k",
         (row_number().over(W.partitionBy(col("source")).orderBy(col("doc_id"))) - 1)
           .cast("long"))
-    numbered.join(broadcast(weights), "source")
+    val timed = numbered.join(broadcast(weights), "source")
       .withColumn("vtime",
         expr("cast((cast(k + 1 as decimal(38,0)) * 1000000000000000000) div w as bigint)"))
-      .withColumn("position",
-        (row_number().over(W.orderBy(col("vtime"), col("source"), col("k"))) - 1)
-          .cast("long"))
+    Relational.totalOrderRank(timed,
+        Seq(col("vtime").asc, col("source").asc, col("k").asc), col("vtime"))
+      .withColumn("position", (col("rn") - 1).cast("long"))
       .select(col("position"), col("vtime"), col("source"), col("k"), col("doc_id"))
   }
 
