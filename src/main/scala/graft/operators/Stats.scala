@@ -1051,30 +1051,42 @@ FROM d"""
   // needs proportions; this ranks raw values). EXACT integers
   // throughout the hashed surface: doubled midpoint tie ranks (the
   // C87/C101 2·rank + ties − 1 discipline) make 2·U an exact BIGINT,
-  // and the tie-corrected variance is released as an exact
-  // DECIMAL(38,0) numerator over a BIGINT denominator — the z score
-  // (spec-pinned float) replays as (u2 − n0·n1)/(2·√(var_num/var_den))
-  // with single correctly-rounded ops. Plan: the per-type rank window
-  // total-orders each type (C48 contract at report scale), tie groups
-  // aggregate from the (type, value) cell frame, everything after is
-  // type-alphabet-bounded.
+  // and the tie-corrected variance rides an exact DECIMAL(38,0)
+  // numerator internally (released BIGINT, r11) over a BIGINT
+  // denominator — the z score (spec-pinned float) replays as
+  // (u2 − n0·n1)/(2·√(var_num/var_den)) with single correctly-rounded
+  // ops. Plan (r11): NO per-row rank window — rank sums and ties all
+  // derive from (type, value[, arm]) CELL frames (the C147 cell-rank
+  // pattern); everything after is type-alphabet-bounded.
   def mannWhitney(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
     val tagged = events.select(col("event_type"),
       (dec(col("value")) * 100).cast("long").as("v"),
       pmod(md5Long(lit("mw"), col("event_id")), lit(2)).as("arm"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
-    val cw = Window.partitionBy(col("event_type"), col("v"))
-    val ranked = tagged.withColumn("r2",
-      lit(2L) * rank().over(w).cast("long") + count(lit(1)).over(cw) - lit(1L))
-    val ties = tagged.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("t"))
-      .groupBy(col("event_type"))
+    // r11 (the C147 cell-rank pattern): the per-type rank window
+    // capped parallelism at the type alphabet — one reducer per type
+    // at 100 TB. The doubled midrank is constant within a (type,
+    // value) cell (r2 = 2·cum − t + 1), so rank sums and ties all
+    // derive from CELL frames; the only ordered window rides the
+    // post-aggregate distinct-(type, value) frame.
+    val cells = tagged.groupBy(col("event_type"), col("v"), col("arm"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cellsV = cells.groupBy(col("event_type"), col("v"))
+      .agg(sum(col("c")).as("t"))
+      .withColumn("cum", sum(col("t")).over(wv))
+      .select(col("event_type"), col("v"), col("t"),
+        (lit(2L) * col("cum") - col("t") + 1).as("r2"))
+    val ties = cellsV.groupBy(col("event_type"))
       .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
-    ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("arm") === 1, col("r2")).otherwise(0L)).as("r2sum"))
+    cells.join(cellsV, Seq("event_type", "v"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("c") * col("r2")).otherwise(0L))
+          .as("r2sum"))
       .join(ties, "event_type")
       .select(col("event_type"), (col("n") - col("n1")).as("n0"), col("n1"),
         (col("r2sum") - col("n1") * (col("n1") + 1)).as("u2"),
@@ -1581,12 +1593,26 @@ FROM tot"""
       .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
       .join(customer.select(col("c_custkey").as("o_custkey"),
         col("c_nationkey").as("nation")), "o_custkey")
-    val w = Window.partitionBy(col("nation")).orderBy(col("cents"), col("o_custkey"))
-    rev.withColumn("i", row_number().over(w))
+    // r11 (the C147 cell-rank pattern, rank-SUM form): Σ i·x over a
+    // (cents, custkey)-ordered row numbering telescopes per (nation,
+    // cents) cell to x·(c·a + c(c+1)/2) with a = rows before the cell
+    // — the custkey tiebreak only permutes ranks WITHIN the cell,
+    // where x is constant, so the sum is identical. No per-nation
+    // per-row window (25-way parallelism cap at scale) — the one
+    // ordered window rides the distinct-(nation, cents) cell frame.
+    val d38g = "decimal(38,0)"
+    val wv = Window.partitionBy(col("nation")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.groupBy(col("nation"), col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("a", sum(col("c")).over(wv) - col("c"))
+      .withColumn("ixc", col("cents").cast(d38g) *
+        (col("c").cast(d38g) * col("a") +
+          graft.functions.Portable.decDiv(
+            col("c").cast(d38g) * (col("c") + 1), lit(2).cast(d38g))))
       .groupBy(col("nation"))
-      .agg(count(lit(1)).as("n_customers"),
-        sum(col("cents")).as("total_cents"),
-        sum((col("i").cast("decimal(38,0)") * col("cents"))).as("ix"))
+      .agg(sum(col("c")).as("n_customers"),
+        sum(col("c") * col("cents")).as("total_cents"),
+        sum(col("ixc")).as("ix"))
       .select(col("nation"), col("n_customers"), col("total_cents"),
         round((lit(2).cast("decimal(38,0)") * col("ix") -
           (col("n_customers") + 1).cast("decimal(38,0)") * col("total_cents"))
@@ -1621,29 +1647,41 @@ FROM g"""
   // size) is an INTEGER, so every moment accumulates exactly in
   // DECIMAL(38,0) and the single float sequence (three casts, one
   // sqrt, one division, round 6) runs on identical inputs in both
-  // engines. Scale: two rank windows partitioned by event_type + one
-  // grouped moment aggregate — no corpus-wide window, no self-join.
+  // engines. Scale (r11): both rank transforms ride value-cell
+  // frames (no per-row window at all) + one grouped moment
+  // aggregate — no corpus-wide OR type-partitioned window, no
+  // self-join.
   def spearmanCorr(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = events.select(col("event_type"),
       (dec(col("value")) * 100).cast("long").as("x"),
       unix_micros(col("ts")).as("y"))
-    def rank2(c: String) = {
-      val w = Window.partitionBy(col("event_type")).orderBy(col(c))
-      val cw = Window.partitionBy(col("event_type"), col(c))
-      (lit(2) * rank().over(w) + count(lit(1)).over(cw) - 1).cast("long")
+    // r11 (the C147/C102 cell-rank pattern): each variable's doubled
+    // midrank is a pure function of its VALUE (2·cum − t + 1 over the
+    // per-type distinct-value frame), so both rank transforms become
+    // keyed joins against value-cell frames and the per-row moments
+    // aggregate over (type, x, y) cells — the per-type window that
+    // capped parallelism at the type alphabet is gone.
+    def cellRanks(c: String) = {
+      val wv = Window.partitionBy(col("event_type")).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("event_type"), col(c)).agg(count(lit(1)).as("t"))
+        .withColumn("cum", sum(col("t")).over(wv))
+        .select(col("event_type"), col(c),
+          (lit(2L) * col("cum") - col("t") + 1).as(s"r$c"))
     }
-    val ranked = base
-      .withColumn("rx", rank2("x"))
-      .withColumn("ry", rank2("y"))
+    val cells = base.groupBy(col("event_type"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .join(cellRanks("x"), Seq("event_type", "x"))
+      .join(cellRanks("y"), Seq("event_type", "y"))
     val d38 = "decimal(38,0)"
-    ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).cast(d38).as("n"),
-        sum(col("rx").cast(d38)).as("sx"),
-        sum(col("ry").cast(d38)).as("sy"),
-        sum(col("rx").cast(d38) * col("ry")).as("sxy"),
-        sum(col("rx").cast(d38) * col("rx")).as("sxx"),
-        sum(col("ry").cast(d38) * col("ry")).as("syy"))
+    cells.groupBy(col("event_type"))
+      .agg(sum(col("c")).cast(d38).as("n"),
+        sum(col("c").cast(d38) * col("rx")).as("sx"),
+        sum(col("c").cast(d38) * col("ry")).as("sy"),
+        sum(col("c").cast(d38) * col("rx") * col("ry")).as("sxy"),
+        sum(col("c").cast(d38) * col("rx") * col("rx")).as("sxx"),
+        sum(col("c").cast(d38) * col("ry") * col("ry")).as("syy"))
       .select(col("event_type"), col("n").cast("long").as("n"),
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
@@ -1817,15 +1855,26 @@ FROM arms CROSS JOIN theta"""
         try_element_at(col("v"), (col("class") + 1).cast("int")).as("score"),
         when(col("label") === col("class"), 1L).otherwise(0L).as("pos"))
       .where(col("score").isNotNull)
-    val w = Window.partitionBy(col("class")).orderBy(col("score"))
-    val cw = Window.partitionBy(col("class"), col("score"))
-    scored
-      .withColumn("r2",
-        lit(2L) * rank().over(w).cast("long") +
-          count(lit(1)).over(cw) - lit(1L))
+    // r11 (the C147/C102 cell-rank pattern): the doubled midrank is a
+    // pure function of the score value — derive it on the per-(class,
+    // score) cell frame instead of a class-partitioned per-row window
+    // (class alphabet = window parallelism cap at scale). Grouping by
+    // the double score is exact: identical bits, no arithmetic.
+    val cells = scored.groupBy(col("class"), col("score"), col("pos"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("class")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cellsV = cells.groupBy(col("class"), col("score"))
+      .agg(sum(col("c")).as("t"))
+      .withColumn("cum", sum(col("t")).over(wv))
+      .select(col("class"), col("score"),
+        (lit(2L) * col("cum") - col("t") + 1).as("r2"))
+    cells.join(cellsV, Seq("class", "score"))
       .groupBy(col("class"))
-      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
-        sum(when(col("pos") === 1, col("r2")).otherwise(0L)).as("s2"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("pos") === 1, col("c")).otherwise(0L)).as("n_pos"),
+        sum(when(col("pos") === 1, col("c") * col("r2")).otherwise(0L))
+          .as("s2"))
       .select(col("class"), col("n_pos"),
         (col("n") - col("n_pos")).as("n_neg"),
         (col("s2") - col("n_pos") * (col("n_pos") + 1)).as("auc_num"),
@@ -2589,21 +2638,43 @@ FROM cells GROUP BY n, nr, nc"""
     val tagged = events.select(col("event_type"),
       (dec(col("value")) * 100).cast("long").as("v"),
       pmod(md5Long(lit("cvm"), col("event_id")), lit(2)).as("arm"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
-    val cw = Window.partitionBy(col("event_type"), col("v"))
-    val ow = Window.partitionBy(col("event_type"), col("arm")).orderBy(col("v"))
-    val ranked = tagged
-      .withColumn("r2",
-        lit(2L) * rank().over(w).cast("long") + count(lit(1)).over(cw) - lit(1L))
-      .withColumn("i2", lit(2L) * row_number().over(ow).cast("long"))
-      .withColumn("d2", (col("r2") - col("i2")).cast(d38))
-    ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("arm") === 0, col("d2") * col("d2"))
-          .otherwise(lit(0).cast(d38))).as("sq0"),
-        sum(when(col("arm") === 1, col("d2") * col("d2"))
-          .otherwise(lit(0).cast(d38))).as("sq1"))
+    // r11 (the C147/C102 cell-rank pattern, extended to own-indices):
+    // within a (type, value, arm) cell the doubled midrank r2 is
+    // constant and the own-indices are the consecutive block
+    // i2 = 2(ia + j), j = 1..c (ia = this arm's row count before v),
+    // so Σ(r2 − i2)² telescopes to the exact integer closed form
+    // c·d² − 2d·c(c+1) + 2c(c+1)(2c+1)/3 with d = r2 − 2·ia — no
+    // per-row rank/row_number window; both windows ride cell frames.
+    val cells = tagged.groupBy(col("event_type"), col("v"), col("arm"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cellsV = cells.groupBy(col("event_type"), col("v"))
+      .agg(sum(col("c")).as("t"))
+      .withColumn("cum", sum(col("t")).over(wv))
+      .select(col("event_type"), col("v"),
+        (lit(2L) * col("cum") - col("t") + 1).as("r2"))
+    val wa = Window.partitionBy(col("event_type"), col("arm")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scoredCells = cells
+      .withColumn("ia", sum(col("c")).over(wa) - col("c"))
+      .join(cellsV, Seq("event_type", "v"))
+      .withColumn("d", (col("r2") - lit(2L) * col("ia")).cast(d38))
+      .withColumn("sq",
+        col("c") * col("d") * col("d")
+          - lit(2).cast(d38) * col("d") * col("c") * (col("c") + 1)
+          // 2c(c+1)(2c+1) is always divisible by 3; decDiv keeps the
+          // term at decimal scale 0 (a true /3 would widen the scale)
+          + graft.functions.Portable.decDiv(
+            lit(2).cast(d38) * col("c") * (col("c") + 1) * (lit(2L) * col("c") + 1),
+            lit(3).cast(d38)))
+    scoredCells.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("sq")).otherwise(lit(0).cast(d38)))
+          .as("sq0"),
+        sum(when(col("arm") === 1, col("sq")).otherwise(lit(0).cast(d38)))
+          .as("sq1"))
       .select(col("event_type"), (col("n") - col("n1")).as("n0"), col("n1"),
         // Released as BIGINT: u4 ≈ 4N⁴ ≈ 6.4e13 at sf0.01 and 6.4e17
         // at sf0.1 — int64-safe through the bench scale (past N ≈ 70k
@@ -2911,20 +2982,31 @@ FROM fin CROSS JOIN dev"""
     val tagged = events.select(col("event_type"),
       (dec(col("value")) * 100).cast("long").as("v"),
       pmod(md5Long(lit("mw"), col("event_id")), lit(2)).as("arm"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
-    val cw = Window.partitionBy(col("event_type"), col("v"))
-    val ranked = tagged.withColumn("r2",
-      lit(2L) * rank().over(w).cast("long") + count(lit(1)).over(cw) - lit(1L))
-    val g = ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("arm") === 1, col("r2")).otherwise(0L)).as("r2sum"),
-        sum(when(col("arm") === 1, col("v")).otherwise(0L)).as("sx1"),
-        sum(when(col("arm") === 0, col("v")).otherwise(0L)).as("sx0"),
-        sum(when(col("arm") === 1, col("v").cast(d38) * col("v"))
-          .otherwise(lit(0).cast(d38))).as("sq1"),
-        sum(when(col("arm") === 0, col("v").cast(d38) * col("v"))
-          .otherwise(lit(0).cast(d38))).as("sq0"))
+    // r11: the C147/C102 cell-rank pattern — r2 = 2·cum − t + 1 from
+    // the (type, value) cell frame; no per-row rank window (the
+    // per-type window capped parallelism at the type alphabet)
+    val cells = tagged.groupBy(col("event_type"), col("v"), col("arm"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("v").cast(d38) * col("v")).as("qq"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cellsV = cells.groupBy(col("event_type"), col("v"))
+      .agg(sum(col("c")).as("t"))
+      .withColumn("cum", sum(col("t")).over(wv))
+      .select(col("event_type"), col("v"),
+        (lit(2L) * col("cum") - col("t") + 1).as("r2"))
+    val g = cells.join(cellsV, Seq("event_type", "v"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("c") * col("r2")).otherwise(0L))
+          .as("r2sum"),
+        sum(when(col("arm") === 1, col("c") * col("v")).otherwise(0L)).as("sx1"),
+        sum(when(col("arm") === 0, col("c") * col("v")).otherwise(0L)).as("sx0"),
+        sum(when(col("arm") === 1, col("qq")).otherwise(lit(0).cast(d38)))
+          .as("sq1"),
+        sum(when(col("arm") === 0, col("qq")).otherwise(lit(0).cast(d38)))
+          .as("sq0"))
     val n0 = col("n") - col("n1")
     val u2 = col("r2sum") - col("n1") * (col("n1") + 1)
     val v1 = (col("n1").cast(d38) * col("sq1")

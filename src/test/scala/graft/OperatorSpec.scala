@@ -3313,6 +3313,10 @@ class OperatorSpec extends SparkSpec {
       "q_mutual_info" -> "crossJoin(broadcast(single-row grand total)) — the tfidf/lm_score pattern",
       "q_freq_pairs" -> "crossJoin(broadcast(single-row basket total)) — the tfidf/lm_score pattern",
       "q_assoc_rules" -> "inherits q_freq_pairs' single-row basket-total crossJoin via the shared supported-pairs core",
+      "q_abc" -> "crossJoin(broadcast(single-row grand total)) — the tfidf/lm_score pattern (r11: replaced the unpartitioned total window)",
+      "q_seq_test" -> "crossJoin(broadcast(single-row corpus count)) feeding the closed-form ntile off the two-phase rank (r11)",
+      "q_woe_iv" -> "crossJoin(broadcast(single-row corpus count)) feeding the closed-form ntile off the two-phase rank (r11)",
+      "q_gains" -> "crossJoin(broadcast(single-row totals)) ahead of the two-phase rank (r11; pre-existing tot broadcast)",
       "q_psi_drift" -> "crossJoin(broadcast(single-row temporal midpoint)) — the tfidf/lm_score pattern",
       "q_survival" -> "crossJoin(broadcast(single-row corpus-end timestamp)) — the tfidf/lm_score pattern",
       "q_water_fill" -> "crossJoin(broadcast(single-row total-token budget)) — the tfidf/lm_score pattern",
