@@ -1396,18 +1396,24 @@ FROM s"""
       .withColumn("resid",
         abs(col("y").cast("double") - (col("icept_mu") + col("slope_mu") * col("x"))))
     // conformal quantile: k-th smallest calibration residual with
-    // k = ceil(0.9 * (n_cal + 1)); rank window partitions by type over
-    // the calibration split (the C13 exact path — the GK sketch is the
-    // declared 100x twin)
+    // k = ceil(0.9 * (n_cal + 1)) (the C13 exact path — the GK sketch
+    // is the declared 100x twin). r11 cell-rank pattern: the k-th
+    // order statistic is the residual VALUE whose cell spans position
+    // k (cum − t < k ≤ cum), so the selection rides the distinct-
+    // residual cell frame, not a per-row rank over the calibration
+    // split. least(): a type with < 9 calibration rows clamps to its
+    // max residual instead of silently vanishing from the report.
     val q = {
       import org.apache.spark.sql.expressions.Window
-      val wr = Window.partitionBy(col("event_type")).orderBy(col("resid"))
-      scored.where(col("cal") === 0)
-        .withColumn("rn", row_number().over(wr))
-        // least(): a type with < 9 calibration rows clamps to its max
-        // residual instead of silently vanishing from the report
-        .where(col("rn") ===
+      val cells = scored.where(col("cal") === 0)
+        .groupBy(col("event_type"), col("n_cal"), col("resid"))
+        .agg(count(lit(1)).as("t"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("resid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum", sum(col("t")).over(wv))
+        .withColumn("k",
           least(ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"), col("n_cal")))
+        .where(col("cum") - col("t") < col("k") && col("k") <= col("cum"))
         .groupBy(col("event_type")).agg(min(col("resid")).as("q90_mu"))
     }
     scored.where(col("cal") === 1).join(broadcast(q), "event_type")
