@@ -100,10 +100,14 @@ object GraftTable {
   }
 
   /** Atomically claim `version`: stage the snapshot content under a
-    * temp name, then ATOMIC_MOVE onto the final name. Returns false —
-    * without having changed anything visible — when a concurrent
-    * writer already owns the version (the move's target-exists
-    * failure IS the fence). */
+    * temp name, then HARD-LINK it onto the final name. link(2) is the
+    * fence — it fails atomically when the target exists. (A rename
+    * would NOT fence: POSIX rename() silently REPLACES an existing
+    * target, so two racers both "succeed" and one commit vanishes —
+    * caught live by the concurrent-appenders spec, which lost 2 of 12
+    * commits under the first, ATOMIC_MOVE-based build.) Returns false
+    * — without having changed anything visible — when a concurrent
+    * writer already owns the version. */
   private[graft] def tryPublish(dir: String, version: Long, op: String,
       files: Seq[(String, Long)]): Boolean = {
     val target = Paths.get(dir, snapName(version))
@@ -114,12 +118,12 @@ object GraftTable {
     Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
     try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      Files.createLink(target, tmp)
       true
     } catch {
-      case _: FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        false
+      case _: FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
     }
   }
 
@@ -180,6 +184,48 @@ object GraftTable {
     }
     victims.foreach(_.delete())
     victims.map(_.getName).toSeq
+  }
+
+  /** Compaction — the OPTIMIZE maintenance op (the C45 small-files
+    * discipline applied to the transactional layer): rewrite the
+    * latest snapshot's listing into ≈`targetRowsPerFile`-row files
+    * and publish it as op=compact. Data-identical by construction
+    * (the rewrite reads the SNAPSHOT-PINNED frame); like overwrite it
+    * does not commute with concurrent commits, so a lost race aborts
+    * — cleanly, since the staged files are unreferenced until the
+    * version fence passes. Old versions keep reading the original
+    * files until [[vacuum]]. Returns the committed version. */
+  def compact(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long = 1000000L,
+      expectedVersion: Option[Long] = None): Long = {
+    val base = expectedVersion.getOrElse(latestVersion(dir))
+    require(base > 0, s"graft-table: nothing to compact in $dir")
+    val (_, files) = readSnapshot(dir, base)
+    val rows = files.map(_._2).sum
+    val parts = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    val staging = new File(dir, s"_compact-${UUID.randomUUID().toString.take(8)}")
+    spark.read.format("graft-table").option("version", base.toString)
+      .load(dir)
+      .repartition(parts.toInt)
+      .write.format("graft-table").mode("append")
+      .option("path", staging.getAbsolutePath).save()
+    val (_, staged) = readSnapshot(staging.getAbsolutePath,
+      latestVersion(staging.getAbsolutePath))
+    val moved = staged.map { case (f, r) =>
+      val target = s"part-c${UUID.randomUUID().toString.take(8)}-$f"
+      Files.move(Paths.get(staging.getAbsolutePath, f), Paths.get(dir, target),
+        StandardCopyOption.ATOMIC_MOVE)
+      (target, r)
+    }
+    staging.listFiles().foreach(_.delete())
+    staging.delete()
+    if (tryPublish(dir, base + 1, "compact", moved)) base + 1
+    else {
+      moved.foreach { case (f, _) => Files.deleteIfExists(Paths.get(dir, f)) }
+      throw new java.util.ConcurrentModificationException(
+        s"graft-table: compaction of $dir based on v$base conflicts with " +
+          s"committed v${latestVersion(dir)}; re-run against the new state")
+    }
   }
 
   /** Audit surface: one row per snapshot — (version, op, n_files,

@@ -140,6 +140,38 @@ class GraftTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { read(d, Some(1L)) }
   }
 
+  test("compact rewrites small files data-identically; lost races abort clean") {
+    val d = newDir("compact")
+    val all = (1L to 12L).map(i => (i, s"row$i"))
+    all.grouped(2).foreach(g => write(d, g.toSeq)) // 6 commits, 12 files
+    val filesBefore = new java.io.File(d).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(filesBefore == 12 && GraftTable.latestVersion(d) == 6L)
+    val v = GraftTable.compact(spark, d, targetRowsPerFile = 6L)
+    assert(v == 7L)
+    // data-identical at the new head; the compacted listing is small
+    assert(read(d) == all)
+    val (op, listing) = GraftTable.readSnapshot(d, 7L)
+    assert(op == "compact" && listing.size == 2 &&
+      listing.map(_._2).sum == 12L, s"$op $listing")
+    // pre-compaction versions still read from the original files
+    assert(read(d, Some(6L)) == all && read(d, Some(1L)).size == 2)
+    // no staging litter
+    assert(!new java.io.File(d).listFiles().exists(_.getName.startsWith("_compact")))
+    // vacuum to the compacted head reclaims the 12 originals
+    assert(GraftTable.vacuum(d, retainFrom = 7L).count(_.startsWith("part-")) == 12)
+    assert(read(d) == all)
+    // a compaction based on a stale head aborts without losing the
+    // concurrent commit (same serialization rule as overwrite)
+    write(d, Seq((13L, "row13"))) // v8
+    val staleBase = GraftTable.latestVersion(d)
+    write(d, Seq((14L, "row14"))) // v9 lands before the compactor commits
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.compact(spark, d, 6L, expectedVersion = Some(staleBase))
+    }
+    assert(read(d).map(_._1).toSet == (1L to 14L).toSet)
+  }
+
   test("reads keep the graft-lines scan contract: pruning + pushdown through the snapshot") {
     val d = newDir("scan")
     write(d, Seq((1L, "a"), (2L, "b"), (3L, "c")))
