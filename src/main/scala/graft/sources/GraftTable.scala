@@ -260,16 +260,18 @@ class GraftTableTable(path: String) extends Table
   override def name(): String = s"graft_table($path)"
   override def schema(): StructType = GraftLinesTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(path,
-      Option(options.get("version")).map(_.toLong))
+      Option(options.get("version")).map(_.toLong),
+      Option(options.get("ignoreTruncate")).exists(_.toBoolean))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftTableWriteBuilder(path, info)
 }
 
-class GraftTableScanBuilder(path: String, version: Option[Long])
+class GraftTableScanBuilder(path: String, version: Option[Long],
+    ignoreTruncate: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = GraftLinesTable.Schema
@@ -283,7 +285,8 @@ class GraftTableScanBuilder(path: String, version: Option[Long])
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GraftTableScan(path, version, required, pushed)
+  override def build(): Scan =
+    new GraftTableScan(path, version, required, pushed, ignoreTruncate)
 }
 
 /** Snapshot-pinned scan: the version resolves ONCE, at scan
@@ -291,7 +294,8 @@ class GraftTableScanBuilder(path: String, version: Option[Long])
   * every retry of it) reads the same file set, whatever commits land
   * meanwhile. */
 class GraftTableScan(path: String, version: Option[Long],
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter],
+    ignoreTruncate: Boolean = false) extends Scan with Batch {
   private val pinned: Long = version.getOrElse(GraftTable.latestVersion(path))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -304,6 +308,58 @@ class GraftTableScan(path: String, version: Option[Long],
       .map { case (f, _) =>
         GraftLinesPartition(new File(path, f).getAbsolutePath): InputPartition }
       .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLinesReaderFactory(required, pushed)
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTableChangeFeed(path, required, pushed, ignoreTruncate)
+}
+
+/** Changefeed over the snapshot log — the table-format streaming
+  * source: the OFFSET SPACE is the committed version number, so a
+  * micro-batch (vS, vE] is replayed deterministically from the
+  * immutable snapshots. Per version: op=append emits the listing DIFF
+  * (exactly the files that commit added); op=compact emits nothing —
+  * the op tag proves the rewrite was data-identical, so unlike
+  * formats that must re-emit rewritten files, compaction is invisible
+  * to consumers; op=truncate fails the stream (an append-mode
+  * consumer cannot represent deletion) unless `ignoreTruncate=true`
+  * skips it. */
+class GraftTableChangeFeed(path: String, required: StructType,
+    pushed: Array[Filter], ignoreTruncate: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class VersionOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = VersionOffset(0L)
+  override def latestOffset(): Offset =
+    VersionOffset(GraftTable.latestVersion(path))
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    ((s + 1) to e).flatMap { v =>
+      val (op, files) = GraftTable.readSnapshot(path, v)
+      op match {
+        case "append" =>
+          val prev = GraftTable.readSnapshot(path, v - 1)._2.map(_._1).toSet
+          files.collect { case (f, _) if !prev(f) =>
+            GraftLinesPartition(new File(path, f).getAbsolutePath): InputPartition }
+        case "compact" => Nil
+        case "truncate" if ignoreTruncate => Nil
+        case other => throw new IllegalStateException(
+          s"graft-table changefeed: non-append commit v$v (op=$other) cannot " +
+            "stream in append mode; pass ignoreTruncate=true to skip it")
+      }
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLinesReaderFactory(required, pushed)
 }

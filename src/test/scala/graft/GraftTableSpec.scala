@@ -172,6 +172,56 @@ class GraftTableSpec extends SparkSpec {
     assert(read(d).map(_._1).toSet == (1L to 14L).toSet)
   }
 
+  test("changefeed streams appended commits once; compaction is invisible; truncate fails loud") {
+    val d = newDir("feed")
+    write(d, Seq((1L, "a"), (2L, "b")))
+    val q = spark.readStream.format("graft-table").load(d)
+      .writeStream.format("memory").queryName("gt_feed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gt_feed").count() == 2)
+      write(d, Seq((3L, "c")))
+      q.processAllAvailable()
+      // the new commit's files only — no re-read of earlier versions
+      assert(spark.table("gt_feed").select("event_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      // compaction rewrites every file but emits NOTHING: the op tag
+      // proves the data is identical, so consumers see no duplicates
+      GraftTable.compact(spark, d, targetRowsPerFile = 100L)
+      write(d, Seq((4L, "d")))
+      q.processAllAvailable()
+      assert(spark.table("gt_feed").select("event_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+    // a truncate commit fails the stream in append mode...
+    write(d, Seq((9L, "z")), mode = "overwrite")
+    val q2 = spark.readStream.format("graft-table").load(d)
+      .writeStream.format("memory").queryName("gt_feed2")
+      .outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination(10000)
+    }
+    assert(err.getMessage.contains("graft-table changefeed") ||
+      Option(err.getCause).exists(_.getMessage.contains("graft-table changefeed")),
+      err.getMessage.take(300))
+    // ...and ignoreTruncate=true skips it, streaming only what follows
+    write(d, Seq((10L, "post")))
+    val q3 = spark.readStream.format("graft-table")
+      .option("ignoreTruncate", "true").load(d)
+      .writeStream.format("memory").queryName("gt_feed3")
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      val got = spark.table("gt_feed3").select("event_id").as[Long]
+        .collect().sorted.toSeq
+      // append commits on both sides of the skipped truncate stream;
+      // the truncate version itself contributes nothing (9 was the
+      // truncate's own payload — a REWRITE, not an append)
+      assert(got == Seq(1L, 2L, 3L, 4L, 10L), s"$got")
+    } finally q3.stop()
+  }
+
   test("reads keep the graft-lines scan contract: pruning + pushdown through the snapshot") {
     val d = newDir("scan")
     write(d, Seq((1L, "a"), (2L, "b"), (3L, "c")))
