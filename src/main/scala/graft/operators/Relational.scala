@@ -1647,7 +1647,7 @@ FROM events e JOIN s USING (event_type)"""
     * `rn`/`n` are column NAMES (BIGINT) in scope. The else-branch
     * divisor n/k is 0 only when n < k, where every rank takes the
     * then-branch — the division never evaluates. */
-  private[operators] def ntileExpr(rn: String, n: String, k: Int): Column = expr(
+  private[graft] def ntileExpr(rn: String, n: String, k: Int): Column = expr(
     s"""case when $rn <= ($n % $k) * ($n div $k + 1)
        |  then ($rn - 1) div ($n div $k + 1) + 1
        |  else ($n % $k) +

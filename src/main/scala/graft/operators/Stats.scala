@@ -1090,20 +1090,24 @@ FROM d"""
       .join(ties, "event_type")
       .select(col("event_type"), (col("n") - col("n1")).as("n0"), col("n1"),
         (col("r2sum") - col("n1") * (col("n1") + 1)).as("u2"),
-        // DECIMAL before the cube: N³ leaves BIGINT past N ≈ 2e6 rows
-        // per type; the 38-digit product stays exact to N ≈ 1e7 per
-        // type (documented bound — the C25-style sketch is the path
-        // beyond, where an exact tie-corrected variance stops
-        // mattering anyway)
-        // Released as BIGINT: ≈ n0·n1·n³ ≈ 8e15 at the sf0.01 check
-        // scale (n ≈ 2e3 per type); the bound leaves int64 past
-        // n ≈ 2e4 per type — beyond that the C25-style sketch is the
-        // declared path. The 38-digit product stays internal.
-        ((col("n") - col("n1")) * col("n1")).cast(d38)
-          .multiply(col("n").cast(d38) * (col("n").cast(d38) * col("n").cast(d38)
-            - 1) - col("tie3").cast(d38))
-          .cast("long").as("var_num"),
-        (lit(12L) * col("n") * (col("n") - 1)).as("var_den"))
+        // Released as the INTEGER VARIANCE QUOTIENT var_int =
+        // var_num div var_den ≈ n³/48 (exact floor both engines).
+        // The r11 lesson in two steps: the DECIMAL(38,0) numerator
+        // was the driver hash-red class, and its straight BIGINT
+        // cast overflowed at bench scale (var_num ≈ n⁵/4 = 8e20 at
+        // n ≈ 2e4/type — ANSI CAST_OVERFLOW, caught live by the sf0.1
+        // bench). The quotient is int64-safe to n ≈ 7.6e6 rows/type;
+        // the C25-style sketch is the declared path beyond, where an
+        // exact tie-corrected variance stops mattering anyway. The
+        // 38-digit products stay internal; z replays as
+        // (u2 − n0·n1)/(2·√var_int) with a documented ≤1-ulp floor.
+        graft.functions.Portable.decDiv(
+          ((col("n") - col("n1")) * col("n1")).cast(d38)
+            .multiply(col("n").cast(d38) * (col("n").cast(d38) * col("n").cast(d38)
+              - 1) - col("tie3").cast(d38)),
+          nullif((lit(12L) * col("n") * (col("n") - 1)).cast(d38),
+            lit(0).cast(d38)))
+          .cast("long").as("var_int"))
   }
 
   val mannWhitneySql: String = {
@@ -1128,10 +1132,9 @@ g AS (
   FROM ranked GROUP BY event_type)
 SELECT g.event_type, (n - n1) AS n0, n1,
   (r2sum - n1 * (n1 + 1))::BIGINT AS u2,
-  (((n - n1) * n1)::HUGEINT
-    * (n::HUGEINT * (n::HUGEINT * n::HUGEINT - 1) - tie3::HUGEINT))::BIGINT
-    AS var_num,
-  (12 * n * (n - 1))::BIGINT AS var_den
+  ((((n - n1) * n1)::HUGEINT
+    * (n::HUGEINT * (n::HUGEINT * n::HUGEINT - 1) - tie3::HUGEINT))
+    // nullif(12::HUGEINT * n * (n - 1), 0))::BIGINT AS var_int
 FROM g JOIN ties USING (event_type)"""
   }
 

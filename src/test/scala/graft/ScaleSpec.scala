@@ -228,6 +228,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("closed-form ntile identity matches NTile for every small n and k") {
+    // q_woe_iv / q_seq_test derive their bins from totalOrderRank +
+    // ntileExpr instead of a global NTile window; this pins the
+    // bucket identity (first n%k buckets hold n/k+1 rows) against the
+    // engine's own NTile across every shape incl. n < k, n = k,
+    // and every remainder class
+    import org.apache.spark.sql.expressions.Window
+    for (k <- Seq(3, 5, 10); n <- Seq(1, 2, 4, 5, 9, 10, 11, 23, 50)) {
+      val df = spark.range(1, n + 1).select(col("id").as("v"))
+      val want = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("v"))).cast("long"))
+        .select("v", "b").as[(Long, Long)].collect().toMap
+      val got = df.withColumn("rn", col("v")) // v IS the rank 1..n
+        .withColumn("n_all", lit(n.toLong))
+        .withColumn("b", graft.operators.Relational.ntileExpr("rn", "n_all", k).cast("long"))
+        .select("v", "b").as[(Long, Long)].collect().toMap
+      assert(got == want, s"n=$n k=$k: $got vs $want")
+    }
+  }
+
   test("global rank equals the single-reducer window and survives any input layout") {
     val orders = Tables.load(spark, sf, "orders")
     val w = org.apache.spark.sql.expressions.Window

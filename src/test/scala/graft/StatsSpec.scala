@@ -586,8 +586,8 @@ class StatsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     val got = Stats.mannWhitney(events)
       .select(col("event_type"), col("n0"), col("n1"), col("u2"),
-        col("var_num").cast("double"), col("var_den"))
-      .as[(String, Long, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+        col("var_int"))
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     raw.groupBy(_._1).foreach { case (t, rs) =>
       val armed = rs.map(r => (r._3, md5mw(r._2) % 2))
       val all = armed.map(_._1).sorted
@@ -599,16 +599,18 @@ class StatsSpec extends SparkSpec {
       val r = got(t)
       assert(r._2 == n0 && r._3 == n1, s"$t arm sizes ${r._2}/${r._3}")
       assert(r._4 == u2, s"$t: u2 ${r._4} != $u2")
-      // exact variance surface replay (doubles exact at this scale)
+      // exact integer-variance replay: var_int = floor of the exact
+      // tie-corrected rational (BigInt — the r11 scale-safe release)
       val n = all.length.toLong
       val tie3 = all.groupBy(identity).values.map { g =>
-        val c = g.length.toLong; c * c * c - c
+        val c = BigInt(g.length); c * c * c - c
       }.sum
-      assert(r._5 == (n0 * n1).toDouble * (n * (n * n - 1) - tie3), s"$t var_num")
-      assert(r._6 == 12 * n * (n - 1), s"$t var_den")
+      val varInt = BigInt(n0) * n1 * (BigInt(n) * (BigInt(n) * n - 1) - tie3) /
+        (BigInt(12) * n * (n - 1))
+      assert(BigInt(r._5) == varInt, s"$t var_int ${r._5} != $varInt")
       // the float z is pinned HERE (all-integer hashed surface): finite,
       // and |z| modest on a null A/B split
-      val z = (u2 - n0 * n1).toDouble / (2.0 * math.sqrt(r._5 / r._6))
+      val z = (u2 - n0 * n1).toDouble / (2.0 * math.sqrt(r._5.toDouble))
       assert(!z.isNaN && math.abs(z) < 10, s"$t z $z")
     }
     // both-arms-one-value degenerate: every rank ties -> u2 = n0*n1
@@ -616,10 +618,10 @@ class StatsSpec extends SparkSpec {
     val one = Seq(("t", 1L, 5.0), ("t", 2L, 5.0), ("t", 3L, 5.0), ("t", 4L, 5.0))
       .toDF("event_type", "event_id", "value")
     val d = Stats.mannWhitney(one)
-      .select(col("n0"), col("n1"), col("u2"), col("var_num").cast("double"))
-      .as[(Long, Long, Long, Double)].head()
+      .select(col("n0"), col("n1"), col("u2"), col("var_int"))
+      .as[(Long, Long, Long, Long)].head()
     assert(d._3 == d._1 * d._2, s"all-tied u2 ${d._3}")
-    assert(d._4 == 0.0, "full-tie variance numerator must vanish")
+    assert(d._4 == 0L, "full-tie variance must vanish")
   }
 
   test("anovaF: planted separation recovers the sequential F exactly; degenerates NULL (C103)") {
