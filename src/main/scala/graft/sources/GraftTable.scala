@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -127,11 +128,25 @@ object GraftTable {
     }
   }
 
+  /** Epochs already committed to this table (streaming idempotence):
+    * the op field of a streaming append carries `append@e<epoch>`. */
+  private[graft] def committedEpochs(dir: String): Set[Long] =
+    (1L to latestVersion(dir)).flatMap { v =>
+      try {
+        val op = readSnapshot(dir, v)._1
+        if (op.startsWith("append@e")) Some(op.stripPrefix("append@e").toLong)
+        else None
+      } catch { case _: IllegalArgumentException => None } // vacuumed
+    }.toSet
+
   /** Commit loop: rename temps once, then publish with rebase-on-race
-    * (append) or single-shot fencing (truncate). Returns the
-    * committed version. */
+    * (append) or single-shot fencing (truncate). `epoch` tags a
+    * streaming micro-batch commit — the op records it so a REPLAYED
+    * epoch can be detected and dropped (exactly-once under
+    * micro-batch retries, the graft-lines manifest contract lifted
+    * onto the version log). Returns the committed version. */
   private[graft] def commit(dir: String, baseVersion: Long, truncate: Boolean,
-      messages: Array[WriterCommitMessage]): Long = {
+      messages: Array[WriterCommitMessage], epoch: Option[Long] = None): Long = {
     val root = new File(dir)
     if (!root.isDirectory) require(root.mkdirs() || root.isDirectory,
       s"cannot create table directory $dir")
@@ -146,8 +161,16 @@ object GraftTable {
     }.toSeq
     var attemptBase = baseVersion
     while (true) {
+      // a replayed streaming epoch (its tag already in the log —
+      // possibly committed by the attempt we are retrying) must be a
+      // no-op: drop our staged-and-renamed files, change nothing
+      if (epoch.exists(e => committedEpochs(dir).contains(e))) {
+        added.foreach { case (f, _) => Files.deleteIfExists(Paths.get(dir, f)) }
+        return latestVersion(dir)
+      }
       val base = if (truncate) Nil else readSnapshot(dir, attemptBase)._2
-      val op = if (truncate) "truncate" else "append"
+      val op = if (truncate) "truncate"
+        else epoch.map(e => s"append@e$e").getOrElse("append")
       if (tryPublish(dir, attemptBase + 1, op, base ++ added))
         return attemptBase + 1
       // lost the race: a concurrent writer owns attemptBase + 1
@@ -261,7 +284,8 @@ class GraftTableTable(path: String) extends Table
   override def schema(): StructType = GraftLinesTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(path,
       Option(options.get("version")).map(_.toLong),
@@ -348,7 +372,7 @@ class GraftTableChangeFeed(path: String, required: StructType,
     ((s + 1) to e).flatMap { v =>
       val (op, files) = GraftTable.readSnapshot(path, v)
       op match {
-        case "append" =>
+        case a if a == "append" || a.startsWith("append@e") =>
           val prev = GraftTable.readSnapshot(path, v - 1)._2.map(_._1).toSet
           files.collect { case (f, _) if !prev(f) =>
             GraftLinesPartition(new File(path, f).getAbsolutePath): InputPartition }
@@ -372,7 +396,28 @@ class GraftTableWriteBuilder(path: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftTableBatchWrite(path, info.schema(), truncateFirst)
+    override def toStreaming: StreamingWrite =
+      new GraftTableStreamingWrite(path, info.schema())
   }
+}
+
+/** Epoch-fenced streaming sink into the transactional table: each
+  * micro-batch commits one snapshot version tagged `append@e<epoch>`;
+  * a replayed epoch detects its own tag in the log and drops its
+  * staged files — exactly-once under micro-batch retries, composing
+  * with the changefeed (which treats epoch-tagged appends as plain
+  * appends) so table-to-table streaming pipelines are end-to-end
+  * exactly-once. */
+class GraftTableStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftLinesWriterFactory(path, schema)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftTable.commit(path, GraftTable.latestVersion(path), truncate = false,
+      messages, epoch = Some(epochId))
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftLinesWrite.dropTemps(path, messages)
 }
 
 class GraftTableBatchWrite(path: String, schema: StructType, truncateFirst: Boolean)
