@@ -12,6 +12,18 @@ import org.apache.spark.sql.SparkSession
   *    compilation, then 3 timed passes; the reported number is the
   *    per-query MEDIAN, with [min, max] spread emitted alongside so
   *    machine contention is distinguishable from real deltas;
+  *  - the timed passes are SUITE-LEVEL (pass 1 runs every query once,
+  *    then pass 2, then pass 3), each in a differently-seeded shuffled
+  *    order. The r11 driver bench proved why: with the three reps run
+  *    back-to-back PER QUERY in sorted order, any transient start-of-
+  *    run contention (background JIT, page-cache churn from the
+  *    preceding verify job) lands on ALL THREE reps of whichever
+  *    queries sort first — the alphabetically-first block read up to
+  *    24x its clean-machine median and the median couldn't reject it
+  *    (q_anova 9.31 s driver vs 0.38 s clean). Suite-level passes put
+  *    ~4 minutes between a query's reps, and per-rep shuffling moves
+  *    each query's position every pass, so a contention window hits at
+  *    most one rep of any query and the median discards it;
   *  - a failing rep can NEVER make the bench look faster: queries with
   *    any failed rep are reported under "errors" (first exception
   *    message) and excluded from "queries"; "value" (the total) is
@@ -51,22 +63,31 @@ object Bench {
 
     // optional args restrict to named queries (local iteration); an
     // unknown name is itself an error entry, not a crash
-    // sorted: Map iteration order shifts whenever queries are added,
-    // which reshuffles JIT/GC warm-up state across the suite and makes
-    // per-query medians incomparable across rounds (pre-r10 ledgers
-    // are order-confounded — see PLANS.md r10)
+    // sorted: gives the warm pass and the seeded shuffles a stable
+    // input order, so the execution schedule is a pure function of
+    // the query set (Map iteration order is not)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     // warm pass (untimed)
     names.foreach { n =>
       try run(SparkEntry.queries(n)) catch { case _: Throwable => }
     }
     val reps = 3
-    val samples: Map[String, Seq[Either[String, Double]]] = names.map { n =>
-      n -> (1 to reps).map { _ =>
-        try Right(run(SparkEntry.queries(n)))
+    // suite-level passes, per-rep seeded shuffle (see header): the
+    // seeds are FIXED so any two runs of the same query set execute
+    // the identical schedule — reproducible, yet no query keeps the
+    // same neighbors or position across the three passes
+    val acc = scala.collection.mutable.Map.empty[String, Vector[Either[String, Double]]]
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { rep =>
+      val order = new scala.util.Random(1000003L * rep).shuffle(names)
+      order.foreach { n =>
+        val r = try Right(run(SparkEntry.queries(n)))
         catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        acc(n) = acc(n) :+ r
       }
-    }.toMap
+    }
+    val samples: Map[String, Seq[Either[String, Double]]] =
+      names.map(n => n -> (acc(n): Seq[Either[String, Double]])).toMap
     val (ok, failed) = names.partition(n => samples(n).forall(_.isRight))
     val medians = ok.map { n =>
       val xs = samples(n).collect { case Right(v) => v }.sorted
