@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BpeEncode, DotProduct, ExtractReading, ForwardFill,
-  GramHashes, SimHash60, Winnow, WordShingles}
+import graft.functions.{BoundaryBucket, BpeEncode, DotProduct, ExtractReading,
+  ForwardFill, GramHashes, SimHash60, Winnow, WordShingles}
 
 /** SparkSessionExtensions entry point: makes graft's custom Catalyst
   * expressions available in any session (including pure SQL users)
@@ -74,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BpeEncode(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bucket"),
+      new ExpressionInfo(classOf[BoundaryBucket].getName, "graft_bucket"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BoundaryBucket(exprs(0), exprs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray())))
     // transparently upgrade HOF dot products to the codegen'd expression
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     // whole-operator as-of join: AsOfJoin logical node -> AsOfJoinExec

@@ -527,6 +527,42 @@ case class ExtractReading(child: Expression, sessionZone: String)
     copy(child = newChild)
 }
 
+/** Bucket index of a double key against a SORTED, DISTINCT boundary
+  * array: the count of boundaries strictly below the key — exactly the
+  * `Σ [key > b]` fold the C48 two-phase rank used to build as a
+  * boundary-count when-chain, replaced because the chain is O(parts)
+  * per row and parts now tracks `defaultParallelism` (thousands on a
+  * real cluster, where a thousands-deep expression tree breaks codegen
+  * method limits). Binary search: O(log parts) per row, one tight
+  * codegen'd call. The array is driver-computed bounded state (one
+  * double per bucket boundary), carried as a codegen reference object,
+  * never a column. */
+case class BoundaryBucket(child: Expression, bounds: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = java.util.Arrays.binarySearch(bounds, input.asInstanceOf[Double])
+    if (r >= 0) r else -r - 1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+        int $r = java.util.Arrays.binarySearch($ref, (double) $c);
+        ${ev.value} = ($r >= 0) ? $r : -$r - 1;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ExtractReading {
   val schema: StructType = StructType(Seq(
     StructField("ts_us", LongType),
@@ -570,5 +606,10 @@ object VectorFunctions {
         spark.sessionState.conf.sessionLocalTimeZone), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe", exprs => BpeEncode(exprs.head), "built-in")
+    // second arg must be a foldable array<double> literal (the
+    // boundary set is driver-computed bounded state)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bucket", exprs => BoundaryBucket(exprs(0),
+        exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray()), "built-in")
   }
 }

@@ -3521,7 +3521,11 @@ class OperatorSpec extends SparkSpec {
     // arithmetic is welcome INTERNALLY, but every released decimal
     // must fit the int64-safe bound (precision ≤ 18) — release wider
     // exact integers as BIGINT casts or declared fixed-point
-    // rescales. Schema-only: building the frame never executes it.
+    // rescales. Schema-only: building a frame never executes its
+    // PLAN — though the totalOrderRank/totalOrderCumSum riders
+    // (q_global_rank, q_gains, q_woe_iv, q_seq_test, q_interleave,
+    // q_wilson, q_abc) do run their bounded boundary-sample job at
+    // construction time, the declared global-sort price (ADVICE r11).
     def wide(dt: DataType, path: String): Seq[String] = dt match {
       case d: DecimalType if d.precision > 18 => Seq(s"$path: $d")
       case ArrayType(et, _) => wide(et, s"$path[]")
