@@ -29,13 +29,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * papers), re-expressed minimally:
   *
   *  - The table state is a chain of snapshot files
-  *    `_snap-%08d` (v1, v2, …). Each snapshot is a FULL listing of
-  *    the visible data files (`file\trows` per line) plus a header
-  *    (`#op\tappend|truncate`). Readers never list the directory for
-  *    data files — they resolve ONE snapshot and read exactly its
-  *    listing, so a half-renamed concurrent commit is invisible and a
-  *    read is repeatable against its pinned version (snapshot
-  *    isolation).
+  *    `_snap-%08d` (v1, v2, …). Each snapshot carries a header
+  *    (`#op\t…`, `#kind\tdelta|full`) and a listing (`file\trows` per
+  *    line). An APPEND commit is a DELTA: it lists only the files that
+  *    commit added — O(changed) per commit, not O(table). A TRUNCATE
+  *    or COMPACT is FULL: its listing is the complete visible file
+  *    set (those ops reset the base). Readers resolve a version by
+  *    walking delta snapshots back to the nearest full snapshot or
+  *    checkpoint — never by listing the directory for data files — so
+  *    a half-renamed concurrent commit is invisible and a read is
+  *    repeatable against its pinned version (snapshot isolation).
+  *  - Every [[CkptEvery]]-th version additionally gets a CHECKPOINT
+  *    sidecar `_ckpt-%08d` holding the full resolved listing at that
+  *    version (written by the version's winner after its publish;
+  *    create-if-absent, deterministic content, so a racing duplicate
+  *    write is idempotent). Resolution therefore reads
+  *    O(CkptEvery + 1) files however long the chain — the delta-log +
+  *    periodic-checkpoint shape of the production table formats,
+  *    replacing the r11 full-listing-per-commit build (which was
+  *    O(files) per commit AND per read).
   *  - Writers stage data invisibly (the `_tmp-` discipline of
   *    [[GraftLinesWrite]]), rename to visible part files, then
   *    PUBLISH by atomically creating `_snap-{N+1}` (ATOMIC_MOVE of a
@@ -56,14 +68,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    Physical cleanup is the explicit [[GraftTable.vacuum]], which
   *    only removes files no snapshot ≥ the retained horizon
   *    references — the vacuum/expire-snapshots split every
-  *    log-structured format makes.
-  *
-  * Scale note: a full listing per snapshot is O(files) per commit; at
-  * 100 TB the production variants log DELTAS with periodic
-  * checkpoints to make commits O(changed files). The protocol
-  * (atomic-create fencing, rebase-on-commute, snapshot-pinned reads)
-  * is unchanged by that representation choice, which is why the
-  * simpler full listing is the right local build.
+  *    log-structured format makes. Vacuum is double-fenced (r12,
+  *    ADVICE r11): an AGE fence (unreferenced data files younger than
+  *    `retentionMs` survive, protecting a concurrent commit's
+  *    renamed-but-not-yet-published files from deletion) and a RANGE
+  *    fence (`retainFrom` must name an existing version — a typo'd
+  *    horizon refuses instead of wiping the table). Before deleting
+  *    old snapshots it materializes a checkpoint at the horizon, so
+  *    every retained version stays resolvable.
   *
   * Registered as `graft-table` (DataSourceRegister). Reads support
   * the same column pruning/filter pushdown as `graft-lines` (shared
@@ -71,11 +83,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object GraftTable {
   private val SnapPrefix = "_snap-"
+  private val CkptPrefix = "_ckpt-"
+
+  /** Checkpoint cadence: resolving any version reads at most this many
+    * delta snapshots plus one full listing. */
+  private[graft] val CkptEvery = 16L
+
+  /** Default vacuum age fence for unreferenced data files —
+    * comfortably longer than a commit's rename-to-publish window, so
+    * vacuum never deletes a concurrent writer's staged-and-renamed
+    * files out from under its about-to-land publish. */
+  val DefaultRetentionMs: Long = 10L * 60 * 1000
 
   private def snapName(v: Long): String = f"$SnapPrefix$v%08d"
 
+  private def ckptName(v: Long): String = f"$CkptPrefix$v%08d"
+
   private def snapVersion(name: String): Long =
-    name.stripPrefix(SnapPrefix).toLong
+    name.stripPrefix(SnapPrefix).stripPrefix(CkptPrefix).toLong
 
   /** Latest committed version, 0 when the table is empty. */
   def latestVersion(dir: String): Long = {
@@ -86,18 +111,90 @@ object GraftTable {
       .map(snapVersion).foldLeft(0L)(math.max)
   }
 
-  /** (op, Seq(file, rows)) of a snapshot; empty listing for v0. */
-  def readSnapshot(dir: String, version: Long): (String, Seq[(String, Long)]) = {
-    if (version == 0L) return ("init", Nil)
+  private def parseListing(lines: Seq[String]): Seq[(String, Long)] =
+    lines.filter(_.nonEmpty).filterNot(_.startsWith("#"))
+      .map { ln => val a = ln.split('\t'); (a(0), a(1).toLong) }
+
+  /** Raw (op, kind, listing) of one snapshot FILE — no resolution.
+    * kind is `delta` (listing = files this commit added) or `full`
+    * (listing = the complete visible set). */
+  private def rawSnapshot(dir: String, version: Long): (String, String, Seq[(String, Long)]) = {
     val p = Paths.get(dir, snapName(version))
     require(Files.exists(p), s"graft-table: no snapshot v$version in $dir")
-    val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
-    val op = lines.iterator().next().stripPrefix("#op\t")
-    val files = scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala
-      .drop(1).filter(_.nonEmpty)
-      .map { ln => val a = ln.split('\t'); (a(0), a(1).toLong) }
-      .toSeq
-    (op, files)
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(p, StandardCharsets.UTF_8)).asScala.toSeq
+    val op = lines.head.stripPrefix("#op\t")
+    val kind = lines.collectFirst {
+      case ln if ln.startsWith("#kind\t") => ln.stripPrefix("#kind\t")
+    }.getOrElse("full")
+    (op, kind, parseListing(lines))
+  }
+
+  /** The checkpointed full listing at `version`, if one was written. */
+  private def ckptListing(dir: String, version: Long): Option[Seq[(String, Long)]] = {
+    val p = Paths.get(dir, ckptName(version))
+    if (!Files.exists(p)) None
+    else Some(parseListing(scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(p, StandardCharsets.UTF_8)).asScala.toSeq))
+  }
+
+  /** Full visible listing at `version`: walk delta snapshots back to
+    * the nearest checkpoint / full snapshot / v0 — O(CkptEvery) file
+    * reads however long the chain. */
+  private def resolveListing(dir: String, version: Long): Seq[(String, Long)] = {
+    var w = version
+    var deltas: List[Seq[(String, Long)]] = Nil // oldest-first via prepend
+    while (w > 0) {
+      ckptListing(dir, w) match {
+        case Some(base) => return deltas.foldLeft(base)(_ ++ _)
+        case None =>
+          val (_, kind, files) = rawSnapshot(dir, w)
+          if (kind == "full") return deltas.foldLeft(files)(_ ++ _)
+          deltas = files :: deltas
+          w -= 1
+      }
+    }
+    deltas.foldLeft(Seq.empty[(String, Long)])(_ ++ _)
+  }
+
+  /** (op, full visible listing) of a version; empty listing for v0.
+    * Delegates resolution to [[resolveListing]] starting AT `version`
+    * (not `version − 1`): after a vacuum at horizon v, v's own
+    * checkpoint is what keeps a delta-v read resolvable. */
+  def readSnapshot(dir: String, version: Long): (String, Seq[(String, Long)]) = {
+    if (version == 0L) return ("init", Nil)
+    (rawSnapshot(dir, version)._1, resolveListing(dir, version))
+  }
+
+  /** (op, kind, files ADDED by version `v`) — the changefeed's view.
+    * Delta snapshots carry their additions directly; a full-kind
+    * append (only producible by driving [[tryPublish]] by hand) falls
+    * back to the predecessor diff. Non-append ops pass through. */
+  private[graft] def rawAppendListing(dir: String, v: Long): (String, String, Seq[(String, Long)]) = {
+    val (op, kind, files) = rawSnapshot(dir, v)
+    val isAppend = op == "append" || op.startsWith("append@")
+    if (kind == "delta" || !isAppend) (op, kind, files)
+    else {
+      val prev = resolveListing(dir, v - 1).map(_._1).toSet
+      (op, kind, files.filterNot(f => prev(f._1)))
+    }
+  }
+
+  /** Write the `_ckpt-` sidecar for `version` if absent. Content is a
+    * pure function of the immutable snapshot chain, so a concurrent
+    * duplicate write is idempotent (create-if-absent, losers discard).
+    */
+  private def writeCheckpoint(dir: String, version: Long): Unit = {
+    val target = Paths.get(dir, ckptName(version))
+    if (Files.exists(target)) return
+    val body = new StringBuilder("#op\tckpt\n#kind\tfull\n")
+    resolveListing(dir, version).foreach { case (f, r) => body.append(s"$f\t$r\n") }
+    val tmp = Paths.get(dir, s"_tmp-ckpt-${UUID.randomUUID()}")
+    Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    try Files.createLink(target, tmp)
+    catch { case _: FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
   }
 
   /** Atomically claim `version`: stage the snapshot content under a
@@ -110,43 +207,66 @@ object GraftTable {
     * — without having changed anything visible — when a concurrent
     * writer already owns the version. */
   private[graft] def tryPublish(dir: String, version: Long, op: String,
-      files: Seq[(String, Long)]): Boolean = {
+      files: Seq[(String, Long)], kind: String = "full"): Boolean = {
     val target = Paths.get(dir, snapName(version))
     if (Files.exists(target)) return false
-    val body = new StringBuilder(s"#op\t$op\n")
+    val body = new StringBuilder(s"#op\t$op\n#kind\t$kind\n")
     files.foreach { case (f, r) => body.append(s"$f\t$r\n") }
     val tmp = Paths.get(dir, s"_tmp-snap-${UUID.randomUUID()}")
     Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
-    try {
-      Files.createLink(target, tmp)
-      true
-    } catch {
-      case _: FileAlreadyExistsException => false
-    } finally {
-      Files.deleteIfExists(tmp)
-    }
+    val won =
+      try {
+        Files.createLink(target, tmp)
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+      } finally {
+        Files.deleteIfExists(tmp)
+      }
+    // the version's winner (and only it) lays down the periodic
+    // checkpoint — after the publish, so readers at `version` already
+    // resolve without it and a crash here costs nothing but cadence
+    if (won && version % CkptEvery == 0L) writeCheckpoint(dir, version)
+    won
   }
 
-  /** Epochs already committed to this table (streaming idempotence):
-    * the op field of a streaming append carries `append@e<epoch>`. */
-  private[graft] def committedEpochs(dir: String): Set[Long] =
+  /** The op tag of a streaming micro-batch commit. Scoped to the
+    * WRITER (ADVICE r11): epoch IDs restart at 0 per checkpoint
+    * location, so a bare `append@e<epoch>` tag made a second streaming
+    * query into the same table — or the same query restarted with a
+    * fresh checkpoint — silently drop its batches as "replayed".
+    * Idempotence must key on (queryId, epoch); `;` fences the queryId
+    * from the epoch so no UUID character can be misparsed. */
+  private[graft] def epochTag(queryId: String, epoch: Long): String =
+    s"append@q=$queryId;e=$epoch"
+
+  /** Epochs already committed to this table BY THIS WRITER (streaming
+    * idempotence): versions whose op carries this queryId's tag. */
+  private[graft] def committedEpochs(dir: String, queryId: String): Set[Long] = {
+    val prefix = s"append@q=$queryId;e="
     (1L to latestVersion(dir)).flatMap { v =>
       try {
-        val op = readSnapshot(dir, v)._1
-        if (op.startsWith("append@e")) Some(op.stripPrefix("append@e").toLong)
+        val op = rawSnapshot(dir, v)._1
+        if (op.startsWith(prefix)) Some(op.stripPrefix(prefix).toLong)
         else None
       } catch { case _: IllegalArgumentException => None } // vacuumed
     }.toSet
+  }
 
   /** Commit loop: rename temps once, then publish with rebase-on-race
     * (append) or single-shot fencing (truncate). `epoch` tags a
-    * streaming micro-batch commit — the op records it so a REPLAYED
-    * epoch can be detected and dropped (exactly-once under
-    * micro-batch retries, the graft-lines manifest contract lifted
-    * onto the version log). Returns the committed version. */
+    * streaming micro-batch commit under `queryId`'s scope — the op
+    * records it so a REPLAYED epoch of THIS writer can be detected and
+    * dropped (exactly-once under micro-batch retries, the graft-lines
+    * manifest contract lifted onto the version log). Appends publish
+    * DELTA snapshots (the added files only), so a commit never reads
+    * or rewrites the base listing and the rebase-on-race loop is a
+    * pure version bump — appends commute by construction. Returns the
+    * committed version. */
   private[graft] def commit(dir: String, baseVersion: Long, truncate: Boolean,
-      messages: Array[WriterCommitMessage], epoch: Option[Long] = None): Long = {
+      messages: Array[WriterCommitMessage], epoch: Option[Long] = None,
+      queryId: String = ""): Long = {
     val root = new File(dir)
     if (!root.isDirectory) require(root.mkdirs() || root.isDirectory,
       s"cannot create table directory $dir")
@@ -164,14 +284,14 @@ object GraftTable {
       // a replayed streaming epoch (its tag already in the log —
       // possibly committed by the attempt we are retrying) must be a
       // no-op: drop our staged-and-renamed files, change nothing
-      if (epoch.exists(e => committedEpochs(dir).contains(e))) {
+      if (epoch.exists(e => committedEpochs(dir, queryId).contains(e))) {
         added.foreach { case (f, _) => Files.deleteIfExists(Paths.get(dir, f)) }
         return latestVersion(dir)
       }
-      val base = if (truncate) Nil else readSnapshot(dir, attemptBase)._2
       val op = if (truncate) "truncate"
-        else epoch.map(e => s"append@e$e").getOrElse("append")
-      if (tryPublish(dir, attemptBase + 1, op, base ++ added))
+        else epoch.map(e => epochTag(queryId, e)).getOrElse("append")
+      val kind = if (truncate) "full" else "delta"
+      if (tryPublish(dir, attemptBase + 1, op, added, kind))
         return attemptBase + 1
       // lost the race: a concurrent writer owns attemptBase + 1
       val now = latestVersion(dir)
@@ -191,19 +311,53 @@ object GraftTable {
   }
 
   /** Physical cleanup: delete data files referenced by NO snapshot
-    * with version ≥ `retainFrom` (and drop the older snapshots).
-    * Returns the deleted file names. Readers pinned at ≥ retainFrom
-    * are unaffected — the vacuum/commit split means deletion is a
-    * maintenance decision, never a side effect of a write. */
-  def vacuum(dir: String, retainFrom: Long): Seq[String] = {
+    * with version ≥ `retainFrom` (and drop the older snapshots and
+    * checkpoints). Returns the deleted file names. Readers pinned at
+    * ≥ retainFrom are unaffected — the vacuum/commit split means
+    * deletion is a maintenance decision, never a side effect of a
+    * write. Two fences (r12, ADVICE r11):
+    *
+    *  - RANGE: `retainFrom` must name an existing version — a typo'd
+    *    horizon past the head refuses loudly instead of computing an
+    *    empty live set and silently wiping the table;
+    *  - AGE: an unreferenced `part-*` file younger than `retentionMs`
+    *    survives — a concurrent commit renames its staged files to
+    *    visible names BEFORE publishing its snapshot, and an unaged
+    *    vacuum in that window would delete them and let the publish
+    *    commit a listing of missing files. Pass `retentionMs = 0`
+    *    only when no writer can be in flight.
+    *
+    * Readers pinned BELOW retainFrom fail loudly afterwards (their
+    * snapshot is gone — `readSnapshot` refuses), never partially:
+    * vacuum first materializes a checkpoint at the horizon so every
+    * retained version resolves without the deleted snapshots. */
+  def vacuum(dir: String, retainFrom: Long,
+      retentionMs: Long = DefaultRetentionMs): Seq[String] = {
     val latest = latestVersion(dir)
-    val keepVersions = (math.max(1L, retainFrom) to latest)
-    val live = keepVersions.flatMap(v => readSnapshot(dir, v)._2.map(_._1)).toSet
+    require(retainFrom >= 1L && retainFrom <= latest,
+      s"graft-table: vacuum retainFrom=$retainFrom outside [1, $latest] " +
+        s"of $dir — refusing to wipe the table")
+    // materialize the horizon BEFORE deleting its predecessors
+    writeCheckpoint(dir, retainFrom)
+    // live = union of every retained version's visible set, built
+    // incrementally: resolve the horizon once, then fold the deltas
+    val live = scala.collection.mutable.Set.empty[String]
+    var cur = resolveListing(dir, retainFrom).map(_._1)
+    live ++= cur
+    ((retainFrom + 1) to latest).foreach { v =>
+      val (_, kind, files) = rawSnapshot(dir, v)
+      if (kind == "full") cur = files.map(_._1)
+      else cur = cur ++ files.map(_._1)
+      live ++= cur
+    }
     val d = new File(dir)
     if (!d.isDirectory) return Nil
+    val cutoff = System.currentTimeMillis() - retentionMs
     val victims = d.listFiles().filter { f =>
-      (f.getName.startsWith("part-") && !live(f.getName)) ||
-        (f.getName.startsWith(SnapPrefix) && snapVersion(f.getName) < retainFrom)
+      (f.getName.startsWith("part-") && !live(f.getName) &&
+        f.lastModified() < cutoff) ||
+        (f.getName.startsWith(SnapPrefix) && snapVersion(f.getName) < retainFrom) ||
+        (f.getName.startsWith(CkptPrefix) && snapVersion(f.getName) < retainFrom)
     }
     victims.foreach(_.delete())
     victims.map(_.getName).toSeq
@@ -370,11 +524,21 @@ class GraftTableChangeFeed(path: String, required: StructType,
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
     ((s + 1) to e).flatMap { v =>
-      val (op, files) = GraftTable.readSnapshot(path, v)
+      // appends are DELTA snapshots, so the batch for version v is
+      // exactly v's own listing — no dependence on v−1 (the r11 build
+      // diffed against the predecessor, which a vacuum could have
+      // legitimately expired; ADVICE r11)
+      val (op, added) =
+        try { val (o, _, f) = GraftTable.rawAppendListing(path, v); (o, f) }
+        catch {
+          case _: IllegalArgumentException => throw new IllegalStateException(
+            s"graft-table changefeed: version v$v of $path was vacuumed " +
+              "past this stream's offset; restart the stream from a " +
+              "retained version")
+        }
       op match {
-        case a if a == "append" || a.startsWith("append@e") =>
-          val prev = GraftTable.readSnapshot(path, v - 1)._2.map(_._1).toSet
-          files.collect { case (f, _) if !prev(f) =>
+        case a if a == "append" || a.startsWith("append@") =>
+          added.map { case (f, _) =>
             GraftLinesPartition(new File(path, f).getAbsolutePath): InputPartition }
         case "compact" => Nil
         case "truncate" if ignoreTruncate => Nil
@@ -397,25 +561,29 @@ class GraftTableWriteBuilder(path: String, info: LogicalWriteInfo)
     override def toBatch: BatchWrite =
       new GraftTableBatchWrite(path, info.schema(), truncateFirst)
     override def toStreaming: StreamingWrite =
-      new GraftTableStreamingWrite(path, info.schema())
+      new GraftTableStreamingWrite(path, info.schema(), info.queryId())
   }
 }
 
 /** Epoch-fenced streaming sink into the transactional table: each
-  * micro-batch commits one snapshot version tagged `append@e<epoch>`;
-  * a replayed epoch detects its own tag in the log and drops its
-  * staged files — exactly-once under micro-batch retries, composing
-  * with the changefeed (which treats epoch-tagged appends as plain
-  * appends) so table-to-table streaming pipelines are end-to-end
-  * exactly-once. */
-class GraftTableStreamingWrite(path: String, schema: StructType)
+  * micro-batch commits one snapshot version tagged
+  * `append@q=<queryId>;e=<epoch>`; a replayed epoch detects its own
+  * tag in the log and drops its staged files — exactly-once under
+  * micro-batch retries, composing with the changefeed (which treats
+  * epoch-tagged appends as plain appends) so table-to-table streaming
+  * pipelines are end-to-end exactly-once. The tag is scoped to the
+  * WRITER's queryId (ADVICE r11): epoch numbers restart at 0 per
+  * checkpoint location, so an unscoped tag made a second query into
+  * the same table — or a restart with a fresh checkpoint — silently
+  * drop its early batches as replays. */
+class GraftTableStreamingWrite(path: String, schema: StructType, queryId: String)
     extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftLinesWriterFactory(path, schema)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     GraftTable.commit(path, GraftTable.latestVersion(path), truncate = false,
-      messages, epoch = Some(epochId))
+      messages, epoch = Some(epochId), queryId = queryId)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     GraftLinesWrite.dropTemps(path, messages)
 }

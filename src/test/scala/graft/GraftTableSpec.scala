@@ -128,8 +128,9 @@ class GraftTableSpec extends SparkSpec {
     // one file is empty) totalling 1 row
     assert(hist.map(h => (h._1, h._2, h._3, h._4, h._5)) ==
       Seq((1L, "append", 2L, 2L, 0L), (2L, "truncate", 2L, 1L, 0L)), s"$hist")
-    // vacuum to the latest horizon: v1's files and snapshot go away...
-    val deleted = GraftTable.vacuum(d, retainFrom = 2L)
+    // vacuum to the latest horizon: v1's files and snapshot go away
+    // (retention 0: no writer is in flight in this test)...
+    val deleted = GraftTable.vacuum(d, retainFrom = 2L, retentionMs = 0L)
     assert(deleted.nonEmpty, "vacuum must reclaim the truncated files")
     // ...the latest version is untouched (n_missing stays 0)...
     assert(read(d) == Seq((9L, "new")))
@@ -159,7 +160,8 @@ class GraftTableSpec extends SparkSpec {
     // no staging litter
     assert(!new java.io.File(d).listFiles().exists(_.getName.startsWith("_compact")))
     // vacuum to the compacted head reclaims the 12 originals
-    assert(GraftTable.vacuum(d, retainFrom = 7L).count(_.startsWith("part-")) == 12)
+    assert(GraftTable.vacuum(d, retainFrom = 7L, retentionMs = 0L)
+      .count(_.startsWith("part-")) == 12)
     assert(read(d) == all)
     // a compaction based on a stale head aborts without losing the
     // concurrent commit (same serialization rule as overwrite)
@@ -236,23 +238,27 @@ class GraftTableSpec extends SparkSpec {
       write(src, Seq((3L, "c")))
       q.processAllAvailable()
       assert(read(dst) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
-      // each micro-batch is one epoch-tagged snapshot version
+      // each micro-batch is one epoch-tagged snapshot version, scoped
+      // to the writing query's id (ADVICE r11)
       val ops = GraftTable.history(spark, dst)
         .select("op").as[String].collect().toSeq
-      assert(ops.forall(_.startsWith("append@e")), ops.toString)
-      assert(GraftTable.committedEpochs(dst).size == ops.size)
+      assert(ops.forall(_.startsWith("append@q=")), ops.toString)
+      val qid = ops.head.stripPrefix("append@q=").takeWhile(_ != ';')
+      assert(qid.nonEmpty && GraftTable.committedEpochs(dst, qid).size == ops.size)
     } finally q.stop()
     // direct replayed-epoch no-op: re-commit an already-committed
-    // epoch with fresh temp files — the tag in the log wins, the
-    // files are dropped, nothing changes
+    // epoch of the SAME writer with fresh temp files — the tag in the
+    // log wins, the files are dropped, nothing changes
+    val ops = GraftTable.history(spark, dst).select("op").as[String].collect().toSeq
+    val qid = ops.head.stripPrefix("append@q=").takeWhile(_ != ';')
     val before = read(dst)
     val vBefore = GraftTable.latestVersion(dst)
-    val replayEpoch = GraftTable.committedEpochs(dst).max
+    val replayEpoch = GraftTable.committedEpochs(dst, qid).max
     val tmp = s"_tmp-${java.util.UUID.randomUUID()}"
     Files.writeString(Paths.get(dst, tmp), "99|replayed\n")
     val v = GraftTable.commit(dst, GraftTable.latestVersion(dst),
       truncate = false, Array(GraftCommitMessage(0, tmp, 1L)),
-      epoch = Some(replayEpoch))
+      epoch = Some(replayEpoch), queryId = qid)
     assert(v == vBefore && read(dst) == before,
       "a replayed epoch must change nothing")
     val litter = new java.io.File(dst).listFiles().map(_.getName)
@@ -291,6 +297,118 @@ class GraftTableSpec extends SparkSpec {
     val disk = new java.io.File(d).listFiles().map(_.getName)
       .filter(_.startsWith("part-")).toSet
     assert(listing.map(_._1).toSet.subsetOf(disk))
+  }
+
+  test("epoch scope: the same epoch number from a different writer lands; a restarted query with a fresh checkpoint is not dropped") {
+    val d = newDir("epoch-scope")
+    new java.io.File(d).mkdirs()
+    def commitEpoch(qid: String, epoch: Long, payload: String): Long = {
+      val tmp = s"_tmp-${UUID.randomUUID()}"
+      Files.writeString(Paths.get(d, tmp), payload)
+      GraftTable.commit(d, GraftTable.latestVersion(d), truncate = false,
+        Array(GraftCommitMessage(0, tmp, 1L)), epoch = Some(epoch), queryId = qid)
+    }
+    // writer A commits its epoch 0
+    assert(commitEpoch("qA", 0L, "1|a0\n") == 1L)
+    // writer B's epoch 0 must LAND — the r11 build keyed idempotence
+    // on the bare epoch number table-wide and silently dropped it
+    assert(commitEpoch("qB", 0L, "2|b0\n") == 2L)
+    assert(read(d) == Seq((1L, "a0"), (2L, "b0")))
+    // while A replaying ITS epoch 0 stays a no-op
+    assert(commitEpoch("qA", 0L, "3|replay\n") == 2L)
+    assert(read(d) == Seq((1L, "a0"), (2L, "b0")))
+    // end-to-end: a second streaming query into the same table with a
+    // FRESH checkpoint (epochs restart at 0) must not lose batches
+    val src = newDir("epoch-src")
+    write(src, Seq((10L, "s1")))
+    def streamOnce(): Unit = {
+      val q = spark.readStream.format("graft-table").load(src)
+        .writeStream.format("graft-table").option("path", d)
+        .option("checkpointLocation", newDir("epoch-ckpt"))
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    streamOnce()
+    assert(read(d).map(_._1).sorted == Seq(1L, 2L, 10L))
+    write(src, Seq((11L, "s2")))
+    streamOnce() // fresh checkpoint: replays src from scratch as ITS epoch 0
+    // the second query's queryId differs, so its batches land; the
+    // dedup against a re-streamed (10L, "s1") is the SOURCE's job
+    // (fresh checkpoint = fresh offsets), so expect 10 twice and 11
+    assert(read(d).map(_._1).sorted == Seq(1L, 2L, 10L, 10L, 11L),
+      read(d).toString)
+  }
+
+  test("delta log + checkpoints: head resolution reads O(CkptEvery) files, not O(chain)") {
+    val d = newDir("chain1k")
+    new java.io.File(d).mkdirs()
+    val n = 1000
+    (1 to n).foreach { v =>
+      assert(GraftTable.tryPublish(d, v.toLong, "append",
+        Seq((f"part-f$v%04d", 1L)), kind = "delta"))
+    }
+    // the periodic checkpoints exist at every CkptEvery-th version
+    val ckpts = new java.io.File(d).listFiles().map(_.getName)
+      .filter(_.startsWith("_ckpt-")).sorted
+    assert(ckpts.length == n / GraftTable.CkptEvery.toInt, ckpts.length.toString)
+    // mid-chain time travel and head both resolve the full listing
+    assert(GraftTable.readSnapshot(d, 500L)._2.size == 500)
+    val (_, head) = GraftTable.readSnapshot(d, n.toLong)
+    assert(head.size == n && head.head == ("part-f0001", 1L) &&
+      head.last == (f"part-f$n%04d", 1L))
+    // PROOF of bounded reads: delete every snapshot below the last
+    // checkpoint (992) and every older checkpoint — if resolution
+    // touched any of them, it would now throw; instead the head reads
+    // the 992-checkpoint plus the 8 trailing deltas, byte-identically
+    (1 to 991).foreach(v => Files.delete(Paths.get(d, f"_snap-$v%08d")))
+    ckpts.dropRight(1).foreach(c => Files.delete(Paths.get(d, c)))
+    assert(GraftTable.readSnapshot(d, n.toLong)._2 == head)
+  }
+
+  test("vacuum fences: range guard refuses a horizon past the head; age guard spares young files") {
+    val d = newDir("vac-fence")
+    write(d, Seq((1L, "a"))) // v1
+    write(d, Seq((2L, "b"))) // v2
+    // RANGE: a typo'd horizon refuses loudly instead of wiping the table
+    intercept[IllegalArgumentException] { GraftTable.vacuum(d, retainFrom = 3L) }
+    intercept[IllegalArgumentException] { GraftTable.vacuum(d, retainFrom = 0L) }
+    assert(read(d) == Seq((1L, "a"), (2L, "b")))
+    write(d, Seq((9L, "z")), mode = "overwrite") // v3: v1/v2 files unreferenced
+    // an in-flight commit's renamed-but-unpublished file
+    Files.writeString(Paths.get(d, "part-inflight-0"), "5|x\n")
+    // AGE: with the default retention, young unreferenced files —
+    // including the in-flight one — survive; old SNAPSHOTS still expire
+    val del1 = GraftTable.vacuum(d, retainFrom = 3L)
+    assert(!del1.exists(_.startsWith("part-")), del1.toString)
+    assert(del1.count(_.startsWith("_snap-")) == 2, del1.toString)
+    assert(Files.exists(Paths.get(d, "part-inflight-0")))
+    // a pinned read below the horizon now fails loud, never half-reads
+    intercept[IllegalArgumentException] { read(d, Some(1L)) }
+    // the retained head is untouched
+    assert(read(d) == Seq((9L, "z")))
+    // retention 0 (no writer in flight): unreferenced files reclaimed
+    val del2 = GraftTable.vacuum(d, retainFrom = 3L, retentionMs = 0L)
+    assert(del2.count(_.startsWith("part-")) == 5, del2.toString) // 2+2 old, 1 in-flight
+    assert(read(d) == Seq((9L, "z")))
+  }
+
+  test("changefeed past a vacuumed offset fails with a clear error, not a bare require") {
+    val d = newDir("feed-vac")
+    write(d, Seq((1L, "a"))) // v1
+    write(d, Seq((2L, "b"))) // v2
+    write(d, Seq((3L, "c"))) // v3
+    GraftTable.vacuum(d, retainFrom = 3L, retentionMs = 0L) // v1, v2 expired
+    // v3 itself (an append delta) still resolves via the horizon ckpt
+    assert(read(d).size == 3)
+    // a fresh stream must replay from v1 — which is gone: fail loud
+    val q = spark.readStream.format("graft-table").load(d)
+      .writeStream.format("memory").queryName("gt_feed_vac")
+      .outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination(10000)
+    }
+    val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("vacuumed past this stream's offset"), msg.take(300))
   }
 
   test("reads keep the graft-lines scan contract: pruning + pushdown through the snapshot") {
