@@ -19,13 +19,20 @@ import graft.operators.{Curation, Html, TextAnalysis, Urls}
   *     event-time column use dropDuplicatesWithinWatermark to bound
   *     it to the crawl-revisit horizon);
   *   - HTML extraction + quality floor — pure columns (L55, L9);
-  *   - NB quality filter — the MODEL IS CLOSURE STATE: the learned
-  *     vocab-sized table rides as a map literal (the TopCells
-  *     pattern), so scoring is a per-row fold over the doc's tokens
-  *     with a decimal accumulator — bit-identical to the batch
-  *     decimal-sum logit, NO stream aggregation, no join. This is the
-  *     100 TB stream posture: broadcast-sized model state, map-only
-  *     scoring.
+  *   - NB quality filter — the MODEL IS BROADCAST STATE (r12, VERDICT
+  *     r11 #6): the learned vocab-sized table rides as a
+  *     `Broadcast[Map[token → decimal weight]]` consumed by a scoring
+  *     UDF, so the plan stays vocab-scale-independent (the r11 build
+  *     embedded the map as a plan literal — bounded, but a larger
+  *     vocab cap would have bloated every micro-batch's plan). A UDF
+  *     is the declared exception to functions-not-UDFs here: the
+  *     per-row fold needs driver-learned state, and a stream cannot
+  *     take the batch explode→broadcast-join→groupBy route in append
+  *     mode without inventing a watermark. Scoring accumulates
+  *     scale-6 BigDecimals exactly like the batch decimal-sum logit —
+  *     bit-identical (spec-pinned), NO stream aggregation, no join.
+  *     This is the 100 TB stream posture: broadcast model state,
+  *     map-only scoring.
   *
   * Deliberately absent: the corpus-global near-dup CC stage — graph
   * clustering over ALL documents is a batch semantics (L19); its
@@ -36,24 +43,45 @@ object WebStream {
 
   /** (doc_id, canon_url, quality_score, nb_logit, pred_keep) for each
     * surviving fetch. `model` is a BATCH nbTrain output (token,
-    * c_pos, c_neg, w) — collected here into closure state. */
+    * c_pos, c_neg, w) — collected once (vocab-bounded) and shipped as
+    * a broadcast variable, NOT a plan literal.
+    *
+    * Bit-parity contract with the batch logit (spec-pinned): the
+    * batch path sums `cast(w as decimal(18,6))` exactly and rounds
+    * `sum + bias` to 6 places HALF_UP. Here each weight is
+    * `BigDecimal.valueOf(w).setScale(6, HALF_UP)` — the same
+    * double→decimal(18,6) conversion Spark's cast performs — summed
+    * exactly at scale 6, and the final round replicates Spark's
+    * `round(x, 6)`. Tokenization replicates
+    * [[graft.functions.Portable.tokens]] (`split(lower(text),
+    * "\\s+")` with Java limit −1); tokens absent from the vocab —
+    * including empties — contribute 0, as in the batch left join. */
   def curate(docs: DataFrame, model: DataFrame): DataFrame = {
+    import java.math.{BigDecimal => JBig, RoundingMode}
     val rows = model.select(col("token"), col("w"))
       .collect().map(r => r.getString(0) -> r.getDouble(1))
     val bias = rows.collectFirst { case ("<bias>", w) => w }
       .getOrElse(sys.error("model has no <bias> row"))
-    val weights = rows.filter(_._1 != "<bias>")
-    // vocab-sized map literal: the model travels with the plan
-    val wmap = map(weights.flatMap { case (t, w) =>
-      Seq(lit(t), lit(w)) }: _*)
-    val logit = round(
-      aggregate(
-        graft.functions.Portable.tokens(col("text")),
-        lit(BigDecimal(0)).cast("decimal(28,6)"),
-        (acc, t) => (acc +
-          coalesce(element_at(wmap, t), lit(0.0)).cast("decimal(18,6)"))
-          .cast("decimal(28,6)"))
-        .cast("double") + lit(bias), 6)
+    val weights: Map[String, JBig] = rows.iterator
+      .filter(_._1 != "<bias>")
+      .map { case (t, w) => t -> JBig.valueOf(w).setScale(6, RoundingMode.HALF_UP) }
+      .toMap
+    val bWeights = docs.sparkSession.sparkContext.broadcast(weights)
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    val score = udf { (text: String) =>
+      val m = bWeights.value
+      var acc = JBig.ZERO.setScale(6)
+      val toks = ws.split(text.toLowerCase(java.util.Locale.ROOT), -1)
+      var i = 0
+      while (i < toks.length) {
+        val w = m.getOrElse(toks(i), null)
+        if (w != null) acc = acc.add(w)
+        i += 1
+      }
+      JBig.valueOf(acc.doubleValue() + bias)
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()
+    }
+    val logit = score(col("text"))
     val pageId = col("doc_id") - when(col("doc_id") % 10 === 7, 1).otherwise(0)
     val staged = docs
       .withColumn("canon_url", Urls.canonicalizeUrl(

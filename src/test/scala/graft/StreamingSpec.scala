@@ -776,6 +776,12 @@ class StreamingSpec extends SparkSpec {
     // legal only if some fetch of that page fails a gate
     assert(canons.toSet.subsetOf(batchPages), "stream emitted a non-survivor page")
     assert(got.nonEmpty && canons.length < docs.size)
+    // the model is a broadcast carrier, not a plan literal (r12): the
+    // analyzed plan must not embed the vocab-sized map
+    val planStr = streaming.WebStream.curate(batchDocs, model)
+      .queryExecution.analyzed.toString
+    assert(!planStr.contains("map(") && planStr.length < 20000,
+      s"model leaked into the plan (len=${planStr.length})")
   }
 
   test("streaming misra-gries keeps the heavy-hitter guarantee across micro-batches (L43)") {
