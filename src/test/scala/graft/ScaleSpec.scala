@@ -375,6 +375,51 @@ class ScaleSpec extends SparkSpec {
       s"type conflict surfaced wrong error: ${conflicted.getMessage}")
   }
 
+  test("sketch-driven join planning: CMS statistics choose broadcast / salted / shuffle (C171)") {
+    import graft.plans.CostModel
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    val lineitem = Tables.load(spark, sf, "lineitem")
+
+    // 1. a side under the cap → broadcast it, and the plan proves it
+    val wantOc = orders
+      .join(customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey").count()
+    val (bj, bc) = CostModel.planJoin(orders, customer, "o_custkey", "c_custkey",
+      broadcastRowCap = 10000)
+    assert(bc.strategy == "broadcast", bc.toString)
+    assert(bj.count() == wantOc)
+    assert(bj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // the grid's row counts are EXACT (each key's count lands once per
+    // CMS row), and the inner-product output estimate is one-sided
+    assert(bc.leftRows == orders.count() && bc.rightRows == customer.count())
+    assert(bc.estOutRows >= wantOc, bc.toString)
+
+    // 2. both sides past the cap, no hot key → plain shuffle join
+    val wantLo = lineitem
+      .join(orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey").count()
+    val (sj, sc) = CostModel.planJoin(lineitem, orders, "l_orderkey", "o_orderkey",
+      broadcastRowCap = 10)
+    assert(sc.strategy == "shuffle", sc.toString)
+    assert(sj.count() == wantLo && sc.estOutRows >= wantLo, sc.toString)
+
+    // 3. a hot key owning half the probe side → salted (C16 reuse),
+    // result set identical to the plain join
+    import spark.implicits._
+    val hot = spark.range(0, 20000)
+      .select(when($"id" % 2 === 0, 7L).otherwise($"id").as("k"),
+        concat(lit("p"), $"id").as("pl"))
+    val dim = spark.range(0, 20000).select($"id".as("kk"), ($"id" * 2).as("v"))
+    val want3 = hot.join(dim.withColumnRenamed("kk", "k"), "k").count()
+    val (hj, hc) = CostModel.planJoin(hot, dim, "k", "kk",
+      broadcastRowCap = 100, skewShare = 0.3)
+    assert(hc.strategy == "salted", hc.toString)
+    // the hottest-key bound is one-sided the safe way: >= the true
+    // hottest count (10000 rows of key 7)
+    assert(hc.estHotLeft >= 10000L, hc.toString)
+    assert(hj.count() == want3)
+    assert(hj.columns.toSeq == Seq("k", "pl", "v"), hj.columns.mkString(","))
+  }
+
   test("ANALYZE TABLE statistics feed the CBO: row counts recorded, dim side broadcast (C164)") {
     // the cost-based half of the catalog story: at 100 TB the
     // optimizer cannot SIZE a join side from file listings alone —
