@@ -254,6 +254,28 @@ object GraftTable {
     }.toSet
   }
 
+  /** This writer's most recently committed epoch — the O(1)-amortized
+    * replay check the streaming sink uses instead of scanning the
+    * whole log per micro-batch (r12): Structured Streaming serializes
+    * a query's batches, so its epochs land in the log in increasing
+    * order and a replayed epoch is always ≤ the newest own tag. Scan
+    * BACKWARD from the head and stop at the first own tag; on a busy
+    * multi-writer table that is a handful of header reads, not
+    * O(history). Worst case (this writer never committed) remains one
+    * full header scan — paid once at query start. */
+  private[graft] def lastEpoch(dir: String, queryId: String): Option[Long] = {
+    val prefix = s"append@q=$queryId;e="
+    var v = latestVersion(dir)
+    while (v >= 1L) {
+      try {
+        val op = rawSnapshot(dir, v)._1
+        if (op.startsWith(prefix)) return Some(op.stripPrefix(prefix).toLong)
+      } catch { case _: IllegalArgumentException => return None } // vacuumed past
+      v -= 1
+    }
+    None
+  }
+
   /** Commit loop: rename temps once, then publish with rebase-on-race
     * (append) or single-shot fencing (truncate). `epoch` tags a
     * streaming micro-batch commit under `queryId`'s scope — the op
@@ -283,8 +305,11 @@ object GraftTable {
     while (true) {
       // a replayed streaming epoch (its tag already in the log —
       // possibly committed by the attempt we are retrying) must be a
-      // no-op: drop our staged-and-renamed files, change nothing
-      if (epoch.exists(e => committedEpochs(dir, queryId).contains(e))) {
+      // no-op: drop our staged-and-renamed files, change nothing.
+      // Per-query epochs are monotone (batches are serialized), so
+      // replay ⇔ epoch ≤ this writer's newest tag — a backward scan
+      // that stops at the first own tag, not a full log read
+      if (epoch.exists(e => lastEpoch(dir, queryId).exists(e <= _))) {
         added.foreach { case (f, _) => Files.deleteIfExists(Paths.get(dir, f)) }
         return latestVersion(dir)
       }
@@ -357,7 +382,10 @@ object GraftTable {
       (f.getName.startsWith("part-") && !live(f.getName) &&
         f.lastModified() < cutoff) ||
         (f.getName.startsWith(SnapPrefix) && snapVersion(f.getName) < retainFrom) ||
-        (f.getName.startsWith(CkptPrefix) && snapVersion(f.getName) < retainFrom)
+        (f.getName.startsWith(CkptPrefix) && snapVersion(f.getName) < retainFrom) ||
+        // crashed writers' staging litter (_tmp-…): invisible to every
+        // reader, reclaimable once past the same age fence
+        (f.getName.startsWith("_tmp-") && f.lastModified() < cutoff)
     }
     victims.foreach(_.delete())
     victims.map(_.getName).toSeq

@@ -386,10 +386,40 @@ class GraftTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { read(d, Some(1L)) }
     // the retained head is untouched
     assert(read(d) == Seq((9L, "z")))
-    // retention 0 (no writer in flight): unreferenced files reclaimed
+    // a crashed writer's staging litter: age-fenced like data files
+    Files.writeString(Paths.get(d, "_tmp-crashed-writer"), "x\n")
+    // retention 0 (no writer in flight): unreferenced files reclaimed,
+    // including the staging litter
     val del2 = GraftTable.vacuum(d, retainFrom = 3L, retentionMs = 0L)
     assert(del2.count(_.startsWith("part-")) == 5, del2.toString) // 2+2 old, 1 in-flight
+    assert(del2.contains("_tmp-crashed-writer"), del2.toString)
     assert(read(d) == Seq((9L, "z")))
+  }
+
+  test("lastEpoch scans backward to the writer's newest tag; replay check is order-based") {
+    val d = newDir("last-epoch")
+    new java.io.File(d).mkdirs()
+    def commitEpoch(qid: String, epoch: Long, payload: String): Long = {
+      val tmp = s"_tmp-${UUID.randomUUID()}"
+      Files.writeString(Paths.get(d, tmp), payload)
+      GraftTable.commit(d, GraftTable.latestVersion(d), truncate = false,
+        Array(GraftCommitMessage(0, tmp, 1L)), epoch = Some(epoch), queryId = qid)
+    }
+    assert(GraftTable.lastEpoch(d, "q1").isEmpty)
+    commitEpoch("q1", 0L, "1|a\n")
+    commitEpoch("q2", 0L, "2|b\n") // another writer interleaves
+    commitEpoch("q1", 1L, "3|c\n")
+    assert(GraftTable.lastEpoch(d, "q1").contains(1L))
+    assert(GraftTable.lastEpoch(d, "q2").contains(0L))
+    assert(GraftTable.lastEpoch(d, "q3").isEmpty)
+    // replay of an OLDER epoch (not just the newest) is still a no-op:
+    // per-query epochs are monotone, so epoch <= newest tag == replay
+    val before = read(d)
+    commitEpoch("q1", 0L, "4|stale-replay\n")
+    assert(read(d) == before, "an older replayed epoch must change nothing")
+    // and the next genuine epoch still lands
+    commitEpoch("q1", 2L, "5|d\n")
+    assert(read(d).map(_._1).sorted == Seq(1L, 2L, 3L, 5L))
   }
 
   test("changefeed past a vacuumed offset fails with a clear error, not a bare require") {
