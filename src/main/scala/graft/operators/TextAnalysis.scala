@@ -2701,9 +2701,16 @@ FROM tot JOIN sc USING (lang)"""
   // float in a bucket edge.
   def gainsTable(documents: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // localCheckpoint (the nbClassify precedent, r12): the rank below
+    // evaluates its input three ways (bounded boundary sample, the
+    // windowed side, the counts side) plus the totals row — without
+    // materialization each evaluation replays the full classifier
+    // pipeline. The scored frame is one narrow row per doc, the right
+    // trade at any corpus size.
     val scored = hashedClassifier(documents)
       .join(documents.select(col("doc_id"),
         (qualityScoreCol > NbCut).cast("long").as("y")), "doc_id")
+      .localCheckpoint()
     val tot = scored.agg(count(lit(1)).as("n_total"),
       sum(col("y")).as("n_pos_total"))
     val ranked = Relational.totalOrderRank(scored.crossJoin(broadcast(tot)),
