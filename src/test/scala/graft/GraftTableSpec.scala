@@ -422,6 +422,47 @@ class GraftTableSpec extends SparkSpec {
     assert(read(d).map(_._1).sorted == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("live vacuum/append race: age-fenced vacuum never eats an in-flight commit") {
+    // the ADVICE r11 window made concrete: a committing writer renames
+    // staged files to visible part-* names BEFORE publishing its
+    // snapshot; an unaged vacuum in that window deleted them and the
+    // publish then committed a listing of missing files. With the age
+    // fence, vacuum runs CONCURRENTLY with appenders and every
+    // retained version must read back complete (n_missing = 0).
+    val d = newDir("vac-race")
+    write(d, (1L to 4L).map(i => (i, s"seed$i")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val appender = scala.concurrent.Future {
+      (10L to 21L).foreach(i => write(d, Seq((i, s"row$i"))))
+    }
+    val vacuumer = scala.concurrent.Future {
+      var n = 0
+      while (!appender.isCompleted && n < 50) {
+        // default retention: old snapshots may expire, but young data
+        // files — including a racer's renamed-but-unpublished ones —
+        // must survive
+        GraftTable.vacuum(d, retainFrom = GraftTable.latestVersion(d))
+        n += 1
+      }
+      n
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(appender.map(_ => 0), vacuumer)),
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    // every append survived exactly once...
+    assert(read(d).map(_._1).sorted == ((1L to 4L) ++ (10L to 21L)).sorted,
+      s"rows lost or duplicated: ${read(d).map(_._1).sorted}")
+    // ...and every RETAINED version reads back complete: no snapshot
+    // references a vacuumed-away file
+    val missing = GraftTable.history(spark, d)
+      .select("version", "n_missing").as[(Long, Long)].collect()
+      .filter(_._2 > 0)
+    assert(missing.isEmpty, s"versions with missing files: ${missing.toSeq}")
+  }
+
   test("changefeed past a vacuumed offset fails with a clear error, not a bare require") {
     val d = newDir("feed-vac")
     write(d, Seq((1L, "a"))) // v1
