@@ -12,18 +12,23 @@ import org.apache.spark.sql.SparkSession
   *    compilation, then 3 timed passes; the reported number is the
   *    per-query MEDIAN, with [min, max] spread emitted alongside so
   *    machine contention is distinguishable from real deltas;
-  *  - the timed passes are SUITE-LEVEL (pass 1 runs every query once,
-  *    then pass 2, then pass 3), each in a differently-seeded shuffled
-  *    order. The r11 driver bench proved why: with the three reps run
-  *    back-to-back PER QUERY in sorted order, any transient start-of-
-  *    run contention (background JIT, page-cache churn from the
-  *    preceding verify job) lands on ALL THREE reps of whichever
-  *    queries sort first — the alphabetically-first block read up to
-  *    24x its clean-machine median and the median couldn't reject it
-  *    (q_anova 9.31 s driver vs 0.38 s clean). Suite-level passes put
-  *    ~4 minutes between a query's reps, and per-rep shuffling moves
-  *    each query's position every pass, so a contention window hits at
-  *    most one rep of any query and the median discards it;
+  *  - the three reps run back-to-back per query in sorted order — the
+  *    HOT protocol every round's ledger was measured under, kept for
+  *    round-over-round comparability (an A/B this round measured the
+  *    alternative, reps separated by a full suite pass: the identical
+  *    queries read ~30-50% slower purely from cross-query cache/JIT
+  *    eviction — see PLANS.md r12);
+  *  - a CANARY measurement (a fixed constant-work aggregate) runs
+  *    between every [[CanaryEvery]] queries. The r11 driver bench
+  *    showed why: external machine contention during the driver's run
+  *    inflated whichever queries ran first (q_anova 9.31 s driver vs
+  *    0.38 s clean) and the artifact read as a query regression until
+  *    forensically diffed against a clean machine. The canary does
+  *    the same work every time, so its per-position timings separate
+  *    "the machine was busy here" from "this query got slower" right
+  *    in the emitted JSON ("canary": median + [min, max] + per-
+  *    position samples; an inflated canary region means discount the
+  *    queries timed inside it);
   *  - a failing rep can NEVER make the bench look faster: queries with
   *    any failed rep are reported under "errors" (first exception
   *    message) and excluded from "queries"; "value" (the total) is
@@ -63,31 +68,41 @@ object Bench {
 
     // optional args restrict to named queries (local iteration); an
     // unknown name is itself an error entry, not a crash
-    // sorted: gives the warm pass and the seeded shuffles a stable
-    // input order, so the execution schedule is a pure function of
-    // the query set (Map iteration order is not)
+    // sorted: Map iteration order shifts whenever queries are added,
+    // which reshuffles JIT/GC warm-up state across the suite and makes
+    // per-query medians incomparable across rounds (pre-r10 ledgers
+    // are order-confounded — see PLANS.md r10)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     // warm pass (untimed)
     names.foreach { n =>
       try run(SparkEntry.queries(n)) catch { case _: Throwable => }
     }
     val reps = 3
-    // suite-level passes, per-rep seeded shuffle (see header): the
-    // seeds are FIXED so any two runs of the same query set execute
-    // the identical schedule — reproducible, yet no query keeps the
-    // same neighbors or position across the three passes
-    val acc = scala.collection.mutable.Map.empty[String, Vector[Either[String, Double]]]
-      .withDefaultValue(Vector.empty)
-    (1 to reps).foreach { rep =>
-      val order = new scala.util.Random(1000003L * rep).shuffle(names)
-      order.foreach { n =>
-        val r = try Right(run(SparkEntry.queries(n)))
-        catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-        acc(n) = acc(n) :+ r
-      }
+    // the contention canary: identical work every time (a wide
+    // codegen'd aggregate, ~0.1 s hot at 32 cores), so any variation
+    // in ITS timing is machine state, not query behavior
+    val CanaryEvery = 10
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, 32)
+        .selectExpr("sum(id * 3 + 1) AS s", "count(*) AS n")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val samples: Map[String, Seq[Either[String, Double]]] =
-      names.map(n => n -> (acc(n): Seq[Either[String, Double]])).toMap
+    canary() // untimed: absorb the canary's own codegen
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val samples: Map[String, Seq[Either[String, Double]]] = names.zipWithIndex.map {
+      case (n, i) =>
+        if (i % CanaryEvery == 0) canaries += canary()
+        n -> (1 to reps).map { _ =>
+          try Right(run(SparkEntry.queries(n)))
+          catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        }
+    }.toMap
+    canaries += canary() // one closing sample
+    val canarySorted = canaries.toSeq.sorted
+    val canaryJson =
+      s"""{"median":${canarySorted(canarySorted.size / 2)},"min":${canarySorted.head},"max":${canarySorted.last},"samples":[${canaries.map(c => math.rint(c * 1000) / 1000).mkString(",")}]}"""
     val (ok, failed) = names.partition(n => samples(n).forall(_.isRight))
     val medians = ok.map { n =>
       val xs = samples(n).collect { case Right(v) => v }.sorted
@@ -104,7 +119,7 @@ object Bench {
       s"\"" + n + "\":" + jsonStr(msg)
     }.mkString("{", ",", "}")
     val total = if (failed.nonEmpty) "null" else medians.map(_._2).sum.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir","reps":$reps,"agg":"median"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir","reps":$reps,"agg":"median","canary":$canaryJson}""")
     // The driver keeps only the TAIL (~2 KB) of sbt's output, and the
     // full line above is long enough that its head can be truncated
     // away (r4 verdict: BENCH_r03/r04 "parsed": null; r5: total line
@@ -129,7 +144,7 @@ object Bench {
     if (args.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir","reps":$reps,"agg":"median"}""" + "\n")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir","reps":$reps,"agg":"median","canary":$canaryJson}""" + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] ledger write failed: ${e.getMessage}") }
     }
     spark.stop()
