@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.functions.{BoundaryBucket, BpeEncode, DotProduct, ExtractReading,
-  ForwardFill, GramHashes, SimHash60, Winnow, WordShingles}
+  ForwardFill, GramHashes, Md5Long60, SimHash60, Winnow, WordShingles}
 
 /** SparkSessionExtensions entry point: makes graft's custom Catalyst
   * expressions available in any session (including pure SQL users)
@@ -74,6 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BpeEncode(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5long60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "graft_md5long60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Long60(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_bucket"),
       new ExpressionInfo(classOf[BoundaryBucket].getName, "graft_bucket"),

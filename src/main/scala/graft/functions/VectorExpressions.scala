@@ -563,6 +563,47 @@ case class BoundaryBucket(child: Expression, bounds: Array[Double])
     copy(child = newChild)
 }
 
+/** The [[Portable.md5Long]] fast path: first 60 bits of md5(input) as
+  * a non-negative long, read STRAIGHT OFF THE DIGEST. Bit-identical to
+  * the classic chain `conv(substring(md5(x), 1, 15), 16, 10)` — 15 hex
+  * chars = bytes 0–6 plus the high nibble of byte 7, big-endian — but
+  * skips the 32-char hex materialization, the substring, and conv's
+  * arbitrary-base string parse (three UTF8String allocations per call;
+  * md5-dense operators make up to 13 calls per row). The digest object
+  * is thread-cached — Spark's own Md5 expression re-creates one per
+  * call via DigestUtils. */
+object Md5Long60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def eval(bytes: Array[Byte]): Long = {
+    val m = md.get()
+    m.reset()
+    val d = m.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+}
+
+case class Md5Long60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5long60"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Long60.eval(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Long60.eval($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ExtractReading {
   val schema: StructType = StructType(Seq(
     StructField("ts_us", LongType),
@@ -611,5 +652,7 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bucket", exprs => BoundaryBucket(exprs(0),
         exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5long60", exprs => Md5Long60(exprs.head), "built-in")
   }
 }

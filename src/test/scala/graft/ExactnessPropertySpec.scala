@@ -13,6 +13,31 @@ import graft.operators.{Dedup, Relational}
 class ExactnessPropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("Md5Long60 digest-direct equals the portable conv chain on any string") {
+    // the r12 fast path reads 60 bits off the digest; this pins
+    // bit-equality against the oracle-mirrored chain on adversarial
+    // inputs: empty, whitespace, unicode (multi-byte utf8), long,
+    // hex-looking, and seeded-random strings
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(97)
+    val adversarial = Seq("", " ", "a", "0xdeadbeef", "ü ñ 中文 🚀",
+      "x" * 10000, "\t\n", "7:já") ++
+      (1 to 500).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString) ++
+      (1 to 100).map(_ => (1 to 5).map(_ => rnd.nextPrintableChar()).mkString)
+    val df = adversarial.toDF("s")
+    val bad = df.selectExpr(
+        "s",
+        "graft_md5long60(s) AS fast",
+        "cast(conv(substring(md5(s),1,15),16,10) as bigint) AS chain")
+      .where(col("fast") =!= col("chain") || col("fast").isNull)
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+    // null propagates as null, like the chain
+    val n = Seq[Option[String]](None).toDF("s")
+      .selectExpr("graft_md5long60(s) AS v").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("prefix-filter join equals brute force on random corpora (L45 property)") {
     val rnd = new scala.util.Random(271)
     for (trial <- 1 to 3) {
