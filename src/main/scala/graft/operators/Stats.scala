@@ -2685,12 +2685,20 @@ FROM cells GROUP BY n, nr, nc"""
         sum(when(col("arm") === 1, col("sq")).otherwise(lit(0).cast(d38)))
           .as("sq1"))
       .select(col("event_type"), (col("n") - col("n1")).as("n0"), col("n1"),
-        // Released as BIGINT: u4 ≈ 4N⁴ ≈ 6.4e13 at sf0.01 and 6.4e17
-        // at sf0.1 — int64-safe through the bench scale (past N ≈ 70k
-        // per type the decimal arithmetic, kept internal, is the
-        // exactness carrier and a rescaled release would be the path).
-        ((col("n") - col("n1")).cast(d38) * col("sq0")
-          + col("n1").cast(d38) * col("sq1")).cast("long").as("u4"),
+        // Released as an exact quotient/remainder pair mod n²: u4 ≈
+        // 4N⁴ overflows BIGINT past N ≈ 70k per type — a direct cast
+        // THREW at the r12 sf1.0 smoke (N ≈ 100k/type, u4 ≈ 2.8e20).
+        // u4 = u4_q·n² + u4_r reconstructs the exact integer at any
+        // scale (u4_q ≈ 4N², int64-safe past N ≈ 10⁹/type; u4_r < n²)
+        // while the decimal arithmetic stays internal.
+        graft.functions.Portable.decDiv(
+          (col("n") - col("n1")).cast(d38) * col("sq0")
+            + col("n1").cast(d38) * col("sq1"),
+          col("n").cast(d38) * col("n")).cast("long").as("u4_q"),
+        pmod(
+          (col("n") - col("n1")).cast(d38) * col("sq0")
+            + col("n1").cast(d38) * col("sq1"),
+          col("n").cast(d38) * col("n")).cast("long").as("u4_r"),
         round(
           ((col("n") - col("n1")).cast(d38) * col("sq0")
             + col("n1").cast(d38) * col("sq1")).cast("double") /
@@ -2723,7 +2731,10 @@ g AS (
       ELSE 0::HUGEINT END)::HUGEINT AS sq1
   FROM ranked GROUP BY event_type)
 SELECT event_type, (n - n1) AS n0, n1,
-  ((n - n1)::HUGEINT * sq0 + n1::HUGEINT * sq1)::BIGINT AS u4,
+  (((n - n1)::HUGEINT * sq0 + n1::HUGEINT * sq1)
+    // (n::HUGEINT * n))::BIGINT AS u4_q,
+  (((n - n1)::HUGEINT * sq0 + n1::HUGEINT * sq1)
+    % (n::HUGEINT * n))::BIGINT AS u4_r,
   round(
     ((n - n1)::HUGEINT * sq0 + n1::HUGEINT * sq1)::DOUBLE
       / nullif(4::HUGEINT * n * (n - n1) * n1, 0)::DOUBLE

@@ -38,6 +38,31 @@ class ExactnessPropertySpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("BoundaryBucket binary search equals the boundary-count fold on random inputs") {
+    // the r12 bucket expression must agree with its defining fold
+    // (#bounds strictly below the key) on ANY sorted distinct boundary
+    // set and any key — including keys equal to a boundary, below all,
+    // above all, and at ±extremes
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(31337)
+    for (trial <- 1 to 5) {
+      val bounds = (1 to (1 + rnd.nextInt(40)))
+        .map(_ => math.rint(rnd.nextGaussian() * 1000) / 8)
+        .distinct.sorted.toArray
+      val keys = (bounds.toSeq ++ bounds.map(_ - 0.001) ++ bounds.map(_ + 0.001) ++
+        Seq(-1e18, 1e18, 0.0) ++ (1 to 50).map(_ => rnd.nextGaussian() * 1200)).toDF("k")
+      val arr = bounds.mkString("array(", "D,", "D)")
+      val bad = keys.selectExpr(
+          "k",
+          s"graft_bucket(k, $arr) AS fast",
+          bounds.map(b => s"(CASE WHEN k > ${b}D THEN 1 ELSE 0 END)")
+            .mkString("(", " + ", ") AS fold"))
+        .where(col("fast") =!= col("fold"))
+        .collect()
+      assert(bad.isEmpty, s"trial $trial: ${bad.take(5).mkString("; ")}")
+    }
+  }
+
   test("prefix-filter join equals brute force on random corpora (L45 property)") {
     val rnd = new scala.util.Random(271)
     for (trial <- 1 to 3) {

@@ -1167,8 +1167,8 @@ class StatsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     val got = Stats.cramerVonMises(events)
       .select(col("event_type"), col("n0"), col("n1"),
-        col("u4").cast("string"), col("t"))
-      .as[(String, Long, Long, String, Double)].collect()
+        col("u4_q").cast("string"), col("u4_r").cast("string"), col("t"))
+      .as[(String, Long, Long, String, String, Double)].collect()
       .map(r => r._1 -> r).toMap
     raw.groupBy(_._1).foreach { case (ty, rs) =>
       val armed = rs.map(r => (r._3, md5cvm(r._2) % 2))
@@ -1183,14 +1183,20 @@ class StatsSpec extends SparkSpec {
       val u4 = BigInt(n0) * sq(0) + BigInt(n1) * sq(1)
       val g = got(ty)
       assert(g._2 == n0 && g._3 == n1, s"$ty arms ${g._2}/${g._3}")
-      assert(BigInt(g._4) == u4, s"$ty: u4 ${g._4} != $u4")
-      // T replayed with the operator's fixed-order float chain
+      // u4 ≈ 4N⁴ overflows BIGINT past N ≈ 70k/type (thrown at the
+      // r12 sf1.0 smoke), so the release is the exact (quotient,
+      // remainder) pair mod n² — reconstruct and compare the BigInt
       val n = all.length.toLong
+      val rebuilt = BigInt(g._4) * (BigInt(n) * n) + BigInt(g._5)
+      assert(rebuilt == u4, s"$ty: u4 $rebuilt != $u4")
+      assert(BigInt(g._5) >= 0 && BigInt(g._5) < BigInt(n) * n,
+        s"$ty: remainder ${g._5} out of [0, n²)")
+      // T replayed with the operator's fixed-order float chain
       val t = u4.toDouble / (BigInt(4) * n * n0 * n1).toDouble -
         (BigInt(4) * n0 * n1 - 1).toDouble / (6.0 * n)
-      assert(math.abs(g._5 - t) < 1e-6 && !g._5.isNaN, s"$ty t ${g._5} vs $t")
+      assert(math.abs(g._6 - t) < 1e-6 && !g._6.isNaN, s"$ty t ${g._6} vs $t")
       // a null hash split of one distribution: T stays small
-      assert(g._5 < 2.0, s"$ty null-split T ${g._5}")
+      assert(g._6 < 2.0, s"$ty null-split T ${g._6}")
     }
   }
 
