@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BoundaryBucket, BpeEncode, DotProduct, ExtractReading,
-  ForwardFill, GramHashes, Md5Long60, SimHash60, Winnow, WordShingles}
+import graft.functions.{BootWeights, BoundaryBucket, BpeEncode, DotProduct,
+  ExtractReading, ForwardFill, GramHashes, Md5Long60, SimHash60, Winnow,
+  WordShingles}
 
 /** SparkSessionExtensions entry point: makes graft's custom Catalyst
   * expressions available in any session (including pure SQL users)
@@ -86,6 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BoundaryBucket(exprs(0), exprs(1).eval(null)
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toDoubleArray())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_boot_w"),
+      new ExpressionInfo(classOf[BootWeights].getName, "graft_boot_w"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BootWeights(exprs(0), exprs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray())))
     // transparently upgrade HOF dot products to the codegen'd expression
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     // whole-operator as-of join: AsOfJoin logical node -> AsOfJoinExec

@@ -577,10 +577,14 @@ object Md5Long60 {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  def eval(bytes: Array[Byte]): Long = {
+  /** Raw 16-byte md5 digest through the thread-cached instance. */
+  def digest(bytes: Array[Byte]): Array[Byte] = {
     val m = md.get()
     m.reset()
-    val d = m.digest(bytes)
+    m.digest(bytes)
+  }
+  def eval(bytes: Array[Byte]): Long = {
+    val d = digest(bytes)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
@@ -596,9 +600,70 @@ case class Md5Long60(child: Expression) extends UnaryExpression {
     Md5Long60.eval(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
 
+  // NB: the companion's eval(byte[]) gets NO static forwarder on the
+  // class (the case class already has Expression.eval), so generated
+  // code must go through MODULE$ — `Md5Long60.eval(bytes)` resolves to
+  // the instance method in Janino and fails to compile, silently
+  // degrading every projection containing this expression to
+  // interpreted mode (found in the r12 test-log sweep)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Md5Long60.eval($c.getBytes());")
+      s"${ev.value} = graft.functions.Md5Long60$$.MODULE$$.eval($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The C56 bootstrap's four Poisson draws per digest, read straight
+  * off the md5 bytes. Bit-identical to the classic per-slice chain
+  * `conv(substring(md5(seed), sl*7+1, 7), 16, 10)` — slice sl's
+  * 28-bit uniform is hex chars [7·sl, 7·sl+7) of the digest, i.e.
+  * nibbles big-endian — followed by the ascending-threshold count
+  * `Σ [u ≥ t]`, but skips the 32-char hex materialization and four
+  * arbitrary-base string parses per digest. Thresholds are a foldable
+  * array literal (the Poisson(1) CDF grid — bounded model state). */
+object BootWeights {
+  def eval(bytes: Array[Byte], thresholds: Array[Long]): ArrayData = {
+    val d = Md5Long60.digest(bytes)
+    val out = new Array[Long](4)
+    var sl = 0
+    while (sl < 4) {
+      var u = 0L
+      var k = 7 * sl
+      val end = k + 7
+      while (k < end) {
+        val b = d(k >> 1) & 0xff
+        u = (u << 4) | (if ((k & 1) == 0) b >>> 4 else b & 0xf)
+        k += 1
+      }
+      // thresholds ascend (a CDF grid), so the first miss ends the count
+      var w = 0L
+      var t = 0
+      while (t < thresholds.length && u >= thresholds(t)) { w += 1; t += 1 }
+      out(sl) = w
+      sl += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+case class BootWeights(child: Expression, thresholds: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_boot_w"
+
+  override def nullSafeEval(input: Any): Any =
+    BootWeights.eval(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes,
+      thresholds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("thresholds", thresholds, "long[]")
+    // MODULE$ for the same reason as Md5Long60: the case class's
+    // Expression.eval suppresses the companion's static forwarder
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BootWeights$$.MODULE$$.eval($c.getBytes(), $ref);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -654,5 +719,10 @@ object VectorFunctions {
         exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5long60", exprs => Md5Long60(exprs.head), "built-in")
+    // second arg must be a foldable array<bigint> literal (the Poisson
+    // CDF threshold grid is driver-computed bounded state)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_boot_w", exprs => BootWeights(exprs(0),
+        exprs(1).eval(null).asInstanceOf[ArrayData].toLongArray()), "built-in")
   }
 }

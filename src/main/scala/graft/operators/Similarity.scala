@@ -783,11 +783,21 @@ WHERE rk <= $KnnK"""
   // on the (x, y) pair — every scale property (capped candidates,
   // no corpus-wide sort) is inherited from L28.
   def mutualKnn(embeddings: DataFrame): DataFrame = {
-    val e = knnGraph(embeddings).where(col("rk") === 1)
-      .select(col("vec_id").as("x"), col("nbr_id").as("y"), col("cos"))
-    e.where(col("x") < col("y"))
-      .join(e.select(col("y").as("x"), col("x").as("y")),
-        Seq("x", "y"))
+    // one pass, no self-join: each vector emits exactly one rank-1
+    // edge, so the canonical (lo, hi) pair receives at most two edges
+    // and is mutual iff it receives both. The previous shape joined
+    // the edge frame with a re-oriented copy of ITSELF, which
+    // re-evaluated the whole kNN subtree (banding, candidate scoring,
+    // top-k) a second time — Catalyst reuses exchanges only on
+    // identical subtrees, and the two projections differed. cos is
+    // symmetric per unordered pair (scored once, then mirrored), so
+    // max() is the value.
+    knnGraph(embeddings).where(col("rk") === 1)
+      .select(least(col("vec_id"), col("nbr_id")).as("x"),
+        greatest(col("vec_id"), col("nbr_id")).as("y"), col("cos"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c"), max(col("cos")).as("cos"))
+      .where(col("c") === 2)
       .select(col("x"), col("y"), col("cos"))
   }
 
@@ -1574,7 +1584,11 @@ FROM vq"""
     // oracle's explode-and-sum grid (see MomentGridAggregator — the
     // explode plan generated |corpus|·4096 rows; this ships one
     // ~17 KB buffer per task), upper triangle mirrored below
-    val buf = base.select(col("v")).as[Array[Double]]
+    // spread the narrow local scan before the CPU-dense partial
+    // aggregation (2080 BigDecimal cell updates/row — measured ~1.5 s
+    // single-task at sf0.1); no-op at real scan widths (Scale doc)
+    val buf = Scale.spreadNarrowScan(base, col("vec_id"))
+      .select(col("v")).as[Array[Double]]
       .select(new graft.functions.MomentGridAggregator(64).toColumn)
       .head()
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1833,72 +1847,116 @@ FROM pt GROUP BY label"""
   private val PcaIters = 5
 
   def pcaPower(embeddings: DataFrame): DataFrame = {
-    val d6 = "decimal(18,6)"
-    val d38 = "decimal(38,0)"
-    // the Gram matrix WITHOUT a self-join: each vector emits its own
-    // 64×64 outer product map-side (two chained generators off one
-    // scan) and partial aggregation collapses it before any exchange
-    // — the vec_id self-join shape shuffled the exploded corpus and
-    // cost the whole tail (PLANS.md A/B)
-    val v6arr = embeddings.select(col("vec_id"),
-      transform(col("embedding"), v =>
-        (round(v.cast("double"), 6).cast(d6) * 1000000).cast("long"))
-        .as("v6"))
-    val nRow = embeddings.agg(count(lit(1)).as("n"))
-    val s = v6arr.select(posexplode(col("v6")).as(Seq("d", "v6e")))
-      .groupBy(col("d")).agg(sum(col("v6e")).as("s6"))
-    val g = v6arr.select(posexplode(col("v6")).as(Seq("i", "vi")), col("v6"))
-      .select(col("i"), col("vi"), posexplode(col("v6")).as(Seq("j", "vj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("vi").cast(d38) * col("vj")).as("g"))
-    val m = g
-      .join(broadcast(s.select(col("d").as("i"), col("s6").as("si"))), "i")
-      .join(broadcast(s.select(col("d").as("j"), col("s6").as("sj"))), "j")
-      .crossJoin(broadcast(nRow))
-      .select(col("i"), col("j"),
-        (col("n").cast(d38) * col("g") - col("si").cast(d38) * col("sj"))
-          .as("m"))
-      .localCheckpoint()
-    // per-round renormalization as a WINDOW over the 64-row frame —
-    // not a broadcast of a separate aggregate (which re-materializes
-    // the whole preceding chain per round: 10.8 s) and not a
-    // per-round localCheckpoint (a full job each: 8.2 s); the single
-    // lazy 5-round plan runs in one job (see PLANS.md A/B)
-    val Wall = Window.partitionBy(lit(1))
-    var w = m.select(col("i").as("d")).distinct()
-      .select(col("d"), lit(1000000L).as("w"))
-    for (_ <- 1 to PcaIters) {
-      val mw = m.join(w.withColumnRenamed("d", "j"), "j")
-        .groupBy(col("i").as("d")).agg(sum(col("m") * col("w")).as("mw"))
-      w = mw.withColumn("mx", max(abs(col("mw"))).over(Wall))
-        .select(col("d"),
-          (when(col("mw") < 0, -1L).otherwise(1L) *
-            decDiv(abs(col("mw")) * 1000000L,
-              nullif(col("mx"), lit(0).cast(d38))).cast("long")).as("w"))
+    // ONE typed-aggregator pass replaces the whole distributed build
+    // (r12 optimization; see OPTIMIZATION_r12.md): the old plan chained
+    // two generators off the scan (|corpus|·4096 rows), decimal-summed
+    // the Gram grid through a shuffle, then ran a 5-round lazy
+    // join/window chain plus two localCheckpoint jobs over the 4160-row
+    // M frame. The Gram grid is BOUNDED MODEL STATE (64×64 integer
+    // sums, ~34 KB — the L87 topComponent precedent), so the power
+    // iteration belongs on the driver: same integer arithmetic, zero
+    // shuffles, one job. Bit-equality with the distributed chain:
+    //  - v6 = (round(x,6)::DECIMAL(18,6)·1e6)::BIGINT   — GramAggregator
+    //  - g, s exact integer sums (126-bit cells ⊇ DECIMAL(38,0) range)
+    //  - m = n·g − sᵢ·sⱼ; per round mw = Σ m·w,
+    //    w' = sign(mw)·((|mw|·1e6) div max|mw|)        — decDiv ≡
+    //    BigInteger floor-divide on non-negatives
+    //  - lambda_q = round(num::DOUBLE / den::DOUBLE, 6) with
+    //    DECIMAL(38,0)::DOUBLE ≡ BigDecimal.doubleValue and Spark's
+    //    round-on-double (HALF_UP via BigDecimal.valueOf) replicated in
+    //    [[round6]]; degenerate all-zero matrices release NULLs exactly
+    //    as the nullif(…, 0) chain did.
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, BigInteger => JBI}
+    // spread the narrow local scan before the CPU-dense partial
+    // aggregation (2080 cell updates/row): at test SF the table is one
+    // parquet split, which would serialize the whole pass into a
+    // single task; at real scan widths this is a no-op (Scale doc)
+    val buf = Scale
+      .spreadNarrowScan(
+        embeddings.select(col("vec_id"), asD(col("embedding")).as("v")),
+        col("vec_id"))
+      .select(col("v")).as[Array[Double]]
+      .select((new graft.functions.GramAggregator).toColumn)
+      .head()
+    // dim comes from the DATA (buffer slot 1), exactly as the generator
+    // chain (and the oracle's per-row generate_series) derived it
+    val dim = buf(1).toInt
+    val n = JBI.valueOf(buf(0))
+    val s = Array.tabulate(dim)(i => JBI.valueOf(buf(2 + i)))
+    val g = Array.ofDim[JBI](dim, dim)
+    var k = 2 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = JBI.valueOf(buf(k)).shiftLeft(62).add(JBI.valueOf(buf(k + 1)))
+      g(i)(j) = v
+      g(j)(i) = v
+      k += 2
     }
-    // ONE materialization of the converged vector; the Rayleigh
-    // quotient then runs on a FRESH M·w against it (no re-evaluation
-    // of the round chain — each lazy reference would replay it)
-    w = w.localCheckpoint()
-    val mwf = m.join(w.withColumnRenamed("d", "j"), "j")
-      .groupBy(col("i").as("d")).agg(sum(col("m") * col("w")).as("mw"))
-    val ray = mwf.join(w, "d")
-      .agg(sum(col("mw") * col("w")).as("num"),
-        sum(col("w").cast(d38) * col("w")).as("den"))
-    val tr = m.where(col("i") === col("j")).agg(sum(col("m")).as("tr"))
-    val summary = ray.crossJoin(broadcast(tr))
-      .select(
-        round(col("num").cast("double") /
-          nullif(col("den"), lit(0).cast(d38)).cast("double"), 6)
-          .as("lambda_q"),
-        round((col("num").cast("double") /
-          nullif(col("den"), lit(0).cast(d38)).cast("double")) /
-          nullif(col("tr"), lit(0).cast(d38)).cast("double"), 6)
-          .as("explained_share"))
+    val m = Array.tabulate(dim, dim) { (i, j) =>
+      n.multiply(g(i)(j)).subtract(s(i).multiply(s(j)))
+    }
+    val Million = JBI.valueOf(1000000L)
+    var w = Array.fill(dim)(Million)
+    var degenerate = false
+    for (_ <- 1 to PcaIters if !degenerate) {
+      val mw = Array.tabulate(dim) { i =>
+        var acc = JBI.ZERO
+        var j = 0
+        while (j < dim) { acc = acc.add(m(i)(j).multiply(w(j))); j += 1 }
+        acc
+      }
+      val mx = if (dim == 0) JBI.ZERO else mw.map(_.abs).max
+      if (mx.signum == 0) degenerate = true
+      else w = mw.map { x =>
+        val q = x.abs.multiply(Million).divide(mx)
+        if (x.signum < 0) q.negate else q
+      }
+    }
+    def round6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else JBD.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val tr = (0 until dim).foldLeft(JBI.ZERO)((a, i) => a.add(m(i)(i)))
+    val (pc1: Array[Any], lambdaQ: Any, explained: Any) =
+      if (degenerate) (Array.fill[Any](dim)(null), null, null)
+      else {
+        val mwf = Array.tabulate(dim) { i =>
+          var acc = JBI.ZERO
+          var j = 0
+          while (j < dim) { acc = acc.add(m(i)(j).multiply(w(j))); j += 1 }
+          acc
+        }
+        val num = (0 until dim).foldLeft(JBI.ZERO)((a, i) => a.add(mwf(i).multiply(w(i))))
+        val den = (0 until dim).foldLeft(JBI.ZERO)((a, i) => a.add(w(i).multiply(w(i))))
+        val pc = w.map(x => java.lang.Long.valueOf(x.longValueExact): Any)
+        if (den.signum == 0) (pc, null, null)
+        else {
+          val ratio = new JBD(num).doubleValue() / new JBD(den).doubleValue()
+          val lam: Any = java.lang.Double.valueOf(round6(ratio))
+          val exp: Any =
+            if (tr.signum == 0) null
+            else java.lang.Double.valueOf(round6(ratio / new JBD(tr).doubleValue()))
+          (pc, lam, exp)
+        }
+      }
     // 1-based dim ids on the released surface (the oracle's
-    // generate_series convention; internal joins stay 0-based)
-    w.select((col("d") + 1).cast("long").as("d"), col("w").as("pc1_q6"))
-      .crossJoin(broadcast(summary))
+    // generate_series convention)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pc1_q6",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lambda_q",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("explained_share",
+        org.apache.spark.sql.types.DoubleType)))
+    // empty corpus: the distributed chain (and the oracle) released an
+    // EMPTY frame — the dim axis came from the data, not generate_series
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](dim)
+    for (i <- 0 until dim)
+      rows.add(org.apache.spark.sql.Row(
+        java.lang.Long.valueOf((i + 1).toLong), pc1(i), lambdaQ, explained))
+    spark.createDataFrame(rows, schema)
   }
 
   val pcaPowerSql: String = {

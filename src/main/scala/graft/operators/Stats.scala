@@ -73,17 +73,23 @@ object Stats {
     val point = base.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("v")).cast("double") / count(lit(1)), 6).as("mean"))
+    // per digest, the four 28-bit draws AND their Poisson weights come
+    // straight off the md5 bytes (graft_boot_w, codegen'd) — bit-equal
+    // to the old md5-hex + conv(substring) + threshold-when chain, which
+    // materialized a 32-char hex string per (row, group) and ran four
+    // arbitrary-base string parses on it (B/4 digests × N rows); rows
+    // with w = 0 are dropped BEFORE the aggregate (they contribute 0 to
+    // both sums; a replicate's n > 0 gate is unchanged)
+    graft.functions.VectorFunctions.register(events.sparkSession)
     val reps = base
       .select(col("event_type"), col("event_id"), col("v"),
         explode(sequence(lit(0), lit((BootB + 3) / 4 - 1))).as("g"))
-      .withColumn("h", md5(concat(lit("boot"), col("g").cast("string"),
-        lit(":"), col("event_id").cast("string"))))
-      .select(col("event_type"), col("v"), col("g"), col("h"),
-        explode(sequence(lit(0), lit(3))).as("sl"))
+      .select(col("event_type"), col("v"), col("g"),
+        posexplode(expr("graft_boot_w(concat('boot', cast(g as string), ':', " +
+          s"cast(event_id as string)), array(${BootThresholds.mkString("L,")}L))"))
+          .as(Seq("sl", "w")))
       .withColumn("b", col("g") * 4 + col("sl"))
-      .where(col("b") < BootB)
-      .withColumn("u", expr("conv(substring(h, sl * 7 + 1, 7), 16, 10)").cast("long"))
-      .withColumn("w", bootWeight(col("u")))
+      .where(col("b") < BootB && col("w") > 0)
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w")).as("n"), sum(col("v") * col("w")).as("s"))
       .where(col("n") > 0)

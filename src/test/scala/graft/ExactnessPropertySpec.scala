@@ -38,6 +38,96 @@ class ExactnessPropertySpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("digest-direct expressions COMPILE under CODEGEN_ONLY (no silent interpreter fallback)") {
+    // r12 found wave 8's Md5Long60 codegen never compiled: the
+    // companion's eval(byte[]) gets no static forwarder (the case
+    // class already has Expression.eval), Janino resolved the call to
+    // eval(InternalRow), and every projection fell back to interpreted
+    // mode with only a WARN. CODEGEN_ONLY turns that fallback into a
+    // hard failure, so this pins the fix (MODULE$ references).
+    graft.functions.VectorFunctions.register(spark)
+    val th = graft.operators.Stats.BootThresholds.mkString("array(", "L,", "L)")
+    val key = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val r = Seq("a", "b").toDF("s").selectExpr(
+        "graft_md5long60(s) AS h", s"graft_boot_w(s, $th) AS w").collect()
+      assert(r.length == 2 && !r(0).isNullAt(0) && r(0).getSeq[Long](1).length == 4)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("BootWeights digest-direct equals the md5-hex + conv + threshold chain") {
+    // the r12 bootstrap fast path reads the four 28-bit draws (and their
+    // Poisson weights) straight off the digest; pin bit-equality against
+    // the defining chain per slice on adversarial + random seeds
+    graft.functions.VectorFunctions.register(spark)
+    val th = graft.operators.Stats.BootThresholds
+    val arr = th.mkString("array(", "L,", "L)")
+    val rnd = new scala.util.Random(553)
+    val seeds = Seq("", "boot0:1", "boot12:999983", "ü 中文", "x" * 2000) ++
+      (1 to 400).map(_ => s"boot${rnd.nextInt(13)}:${rnd.nextLong()}")
+    val df = seeds.toDF("s")
+      .select(col("s"), explode(array((0 to 3).map(lit): _*)).as("sl"))
+    val chainW = graft.operators.Stats.bootWeight(
+      expr("cast(conv(substring(md5(s), sl * 7 + 1, 7), 16, 10) as long)"))
+    val bad = df.select(col("s"), col("sl"),
+        expr(s"element_at(graft_boot_w(s, $arr), sl + 1)").as("fast"),
+        chainW.as("chain"))
+      .where(col("fast") =!= col("chain") || col("fast").isNull)
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+  }
+
+  test("GramAggregator equals the explode + decimal-sum Gram grid on random vectors") {
+    // q_pca's one-pass grid: n, Σ v6, and Σ v6ᵢ·v6ⱼ must equal the
+    // generator + DECIMAL(38,0)-sum chain it replaced, including the
+    // 126-bit carry cells (forced here by large-magnitude elements)
+    // magnitudes up to ±1000 force 126-bit carries (micros ~1e9,
+    // products ~1e18, crossing 2^62 within a few rows) while staying
+    // inside the documented |v6| < 2^31 product-exactness bound;
+    // RAGGED lengths (3..8) pin the dim-adaptive resize path
+    val dim = 8
+    val rnd = new scala.util.Random(41)
+    val vecs = (1 to 300).map { i =>
+      val d = if (i % 7 == 0) 3 + rnd.nextInt(dim - 3) else dim
+      Array.fill(d)(if (rnd.nextInt(10) == 0) (rnd.nextDouble() * 2 - 1) * 1000
+        else rnd.nextGaussian())
+    }
+    val df = vecs.map(v => Tuple1(v.toSeq)).toDF("embedding")
+    val buf = df.select(col("embedding").cast("array<double>"))
+      .as[Array[Double]]
+      .select((new graft.functions.GramAggregator).toColumn)
+      .head()
+    val v6arr = df.select(transform(col("embedding"),
+      v => (round(v.cast("double"), 6).cast("decimal(18,6)") * 1000000)
+        .cast("long")).as("v6"))
+    val s = v6arr.select(posexplode(col("v6")).as(Seq("d", "e")))
+      .groupBy(col("d")).agg(sum(col("e")).as("s")).orderBy(col("d"))
+      .as[(Int, Long)].collect()
+    val g = v6arr.select(posexplode(col("v6")).as(Seq("i", "vi")), col("v6"))
+      .select(col("i"), col("vi"), posexplode(col("v6")).as(Seq("j", "vj")))
+      .where(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("vi").cast("decimal(38,0)") * col("vj")).as("g"))
+      .orderBy(col("i"), col("j"))
+      .as[(Int, Int, java.math.BigDecimal)].collect()
+    assert(buf(0) == vecs.size.toLong)
+    assert(buf(1) == dim.toLong)
+    s.foreach { case (d, v) => assert(buf(2 + d) == v, s"s($d)") }
+    val base = 2 + dim
+    g.zipWithIndex.foreach { case ((i, j, want), k) =>
+      val got = java.math.BigInteger.valueOf(buf(base + 2 * k)).shiftLeft(62)
+        .add(java.math.BigInteger.valueOf(buf(base + 2 * k + 1)))
+      assert(got == want.toBigInteger, s"g($i,$j): $got vs $want")
+    }
+  }
+
   test("BoundaryBucket binary search equals the boundary-count fold on random inputs") {
     // the r12 bucket expression must agree with its defining fold
     // (#bounds strictly below the key) on ANY sorted distinct boundary
