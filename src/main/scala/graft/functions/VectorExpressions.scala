@@ -527,6 +527,51 @@ case class ExtractReading(child: Expression, sessionZone: String)
     copy(child = newChild)
 }
 
+/** All unordered pairs (p1 < p2 by position) of a SORTED array<long>
+  * — the C63/C106 in-basket pair generation, one tight loop per
+  * basket. Replaces the sized-basket SELF-JOIN (`a JOIN b ON a.bid =
+  * b.bid AND a.item < b.item`): the join machinery hash-builds and
+  * probes every basket against itself (b² row comparisons through
+  * join code paths) and evaluates the `sized` subtree a second time
+  * where exchange reuse misses; here each basket emits its ≤
+  * C(64,2) = 2016 pair structs in one allocation-bounded loop, feeding
+  * the same (p1, p2) count aggregate. Input is sorted + distinct by
+  * construction (sort_array over a distinct collect), so p1 < p2 holds
+  * by value and each unordered pair appears exactly once — identical
+  * multiset to the self-join. CodegenFallback: allocation-dominated.
+  */
+case class PairCombos(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p1", LongType, nullable = false),
+    StructField("p2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_pair_combos"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = InternalRow(x, a.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Bucket index of a double key against a SORTED, DISTINCT boundary
   * array: the count of boundaries strictly below the key — exactly the
   * `Σ [key > b]` fold the C48 two-phase rank used to build as a
@@ -669,6 +714,100 @@ case class BootWeights(child: Expression, thresholds: Array[Long])
     copy(child = newChild)
 }
 
+/** The L87/q_top_component projection — score = Σᵢ dec6(round((v[i] −
+  * mu[i]) · pv[i], 6)) accumulated as DECIMAL(28,6), released DOUBLE —
+  * as ONE primitive loop per row.
+  *
+  * Replaces `aggregate(sequence(1, 64), 0::decimal(28,6), (acc, i) =>
+  * (acc + round((v[i]-mu[i])*pv[i], 6)::decimal(18,6))::decimal(28,6))`
+  * — a higher-order function interpreted per element that walks a
+  * 64-step decimal expression tree per row (the dominant cost of the
+  * projection pass). Bit-parity with the HOF chain, step by step:
+  * round(double, 6) = BigDecimal.valueOf(d).setScale(6, HALF_UP)
+  * .doubleValue (Spark RoundBase); double → DECIMAL(18,6) cast =
+  * valueOf(d).setScale(6, HALF_UP), null when integer digits exceed 12
+  * (non-ANSI overflow → null acc → null result); the decimal(28,6) sum
+  * is exact integer micros (never overflows 28 digits at 64 terms, but
+  * CAN exceed a long on adversarial inputs — retried in BigInteger);
+  * DECIMAL(28,6) → DOUBLE = BigDecimal.doubleValue. A short or
+  * null-holed vector yields null (element_at out of range → null).
+  *
+  * mu / pv are driver-computed bounded model state (64 doubles each),
+  * carried as codegen reference objects — they never appear as plan
+  * literals (TopCells posture).
+  */
+object PcScore {
+  def eval(v: ArrayData, mu: Array[Double], pv: Array[Double]): Any = {
+    val n = mu.length
+    if (v.numElements() < n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val rounded = java.math.BigDecimal
+        .valueOf((v.getDouble(i) - mu(i)) * pv(i))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+      val t = java.math.BigDecimal.valueOf(rounded)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      if (t.precision - t.scale > 12) return null // decimal(18,6) overflow
+      val u = t.unscaledValue().longValueExact()
+      val s = acc + u
+      // overflow of the long carrier (not of decimal(28,6)): redo in BigInteger
+      if (((acc ^ s) & (u ^ s)) < 0L) return evalBig(v, mu, pv)
+      acc = s
+      i += 1
+    }
+    java.math.BigDecimal.valueOf(acc, 6).doubleValue()
+  }
+
+  private def evalBig(v: ArrayData, mu: Array[Double], pv: Array[Double]): Any = {
+    val n = mu.length
+    var acc = java.math.BigInteger.ZERO
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val rounded = java.math.BigDecimal
+        .valueOf((v.getDouble(i) - mu(i)) * pv(i))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+      val t = java.math.BigDecimal.valueOf(rounded)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      if (t.precision - t.scale > 12) return null
+      acc = acc.add(t.unscaledValue())
+      i += 1
+    }
+    new java.math.BigDecimal(acc, 6).doubleValue()
+  }
+}
+
+case class PcScore(child: Expression, mu: Array[Double], pv: Array[Double],
+    fnName: String) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = fnName
+
+  override def nullSafeEval(input: Any): Any =
+    PcScore.eval(input.asInstanceOf[ArrayData], mu, pv)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("mu", mu, "double[]")
+    val pvRef = ctx.addReferenceObj("pv", pv, "double[]")
+    // MODULE$: the case class's Expression.eval suppresses the
+    // companion's static forwarder (the Md5Long60 Janino gotcha)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+        Object $r = graft.functions.PcScore$$.MODULE$$.eval($c, $muRef, $pvRef);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ExtractReading {
   val schema: StructType = StructType(Seq(
     StructField("ts_us", LongType),
@@ -719,6 +858,8 @@ object VectorFunctions {
         exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5long60", exprs => Md5Long60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pair_combos", exprs => PairCombos(exprs.head), "built-in")
     // second arg must be a foldable array<bigint> literal (the Poisson
     // CDF threshold grid is driver-computed bounded state)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1613,15 +1613,17 @@ FROM vq"""
       lambda = w.map(math.abs).max
       v = w.map(x => r6(x / lambda))
     }
-    val muLit = typedLit(mu.toSeq)
-    val vLit = typedLit(v.toSeq)
+    // score projection through graft.functions.PcScore: one primitive
+    // loop per row with (mu, v) as reference-object model state —
+    // replaces a 64-step decimal HOF (aggregate over sequence), which
+    // is interpreted per element and walked a 64-deep expression tree
+    // per row (r12 wave 15; bit-parity pinned in VectorExprSpec)
+    val name = s"graft_pc_score_${tcCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.PcScore(exprs.head, mu, v, name),
+      "built-in")
     base.select(col("vec_id"),
-      aggregate(sequence(lit(1), lit(64)),
-        lit(BigDecimal(0)).cast("decimal(28,6)"),
-        (acc, i) => (acc + round(
-          (element_at(col("v"), i) - element_at(muLit, i)) * element_at(vLit, i), 6)
-          .cast("decimal(18,6)")).cast("decimal(28,6)"))
-        .cast("double").as("score"),
+      call_function(name, col("v")).as("score"),
       lit(r6(lambda)).as("eigval"))
   }
 

@@ -563,10 +563,19 @@ FROM cells JOIN rx USING (event_type) JOIN cy USING (dow) CROSS JOIN n"""
       sum((col("bsz") <= MaxBasket).cast("long")).as("n_baskets"),
       sum((col("bsz") > MaxBasket).cast("long")).as("n_dropped_baskets"))
     val supp = sized.groupBy(col("item")).agg(count(lit(1)).as("s"))
-    val pairs = sized.as("a")
-      .join(sized.as("b"),
-        col("a.bid") === col("b.bid") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("p1"), col("b.item").as("p2"))
+    // in-basket pair generation (r12 wave 16): one basket-local loop
+    // per group through graft_pair_combos — sized is already
+    // partitioned by bid from the gate join, so the collect costs no
+    // new exchange, the basket array is gate-bounded (≤ MaxBasket
+    // items), and the self-join's per-basket hash build + b² probes
+    // (plus a second sized subtree where exchange reuse misses) are
+    // gone. sort_array over the distinct items gives p1 < p2 by value,
+    // each unordered pair once — the identical pair multiset.
+    graft.functions.VectorFunctions.register(lineitem.sparkSession)
+    val pairs = sized.groupBy(col("bid"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .select(explode(expr("graft_pair_combos(items)")).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= PairMinSup)
     pairs

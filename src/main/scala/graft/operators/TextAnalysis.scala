@@ -3652,9 +3652,16 @@ FROM scored"""
 
   def stumpForest(documents: DataFrame): DataFrame = {
     val feats = ForestFeatures
+    // materialize the featurized frame ONCE (r12 wave 17, the q_hits
+    // edges / nbClassify precedent): labeled feeds 4 stump-fit
+    // subtrees plus the holdout — without the cut, each fit re-runs
+    // the tokenize + NB-quality scan (column pruning saves the other
+    // features but not y's NB pass), 5 featurize passes for 1 result.
+    // The checkpointed rows are narrow (id, label, 4 longs).
     val labeled = documents.select(
       Seq(col("doc_id"), (qualityScoreCol > NbCut).cast("long").as("y")) ++
         feats.map { case (nm, c, _) => c.as(s"x_$nm") }: _*)
+      .localCheckpoint()
     val train = labeled.where(pmod(col("doc_id"), lit(5)) =!= 0)
     val models = feats.map { case (nm, _, _) =>
       nm -> stumpModel(train.select(col(s"x_$nm").as("x"), col("y")))

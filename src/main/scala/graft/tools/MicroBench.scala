@@ -59,6 +59,171 @@ object MicroBench {
     }
   }
 
+  /** Interleaved A/B of the q_top_component score projection: old
+    * (64-step decimal HOF — aggregate over sequence) vs new
+    * (graft.functions.PcScore one-loop expression) over a synthetic
+    * 1M × 64 embeddings-shaped frame. Interleaving makes the RATIO
+    * valid under the host's persistent CPU steal. */
+  private def pcAb(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val mu = Array.fill(64)(math.rint(rnd.nextGaussian() * 1e4) / 1e6)
+    val pv = Array.fill(64)(math.rint((rnd.nextDouble() * 2 - 1) * 1e6) / 1e6)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pc_score_mb", exprs =>
+        graft.functions.PcScore(exprs.head, mu, pv, "graft_pc_score_mb"),
+      "built-in")
+    val base = spark.range(0, 1000000L)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> sin(cast(id * i as double)))").as("v"))
+      .cache()
+    base.count()
+    val muLit = typedLit(mu.toSeq)
+    val pvLit = typedLit(pv.toSeq)
+    def old() = base.select(col("vec_id"),
+      aggregate(sequence(lit(1), lit(64)),
+        lit(BigDecimal(0)).cast("decimal(28,6)"),
+        (acc, i) => (acc + round(
+          (element_at(col("v"), i) - element_at(muLit, i)) * element_at(pvLit, i), 6)
+          .cast("decimal(18,6)")).cast("decimal(28,6)"))
+        .cast("double").as("score"))
+    def neu() = base.select(col("vec_id"),
+      call_function("graft_pc_score_mb", col("v")).as("score"))
+    val a = old().selectExpr("sum(score) AS s", "count(*) AS n").collect()(0)
+    val b = neu().selectExpr("sum(score) AS s", "count(*) AS n").collect()(0)
+    println(s"[mb] pc parity: ${a == b} ($a vs $b)")
+    val ts = (1 to 4).flatMap { _ =>
+      Seq("old" -> old _, "new" -> neu _).map { case (tag, f) =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        tag -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    Seq("old", "new").foreach { tag =>
+      val xs = ts.collect { case (`tag`, t) => t }.sorted
+      println(f"[mb] pc-$tag%-4s reps ${xs.map(x => f"$x%.2f").mkString(", ")}  median ${xs(xs.size / 2)}%.2f")
+    }
+  }
+
+  /** Interleaved A/B of the C63/C106 pair-generation stage: old
+    * (in-basket self-join on bid with a.item < b.item) vs new
+    * (sort_array(collect_list) + graft_pair_combos) over a synthetic
+    * lineitem-shaped frame, both from the same gated `sized` input. */
+  private def pairsAb(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    // ~2M rows, ~330k baskets of ~6 items (TPC-H lineitem shape)
+    val li = spark.range(0, 2000000L)
+      .selectExpr("id div 6 AS bid",
+        "cast(hash(id) % 2000 + 2000 as bigint) AS item")
+    val d = li.distinct()
+    val bsz = d.groupBy(col("bid")).agg(count(lit(1)).as("bsz"))
+    def sized = d.join(bsz.where(col("bsz") <= 64).select(col("bid")), "bid")
+    def old() = sized.as("a")
+      .join(sized.as("b"),
+        col("a.bid") === col("b.bid") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("p1"), col("b.item").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+    def neu() = sized.groupBy(col("bid"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .select(explode(expr("graft_pair_combos(items)")).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+    val a = old().selectExpr("count(*) AS n", "sum(support) AS s").collect()(0)
+    val b = neu().selectExpr("count(*) AS n", "sum(support) AS s").collect()(0)
+    println(s"[mb] pairs parity: ${a == b} ($a vs $b)")
+    val ts = (1 to 6).flatMap { r =>
+      // alternate which variant goes first so neither always pays the
+      // fresher-JIT / colder-cache slot of its round
+      val order = if (r % 2 == 1) Seq("old" -> old _, "new" -> neu _)
+        else Seq("new" -> neu _, "old" -> old _)
+      order.map { case (tag, f) =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        tag -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    // chronological per-round pairs: each pair shares machine state,
+    // so the per-pair delta is valid under drifting contention
+    val rounds = ts.grouped(2).toSeq
+    rounds.zipWithIndex.foreach { case (p, i) =>
+      val m = p.toMap
+      println(f"[mb] pairs round ${i + 1}: old ${m("old")}%.2f new ${m("new")}%.2f  new/old ${m("new") / m("old")}%.2f")
+    }
+    Seq("old", "new").foreach { tag =>
+      val xs = ts.collect { case (`tag`, t) => t }.sorted
+      println(f"[mb] pairs-$tag%-4s reps ${xs.map(x => f"$x%.2f").mkString(", ")}  median ${xs(xs.size / 2)}%.2f")
+    }
+  }
+
+  /** Interleaved A/B of the C154 HITS per-round renormalization over
+    * real sf0.1 tables: single-partition window max (current — a
+    * single-reducer stage per half-step at scale) vs broadcast
+    * sub-aggregate max (scale-safe two-level; relies on exchange reuse
+    * to avoid re-evaluating the round chain). */
+  private def hitsAb(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{Column, DataFrame}
+    import org.apache.spark.sql.expressions.Window
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val d38 = "decimal(38,0)"
+    val HitsUnit = 1000000000000L
+    def decDiv(a: Column, b: Column) = graft.functions.Portable.decDiv(a, b)
+    def run(renorm: (DataFrame, String) => DataFrame): DataFrame = {
+      val edges = orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+          "o_orderkey")
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct().localCheckpoint()
+      var hub = edges.select(col("c")).distinct()
+        .select(col("c"), lit(HitsUnit).as("h"))
+      var auth = edges.select(col("s")).distinct()
+        .select(col("s"), lit(HitsUnit).as("a"))
+      for (_ <- 1 to 3) {
+        val araw = edges.join(hub, "c").groupBy(col("s"))
+          .agg(sum(col("h").cast(d38)).as("ar"))
+        auth = renorm(araw, "ar").select(col("s"),
+          decDiv(col("ar") * HitsUnit, col("m")).cast("long").as("a"))
+        val hraw = edges.join(auth, "s").groupBy(col("c"))
+          .agg(sum(col("a").cast(d38)).as("hr"))
+        hub = renorm(hraw, "hr").select(col("c"),
+          decDiv(col("hr") * HitsUnit, col("m")).cast("long").as("h"))
+      }
+      hub.select(lit("hub").as("node_type"), col("c").cast("long").as("node_id"),
+          col("h").as("score"))
+        .unionAll(auth.select(lit("authority").as("node_type"),
+          col("s").cast("long").as("node_id"), col("a").as("score")))
+    }
+    val winNorm = (df: DataFrame, c: String) =>
+      df.withColumn("m", max(col(c)).over(Window.partitionBy(lit(1))))
+    val bcNorm = (df: DataFrame, c: String) =>
+      df.crossJoin(broadcast(df.agg(max(col(c)).as("m"))))
+    val a = run(winNorm).selectExpr("count(*) AS n", "sum(score) AS s").collect()(0)
+    val b = run(bcNorm).selectExpr("count(*) AS n", "sum(score) AS s").collect()(0)
+    println(s"[mb] hits parity: ${a == b} ($a vs $b)")
+    val ts = (1 to 6).flatMap { r =>
+      val order = if (r % 2 == 1) Seq("win" -> winNorm, "bc" -> bcNorm)
+        else Seq("bc" -> bcNorm, "win" -> winNorm)
+      order.map { case (tag, f) =>
+        val t0 = System.nanoTime()
+        run(f).write.format("noop").mode("overwrite").save()
+        tag -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    ts.grouped(2).zipWithIndex.foreach { case (p, i) =>
+      val m = p.toMap
+      println(f"[mb] hits round ${i + 1}: win ${m("win")}%.2f bc ${m("bc")}%.2f  bc/win ${m("bc") / m("win")}%.2f")
+    }
+    Seq("win", "bc").foreach { tag =>
+      val xs = ts.collect { case (`tag`, t) => t }.sorted
+      println(f"[mb] hits-$tag%-4s reps ${xs.map(x => f"$x%.2f").mkString(", ")}  median ${xs(xs.size / 2)}%.2f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -68,6 +233,9 @@ object MicroBench {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.VectorFunctions.register(spark)
     if (args.contains("boot")) { bootAb(spark); spark.stop(); return }
+    if (args.contains("pc")) { pcAb(spark); spark.stop(); return }
+    if (args.contains("pairs")) { pairsAb(spark); spark.stop(); return }
+    if (args.contains("hits")) { hitsAb(spark); spark.stop(); return }
     val df = spark.range(0, 10000000L)
       .selectExpr("concat('7:', cast(id as string)) AS s").cache()
     df.count()

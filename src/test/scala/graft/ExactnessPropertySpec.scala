@@ -47,13 +47,18 @@ class ExactnessPropertySpec extends SparkSpec {
     // hard failure, so this pins the fix (MODULE$ references).
     graft.functions.VectorFunctions.register(spark)
     val th = graft.operators.Stats.BootThresholds.mkString("array(", "L,", "L)")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pc_score_cg", exprs => graft.functions.PcScore(exprs.head,
+        Array(0.5, -0.5), Array(1.0, 2.0), "graft_pc_score_cg"), "built-in")
     val key = "spark.sql.codegen.factoryMode"
     val old = spark.conf.getOption(key)
     spark.conf.set(key, "CODEGEN_ONLY")
     try {
       val r = Seq("a", "b").toDF("s").selectExpr(
-        "graft_md5long60(s) AS h", s"graft_boot_w(s, $th) AS w").collect()
-      assert(r.length == 2 && !r(0).isNullAt(0) && r(0).getSeq[Long](1).length == 4)
+        "graft_md5long60(s) AS h", s"graft_boot_w(s, $th) AS w",
+        "graft_pc_score_cg(array(1.0D, 2.0D)) AS pc").collect()
+      assert(r.length == 2 && !r(0).isNullAt(0) && r(0).getSeq[Long](1).length == 4
+        && !r(0).isNullAt(2))
     } finally {
       old match {
         case Some(v) => spark.conf.set(key, v)
@@ -128,6 +133,66 @@ class ExactnessPropertySpec extends SparkSpec {
     }
   }
 
+  test("PcScore primitive loop equals the decimal HOF chain on random and adversarial vectors") {
+    // q_top_component's projection (r12 wave 15): one loop per row must
+    // reproduce `aggregate(sequence(1, n), 0::decimal(28,6), (acc, i) =>
+    // (acc + round((v[i]-mu[i])*pv[i], 6)::decimal(18,6))::decimal(28,6))
+    // ::double` bit-for-bit, including: decimal(18,6) cast overflow →
+    // null (|term| ≥ 1e12), short vectors → null (element_at out of
+    // range), null elements → null, and sums past the long carrier
+    // (forced by 64 near-max terms — the BigInteger retry path)
+    val rnd = new scala.util.Random(787)
+    def register(name: String, mu: Array[Double], pv: Array[Double]): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => graft.functions.PcScore(exprs.head, mu, pv, name),
+        "built-in")
+    def chain(dim: Int, mu: Array[Double], pv: Array[Double]) =
+      aggregate(sequence(lit(1), lit(dim)),
+        lit(BigDecimal(0)).cast("decimal(28,6)"),
+        (acc, i) => (acc + round(
+          (element_at(col("v"), i) - element_at(typedLit(mu.toSeq), i)) *
+            element_at(typedLit(pv.toSeq), i), 6)
+          .cast("decimal(18,6)")).cast("decimal(28,6)")).cast("double")
+    def asDf(vecs: Seq[Seq[java.lang.Double]]) =
+      vecs.map(Tuple1(_)).toDF("v").select(col("v").cast("array<double>").as("v"))
+    for ((dim, trial) <- Seq((8, 1), (64, 2))) {
+      val mu = Array.fill(dim)(math.rint(rnd.nextGaussian() * 1e6) / 1e6)
+      val pv = Array.fill(dim)(math.rint((rnd.nextDouble() * 2 - 1) * 1e6) / 1e6)
+      val name = s"graft_pc_score_test_$trial"
+      register(name, mu, pv)
+      val vecs: Seq[Seq[java.lang.Double]] =
+        (1 to 200).map(_ => Seq.fill[java.lang.Double](dim)(rnd.nextGaussian())) ++
+        // a null element: null term -> null acc -> null, on both paths
+        Seq(Seq.fill[java.lang.Double](dim - 1)(1.0) :+ (null: java.lang.Double))
+      val bad = asDf(vecs).select(col("v"),
+          call_function(name, col("v")).as("fast"), chain(dim, mu, pv).as("slow"))
+        .where(not(col("fast") <=> col("slow")))
+        .collect()
+      assert(bad.isEmpty,
+        s"dim $dim: ${bad.take(3).map(r => (r.get(1), r.get(2))).mkString("; ")}")
+    }
+    // long-carrier overflow (64 near-max legal terms, monotone sum past
+    // 2^63 micros): the BigInteger retry path must equal the decimal
+    // chain, whose decimal(28,6) accumulator is nowhere near overflow
+    val mu0 = Array.fill(64)(0.0); val pv1 = Array.fill(64)(1.0)
+    register("graft_pc_score_test_big", mu0, pv1)
+    val big = asDf(Seq(Seq.fill[java.lang.Double](64)(9.99e11)))
+      .select(call_function("graft_pc_score_test_big", col("v")).as("fast"),
+        chain(64, mu0, pv1).as("slow")).collect()(0)
+    assert(big.getDouble(0) == big.getDouble(1), s"big: $big")
+    // out-of-domain inputs (unreachable on real 64-dim embeddings,
+    // where terms are unit-scale): PcScore returns null — under the
+    // engine's ANSI-on default the HOF chain instead raises
+    // (decimal-cast overflow / element_at out of range), so there is
+    // no defined chain value to compare against
+    val nulls = asDf(Seq(
+        Seq.fill[java.lang.Double](64)(2.0e12), // decimal(18,6) overflow term
+        Seq.fill[java.lang.Double](61)(1.0)))   // short vector
+      .select(call_function("graft_pc_score_test_big", col("v")).as("fast"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)), nulls.mkString("; "))
+  }
+
   test("BoundaryBucket binary search equals the boundary-count fold on random inputs") {
     // the r12 bucket expression must agree with its defining fold
     // (#bounds strictly below the key) on ANY sorted distinct boundary
@@ -150,6 +215,43 @@ class ExactnessPropertySpec extends SparkSpec {
         .where(col("fast") =!= col("fold"))
         .collect()
       assert(bad.isEmpty, s"trial $trial: ${bad.take(5).mkString("; ")}")
+    }
+  }
+
+  test("frequentPairs in-row pair generation equals brute force on random baskets (C63 property)") {
+    // r12 wave 16 replaced the in-basket self-join with
+    // graft_pair_combos over sorted collected baskets; the support /
+    // s1 / s2 / n_baskets / lift surface must equal a Scala
+    // brute-force replay on random inputs with duplicate (bid, item)
+    // rows and baskets straddling the MaxBasket=64 gate
+    val rnd = new scala.util.Random(641)
+    val rows = (1 to 4000).map { _ =>
+      val bid = rnd.nextInt(60).toLong
+      // bids 0-4 are oversize (>64 distinct items); others small
+      val item = if (bid < 5) rnd.nextInt(200).toLong else rnd.nextInt(12).toLong
+      (bid, item)
+    } ++ (0L until 5L).flatMap(b => (0L until 70L).map(i => (b, i * 3)))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Stats.frequentPairs(li)
+      .select("p1", "p2", "support", "lift", "n_dropped_baskets")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    // brute force with the same constants (MaxBasket 64, PairMinSup 2)
+    val baskets = rows.groupBy(_._1).map { case (_, rs) => rs.map(_._2).toSet }
+    val (kept, dropped) = baskets.partition(_.size <= 64)
+    val nB = kept.size.toLong
+    val suppItem = kept.toSeq.flatten.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+    val suppPair = kept.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 2)
+    assert(got.keySet == suppPair.keySet,
+      s"pairs: missing=${(suppPair.keySet -- got.keySet).take(5)} extra=${(got.keySet -- suppPair.keySet).take(5)}")
+    suppPair.foreach { case (p, sup) =>
+      val lift = java.math.BigDecimal
+        .valueOf((sup * nB).toDouble / (suppItem(p._1) * suppItem(p._2)).toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(got(p) == ((sup, lift, dropped.size.toLong)), s"$p: ${got(p)} vs ($sup, $lift)")
     }
   }
 
