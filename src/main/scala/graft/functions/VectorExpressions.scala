@@ -808,6 +808,207 @@ case class PcScore(child: Expression, mu: Array[Double], pv: Array[Double],
     copy(child = newChild)
 }
 
+/** The L153/q_silhouette per-point pass — (misassigned flag, silhouette
+  * s) against a bounded (labels × dims) class-sum matrix — as ONE call
+  * per row.
+  *
+  * Replaces the relational shape (posexplode → broadcast-join the
+  * class-sum frame on dim → corpus×|labels| partial rows → two
+  * corpus-keyed aggregates (xx, dots) → 3 joins → ab aggregate): the
+  * class matrix (Σ v6 per (label, dim), n_c, ss2_c) is alphabet-bounded
+  * model state — collected once (the pcaPower/GramAggregator precedent)
+  * and carried as a reference object, so the per-point pass is
+  * map-side-only into the final |labels|-row aggregate.
+  *
+  * Bit-parity with the join chain, step by step:
+  *  - v6 = (round(v, 6)::DECIMAL(18,6) · 1e6)::BIGINT — round-6 via
+  *    BigDecimal.valueOf(d).setScale(6, HALF_UP) twice (RoundBase, then
+  *    the decimal cast), null when integer digits exceed 12 (the
+  *    non-ANSI cast-null contract, same as PcScore)
+  *  - xx = Σ v6² (long, nulls skipped; null when all elements null)
+  *  - per candidate label c (null labels never act as c — they drop at
+  *    the old plan's nc join): the (point, c) group exists iff the
+  *    point's dims overlap c's present dims (the inner d-join); dot =
+  *    Σ v6·s6 over the overlap skipping null terms (null when none
+  *    survive); q = (n²·xx − 2n·dot + ss2) div n² in BigInteger —
+  *    decDiv ≡ divide because the numerator is a sum of squares ≥ 0
+  *  - a NULL own label returns null overall: the old chain's dots ⋈ xx
+  *    equi-join on (vec_id, label) never matches a null key, so
+  *    null-label points were absent from the ab frame
+  *  - aq = own label's q; bq = min q over other labels, nulls skipped
+  *  - mis = (bq < aq)::BIGINT (null-propagating); s replays
+  *    sqrt(aq::DOUBLE / 1e12) with DECIMAL(38,0)::DOUBLE ≡
+  *    BigDecimal.doubleValue, greatest-skips-nulls, the `greatest = 0 →
+  *    0.0` branch, and Spark's round-on-double
+  *  - a null or EMPTY embedding returns null overall (the point never
+  *    entered the explode, so it was absent from the old ab frame) —
+  *    callers filter these rows before the final aggregate.
+  *
+  * CodegenFallback: the per-row cost is the |labels|×dims loop and a
+  * handful of BigInteger ops — the interpreted wrapper is noise
+  * (SimHash60 posture), and the fallback is declared, not silent.
+  */
+object SilhouetteScore {
+  /** Bounded class-matrix state: arrays indexed by candidate-label
+    * ordinal; per label, dim-indexed presence/value/null triples (a dim
+    * is "present" iff the class-sum frame has a row for it, even a
+    * null-valued one — presence drives the inner-join existence
+    * semantics, nullness the term-skip semantics). */
+  final class State(
+      val labels: Array[Long],
+      val nc: Array[Long],
+      val present: Array[Array[Boolean]],
+      val s6: Array[Array[Long]],
+      val s6null: Array[Array[Boolean]],
+      val ss2: Array[java.math.BigInteger]) extends Serializable {
+    @transient lazy val n2: Array[java.math.BigInteger] =
+      nc.map(n => java.math.BigInteger.valueOf(n).pow(2))
+    @transient lazy val ownIdx: java.util.HashMap[java.lang.Long, Integer] = {
+      val m = new java.util.HashMap[java.lang.Long, Integer]()
+      var i = 0
+      while (i < labels.length) { m.put(labels(i), i); i += 1 }
+      m
+    }
+  }
+
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def eval(v: ArrayData, lab: java.lang.Long, st: State): Any = {
+    import java.math.BigInteger
+    val m = v.numElements()
+    if (m == 0 || lab == null) return null
+    val v6 = new Array[Long](m)
+    val v6n = new Array[Boolean](m)
+    var xxAcc = 0L
+    var xxCnt = 0
+    var i = 0
+    while (i < m) {
+      if (v.isNullAt(i)) v6n(i) = true
+      else {
+        val r = java.math.BigDecimal.valueOf(v.getDouble(i))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val t = java.math.BigDecimal.valueOf(r)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        if (t.precision - t.scale > 12) v6n(i) = true
+        else {
+          val u = t.unscaledValue().longValueExact()
+          v6(i) = u
+          xxAcc = Math.addExact(xxAcc, Math.multiplyExact(u, u))
+          xxCnt += 1
+        }
+      }
+      i += 1
+    }
+    val xxB = if (xxCnt == 0) null else BigInteger.valueOf(xxAcc)
+    // a non-null-label point with m ≥ 1 always contributed to the
+    // class-sum frame under its own label, so own ≥ 0 whenever the
+    // state was built from the same corpus; the guard is defensive
+    val own = { val o = st.ownIdx.get(lab); if (o == null) -1 else o.intValue() }
+    var aq: BigInteger = null
+    var bq: BigInteger = null
+    var ci = 0
+    while (ci < st.labels.length && own >= 0) {
+      val pres = st.present(ci)
+      val sv = st.s6(ci)
+      val sn = st.s6null(ci)
+      val dmax = math.min(m, pres.length)
+      var overlap = false
+      var dotAcc = 0L
+      var dotCnt = 0
+      var dotBig: BigInteger = null
+      var d = 0
+      while (d < dmax) {
+        if (pres(d)) {
+          overlap = true
+          if (!v6n(d) && !sn(d)) {
+            if (dotBig == null) {
+              try dotAcc = Math.addExact(dotAcc, Math.multiplyExact(v6(d), sv(d)))
+              catch { case _: ArithmeticException =>
+                dotBig = BigInteger.valueOf(dotAcc)
+                  .add(BigInteger.valueOf(v6(d)).multiply(BigInteger.valueOf(sv(d))))
+              }
+            } else {
+              dotBig = dotBig
+                .add(BigInteger.valueOf(v6(d)).multiply(BigInteger.valueOf(sv(d))))
+            }
+            dotCnt += 1
+          }
+        }
+        d += 1
+      }
+      if (overlap) {
+        val dot =
+          if (dotCnt == 0) null
+          else if (dotBig != null) dotBig
+          else BigInteger.valueOf(dotAcc)
+        val q: BigInteger =
+          if (xxB == null || dot == null || st.ss2(ci) == null) null
+          else {
+            val n = BigInteger.valueOf(st.nc(ci))
+            st.n2(ci).multiply(xxB)
+              .subtract(n.shiftLeft(1).multiply(dot))
+              .add(st.ss2(ci))
+              .divide(st.n2(ci))
+          }
+        if (ci == own) aq = q
+        else if (q != null && (bq == null || q.compareTo(bq) < 0)) bq = q
+      }
+      ci += 1
+    }
+    val mis: Any =
+      if (aq == null || bq == null) null
+      else java.lang.Long.valueOf(if (bq.compareTo(aq) < 0) 1L else 0L)
+    val sa: java.lang.Double =
+      if (aq == null) null
+      else java.lang.Double.valueOf(
+        math.sqrt(new java.math.BigDecimal(aq).doubleValue() / 1e12))
+    val sb: java.lang.Double =
+      if (bq == null) null
+      else java.lang.Double.valueOf(
+        math.sqrt(new java.math.BigDecimal(bq).doubleValue() / 1e12))
+    val g: java.lang.Double =
+      if (sa == null) sb
+      else if (sb == null) sa
+      else java.lang.Double.valueOf(math.max(sa.doubleValue(), sb.doubleValue()))
+    val s: Any =
+      if (g == null) null
+      else if (g.doubleValue() == 0.0) java.lang.Double.valueOf(0.0)
+      else if (sa == null || sb == null) null
+      else java.lang.Double.valueOf(round6((sb.doubleValue() - sa.doubleValue()) / g.doubleValue()))
+    org.apache.spark.sql.catalyst.InternalRow(mis, s)
+  }
+}
+
+case class SilhouetteScore(left: Expression, right: Expression,
+    state: SilhouetteScore.State, fnName: String)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("mis", LongType, nullable = true),
+    StructField("s", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = fnName
+
+  // manual eval: a NULL label is a live input (it yields a present row
+  // with null mis/s), so nullSafeEval's any-null short-circuit is wrong
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) return null
+    val lab = right.eval(input)
+    SilhouetteScore.eval(
+      v.asInstanceOf[ArrayData],
+      if (lab == null) null else java.lang.Long.valueOf(lab.asInstanceOf[Long]),
+      state)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ExtractReading {
   val schema: StructType = StructType(Seq(
     StructField("ts_us", LongType),

@@ -1741,6 +1741,91 @@ FROM num JOIN norms x ON x.label = num.la JOIN norms y ON y.label = num.lb"""
   // n·|labels| rows — one corpus-keyed exchange; everything else is
   // alphabet-bounded.
   def silhouette(embeddings: DataFrame): DataFrame = {
+    // r12 optimization (OPTIMIZATION_r12.md wave 18): the class-sum
+    // matrix (Σ v6 per (label, dim), n_c, ss2_c) is ALPHABET-BOUNDED
+    // model state — |labels| × dims integer cells — so the join chain
+    // below ([[silhouetteViaJoins]], kept as the parity reference) paid
+    // a corpus×|labels| broadcast-join fan-out plus two corpus-keyed
+    // exchanges (xx, dots) for state that fits in one reference object.
+    // Here: one bounded collect of the matrix (the pcaPower eager-
+    // model-state precedent), then ONE map-side pass through
+    // [[graft.functions.SilhouetteScore]] (bit-parity documented there,
+    // pinned by the ExactnessPropertySpec parity test) into the final
+    // |labels|-row aggregate — 8 Exchanges / 4 Generates → 1 Exchange /
+    // 1 Generate (plans/r12/q_silhouette_{before,after}.txt).
+    val spark = embeddings.sparkSession
+    VectorFunctions.register(spark)
+    val d6 = "decimal(18,6)"
+    val x = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("label"), col("d"),
+        (round(col("v").cast("double"), 6).cast(d6) * 1000000)
+          .cast("long").as("v6"))
+    val sumRows = x.groupBy(col("label").as("c"), col("d"))
+      .agg(sum(col("v6")).as("s6"))
+      .collect()
+    val ncMap = embeddings.groupBy(col("label").cast("long").as("c"))
+      .agg(count(lit(1)).as("n_c"))
+      .collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // null c rows never act as candidate labels (they dropped at the
+    // old plan's nc join on c)
+    val byLabel = sumRows.filter(!_.isNullAt(0)).groupBy(_.getLong(0))
+    val labels = byLabel.keys.toArray.sorted
+    val present = Array.ofDim[Array[Boolean]](labels.length)
+    val s6 = Array.ofDim[Array[Long]](labels.length)
+    val s6null = Array.ofDim[Array[Boolean]](labels.length)
+    val ss2 = Array.ofDim[java.math.BigInteger](labels.length)
+    val nc = labels.map(ncMap)
+    for (ci <- labels.indices) {
+      val rows = byLabel(labels(ci))
+      val dmax = rows.map(_.getInt(1)).max + 1
+      present(ci) = new Array[Boolean](dmax)
+      s6(ci) = new Array[Long](dmax)
+      s6null(ci) = new Array[Boolean](dmax)
+      var acc: java.math.BigInteger = null
+      rows.foreach { r =>
+        val d = r.getInt(1)
+        present(ci)(d) = true
+        if (r.isNullAt(2)) s6null(ci)(d) = true
+        else {
+          val v = r.getLong(2)
+          s6(ci)(d) = v
+          val sq = java.math.BigInteger.valueOf(v)
+            .multiply(java.math.BigInteger.valueOf(v))
+          acc = if (acc == null) sq else acc.add(sq)
+        }
+      }
+      ss2(ci) = acc
+    }
+    val state = new graft.functions.SilhouetteScore.State(
+      labels, nc, present, s6, s6null, ss2)
+    val name = s"graft_sil_score_${tcCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.SilhouetteScore(
+        exprs(0), exprs(1), state, name), "built-in")
+    embeddings
+      .select(col("label").cast("long").as("label"),
+        call_function(name, asD(col("embedding")),
+          col("label").cast("long")).as("r"))
+      // null r = null/empty embedding or null label: such points were
+      // absent from the old chain's ab frame (no exploded rows / the
+      // dots ⋈ xx equi-join on label never matches a null key)
+      .where(col("r").isNotNull)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r.mis")).as("n_misassigned"),
+        round(sum(col("r.s").cast(d6)).cast("double") / count(lit(1)), 6)
+          .as("mean_sil"))
+  }
+
+  /** The pre-r12 relational silhouette — the bit-parity reference for
+    * [[silhouette]]'s one-pass rewrite, exercised only by the
+    * equivalence property spec. */
+  private[graft] def silhouetteViaJoins(embeddings: DataFrame): DataFrame = {
     val d6 = "decimal(18,6)"
     val d38 = "decimal(38,0)"
     // integer micro-units end to end: v6 = round(x, 6)·10⁶ is exact

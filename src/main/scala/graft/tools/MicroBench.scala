@@ -224,6 +224,45 @@ object MicroBench {
     }
   }
 
+  /** Interleaved A/B of the L153 silhouette operator: old (posexplode +
+    * broadcast-join fan-out + two corpus-keyed aggregates —
+    * [[graft.operators.Similarity.silhouetteViaJoins]]) vs new (bounded
+    * class-matrix collect + one SilhouetteScore pass) over a synthetic
+    * embeddings-shaped frame. End-to-end per evaluation (the new path's
+    * bounded collects are part of its cost). */
+  private def silAb(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(0, 300000L)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> cast(sin(cast(id * i as double)) as float))")
+          .as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+      .cache()
+    base.count()
+    def old() = graft.operators.Similarity.silhouetteViaJoins(base)
+    def neu() = graft.operators.Similarity.silhouette(base)
+    val a = old().orderBy("label").collect()
+    val b = neu().orderBy("label").collect()
+    println(s"[mb] sil parity: ${a.toSeq == b.toSeq}")
+    val ts = (1 to 6).flatMap { r =>
+      val order = if (r % 2 == 1) Seq("old" -> old _, "new" -> neu _)
+        else Seq("new" -> neu _, "old" -> old _)
+      order.map { case (tag, f) =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        tag -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    ts.grouped(2).zipWithIndex.foreach { case (p, i) =>
+      val m = p.toMap
+      println(f"[mb] sil round ${i + 1}: old ${m("old")}%.2f new ${m("new")}%.2f  new/old ${m("new") / m("old")}%.2f")
+    }
+    Seq("old", "new").foreach { tag =>
+      val xs = ts.collect { case (`tag`, t) => t }.sorted
+      println(f"[mb] sil-$tag%-4s reps ${xs.map(x => f"$x%.2f").mkString(", ")}  median ${xs(xs.size / 2)}%.2f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -236,6 +275,7 @@ object MicroBench {
     if (args.contains("pc")) { pcAb(spark); spark.stop(); return }
     if (args.contains("pairs")) { pairsAb(spark); spark.stop(); return }
     if (args.contains("hits")) { hitsAb(spark); spark.stop(); return }
+    if (args.contains("sil")) { silAb(spark); spark.stop(); return }
     val df = spark.range(0, 10000000L)
       .selectExpr("concat('7:', cast(id as string)) AS s").cache()
     df.count()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Relational}
+import graft.operators.{Dedup, Relational, Similarity}
 
 /** Randomized twins of the single-fixture exactness specs: the
   * prefix-filter join's completeness theorem and the weighted median's
@@ -191,6 +191,64 @@ class ExactnessPropertySpec extends SparkSpec {
       .select(call_function("graft_pc_score_test_big", col("v")).as("fast"))
       .collect()
     assert(nulls.forall(_.isNullAt(0)), nulls.mkString("; "))
+  }
+
+  test("SilhouetteScore one-pass equals the relational join chain on adversarial corpora (L153 parity)") {
+    // q_silhouette's r12 wave-18 rewrite: the bounded-matrix expression
+    // must reproduce the posexplode + broadcast-join + 3-aggregate chain
+    // row-for-row, including the join-existence corners: ragged dims
+    // (partial overlap between a point's dims and a class's present
+    // dims), null elements (term-skip vs group-existence), null / empty
+    // embeddings (absent from the old ab frame entirely), null labels
+    // (ALSO absent — the old dots ⋈ xx equi-join on label never matches
+    // a null key, a corner found by this spec's first run),
+    // single-label corpora (bq null; aq = 0 → the greatest-0 → s = 0.0
+    // branch), and singleton classes (aq = 0 exactly).
+    val rnd = new scala.util.Random(1153)
+    def check(rows: Seq[(Long, Option[Seq[Option[Double]]], Option[Int])],
+        tag: String): Unit = {
+      val df = rows.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"),
+          col("label"))
+      val a = Similarity.silhouette(df).orderBy("label").collect()
+      val b = Similarity.silhouetteViaJoins(df).orderBy("label").collect()
+      assert(a.length == b.length, s"$tag: ${a.length} vs ${b.length} rows")
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"$tag: $x vs $y") }
+    }
+    def vec(d: Int): Seq[Option[Double]] =
+      Seq.fill(d)(Some(if (rnd.nextInt(12) == 0) (rnd.nextDouble() * 2 - 1) * 1000
+        else rnd.nextGaussian()))
+    // adversarial random corpus: 4 labels with different dim profiles
+    // (label 3's vectors are all SHORTER than the others), plus nulls
+    val random = (1L to 150L).map { i =>
+      val lab = (i % 5) match {
+        case 4 => if (i % 10 == 4) None else Some(3) // label 3 sparse + some null labels
+        case k => Some(k.toInt)
+      }
+      val emb: Option[Seq[Option[Double]]] = (i % 17) match {
+        case 0 => None                          // null embedding: absent row
+        case 1 => Some(Seq.empty)               // empty: absent row
+        case 2 => Some(Seq.fill(4)(None: Option[Double])) // all-null elements
+        case 3 => Some(vec(6).updated(2, None)) // a null hole
+        case _ =>
+          val d = if (lab.contains(3)) 3 + rnd.nextInt(2) else 8
+          Some(vec(d))
+      }
+      (i, emb, lab)
+    }
+    check(random, "random")
+    // single label, incl. a singleton slice: aq = 0 for the lone point
+    check(Seq((1L, Some(vec(5)), Some(7))), "lone point")
+    check((1L to 6L).map(i => (i, Some(vec(5)), Some(7))), "single label")
+    // singleton classes: every point its own label (aq = 0, bq > 0);
+    // plus two identical points in different labels (aq = bq = 0 → the
+    // greatest-0 branch)
+    val twin = vec(5)
+    check(Seq((1L, Some(twin), Some(1)), (2L, Some(twin), Some(2)),
+      (3L, Some(vec(5)), Some(3))), "singleton classes")
+    // empty corpus
+    check(Seq.empty, "empty")
   }
 
   test("BoundaryBucket binary search equals the boundary-count fold on random inputs") {
