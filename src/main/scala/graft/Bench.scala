@@ -135,7 +135,13 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"chunk","i":${i + 1},"of":${chunks.size},"q":$body}""")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // Compact FINAL line carries the canary summary too (r12 verdict
+    // item #2): the driver keeps only ~2 KB of tail, and without the
+    // canary in the surviving line its artifact cannot self-diagnose
+    // machine contention the way the full line / BENCH_local.json can.
+    val canaryCompact =
+      s"""{"median":${math.rint(canarySorted(canarySorted.size / 2) * 1000) / 1000},"min":${math.rint(canarySorted.head * 1000) / 1000},"max":${math.rint(canarySorted.last * 1000) / 1000}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"sf":"$sfDir","canary":$canaryCompact}""")
     // Durability (r7 verdict item 7): the driver's tail capture can
     // truncate stdout, losing the cheap queries' medians. Persist the
     // complete line to a repo file so every query's median is

@@ -883,6 +883,7 @@ object SilhouetteScore {
     val v6 = new Array[Long](m)
     val v6n = new Array[Boolean](m)
     var xxAcc = 0L
+    var xxBig: BigInteger = null
     var xxCnt = 0
     var i = 0
     while (i < m) {
@@ -896,13 +897,30 @@ object SilhouetteScore {
         else {
           val u = t.unscaledValue().longValueExact()
           v6(i) = u
-          xxAcc = Math.addExact(xxAcc, Math.multiplyExact(u, u))
+          // past the long carrier (|u| > ~3.04e9, or ~64 dims of
+          // magnitude ~3.8e8 in micro-units): continue exact in
+          // BigInteger — the same retry the dot loop below uses (r12
+          // advice: an uncaught ArithmeticException here killed the
+          // whole query, while the oracle's HUGEINT sum stays exact)
+          if (xxBig == null) {
+            try xxAcc = Math.addExact(xxAcc, Math.multiplyExact(u, u))
+            catch { case _: ArithmeticException =>
+              xxBig = BigInteger.valueOf(xxAcc)
+                .add(BigInteger.valueOf(u).multiply(BigInteger.valueOf(u)))
+            }
+          } else {
+            xxBig = xxBig
+              .add(BigInteger.valueOf(u).multiply(BigInteger.valueOf(u)))
+          }
           xxCnt += 1
         }
       }
       i += 1
     }
-    val xxB = if (xxCnt == 0) null else BigInteger.valueOf(xxAcc)
+    val xxB =
+      if (xxCnt == 0) null
+      else if (xxBig != null) xxBig
+      else BigInteger.valueOf(xxAcc)
     // a non-null-label point with m ≥ 1 always contributed to the
     // class-sum frame under its own label, so own ≥ 0 whenever the
     // state was built from the same corpus; the guard is defensive

@@ -829,7 +829,19 @@ FROM b"""
   def splitLeakage(documents: DataFrame): DataFrame = {
     val pairs = graft.operators.Dedup.minhashLsh(documents)
       .select(col("x"), col("y")).localCheckpoint()
-    val clustered = clusterSplit(documents).select(col("doc_id"), col("split"))
+    // r13 (guide §2.4/§5): clusterSplit(documents) re-derived the SAME
+    // minhash pair frame inside dedupClusters — the whole banding
+    // pipeline evaluated twice per query run. The audit's checkpointed
+    // pairs ARE the cluster input (minhashLsh is deterministic), so the
+    // CC runs over them directly — identical clusters, one banding pass.
+    val clustered = graft.operators.Dedup
+      .connectedComponents(pairs, documents)
+      .select(col("doc_id"),
+        pmod(md5Long(lit("split"), col("cluster_id")), lit(10L)).as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
     val naive = documents.select(col("doc_id"),
       when(pmod(md5Long(lit("nsplit"), col("doc_id")), lit(10L)) < 8, lit("train"))
         .when(pmod(md5Long(lit("nsplit"), col("doc_id")), lit(10L)) === 8, lit("val"))

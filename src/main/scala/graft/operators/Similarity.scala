@@ -737,10 +737,21 @@ FROM b WHERE r = 1"""
     val spark = embeddings.sparkSession
     import spark.implicits._
     val scored = scoredCandidatePairs(embeddings, tables, planes, maxOcc)
-    val sym = scored.unionAll(
-      scored.select(col("y").as("x"), col("x").as("y"), col("cos")))
+    // r13 (guide §2.4, the q_mutual_knn double-subtree lesson): the old
+    // `scored.unionAll(scored.select(y, x, cos))` evaluated the ENTIRE
+    // candidate-generation subtree twice — Catalyst reuses exchanges
+    // only on identical subtrees, and the two union branches' final
+    // projections differ. One Generate emitting each scored pair in
+    // both directions is the same row multiset with the subtree
+    // evaluated once (banding explode, occupancy join, shuffle-hash
+    // self-join, dot products — the heavy half of every kNN consumer).
+    val sym = scored.select(explode(array(
+        struct(col("x"), col("y").as("id"), col("cos").as("score")),
+        struct(col("y").as("x"), col("x").as("id"), col("cos").as("score"))))
+        .as("e"))
+      .select(col("e.x"), col("e.id"), col("e.score"))
     val agg = new graft.functions.TopKAggregator(k).toColumn
-    sym.select(col("x"), col("y").as("id"), col("cos").as("score"))
+    sym
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => graft.functions.ScoredId(r._2, r._3))
@@ -1753,6 +1764,22 @@ FROM num JOIN norms x ON x.label = num.la JOIN norms y ON y.label = num.lb"""
     // pinned by the ExactnessPropertySpec parity test) into the final
     // |labels|-row aggregate — 8 Exchanges / 4 Generates → 1 Exchange /
     // 1 Generate (plans/r12/q_silhouette_{before,after}.txt).
+    //
+    // FROZEN-STATE CONTRACT (r12 advice, the pcaPower precedent): the
+    // two collects below execute eagerly at DataFrame-CONSTRUCTION time
+    // and the matrix is frozen into the returned plan. Re-executing the
+    // result after the source data changes, or building it over a
+    // non-deterministic source, scores against a stale/inconsistent
+    // matrix — callers must rebuild via silhouette(...) per dataset
+    // snapshot, exactly as for pcaPower. Deterministic batch inputs
+    // (the declared query surface) are unaffected.
+    //
+    // PRECONDITION (r12 advice): vec_id must be a unique non-null key
+    // (the declared embeddings schema). The retained join chain keys on
+    // vec_id — a null vec_id drops at its inner joins and duplicate
+    // (vec_id, label) rows merge into one xx/dots group — while this
+    // path scores every row independently and never reads vec_id; the
+    // two agree exactly under the unique-key contract.
     val spark = embeddings.sparkSession
     VectorFunctions.register(spark)
     val d6 = "decimal(18,6)"
@@ -1808,13 +1835,20 @@ FROM num JOIN norms x ON x.label = num.la JOIN norms y ON y.label = num.lb"""
       name, exprs => graft.functions.SilhouetteScore(
         exprs(0), exprs(1), state, name), "built-in")
     embeddings
+      // r13 (r12 advice #4): filter on the CHEAP equivalent predicate
+      // BEFORE the scoring projection — r is null exactly when the
+      // embedding is null/empty or the label is null (such points were
+      // absent from the old chain's ab frame: no exploded rows / the
+      // dots ⋈ xx equi-join on label never matches a null key). A
+      // `where(r IS NOT NULL)` after the projection made the physical
+      // plan evaluate the CodegenFallback expression TWICE per row
+      // (once in the Filter, once in the Project — no CSE across
+      // operators), doubling the |labels|×dims loop.
+      .where(col("embedding").isNotNull && size(col("embedding")) > 0 &&
+        col("label").cast("long").isNotNull)
       .select(col("label").cast("long").as("label"),
         call_function(name, asD(col("embedding")),
           col("label").cast("long")).as("r"))
-      // null r = null/empty embedding or null label: such points were
-      // absent from the old chain's ab frame (no exploded rows / the
-      // dots ⋈ xx equi-join on label never matches a null key)
-      .where(col("r").isNotNull)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         sum(col("r.mis")).as("n_misassigned"),

@@ -463,6 +463,68 @@ FROM pl"""
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc).limit(maxWordTypes)
+    // r13 (guide §1.2/§5, the pcaPower bounded-model-state precedent):
+    // training state is the CAPPED type table — ≤ maxWordTypes rows BY
+    // CONTRACT (the cap is the training-set definition), so after the
+    // one distributed aggregate + top-cap the greedy recurrence is
+    // driver-side work on ~4096 short strings. The old shape ran 16
+    // rounds × (pair-count job + localCheckpoint job) ≈ 33 Spark jobs
+    // of pure scheduling floor over a 4096-row frame. The replay below
+    // is operation-for-operation the old distributed loop: the SAME
+    // '|'-joined state strings, the SAME two-pass replace merge, pair
+    // counts from the SAME split/adjacent-pair walk, argmax by
+    // (f DESC, a ASC, b ASC) — [a-z] strings, so Java compareTo ==
+    // UTF8String binary order. Parity is spec-pinned against the
+    // retained distributed reference (bpeTrainDistributed).
+    val collected = types.collect().map(r => (r.getString(0), r.getLong(1)))
+    var state: Array[(String, Long)] = collected.map { case (w, f) =>
+      (w.toCharArray.mkString("|"), f)
+    }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      state.foreach { case (s, f) =>
+        val t = s.split("\\|")
+        if (t.length >= 2) {
+          var i = 0
+          while (i < t.length - 1) {
+            val k = (t(i), t(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + f
+            i += 1
+          }
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), f) = counts.minBy { case ((a, b), f) => (-f, a, b) }
+        learned += ((r.toLong, a, b, f))
+        val pat = s"|$a|$b|"; val rep = s"|$a$b|"
+        state = state.map { case (s, fr) =>
+          val merged = ("|" + s + "|").replace(pat, rep).replace(pat, rep)
+          (merged.substring(1, merged.length - 1), fr)
+        }
+        r += 1
+      }
+    }
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
+  }
+
+  /** The pre-r13 distributed bpeTrain loop, retained as the parity
+    * reference for the driver replay above (and the shape a corpus
+    * whose TYPE TABLE exceeded driver memory would revert to — not
+    * possible under the maxWordTypes cap, which is the declared
+    * training-set contract). */
+  private[graft] def bpeTrainDistributed(documents: DataFrame,
+      nMerges: Int = BpeTrainRounds,
+      maxWordTypes: Int = BpeTrainTypeCap): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val types = documents
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(maxWordTypes)
     var state = types
       .select(array_join(
         expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"),

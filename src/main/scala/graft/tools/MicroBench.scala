@@ -263,6 +263,61 @@ object MicroBench {
     }
   }
 
+  /** Interleaved A/B of the L33 BPE encode hot loop over the REAL
+    * sf word stream (regexp_extract_all('[a-z]+') on documents — the
+    * exact stream every graft_bpe query feeds): old (r12
+    * CodegenFallback string/Map greedy loop, retained as
+    * BpeEncodeLegacy) vs new (BpeTable int-symbol loop, codegen'd).
+    * The timed shape is q_bpe_encode's metering stage. */
+  private def bpeAb(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_legacy", exprs => graft.functions.BpeEncodeLegacy(exprs.head),
+      "built-in")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+      .toDF("doc_id", "wi", "word")
+      // replicate 8x so the encode loop dominates the scan/explode
+      .crossJoin(spark.range(0, 8).select(col("id").as("rep")))
+      .cache()
+    words.count()
+    def shape(fn: String) = words
+      .select(col("doc_id"), col("wi"), expr(s"$fn(word)").as("toks"))
+      .select(col("doc_id"), col("wi"),
+        size(col("toks")).cast("long").as("n_toks"),
+        array_join(col("toks"), "|").as("enc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_bpe_tokens"),
+        md5(max(col("enc"))).as("h"))
+    def old() = shape("graft_bpe_legacy")
+    def neu() = shape("graft_bpe")
+    val a = old().selectExpr("sum(n_words) AS w", "sum(n_bpe_tokens) AS t",
+      "count(*) AS n").collect()(0)
+    val b = neu().selectExpr("sum(n_words) AS w", "sum(n_bpe_tokens) AS t",
+      "count(*) AS n").collect()(0)
+    println(s"[mb] bpe parity: ${a == b} ($a vs $b)")
+    val ts = (1 to 6).flatMap { r =>
+      val order = if (r % 2 == 1) Seq("old" -> old _, "new" -> neu _)
+        else Seq("new" -> neu _, "old" -> old _)
+      order.map { case (tag, f) =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        tag -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    ts.grouped(2).zipWithIndex.foreach { case (p, i) =>
+      val m = p.toMap
+      println(f"[mb] bpe round ${i + 1}: old ${m("old")}%.2f new ${m("new")}%.2f  new/old ${m("new") / m("old")}%.2f")
+    }
+    Seq("old", "new").foreach { tag =>
+      val xs = ts.collect { case (`tag`, t) => t }.sorted
+      println(f"[mb] bpe-$tag%-4s reps ${xs.map(x => f"$x%.2f").mkString(", ")}  median ${xs(xs.size / 2)}%.2f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -276,6 +331,7 @@ object MicroBench {
     if (args.contains("pairs")) { pairsAb(spark); spark.stop(); return }
     if (args.contains("hits")) { hitsAb(spark); spark.stop(); return }
     if (args.contains("sil")) { silAb(spark); spark.stop(); return }
+    if (args.contains("bpe")) { bpeAb(spark); spark.stop(); return }
     val df = spark.range(0, 10000000L)
       .selectExpr("concat('7:', cast(id as string)) AS s").cache()
     df.count()

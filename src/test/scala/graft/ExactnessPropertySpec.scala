@@ -56,15 +56,80 @@ class ExactnessPropertySpec extends SparkSpec {
     try {
       val r = Seq("a", "b").toDF("s").selectExpr(
         "graft_md5long60(s) AS h", s"graft_boot_w(s, $th) AS w",
-        "graft_pc_score_cg(array(1.0D, 2.0D)) AS pc").collect()
+        "graft_pc_score_cg(array(1.0D, 2.0D)) AS pc",
+        "graft_bpe('theother') AS bpe").collect()
       assert(r.length == 2 && !r(0).isNullAt(0) && r(0).getSeq[Long](1).length == 4
-        && !r(0).isNullAt(2))
+        && !r(0).isNullAt(2) && r(0).getSeq[String](3).nonEmpty)
     } finally {
       old match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  test("BpeTable int-symbol fast path equals the generic string loop on any word/table") {
+    // r13: the encode hot loop runs over interned int symbol ids when
+    // the word is pure [a-z] (the only stream the queries feed it);
+    // this pins fast == generic on adversarial words (non-a-z chars →
+    // fallback), random learned tables (including rules with
+    // unreachable sides and DUPLICATE pairs — Map semantics keep the
+    // last rank), and the default table
+    import graft.functions.{Bpe, BpeTable}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(4242)
+    def check(merges: IndexedSeq[(String, String)], words: Seq[String]): Unit = {
+      val table = new BpeTable(merges)
+      val rankOf = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+      words.foreach { w =>
+        val fast = (0 until table.encode(UTF8String.fromString(w)).numElements())
+          .map(i => table.encode(UTF8String.fromString(w)).getUTF8String(i).toString)
+        val slow = Bpe.encodeWith(w, merges, rankOf).toSeq
+        assert(fast == slow, s"word '$w' table $merges: $fast != $slow")
+      }
+    }
+    val azWords = (1 to 300).map(_ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    val weird = Seq("", "a", "Ab", "über", "x-y", "aaaaaaa", "ththe", "thethe",
+      "zzz", "中文ab")
+    // default table
+    check(Bpe.MergesIdx, azWords ++ weird)
+    // random tables over a tiny alphabet (dense rule hits), with
+    // chained outputs, a duplicate pair, and an unreachable side
+    (1 to 20).foreach { _ =>
+      val base = (1 to (2 + rnd.nextInt(8))).map(_ =>
+        (('a' + rnd.nextInt(4)).toChar.toString, ('a' + rnd.nextInt(4)).toChar.toString))
+      val chained = base.flatMap { case (a, b) =>
+        Seq((a, b), (a + b, ('a' + rnd.nextInt(4)).toChar.toString)) }
+      val withDup = chained ++ chained.headOption.toSeq // duplicate pair: last rank wins
+      val withUnreachable = withDup :+ (("qq", "zz")) // never a reachable token
+      check(withUnreachable.toIndexedSeq, azWords.take(120) ++ weird)
+    }
+  }
+
+  test("bpeTrain driver replay equals the distributed recurrence") {
+    // r13: the greedy merge training loop runs on the driver over the
+    // capped type table (bounded model state by contract); pin
+    // row-for-row equality against the retained distributed loop on a
+    // corpus with pair-count ties, repeated words, and 1-char words
+    val docs = Seq(
+      (1L, "the then there that an and band banana bananas"),
+      (2L, "in inn inning thin thing sing singing a a a i"),
+      (3L, "ababab abab ab a b cabbage cab cab cab"),
+      (4L, "zzz zz z xyzzy xy xy yz yz yz"),
+      (5L, "the the the and and in in re re er er")
+    ).toDF("doc_id", "text")
+    val fast = graft.operators.TextAnalysis.bpeTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val slow = graft.operators.TextAnalysis.bpeTrainDistributed(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(fast == slow, s"driver replay diverged:\n$fast\n$slow")
+    // and with a tiny cap, so the cap boundary is exercised
+    val fastCap = graft.operators.TextAnalysis.bpeTrain(docs, 8, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val slowCap = graft.operators.TextAnalysis.bpeTrainDistributed(docs, 8, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(fastCap == slowCap, s"capped replay diverged:\n$fastCap\n$slowCap")
   }
 
   test("BootWeights digest-direct equals the md5-hex + conv + threshold chain") {
@@ -249,6 +314,28 @@ class ExactnessPropertySpec extends SparkSpec {
       (3L, Some(vec(5)), Some(3))), "singleton classes")
     // empty corpus
     check(Seq.empty, "empty")
+  }
+
+  test("SilhouetteScore xx survives the long carrier (BigInteger retry, r12 advice)") {
+    // component magnitude 1e6 → v6 = 1e12 micro-units → v6² = 1e24
+    // overflows the long xx accumulator on the FIRST term; the r13 fix
+    // retries in BigInteger (like the dot loop) instead of throwing an
+    // uncaught ArithmeticException. (No parity check here: the retained
+    // join chain's LongType sum(v6*v6) silently WRAPS in this regime —
+    // the exact value is the oracle's HUGEINT behavior.)
+    // Geometry chosen so the exact answer is known: two identical huge
+    // points in label 1 (aq = 0) and one far point in label 2; the twin
+    // points' bq is huge but exact, s = round((sb-0)/sb, 6) = 1.0.
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0e6), Some(1.0e6))), Some(1)),
+      (2L, Some(Seq(Some(1.0e6), Some(1.0e6))), Some(1)),
+      (3L, Some(Seq(Some(-1.0e6), Some(-1.0e6))), Some(2))
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouette(df).orderBy("label").collect()
+    assert(got.length == 2, got.mkString("; "))
+    val l1 = got(0)
+    assert(l1.getLong(0) == 1L && l1.getLong(1) == 2L &&
+      l1.getLong(2) == 0L && l1.getDouble(3) == 1.0, l1.toString)
   }
 
   test("BoundaryBucket binary search equals the boundary-count fold on random inputs") {
