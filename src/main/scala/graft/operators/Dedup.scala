@@ -1053,13 +1053,70 @@ SELECT v AS doc_id, rank::BIGINT AS rank FROM pr WHERE iter = $PrIters"""
   // at 100 TB — pays the extra label-frame shuffles to buy waves.
   private val JumpsPerRound = 3
 
+  // r13 (guide §1.2; the broadcast-threshold posture): below this many
+  // SYMMETRIC edge rows the whole CC fixpoint runs as one driver
+  // union-find instead of distributed label-propagation waves. The
+  // pair graph of a dedup run is corpus-scaled — NOT bounded model
+  // state — so the distributed waves stay the default shape at scale
+  // (a 100 TB pair frame blows past any sane budget and takes the loop
+  // below unchanged); but a small edge frame pays ~2 + rounds
+  // multi-stage shuffle jobs of pure scheduling floor for a result a
+  // 10 ms driver pass produces identically (label = min reachable id;
+  // union-by-min-root ≡ min-label fixpoint — parity spec-pinned on
+  // both paths, and every CC query's oracle gate re-proves it
+  // end-to-end). Size-conditional execution with identical results is
+  // the same contract as Spark's own broadcast threshold; the budget
+  // is env-tunable and 2M edge rows ≈ 32 MB serialized, far under the
+  // driver's maxResultSize.
+  private[graft] val CcLocalEdgeBudget: Long =
+    sys.env.getOrElse("SPARK_GRAFT_CC_LOCAL_EDGES", "2000000").toLong
+
   /** As [[connectedComponents]], also returning the number of
     * label-propagation rounds (cluster-wide job waves) the fixpoint
-    * took — the scale cost a spec can pin. */
-  def connectedComponentsWithRounds(pairs: DataFrame, documents: DataFrame): (DataFrame, Int) = {
+    * took — the scale cost a spec can pin (0 = the local union-find
+    * path; pass localEdgeBudget = 0 to force the distributed waves). */
+  def connectedComponentsWithRounds(pairs: DataFrame, documents: DataFrame,
+      localEdgeBudget: Long = CcLocalEdgeBudget): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
+    if (edges.count() <= localEdgeBudget) {
+      import spark.implicits._
+      val es = edges.select(col("x"), col("y")).as[(Long, Long)].collect()
+      // union-find, roots kept at the component MINIMUM id — the same
+      // label the min-propagation fixpoint converges to
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(v: Long): Long = {
+        var r = v
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // path compression
+        var c = v
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      es.foreach { case (x, y) =>
+        val rx = find(x); val ry = find(y)
+        if (rx != ry) {
+          // union keeps the MINIMUM id as root, so every final root is
+          // its component's min id by induction
+          if (rx < ry) parent.put(ry, rx) else parent.put(rx, ry)
+        }
+      }
+      val labelRows = es.iterator.flatMap { case (x, y) => Iterator(x, y) }
+        .toSet[Long].toSeq.sorted.map(v => (v, find(v)))
+      val labels = labelRows.toDF("id", "label")
+      val out = documents.select(col("doc_id"))
+        .join(broadcast(labels.withColumnRenamed("id", "doc_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id"))
+            .cast("long").as("keep"))
+      return (out, 0)
+    }
     var labels = edges.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
     var iter = 0

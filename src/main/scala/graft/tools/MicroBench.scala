@@ -318,6 +318,37 @@ object MicroBench {
     }
   }
 
+  /** Stage timing for q_golden_record (r13): where do the seconds go —
+    * the blocked F-S pair scoring, the CC fixpoint waves, or the fuse
+    * aggregates? Each stage timed via noop sink, 3 reps after a warm. */
+  private def goldenProf(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    def time(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      f.write.format("noop").mode("overwrite").save() // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[mb] golden $tag%-12s median ${ts(1)}%.2f  [${ts.head}%.2f, ${ts.last}%.2f]")
+    }
+    // block-size distribution (verdict #4: skew check)
+    val blocks = customer.select(substring(col("c_name"), 1, 16).as("blk"))
+      .groupBy("blk").count()
+    val stats = blocks.selectExpr("count(*) AS n_blocks", "max(count) AS mx",
+      "percentile(count, 0.5) AS med", "sum(count) AS rows").collect()(0)
+    println(s"[mb] golden blocks: $stats")
+    time("linkage") { graft.operators.Dedup.recordLinkage(customer) }
+    time("cc") {
+      graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.recordLinkage(customer).select(col("x"), col("y")),
+        customer.select(col("c_custkey").as("doc_id")))
+    }
+    time("full") { graft.operators.Dedup.goldenRecord(customer) }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -332,6 +363,7 @@ object MicroBench {
     if (args.contains("hits")) { hitsAb(spark); spark.stop(); return }
     if (args.contains("sil")) { silAb(spark); spark.stop(); return }
     if (args.contains("bpe")) { bpeAb(spark); spark.stop(); return }
+    if (args.contains("golden")) { goldenProf(spark); spark.stop(); return }
     val df = spark.range(0, 10000000L)
       .selectExpr("concat('7:', cast(id as string)) AS s").cache()
     df.count()

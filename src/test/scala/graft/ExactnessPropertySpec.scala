@@ -132,6 +132,39 @@ class ExactnessPropertySpec extends SparkSpec {
     assert(fastCap == slowCap, s"capped replay diverged:\n$fastCap\n$slowCap")
   }
 
+  test("connectedComponents local union-find equals the distributed waves on any graph") {
+    // r13: below the edge budget the CC fixpoint runs as one driver
+    // union-find; pin row-for-row equality against the distributed
+    // label-propagation waves on adversarial graphs — chains (deep
+    // diameter), cliques, stars, isolated docs, docs absent from the
+    // edge list, self-loop-free random graphs, and the empty graph
+    val rnd = new scala.util.Random(1319)
+    def check(pairs: Seq[(Long, Long)], ids: Seq[Long], tag: String): Unit = {
+      val p = pairs.toDF("x", "y")
+      val d = ids.toDF("doc_id")
+      val local = graft.operators.Dedup
+        .connectedComponentsWithRounds(p, d, localEdgeBudget = Long.MaxValue)
+      val dist = graft.operators.Dedup
+        .connectedComponentsWithRounds(p, d, localEdgeBudget = 0L)
+      assert(local._2 == 0, s"$tag: local path not taken")
+      assert(dist._2 > 0 || pairs.isEmpty, s"$tag: distributed path not taken")
+      val a = local._1.orderBy("doc_id").collect().toSeq
+      val b = dist._1.orderBy("doc_id").collect().toSeq
+      assert(a == b, s"$tag:\n$a\nvs\n$b")
+    }
+    check(Seq.empty, Seq(1L, 2L, 3L), "empty graph")
+    check((1L until 60L).map(i => (i, i + 1)), (1L to 70L), "chain-60")
+    check((2L to 20L).map(i => (1L, i)), (1L to 25L), "star")
+    check(for (a <- 1L to 8L; b <- (a + 1) to 8L) yield (a, b), (1L to 10L), "clique")
+    (1 to 5).foreach { t =>
+      val n = 30 + rnd.nextInt(60)
+      val pairs = (1 to n).map(_ =>
+        (rnd.nextInt(40).toLong + 1, rnd.nextInt(40).toLong + 1))
+        .filter { case (a, b) => a != b }
+      check(pairs, (1L to 45L), s"random-$t")
+    }
+  }
+
   test("BootWeights digest-direct equals the md5-hex + conv + threshold chain") {
     // the r12 bootstrap fast path reads the four 28-bit draws (and their
     // Poisson weights) straight off the digest; pin bit-equality against

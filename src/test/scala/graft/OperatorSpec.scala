@@ -3989,7 +3989,11 @@ class OperatorSpec extends SparkSpec {
       .withColumn("text", lit("t"))
     val pairs = (Seq((10L, 20L), (20L, 30L)) ++
       (200L until 299L).map(i => (i, i + 1))).toDF("x", "y")
-    val (outDf, rounds) = operators.Dedup.connectedComponentsWithRounds(pairs, docs)
+    // localEdgeBudget = 0 forces the DISTRIBUTED wave path — this spec
+    // exists to prove the escalated contraction converges, which the
+    // r13 small-graph union-find shortcut would otherwise bypass
+    val (outDf, rounds) = operators.Dedup.connectedComponentsWithRounds(pairs, docs,
+      localEdgeBudget = 0L)
     assert(rounds <= 5,
       s"100-node chain must converge within 5 contraction rounds, took $rounds")
     val out = outDf.collect()
