@@ -917,12 +917,42 @@ FROM base CROSS JOIN ne CROSS JOIN tri"""
   private val KCoreRounds = 6
 
   def kCoreEdges(e0: DataFrame, k: Int = KCoreK,
-      rounds: Int = KCoreRounds): DataFrame = {
+      rounds: Int = KCoreRounds,
+      localEdgeBudget: Long = CcLocalEdgeBudget): DataFrame = {
     var e = e0.localCheckpoint()
     // early exit (r8 verdict): a wave that removes no edge is the
     // identity, and so is every later wave here and in the oracle's
     // fixed CTE chain — the peel depth, not the budget, bounds work
     var n = e.count()
+    // r13 size-adaptive local path (the connectedComponents posture):
+    // the peel is pure set arithmetic — replayed on the driver below
+    // the edge budget, wave-for-wave (same rounds cap, same
+    // no-edge-removed early exit), instead of 2 jobs + a checkpoint
+    // per wave. Above the budget the distributed peel runs unchanged.
+    if (n <= localEdgeBudget) {
+      val spark = e0.sparkSession
+      import spark.implicits._
+      var es = e.select(col("x"), col("y")).as[(Long, Long)].collect()
+      var r = 0
+      var stable = false
+      while (r < rounds && !stable) {
+        val deg = new java.util.HashMap[Long, Long]()
+        es.foreach { case (x, y) =>
+          deg.merge(x, 1L, _ + _); deg.merge(y, 1L, _ + _)
+        }
+        val kept = es.filter { case (x, y) => deg.get(x) >= k && deg.get(y) >= k }
+        stable = kept.length == es.length
+        es = kept
+        r += 1
+      }
+      val core = new java.util.HashMap[Long, Long]()
+      es.foreach { case (x, y) =>
+        core.merge(x, 1L, _ + _); core.merge(y, 1L, _ + _)
+      }
+      val rows = core.keySet().toArray.map(_.asInstanceOf[Long]).sorted
+        .map(v => (v, core.get(v))).toSeq
+      return rows.toDF("v", "core_deg")
+    }
     var r = 0
     var stable = false
     while (r < rounds && !stable) {
@@ -964,12 +994,48 @@ SELECT v AS doc_id, count(*) AS core_deg FROM (
   SELECT x AS v FROM e$KCoreRounds UNION ALL SELECT y FROM e$KCoreRounds) GROUP BY v"""
   }
 
-  def pageRank(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    val e = simhashDedup(documents).select(col("x"), col("y"))
+  def pageRank(documents: DataFrame): DataFrame =
+    pageRankEdges(simhashDedup(documents).select(col("x"), col("y")))
+
+  /** The PR recurrence over an explicit canonical (x, y) pair list —
+    * split out for the local/distributed parity spec. */
+  private[graft] def pageRankEdges(e: DataFrame,
+      localEdgeBudget: Long = CcLocalEdgeBudget): DataFrame = {
+    val spark = e.sparkSession
     // undirected: both directions; deg = out-degree in the directed view
     val edges = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
       .select(col("x").as("src"), col("y").as("dst")).localCheckpoint()
+    // r13: the same size-adaptive posture as connectedComponents — the
+    // recurrence is integer fixed-point BY DESIGN (portability), so a
+    // sub-budget edge frame replays on the driver operation-for-
+    // operation (Long `/` on non-negatives ≡ Spark `div` ≡ DuckDB `//`)
+    // instead of paying PrIters eager-checkpoint job waves; at scale the
+    // frame exceeds the budget and the distributed loop runs unchanged.
+    if (edges.count() <= localEdgeBudget) {
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val deg = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => deg.merge(s, 1L, _ + _) }
+      val n = deg.size.toLong
+      if (n == 0) return Seq.empty[(Long, Long)].toDF("doc_id", "rank")
+      val teleport = (15L * (PrUnit / n)) / 100L
+      var ranks = new java.util.HashMap[Long, Long]()
+      deg.keySet().forEach(v => ranks.put(v, PrUnit / n))
+      for (_ <- 1 to PrIters) {
+        val inflow = new java.util.HashMap[Long, Long]()
+        val r = ranks
+        es.foreach { case (src, dst) =>
+          inflow.merge(dst, r.get(src) / deg.get(src), _ + _)
+        }
+        val next = new java.util.HashMap[Long, Long]()
+        deg.keySet().forEach(v =>
+          next.put(v, teleport + (85L * inflow.getOrDefault(v, 0L)) / 100L))
+        ranks = next
+      }
+      val rows = deg.keySet().toArray.map(_.asInstanceOf[Long]).sorted
+        .map(v => (v, ranks.get(v))).toSeq
+      return rows.toDF("doc_id", "rank")
+    }
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = deg.count()
     val teleport = (15L * (PrUnit / n)) / 100L
@@ -1069,7 +1135,8 @@ SELECT v AS doc_id, rank::BIGINT AS rank FROM pr WHERE iter = $PrIters"""
   // is env-tunable and 2M edge rows ≈ 32 MB serialized, far under the
   // driver's maxResultSize.
   private[graft] val CcLocalEdgeBudget: Long =
-    sys.env.getOrElse("SPARK_GRAFT_CC_LOCAL_EDGES", "2000000").toLong
+    sys.env.getOrElse("SPARK_GRAFT_GRAPH_LOCAL_EDGES",
+      sys.env.getOrElse("SPARK_GRAFT_CC_LOCAL_EDGES", "2000000")).toLong
 
   /** As [[connectedComponents]], also returning the number of
     * label-propagation rounds (cluster-wide job waves) the fixpoint
@@ -1671,9 +1738,48 @@ FROM scalars s JOIN named n USING (cluster_id) JOIN mode m USING (cluster_id)"""
   private val LpaRounds = 4
 
   /** Synchronous deterministic LPA over an (x, y) pair list. */
-  def labelPropagationEdges(pairs: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+  def labelPropagationEdges(pairs: DataFrame, rounds: Int = LpaRounds,
+      localEdgeBudget: Long = CcLocalEdgeBudget): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
       .select(col("x").as("src"), col("y").as("dst")).localCheckpoint()
+    // r13 size-adaptive local path (the connectedComponents posture):
+    // the synchronous plurality update — per round, v adopts
+    // (max neighbor-label count, tie min label) — replays on the
+    // driver round-for-round (same rounds cap, same unchanged-round
+    // early exit) below the edge budget; distributed waves unchanged
+    // above it.
+    if (edges.count() <= localEdgeBudget) {
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      var labels = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => labels.putIfAbsent(s, s) }
+      var r = 0
+      var stable = false
+      while (r < rounds && !stable) {
+        // tally neighbor labels per dst: (dst, label) -> cnt
+        val tally = new java.util.HashMap[(Long, Long), Long]()
+        val l = labels
+        es.foreach { case (src, dst) =>
+          tally.merge((dst, l.get(src)), 1L, _ + _)
+        }
+        // argmax per dst: best (cnt desc, label asc)
+        val best = new java.util.HashMap[Long, (Long, Long)]()
+        tally.forEach { case ((dst, lab), cnt) =>
+          val cur = best.get(dst)
+          if (cur == null || cnt > cur._1 || (cnt == cur._1 && lab < cur._2))
+            best.put(dst, (cnt, lab))
+        }
+        val nl = new java.util.HashMap[Long, Long]()
+        best.forEach { case (dst, (_, lab)) => nl.put(dst, lab) }
+        stable = nl.equals(labels)
+        labels = nl
+        r += 1
+      }
+      val rows = labels.keySet().toArray.map(_.asInstanceOf[Long]).sorted
+        .map(v => (v, labels.get(v))).toSeq
+      return rows.toDF("v", "label")
+    }
     var labels = edges.select(col("src").as("v"))
       .distinct().select(col("v"), col("v").as("label")).localCheckpoint()
     var r = 0

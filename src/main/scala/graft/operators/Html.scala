@@ -309,19 +309,49 @@ FROM e"""
       .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
       .localCheckpoint()
-    var ranks = deg.select(col("src").as("v"), lit(HrUnit / HostCount).as("rank"))
-    for (_ <- 1 to HrIters) {
-      val contrib = ranks.join(deg.withColumnRenamed("src", "v"), "v")
-        .select(col("v"), expr("rank div out_w").as("c"))
-      val inflow = edges.join(contrib.withColumnRenamed("v", "src"), "src")
-        .groupBy(col("dst")).agg(sum(expr("c * w")).as("in_sum"))
-      ranks = deg.select(col("src").as("v"))
-        .join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
-        .select(col("v"),
-          (lit(HrTeleport) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
-    }
-    ranks.select(col("v").as("host"), col("rank"))
+    // r13 size-adaptive local path (the connectedComponents posture):
+    // integer fixed-point recurrence over the HOST graph (bounded by
+    // HostCount at any corpus size) — driver replay below the edge
+    // budget, distributed waves unchanged above it.
+    val spark = documents.sparkSession
+    val ranksFinal: org.apache.spark.sql.DataFrame =
+      if (edges.count() <= graft.operators.Dedup.CcLocalEdgeBudget) {
+        import spark.implicits._
+        val es = edges.as[(String, String, Long)].collect()
+        val outW = new java.util.HashMap[String, Long]()
+        es.foreach { case (src, _, w) => outW.merge(src, w, _ + _) }
+        var ranks = new java.util.HashMap[String, Long]()
+        outW.keySet().forEach(v => ranks.put(v, HrUnit / HostCount))
+        for (_ <- 1 to HrIters) {
+          val inflow = new java.util.HashMap[String, Long]()
+          val r = ranks
+          es.foreach { case (src, dst, w) =>
+            inflow.merge(dst, (r.get(src) / outW.get(src)) * w, _ + _)
+          }
+          val next = new java.util.HashMap[String, Long]()
+          outW.keySet().forEach(v =>
+            next.put(v, HrTeleport + (85L * inflow.getOrDefault(v, 0L)) / 100L))
+          ranks = next
+        }
+        val rows = outW.keySet().toArray.map(_.asInstanceOf[String]).sorted
+          .map(v => (v, ranks.get(v))).toSeq
+        rows.toDF("v", "rank")
+      } else {
+        var ranks = deg.select(col("src").as("v"), lit(HrUnit / HostCount).as("rank"))
+        for (_ <- 1 to HrIters) {
+          val contrib = ranks.join(deg.withColumnRenamed("src", "v"), "v")
+            .select(col("v"), expr("rank div out_w").as("c"))
+          val inflow = edges.join(contrib.withColumnRenamed("v", "src"), "src")
+            .groupBy(col("dst")).agg(sum(expr("c * w")).as("in_sum"))
+          ranks = deg.select(col("src").as("v"))
+            .join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
+            .select(col("v"),
+              (lit(HrTeleport) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+            .localCheckpoint()
+        }
+        ranks
+      }
+    ranksFinal.select(col("v").as("host"), col("rank"))
       .join(deg.select(col("src").as("host"), col("out_w")), "host")
       .select(col("host"), col("out_w"), col("rank"))
   }

@@ -4636,13 +4636,62 @@ FROM agg"""
   private val HitsIters = 3
   private val HitsUnit = 1000000000000L
 
-  def hits(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val d38 = "decimal(38,0)"
-    val edges = orders.select(col("o_orderkey"), col("o_custkey"))
+  def hits(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    hitsEdges(orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
         "o_orderkey")
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct().localCheckpoint()
+      .distinct())
+
+  /** The HITS recurrence over an explicit distinct (c, s) edge frame —
+    * split out for the local/distributed parity spec. */
+  private[graft] def hitsEdges(e0: DataFrame,
+      localEdgeBudget: Long = graft.operators.Dedup.CcLocalEdgeBudget): DataFrame = {
+    val spark = e0.sparkSession
+    val d38 = "decimal(38,0)"
+    val edges = e0.localCheckpoint()
+    // r13 size-adaptive local path (the connectedComponents posture):
+    // the recurrence is exact-integer BY DESIGN (1e-12 units, decDiv
+    // renorm), so a sub-budget edge frame replays on the driver in
+    // BigInteger — bit-identical (decDiv on non-negatives ≡ BigInt
+    // divide) — instead of 3 rounds × (2 joins + 2 aggregates + 2
+    // single-partition windows). At scale the distinct (c, s) frame
+    // exceeds the budget and the distributed loop runs unchanged.
+    if (edges.count() <= localEdgeBudget) {
+      import spark.implicits._
+      val es = edges.select(col("c").cast("long"), col("s").cast("long"))
+        .as[(Long, Long)].collect()
+      val unit = java.math.BigInteger.valueOf(HitsUnit)
+      var h = new java.util.HashMap[Long, java.math.BigInteger]()
+      var a = new java.util.HashMap[Long, java.math.BigInteger]()
+      es.foreach { case (c, s) => h.putIfAbsent(c, unit); a.putIfAbsent(s, unit) }
+      for (_ <- 1 to HitsIters) {
+        val ar = new java.util.HashMap[Long, java.math.BigInteger]()
+        val hCur = h
+        es.foreach { case (c, s) =>
+          ar.merge(s, hCur.get(c), (x, y) => x.add(y))
+        }
+        var am = java.math.BigInteger.ZERO
+        ar.forEach((_, v) => if (v.compareTo(am) > 0) am = v)
+        val aNext = new java.util.HashMap[Long, java.math.BigInteger]()
+        ar.forEach((s, v) => aNext.put(s, v.multiply(unit).divide(am)))
+        a = aNext
+        val hr = new java.util.HashMap[Long, java.math.BigInteger]()
+        es.foreach { case (c, s) =>
+          hr.merge(c, a.get(s), (x, y) => x.add(y))
+        }
+        var hm = java.math.BigInteger.ZERO
+        hr.forEach((_, v) => if (v.compareTo(hm) > 0) hm = v)
+        val hNext = new java.util.HashMap[Long, java.math.BigInteger]()
+        hr.forEach((c, v) => hNext.put(c, v.multiply(unit).divide(hm)))
+        h = hNext
+      }
+      val hubRows = h.keySet().toArray.map(_.asInstanceOf[Long]).sorted
+        .map(c => ("hub", c, h.get(c).longValueExact())).toSeq
+      val authRows = a.keySet().toArray.map(_.asInstanceOf[Long]).sorted
+        .map(s => ("authority", s, a.get(s).longValueExact())).toSeq
+      return (hubRows ++ authRows).toDF("node_type", "node_id", "score")
+    }
     var hub = edges.select(col("c")).distinct()
       .select(col("c"), lit(HitsUnit).as("h"))
     var auth = edges.select(col("s")).distinct()

@@ -3496,25 +3496,58 @@ FROM scored ORDER BY score_ppm DESC, phrase ASC LIMIT $RakeTopK"""
       .localCheckpoint()
     val n = strength.count()
     val teleport = (15L * (TrUnit / n)) / 100L
-    var ranks = strength.select(col("src").as("v"), lit(TrUnit / n).as("rank"))
-    for (_ <- 1 to TrIters) {
-      val contrib = ranks
-        .join(strength.withColumnRenamed("src", "v"), "v")
-        .join(edges.withColumnRenamed("src", "v"), "v")
-        .select(col("dst"), graft.functions.Portable.decDiv(
-          col("rank").cast(d38) * col("wt"), col("s").cast(d38))
-          .cast("long").as("c"))
-      val inflow = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-      ranks = strength.select(col("src").as("v"))
-        .join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
-        .select(col("v"),
-          (lit(teleport) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
-            .as("rank"))
-        .localCheckpoint()
-    }
+    // r13 size-adaptive local path (the connectedComponents posture):
+    // integer fixed-point recurrence, replayed on the driver below the
+    // edge budget (decDiv on non-negatives ≡ BigInteger divide), the
+    // distributed waves unchanged above it.
+    val spark = documents.sparkSession
+    val ranksFinal: DataFrame =
+      if (edges.count() <= graft.operators.Dedup.CcLocalEdgeBudget) {
+        import spark.implicits._
+        val es = edges.as[(String, String, Long)].collect()
+        val s = new java.util.HashMap[String, Long]()
+        es.foreach { case (src, _, wt) => s.merge(src, wt, _ + _) }
+        var ranks = new java.util.HashMap[String, Long]()
+        s.keySet().forEach(v => ranks.put(v, TrUnit / n))
+        for (_ <- 1 to TrIters) {
+          val inflow = new java.util.HashMap[String, Long]()
+          val r = ranks
+          es.foreach { case (src, dst, wt) =>
+            val c = (java.math.BigInteger.valueOf(r.get(src))
+              .multiply(java.math.BigInteger.valueOf(wt))
+              .divide(java.math.BigInteger.valueOf(s.get(src)))).longValueExact()
+            inflow.merge(dst, c, _ + _)
+          }
+          val next = new java.util.HashMap[String, Long]()
+          s.keySet().forEach(v =>
+            next.put(v, teleport + (85L * inflow.getOrDefault(v, 0L)) / 100L))
+          ranks = next
+        }
+        val rows = s.keySet().toArray.map(_.asInstanceOf[String]).sorted
+          .map(v => (v, ranks.get(v))).toSeq
+        rows.toDF("v", "rank")
+      } else {
+        var ranks = strength.select(col("src").as("v"), lit(TrUnit / n).as("rank"))
+        for (_ <- 1 to TrIters) {
+          val contrib = ranks
+            .join(strength.withColumnRenamed("src", "v"), "v")
+            .join(edges.withColumnRenamed("src", "v"), "v")
+            .select(col("dst"), graft.functions.Portable.decDiv(
+              col("rank").cast(d38) * col("wt"), col("s").cast(d38))
+              .cast("long").as("c"))
+          val inflow = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+          ranks = strength.select(col("src").as("v"))
+            .join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
+            .select(col("v"),
+              (lit(teleport) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
+                .as("rank"))
+            .localCheckpoint()
+        }
+        ranks
+      }
     // r11: top-k via TakeOrderedAndProject (the RAKE/hill shape) —
     // the re-rank window orders only the ≤ k selected rows
-    ranks.orderBy(col("rank").desc, col("v").asc).limit(TrTopK)
+    ranksFinal.orderBy(col("rank").desc, col("v").asc).limit(TrTopK)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rank").desc, col("v").asc)))
       .select(col("rk").cast("long").as("rk"), col("v").as("word"),

@@ -165,6 +165,58 @@ class ExactnessPropertySpec extends SparkSpec {
     }
   }
 
+  test("graph recurrences: local driver replay equals the distributed waves (PR/kCore/LPA/HITS/TextRank-style)") {
+    // r13: the size-adaptive local path extends from CC to the other
+    // integer fixed-point graph recurrences; each must replay its
+    // distributed loop operation-for-operation. Random graphs with
+    // parallel-structure stress: hubs, chains, cliques, multi-edges
+    // (pre-aggregated where the operator demands distinct edges).
+    val rnd = new scala.util.Random(2718)
+    def randPairs(n: Int, vmax: Int): Seq[(Long, Long)] =
+      (1 to n).map(_ => (rnd.nextInt(vmax).toLong + 1, rnd.nextInt(vmax).toLong + 1))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+    (1 to 3).foreach { t =>
+      val pairs = randPairs(60 + rnd.nextInt(100), 50)
+      val p = pairs.toDF("x", "y")
+      // pageRank
+      val prL = graft.operators.Dedup.pageRankEdges(p, localEdgeBudget = Long.MaxValue)
+        .orderBy("doc_id").collect().toSeq
+      val prD = graft.operators.Dedup.pageRankEdges(p, localEdgeBudget = 0L)
+        .orderBy("doc_id").collect().toSeq
+      assert(prL == prD, s"pageRank diverged (trial $t):\n$prL\nvs\n$prD")
+      // kCore (rounds default; also a deep-peel chain below)
+      val kcL = graft.operators.Dedup.kCoreEdges(p, localEdgeBudget = Long.MaxValue)
+        .orderBy("v").collect().toSeq
+      val kcD = graft.operators.Dedup.kCoreEdges(p, localEdgeBudget = 0L)
+        .orderBy("v").collect().toSeq
+      assert(kcL == kcD, s"kCore diverged (trial $t)")
+      // LPA
+      val lpL = graft.operators.Dedup.labelPropagationEdges(p, localEdgeBudget = Long.MaxValue)
+        .orderBy("v").collect().toSeq
+      val lpD = graft.operators.Dedup.labelPropagationEdges(p, localEdgeBudget = 0L)
+        .orderBy("v").collect().toSeq
+      assert(lpL == lpD, s"LPA diverged (trial $t)")
+      // HITS over a bipartite (c, s) frame
+      val bip = (1 to 120).map(_ =>
+        (rnd.nextInt(20).toLong + 1, rnd.nextInt(8).toLong + 100)).distinct.toDF("c", "s")
+      val hL = graft.operators.Relational.hitsEdges(bip, localEdgeBudget = Long.MaxValue)
+        .orderBy("node_type", "node_id").collect().toSeq
+      val hD = graft.operators.Relational.hitsEdges(bip, localEdgeBudget = 0L)
+        .orderBy("node_type", "node_id").collect().toSeq
+      assert(hL == hD, s"HITS diverged (trial $t)")
+    }
+    // chain-40: kCore peels from both ends — exercises multiple waves
+    // and the early exit in both paths
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("x", "y")
+    val a = graft.operators.Dedup.kCoreEdges(chain, localEdgeBudget = Long.MaxValue)
+      .orderBy("v").collect().toSeq
+    val b = graft.operators.Dedup.kCoreEdges(chain, localEdgeBudget = 0L)
+      .orderBy("v").collect().toSeq
+    assert(a == b, "kCore chain diverged")
+  }
+
   test("BootWeights digest-direct equals the md5-hex + conv + threshold chain") {
     // the r12 bootstrap fast path reads the four 28-bit draws (and their
     // Poisson weights) straight off the digest; pin bit-equality against
