@@ -84,10 +84,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object GraftTable {
   private val SnapPrefix = "_snap-"
   private val CkptPrefix = "_ckpt-"
+  private val Ckpt1Prefix = "_ckpt1-"
 
-  /** Checkpoint cadence: resolving any version reads at most this many
-    * delta snapshots plus one full listing. */
+  /** Checkpoint cadence: resolving any version reads at most
+    * CkptEvery−1 delta snapshots, then FullCkptEvery/CkptEvery−1
+    * delta-WINDOW checkpoints, then one full listing — ≤ 31 file reads
+    * on any chain length. r13 (verdict #8): the 16-cadence checkpoint
+    * is now a DELTA-WINDOW sidecar (the union of its window's
+    * additions — O(changed), the Iceberg manifest shape), so no commit
+    * ever rewrites the full visible set except the FullCkptEvery-th
+    * (amortized O(table)/256 per commit), and vacuum's horizon
+    * materialization. */
   private[graft] val CkptEvery = 16L
+  private[graft] val FullCkptEvery: Long = CkptEvery * CkptEvery
 
   /** Default vacuum age fence for unreferenced data files —
     * comfortably longer than a commit's rename-to-publish window, so
@@ -99,8 +108,11 @@ object GraftTable {
 
   private def ckptName(v: Long): String = f"$CkptPrefix$v%08d"
 
+  private def ckpt1Name(v: Long): String = f"$Ckpt1Prefix$v%08d"
+
   private def snapVersion(name: String): Long =
-    name.stripPrefix(SnapPrefix).stripPrefix(CkptPrefix).toLong
+    name.stripPrefix(SnapPrefix).stripPrefix(Ckpt1Prefix)
+      .stripPrefix(CkptPrefix).toLong
 
   /** Latest committed version, 0 when the table is empty. */
   def latestVersion(dir: String): Long = {
@@ -138,9 +150,27 @@ object GraftTable {
       Files.readAllLines(p, StandardCharsets.UTF_8)).asScala.toSeq))
   }
 
+  /** The delta-WINDOW checkpoint at `version`, if one was written:
+    * (kind, files). kind `delta` = the additions of versions
+    * (version − CkptEvery, version]; kind `full` = a full base (a
+    * full-kind commit landed inside the window). */
+  private def ckpt1Listing(dir: String, version: Long): Option[(String, Seq[(String, Long)])] = {
+    val p = Paths.get(dir, ckpt1Name(version))
+    if (!Files.exists(p)) None
+    else {
+      val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(p, StandardCharsets.UTF_8)).asScala.toSeq
+      val kind = lines.collectFirst {
+        case ln if ln.startsWith("#kind\t") => ln.stripPrefix("#kind\t")
+      }.getOrElse("full")
+      Some((kind, parseListing(lines)))
+    }
+  }
+
   /** Full visible listing at `version`: walk delta snapshots back to
-    * the nearest checkpoint / full snapshot / v0 — O(CkptEvery) file
-    * reads however long the chain. */
+    * the nearest window checkpoint, then window checkpoints back to
+    * the nearest full checkpoint / full snapshot / v0 — ≤ CkptEvery−1
+    * + FullCkptEvery/CkptEvery−1 + 1 file reads on any chain length. */
   private def resolveListing(dir: String, version: Long): Seq[(String, Long)] = {
     var w = version
     var deltas: List[Seq[(String, Long)]] = Nil // oldest-first via prepend
@@ -148,10 +178,18 @@ object GraftTable {
       ckptListing(dir, w) match {
         case Some(base) => return deltas.foldLeft(base)(_ ++ _)
         case None =>
-          val (_, kind, files) = rawSnapshot(dir, w)
-          if (kind == "full") return deltas.foldLeft(files)(_ ++ _)
-          deltas = files :: deltas
-          w -= 1
+          ckpt1Listing(dir, w) match {
+            case Some(("full", base)) => return deltas.foldLeft(base)(_ ++ _)
+            case Some((_, files)) =>
+              // window checkpoint: covers (w − CkptEvery, w]
+              deltas = files :: deltas
+              w -= CkptEvery
+            case None =>
+              val (_, kind, files) = rawSnapshot(dir, w)
+              if (kind == "full") return deltas.foldLeft(files)(_ ++ _)
+              deltas = files :: deltas
+              w -= 1
+          }
       }
     }
     deltas.foldLeft(Seq.empty[(String, Long)])(_ ++ _)
@@ -197,6 +235,37 @@ object GraftTable {
     finally Files.deleteIfExists(tmp)
   }
 
+  /** Write the `_ckpt1-` delta-window sidecar for `version` if absent:
+    * the union of the window's (version − CkptEvery, version] delta
+    * listings — O(files added in the window), never O(table). If a
+    * full-kind commit (truncate/compact) landed inside the window, the
+    * sidecar is instead a FULL base resolved from it — whose listing
+    * that commit just wrote, so the cost is still O(that commit). Same
+    * idempotent create-if-absent discipline as [[writeCheckpoint]]. */
+  private def writeDeltaCheckpoint(dir: String, version: Long): Unit = {
+    val target = Paths.get(dir, ckpt1Name(version))
+    if (Files.exists(target)) return
+    var w = version
+    var deltas: List[Seq[(String, Long)]] = Nil
+    var kind = "delta"
+    var base: Seq[(String, Long)] = Nil
+    var done = false
+    while (!done && w > version - CkptEvery && w > 0) {
+      val (_, k, files) = rawSnapshot(dir, w)
+      if (k == "full") { kind = "full"; base = files; done = true }
+      else { deltas = files :: deltas; w -= 1 }
+    }
+    val listing = deltas.foldLeft(base)(_ ++ _)
+    val body = new StringBuilder(s"#op\tckpt1\n#kind\t$kind\n")
+    listing.foreach { case (f, r) => body.append(s"$f\t$r\n") }
+    val tmp = Paths.get(dir, s"_tmp-ckpt1-${UUID.randomUUID()}")
+    Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    try Files.createLink(target, tmp)
+    catch { case _: FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+  }
+
   /** Atomically claim `version`: stage the snapshot content under a
     * temp name, then HARD-LINK it onto the final name. link(2) is the
     * fence — it fails atomically when the target exists. (A rename
@@ -226,8 +295,12 @@ object GraftTable {
       }
     // the version's winner (and only it) lays down the periodic
     // checkpoint — after the publish, so readers at `version` already
-    // resolve without it and a crash here costs nothing but cadence
-    if (won && version % CkptEvery == 0L) writeCheckpoint(dir, version)
+    // resolve without it and a crash here costs nothing but cadence.
+    // r13 (verdict #8): the 16-cadence sidecar is a delta-WINDOW
+    // checkpoint (O(changed)); only every FullCkptEvery-th version
+    // materializes the full listing.
+    if (won && version % FullCkptEvery == 0L) writeCheckpoint(dir, version)
+    else if (won && version % CkptEvery == 0L) writeDeltaCheckpoint(dir, version)
     won
   }
 
@@ -382,6 +455,7 @@ object GraftTable {
       (f.getName.startsWith("part-") && !live(f.getName) &&
         f.lastModified() < cutoff) ||
         (f.getName.startsWith(SnapPrefix) && snapVersion(f.getName) < retainFrom) ||
+        (f.getName.startsWith(Ckpt1Prefix) && snapVersion(f.getName) < retainFrom) ||
         (f.getName.startsWith(CkptPrefix) && snapVersion(f.getName) < retainFrom) ||
         // crashed writers' staging litter (_tmp-…): invisible to every
         // reader, reclaimable once past the same age fence

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.{GraftCommitMessage, GraftTable}
@@ -347,21 +349,43 @@ class GraftTableSpec extends SparkSpec {
       assert(GraftTable.tryPublish(d, v.toLong, "append",
         Seq((f"part-f$v%04d", 1L)), kind = "delta"))
     }
-    // the periodic checkpoints exist at every CkptEvery-th version
-    val ckpts = new java.io.File(d).listFiles().map(_.getName)
-      .filter(_.startsWith("_ckpt-")).sorted
-    assert(ckpts.length == n / GraftTable.CkptEvery.toInt, ckpts.length.toString)
+    // r13 (verdict #8): FULL checkpoints only every FullCkptEvery-th
+    // version; the 16-cadence sidecars are delta-WINDOW checkpoints
+    val files = new java.io.File(d).listFiles().map(_.getName)
+    val fulls = files.filter(_.startsWith("_ckpt-")).sorted
+    val windows = files.filter(_.startsWith("_ckpt1-")).sorted
+    assert(fulls.length == n / GraftTable.FullCkptEvery.toInt, fulls.mkString(","))
+    assert(windows.length ==
+      n / GraftTable.CkptEvery.toInt - n / GraftTable.FullCkptEvery.toInt)
+    // O(changed) laydown: every window checkpoint lists exactly its
+    // window's additions (CkptEvery files here — 1 per commit), NEVER
+    // the full visible set; only the FullCkptEvery-th materializes it
+    windows.foreach { c =>
+      val entries = Files.readAllLines(Paths.get(d, c)).asScala
+        .count(l => l.nonEmpty && !l.startsWith("#"))
+      assert(entries == GraftTable.CkptEvery,
+        s"$c lists $entries files — a window checkpoint must be O(changed)")
+    }
+    fulls.foreach { c =>
+      val v = c.stripPrefix("_ckpt-").toInt
+      val entries = Files.readAllLines(Paths.get(d, c)).asScala
+        .count(l => l.nonEmpty && !l.startsWith("#"))
+      assert(entries == v, s"$c must hold the full listing at v$v")
+    }
     // mid-chain time travel and head both resolve the full listing
     assert(GraftTable.readSnapshot(d, 500L)._2.size == 500)
     val (_, head) = GraftTable.readSnapshot(d, n.toLong)
     assert(head.size == n && head.head == ("part-f0001", 1L) &&
       head.last == (f"part-f$n%04d", 1L))
-    // PROOF of bounded reads: delete every snapshot below the last
-    // checkpoint (992) and every older checkpoint — if resolution
-    // touched any of them, it would now throw; instead the head reads
-    // the 992-checkpoint plus the 8 trailing deltas, byte-identically
-    (1 to 991).foreach(v => Files.delete(Paths.get(d, f"_snap-$v%08d")))
-    ckpts.dropRight(1).foreach(c => Files.delete(Paths.get(d, c)))
+    // PROOF of bounded reads: resolution at the head needs only the 8
+    // trailing deltas (993-1000), the window checkpoints at 992 down
+    // to 784, and the full checkpoint at 768. Delete everything else —
+    // if resolution touched any of it, it would now throw; instead the
+    // head resolves byte-identically
+    (1 to 992).foreach(v => Files.delete(Paths.get(d, f"_snap-$v%08d")))
+    fulls.filterNot(_ == "_ckpt-00000768").foreach(c => Files.delete(Paths.get(d, c)))
+    windows.filter(_.stripPrefix("_ckpt1-").toInt < 784)
+      .foreach(c => Files.delete(Paths.get(d, c)))
     assert(GraftTable.readSnapshot(d, n.toLong)._2 == head)
   }
 
