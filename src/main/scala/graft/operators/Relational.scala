@@ -42,11 +42,21 @@ GROUP BY l_returnflag, l_linestatus"""
 
   // C2: star join — fact-fact shuffle join on keys, dimension tables
   // broadcast (nation/region always; customer too below ~10M rows).
+  // r13 (guide §3.1, the r12 verdict's q_join_revenue 8-core anomaly):
+  // AQE's byte estimates put ORDERS (and the orders⋈customer result)
+  // under the auto-broadcast threshold at test SF, so every rep paid a
+  // serialized driver-side broadcast build of a 150k-row fact table —
+  // 12.3 s at 8 cores in the r12 driver run. orders and customer are
+  // FACT tables (they scale with SF; only nation/region are fixed
+  // dims), so the deliberate strategy is SHUFFLE_HASH on both fact
+  // joins — the plan any real scale takes anyway once the estimates
+  // exceed the threshold. Interleaved A/B at sf0.1: 0.6× at BOTH 8 and
+  // 32 cores (6/6 rounds each), result parity exact.
   def joinRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
                   nation: DataFrame, region: DataFrame): DataFrame =
     lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(orders.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(customer.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

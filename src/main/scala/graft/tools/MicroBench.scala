@@ -349,6 +349,86 @@ object MicroBench {
     time("full") { graft.operators.Dedup.goldenRecord(customer) }
   }
 
+  /** Stage timing for q_curation_web (r13): where do the remaining
+    * seconds go — html extraction, NB, dedup, or BPE metering? */
+  private def webProf(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    graft.functions.VectorFunctions.register(spark)
+    val documents0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    def time(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      f.write.format("noop").mode("overwrite").save() // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[mb] web $tag%-12s median ${ts(1)}%.2f  [${ts.head}%.2f, ${ts.last}%.2f]")
+    }
+    val documents = graft.operators.Scale.spreadNarrowScan(documents0, col("doc_id"))
+    time("extract") {
+      graft.operators.Html.extractText(graft.operators.Html.asHtml(documents))
+        .select(col("doc_id"), col("extracted").as("text"))
+    }
+    val extracted = graft.operators.Html.extractText(graft.operators.Html.asHtml(documents))
+      .select(col("doc_id"), col("extracted").as("text")).localCheckpoint()
+    time("quality") { graft.operators.TextAnalysis.quality(extracted) }
+    time("nbtrain") { graft.operators.TextAnalysis.nbTrain(documents) }
+    time("nbclassify") {
+      graft.operators.TextAnalysis.nbClassify(extracted,
+        weights = Some(graft.operators.TextAnalysis.nbTrain(documents).localCheckpoint()),
+        heldOutOnly = false)
+    }
+    time("dedup") { graft.operators.Dedup.dedupClusters(documents) }
+    time("bpe-all") { graft.operators.TextAnalysis.bpeEncode(extracted) }
+    time("full") { graft.operators.Curation.webPipeline(documents0) }
+  }
+
+  /** Interleaved A/B of q_join_revenue's fact-fact join strategy: AQE
+    * auto-broadcasts the 150k-row orders (and the orders⋈customer
+    * result) from byte estimates — a serialized driver-side build that
+    * blew up to 12.3 s at 8 cores in the r12 driver run — vs explicit
+    * SHUFFLE_HASH on the two fact joins (the plan any real scale takes
+    * anyway, since the estimates exceed the threshold there). */
+  private def jrAb(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Portable.dec
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    def shape(o: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      lineitem
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    def old() = shape(orders, customer)
+    def neu() = shape(orders.hint("shuffle_hash"), customer.hint("shuffle_hash"))
+    val a = old().orderBy("r_name", "n_name").collect().toSeq
+    val b = neu().orderBy("r_name", "n_name").collect().toSeq
+    println(s"[mb] jr parity: ${a == b}")
+    val ts = (1 to 6).flatMap { r =>
+      val order = if (r % 2 == 1) Seq("old" -> old _, "new" -> neu _)
+        else Seq("new" -> neu _, "old" -> old _)
+      order.map { case (tag, f) =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        tag -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    ts.grouped(2).zipWithIndex.foreach { case (p, i) =>
+      val m = p.toMap
+      println(f"[mb] jr round ${i + 1}: old ${m("old")}%.2f new ${m("new")}%.2f  new/old ${m("new") / m("old")}%.2f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -364,6 +444,8 @@ object MicroBench {
     if (args.contains("sil")) { silAb(spark); spark.stop(); return }
     if (args.contains("bpe")) { bpeAb(spark); spark.stop(); return }
     if (args.contains("golden")) { goldenProf(spark); spark.stop(); return }
+    if (args.contains("web")) { webProf(spark); spark.stop(); return }
+    if (args.contains("jr")) { jrAb(spark); spark.stop(); return }
     val df = spark.range(0, 10000000L)
       .selectExpr("concat('7:', cast(id as string)) AS s").cache()
     df.count()
