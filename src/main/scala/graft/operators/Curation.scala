@@ -120,11 +120,20 @@ object Curation {
       .select(col("doc_id"), col("logit").as("nb_logit"))
     val nearKeep = Dedup.dedupClusters(documents)
       .where(col("keep") === 1).select(col("doc_id"))
+    // r13 (guide §2.4, the wave-3 pattern one level up): `kept` feeds
+    // BOTH the final join's left side AND the BPE metering semi-join —
+    // without materialization the whole url⋈quality⋈NB⋈nearKeep
+    // subtree (two scans + the NB scoring pass + 4 joins) evaluates
+    // TWICE (the before-plan's nodes 63-125 mirror 1-61). Materialize
+    // the narrow survivor frame once: 3 columns × the ~30% survivor
+    // set — linear, id-sized state, the same within-query trade as
+    // `extracted` above.
     val kept = documents.select(col("doc_id"))
       .join(urlKeep, Seq("doc_id"), "left_semi")
       .join(q, "doc_id")
       .join(nb, "doc_id")
       .join(nearKeep, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     // meter AFTER filtering — the BPE walk (the chain's priciest
     // per-byte stage) only runs on the ~30% that survives
     val toks = TextAnalysis.bpeEncode(

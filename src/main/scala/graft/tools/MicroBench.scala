@@ -384,6 +384,71 @@ object MicroBench {
     time("full") { graft.operators.Curation.webPipeline(documents0) }
   }
 
+  /** Interleaved A/B of the q_curation_web final composition: old (the
+    * r12 shape — `kept` consumed lazily by BOTH the final join and the
+    * BPE-metering semi-join, so the url⋈quality⋈NB⋈nearKeep subtree
+    * evaluates twice) vs new ([[graft.operators.Curation.webPipeline]]
+    * with the survivor frame localCheckpointed once). */
+  private def webKeepAb(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    graft.functions.VectorFunctions.register(spark)
+    val documents0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    def old() = {
+      val documents = graft.operators.Scale.spreadNarrowScan(documents0, col("doc_id"))
+      val pageId = col("doc_id") -
+        when(col("doc_id") % 10 === 7, 1).otherwise(0)
+      val urlKeep = graft.operators.Urls.canonicalFetches(
+        documents, pageId, pageId % 31 === 13)
+      val extracted = graft.operators.Html.extractText(
+          graft.operators.Html.asHtml(documents))
+        .select(col("doc_id"), col("extracted").as("text"))
+        .localCheckpoint()
+      val q = graft.operators.TextAnalysis.quality(extracted)
+        .where(col("quality_score") >= 0.15)
+        .select(col("doc_id"), col("quality_score"))
+      val nb = graft.operators.TextAnalysis.nbClassify(extracted,
+          weights = Some(graft.operators.TextAnalysis.nbTrain(documents).localCheckpoint()),
+          heldOutOnly = false)
+        .where(col("pred_keep") === 1)
+        .select(col("doc_id"), col("logit").as("nb_logit"))
+      val nearKeep = graft.operators.Dedup.dedupClusters(documents)
+        .where(col("keep") === 1).select(col("doc_id"))
+      val kept = documents.select(col("doc_id"))
+        .join(urlKeep, Seq("doc_id"), "left_semi")
+        .join(q, "doc_id")
+        .join(nb, "doc_id")
+        .join(nearKeep, Seq("doc_id"), "left_semi")
+      val toks = graft.operators.TextAnalysis.bpeEncode(
+          extracted.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), col("n_bpe_tokens"))
+      kept.join(toks, "doc_id")
+    }
+    def neu() = graft.operators.Curation.webPipeline(documents0)
+    val a = old().selectExpr("count(*) AS n", "sum(n_bpe_tokens) AS t",
+      "sum(quality_score) AS q").collect()(0)
+    val b = neu().selectExpr("count(*) AS n", "sum(n_bpe_tokens) AS t",
+      "sum(quality_score) AS q").collect()(0)
+    println(s"[mb] webkeep parity: ${a == b} ($a vs $b)")
+    val ts = (1 to 6).flatMap { r =>
+      val order = if (r % 2 == 1) Seq("old" -> old _, "new" -> neu _)
+        else Seq("new" -> neu _, "old" -> old _)
+      order.map { case (tag, f) =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        tag -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    ts.grouped(2).zipWithIndex.foreach { case (p, i) =>
+      val m = p.toMap
+      println(f"[mb] webkeep round ${i + 1}: old ${m("old")}%.2f new ${m("new")}%.2f  new/old ${m("new") / m("old")}%.2f")
+    }
+    Seq("old", "new").foreach { tag =>
+      val xs = ts.collect { case (`tag`, t) => t }.sorted
+      println(f"[mb] webkeep-$tag%-4s reps ${xs.map(x => f"$x%.2f").mkString(", ")}  median ${xs(xs.size / 2)}%.2f")
+    }
+  }
+
   /** Interleaved A/B of q_join_revenue's fact-fact join strategy: AQE
     * auto-broadcasts the 150k-row orders (and the orders⋈customer
     * result) from byte estimates — a serialized driver-side build that
@@ -446,6 +511,7 @@ object MicroBench {
     if (args.contains("golden")) { goldenProf(spark); spark.stop(); return }
     if (args.contains("web")) { webProf(spark); spark.stop(); return }
     if (args.contains("jr")) { jrAb(spark); spark.stop(); return }
+    if (args.contains("webkeep")) { webKeepAb(spark); spark.stop(); return }
     val df = spark.range(0, 10000000L)
       .selectExpr("concat('7:', cast(id as string)) AS s").cache()
     df.count()
