@@ -714,6 +714,85 @@ case class BootWeights(child: Expression, thresholds: Array[Long])
     copy(child = newChild)
 }
 
+/** The L82/L83 integer squared-L2 argmin — [min dist, 1-based argmin]
+  * of a BIGINT coordinate vector against a literal centroid matrix, as
+  * ONE primitive loop per row.
+  *
+  * Replaces `transform(centsLit, c -> aggregate(zip_with(xi, c,
+  * (a,b) -> (a-b)*(a-b)), 0L, +))` + `array_min` + `array_position` —
+  * NESTED higher-order functions interpreted per element (the known
+  * O(k·d) interpreted-walk cost, PcScore posture). Parity with the HOF
+  * chain, corner by corner (property-spec-pinned):
+  *  - centroids all share length d; if xi's length differs, zip_with
+  *    pads with nulls → every per-centroid sum is null → array_min is
+  *    null → null result. Same for any null element of xi.
+  *  - ANSI long arithmetic REJECTS overflow (`(a-b)*(a-b)` + sum throw
+  *    SparkArithmeticException), so the loop uses add/multiplyExact —
+  *    identical values in range, and the overflow regime (reachable
+  *    only past |coord| ≈ 3e17, i.e. |x| ≈ 3e11 before scaling — far
+  *    outside the embedding domain) errors in both paths instead of
+  *    silently diverging.
+  *  - array_min skips nulls; array_position returns the FIRST index
+  *    equal to the min → strict `<` keeping the earliest minimum.
+  *
+  * The centroid matrix is driver-computed bounded model state (K×d
+  * longs), carried as a codegen reference object — never a plan
+  * literal (TopCells/PcScore posture). */
+object KmDist {
+  def eval(v: ArrayData, cents: Array[Array[Long]]): Any = {
+    val k = cents.length
+    if (k == 0) return null
+    val d = cents(0).length
+    if (v.numElements() != d) return null
+    var i = 0
+    while (i < d) { if (v.isNullAt(i)) return null; i += 1 }
+    var best = 0L
+    var bestIdx = -1
+    var c = 0
+    while (c < k) {
+      val cc = cents(c)
+      var s = 0L
+      i = 0
+      while (i < d) {
+        val diff = Math.subtractExact(v.getLong(i), cc(i))
+        s = Math.addExact(s, Math.multiplyExact(diff, diff))
+        i += 1
+      }
+      if (bestIdx < 0 || s < best) { best = s; bestIdx = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(best, (bestIdx + 1).toLong))
+  }
+}
+
+case class KmDist(child: Expression, cents: Array[Array[Long]], fnName: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = fnName
+
+  override def nullSafeEval(input: Any): Any =
+    KmDist.eval(input.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "long[][]")
+    // MODULE$: the case class's Expression.eval suppresses the
+    // companion's static forwarder (the Md5Long60 Janino gotcha)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+        Object $r = graft.functions.KmDist$$.MODULE$$.eval($c, $ref);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The L87/q_top_component projection — score = Σᵢ dec6(round((v[i] −
   * mu[i]) · pv[i], 6)) accumulated as DECIMAL(28,6), released DOUBLE —
   * as ONE primitive loop per row.

@@ -4904,9 +4904,15 @@ FROM strata CROSS JOIN tallies"""
       .withColumn("cos2_q12", decDiv(
         col("cn").cast("decimal(38,0)") * col("cn") * 1000000000000L,
         col("di").cast("decimal(38,0)") * col("dj")).cast("long"))
-    scored.withColumn("rk", row_number().over(
+    // r13: top-k via TakeOrderedAndProject (the r11 RAKE/textRank/hill
+    // shape) — per-partition k-row heaps + a P·k merge instead of a
+    // global single-partition row_number window over EVERY supported
+    // pair (corpus-scaled); the re-rank window orders only the ≤ k
+    // selected rows, bounded by the declared k
+    scored.orderBy(col("cos2_q12").desc, col("i").asc, col("j").asc)
+      .limit(ItemCfTopK)
+      .withColumn("rk", row_number().over(
         Window.orderBy(col("cos2_q12").desc, col("i").asc, col("j").asc)))
-      .where(col("rk") <= ItemCfTopK)
       .select(col("rk").cast("long").as("rk"), col("i"), col("j"),
         col("cn"), col("di"), col("dj"), col("cos2_q12"),
         round(col("cn").cast("double") /

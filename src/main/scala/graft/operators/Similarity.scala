@@ -1297,9 +1297,104 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
       transform(asD(col("embedding")), x =>
         round(x * lit(1000000.0), 0).cast("long") + lit(KmShift)).as("xi"))
 
+  // r13 (guide §1.2; the CC/graph local-replay posture): below this
+  // many vector rows the ITERATION state (the collected corpus) fits
+  // the driver comfortably (100k × 64 longs ≈ 52 MB, far under
+  // maxResultSize), so the Lloyd update rounds / k-center greedy rounds
+  // replay locally instead of paying (iters−1)·(corpus pass + collect)
+  // cluster-wide job waves. Above the budget — any real corpus at
+  // scale — the distributed loops run unchanged. Exact by
+  // construction: the recurrences are pure integer arithmetic (the
+  // L82/L83 design contract), parity spec-pinned with both paths
+  // forced.
+  private[graft] val VecLocalRowBudget: Long =
+    sys.env.getOrElse("SPARK_GRAFT_VEC_LOCAL_ROWS", "100000").toLong
+
+  /** Distance+argmin columns via the codegen'd [[graft.functions.KmDist]]
+    * loop (PcScore posture — the nested transform/zip_with/aggregate
+    * HOF chain it replaces was interpreted per element). */
+  private def kmAssignCols(spark: org.apache.spark.sql.SparkSession,
+      pts: DataFrame, cs: IndexedSeq[Array[Long]]): DataFrame = {
+    val name = s"graft_km_dist_${tcCounter.incrementAndGet()}"
+    val cents = cs.toArray
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.KmDist(exprs.head, cents, name),
+      "built-in")
+    pts.withColumn("km", call_function(name, col("xi")))
+      .withColumn("dist", element_at(col("km"), 1))
+      .withColumn("cid", element_at(col("km"), 2))
+  }
+
+  /** Local mirror of one [[graft.functions.KmDist]] call: (dist, cid)
+    * or null on a null-holed / wrong-length vector. */
+  private def kmDistLocal(xi: Array[java.lang.Long],
+      cs: IndexedSeq[Array[Long]]): Option[(Long, Int)] = {
+    val d = cs(0).length
+    if (xi == null || xi.length != d || xi.exists(_ == null)) return None
+    var best = 0L
+    var bestIdx = -1
+    var c = 0
+    while (c < cs.length) {
+      val cc = cs(c)
+      var s = 0L
+      var i = 0
+      while (i < d) {
+        val df = Math.subtractExact(xi(i), cc(i))
+        s = Math.addExact(s, Math.multiplyExact(df, df))
+        i += 1
+      }
+      if (bestIdx < 0 || s < best) { best = s; bestIdx = c }
+      c += 1
+    }
+    Some((best, bestIdx))
+  }
+
+  private def collectPts(pts: DataFrame, seed: String): Array[(Long, Array[java.lang.Long], Long)] =
+    pts.withColumn("h", graft.functions.Portable.md5Long(lit(seed), col("vec_id")))
+      .select(col("vec_id"), col("xi"), col("h")).collect()
+      .map { r =>
+        val xi = if (r.isNullAt(1)) null
+          else r.getSeq[Any](1).map {
+            case null => null
+            case v: Long => java.lang.Long.valueOf(v)
+          }.toArray
+        (r.getLong(0), xi, r.getLong(2))
+      }
+
   def kmeansAssign(embeddings: DataFrame, k: Int = KmK,
-      iters: Int = KmAssignIters): DataFrame = {
+      iters: Int = KmAssignIters,
+      localRowBudget: Long = VecLocalRowBudget): DataFrame = {
+    val spark = embeddings.sparkSession
     val pts = kmScaled(embeddings)
+    def assigned(cs: IndexedSeq[Array[Long]]): DataFrame =
+      kmAssignCols(spark, pts, cs)
+    if (embeddings.count() <= localRowBudget) {
+      // ONE collect; seeds + every update round replay on the driver
+      // (the recurrence is integer-exact, so replay ≡ the distributed
+      // loop — parity spec-pinned). The FINAL assignment stays the
+      // distributed map: the released frame is corpus-sized and the
+      // plan keeps its scan → project shape.
+      val rows = collectPts(pts, "km")
+      var cents: IndexedSeq[Array[Long]] = rows
+        .sortBy(r => (r._3, r._1)).take(k)
+        .map(r => r._2.map(Long.unbox)).toIndexedSeq
+      for (_ <- 1 until iters) {
+        val sums = Array.fill(cents.length)(Array.fill(cents(0).length)(0L))
+        val ns = Array.fill(cents.length)(0L)
+        rows.foreach { case (_, xi, _) =>
+          kmDistLocal(xi, cents).foreach { case (_, c) =>
+            var i = 0
+            while (i < xi.length) { sums(c)(i) += xi(i); i += 1 }
+            ns(c) += 1
+          }
+        }
+        cents = cents.indices.map { c =>
+          if (ns(c) == 0) cents(c)
+          else Array.tabulate(cents(c).length)(i => sums(c)(i) / ns(c))
+        }
+      }
+      return assigned(cents).select(col("vec_id"), col("cid"), col("dist"))
+    }
     val seedRows = pts
       .withColumn("h", graft.functions.Portable.md5Long(lit("km"), col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(k)
@@ -1307,15 +1402,6 @@ FROM q JOIN agg ON agg.vec_id = q.vec_id"""
     var cents: IndexedSeq[Array[Long]] = seedRows
       .sortBy(r => (r.getLong(0), r.getLong(1)))
       .map(_.getSeq[Long](2).toArray).toIndexedSeq
-    def assigned(cs: IndexedSeq[Array[Long]]): DataFrame = {
-      val lit2 = typedLit(cs.map(_.toSeq).toSeq)
-      pts
-        .withColumn("dists", transform(lit2, c =>
-          aggregate(zip_with(col("xi"), c, (a, b) => (a - b) * (a - b)),
-            lit(0L), (s, d) => s + d)))
-        .withColumn("dist", array_min(col("dists")))
-        .withColumn("cid", array_position(col("dists"), col("dist")))
-    }
     for (_ <- 1 until iters) {
       val upd = assigned(cents)
         .select(col("cid"), posexplode(col("xi")).as(Seq("pos", "v")))
@@ -1377,21 +1463,48 @@ SELECT vec_id, cid, dist FROM a$KmAssignIters"""
   // corpus shuffle anywhere.
   private val KcK = 8
 
-  def kcenterSelect(embeddings: DataFrame, k: Int = KcK): DataFrame = {
+  def kcenterSelect(embeddings: DataFrame, k: Int = KcK,
+      localRowBudget: Long = VecLocalRowBudget): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val pts = kmScaled(embeddings)
+    if (embeddings.count() <= localRowBudget) {
+      // ONE collect; the whole greedy recurrence replays on the driver
+      // (K−1 cluster-wide waves of a corpus pass + singleton collect
+      // each become array walks over integer-exact state; output is
+      // ≤K rows either way — parity spec-pinned against the
+      // distributed loop).
+      val rows = collectPts(pts, "kc")
+      val first = rows.minBy(r => (r._3, r._1))
+      var selected = Vector((first._1, first._2.map(Long.unbox), 0L))
+      for (_ <- 2 to k) {
+        // winner = max min-dist, tie → smaller vec_id (the distributed
+        // min_by(struct(-mind, vec_id)); null-dist rows never win —
+        // min_by skips null-ordering rows)
+        var wid = 0L; var wxi: Array[Long] = null; var wd = -1L
+        rows.foreach { case (id, xi, _) =>
+          kmDistLocal(xi, selected.map(_._2)) match {
+            case Some((d, _)) =>
+              if (wd < 0 || d > wd || (d == wd && id < wid)) {
+                wid = id; wxi = xi.map(Long.unbox); wd = d
+              }
+            case None =>
+          }
+        }
+        selected :+= ((wid, wxi, wd))
+      }
+      return selected.zipWithIndex
+        .map { case ((id, _, radius), i) => ((i + 1).toLong, id, radius) }
+        .toDF("rk", "vec_id", "radius")
+    }
     val first = pts
       .withColumn("h", graft.functions.Portable.md5Long(lit("kc"), col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(1)
       .select(col("vec_id"), col("xi")).collect()(0)
     var selected = Vector((first.getLong(0), first.getSeq[Long](1).toArray, 0L))
     for (_ <- 2 to k) {
-      val lit2 = typedLit(selected.map(_._2.toSeq).toSeq)
-      val winner = pts
-        .withColumn("mind", array_min(transform(lit2, c =>
-          aggregate(zip_with(col("xi"), c, (a, b) => (a - b) * (a - b)),
-            lit(0L), (s, d) => s + d))))
+      val winner = kmAssignCols(spark, pts, selected.map(_._2))
+        .withColumn("mind", col("dist"))
         .agg(min_by(struct(col("vec_id"), col("xi"), col("mind")),
           struct(-col("mind"), col("vec_id"))).as("m"))
         .select(col("m.vec_id"), col("m.xi"), col("m.mind")).collect()(0)

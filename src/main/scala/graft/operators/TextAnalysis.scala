@@ -3625,10 +3625,11 @@ ORDER BY rank DESC, v ASC LIMIT $TrTopK"""
           decDiv((col("pp") - col("p_l")).cast(d38) *
             ((col("nn") - col("n_l")) - (col("pp") - col("p_l"))) * 1000000L,
             (col("nn") - col("n_l")).cast(d38)))
+    // r13: argmin via TakeOrderedAndProject (orderBy + limit(1) —
+    // per-partition heads + a P-way merge) instead of a global
+    // single-partition row_number window over the candidate frame
     cand
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("g").asc, col("x").asc)))
-      .where(col("rk") === 1)
+      .orderBy(col("g").asc, col("x").asc).limit(1)
       .select(col("x").as("threshold"), col("n_l"), col("p_l"),
         (col("nn") - col("n_l")).as("n_r"), (col("pp") - col("p_l")).as("p_r"),
         // Released as BIGINT: each decDiv child term ≤ n·10⁶/4, so

@@ -50,6 +50,9 @@ class ExactnessPropertySpec extends SparkSpec {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pc_score_cg", exprs => graft.functions.PcScore(exprs.head,
         Array(0.5, -0.5), Array(1.0, 2.0), "graft_pc_score_cg"), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_km_dist_cg", exprs => graft.functions.KmDist(exprs.head,
+        Array(Array(0L, 1L), Array(2L, 3L)), "graft_km_dist_cg"), "built-in")
     val key = "spark.sql.codegen.factoryMode"
     val old = spark.conf.getOption(key)
     spark.conf.set(key, "CODEGEN_ONLY")
@@ -57,9 +60,11 @@ class ExactnessPropertySpec extends SparkSpec {
       val r = Seq("a", "b").toDF("s").selectExpr(
         "graft_md5long60(s) AS h", s"graft_boot_w(s, $th) AS w",
         "graft_pc_score_cg(array(1.0D, 2.0D)) AS pc",
-        "graft_bpe('theother') AS bpe").collect()
+        "graft_bpe('theother') AS bpe",
+        "graft_km_dist_cg(array(4L, 5L)) AS km").collect()
       assert(r.length == 2 && !r(0).isNullAt(0) && r(0).getSeq[Long](1).length == 4
-        && !r(0).isNullAt(2) && r(0).getSeq[String](3).nonEmpty)
+        && !r(0).isNullAt(2) && r(0).getSeq[String](3).nonEmpty
+        && r(0).getSeq[Long](4).length == 2)
     } finally {
       old match {
         case Some(v) => spark.conf.set(key, v)
@@ -508,6 +513,82 @@ class ExactnessPropertySpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(got == expected,
         s"trial $trial: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
+  test("KmDist codegen loop equals the nested HOF chain on any vector") {
+    // r13: the L82/L83 distance+argmin runs as one primitive loop
+    // (PcScore posture); pin [dist, cid] parity against the
+    // transform/zip_with/aggregate + array_min + array_position chain
+    // on adversarial vectors — null elements, wrong lengths, null
+    // vectors, exact ties via duplicate centroids. (The overflow
+    // regime is REJECTED in both paths — ANSI throws in the chain,
+    // add/multiplyExact in the loop — asserted separately below.)
+    val rnd = new scala.util.Random(8211)
+    val d = 4
+    val cents: IndexedSeq[Array[Long]] = IndexedSeq(
+      Array(0L, 0L, 0L, 0L),
+      Array(1L, 2L, 3L, 4L),
+      Array(1L, 2L, 3L, 4L), // duplicate: ties must pick the FIRST
+      Array(-5L, 7L, -9L, 11L))
+    val name = "graft_km_dist_spec"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.KmDist(exprs.head, cents.toArray, name),
+      "built-in")
+    val vecs: Seq[Seq[java.lang.Long]] =
+      Seq(null, Seq.empty[java.lang.Long], Seq[java.lang.Long](1L, 2L, 3L),
+        Seq[java.lang.Long](1L, null, 3L, 4L),
+        Seq[java.lang.Long](1L, 2L, 3L, 4L)) ++
+        (1 to 300).map(_ => Seq.fill(d)(
+          java.lang.Long.valueOf(rnd.nextInt(21).toLong - 10)))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "xi")
+    val lit2 = typedLit(cents.map(_.toSeq))
+    val chain = df
+      .withColumn("dists", transform(lit2, c =>
+        aggregate(zip_with(col("xi"), c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x)))
+      .select(col("vec_id"), array_min(col("dists")).as("dist"),
+        array_position(col("dists"), array_min(col("dists"))).as("cid"))
+    val fast = df.selectExpr("vec_id", s"$name(xi) AS km")
+      .selectExpr("vec_id", "element_at(km, 1) AS dist", "element_at(km, 2) AS cid")
+    val a = chain.orderBy("vec_id").collect().toSeq
+    val b = fast.orderBy("vec_id").collect().toSeq
+    assert(a == b, s"KmDist diverged:\n${a.zip(b).filter(p => p._1 != p._2).take(5)}")
+    // overflow rejects (never silently diverges): the loop throws like
+    // ANSI's chain does
+    intercept[ArithmeticException] {
+      graft.functions.KmDist.eval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array(Long.MaxValue, 0L, 0L, 1L)),
+        cents.toArray)
+    }
+  }
+
+  test("kmeans/kcenter local driver replay equals the distributed rounds") {
+    // r13: below the vector-row budget the Lloyd update rounds and the
+    // k-center greedy replay on the driver; pin row-for-row equality
+    // with both paths forced on random corpora (cluster structure +
+    // uniform noise, duplicate points for tie pressure)
+    val rnd = new scala.util.Random(4133)
+    (1 to 3).foreach { t =>
+      val n = 40 + rnd.nextInt(40)
+      val emb = (1L to n).map { id =>
+        val c = rnd.nextInt(3)
+        val base = Seq(0.0, 5.0, -5.0)(c)
+        (id, Seq.fill(6)(math.rint((base + rnd.nextGaussian()) * 100) / 100))
+      } ++ Seq((n + 1L, (1 to 6).map(_ => 0.42)), (n + 2L, (1 to 6).map(_ => 0.42)))
+      val df = emb.toDF("vec_id", "embedding")
+      val kmL = Similarity.kmeansAssign(df, localRowBudget = Long.MaxValue)
+        .orderBy("vec_id").collect().toSeq
+      val kmD = Similarity.kmeansAssign(df, localRowBudget = -1L)
+        .orderBy("vec_id").collect().toSeq
+      assert(kmL == kmD, s"kmeans diverged (trial $t):\n${kmL.take(5)}\nvs\n${kmD.take(5)}")
+      val kcL = Similarity.kcenterSelect(df, localRowBudget = Long.MaxValue)
+        .orderBy("rk").collect().toSeq
+      val kcD = Similarity.kcenterSelect(df, localRowBudget = -1L)
+        .orderBy("rk").collect().toSeq
+      assert(kcL == kcD, s"kcenter diverged (trial $t):\n$kcL\nvs\n$kcD")
     }
   }
 
