@@ -370,6 +370,10 @@ GROUP BY tau"""
       // prefix length for τ = 1/2: n − ceil(n/2) + 1 = n/2 + 1 (int div)
       .where(col("rk") <= col("n") - (col("n") + 1) / 2 + 1)
       .select(col("s"), col("doc_id"), col("n"), col("rk"))
+      // r13 (guide §5): cached — both sides of the prefix self-join
+      // consume this frame and exchange reuse misses across the
+      // aliased projections, re-running the df join + per-doc window
+      .cache()
     // PPJoin positional filter (exact, Xiao et al.): a shared prefix
     // token at positions (rkx, rky) bounds the overlap by
     // 1 + min(nx − rkx, ny − rky); J >= τ needs overlap >=
@@ -1578,11 +1582,16 @@ FROM spans GROUP BY doc_id"""
 
   def kmvOverlap(documents: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(documents.sparkSession)
+    // r13 (guide §5): cached — the shingle-explode + double distinct
+    // corpus pass has THREE consumers below (the per-source sketch and
+    // both sides of the exact-truth join); without it the subtree
+    // re-evaluates per consumer (the minhashLsh `sh` precedent)
     val g = documents.select(col("source"),
         explode(expr("graft_shingles(split(lower(text), '\\\\s+'), 3)")).as("s"))
       .distinct()
       .select(col("source"), md5Long(lit("kmv"), col("s")).as("h"))
       .distinct()
+      .cache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"))
     val sk = g.withColumn("rn", row_number().over(w)).where(col("rn") <= KmvK)

@@ -1412,7 +1412,12 @@ FROM g"""
   private val MossMinShared = 3L
 
   def fingerprintPairs(documents: DataFrame): DataFrame = {
-    val fps = fingerprint(documents)
+    // r13 (guide §5): cached — the winnowing pass (CPU-dense per-byte
+    // k-gram rolling hash) has FOUR consumers in this plan (the df
+    // histogram + the indexed side, each twice through the self-join)
+    // and exchange reuse does not fire across their differing
+    // projections; the frame is the narrow (doc_id, fp) stream
+    val fps = fingerprint(documents).cache()
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= MossMaxDf).select(col("fp"))
     val idx = fps.join(rare, "fp")
